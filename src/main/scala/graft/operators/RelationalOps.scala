@@ -1,0 +1,309 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operator inventory (SURVEY.md §2.2–2.5).
+  *
+  * The reference (CBIIT/nci-seronet-proc-data-validator) expresses these as
+  * eager pandas calls — projection/filters (`File_Submission_Object.py:102,
+  * 155`), left/outer joins (`:128-147,106-127`), group-by counts (`:181-188`),
+  * crosstab (`nci-seronet-data-validator.py:227`), dedup (`:152-156`), sort
+  * (`:425-428`), unions (`s3.py:176`). Here each is a lazy Catalyst plan:
+  * scans prune columns + push filters, small dimensions broadcast, and all
+  * floating-point aggregation routes through DECIMAL so results are exact and
+  * independent of partial-aggregation order (scale-safe determinism).
+  *
+  * Determinism contract (see [[graft.Q]]): total ORDER BY, decimal-routed
+  * aggregates, oracle SQL mirrors semantics verbatim.
+  */
+object RelationalOps {
+
+  /** Order-independent exact sum of a double column: route through decimal.
+    * A double hitting an exact half-boundary at scale 6 is not binary-
+    * representable, so Spark HALF_UP vs DuckDB rounding cannot diverge.
+    */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(28,6)")).cast("double")
+  private val oDsum = (e: String) => s"CAST(SUM(CAST($e AS DECIMAL(28,6))) AS DOUBLE)"
+
+  def qs: Seq[Q] = Seq(
+
+    // ---- A4/A1-style full-scan aggregation (TPC-H Q1 shape; flagship) ----
+    Q("q01_agg_fullscan",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
+             |  COUNT(*) AS count_order
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      "§2.4 A1/A4 group-by aggregation, map-side partial agg"),
+
+    // ---- P1 projection + P4 predicate filter (pushdown demo) ----
+    Q("q02_project_filter",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |WHERE l_quantity > 45 AND l_returnflag = 'R'
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      "§2.2 P1 projection + P4 predicate filter; parquet pushdown"),
+
+    // ---- J1 multi-way join + aggregation + deterministic top-k ----
+    Q("q03_join_agg_topk",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val o  = Tables.orders(s, d)
+        val c  = Tables.customer(s, d)
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_custkey", "c_name")
+          .agg(dsum(col("l_extendedprice").cast("decimal(28,6)") *
+            (lit(1).cast("decimal(28,6)") - col("l_discount").cast("decimal(28,6)")))
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name,
+             |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(28,6)) *
+             |    (CAST(1 AS DECIMAL(28,6)) - CAST(l_discount AS DECIMAL(28,6)))
+             |    AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_custkey, c_name
+             |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin),
+      "§2.3 J1 equi-joins (broadcast dim) + agg + deterministic top-k"),
+
+    // ---- J1 left enrich join (merge_tables shape, FSO:128-147) ----
+    Q("q04_left_join_enrich",
+      (s, d) => Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"), "left")
+        .select("o_orderkey", "o_custkey", "c_name", "c_mktsegment")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_custkey, c_name, c_mktsegment
+             |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+             |ORDER BY o_orderkey""".stripMargin),
+      "§2.3 J1 left equi-join enrichment (merge_tables)"),
+
+    // ---- J2 composite-key join (FSO:145 shape) ----
+    Q("q05_composite_key_join",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val first = e.groupBy("user_id", "event_type")
+          .agg(min(col("ts")).as("first_ts"))
+          .withColumnRenamed("user_id", "f_user_id")
+          .withColumnRenamed("event_type", "f_event_type")
+        e.join(first,
+            col("user_id") === col("f_user_id") &&
+            col("event_type") === col("f_event_type") &&
+            col("ts") === col("first_ts"))
+          .groupBy("user_id", "event_type", "first_ts")
+          .agg(min("event_id").as("first_event_id"))
+          .orderBy("user_id", "event_type")
+      },
+      Some("""WITH f AS (SELECT user_id, event_type,
+             |  MIN(CAST(ts AS TIMESTAMP)) AS first_ts
+             |  FROM events GROUP BY user_id, event_type)
+             |SELECT e.user_id, e.event_type, f.first_ts,
+             |  MIN(e.event_id) AS first_event_id
+             |FROM events e JOIN f ON e.user_id = f.user_id
+             |  AND e.event_type = f.event_type
+             |  AND CAST(e.ts AS TIMESTAMP) = f.first_ts
+             |GROUP BY e.user_id, e.event_type, f.first_ts
+             |ORDER BY e.user_id, e.event_type""".stripMargin),
+      "§2.3 J2 composite-key equi-join (argmin via self-join)"),
+
+    // ---- left-semi (EXISTS; P9/J5 family) ----
+    Q("q06_semi_join",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d).select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin),
+      "§2.3 semi join (EXISTS; referential presence)"),
+
+    // ---- left-anti (NOT EXISTS; J5 referential-miss check) ----
+    Q("q07_anti_join",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d).select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin),
+      "§2.3 J5 anti join (referential-existence misses)"),
+
+    // ---- J3 full-outer presence matrix (get_all_part_ids shape) ----
+    Q("q08_outer_presence_matrix",
+      (s, d) => {
+        val c = Tables.customer(s, d).select(col("c_custkey").as("id")).distinct()
+          .withColumn("in_c", lit(true))
+        val o = Tables.orders(s, d).select(col("o_custkey").as("id")).distinct()
+          .withColumn("in_o", lit(true))
+        val e = Tables.events(s, d).select(col("user_id").as("id")).distinct()
+          .withColumn("in_e", lit(true))
+        c.join(o, Seq("id"), "outer").join(e, Seq("id"), "outer")
+          .select(
+            coalesce(col("in_c"), lit(false)).as("in_c"),
+            coalesce(col("in_o"), lit(false)).as("in_o"),
+            coalesce(col("in_e"), lit(false)).as("in_e"))
+          .groupBy("in_c", "in_o", "in_e").agg(count(lit(1)).as("n_ids"))
+          .orderBy("in_c", "in_o", "in_e")
+      },
+      Some("""WITH c AS (SELECT DISTINCT c_custkey AS id FROM customer),
+             |o AS (SELECT DISTINCT o_custkey AS id FROM orders),
+             |e AS (SELECT DISTINCT user_id AS id FROM events),
+             |m AS (SELECT COALESCE(c.id, o.id, e.id) AS id,
+             |  c.id IS NOT NULL AS in_c, o.id IS NOT NULL AS in_o,
+             |  e.id IS NOT NULL AS in_e
+             |  FROM c FULL OUTER JOIN o ON c.id = o.id
+             |  FULL OUTER JOIN e ON COALESCE(c.id, o.id) = e.id)
+             |SELECT in_c, in_o, in_e, COUNT(*) AS n_ids FROM m
+             |GROUP BY in_c, in_o, in_e ORDER BY in_c, in_o, in_e""".stripMargin),
+      "§2.3 J3 chained full-outer presence matrix + §2.2 P5 null-pattern classes"),
+
+    // ---- A1 duplicate-key counts (check_for_dup_ids) ----
+    Q("q09_dup_counts",
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .orderBy("o_custkey"),
+      Some("""SELECT o_custkey, COUNT(*) AS n FROM orders
+             |GROUP BY o_custkey HAVING COUNT(*) > 1 ORDER BY o_custkey""".stripMargin),
+      "§2.4 A1 value_counts > 1 (duplicate-ID detection)"),
+
+    // ---- A2 crosstab / pivot ----
+    Q("q10_pivot_crosstab",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .count()
+        .na.fill(0, Seq("F", "O"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  COUNT(*) FILTER (WHERE l_linestatus = 'F') AS "F",
+             |  COUNT(*) FILTER (WHERE l_linestatus = 'O') AS "O"
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      "§2.4 A2 crosstab(sheet × message-type) as pivot with 0-fill"),
+
+    // ---- A3 distinct + A6 count-distinct reconciliation ----
+    Q("q11_distinct_counts",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        o.agg(
+          countDistinct(col("o_custkey")).as("n_custs"),
+          countDistinct(col("o_orderpriority")).as("n_prios"),
+          count(lit(1)).as("n_rows"))
+      },
+      Some("""SELECT COUNT(DISTINCT o_custkey) AS n_custs,
+             |  COUNT(DISTINCT o_orderpriority) AS n_prios,
+             |  COUNT(*) AS n_rows FROM orders""".stripMargin),
+      "§2.4 A3/A6 distinct + declared-count reconciliation scalars"),
+
+    // ---- D1 dedup-keep-first, made deterministic via row_number ----
+    Q("q12_dedup_keep_first",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("o_custkey", "o_orderkey")
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey FROM orders
+             |QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) = 1
+             |ORDER BY o_custkey""".stripMargin),
+      "§2.5 D1 drop_duplicates keep-first (deterministic row_number form)"),
+
+    // ---- D3 multi-column sort ----
+    Q("q13_sort",
+      (s, d) => Tables.supplier(s, d)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .orderBy(col("s_nationkey"), col("s_acctbal").desc, col("s_suppkey")),
+      Some("""SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+             |ORDER BY s_nationkey, s_acctbal DESC, s_suppkey""".stripMargin),
+      "§2.5 D3 total sort (error-file ordering)"),
+
+    // ---- D4 vertical union (unionByName shape) ----
+    Q("q14_union",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+          .select(col("c_custkey").as("id"), lit("customer").as("src"))
+        val su = Tables.supplier(s, d)
+          .select(col("s_suppkey").as("id"), lit("supplier").as("src"))
+        c.unionByName(su).orderBy("src", "id")
+      },
+      Some("""SELECT c_custkey AS id, 'customer' AS src FROM customer
+             |UNION ALL
+             |SELECT s_suppkey AS id, 'supplier' AS src FROM supplier
+             |ORDER BY src, id""".stripMargin),
+      "§2.5 D4 vertical union of heterogeneous sources"),
+
+    // ---- window: running aggregate (row numbering per §1.3) ----
+    Q("q15_window_running",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .withColumn("running_spend",
+            sum(col("o_totalprice").cast("decimal(28,6)"))
+              .over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double"))
+          .select("o_custkey", "o_orderkey", "rn", "running_spend")
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  ROW_NUMBER() OVER w AS rn,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER
+             |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             |    AS running_spend
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |ORDER BY o_custkey, rn""".stripMargin),
+      "§2.7 window functions: row_number + running sum (Row_Index at ingest)"),
+
+    // ---- mixed equi + range join predicate ----
+    Q("q16_range_join",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val o  = Tables.orders(s, d)
+        li.join(o, col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_shipped_after"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, COUNT(*) AS n_shipped_after
+             |FROM lineitem JOIN orders
+             |  ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      "§2.3 equi+range join predicate (sort-merge with post-filter)"),
+
+    // ---- grouping sets / rollup (engine generalization) ----
+    Q("q17_rollup",
+      (s, d) => Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+             |  COUNT(*) AS n
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin),
+      "§2.4 aggregation generalization: rollup/grouping sets")
+  )
+}
