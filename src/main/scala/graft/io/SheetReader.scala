@@ -1,0 +1,97 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType, StringType}
+
+/** CSV sheet ingest with the reference's exact semantics (SURVEY §1.2/§1.3):
+  *
+  *  - every column stays StringType (per-cell dynamic typing happens in
+  *    [[graft.types.CellType]] expressions, never at ingest);
+  *  - empty cells are the empty string `''`, never null (`na_filter=False`,
+  *    File_Submission_Object.py:35) — all missing-value logic tests `== ''`;
+  *  - `Row_Index` = CSV line number (position + 2: 1-based + header row,
+  *    File_Submission_Object.py:159), attached at ingest and carried through
+  *    every join/filter;
+  *  - blank-header columns are dropped (pandas `Unnamed:` columns,
+  *    File_Submission_Object.py:44); the all-blank-row drop (:43) is a no-op
+  *    in the reference because blanks are `''` (never NaN) — replicated by
+  *    not dropping.
+  */
+object SheetReader {
+
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+    withRowIndex(clean(raw))
+  }
+
+  /** Drop pandas-style unnamed columns: blank headers surface as `_cN` in
+    * Spark and `Unnamed: N` in pandas.
+    */
+  def clean(df: DataFrame): DataFrame = {
+    val kept = df.columns.filterNot(c =>
+      c.startsWith("Unnamed") || c.matches("_c[0-9]+"))
+    df.select(kept.map(col): _*)
+  }
+
+  /** Attach a stable, contiguous Row_Index in file order and make every
+    * cell non-null ('' semantics). zipWithIndex is the scale-out-safe way
+    * to number rows contiguously: partition-local indices plus per-partition
+    * offsets — no single-partition collapse, no monotonically_increasing_id
+    * gaps.
+    */
+  def withRowIndex(df: DataFrame, startAt: Long = 2L): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(df.schema.fields :+ StructField("Row_Index", LongType))
+    val indexed = df.rdd.zipWithIndex.map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + startAt))
+    }
+    val withIdx = spark.createDataFrame(indexed, schema)
+    val stringCols = df.schema.fields.collect {
+      case f if f.dataType == StringType => f.name
+    }
+    withIdx.na.fill("", stringCols)
+  }
+
+  /** In-memory sheet constructor for tests and for adapting existing
+    * DataFrames (e.g. parquet tables) into the all-string + Row_Index shape
+    * the rule engine expects.
+    */
+  def fromRows(spark: SparkSession, columns: Seq[String],
+      rows: Seq[Seq[String]]): DataFrame = {
+    val schema = StructType(columns.map(StructField(_, StringType)) :+
+      StructField("Row_Index", LongType))
+    val data = rows.zipWithIndex.map { case (r, i) =>
+      Row.fromSeq(r.map(v => if (v == null) "" else v) :+ (i + 2L))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(data), schema)
+  }
+}
+
+/** Error-report sink: one `<sheet>_Errors.csv` per distinct sheet name,
+  * sorted by Row_Index (write_error_file, File_Submission_Object.py:417-430;
+  * the `uni_name in [...]` comparison at :425 is always False — defect
+  * §2.9-6 — so every file sorts by Row_Index; replicated).
+  */
+object ErrorWriter {
+
+  def write(errors: DataFrame, outDir: String): Seq[(String, Long)] = {
+    import org.apache.spark.sql.functions.col
+    val sheets = errors.select("CSV_Sheet_Name").distinct()
+      .collect().map(_.getString(0)).sorted
+    sheets.map { name =>
+      val curr = errors.filter(col("CSV_Sheet_Name") === name)
+        .orderBy("Row_Index")
+        .select(graft.core.ValidationError.columns.map(col): _*)
+      val fileName = name.replace(".csv", "_Errors.csv")
+      val n = curr.count()
+      curr.coalesce(1).write.mode("overwrite")
+        .option("header", "true")
+        .csv(s"$outDir/$fileName")
+      (fileName, n)
+    }
+  }
+}

@@ -1,7 +1,347 @@
 package graft.rules
 
-import graft.Q
+import graft.{Q, Tables}
+import graft.dispatch.CrossSheet
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.time.LocalDate
 
+/** Oracle-gated demonstrations of the validation-rule engine (SURVEY §2.8)
+  * over the harness parquet tables: each query adapts a table into the
+  * engine's sheet shape (all-string columns + Row_Index), runs REAL
+  * [[Checks]] / [[RuleEvaluator]] / [[CrossSheet]] code, and the DuckDB
+  * oracle re-expresses the rule's semantics independently in SQL.
+  *
+  * The CellType predicates translate as:
+  *   isNumber(v)   = NOT regexp_matches(v,'^[^_].*_') AND TRY_CAST(v AS DOUBLE) IS NOT NULL
+  *   isDateTime(v) = NOT isNumber(v) AND any(try_strptime(v, fmt) for fmt in cascade)
+  *   isString(v)   = neither
+  */
 object ValidationOps {
-  def qs: Seq[Q] = Seq()
+
+  private val errCols = Seq("Message_Type", "CSV_Sheet_Name", "Row_Index",
+    "Column_Name", "Column_Value", "Error_Message")
+
+  /** Adapt the events table into a sheet: Row_Index = event_id + 2. */
+  private def eventsSheet(s: SparkSession, d: String)(cols: (String, Column)*): DataFrame =
+    Tables.events(s, d).select(
+      cols.map { case (n, c) => c.as(n) } :+
+        (col("event_id") + 2).cast("long").as("Row_Index"): _*)
+
+  private def evalRules(sheetName: String, sheet: DataFrame,
+      rules: Seq[CompiledRule]): DataFrame =
+    RuleEvaluator.dedupFirst(RuleEvaluator.evaluate(sheetName, sheet, rules))
+      .select(errCols.head, errCols.tail: _*)
+
+  def qs: Seq[Q] = Seq(
+
+    // ---- get_missing_values with SARS-conditional severity ----
+    Q("q20_rule_missing_conditional",
+      (s, d) => {
+        val sheet = eventsSheet(s, d)(
+          "Is_Symptomatic" -> when(col("event_id") % 7 === 0, "").otherwise(lit("Yes")),
+          "SARS_CoV_2_PCR_Test_Result" ->
+            when(col("event_id") % 3 === 0, "Positive")
+              .when(col("event_id") % 3 === 1, "Negative").otherwise(lit("Unknown")))
+        evalRules("events.csv", sheet, Checks.missing("Is_Symptomatic", ReqSarsPositive))
+          .orderBy("Row_Index")
+      },
+      Some("""WITH sheet AS (SELECT event_id + 2 AS Row_Index,
+             |  CASE WHEN event_id % 7 = 0 THEN '' ELSE 'Yes' END AS val,
+             |  CASE WHEN event_id % 3 = 0 THEN 'Positive'
+             |       WHEN event_id % 3 = 1 THEN 'Negative' ELSE 'Unknown' END AS sars
+             |  FROM events)
+             |SELECT CASE WHEN sars = 'Positive' THEN 'Error' ELSE 'Warning' END AS Message_Type,
+             |  'events.csv' AS CSV_Sheet_Name, Row_Index, 'Is_Symptomatic' AS Column_Name,
+             |  '' AS Column_Value,
+             |  CASE WHEN sars = 'Positive'
+             |    THEN 'This column is requred for Sars Positive Patients, missing values are not allowed.  Please recheck data'
+             |    ELSE 'Missing Values where found, this is a warning.  Please recheck data'
+             |  END AS Error_Message
+             |FROM sheet WHERE val = '' AND sars IN ('Positive','Negative')
+             |ORDER BY Row_Index""".stripMargin),
+      "§2.8 get_missing_values: conditional requiredness + severity"),
+
+    // ---- check_in_list, ungated ----
+    Q("q21_rule_in_list",
+      (s, d) => {
+        val sheet = eventsSheet(s, d)("Event_Type" -> col("event_type"))
+        evalRules("events.csv", sheet, Seq(Checks.inList("Event_Type", NoGate,
+          Seq(PyS("click"), PyS("view"), PyS("signup"), PyS("purchase")))))
+          .orderBy("Row_Index")
+      },
+      Some("""SELECT 'Error' AS Message_Type, 'events.csv' AS CSV_Sheet_Name,
+             |  event_id + 2 AS Row_Index, 'Event_Type' AS Column_Name,
+             |  event_type AS Column_Value,
+             |  'Unexpected Value.  Value must be one of the following: [''click'', ''view'', ''signup'', ''purchase'']' AS Error_Message
+             |FROM events
+             |WHERE event_type NOT IN ('click','view','signup','purchase') AND event_type <> ''
+             |ORDER BY Row_Index""".stripMargin),
+      "§2.8 check_in_list: enum membership with '' escape"),
+
+    // ---- check_in_list with dependency gates (check_multi_rule) ----
+    Q("q22_rule_in_list_gated",
+      (s, d) => {
+        val sheet = eventsSheet(s, d)(
+          "Unit" -> when(col("event_id") % 4 === 0, "Day")
+            .when(col("event_id") % 4 === 1, "Month")
+            .when(col("event_id") % 4 === 2, "Bad").otherwise(lit("N/A")),
+          "Duration" -> when(col("event_id") % 3 === 0,
+            col("event_id").cast("string")).otherwise(lit("N/A")))
+        evalRules("events.csv", sheet, Seq(
+          Checks.inList("Unit", IsANumberGate("Duration"),
+            Seq(PyS("Day"), PyS("Month"), PyS("Year"))),
+          Checks.inList("Unit", InValuesGate("Duration", Seq(PyS("N/A"))), Seq(PyS("N/A")))))
+          .orderBy("Row_Index")
+      },
+      Some("""WITH sheet AS (SELECT event_id + 2 AS Row_Index,
+             |  CASE WHEN event_id % 4 = 0 THEN 'Day' WHEN event_id % 4 = 1 THEN 'Month'
+             |       WHEN event_id % 4 = 2 THEN 'Bad' ELSE 'N/A' END AS unit,
+             |  CASE WHEN event_id % 3 = 0 THEN CAST(event_id AS VARCHAR) ELSE 'N/A' END AS dur
+             |  FROM events)
+             |SELECT 'Error' AS Message_Type, 'events.csv' AS CSV_Sheet_Name, Row_Index,
+             |  'Unit' AS Column_Name, unit AS Column_Value,
+             |  CASE WHEN TRY_CAST(dur AS DOUBLE) IS NOT NULL
+             |    THEN 'Duration is a Number .  Value must be one of the following: [''Day'', ''Month'', ''Year'']'
+             |    ELSE 'Duration is in [''N/A''].  Value must be one of the following: [''N/A'']'
+             |  END AS Error_Message
+             |FROM sheet
+             |WHERE unit <> '' AND (
+             |  (TRY_CAST(dur AS DOUBLE) IS NOT NULL AND unit NOT IN ('Day','Month','Year'))
+             |  OR (dur = 'N/A' AND unit <> 'N/A'))
+             |ORDER BY Row_Index""".stripMargin),
+      "§2.2 P8 dependency gates: Is-A-Number and in-values"),
+
+    // ---- check_if_number int: type + int-ness + range, one message ----
+    Q("q23_rule_number_range",
+      (s, d) => {
+        val sheet = eventsSheet(s, d)(
+          "Age" -> when(col("event_id") % 5 === 0, "25")
+            .when(col("event_id") % 5 === 1, "250")
+            .when(col("event_id") % 5 === 2, "2.5")
+            .when(col("event_id") % 5 === 3, "abc").otherwise(lit("")))
+        evalRules("events.csv", sheet, Seq(Checks.number("Age", NoGate,
+          naAllowed = false, PyI(1), PyI(200), "int")))
+          .orderBy("Row_Index")
+      },
+      Some("""WITH sheet AS (SELECT event_id + 2 AS Row_Index,
+             |  CASE WHEN event_id % 5 = 0 THEN '25' WHEN event_id % 5 = 1 THEN '250'
+             |       WHEN event_id % 5 = 2 THEN '2.5' WHEN event_id % 5 = 3 THEN 'abc'
+             |       ELSE '' END AS v
+             |  FROM events)
+             |SELECT 'Error' AS Message_Type, 'events.csv' AS CSV_Sheet_Name, Row_Index,
+             |  'Age' AS Column_Name,
+             |  CASE WHEN TRY_CAST(v AS DOUBLE) IS NOT NULL
+             |       THEN CAST(TRY_CAST(v AS DOUBLE) AS VARCHAR) ELSE v END AS Column_Value,
+             |  'Value must be an interger between 1 and 200, decimal values are not allowed' AS Error_Message
+             |FROM sheet
+             |WHERE v <> '' AND (TRY_CAST(v AS DOUBLE) IS NULL
+             |  OR TRY_CAST(v AS DOUBLE) <> floor(TRY_CAST(v AS DOUBLE))
+             |  OR TRY_CAST(v AS DOUBLE) < 1 OR TRY_CAST(v AS DOUBLE) > 200)
+             |ORDER BY Row_Index""".stripMargin),
+      "§2.8 check_if_number int: type/integer-ness/range cascade"),
+
+    // ---- check_date: range errors over real dates ----
+    Q("q24_rule_date_range",
+      (s, d) => {
+        val sheet = Tables.orders(s, d).select(
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("Date_of_Visit"),
+          col("o_orderkey").cast("long").as("Row_Index"))
+        evalRules("orders.csv", sheet, Checks.date("Date_of_Visit", NoGate,
+          naAllowed = false, "Date",
+          LocalDate.of(1995, 1, 1), LocalDate.of(1996, 6, 30)))
+          .orderBy("Row_Index")
+      },
+      Some("""SELECT 'Error' AS Message_Type, 'orders.csv' AS CSV_Sheet_Name,
+             |  o_orderkey AS Row_Index, 'Date_of_Visit' AS Column_Name,
+             |  strftime(o_orderdate, '%Y-%m-%d 00:00:00') AS Column_Value,
+             |  'Date is valid however must be between 1995-01-01 and 1996-06-30' AS Error_Message
+             |FROM orders
+             |WHERE CAST(o_orderdate AS DATE) < DATE '1995-01-01'
+             |   OR CAST(o_orderdate AS DATE) > DATE '1996-06-30'
+             |ORDER BY Row_Index""".stripMargin),
+      "§2.8 check_date: date-range validation with date literals"),
+
+    // ---- check_id_field: format error beats wrong-CBC ----
+    Q("q25_rule_id_pattern",
+      (s, d) => {
+        val base = format_string("%02d_%06d", col("c_nationkey"), col("c_custkey"))
+        val sheet = Tables.customer(s, d).select(
+          when(col("c_custkey") % 10 === 0, concat(lit("BAD"), base))
+            .otherwise(base).as("Research_Participant_ID"),
+          col("c_custkey").cast("long").as("Row_Index"))
+        evalRules("customer.csv", sheet, Seq(Checks.idField(
+          "Research_Participant_ID", "[_]{1}[0-9]{6}$", 14, "XX_XXXXXX")))
+          .orderBy("Row_Index")
+      },
+      Some("""WITH sheet AS (SELECT c_custkey AS Row_Index,
+             |  CASE WHEN c_custkey % 10 = 0 THEN 'BAD' ELSE '' END ||
+             |    printf('%02d_%06d', c_nationkey, c_custkey) AS id
+             |  FROM customer)
+             |SELECT 'Error' AS Message_Type, 'customer.csv' AS CSV_Sheet_Name, Row_Index,
+             |  'Research_Participant_ID' AS Column_Name, id AS Column_Value,
+             |  CASE WHEN NOT regexp_matches(id, '^[0-9]{2}[_]{1}[0-9]{6}$')
+             |    THEN 'ID is Not Valid Format, Expecting XX_XXXXXX'
+             |    ELSE 'ID is Valid however has wrong CBC code. Expecting CBC Code (14)'
+             |  END AS Error_Message
+             |FROM sheet
+             |WHERE id <> '' AND (NOT regexp_matches(id, '^[0-9]{2}[_]{1}[0-9]{6}$')
+             |  OR NOT regexp_matches(id, '^14[_]{1}[0-9]{6}$'))
+             |ORDER BY Row_Index""".stripMargin),
+      "§2.8 check_id_field: F1 anchored regex, priority under first-wins dedup"),
+
+    // ---- CellType trichotomy over a mixed synthesized column ----
+    Q("q26_celltype_trichotomy",
+      (s, d) => {
+        import graft.types.CellType
+        val v = when(col("event_id") % 6 === 0,
+            floor(col("value") * 100).cast("long").cast("string"))
+          .when(col("event_id") % 6 === 1,
+            concat(lit("2024-"), lpad((col("event_id") % 12 + 1).cast("string"), 2, "0"), lit("-15")))
+          .when(col("event_id") % 6 === 2, col("event_type"))
+          .when(col("event_id") % 6 === 3,
+            concat(col("event_id").cast("string"), lit("_"), col("user_id").cast("string")))
+          .when(col("event_id") % 6 === 4, lit("03:30:00"))
+          .otherwise(lit(""))
+        Tables.events(s, d).select(v.as("v"))
+          .select(when(CellType.isNumber(col("v")), "number")
+            .when(CellType.isDateTime(col("v")), "datetime")
+            .otherwise("string").as("celltype"))
+          .groupBy("celltype").agg(count(lit(1)).as("n"))
+          .orderBy("celltype")
+      },
+      Some("""WITH sheet AS (SELECT
+             |  CASE WHEN event_id % 6 = 0 THEN CAST(CAST(floor(value*100) AS BIGINT) AS VARCHAR)
+             |       WHEN event_id % 6 = 1 THEN '2024-' || lpad(CAST(event_id % 12 + 1 AS VARCHAR), 2, '0') || '-15'
+             |       WHEN event_id % 6 = 2 THEN event_type
+             |       WHEN event_id % 6 = 3 THEN CAST(event_id AS VARCHAR) || '_' || CAST(user_id AS VARCHAR)
+             |       WHEN event_id % 6 = 4 THEN '03:30:00'
+             |       ELSE '' END AS v
+             |  FROM events),
+             |typed AS (SELECT
+             |  CASE WHEN NOT regexp_matches(v, '^[^_].*_') AND TRY_CAST(v AS DOUBLE) IS NOT NULL
+             |       THEN 'number'
+             |       WHEN COALESCE(try_strptime(v, '%Y-%-m-%-d %-H:%-M:%-S'),
+             |                     try_strptime(v, '%-m/%-d/%Y'), try_strptime(v, '%Y-%-m-%-d'),
+             |                     try_strptime(v, '%-H:%-M:%-S')) IS NOT NULL
+             |       THEN 'datetime' ELSE 'string' END AS celltype
+             |  FROM sheet)
+             |SELECT celltype, COUNT(*) AS n FROM typed
+             |GROUP BY celltype ORDER BY celltype""".stripMargin),
+      "§1.2 F10 per-cell dynamic typing: number/date/string trichotomy with '_' guard"),
+
+    // ---- compare_total_to_live cross-column check ----
+    Q("q27_rule_total_live",
+      (s, d) => {
+        val sheet = Tables.lineitem(s, d).select(
+          col("l_quantity").cast("string").as("Total_Cells_Hemocytometer_Count"),
+          (col("l_quantity") + when(col("l_linenumber") % 3 === 0, 1).otherwise(-1))
+            .cast("string").as("Live_Cells_Hemocytometer_Count"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("Row_Index"))
+        evalRules("biospecimen.csv", sheet,
+          Seq(Checks.totalVsLive("Total_Cells_Hemocytometer_Count")))
+          .orderBy("Row_Index")
+      },
+      Some("""SELECT DISTINCT 'Error' AS Message_Type, 'biospecimen.csv' AS CSV_Sheet_Name,
+             |  l_orderkey * 10 + l_linenumber AS Row_Index,
+             |  'Total_Cells_Hemocytometer_Count' AS Column_Name,
+             |  CAST(l_quantity AS VARCHAR) AS Column_Value,
+             |  'Live Cell Count must be less than Total Cell Count' AS Error_Message
+             |FROM lineitem WHERE l_linenumber % 3 = 0
+             |ORDER BY Row_Index""".stripMargin),
+      "§2.8 compare_total_to_live: F7 cross-column inequality"),
+
+    // ---- check_for_dup_ids through the engine ----
+    Q("q28_rule_dup_ids",
+      (s, d) => {
+        val sheet = Tables.orders(s, d).select(
+          col("o_custkey").cast("string").as("Research_Participant_ID"),
+          col("o_orderkey").cast("long").as("Row_Index"))
+        RuleEvaluator.dupIds("orders.csv", sheet, "Research_Participant_ID", 0)
+          .drop("rule_seq")
+          .select(errCols.head, errCols.tail: _*)
+          .orderBy("Column_Value")
+      },
+      Some("""SELECT 'Error' AS Message_Type, 'orders.csv' AS CSV_Sheet_Name,
+             |  -3 AS Row_Index, 'Research_Participant_ID' AS Column_Name,
+             |  CAST(CAST(o_custkey AS DOUBLE) AS VARCHAR) AS Column_Value,
+             |  'Id is repeated ' || CAST(COUNT(*) AS VARCHAR) ||
+             |    ' times, Multiple repeats are not allowed' AS Error_Message
+             |FROM orders GROUP BY o_custkey HAVING COUNT(*) > 1
+             |ORDER BY Column_Value""".stripMargin),
+      "§2.8 check_for_dup_ids: A1 value_counts at sentinel Row_Index -3"),
+
+    // ---- cross-sheet participant presence patterns ----
+    Q("q29_cross_sheet_participant",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val pid = format_string("14_%06d", col("c_custkey"))
+        val prior = c.filter(col("c_custkey") % 2 === 0)
+          .select(pid.as("Research_Participant_ID"),
+            lit("Positive").as("SARS_CoV_2_PCR_Test_Result"))
+        val demo = c.filter(col("c_custkey") % 3 === 0)
+          .select(pid.as("Research_Participant_ID"), lit("30").as("Age"))
+        val bio = c.filter(col("c_custkey") % 5 === 0)
+          .select(pid.as("Research_Participant_ID"),
+            concat(pid, lit("_001")).as("Biospecimen_ID"),
+            lit("PBMC").as("Biospecimen_Type"))
+        val confirm = c.filter(col("c_custkey") % 7 === 0)
+          .select(pid.as("Research_Participant_ID"), lit("14_001").as("Assay_ID"))
+        val matrix = prior
+          .join(demo, Seq("Research_Participant_ID"), "outer")
+          .join(bio, Seq("Research_Participant_ID"), "outer")
+          .join(confirm, Seq("Research_Participant_ID"), "outer")
+        RuleEvaluator.dedupFirst(CrossSheet.crossSheetParticipant(matrix, 14, 0))
+          .drop("rule_seq")
+          .select(errCols.head, errCols.tail: _*)
+          .orderBy("Column_Value")
+      },
+      Some("""WITH ids AS (SELECT printf('14_%06d', c_custkey) AS id,
+             |  c_custkey % 2 = 0 AS in_prior, c_custkey % 3 = 0 AS in_demo,
+             |  c_custkey % 5 = 0 AS in_bio, c_custkey % 7 = 0 AS in_confirm
+             |  FROM customer
+             |  WHERE c_custkey % 2 = 0 OR c_custkey % 3 = 0 OR c_custkey % 5 = 0 OR c_custkey % 7 = 0),
+             |scoped AS (SELECT * FROM ids
+             |  WHERE NOT (in_prior AND in_demo AND in_bio AND in_confirm))
+             |SELECT 'Error' AS Message_Type, 'Cross_Participant_ID.csv' AS CSV_Sheet_Name,
+             |  -10 AS Row_Index, 'Research_Participant_ID' AS Column_Name, id AS Column_Value,
+             |  CASE
+             |    WHEN in_prior AND NOT in_demo AND NOT in_bio
+             |      THEN 'ID is found in Prior_Clinical_Test, but is missing from Demographic and Biospecimen'
+             |    WHEN NOT in_prior AND in_demo AND NOT in_bio
+             |      THEN 'ID is found in Demographic, but is missing from Prior_Clinical_Test and Biospecimen'
+             |    WHEN NOT in_prior AND NOT in_demo AND in_bio
+             |      THEN 'ID is found in Biospecimen, but is missing from Prior_Clinical_Test and Demographic'
+             |    WHEN in_prior AND in_demo AND NOT in_bio
+             |      THEN 'ID is found in Prior_Clinical_Test and Demographic but is missing from Biospecimen'
+             |    WHEN in_prior AND NOT in_demo AND in_bio
+             |      THEN 'ID is found in Prior_Clinical_Test and Biospecimen but is missing from Demographic'
+             |    WHEN NOT in_prior AND in_demo AND in_bio
+             |      THEN 'ID is found in Demographic and Biospecimen but is missing from Prior_Clinical_Test'
+             |  END AS Error_Message
+             |FROM scoped WHERE NOT (NOT in_prior AND NOT in_demo AND NOT in_bio)
+             |  AND NOT (in_prior AND in_demo AND in_bio)
+             |ORDER BY Column_Value""".stripMargin),
+      "§2.8 get_cross_sheet_Participant_ID: J3 outer matrix + P5 null patterns"),
+
+    // ---- membership check against an injected code catalog (F9 shape) ----
+    Q("q30_rule_code_membership",
+      (s, d) => {
+        val codes = Set("A00", "B99")
+        val sheet = eventsSheet(s, d)(
+          "Other_Comorbidity" -> when(col("event_id") % 4 === 0, "A00")
+            .when(col("event_id") % 4 === 1, "B99")
+            .when(col("event_id") % 4 === 2, "ZZZ").otherwise(lit("N/A")))
+        evalRules("demographic.csv", sheet, Seq(Checks.icd10("Other_Comorbidity",
+          c => c.isin(codes.toSeq: _*))))
+          .orderBy("Row_Index")
+      },
+      Some("""SELECT 'Error' AS Message_Type, 'demographic.csv' AS CSV_Sheet_Name,
+             |  event_id + 2 AS Row_Index, 'Other_Comorbidity' AS Column_Name,
+             |  'ZZZ' AS Column_Value,
+             |  'Invalid or unknown ICD10 code, Value must be Valid ICD10 code or N/A' AS Error_Message
+             |FROM events WHERE event_id % 4 = 2
+             |ORDER BY Row_Index""".stripMargin),
+      "§2.8 check_icd10 shape: F9 membership vs injected catalog")
+  )
 }
