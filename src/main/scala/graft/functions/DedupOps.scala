@@ -1,7 +1,170 @@
 package graft.functions
 
-import graft.Q
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale design: exact dedup is a hash groupBy (one shuffle on the content
+  * hash). MinHash+LSH is the 100 TB near-dup path: signatures are computed
+  * in one groupBy over exploded shingles, band keys bucket the candidates,
+  * and only within-bucket pairs are compared — never the O(n²) cross join.
+  * The word-Jaccard and SimHash variants here are the verification-scale
+  * baselines the LSH path approximates.
+  *
+  * Portability note: hash functions are built from md5 (identical bytes in
+  * Spark and DuckDB) rather than murmur3 (`hash()`), so every signature is
+  * oracle-checkable. MinHash uses lexicographic MIN over md5 hex strings —
+  * a valid hash family, portable across engines.
+  */
 object DedupOps {
-  def qs: Seq[Q] = Seq()
+
+  /** Distinct (doc_id, word) pairs of a scoped documents table. */
+  private def words(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+
+  /** 9 portable minhashes: min(md5(j || ':' || word)) for j in 0..8,
+    * computed as 9 aggregates in ONE groupBy (no per-hash pass).
+    */
+  private def minhashSigs(docs: DataFrame): DataFrame = {
+    val aggs = (0 until 9).map(j =>
+      min(md5(concat(lit(s"$j:"), col("w")))).as(s"s$j"))
+    words(docs).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  def qs: Seq[Q] = Seq(
+
+    // ---- exact dedup: content-hash groupBy ----
+    Q("q40_dedup_exact",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        // inject deterministic duplicates (10% of docs re-submitted under new ids)
+        val dups = docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+        docs.union(dups)
+          .groupBy(md5(col("text")).as("content_hash"))
+          .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keep_id"))
+          .filter(col("n_copies") > 1)
+          .orderBy("keep_id")
+      },
+      Some("""WITH all_docs AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)
+             |SELECT md5(text) AS content_hash, COUNT(*) AS n_copies,
+             |  MIN(doc_id) AS keep_id
+             |FROM all_docs GROUP BY md5(text) HAVING COUNT(*) > 1
+             |ORDER BY keep_id""".stripMargin),
+      "pipeline-op: exact dedup via content-hash groupBy (canonical keep_id)"),
+
+    // ---- n-gram (word-set) Jaccard similarity, exact pairwise baseline ----
+    Q("q41_dedup_word_jaccard",
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
+        val w = words(docs)
+        val sizes = w.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val inter = w.withColumnRenamed("doc_id", "doc1")
+          .join(w.withColumnRenamed("doc_id", "doc2")
+            .withColumnRenamed("w", "w2"),
+            col("w") === col("w2") && col("doc1") < col("doc2"))
+          .groupBy("doc1", "doc2").agg(count(lit(1)).as("inter"))
+        inter
+          .join(sizes.select(col("doc_id").as("doc1"), col("n").as("n1")), Seq("doc1"))
+          .join(sizes.select(col("doc_id").as("doc2"), col("n").as("n2")), Seq("doc2"))
+          .withColumn("jaccard", round(col("inter").cast("double") /
+            (col("n1") + col("n2") - col("inter")), 6))
+          .filter(col("jaccard") >= 0.7)
+          .select("doc1", "doc2", "jaccard")
+          .orderBy("doc1", "doc2")
+      },
+      Some("""WITH w AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS w
+             |  FROM documents WHERE doc_id < 100),
+             |sizes AS (SELECT doc_id, COUNT(*) AS n FROM w GROUP BY doc_id),
+             |inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter
+             |  FROM w a JOIN w b ON a.w = b.w AND a.doc_id < b.doc_id
+             |  GROUP BY a.doc_id, b.doc_id)
+             |SELECT doc1, doc2,
+             |  round(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 6) AS jaccard
+             |FROM inter JOIN sizes s1 ON s1.doc_id = doc1
+             |JOIN sizes s2 ON s2.doc_id = doc2
+             |WHERE round(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 6) >= 0.7
+             |ORDER BY doc1, doc2""".stripMargin),
+      "pipeline-op: word-set Jaccard near-dup (exact pairwise baseline)"),
+
+    // ---- MinHash + LSH banding: the scale path for near-dup ----
+    Q("q42_dedup_minhash_lsh",
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+        val sigs = minhashSigs(docs)
+        // 3 bands of 3 signatures; band key = md5 of the concatenated band
+        val bands = (0 until 3).map { b =>
+          sigs.select(col("doc_id"),
+            lit(b).as("band"),
+            md5(concat_ws("|", (0 until 3).map(i => col(s"s${b * 3 + i}")): _*)).as("bkey"))
+        }.reduce(_ union _)
+        bands.as("x").join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc1"), col("y.doc_id").as("doc2"))
+          .distinct()
+          .orderBy("doc1", "doc2")
+      },
+      Some("""WITH w AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS w
+             |  FROM documents WHERE doc_id < 200),
+             |sigs AS (SELECT doc_id,
+             |  MIN(md5('0:' || w)) AS s0, MIN(md5('1:' || w)) AS s1, MIN(md5('2:' || w)) AS s2,
+             |  MIN(md5('3:' || w)) AS s3, MIN(md5('4:' || w)) AS s4, MIN(md5('5:' || w)) AS s5,
+             |  MIN(md5('6:' || w)) AS s6, MIN(md5('7:' || w)) AS s7, MIN(md5('8:' || w)) AS s8
+             |  FROM w GROUP BY doc_id),
+             |bands AS (
+             |  SELECT doc_id, 0 AS band, md5(s0 || '|' || s1 || '|' || s2) AS bkey FROM sigs
+             |  UNION ALL
+             |  SELECT doc_id, 1, md5(s3 || '|' || s4 || '|' || s5) FROM sigs
+             |  UNION ALL
+             |  SELECT doc_id, 2, md5(s6 || '|' || s7 || '|' || s8) FROM sigs)
+             |SELECT DISTINCT x.doc_id AS doc1, y.doc_id AS doc2
+             |FROM bands x JOIN bands y
+             |  ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+             |ORDER BY doc1, doc2""".stripMargin),
+      "pipeline-op: MinHash signatures + LSH band-bucket candidate pairs"),
+
+    // ---- SimHash (16-bit, md5-nibble based, fully portable) ----
+    Q("q43_dedup_simhash",
+      (s, d) => {
+        // 16-bit word hash from the first 4 hex nibbles of md5 (instr-based
+        // nibble math keeps it bit-identical to the DuckDB oracle)
+        val tokens = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .withColumn("h16", expr(
+            """(instr('0123456789abcdef', substr(md5(w),1,1))-1)*4096 +
+              |(instr('0123456789abcdef', substr(md5(w),2,1))-1)*256 +
+              |(instr('0123456789abcdef', substr(md5(w),3,1))-1)*16 +
+              |(instr('0123456789abcdef', substr(md5(w),4,1))-1)""".stripMargin))
+        val bitAggs = (0 until 16).map(i =>
+          sum(when(expr(s"(h16 div ${1 << i}) % 2") === 1, 1).otherwise(-1)).as(s"b$i"))
+        val bitSums = tokens.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+        bitSums.select(col("doc_id"),
+          (0 until 16).map(i =>
+            when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+            .reduce(_ + _).as("simhash"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tokens AS (SELECT doc_id, unnest(string_split(text,' ')) AS w
+             |  FROM documents),
+             |hashed AS (SELECT doc_id,
+             |  (instr('0123456789abcdef', substr(md5(w),1,1))-1)*4096 +
+             |  (instr('0123456789abcdef', substr(md5(w),2,1))-1)*256 +
+             |  (instr('0123456789abcdef', substr(md5(w),3,1))-1)*16 +
+             |  (instr('0123456789abcdef', substr(md5(w),4,1))-1) AS h16
+             |  FROM tokens),
+             |bits AS (SELECT doc_id, i.range AS i,
+             |  SUM(CASE WHEN (h16 // CAST(pow(2, i.range) AS BIGINT)) % 2 = 1
+             |      THEN 1 ELSE -1 END) AS s
+             |  FROM hashed, range(0,16) i GROUP BY doc_id, i.range)
+             |SELECT doc_id,
+             |  SUM(CASE WHEN s > 0 THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END) AS simhash
+             |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      "pipeline-op: SimHash document signatures (frequency-weighted bit votes)")
+  )
 }

@@ -1,7 +1,75 @@
 package graft.functions
 
-import graft.Q
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
 
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language-ID heuristics, document fingerprinting.
+  * All pure Catalyst expressions (split / filter / regexp_replace / md5) —
+  * codegen'd, no UDFs, trivially parallel at 100 TB (narrow per-row maps,
+  * no shuffle at all except the final presentation ORDER BY).
+  */
 object TextOps {
-  def qs: Seq[Q] = Seq()
+
+  def qs: Seq[Q] = Seq(
+
+    // ---- token counts + quality scoring ----
+    Q("q47_text_stats",
+      (s, d) => {
+        val words = split(col("text"), " ")
+        val stop = filter(words, w => w === "the" || w === "a" || w === "of")
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          size(words).as("n_tokens"),
+          length(col("text")).as("n_chars"),
+          round(size(stop).cast("double") / size(words), 6).as("stopword_ratio"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  len(string_split(text, ' ')) AS n_tokens,
+             |  length(text) AS n_chars,
+             |  round(CAST(len(list_filter(string_split(text, ' '),
+             |    w -> w IN ('the','a','of'))) AS DOUBLE)
+             |    / len(string_split(text, ' ')), 6) AS stopword_ratio
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      "pipeline-op: token counting + quality scoring (length/stopword ratios)"),
+
+    // ---- language-ID heuristic: stopword votes ----
+    Q("q48_text_langid",
+      (s, d) => {
+        val words = split(col("text"), " ")
+        val enHits = size(filter(words, w => w === "the" || w === "a"))
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          enHits.as("en_hits"),
+          size(words).as("n_tokens"),
+          when(enHits * 5 >= size(words), "en")
+            .when(enHits > 0, "maybe-en")
+            .otherwise(lit("unknown")).as("lang_guess"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  len(list_filter(string_split(text,' '), w -> w IN ('the','a'))) AS en_hits,
+             |  len(string_split(text,' ')) AS n_tokens,
+             |  CASE WHEN len(list_filter(string_split(text,' '), w -> w IN ('the','a'))) * 5
+             |         >= len(string_split(text,' ')) THEN 'en'
+             |       WHEN len(list_filter(string_split(text,' '), w -> w IN ('the','a'))) > 0
+             |         THEN 'maybe-en'
+             |       ELSE 'unknown' END AS lang_guess
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      "pipeline-op: n-gram/stopword language-ID heuristic"),
+
+    // ---- canonical-form document fingerprint ----
+    Q("q49_text_fingerprint",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        md5(trim(regexp_replace(regexp_replace(lower(col("text")),
+          "[^a-z0-9 ]", ""), " +", " "))).as("fingerprint"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  md5(trim(regexp_replace(regexp_replace(lower(text),
+             |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      "pipeline-op: document fingerprinting (normalized-content hash)")
+  )
 }

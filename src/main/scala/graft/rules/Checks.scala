@@ -13,16 +13,19 @@ import org.apache.spark.sql.functions._
   */
 sealed trait PyVal {
   def render: String
-  def matches(c: Column): Column
+  /** Membership test against the *converted* cell of column `name`
+    * (memo-backed: [[RuleEvaluator]] projects the parse once per column).
+    */
+  def matches(name: String): Column
 }
 final case class PyS(s: String) extends PyVal {
   def render: String = s"'$s'"
-  def matches(c: Column): Column = CellType.isString(c) && c === s
+  def matches(name: String): Column = CellType.isStringM(name) && col(name) === s
 }
 final case class PyI(i: Long) extends PyVal {
   def render: String = i.toString
-  def matches(c: Column): Column = {
-    val n = CellType.asNumber(c)
+  def matches(name: String): Column = {
+    val n = CellType.asNumberM(name)
     n.isNotNull && n === i.toDouble
   }
 }
@@ -30,8 +33,8 @@ final case class PyF(d: Double) extends PyVal {
   def render: String =
     if (d == math.floor(d) && !d.isInfinite) BigDecimal(d).toBigInt.toString + ".0"
     else d.toString
-  def matches(c: Column): Column = {
-    val n = CellType.asNumber(c)
+  def matches(name: String): Column = {
+    val n = CellType.asNumberM(name)
     n.isNotNull && n === d
   }
 }
@@ -48,6 +51,8 @@ sealed trait Gate {
   def errorStr: String
   /** Columns this gate reads (for graceful skip when absent). */
   def inputs: Seq[String]
+  /** Columns whose CellType memos the gate's predicate references. */
+  def memoInputs: Seq[String] = inputs
 }
 case object NoGate extends Gate {
   val predicate: Column = lit(true)
@@ -55,17 +60,17 @@ case object NoGate extends Gate {
   val inputs: Seq[String] = Nil
 }
 final case class IsANumberGate(colName: String) extends Gate {
-  def predicate: Column = CellType.isNumber(col(colName))
+  def predicate: Column = CellType.isNumberM(colName)
   def errorStr: String = colName + " is a Number "
   def inputs: Seq[String] = Seq(colName)
 }
 final case class IsADateGate(colName: String) extends Gate {
-  def predicate: Column = CellType.isDateTime(col(colName))
+  def predicate: Column = CellType.isDateTimeM(colName)
   def errorStr: String = colName + " is a Date "
   def inputs: Seq[String] = Seq(colName)
 }
 final case class InValuesGate(colName: String, values: Seq[PyVal]) extends Gate {
-  def predicate: Column = values.map(_.matches(col(colName))).reduce(_ || _)
+  def predicate: Column = values.map(_.matches(colName)).reduce(_ || _)
   def errorStr: String = colName + " is in " + PyVal.list(values)
   def inputs: Seq[String] = Seq(colName)
 }
@@ -81,7 +86,8 @@ final case class CompiledRule(
     severity: Column,
     message: Column,
     keepBlank: Boolean,
-    inputs: Seq[String])
+    inputs: Seq[String],
+    memoInputs: Seq[String] = Nil)
 
 /** Required-ness of a column for the missing-value check
   * (`get_missing_values`, File_Submission_Object.py:314-333).
@@ -112,10 +118,10 @@ object Checks {
       case NoGate => "Unexpected Value.  Value must be one of the following: " + PyVal.list(values)
       case g => g.errorStr + ".  Value must be one of the following: " + PyVal.list(values)
     }
-    val c = col(column)
-    val pass = values.map(_.matches(c)).reduce(_ || _) || c === ""
+    val pass = values.map(_.matches(column)).reduce(_ || _) || col(column) === ""
     CompiledRule(column, gate.predicate && !pass, lit("Error"), lit(msg),
-      keepBlank = false, inputs = column +: gate.inputs)
+      keepBlank = false, inputs = column +: gate.inputs,
+      memoInputs = column +: gate.memoInputs)
   }
 
   /** check_if_number (File_Submission_Object.py:245-269). Priority of the
@@ -136,13 +142,14 @@ object Checks {
         s"Value must be an interger between ${lo.render} and ${hi.render}, decimal values are not allowed"
       else baseMsg
     val c = col(column)
-    val n = CellType.asNumber(c)
+    val n = CellType.asNumberM(column)
     val blankOk = if (naAllowed) c === "" || c === "N/A" else c === ""
     val notNumber = n.isNull && !blankOk
     val intViolation = if (numType == "int") n.isNotNull && n =!= floor(n) else lit(false)
     val rangeViolation = n.isNotNull && (n < loD || n > hiD)
     CompiledRule(column, gate.predicate && (notNumber || intViolation || rangeViolation),
-      lit("Error"), lit(msg), keepBlank = false, inputs = column +: gate.inputs)
+      lit("Error"), lit(msg), keepBlank = false, inputs = column +: gate.inputs,
+      memoInputs = column +: gate.memoInputs)
   }
 
   private def pyNumValue(v: PyVal): Double = v match {
@@ -159,17 +166,18 @@ object Checks {
   def date(column: String, gate: Gate, naAllowed: Boolean, timeCheck: String,
       lo: java.time.LocalDate, hi: java.time.LocalDate): Seq[CompiledRule] = {
     val c = col(column)
-    val isDt = CellType.isDateTime(c)
+    val isDt = CellType.isDateTimeM(column)
     val blankOk = if (naAllowed) c === "" || c === "N/A" else c === ""
     val typeMsg0 =
       if (timeCheck == "Date") "Value must be a Valid Date MM/DD/YYYY"
       else "Value must be a Valid Time HH:MM:SS"
     val typeMsg = if (naAllowed) typeMsg0 + " Or N/A" else typeMsg0
     val typeRule = CompiledRule(column, gate.predicate && !isDt && !blankOk,
-      lit("Error"), lit(typeMsg), keepBlank = false, inputs = column +: gate.inputs)
+      lit("Error"), lit(typeMsg), keepBlank = false, inputs = column +: gate.inputs,
+      memoInputs = column +: gate.memoInputs)
     if (timeCheck != "Date") Seq(typeRule)
     else {
-      val d = CellType.asDate(c)
+      val d = CellType.asDateM(column)
       val loLit = lit(java.sql.Date.valueOf(lo))
       val hiLit = lit(java.sql.Date.valueOf(hi))
       val rangeMsg = s"Date is valid however must be between $lo and $hi"
@@ -180,9 +188,11 @@ object Checks {
           ("Warning", "Calibration Date has already passed, check to make sure date is correct")
         else ("Error", rangeMsg)
       val early = CompiledRule(column, gate.predicate && isDt && d < loLit,
-        lit(earlySev), lit(earlyMsg), keepBlank = false, inputs = column +: gate.inputs)
+        lit(earlySev), lit(earlyMsg), keepBlank = false,
+        inputs = column +: gate.inputs, memoInputs = column +: gate.memoInputs)
       val late = CompiledRule(column, gate.predicate && isDt && d > hiLit,
-        lit("Error"), lit(rangeMsg), keepBlank = false, inputs = column +: gate.inputs)
+        lit("Error"), lit(rangeMsg), keepBlank = false,
+        inputs = column +: gate.inputs, memoInputs = column +: gate.memoInputs)
       Seq(typeRule, early, late)
     }
   }
@@ -196,9 +206,10 @@ object Checks {
       case NoGate => "Value must be a string and NOT N/A"
       case g => g.errorStr + ".  Value must be a string and NOT N/A"
     }
-    val c = col(column)
-    CompiledRule(column, gate.predicate && (CellType.isNumber(c) || CellType.isDateTime(c)),
-      lit("Error"), lit(msg), keepBlank = false, inputs = column +: gate.inputs)
+    CompiledRule(column,
+      gate.predicate && (CellType.isNumberM(column) || CellType.isDateTimeM(column)),
+      lit("Error"), lit(msg), keepBlank = false, inputs = column +: gate.inputs,
+      memoInputs = column +: gate.memoInputs)
   }
 
   /** check_icd10 (File_Submission_Object.py:303-309). `existsFn` tests code
@@ -206,11 +217,11 @@ object Checks {
     */
   def icd10(column: String, existsFn: Column => Column): CompiledRule = {
     val c = col(column)
-    val bad = CellType.isNumber(c) || CellType.isDateTime(c) ||
-      (CellType.isString(c) && !(existsFn(c) || c === "N/A"))
+    val bad = CellType.isNumberM(column) || CellType.isDateTimeM(column) ||
+      (CellType.isStringM(column) && !(existsFn(c) || c === "N/A"))
     CompiledRule(column, bad, lit("Error"),
       lit("Invalid or unknown ICD10 code, Value must be Valid ICD10 code or N/A"),
-      keepBlank = false, inputs = Seq(column))
+      keepBlank = false, inputs = Seq(column), memoInputs = Seq(column))
   }
 
   /** check_id_field (File_Submission_Object.py:166-180): bad format wins
@@ -253,11 +264,12 @@ object Checks {
   /** compare_total_to_live (File_Submission_Object.py:271-277). */
   def totalVsLive(totalCol: String): CompiledRule = {
     val liveCol = totalCol.replace("Total_Cells", "Live_Cells")
-    val t = CellType.asNumber(col(totalCol))
-    val l = CellType.asNumber(col(liveCol))
+    val t = CellType.asNumberM(totalCol)
+    val l = CellType.asNumberM(liveCol)
     CompiledRule(totalCol, t.isNotNull && l.isNotNull && l > t, lit("Error"),
       lit("Live Cell Count must be less than Total Cell Count"),
-      keepBlank = false, inputs = Seq(totalCol, liveCol))
+      keepBlank = false, inputs = Seq(totalCol, liveCol),
+      memoInputs = Seq(totalCol, liveCol))
   }
 
   /** compare_viability (File_Submission_Object.py:278-286). Python round()
@@ -266,14 +278,15 @@ object Checks {
   def viability(viabilityCol: String): CompiledRule = {
     val liveCol = viabilityCol.replace("Viability", "Live_Cells")
     val totalCol = viabilityCol.replace("Viability", "Total_Cells")
-    val v = CellType.asNumber(col(viabilityCol))
-    val l = CellType.asNumber(col(liveCol))
-    val t = CellType.asNumber(col(totalCol))
+    val v = CellType.asNumberM(viabilityCol)
+    val l = CellType.asNumberM(liveCol)
+    val t = CellType.asNumberM(totalCol)
     CompiledRule(viabilityCol,
       v.isNotNull && l.isNotNull && t.isNotNull && bround(l / t * 100, 1) =!= v,
       lit("Error"),
       lit("Viability Count must be equal to (Live_Count / Total_Count) * 100"),
-      keepBlank = false, inputs = Seq(viabilityCol, liveCol, totalCol))
+      keepBlank = false, inputs = Seq(viabilityCol, liveCol, totalCol),
+      memoInputs = Seq(viabilityCol, liveCol, totalCol))
   }
 
   /** get_missing_values (File_Submission_Object.py:314-333). Emission order
@@ -328,6 +341,14 @@ object RuleEvaluator {
     val present = sheet.columns.toSet
     val usable = rules.filter(_.inputs.forall(present.contains))
     if (usable.isEmpty) return emptyErrors(sheet, seqBase)
+    // project each referenced column's CellType parse ONCE ("parse once,
+    // branch many"): every rule column needs its memo for renderM, plus
+    // whatever the predicates declare. CollapseProject keeps these in their
+    // own stage because they're non-cheap and multiply referenced.
+    val memoNames = (usable.map(_.column) ++ usable.flatMap(_.memoInputs)).distinct
+    val prepared = CellType.memoColumns(memoNames).foldLeft(sheet) {
+      case (df, (name, expr)) => df.withColumn(name, expr)
+    }
     val structs = usable.zipWithIndex.map { case (r, i) =>
       val emit =
         if (r.keepBlank) r.predicate
@@ -337,11 +358,11 @@ object RuleEvaluator {
         lit(sheetName).as("CSV_Sheet_Name"),
         col("Row_Index").cast("long").as("Row_Index"),
         lit(r.column).as("Column_Name"),
-        CellType.render(col(r.column)).as("Column_Value"),
+        CellType.renderM(r.column).as("Column_Value"),
         r.message.as("Error_Message"),
         lit(seqBase + i).as("rule_seq")))
     }
-    sheet.select(explode(array_compact(array(structs: _*))).as("e")).select("e.*")
+    prepared.select(explode(array_compact(array(structs: _*))).as("e")).select("e.*")
   }
 
   private def emptyErrors(sheet: DataFrame, seqBase: Long): DataFrame = {

@@ -1,7 +1,51 @@
 package graft.streaming
 
-import graft.Q
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+/** Oracle-checked batch forms of the streaming operators. The identical
+  * transform functions run under readStream in StreamingSpec — batch is how
+  * the DuckDB oracle can pin their semantics.
+  */
 object EventOps {
-  def qs: Seq[Q] = Seq()
+
+  def qs: Seq[Q] = Seq(
+
+    // ---- tumbling-window aggregation (same fn as the streaming query) ----
+    Q("q50_window_agg",
+      (s, d) => EventStreams.windowedCounts(Tables.events(s, d))
+        .orderBy("hour_start", "event_type"),
+      Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+             |  event_type, COUNT(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+             |FROM events GROUP BY 1, 2
+             |ORDER BY hour_start, event_type""".stripMargin),
+      "§2.7 streaming: tumbling-window aggregation (watermarked in stream mode)"),
+
+    // ---- sessionization: gap > 30 min via lag + running sum ----
+    Q("q51_sessionize",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("user_id"), unix_timestamp(col("ts")).as("ts_sec"),
+            col("event_id"))
+        val w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+        e.withColumn("prev", lag("ts_sec", 1).over(w))
+          .withColumn("new_session",
+            when(col("prev").isNull || col("ts_sec") - col("prev") > 1800, 1).otherwise(0))
+          .groupBy("user_id")
+          .agg(sum("new_session").as("n_sessions"), count(lit(1)).as("n_events"))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id,
+             |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_sec, event_id
+             |  FROM events),
+             |flagged AS (SELECT user_id,
+             |  CASE WHEN lag(ts_sec) OVER w IS NULL
+             |         OR ts_sec - lag(ts_sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_session
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id))
+             |SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+             |FROM flagged GROUP BY user_id ORDER BY user_id""".stripMargin),
+      "§2.7 streaming: sessionization (gap > 30 min), lag + running flag")
+  )
 }

@@ -54,10 +54,51 @@ object CellType {
   /** The parsed timestamp under the cascade, or null. Number-guard NOT
     * included — compose with isNumber for the trichotomy (numbers win:
     * `"3"` is a number, never a date).
+    *
+    * Cheap regex gates short-circuit the exception-driven format parses:
+    * only date-shaped strings attempt the date formats and only time-shaped
+    * strings the time formats. At 100 TB the cascade dominates the scan
+    * cost without this (each failed try_to_timestamp is an internal throw).
     */
-  def asTimestampRaw(c: Column): Column =
-    coalesce((dateTimeFormats ++ dateFormats ++ timeFormats)
-      .map(f => try_to_timestamp(c, lit(f))): _*)
+  def asTimestampRaw(c: Column): Column = {
+    val dateShaped = c.rlike("^\\s*[0-9]{1,4}[-/][0-9]{1,2}[-/][0-9]{1,4}")
+    val timeShaped = c.rlike("^\\s*[0-9]{1,2}:[0-9]")
+    coalesce(
+      when(dateShaped, coalesce((dateTimeFormats ++ dateFormats)
+        .map(f => try_to_timestamp(c, lit(f))): _*)),
+      when(timeShaped, coalesce(timeFormats
+        .map(f => try_to_timestamp(c, lit(f))): _*)))
+  }
+
+  // ---- memoized per-column variants ----------------------------------
+  // RuleEvaluator projects `__num_<col>` / `__ts_<col>` ONCE per sheet scan
+  // and every compiled rule branches on those — one parse per cell however
+  // many rules reference the column ("parse once, branch many").
+
+  def memoNum(name: String): String = s"__num_$name"
+  def memoTs(name: String): String = s"__ts_$name"
+
+  /** The memo projections for a set of referenced columns. */
+  def memoColumns(names: Seq[String]): Seq[(String, Column)] =
+    names.distinct.flatMap { n =>
+      Seq(memoNum(n) -> asNumber(col(n)), memoTs(n) -> asTimestampRaw(col(n)))
+    }
+
+  def isNumberM(name: String): Column = col(memoNum(name)).isNotNull
+  def asNumberM(name: String): Column = col(memoNum(name))
+  def isDateTimeM(name: String): Column =
+    col(memoNum(name)).isNull && col(memoTs(name)).isNotNull
+  def asDateM(name: String): Column =
+    when(isDateTimeM(name), col(memoTs(name))).cast(DateType)
+  def isStringM(name: String): Column =
+    col(memoNum(name)).isNull && col(memoTs(name)).isNull
+
+  /** Memo-backed render (same semantics as [[render]]). */
+  def renderM(name: String): Column =
+    when(col(memoNum(name)).isNotNull, col(memoNum(name)).cast("string"))
+      .when(col(memoTs(name)).isNotNull,
+        date_format(col(memoTs(name)), "yyyy-MM-dd HH:mm:ss"))
+      .otherwise(col(name))
 
   /** isinstance(x, datetime.datetime) after convert_data_type: the cell is
     * not a number and parses under the cascade.

@@ -1,0 +1,70 @@
+package graft
+
+import graft.functions.SimilarityOps
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("windowedCounts under readStream matches the batch result") {
+    val batchEvents = Tables.events(spark, sf)
+    val expected = EventStreams.windowedCounts(batchEvents)
+      .orderBy("hour_start", "event_type").collect()
+
+    // stage the (ts-converted) events as a file-source stream
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    batchEvents.write.mode("overwrite").parquet(s"$dir/in")
+    val streamIn = spark.readStream
+      .schema(batchEvents.schema)
+      .parquet(s"$dir/in")
+    val q = EventStreams.windowedCounts(streamIn)
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("windowed_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("windowed_out")
+        .orderBy("hour_start", "event_type").collect()
+      assert(got.length === expected.length)
+      assert(got.map(_.toString).toSeq === expected.map(_.toString).toSeq)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState sessionizer agrees with the window-function form") {
+    import spark.implicits._
+    val e = Tables.events(spark, sf)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("ts_sec"))
+      .as[EventStreams.EventRow]
+    val stateful = EventStreams.sessionize(e).collect()
+      .map(s => s.user_id -> (s.n_sessions, s.n_events)).toMap
+    val viaWindow = QueryRegistry.queries("q51_sessionize")(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_events"))).toMap
+    assert(stateful === viaWindow)
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("LSH ANN finds a meaningful fraction of the true top-5 (recall)") {
+    val e = SimilarityOps.withNorm(Tables.embeddings(spark, sf))
+    val queries = e.filter(col("vec_id") < 20)
+    val exact = SimilarityOps.cosineTopK(queries, e, 5).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val approx = SimilarityOps.lshTopK(spark, queries, e, 5).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    // every query at least finds itself (cos=1 in its own bucket)
+    assert((0L until 20L).forall(q => approx.contains((q, q))))
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    // 8-bit sign-LSH on 64-dim data: recall is approximate by design; the
+    // spec pins it not degenerating (bucketing broken => only self matches)
+    assert(recall > 0.2, s"recall $recall")
+    // approx results must be a subset of legal pairs: scored within bucket
+    assert(approx.size <= exact.size)
+  }
+}
