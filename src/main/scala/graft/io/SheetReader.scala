@@ -78,7 +78,8 @@ object SheetReader {
   */
 object ErrorWriter {
 
-  def write(errors: DataFrame, outDir: String): Seq[(String, Long)] = {
+  def write(errors: DataFrame, outDir: String,
+      gzip: Boolean = false): Seq[(String, Long)] = {
     import org.apache.spark.sql.functions.col
     val sheets = errors.select("CSV_Sheet_Name").distinct()
       .collect().map(_.getString(0)).sorted
@@ -88,8 +89,9 @@ object ErrorWriter {
         .select(graft.core.ValidationError.columns.map(col): _*)
       val fileName = name.replace(".csv", "_Errors.csv")
       val n = curr.count()
-      curr.coalesce(1).write.mode("overwrite")
+      val writer = curr.coalesce(1).write.mode("overwrite")
         .option("header", "true")
+      (if (gzip) writer.option("compression", "gzip") else writer)
         .csv(s"$outDir/$fileName")
       (fileName, n)
     }

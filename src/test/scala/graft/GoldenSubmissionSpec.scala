@@ -1,0 +1,116 @@
+package graft
+
+import graft.app.{StatusDerivation, SubmissionRunner, SummaryFormatter}
+import graft.io.{ErrorWriter, SubmissionSource}
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+import java.time.LocalDate
+
+/** Golden end-to-end: CSV fixtures on disk -> SubmissionSource ->
+  * SubmissionRunner -> ErrorWriter -> read the emitted *_Errors.csv back
+  * and pin exact rows (the reference's TEST_MODE shape, SURVEY §5).
+  */
+class GoldenSubmissionSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def writeFixtures(dir: String): Unit = {
+    def put(name: String, content: String): Unit =
+      Files.writeString(Paths.get(dir, name), content)
+    // reference shape (FSO:87-89): counts live at body rows [1] and [2]
+    put("submission.csv", Seq(
+      "submission,cbc_awesome",
+      "submitter,someone",
+      "participants,2",
+      "biospecimens,1").mkString("\n"))
+    put("demographic.csv", Seq(
+      "Research_Participant_ID,Age,Gender",
+      "14_000001,30,Male",                 // clean
+      "14_000002,250,Robot",               // age range + gender enum errors
+      "14_000003,,Female",                 // missing Age (required)
+      "99_000004,abc,Male").mkString("\n")) // wrong CBC + non-number age
+    put("prior_clinical_test.csv", Seq(
+      "Research_Participant_ID,SARS_CoV_2_PCR_Test_Result",
+      "14_000001,Positive",
+      "14_000002,Negative",
+      "14_000003,Positive").mkString("\n"))
+  }
+
+  test("golden submission: fixtures -> errors -> files -> statuses -> summary") {
+    val dir = Files.createTempDirectory("graft-golden").toString
+    writeFixtures(dir)
+    val sheets = SubmissionSource.load(spark, dir)
+    assert(sheets.keySet == Set("submission.csv", "demographic.csv",
+      "prior_clinical_test.csv"))
+
+    val meta = SubmissionSource.metadata(sheets("submission.csv")).get
+    assert(meta.cbcName == "cbc_awesome")
+    assert(meta.declaredParticipants.contains(2L))
+    assert(meta.declaredBiospecimens.contains(1L))
+
+    assert(SubmissionSource.qualityGate(sheets, 0, cbcKnown = true).isEmpty)
+    assert(SubmissionSource.qualityGate(sheets, 3, cbcKnown = true).contains(
+      "Errors were found in 3 column names, unable to Validate Submission"))
+
+    val result = SubmissionRunner.validate(spark, sheets,
+      SubmissionRunner.Config(cbcId = 14, asOf = LocalDate.of(2026, 8, 12),
+        declaredParticipants = meta.declaredParticipants))
+
+    val got = result.errors.collect().map(r =>
+      (r.getAs[String]("CSV_Sheet_Name"), r.getAs[Long]("Row_Index"),
+        r.getAs[String]("Column_Name"), r.getAs[String]("Column_Value"),
+        r.getAs[String]("Message_Type"), r.getAs[String]("Error_Message"))).toSet
+
+    val demographicExpected = Set(
+      ("demographic.csv", 3L, "Age", "250.0", "Error",
+        "Value must be an interger between 1 and 200, decimal values are not allowed"),
+      ("demographic.csv", 3L, "Gender", "Robot", "Error",
+        "Unexpected Value.  Value must be one of the following: ['Male', 'Female', 'Other', 'Not Reported', 'Unknown']"),
+      ("demographic.csv", 4L, "Age", "", "Error",
+        "Missing Values are not allowed for this column.  Please recheck data"),
+      ("demographic.csv", 5L, "Age", "abc", "Error",
+        "Value must be an interger between 1 and 200, decimal values are not allowed"),
+      ("demographic.csv", 5L, "Research_Participant_ID", "99_000004", "Error",
+        "ID is Valid however has wrong CBC code. Expecting CBC Code (14)"))
+    demographicExpected.foreach(e => assert(got.contains(e), s"missing $e"))
+
+    // declared-count reconciliation: 3 clean prior IDs + 3 demographic IDs
+    // (99_000004 errored) => distinct passing != declared 2
+    val recon = got.filter(_._3 == "submit_Participant_IDs")
+    assert(recon.size == 1 && recon.head._2 == -5L)
+
+    // error files round-trip
+    val outDir = Files.createTempDirectory("graft-golden-out").toString
+    val written = ErrorWriter.write(result.errors, outDir)
+    assert(written.exists(_._1 == "demographic_Errors.csv"))
+    val back = spark.read.option("header", "true")
+      .csv(s"$outDir/demographic_Errors.csv")
+    assert(back.count() == written.find(_._1 == "demographic_Errors.csv").get._2)
+
+    // statuses
+    val counts = StatusDerivation.severityCounts(result.errors)
+    val statuses = StatusDerivation.derive(
+      Seq("demographic.csv", "prior_clinical_test.csv", "submission.csv"), counts)
+    assert(statuses.find(_.sheet == "demographic.csv").get.status ==
+      "FILE_PROCESSED_ERRORS_FOUND")
+    assert(statuses.forall(_.batchStatus == "FILE_VALIDATION_FAILURE"))
+
+    // summary text
+    val summary = SummaryFormatter.format("submission.zip", "42", "cbc14",
+      Seq("demographic.csv", "prior_clinical_test.csv"), counts, "2026-08-12 00:00:00")
+    assert(summary.isFailure)
+    assert(summary.text.contains("*Validation fail:*"))
+    assert(summary.text.contains("demographic.csv"))
+  }
+
+  test("unnamed columns are dropped and '' survives ingest") {
+    val dir = Files.createTempDirectory("graft-reader").toString
+    Files.writeString(Paths.get(dir, "t.csv"),
+      "A,B,,C\n1,,x,\n,2,y,z\n")
+    val df = graft.io.SheetReader.read(spark, s"$dir/t.csv")
+    assert(df.columns.toSet == Set("A", "B", "C", "Row_Index"))
+    val rows = df.orderBy("Row_Index").collect()
+    assert(rows(0).getAs[String]("B") == "")   // empty cell -> '', not null
+    assert(rows(0).getAs[Long]("Row_Index") == 2L)
+    assert(rows(1).getAs[String]("A") == "")
+  }
+}
