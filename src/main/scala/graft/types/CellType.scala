@@ -64,7 +64,10 @@ object CellType {
     val dateShaped = c.rlike("^\\s*[0-9]{1,4}[-/][0-9]{1,2}[-/][0-9]{1,4}")
     val timeShaped = c.rlike("^\\s*[0-9]{1,2}:[0-9]")
     coalesce(
-      when(dateShaped, coalesce((dateTimeFormats ++ dateFormats)
+      // bare dates are the common case — try them before datetime formats
+      // (a datetime string cannot match a bare-date format, so ordering
+      // changes only attempt count, never the parsed value)
+      when(dateShaped, coalesce((dateFormats ++ dateTimeFormats)
         .map(f => try_to_timestamp(c, lit(f))): _*)),
       when(timeShaped, coalesce(timeFormats
         .map(f => try_to_timestamp(c, lit(f))): _*)))

@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions: the properties that matter at 100 TB must be
+  * visible in the optimized plan, not assumed — filter/column pushdown into
+  * the parquet scan, broadcast for small dimensions, whole-stage codegen on
+  * the hot paths.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def plan(name: String): String = {
+    val df = QueryRegistry.queries(name)(spark, sf)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("q02 pushes the filter and prunes columns at the parquet scan") {
+    val p = plan("q02_project_filter")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThan(l_quantity,45"), p)
+    // only the 4 referenced columns reach the scan
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_quantity:double,l_returnflag:string>"), p)
+  }
+
+  test("q03 broadcasts the customer dimension") {
+    val p = plan("q03_join_agg_topk")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q04 broadcast left join, no shuffle of the fact side") {
+    val p = plan("q04_left_join_enrich")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  /** AQE prints codegen spans only in the FINAL executed plan. */
+  private def executedPlan(name: String): String = {
+    val df = QueryRegistry.queries(name)(spark, sf)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q01 uses whole-stage codegen and partial aggregation") {
+    val p = plan("q01_agg_fullscan")
+    // map-side partial agg before the exchange (bottom-up numbering)
+    assert(p.contains("partial_sum"), p)
+    assert(p.indexOf("partial_sum") < p.indexOf("(3) Exchange"), p)
+    // codegen stages print as *(n) prefixes in the executed-plan tree
+    assert(executedPlan("q01_agg_fullscan").contains("*("))
+  }
+
+  test("rule evaluation stays in whole-stage codegen (no UDFs in hot path)") {
+    val p = plan("q23_rule_number_range")
+    assert(!p.contains("BatchEvalPython"), p)
+    assert(!p.toLowerCase.contains("scalaudf"), p)
+    assert(executedPlan("q23_rule_number_range").contains("*("))
+  }
+
+  test("cosine top-k broadcasts the query side") {
+    val p = plan("q45_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("window-agg query reads only the columns it needs") {
+    val p = plan("q50_window_agg")
+    assert(p.contains("ReadSchema: struct<ts:bigint,event_type:string,value:double>"), p)
+  }
+}
