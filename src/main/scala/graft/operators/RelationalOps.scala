@@ -293,6 +293,55 @@ object RelationalOps {
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
       "§2.3 equi+range join predicate (sort-merge with post-filter)"),
 
+    // ---- exact percentiles (interpolated order statistics) ----
+    Q("q18_percentiles",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+             |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+             |  COUNT(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      "§2.4 generalization: exact interpolated percentiles per group"),
+
+    // ---- set operations: INTERSECT / EXCEPT ----
+    Q("q19_set_ops",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val highPrio = o.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("id"))
+        val bigSpend = o.filter(col("o_totalprice") > 150000)
+          .select(col("o_custkey").as("id"))
+        val both = highPrio.intersect(bigSpend)
+          .withColumn("src", lit("both"))
+        val urgentOnly = highPrio.except(bigSpend)
+          .withColumn("src", lit("urgent_only"))
+        both.unionByName(urgentOnly).orderBy("src", "id")
+      },
+      Some("""WITH hp AS (SELECT o_custkey AS id FROM orders WHERE o_orderpriority = '1-URGENT'),
+             |bs AS (SELECT o_custkey AS id FROM orders WHERE o_totalprice > 150000)
+             |SELECT id, 'both' AS src FROM (SELECT id FROM hp INTERSECT SELECT id FROM bs)
+             |UNION ALL
+             |SELECT id, 'urgent_only' AS src FROM (SELECT id FROM hp EXCEPT SELECT id FROM bs)
+             |ORDER BY src, id""".stripMargin),
+      "§2.5 generalization: INTERSECT / EXCEPT set semantics"),
+
+    // ---- sketch aggregation: HLL approximate distinct (no SQL oracle —
+    // engines use different sketch impls; error bound pinned in spec) ----
+    Q("q54_approx_distinct",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy("l_returnflag"),
+      None,
+      "pipeline-op: HLL++ sketch distinct-count (scale substitute for countDistinct)"),
+
     // ---- grouping sets / rollup (engine generalization) ----
     Q("q17_rollup",
       (s, d) => Tables.lineitem(s, d)

@@ -46,6 +46,35 @@ object EventOps {
              |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id))
              |SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
              |FROM flagged GROUP BY user_id ORDER BY user_id""".stripMargin),
-      "§2.7 streaming: sessionization (gap > 30 min), lag + running flag")
+      "§2.7 streaming: sessionization (gap > 30 min), lag + running flag"),
+
+    // ---- as-of join: latest prior 'purchase' per event, via a
+    // conditional running max (composition beats a custom SparkPlan here:
+    // one window over the event stream, no join at all) ----
+    Q("q53_asof_prev_purchase",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_timestamp(col("ts")).as("ts_sec"))
+          .withColumn("prev_purchase_sec",
+            max(when(col("event_type") === "purchase", col("ts_sec"))).over(w))
+          .filter(col("event_type") === "error")
+          .select("user_id", "event_id", "ts_sec", "prev_purchase_sec")
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+             |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_sec
+             |  FROM events),
+             |j AS (SELECT user_id, event_id, event_type, ts_sec,
+             |  MAX(CASE WHEN event_type = 'purchase' THEN ts_sec END) OVER
+             |    (PARTITION BY user_id ORDER BY ts_sec, event_id
+             |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_purchase_sec
+             |  FROM e)
+             |SELECT user_id, event_id, ts_sec, prev_purchase_sec
+             |FROM j WHERE event_type = 'error'
+             |ORDER BY user_id, event_id""".stripMargin),
+      "custom-operator family: as-of join composed from a conditional running max")
   )
 }

@@ -1,0 +1,109 @@
+package graft
+
+import graft.io.SheetReader
+import graft.rules._
+import graft.types.CellType
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests (SURVEY §5): evaluated in ONE Spark pass per property over
+  * a generated batch (per-case Spark jobs would be pathologically slow).
+  */
+class PropertySpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def sample[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val cellGen: Gen[String] = Gen.oneOf(
+    Gen.numStr.map(_.take(8)),
+    Gen.choose(-1e6, 1e6).map(_.toString),
+    Gen.oneOf("", "N/A", "abc", "Positive", "1_000", "_5", "a_b_c", " 7 "),
+    Gen.choose(1900, 2100).flatMap(y => Gen.choose(1, 12).flatMap(m =>
+      Gen.choose(1, 28).map(dd => f"$y%04d-$m%02d-$dd%02d"))),
+    Gen.choose(0, 23).flatMap(h => Gen.choose(0, 59).map(m => f"$h%02d:$m%02d:00")),
+    Gen.alphaNumStr.map(_.take(12)))
+
+  test("trichotomy: every cell is exactly one of number/datetime/string") {
+    import spark.implicits._
+    val values = sample(cellGen, 400).distinct
+    val df = values.toDF("v").select(
+      col("v"),
+      CellType.isNumber(col("v")).as("n"),
+      CellType.isDateTime(col("v")).as("d"),
+      CellType.isString(col("v")).as("s"))
+    val bad = df.filter(
+      (col("n").cast("int") + col("d").cast("int") + col("s").cast("int")) =!= 1)
+      .collect()
+    assert(bad.isEmpty, bad.mkString(", "))
+  }
+
+  test("underscore guard: '_' at position >= 1 forces string") {
+    import spark.implicits._
+    val values = sample(cellGen, 200).map(v => if (v.isEmpty) "1_2" else v.head + "_" + v)
+    val df = values.toDF("v")
+      .filter(CellType.isNumber(col("v")) || CellType.isDateTime(col("v")))
+      .filter(col("v").rlike("^[^_].*_"))
+    assert(df.count() == 0)
+  }
+
+  test("dedupFirst is idempotent") {
+    val sheet = SheetReader.fromRows(spark, Seq("X"),
+      sample(cellGen, 100).map(Seq(_)))
+    val rule1 = CompiledRule("X", col("X").rlike("[0-9]"), lit("Error"),
+      lit("m1"), keepBlank = false, Seq("X"))
+    val rule2 = CompiledRule("X", length(col("X")) > 2, lit("Warning"),
+      lit("m2"), keepBlank = false, Seq("X"))
+    val errors = RuleEvaluator.evaluate("t.csv", sheet, Seq(rule1, rule2))
+    val once = RuleEvaluator.dedupFirst(errors)
+    val twice = RuleEvaluator.dedupFirst(once)
+    assert(once.collect().map(_.toString).sorted.toSeq ===
+      twice.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("monotonicity: appending rows never removes existing errors") {
+    val base = sample(cellGen, 60).map(Seq(_))
+    val extra = Seq(Seq("definitely-bad-999"))
+    val rules = Seq(Checks.number("X", NoGate, naAllowed = false,
+      PyI(0), PyI(100), "int"))
+    def errOf(rows: Seq[Seq[String]]): Set[String] =
+      RuleEvaluator.dedupFirst(RuleEvaluator.evaluate("t.csv",
+        SheetReader.fromRows(spark, Seq("X"), rows), rules))
+        .select("Row_Index", "Column_Value").collect().map(_.toString).toSet
+    val before = errOf(base)
+    val after = errOf(base ++ extra)
+    assert(before.subsetOf(after))
+  }
+
+  test("participant presence patterns partition the miss space") {
+    // the 6 patterns cover every (prior, demo, bio) combo except all-present
+    // and none-present, and are pairwise disjoint
+    val combos = for {
+      p <- Seq(true, false); dm <- Seq(true, false); b <- Seq(true, false)
+    } yield (p, dm, b)
+    val patterns: Seq[(Boolean, Boolean, Boolean) => Boolean] = Seq(
+      (p, dm, b) => p && !dm && !b,
+      (p, dm, b) => !p && dm && !b,
+      (p, dm, b) => !p && !dm && b,
+      (p, dm, b) => p && dm && !b,
+      (p, dm, b) => p && !dm && b,
+      (p, dm, b) => !p && dm && b)
+    combos.foreach { case (p, dm, b) =>
+      val hits = patterns.count(f => f(p, dm, b))
+      if ((p && dm && b) || (!p && !dm && !b)) assert(hits == 0)
+      else assert(hits == 1, s"($p,$dm,$b) hit $hits patterns")
+    }
+  }
+
+  test("HLL approx distinct stays within 5% of exact (q54)") {
+    val rows = QueryRegistry.queries("q54_approx_distinct")(spark, sf).collect()
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(approx - exact) / exact < 0.05,
+        s"approx $approx vs exact $exact")
+    }
+  }
+}
