@@ -59,6 +59,19 @@ object TextOps {
              |FROM documents ORDER BY doc_id""".stripMargin),
       "pipeline-op: n-gram/stopword language-ID heuristic"),
 
+    // ---- native token_count expression (custom codegen'd Expression) ----
+    Q("q55_token_count_native",
+      (s, d) => {
+        GraftFunctions.register(s)
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          GraftFunctions.token_count(col("text")).as("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      "custom Catalyst Expression: single-pass token count, no array alloc"),
+
     // ---- canonical-form document fingerprint ----
     Q("q49_text_fingerprint",
       (s, d) => Tables.documents(s, d).select(

@@ -1,0 +1,110 @@
+package graft
+
+import graft.functions.{GraftFunctions, RewriteTokenCount}
+import graft.io.Bucketing
+import graft.operators.Skew
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CustomExprSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("token_count equals size(split(s, ' ')) on documents") {
+    GraftFunctions.register(spark)
+    val diff = Tables.documents(spark, sf)
+      .select(
+        GraftFunctions.token_count(col("text")).as("fast"),
+        size(split(col("text"), " ")).as("composed"))
+      .filter(col("fast") =!= col("composed"))
+    assert(diff.count() == 0)
+  }
+
+  test("token_count survives codegen and handles edge strings") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val got = Seq("", "a", "a b", "a  b", " a b ").toDF("s")
+      .select(GraftFunctions.token_count(col("s"))).as[Int].collect()
+    // separators + 1, empty tokens included — exactly split-on-space
+    assert(got.toSeq == Seq(1, 1, 2, 3, 4))
+  }
+
+  test("RewriteTokenCount optimizer rule rewrites size(split(...))") {
+    val before = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = before :+ RewriteTokenCount
+    try {
+      val df = Tables.documents(spark, sf)
+        .select(size(split(col("text"), " ")).as("n"))
+      assert(df.queryExecution.optimizedPlan.toString.contains("token_count"))
+      // and the rewritten plan still computes the same values
+      val direct = Tables.documents(spark, sf)
+        .select(size(split(col("text"), " ")).as("n"))
+      assert(df.collect().map(_.getInt(0)).sum ==
+        direct.collect().map(_.getInt(0)).sum)
+    } finally spark.experimental.extraOptimizations = before
+  }
+}
+
+class SkewSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("saltedCount matches plain groupBy count on skewed data") {
+    import spark.implicits._
+    // 90% of rows on one key
+    val rows = (1 to 2000).map(i => (if (i % 10 == 0) s"k$i" else "hot", i.toLong))
+    val df = rows.toDF("k", "v")
+    val plain = df.groupBy("k").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedCount(df, "k", 16, entropy = col("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted === plain)
+  }
+
+  test("saltedJoin matches plain join on skewed keys") {
+    import spark.implicits._
+    val left = (1 to 1000).map(i => (if (i % 5 == 0) "cold" + i else "hot", i.toLong))
+      .toDF("k", "v")
+    val right = (Seq("hot") ++ (1 to 1000 by 5).map("cold" + _)).zipWithIndex
+      .map { case (k, i) => (k, s"r$i") }.toDF("k", "tag")
+    val plain = left.join(right, Seq("k")).select("k", "v", "tag")
+      .collect().map(_.toString).sorted.toSeq
+    val salted = Skew.saltedJoin(left, right, "k", 8, leftEntropy = col("v"))
+      .select("k", "v", "tag")
+      .collect().map(_.toString).sorted.toSeq
+    assert(salted === plain)
+  }
+}
+
+class BucketingSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("join of two bucketed tables needs no Exchange") {
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+    // a previous JVM may have left the managed-table location behind while
+    // the in-memory metastore forgot the table — clear both
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
+    Bucketing.writeBucketed(o, "b_orders", "o_orderkey", 8)
+    Bucketing.writeBucketed(li, "b_lineitem", "o_orderkey", 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketing.bucketedJoin(spark, "b_orders", "b_lineitem", "o_orderkey")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+      assert(plan.contains("SortMergeJoin"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+}

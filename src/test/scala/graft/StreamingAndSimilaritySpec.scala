@@ -34,6 +34,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("validation rules compose with readStream (streaming data quality)") {
+    import graft.rules.{Checks, NoGate, PyS, RuleEvaluator}
+    val batchEvents = Tables.events(spark, sf)
+    def toSheet(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("event_type").as("Event_Type"),
+      (col("event_id") + 2).cast("long").as("Row_Index"))
+    val rules = Seq(Checks.inList("Event_Type", NoGate,
+      Seq(PyS("click"), PyS("view"), PyS("signup"), PyS("purchase"))))
+    val expected = RuleEvaluator.evaluate("events.csv", toSheet(batchEvents), rules)
+      .count()
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-rules").toString
+    batchEvents.write.mode("overwrite").parquet(s"$dir/in")
+    val streamIn = spark.readStream.schema(batchEvents.schema).parquet(s"$dir/in")
+    // stateless rule evaluation is append-mode streamable as-is
+    val q = RuleEvaluator.evaluate("events.csv", toSheet(streamIn), rules)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("rule_stream_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("rule_stream_out").count() === expected)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState sessionizer agrees with the window-function form") {
     import spark.implicits._
     val e = Tables.events(spark, sf)
