@@ -24,6 +24,9 @@ object SheetReader {
     val raw = spark.read
       .option("header", "true")
       .option("mode", "PERMISSIVE")
+      // RFC-4180 doubled-quote escaping (pandas default); Spark's default
+      // escape is backslash, which mis-parses `"he said ""hi"""`
+      .option("escape", "\"")
       .csv(path)
     withRowIndex(clean(raw))
   }

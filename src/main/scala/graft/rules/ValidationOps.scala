@@ -324,6 +324,28 @@ object ValidationOps {
              |ORDER BY Column_Value""".stripMargin),
       "§2.8 get_cross_sheet_Participant_ID: J3 outer matrix + P5 null patterns"),
 
+    // ---- integrated pipeline: rules -> dedup -> summary pivot (A2) ----
+    Q("q31_error_summary_pivot",
+      (s, d) => {
+        val sheet = eventsSheet(s, d)(
+          "Event_Type" -> col("event_type"),
+          "Optional_Field" -> when(col("event_id") % 5 === 0, "").otherwise(lit("x")))
+        val rules =
+          Seq(Checks.inList("Event_Type", NoGate,
+            Seq(PyS("click"), PyS("view"), PyS("signup"), PyS("purchase")))) ++
+            Checks.missing("Optional_Field", ReqNo)
+        val errors = RuleEvaluator.dedupFirst(
+          RuleEvaluator.evaluate("events.csv", sheet, rules))
+        graft.app.SubmissionRunner.summaryPivot(errors)
+      },
+      Some("""SELECT 'events.csv' AS CSV_Sheet_Name,
+             |  (SELECT COUNT(*) FROM events
+             |   WHERE event_type NOT IN ('click','view','signup','purchase')
+             |     AND event_type <> '') AS "Error",
+             |  (SELECT COUNT(*) FROM events WHERE event_id % 5 = 0) AS "Warning"
+             |""".stripMargin),
+      "§3.3 integrated micro-pipeline: rules -> dedup -> A2 crosstab summary"),
+
     // ---- membership check against an injected code catalog (F9 shape) ----
     Q("q30_rule_code_membership",
       (s, d) => {
