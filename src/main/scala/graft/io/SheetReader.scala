@@ -31,6 +31,21 @@ object SheetReader {
     withRowIndex(clean(raw))
   }
 
+  /** Multi-file sheet (get_df_from_keys, s3.py:140-179): the reference
+    * concatenates every matching key in listing order with a single
+    * continuous index (`pd.concat(ignore_index=True)`). Spark's multi-path
+    * read orders splits by size, not path, so per-file numbering with
+    * accumulated offsets is the order-faithful form; `None` for an empty
+    * key list maps to Option.empty here.
+    */
+  def readMany(spark: SparkSession, paths: Seq[String]): Option[DataFrame] =
+    if (paths.isEmpty) None
+    else Some(paths.map(p => read(spark, p)).reduce { (acc, next) =>
+      val offset = acc.count() // rows so far; files are few, counts cached scans
+      acc.unionByName(next.withColumn("Row_Index",
+        org.apache.spark.sql.functions.col("Row_Index") + offset))
+    })
+
   /** Drop pandas-style unnamed columns: blank headers surface as `_cN` in
     * Spark and `Unnamed: N` in pandas.
     */

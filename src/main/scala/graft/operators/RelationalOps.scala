@@ -342,6 +342,104 @@ object RelationalOps {
       None,
       "pipeline-op: HLL++ sketch distinct-count (scale substitute for countDistinct)"),
 
+    // ---- SQL-text entry point: same engine, spark.sql surface ----
+    Q("q56_sql_text_entry",
+      (s, d) => {
+        Seq("customer", "orders", "lineitem").foreach { t =>
+          Tables(s, d, t).createOrReplaceTempView(t)
+        }
+        s.sql("""
+          SELECT c_mktsegment,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+                 COUNT(*) AS n_lines
+          FROM customer JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          WHERE o_orderpriority <> '1-URGENT'
+          GROUP BY c_mktsegment
+          ORDER BY c_mktsegment""")
+      },
+      Some("""SELECT c_mktsegment,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+             |  COUNT(*) AS n_lines
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |WHERE o_orderpriority <> '1-URGENT'
+             |GROUP BY c_mktsegment
+             |ORDER BY c_mktsegment""".stripMargin),
+      "§3 lifecycle: spark.sql text entry over registered views"),
+
+    // ---- window-function breadth: rank/dense_rank/lead/ntile ----
+    Q("q57_window_rank_lead",
+      (s, d) => {
+        val w = Window.partitionBy("s_nationkey").orderBy(col("s_acctbal").desc, col("s_suppkey"))
+        Tables.supplier(s, d)
+          .withColumn("rk", rank().over(w))
+          .withColumn("drk", dense_rank().over(w))
+          .withColumn("next_bal", lead("s_acctbal", 1).over(w))
+          .withColumn("quartile", ntile(4).over(w))
+          .select("s_nationkey", "s_suppkey", "s_acctbal", "rk", "drk", "next_bal", "quartile")
+          .orderBy("s_nationkey", "rk", "s_suppkey")
+      },
+      Some("""SELECT s_nationkey, s_suppkey, s_acctbal,
+             |  CAST(RANK() OVER w AS INT) AS rk,
+             |  CAST(DENSE_RANK() OVER w AS INT) AS drk,
+             |  LEAD(s_acctbal, 1) OVER w AS next_bal,
+             |  CAST(NTILE(4) OVER w AS INT) AS quartile
+             |FROM supplier
+             |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+             |ORDER BY s_nationkey, rk, s_suppkey""".stripMargin),
+      "§2.7 window breadth: rank, dense_rank, lead, ntile"),
+
+    // ---- scalar string-function surface ----
+    Q("q58_string_functions",
+      (s, d) => Tables.part(s, d).select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_uc"),
+        substring(col("p_name"), 1, 8).as("name_prefix"),
+        length(col("p_name")).as("name_len"),
+        regexp_extract(col("p_type"), "^([A-Z]+)", 1).as("type_head"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        translate(col("p_brand"), "#", "_").as("brand_t"),
+        lpad(col("p_size").cast("string"), 4, "0").as("size_pad"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+             |  upper(p_brand) AS brand_uc,
+             |  substr(p_name, 1, 8) AS name_prefix,
+             |  length(p_name) AS name_len,
+             |  regexp_extract(p_type, '^([A-Z]+)', 1) AS type_head,
+             |  concat_ws('|', p_brand, p_type) AS brand_type,
+             |  translate(p_brand, '#', '_') AS brand_t,
+             |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad
+             |FROM part ORDER BY p_partkey""".stripMargin),
+      "§2.6 scalar string-function surface (F1/F8/F14 building blocks)"),
+
+    // ---- null-handling semantics over join misses (P5 family) ----
+    Q("q59_null_semantics",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d).groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"))
+        c.join(o, col("c_custkey") === col("o_custkey"), "left")
+          .select(
+            col("c_custkey"),
+            coalesce(col("n_orders"), lit(0L)).as("orders_or_zero"),
+            col("n_orders").isNull.as("never_ordered"),
+            when(col("n_orders").isNull, "none")
+              .when(col("n_orders") > 10, "many").otherwise(lit("some")).as("bucket"),
+            nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_nullif"))
+          .orderBy("c_custkey")
+      },
+      Some("""WITH o AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey)
+             |SELECT c_custkey,
+             |  COALESCE(n_orders, 0) AS orders_or_zero,
+             |  n_orders IS NULL AS never_ordered,
+             |  CASE WHEN n_orders IS NULL THEN 'none'
+             |       WHEN n_orders > 10 THEN 'many' ELSE 'some' END AS bucket,
+             |  NULLIF(c_mktsegment, 'BUILDING') AS seg_nullif
+             |FROM customer LEFT JOIN o ON c_custkey = o_custkey
+             |ORDER BY c_custkey""".stripMargin),
+      "§2.2 P5 null semantics: coalesce/nullif/isNull over join misses"),
+
     // ---- grouping sets / rollup (engine generalization) ----
     Q("q17_rollup",
       (s, d) => Tables.lineitem(s, d)

@@ -53,6 +53,18 @@ class CatalogSpec extends AnyFunSuite {
     assert(errs2 == Set("ZZZ"))
   }
 
+  test("readMany concatenates files with continuous Row_Index") {
+    val dir = Files.createTempDirectory("graft-many").toString
+    Files.writeString(Paths.get(dir, "a.csv"), "X\n1\n2\n")
+    Files.writeString(Paths.get(dir, "b.csv"), "X\n3\n")
+    val df = SheetReader.readMany(spark,
+      Seq(s"$dir/a.csv", s"$dir/b.csv")).get.orderBy("Row_Index")
+    val rows = df.collect().map(r => (r.getAs[Long]("Row_Index"), r.getAs[String]("X")))
+    // pd.concat(ignore_index=True) numbering: contiguous across files
+    assert(rows.toSeq == Seq((2L, "1"), (3L, "2"), (4L, "3")))
+    assert(SheetReader.readMany(spark, Seq.empty).isEmpty)
+  }
+
   test("SheetReader handles quoted fields with embedded commas and quotes") {
     val dir = Files.createTempDirectory("graft-quote").toString
     Files.writeString(Paths.get(dir, "q.csv"),
