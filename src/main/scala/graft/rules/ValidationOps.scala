@@ -324,6 +324,93 @@ object ValidationOps {
              |ORDER BY Column_Value""".stripMargin),
       "§2.8 get_cross_sheet_Participant_ID: J3 outer matrix + P5 null patterns"),
 
+    // ---- compare_viability: banker's rounding (bround vs round_even) ----
+    Q("q32_rule_viability",
+      (s, d) => {
+        val sheet = Tables.lineitem(s, d).select(
+          col("l_quantity").cast("string").as("Total_Cells_Hemocytometer_Count"),
+          (col("l_linenumber") % 5 + 1).cast("string").as("Live_Cells_Hemocytometer_Count"),
+          // half the rows carry the correctly-rounded viability, half are off
+          when(col("l_orderkey") % 2 === 0,
+            bround((col("l_linenumber") % 5 + 1) / col("l_quantity") * 100, 1))
+            .otherwise(lit(42.42)).cast("string").as("Viability_Hemocytometer_Count"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("Row_Index"))
+        evalRules("biospecimen.csv", sheet,
+          Seq(Checks.viability("Viability_Hemocytometer_Count")))
+          .orderBy("Row_Index", "Column_Value")
+      },
+      Some("""WITH sheet AS (SELECT
+             |  l_quantity AS total, (l_linenumber % 5 + 1) AS live,
+             |  CASE WHEN l_orderkey % 2 = 0
+             |    THEN round_even((l_linenumber % 5 + 1) / l_quantity * 100, 1)
+             |    ELSE 42.42 END AS viability,
+             |  l_orderkey * 10 + l_linenumber AS Row_Index
+             |  FROM lineitem)
+             |SELECT DISTINCT 'Error' AS Message_Type, 'biospecimen.csv' AS CSV_Sheet_Name,
+             |  Row_Index, 'Viability_Hemocytometer_Count' AS Column_Name,
+             |  CAST(viability AS VARCHAR) AS Column_Value,
+             |  'Viability Count must be equal to (Live_Count / Total_Count) * 100' AS Error_Message
+             |FROM sheet
+             |WHERE round_even(live / total * 100, 1) <> viability
+             |ORDER BY Row_Index, Column_Value""".stripMargin),
+      "§2.8 compare_viability: F6 arithmetic consistency under banker's rounding"),
+
+    // ---- check_if_string: converted numbers and dates are violations ----
+    Q("q33_rule_string_type",
+      (s, d) => {
+        val sheet = eventsSheet(s, d)(
+          "Instrument_ID" -> when(col("event_id") % 5 === 0, "INST-A")
+            .when(col("event_id") % 5 === 1, col("event_id").cast("string"))
+            .when(col("event_id") % 5 === 2, "2024-03-15")
+            .when(col("event_id") % 5 === 3, "N/A").otherwise(lit("")))
+        evalRules("assay.csv", sheet, Seq(Checks.isString("Instrument_ID", NoGate)))
+          .orderBy("Row_Index")
+      },
+      Some("""WITH sheet AS (SELECT event_id + 2 AS Row_Index,
+             |  CASE WHEN event_id % 5 = 0 THEN 'INST-A'
+             |       WHEN event_id % 5 = 1 THEN CAST(event_id AS VARCHAR)
+             |       WHEN event_id % 5 = 2 THEN '2024-03-15'
+             |       WHEN event_id % 5 = 3 THEN 'N/A' ELSE '' END AS v
+             |  FROM events)
+             |SELECT 'Error' AS Message_Type, 'assay.csv' AS CSV_Sheet_Name, Row_Index,
+             |  'Instrument_ID' AS Column_Name,
+             |  CASE WHEN TRY_CAST(v AS DOUBLE) IS NOT NULL
+             |       THEN CAST(TRY_CAST(v AS DOUBLE) AS VARCHAR)
+             |       ELSE strftime(try_strptime(v, '%Y-%-m-%-d'), '%Y-%m-%d %H:%M:%S')
+             |  END AS Column_Value,
+             |  'Value must be a string and NOT N/A' AS Error_Message
+             |FROM sheet
+             |WHERE TRY_CAST(v AS DOUBLE) IS NOT NULL
+             |   OR try_strptime(v, '%Y-%-m-%-d') IS NOT NULL
+             |ORDER BY Row_Index""".stripMargin),
+      "§2.8 check_if_string: converted numbers/dates violate, N/A and '' pass"),
+
+    // ---- check_date Time variant: type check only, never range ----
+    Q("q34_rule_time_type",
+      (s, d) => {
+        val sheet = eventsSheet(s, d)(
+          "Time_of_Draw" -> when(col("event_id") % 4 === 0,
+            date_format(col("ts"), "HH:mm:ss"))
+            .when(col("event_id") % 4 === 1, "25:99:99")
+            .when(col("event_id") % 4 === 2, "notatime").otherwise(lit("")))
+        evalRules("biospecimen.csv", sheet, Checks.date("Time_of_Draw", NoGate,
+          naAllowed = false, "Time",
+          java.time.LocalDate.of(1900, 1, 1), java.time.LocalDate.of(2026, 1, 1)))
+          .orderBy("Row_Index")
+      },
+      Some("""WITH sheet AS (SELECT event_id + 2 AS Row_Index,
+             |  CASE WHEN event_id % 4 = 0 THEN strftime(CAST(ts AS TIMESTAMP), '%H:%M:%S')
+             |       WHEN event_id % 4 = 1 THEN '25:99:99'
+             |       WHEN event_id % 4 = 2 THEN 'notatime' ELSE '' END AS v
+             |  FROM events)
+             |SELECT 'Error' AS Message_Type, 'biospecimen.csv' AS CSV_Sheet_Name, Row_Index,
+             |  'Time_of_Draw' AS Column_Name, v AS Column_Value,
+             |  'Value must be a Valid Time HH:MM:SS' AS Error_Message
+             |FROM sheet
+             |WHERE v <> '' AND try_strptime(v, '%-H:%-M:%-S') IS NULL
+             |ORDER BY Row_Index""".stripMargin),
+      "§2.8 check_date Time: type-checked, never range-checked (reference :230)"),
+
     // ---- integrated pipeline: rules -> dedup -> summary pivot (A2) ----
     Q("q31_error_summary_pivot",
       (s, d) => {

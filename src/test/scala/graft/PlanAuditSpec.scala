@@ -64,6 +64,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("no query plans an unintended CartesianProduct") {
+    val offenders = QueryRegistry.all.flatMap { q =>
+      val p = q.fn(spark, sf).queryExecution.executedPlan.toString
+      if (p.contains("CartesianProduct")) Some(q.name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
   test("window-agg query reads only the columns it needs") {
     val p = plan("q50_window_agg")
     assert(p.contains("ReadSchema: struct<ts:bigint,event_type:string,value:double>"), p)
