@@ -440,6 +440,62 @@ object RelationalOps {
              |ORDER BY c_custkey""".stripMargin),
       "§2.2 P5 null semantics: coalesce/nullif/isNull over join misses"),
 
+    // ---- typed Dataset + custom Aggregator surface ----
+    Q("q60_typed_aggregator",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d)
+          .select(col("o_orderpriority"), col("o_totalprice"))
+          .as[(String, Double)]
+          .groupByKey(_._1)
+          .mapValues(_._2)
+          .agg(StatsAgg.toColumn.name("s"))
+          .toDF("o_orderpriority", "s")
+          .select(col("o_orderpriority"), col("s.n").as("n"),
+            col("s.total").as("total"), col("s.mean").as("mean"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS mean
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      "§2.7 typed Dataset + custom Aggregator[IN,BUF,OUT] (exact decimal monoid)"),
+
+    // ---- multi-way star join (TPC-H Q5 shape) ----
+    Q("q61_star_join",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d)
+        val su = Tables.supplier(s, d)
+        val n = Tables.nation(s, d)
+        val r = Tables.region(s, d)
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(dsum(col("l_extendedprice").cast("decimal(28,6)") *
+            (lit(1).cast("decimal(28,6)") - col("l_discount").cast("decimal(28,6)")))
+            .as("revenue"), count(lit(1)).as("n_lines"))
+          .orderBy("r_name", "n_name")
+      },
+      Some("""SELECT r_name, n_name,
+             |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(28,6)) *
+             |    (CAST(1 AS DECIMAL(28,6)) - CAST(l_discount AS DECIMAL(28,6)))
+             |    AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+             |  COUNT(*) AS n_lines
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin),
+      "§2.3 multi-way star join (4 broadcast dims + 1 shuffle join)"),
+
     // ---- grouping sets / rollup (engine generalization) ----
     Q("q17_rollup",
       (s, d) => Tables.lineitem(s, d)

@@ -433,6 +433,87 @@ object ValidationOps {
              |""".stripMargin),
       "§3.3 integrated micro-pipeline: rules -> dedup -> A2 crosstab summary"),
 
+    // ---- cross-sheet biospecimen: the 10 child-presence patterns ----
+    Q("q35_cross_sheet_biospecimen",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val bid = format_string("14_%06d_001", col("c_custkey"))
+        val bio = c.filter(col("c_custkey") % 2 === 0)
+          .select(bid.as("Biospecimen_ID"),
+            when(col("c_custkey") % 4 === 0, "PBMC").otherwise(lit("Serum"))
+              .as("Biospecimen_Type"))
+        def child(mod: Int, proxy: String) = c.filter(col("c_custkey") % mod === 0)
+          .select(bid.as("Biospecimen_ID"),
+            concat(lit(proxy.take(1)), col("c_custkey")).as(proxy))
+        val matrix = bio
+          .join(child(3, "Aliquot_ID"), Seq("Biospecimen_ID"), "outer")
+          .join(child(5, "Equipment_ID"), Seq("Biospecimen_ID"), "outer")
+          .join(child(7, "Reagent_Name"), Seq("Biospecimen_ID"), "outer")
+          .join(child(11, "Consumable_Name"), Seq("Biospecimen_ID"), "outer")
+        RuleEvaluator.dedupFirst(CrossSheet.crossSheetBiospecimen(matrix, 14, 0))
+          .drop("rule_seq")
+          .select(errCols.head, errCols.tail: _*)
+          .orderBy("Row_Index")
+      },
+      Some("""WITH ids AS (SELECT printf('14_%06d_001', c_custkey) AS id,
+             |  CASE WHEN c_custkey % 2 = 0 THEN
+             |    (CASE WHEN c_custkey % 4 = 0 THEN 'PBMC' ELSE 'Serum' END) END AS btype,
+             |  c_custkey % 2 = 0 AS in_bio, c_custkey % 3 = 0 AS in_al,
+             |  c_custkey % 5 = 0 AS in_eq, c_custkey % 7 = 0 AS in_re,
+             |  c_custkey % 11 = 0 AS in_co
+             |  FROM customer
+             |  WHERE c_custkey % 2 = 0 OR c_custkey % 3 = 0 OR c_custkey % 5 = 0
+             |     OR c_custkey % 7 = 0 OR c_custkey % 11 = 0),
+             |scoped AS (SELECT *, ROW_NUMBER() OVER (ORDER BY id) + 1 AS Row_Index
+             |  FROM ids
+             |  WHERE NOT (in_bio AND in_al AND in_eq AND in_re AND in_co)),
+             |msgs AS (SELECT Row_Index, id,
+             |  CASE
+             |    WHEN NOT in_bio AND in_al THEN 'ID is found in Aliquot.csv, however ID is missing from Biospecimen.csv'
+             |    WHEN in_bio AND NOT in_al THEN 'ID is found in Biospecimen.csv, however is missing from Aliquot.csv'
+             |    WHEN NOT in_bio AND in_eq THEN 'ID is found in Equipment.csv, however ID is missing from Biospecimen.csv'
+             |    WHEN btype <> 'PBMC' AND in_bio AND in_eq THEN 'ID is found in Equipment.csv, and ID is found in Biospecimen.csv however has Biospecimen_Type NOT PBMC'
+             |    WHEN btype = 'PBMC' AND in_bio AND NOT in_eq THEN 'ID is found in Biospecimen.csv and has Biospecimen_Type of PBMC, however ID is missing from Equipment.csv'
+             |    WHEN NOT in_bio AND in_re THEN 'ID is found in Reagent.csv, however ID is missing from Biospecimen.csv'
+             |    WHEN btype <> 'PBMC' AND in_bio AND in_re THEN 'ID is found in Reagent.csv, and ID is found in Biospecimen.csv however has Biospecimen_Type NOT PBMC'
+             |    WHEN btype = 'PBMC' AND in_bio AND NOT in_re THEN 'ID is found in Biospecimen.csv and has Biospecimen_Type of PBMC, however ID is missing from Reagent.csv'
+             |    WHEN NOT in_bio AND in_co THEN 'ID is found in Consumable.csv, however ID is missing from Biospecimen.csv'
+             |    WHEN btype <> 'PBMC' AND in_bio AND in_co THEN 'ID is found in Consumable.csv, and ID is found in Biospecimen.csv however has Biospecimen_Type NOT PBMC'
+             |    WHEN btype = 'PBMC' AND in_bio AND NOT in_co THEN 'ID is found in Biospecimen.csv and has Biospecimen_Type of PBMC, however ID is missing from Consumable.csv'
+             |  END AS msg
+             |  FROM scoped)
+             |SELECT 'Error' AS Message_Type, 'Cross_Biospecimen_ID.csv' AS CSV_Sheet_Name,
+             |  Row_Index, 'Biospecimen_ID' AS Column_Name, id AS Column_Value,
+             |  msg AS Error_Message
+             |FROM msgs WHERE msg IS NOT NULL
+             |ORDER BY Row_Index""".stripMargin),
+      "§2.8 get_cross_sheet_Biospecimen_ID: 10 presence patterns, first-wins priority"),
+
+    // ---- check_assay_special: referential miss after context join ----
+    Q("q36_rule_assay_special",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).filter(col("l_orderkey") < 2000)
+        // context slice: only even part keys exist in the "valid" table
+        val valid = Tables.part(s, d).filter(col("p_partkey") % 2 === 0)
+          .select(col("p_partkey").as("Assay_ID"), col("p_name").as("Assay_Name"))
+        val sheet = li.select(
+          col("l_partkey").as("Assay_ID"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("Row_Index"))
+          .join(broadcast(valid), Seq("Assay_ID"), "left")
+          .withColumn("Assay_ID", col("Assay_ID").cast("string"))
+        evalRules("assay.csv", sheet, Seq(Checks.assaySpecial("Assay_ID", "Assay_Name")))
+          .orderBy("Row_Index", "Column_Value")
+      },
+      Some("""SELECT DISTINCT 'Error' AS Message_Type, 'assay.csv' AS CSV_Sheet_Name,
+             |  l_orderkey * 10 + l_linenumber AS Row_Index,
+             |  'Assay_ID' AS Column_Name,
+             |  CAST(CAST(l_partkey AS DOUBLE) AS VARCHAR) AS Column_Value,
+             |  'Assay_ID is not found in the table of valid Assay_IDs in databse or submitted file' AS Error_Message
+             |FROM lineitem
+             |WHERE l_orderkey < 2000 AND l_partkey % 2 = 1
+             |ORDER BY Row_Index, Column_Value""".stripMargin),
+      "§2.8 check_assay_special: J5 referential-existence via join-null"),
+
     // ---- membership check against an injected code catalog (F9 shape) ----
     Q("q30_rule_code_membership",
       (s, d) => {
