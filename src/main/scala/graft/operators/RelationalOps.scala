@@ -496,6 +496,37 @@ object RelationalOps {
              |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin),
       "§2.3 multi-way star join (4 broadcast dims + 1 shuffle join)"),
 
+    // ---- semi-structured: JSON column extraction + aggregation ----
+    Q("q62_json_extract",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+             |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      "semi-structured: JSON path extraction over a string column"),
+
+    // ---- generator / UDTF surface: lateral row expansion ----
+    Q("q63_generator_explode",
+      (s, d) => Tables.supplier(s, d)
+        .select(col("s_suppkey"),
+          explode(sequence(lit(1), col("s_nationkey") % 3 + 1)).as("i"))
+        .groupBy("s_suppkey")
+        .agg(count(lit(1)).as("copies"), sum("i").as("sum_i"))
+        .orderBy("s_suppkey"),
+      Some("""WITH expanded AS (
+             |  SELECT s_suppkey, unnest(range(1, s_nationkey % 3 + 2)) AS i
+             |  FROM supplier)
+             |SELECT s_suppkey, COUNT(*) AS copies, SUM(i) AS sum_i
+             |FROM expanded GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin),
+      "§2.7 generator/UDTF surface: lateral explode of a computed sequence"),
+
     // ---- grouping sets / rollup (engine generalization) ----
     Q("q17_rollup",
       (s, d) => Tables.lineitem(s, d)
