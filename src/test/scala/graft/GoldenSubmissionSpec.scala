@@ -102,6 +102,69 @@ class GoldenSubmissionSpec extends AnyFunSuite {
     assert(summary.text.contains("demographic.csv"))
   }
 
+  test("full-family golden submission: gated rules, context merges, bio cross-sheet") {
+    val dir = Files.createTempDirectory("graft-golden-full").toString
+    def put(name: String, content: String): Unit =
+      Files.writeString(Paths.get(dir, name), content)
+    put("prior_clinical_test.csv", Seq(
+      "Research_Participant_ID,SARS_CoV_2_PCR_Test_Result",
+      "14_000001,Positive",
+      "14_000002,Negative").mkString("\n"))
+    put("demographic.csv", Seq(
+      "Research_Participant_ID,Age",
+      "14_000001,40",
+      "14_000002,41").mkString("\n"))
+    put("biospecimen.csv", Seq(
+      "Research_Participant_ID,Biospecimen_ID,Biospecimen_Type,Total_Cells_Hemocytometer_Count,Live_Cells_Hemocytometer_Count,Viability_Hemocytometer_Count",
+      "14_000001,14_000001_001,PBMC,100,50,50",      // viability ok
+      "14_000001,14_000001_002,PBMC,100,120,90",     // live>total + viability wrong
+      "14_000002,14_000002_001,Serum,,,").mkString("\n"))   // counts blank, Serum gated out
+    put("aliquot.csv", Seq(
+      "Aliquot_ID,Biospecimen_ID,Aliquot_Volume",
+      "14_000001_001_01,14_000001_001,5.5",
+      "14_000001_001_01,14_000001_001,bad").mkString("\n")) // dup aliquot id + bad volume
+    put("equipment.csv", Seq(
+      "Equipment_ID,Biospecimen_ID,Equipment_Type",
+      "EQ1,14_000001_001,Refrigerator").mkString("\n"))
+    put("reagent.csv", "Reagent_Name,Biospecimen_ID\n")
+    put("consumable.csv", "Consumable_Name,Biospecimen_ID\n")
+    put("assay.csv", Seq(
+      "Assay_ID,Assay_Name,EUA_Status",
+      "14_001,Test Assay,Approved",
+      "14_002,Other Assay,Nonsense").mkString("\n"))  // enum violation
+
+    val sheets = SubmissionSource.load(spark, dir)
+    val result = SubmissionRunner.validate(spark, sheets,
+      SubmissionRunner.Config(cbcId = 14, asOf = LocalDate.of(2026, 8, 12)))
+    val got = result.errors.collect().map(r =>
+      (r.getAs[String]("CSV_Sheet_Name"), r.getAs[Long]("Row_Index"),
+        r.getAs[String]("Column_Name"), r.getAs[String]("Column_Value"),
+        r.getAs[String]("Message_Type"), r.getAs[String]("Error_Message"))).toSet
+
+    // cross-column checks on the PBMC row (rendered converted values)
+    assert(got.contains(("biospecimen.csv", 3L, "Total_Cells_Hemocytometer_Count",
+      "100.0", "Error", "Live Cell Count must be less than Total Cell Count")))
+    assert(got.contains(("biospecimen.csv", 3L, "Viability_Hemocytometer_Count",
+      "90.0", "Error", "Viability Count must be equal to (Live_Count / Total_Count) * 100")))
+    // Serum row: PBMC-gated count rules silent; missing-value checks fire
+    assert(got.contains(("biospecimen.csv", 4L, "Total_Cells_Hemocytometer_Count",
+      "", "Error", "Missing Values are not allowed for this column.  Please recheck data")))
+    // aliquot: duplicate ID at sentinel row + gated number error
+    assert(got.contains(("aliquot.csv", -3L, "Aliquot_ID", "14_000001_001_01",
+      "Error", "Id is repeated 2 times, Multiple repeats are not allowed")))
+    assert(got.exists(e => e._1 == "aliquot.csv" && e._3 == "Aliquot_Volume" &&
+      e._4 == "bad"))
+    // assay enum violation
+    assert(got.contains(("assay.csv", 3L, "EUA_Status", "Nonsense", "Error",
+      "Unexpected Value.  Value must be one of the following: ['Approved', 'Submitted', 'Not Submitted', 'N/A']")))
+    // cross-sheet bio: PBMC bio id 14_000001_002 has no aliquot
+    assert(got.exists(e => e._1 == "Cross_Biospecimen_ID.csv" &&
+      e._4 == "14_000001_002" &&
+      e._6 == "ID is found in Biospecimen.csv, however is missing from Aliquot.csv"))
+    // participant 14_000001/2 present in prior+demo+bio -> no participant cross error
+    assert(!got.exists(e => e._1 == "Cross_Participant_ID.csv"))
+  }
+
   test("unnamed columns are dropped and '' survives ingest") {
     val dir = Files.createTempDirectory("graft-reader").toString
     Files.writeString(Paths.get(dir, "t.csv"),
