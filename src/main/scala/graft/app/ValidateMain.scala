@@ -24,6 +24,18 @@ object ValidateMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
+      // comma-separated dirs => batch mode (lambda_handler outer loop)
+      if (dir.contains(",")) {
+        BatchRunner.run(spark, dir.split(',').toSeq, outDir, cbcId,
+          LocalDate.now()).foreach {
+          case BatchRunner.Validated(s, files, _, summary) =>
+            println(s"$s: VALIDATED, ${files.map(_._2).sum} errors in ${files.size} files" +
+              (if (summary.isFailure) " (failure channel)" else ""))
+          case BatchRunner.Rejected(s, reason) => println(s"$s: REJECTED: $reason")
+          case BatchRunner.Failed(s, err) => println(s"$s: FAILED: $err")
+        }
+        return
+      }
       val sheets = SubmissionSource.load(spark, dir)
       if (sheets.isEmpty) { println(s"no sheets found under $dir"); return }
       val meta = sheets.get("submission.csv").flatMap(SubmissionSource.metadata)
