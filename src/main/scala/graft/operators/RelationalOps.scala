@@ -527,6 +527,19 @@ object RelationalOps {
              |FROM expanded GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin),
       "§2.7 generator/UDTF surface: lateral explode of a computed sequence"),
 
+    // ---- top-k per group via bounded-buffer aggregation (no window sort) ----
+    Q("q64_topk_per_group",
+      (s, d) => TopK.perGroup(
+        Tables.orders(s, d), "o_orderpriority", "o_totalprice", "o_orderkey", 3)
+        .orderBy("o_orderpriority", "rk"),
+      Some("""SELECT o_orderpriority, o_totalprice, o_orderkey,
+             |  CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+             |    ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
+             |FROM orders
+             |QUALIFY rk <= 3
+             |ORDER BY o_orderpriority, rk""".stripMargin),
+      "custom-operator family: top-k per group via bounded agg buffer (map-side combine)"),
+
     // ---- grouping sets / rollup (engine generalization) ----
     Q("q17_rollup",
       (s, d) => Tables.lineitem(s, d)

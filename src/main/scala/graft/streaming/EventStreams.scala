@@ -29,7 +29,8 @@ object EventStreams {
 
   final case class EventRow(user_id: Long, ts_sec: Long)
   final case class SessionSummary(user_id: Long, n_sessions: Long, n_events: Long)
-  private final case class SessionState(lastTs: Long, sessions: Long, events: Long)
+  // public: the state encoder's generated code must reach the accessors
+  final case class SessionState(lastTs: Long, sessions: Long, events: Long)
 
   /** Stateful sessionization via mapGroupsWithState: a new session starts
     * when the gap exceeds `gapSec`. Works on batch Datasets too (state is

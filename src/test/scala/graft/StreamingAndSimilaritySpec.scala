@@ -34,6 +34,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionizer state carries across micro-batches (mapGroupsWithState)") {
+    import spark.implicits._
+    val all = Tables.events(spark, sf)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("ts_sec"), col("event_id"))
+    val expected = QueryRegistry.queries("q51_sessionize")(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_events"))).toMap
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-state").toString
+    // batch 1: first half of each user's timeline; batch 2: the rest —
+    // correct totals REQUIRE state surviving the trigger boundary
+    val half = all.count() / 2
+    all.filter(col("event_id") < half).drop("event_id")
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val schema = all.drop("event_id").schema
+    val streamIn = spark.readStream.schema(schema).parquet(s"$dir/in")
+      .as[EventStreams.EventRow]
+    val q = EventStreams.sessionize(streamIn)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("session_state_out").start()
+    try {
+      q.processAllAvailable()
+      all.filter(col("event_id") >= half).drop("event_id")
+        .write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      // memory sink in update mode appends a row per key per trigger;
+      // n_events is monotone, so the max row per user is the final state
+      val got = spark.table("session_state_out")
+        .groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("n_sessions"))).as("s"))
+        .collect()
+        .map(r => r.getAs[Long]("user_id") -> {
+          val s = r.getStruct(1); (s.getLong(1), s.getLong(0))
+        }).toMap
+      assert(got === expected)
+    } finally q.stop()
+  }
+
   test("validation rules compose with readStream (streaming data quality)") {
     import graft.rules.{Checks, NoGate, PyS, RuleEvaluator}
     val batchEvents = Tables.events(spark, sf)
