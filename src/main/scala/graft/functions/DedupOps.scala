@@ -33,7 +33,77 @@ object DedupOps {
     words(docs).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Connected components by iterative min-label propagation: the step a
+    * real dedup pipeline needs BETWEEN candidate pairs and a deduped
+    * corpus — members of a near-dup cluster all map to one canonical id
+    * (the component minimum).
+    *
+    * Each iteration is one join + aggregate; `localCheckpoint` cuts the
+    * lineage so the plan doesn't grow exponentially with iterations (the
+    * thing that kills naive iterative DataFrame algorithms at scale).
+    * Converges in O(component diameter) iterations regardless of
+    * partitioning — the min-label fixpoint is order-independent.
+    */
+  def connectedComponents(vertices: DataFrame, pairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc1").as("src"), col("doc2").as("dst"))
+      .union(pairs.select(col("doc2").as("src"), col("doc1").as("dst")))
+    var labels = vertices.select(col("doc_id"), col("doc_id").as("label"))
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val msgs = edges.join(labels, edges("src") === labels("doc_id"))
+        .groupBy("dst").agg(min("label").as("nlabel"))
+      val updated = labels.join(msgs, labels("doc_id") === msgs("dst"), "left")
+        .select(labels("doc_id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = updated.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") =!= col("old")).count()
+      labels = updated
+      i += 1
+    }
+    labels.withColumnRenamed("label", "canonical")
+  }
+
   def qs: Seq[Q] = Seq(
+
+    // ---- near-dup clusters -> canonical ids (components over pairs) ----
+    Q("q65_dedup_components",
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
+        val w = words(docs)
+        val sizes = w.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val inter = w.withColumnRenamed("doc_id", "doc1")
+          .join(w.withColumnRenamed("doc_id", "doc2").withColumnRenamed("w", "w2"),
+            col("w") === col("w2") && col("doc1") < col("doc2"))
+          .groupBy("doc1", "doc2").agg(count(lit(1)).as("inter"))
+        val pairs = inter
+          .join(sizes.select(col("doc_id").as("doc1"), col("n").as("n1")), Seq("doc1"))
+          .join(sizes.select(col("doc_id").as("doc2"), col("n").as("n2")), Seq("doc2"))
+          .filter(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")) >= 0.8)
+          .select("doc1", "doc2")
+        connectedComponents(docs.select("doc_id"), pairs)
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE w AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS w
+             |  FROM documents WHERE doc_id < 100),
+             |sizes AS (SELECT doc_id, COUNT(*) AS n FROM w GROUP BY doc_id),
+             |inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS inter
+             |  FROM w a JOIN w b ON a.w = b.w AND a.doc_id < b.doc_id
+             |  GROUP BY a.doc_id, b.doc_id),
+             |pairs AS (SELECT doc1, doc2 FROM inter
+             |  JOIN sizes s1 ON s1.doc_id = doc1 JOIN sizes s2 ON s2.doc_id = doc2
+             |  WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.8),
+             |edges AS (SELECT doc1 AS src, doc2 AS dst FROM pairs
+             |  UNION ALL SELECT doc2, doc1 FROM pairs),
+             |reach(a, b) AS (
+             |  SELECT doc_id AS a, doc_id AS b FROM documents WHERE doc_id < 100
+             |  UNION
+             |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+             |SELECT a AS doc_id, MIN(b) AS canonical FROM reach
+             |GROUP BY a ORDER BY doc_id""".stripMargin),
+      "pipeline-op: near-dup clusters -> canonical ids (min-label components)"),
 
     // ---- exact dedup: content-hash groupBy ----
     Q("q40_dedup_exact",
