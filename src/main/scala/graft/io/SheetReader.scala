@@ -52,7 +52,7 @@ object SheetReader {
   def clean(df: DataFrame): DataFrame = {
     val kept = df.columns.filterNot(c =>
       c.startsWith("Unnamed") || c.matches("_c[0-9]+"))
-    df.select(kept.map(col): _*)
+    df.select(kept.toIndexedSeq.map(col): _*)
   }
 
   /** Attach a stable, contiguous Row_Index in file order and make every
@@ -64,7 +64,7 @@ object SheetReader {
   def withRowIndex(df: DataFrame, startAt: Long = 2L): DataFrame = {
     val spark = df.sparkSession
     val schema = StructType(df.schema.fields :+ StructField("Row_Index", LongType))
-    val indexed = df.rdd.zipWithIndex.map { case (r, i) =>
+    val indexed = df.rdd.zipWithIndex().map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ (i + startAt))
     }
     val withIdx = spark.createDataFrame(indexed, schema)
@@ -100,7 +100,7 @@ object ErrorWriter {
       gzip: Boolean = false): Seq[(String, Long)] = {
     import org.apache.spark.sql.functions.col
     val sheets = errors.select("CSV_Sheet_Name").distinct()
-      .collect().map(_.getString(0)).sorted
+      .collect().map(_.getString(0)).sorted.toIndexedSeq
     sheets.map { name =>
       val curr = errors.filter(col("CSV_Sheet_Name") === name)
         .orderBy("Row_Index")

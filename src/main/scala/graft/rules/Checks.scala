@@ -407,7 +407,7 @@ object RuleEvaluator {
     * identical (one emission per rule per row), so the pick is total.
     */
   def dedupFirst(errors: DataFrame): DataFrame = {
-    val all = struct(errors.columns.map(col): _*)
+    val all = struct(errors.columns.toIndexedSeq.map(col): _*)
     errors.groupBy("Row_Index", "Column_Name", "Column_Value")
       .agg(min_by(all, col("rule_seq")).as("e"))
       .select("e.*")
