@@ -331,6 +331,18 @@ object RelationalOps {
              |ORDER BY src, id""".stripMargin),
       "§2.5 generalization: INTERSECT / EXCEPT set semantics"),
 
+    // ---- sketch aggregation: approximate percentile (rows-only; the
+    // sketch differs per engine — spec pins the rank-error bound) ----
+    Q("q66_approx_percentile",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50_approx"),
+          expr("percentile(l_extendedprice, 0.5)").as("p50_exact"))
+        .orderBy("l_returnflag"),
+      None,
+      "pipeline-op: approximate percentile sketch (bounded-memory quantiles)"),
+
     // ---- sketch aggregation: HLL approximate distinct (no SQL oracle —
     // engines use different sketch impls; error bound pinned in spec) ----
     Q("q54_approx_distinct",

@@ -97,6 +97,16 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("approx percentile stays within 2% of exact (q66)") {
+    val rows = QueryRegistry.queries("q66_approx_percentile")(spark, sf).collect()
+    rows.foreach { r =>
+      val approx = r.getAs[Double]("p50_approx")
+      val exact = r.getAs[Double]("p50_exact")
+      assert(math.abs(approx - exact) / exact < 0.02,
+        s"approx $approx vs exact $exact")
+    }
+  }
+
   test("HLL approx distinct stays within 5% of exact (q54)") {
     val rows = QueryRegistry.queries("q54_approx_distinct")(spark, sf).collect()
     rows.foreach { r =>
