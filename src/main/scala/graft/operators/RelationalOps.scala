@@ -552,6 +552,36 @@ object RelationalOps {
              |ORDER BY o_orderpriority, rk""".stripMargin),
       "custom-operator family: top-k per group via bounded agg buffer (map-side combine)"),
 
+    // ---- array aggregation with deterministic ordering ----
+    Q("q67_array_agg",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  list_sort(list(DISTINCT l_linestatus)) AS statuses,
+             |  COUNT(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      "§2.4 generalization: set-collecting aggregation (deterministic via sort)"),
+
+    // ---- date arithmetic surface ----
+    Q("q68_date_arithmetic",
+      (s, d) => Tables.orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01")).as("days_since"),
+        date_add(to_date(col("o_orderdate")), 30).as("due_date"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  CAST(year(o_orderdate) AS INT) AS y,
+             |  CAST(month(o_orderdate) AS INT) AS m,
+             |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since,
+             |  CAST(o_orderdate AS DATE) + 30 AS due_date
+             |FROM orders ORDER BY o_orderkey""".stripMargin),
+      "§2.6 F5 family: date arithmetic (extract, diff, offset)"),
+
     // ---- grouping sets / rollup (engine generalization) ----
     Q("q17_rollup",
       (s, d) => Tables.lineitem(s, d)
