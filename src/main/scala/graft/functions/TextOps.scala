@@ -72,6 +72,47 @@ object TextOps {
              |FROM documents ORDER BY doc_id""".stripMargin),
       "custom Catalyst Expression: single-pass token count, no array alloc"),
 
+    // ---- BPE-ish regex token counting (subword-style segmentation) ----
+    Q("q69_bpe_token_count",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).as("n_bpe_tokens"),
+        size(split(col("text"), " ")).as("n_ws_tokens"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+             |  len(string_split(text, ' ')) AS n_ws_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      "pipeline-op: token counting — whitespace + BPE-ish regex segmentation"),
+
+    // ---- rolling-hash (character-shingle) fingerprint ----
+    Q("q70_rolling_hash_fingerprint",
+      (s, d) => {
+        // 5-char rolling windows -> md5 -> min per seed: a compact
+        // winnowing-style content fingerprint robust to local edits
+        val windows = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(sequence(lit(1), greatest(length(col("text")) - 4, lit(1)))).as("i"),
+            col("text"))
+          .select(col("doc_id"), expr("substring(text, i, 5)").as("g"))
+        windows.groupBy("doc_id").agg(
+          min(md5(concat(lit("0:"), col("g")))).as("fp0"),
+          min(md5(concat(lit("1:"), col("g")))).as("fp1"),
+          min(md5(concat(lit("2:"), col("g")))).as("fp2"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH idx AS (
+             |  SELECT doc_id, text,
+             |    unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS i
+             |  FROM documents),
+             |windows AS (SELECT doc_id, substr(text, CAST(i AS INT), 5) AS g FROM idx)
+             |SELECT doc_id,
+             |  MIN(md5('0:' || g)) AS fp0,
+             |  MIN(md5('1:' || g)) AS fp1,
+             |  MIN(md5('2:' || g)) AS fp2
+             |FROM windows GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      "pipeline-op: rolling-hash character-shingle fingerprint (winnowing-style)"),
+
     // ---- canonical-form document fingerprint ----
     Q("q49_text_fingerprint",
       (s, d) => Tables.documents(s, d).select(
