@@ -5,8 +5,24 @@ import org.apache.spark.sql.SparkSession
   * prints ONE JSON line (driver contract). Session is tuned for the
   * harness's local[32] box: shuffle partitions = cores (not 200), AQE on
   * for runtime coalescing/skew handling, small-dim broadcasts enabled.
+  *
+  * The printed line must survive the driver's bounded output tail (round 1
+  * showed ~2 KB): `value` is the total over ALL queries, the inline
+  * `queries` map carries a stable headline subset rounded to ms, and the
+  * full per-query detail goes to out/bench_detail.json.
   */
 object Bench {
+  /** One per operator family: scan/agg, join shapes, windows, rules,
+    * dedup/similarity, text, sessionize — the queries worth tracking
+    * individually against BASELINE.
+    */
+  private val headline = Seq(
+    "q01_agg_fullscan", "q03_join_agg_topk", "q05_composite_key_join",
+    "q15_window_running", "q17_rollup", "q27_rule_total_live",
+    "q32_rule_viability", "q42_dedup_minhash_lsh", "q45_cosine_topk",
+    "q46_ann_lsh", "q51_sessionize", "q61_star_join", "q64_topk_per_group",
+    "q65_dedup_components", "q69_bpe_token_count")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -24,15 +40,22 @@ object Bench {
     // absorb one-time session/codegen warmup outside the timed region
     spark.range(1000).selectExpr("sum(id)").collect()
     SparkEntry.entry(spark).count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(pairs: Seq[(String, Double)]): String =
+      pairs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val detail = s"""{"total":${f"$total%.3f"},"n_queries":${results.size},""" +
+      s""""queries":${fmt(results)},"sf":"$sfDir"}"""
+    val detailPath = java.nio.file.Paths.get("out", "bench_detail.json")
+    java.nio.file.Files.createDirectories(detailPath.getParent)
+    java.nio.file.Files.write(detailPath, detail.getBytes("UTF-8"))
+    val head = fmt(results.filter(r => headline.contains(r._1)))
+    println(s"""{"metric":"total_${results.size}_queries","value":${f"$total%.3f"},"unit":"sec","queries":$head,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -233,7 +233,7 @@ object DedupOps {
              |      THEN 1 ELSE -1 END) AS s
              |  FROM hashed, range(0,16) i GROUP BY doc_id, i.range)
              |SELECT doc_id,
-             |  SUM(CASE WHEN s > 0 THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END) AS simhash
+             |  CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
              |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       "pipeline-op: SimHash document signatures (frequency-weighted bit votes)")
   )

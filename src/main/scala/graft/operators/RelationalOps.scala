@@ -518,7 +518,7 @@ object RelationalOps {
           min("k").as("min_k"), max("k").as("max_k"))
         .orderBy("event_type"),
       Some("""SELECT event_type, COUNT(*) AS n,
-             |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
              |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
              |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
@@ -535,7 +535,7 @@ object RelationalOps {
       Some("""WITH expanded AS (
              |  SELECT s_suppkey, unnest(range(1, s_nationkey % 3 + 2)) AS i
              |  FROM supplier)
-             |SELECT s_suppkey, COUNT(*) AS copies, SUM(i) AS sum_i
+             |SELECT s_suppkey, COUNT(*) AS copies, CAST(SUM(i) AS BIGINT) AS sum_i
              |FROM expanded GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin),
       "§2.7 generator/UDTF surface: lateral explode of a computed sequence"),
 
@@ -556,11 +556,12 @@ object RelationalOps {
     Q("q67_array_agg",
       (s, d) => Tables.lineitem(s, d)
         .groupBy("l_returnflag")
-        .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"),
+        .agg(array_join(sort_array(collect_set(col("l_linestatus"))), ",")
+          .as("statuses"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag,
-             |  list_sort(list(DISTINCT l_linestatus)) AS statuses,
+             |  array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
              |  COUNT(*) AS n
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
       "§2.4 generalization: set-collecting aggregation (deterministic via sort)"),

@@ -44,7 +44,7 @@ object EventOps {
              |  CASE WHEN lag(ts_sec) OVER w IS NULL
              |         OR ts_sec - lag(ts_sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_session
              |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id))
-             |SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+             |SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
              |FROM flagged GROUP BY user_id ORDER BY user_id""".stripMargin),
       "§2.7 streaming: sessionization (gap > 30 min), lag + running flag"),
 

@@ -68,6 +68,29 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         problems = []
+        # Driver-parity dtype check: the real gate converts both sides to
+        # pandas, where DuckDB HUGEINT (int128, e.g. from SUM over ints)
+        # becomes float/object and list columns become unhashable ndarrays.
+        # Catch those here even though the value-compare below would pass.
+        try:
+            import pandas  # noqa: F401
+            spd = con.execute(
+                f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')").df()
+            opd = con.execute(oracle[name]).df()
+            for c in sorted(set(spd.columns) & set(opd.columns)):
+                sk, ok = spd[c].dtype.kind, opd[c].dtype.kind
+                if sk != ok:
+                    problems.append(f"dtype kind mismatch on {c}: "
+                                    f"spark={spd[c].dtype} oracle={opd[c].dtype}")
+                if ok == "O" and len(opd) and isinstance(
+                        opd[c].iloc[0], (list, tuple)) is False and \
+                        type(opd[c].iloc[0]).__name__ == "ndarray":
+                    problems.append(f"oracle col {c} is an array (driver sort crashes)")
+                if sk == "O" and len(spd) and \
+                        type(spd[c].iloc[0]).__name__ == "ndarray":
+                    problems.append(f"spark col {c} is an array (driver sort crashes)")
+        except ImportError:
+            pass
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
         if len(sdf) != len(odf):
