@@ -154,6 +154,77 @@ object SimilarityOps {
           .orderBy("qid", "rk")
       },
       None, // hash-seeded bucketing: rows-only check; recall vs brute force is spec-tested
-      "pipeline-op: sign-LSH bucketed approximate nearest neighbors")
+      "pipeline-op: sign-LSH bucketed approximate nearest neighbors"),
+
+    // ---- IVF ANN: coarse-quantize into cells, probe the nearest nprobe
+    // cells only. Centroids here are seed vectors (vec_id < 8) so the
+    // whole operator is deterministic and SQL-expressible; at scale the
+    // centroid set is a k-means result — still tiny, still broadcast.
+    // Cell assignment is a narrow map (broadcast 8 centroids, argmax by
+    // rounded cosine), so the scan-side cost is one pass; the candidate
+    // join replaces the full cross product with |probed cells| buckets. ----
+    Q("q72_ann_ivf",
+      (s, d) => {
+        val e = withNorm(Tables.embeddings(s, d))
+        val cent = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("vec").as("cvec"),
+            col("norm").as("cnorm"))
+        // rank every (vector, centroid) pair once; reuse for base cells
+        // (crk = 1) and query probes (crk <= 2)
+        val assign = e.select(col("vec_id"), col("vec"), col("norm"))
+          .join(broadcast(cent))
+          .withColumn("ccos", round(dot(col("vec"), col("cvec")) /
+            (col("norm") * col("cnorm")), 6))
+          .withColumn("crk", row_number().over(
+            Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))))
+        val cells = assign.filter(col("crk") === 1).select(col("vec_id"), col("cid"))
+        val probes = assign.filter(col("vec_id") < 20 && col("crk") <= 2)
+          .select(col("vec_id").as("qid"), col("cid"))
+        val candidates = cells.join(broadcast(probes), Seq("cid"))
+          .select("qid", "vec_id").distinct()
+        val scored = candidates
+          .join(e.select(col("vec_id"), col("vec"), col("norm")), Seq("vec_id"))
+          .join(broadcast(e.filter(col("vec_id") < 20)
+            .select(col("vec_id").as("qid"), col("vec").as("qvec"),
+              col("norm").as("qnorm"))), Seq("qid"))
+          .withColumn("cosine", round(dot(col("qvec"), col("vec")) /
+            (col("qnorm") * col("norm")), 6))
+        val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
+        scored.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select(col("qid"), col("vec_id"), col("cosine"), col("rk"))
+          .orderBy("qid", "rk")
+      },
+      Some(s"""WITH $normCte,
+              |cdots AS (SELECT e.vec_id, c.vec_id AS cid,
+              |  SUM(CAST(e.embedding[i.range] AS DOUBLE) * CAST(c.embedding[i.range] AS DOUBLE)) AS dot
+              |  FROM embeddings e, embeddings c, range(1,65) i
+              |  WHERE c.vec_id < 8
+              |  GROUP BY e.vec_id, c.vec_id),
+              |assign AS (SELECT cdots.vec_id, cid,
+              |  ROW_NUMBER() OVER (PARTITION BY cdots.vec_id
+              |    ORDER BY round(dot / (nv.norm * nc.norm), 6) DESC, cid) AS crk
+              |  FROM cdots JOIN norms nv ON nv.vec_id = cdots.vec_id
+              |  JOIN norms nc ON nc.vec_id = cid),
+              |cells AS (SELECT vec_id, cid FROM assign WHERE crk = 1),
+              |probes AS (SELECT vec_id AS qid, cid FROM assign
+              |  WHERE vec_id < 20 AND crk <= 2),
+              |cand AS (SELECT DISTINCT qid, cells.vec_id
+              |  FROM cells JOIN probes ON cells.cid = probes.cid),
+              |dots AS (SELECT qid, cand.vec_id,
+              |  SUM(CAST(q.embedding[i.range] AS DOUBLE) * CAST(e.embedding[i.range] AS DOUBLE)) AS dot
+              |  FROM cand JOIN embeddings q ON q.vec_id = qid
+              |  JOIN embeddings e ON e.vec_id = cand.vec_id, range(1,65) i
+              |  GROUP BY qid, cand.vec_id),
+              |scored AS (SELECT qid, dots.vec_id,
+              |  round(dot / (nq.norm * ne.norm), 6) AS cosine
+              |  FROM dots JOIN norms nq ON nq.vec_id = qid
+              |  JOIN norms ne ON ne.vec_id = dots.vec_id)
+              |SELECT qid, vec_id, cosine,
+              |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS INT) AS rk
+              |FROM scored
+              |QUALIFY rk <= 5
+              |ORDER BY qid, rk""".stripMargin),
+      "pipeline-op: IVF approximate nearest neighbors (probe nprobe=2 of 8 cells)")
   )
 }

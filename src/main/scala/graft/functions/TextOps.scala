@@ -1,6 +1,7 @@
 package graft.functions
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: token counting,
@@ -124,6 +125,62 @@ object TextOps {
              |  md5(trim(regexp_replace(regexp_replace(lower(text),
              |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
              |FROM documents ORDER BY doc_id""".stripMargin),
-      "pipeline-op: document fingerprinting (normalized-content hash)")
+      "pipeline-op: document fingerprinting (normalized-content hash)"),
+
+    // ---- end-to-end training-data pipeline: quality gate -> exact dedup
+    // (first doc_id wins per normalized fingerprint) -> language bucket ->
+    // corpus stats. One narrow pass for scoring, one shuffle for the
+    // dedup window, one partial-agg shuffle for the rollup — the 100 TB
+    // shape of a pretraining-corpus curation job. ----
+    Q("q74_doc_pipeline",
+      (s, d) => {
+        val words = split(col("text"), " ")
+        val scored = Tables.documents(s, d).select(
+          col("doc_id"),
+          size(words).as("n_tokens"),
+          size(filter(words, w => w === "the" || w === "a" || w === "of"))
+            .as("stop_hits"),
+          size(filter(words, w => w === "the" || w === "a")).as("en_hits"),
+          md5(trim(regexp_replace(regexp_replace(lower(col("text")),
+            "[^a-z0-9 ]", ""), " +", " "))).as("fp"))
+        val kept = scored
+          .filter(col("n_tokens") >= 10 && col("stop_hits") > 0)
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("fp").orderBy("doc_id")))
+          .filter(col("rk") === 1)
+        kept.select(
+          when(col("en_hits") * 5 >= col("n_tokens"), "en")
+            .when(col("en_hits") > 0, "maybe-en")
+            .otherwise(lit("unknown")).as("lang_guess"),
+          col("n_tokens"), col("stop_hits"))
+          .groupBy("lang_guess")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            round(sum((col("stop_hits").cast("double") / col("n_tokens"))
+              .cast("decimal(28,12)")).cast("double") / count(lit(1)), 6)
+              .as("avg_stop_ratio"))
+          .orderBy("lang_guess")
+      },
+      Some("""WITH scored AS (SELECT doc_id,
+             |  len(string_split(text,' ')) AS n_tokens,
+             |  len(list_filter(string_split(text,' '),
+             |    w -> w IN ('the','a','of'))) AS stop_hits,
+             |  len(list_filter(string_split(text,' '),
+             |    w -> w IN ('the','a'))) AS en_hits,
+             |  md5(trim(regexp_replace(regexp_replace(lower(text),
+             |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+             |  FROM documents),
+             |kept AS (SELECT * FROM scored
+             |  WHERE n_tokens >= 10 AND stop_hits > 0
+             |  QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1)
+             |SELECT CASE WHEN en_hits * 5 >= n_tokens THEN 'en'
+             |            WHEN en_hits > 0 THEN 'maybe-en'
+             |            ELSE 'unknown' END AS lang_guess,
+             |  COUNT(*) AS n_docs,
+             |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             |  round(CAST(SUM(CAST(CAST(stop_hits AS DOUBLE) / n_tokens
+             |    AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS avg_stop_ratio
+             |FROM kept GROUP BY 1 ORDER BY lang_guess""".stripMargin),
+      "pipeline-op: end-to-end corpus curation (quality gate, dedup, langid, stats)")
   )
 }

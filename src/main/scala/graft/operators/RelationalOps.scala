@@ -594,6 +594,20 @@ object RelationalOps {
              |  COUNT(*) AS n
              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
              |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin),
-      "§2.4 aggregation generalization: rollup/grouping sets")
+      "§2.4 aggregation generalization: rollup/grouping sets"),
+
+    // ---- full cube: every grouping-set combination in one pass ----
+    Q("q71_cube",
+      (s, d) => Tables.orders(s, d)
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(dsum(col("o_totalprice")).as("sum_price"), count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority").asc_nulls_first,
+          col("o_orderstatus").asc_nulls_first),
+      Some("""SELECT o_orderpriority, o_orderstatus,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price,
+             |  COUNT(*) AS n
+             |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+             |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin),
+      "§2.4 aggregation generalization: cube over two dimensions")
   )
 }

@@ -75,6 +75,65 @@ object EventOps {
              |SELECT user_id, event_id, ts_sec, prev_purchase_sec
              |FROM j WHERE event_type = 'error'
              |ORDER BY user_id, event_id""".stripMargin),
-      "custom-operator family: as-of join composed from a conditional running max")
+      "custom-operator family: as-of join composed from a conditional running max"),
+
+    // ---- interval join: purchases attributed to clicks within 10 min.
+    // Batch form of a stream-stream join (equi on user_id + event-time
+    // range); the streaming twin with watermarks runs in StreamingSpec.
+    // The equi-key keeps it a hash/sort-merge join on user_id — the range
+    // predicate is a post-join filter, not a cross product. ----
+    Q("q73_interval_join",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_timestamp(col("ts")).as("ts_sec"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("ts_sec").as("p_sec"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+            col("ts_sec").as("c_sec"))
+        purchases.join(clicks,
+          col("user_id") === col("c_user") &&
+            col("c_sec") <= col("p_sec") && col("c_sec") > col("p_sec") - 600,
+          "left")
+          .groupBy("user_id", "purchase_id", "p_sec")
+          .agg(count(col("click_id")).as("n_clicks"),
+            max(col("c_sec")).as("last_click_sec"))
+          .orderBy("user_id", "purchase_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+             |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_sec
+             |  FROM events),
+             |p AS (SELECT user_id, event_id AS purchase_id, ts_sec AS p_sec
+             |  FROM e WHERE event_type = 'purchase'),
+             |c AS (SELECT user_id, event_id AS click_id, ts_sec AS c_sec
+             |  FROM e WHERE event_type = 'click')
+             |SELECT p.user_id, purchase_id, p_sec,
+             |  COUNT(click_id) AS n_clicks, MAX(c_sec) AS last_click_sec
+             |FROM p LEFT JOIN c ON p.user_id = c.user_id
+             |  AND c_sec <= p_sec AND c_sec > p_sec - 600
+             |GROUP BY p.user_id, purchase_id, p_sec
+             |ORDER BY p.user_id, purchase_id""".stripMargin),
+      "§2.7 streaming: event-time interval join (stream-stream join, batch twin)"),
+
+    // ---- sliding windows: 1 h length, 15 min slide (4 windows/event) ----
+    Q("q75_sliding_window",
+      (s, d) => Tables.events(s, d)
+        .select(window(col("ts"), "1 hour", "15 minutes").as("w"),
+          col("user_id"), col("event_id"))
+        .groupBy(unix_timestamp(col("w.start")).as("ws"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("ws"),
+      Some("""WITH hit AS (SELECT
+             |  ((CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 900) AS BIGINT)
+             |    - i.range) * 900) AS ws,
+             |  user_id, event_id
+             |  FROM events, range(0, 4) i)
+             |SELECT ws, COUNT(*) AS n_events,
+             |  COUNT(DISTINCT user_id) AS n_users
+             |FROM hit GROUP BY ws ORDER BY ws""".stripMargin),
+      "§2.7 streaming: sliding event-time windows (length 1 h, slide 15 min)")
   )
 }

@@ -27,6 +27,40 @@ object EventStreams {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Sliding-window event counts (1 h window, 15 min slide: each event lands
+    * in 4 windows). Batch twin: q75_sliding_window.
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        approx_count_distinct("user_id").as("n_users_approx"))
+      .select(col("window.start").as("ws"), col("n_events"), col("n_users_approx"))
+
+  /** Stream-stream interval join: clicks attributed to a later purchase by
+    * the same user within 10 minutes. Watermarks on BOTH sides bound the
+    * join state (Spark evicts buffered rows once the other side's watermark
+    * passes the range) — the 100 TB streaming-join shape. On batch inputs
+    * the watermarks are no-ops and this is a plain range join (the pair-set
+    * the spec compares against q73's aggregation).
+    */
+  def attributionJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") > col("p_ts") - expr("INTERVAL 10 MINUTES"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"))
+  }
+
   final case class EventRow(user_id: Long, ts_sec: Long)
   final case class SessionSummary(user_id: Long, n_sessions: Long, n_events: Long)
   // public: the state encoder's generated code must reach the accessors
@@ -50,6 +84,37 @@ object EventStreams {
           }
           state.update(st)
           SessionSummary(userId, st.sessions, st.events)
+      }
+  }
+
+  final case class SessionSpan(user_id: Long, start_sec: Long, end_sec: Long,
+      n_events: Long)
+  final case class SpanState(startTs: Long, lastTs: Long, events: Long)
+
+  /** flatMapGroupsWithState: emit one row per CLOSED session (a gap >
+    * `gapSec` closes the open span). The open span stays in state — it can
+    * only close when later data proves the gap — so each user's final
+    * session is intentionally never emitted. Append-mode streamable; state
+    * is one small record per user.
+    */
+  def sessionSpans(events: Dataset[EventRow], gapSec: Long = 1800): Dataset[SessionSpan] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SpanState, SessionSpan](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[SpanState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts_sec)
+          val closed = Seq.newBuilder[SessionSpan]
+          var st = state.getOption.orNull
+          sorted.foreach { r =>
+            if (st == null) st = SpanState(r.ts_sec, r.ts_sec, 1L)
+            else if (r.ts_sec - st.lastTs > gapSec) {
+              closed += SessionSpan(userId, st.startTs, st.lastTs, st.events)
+              st = SpanState(r.ts_sec, r.ts_sec, 1L)
+            } else st = SpanState(st.startTs, r.ts_sec, st.events + 1L)
+          }
+          if (st != null) state.update(st)
+          closed.result().iterator
       }
   }
 }

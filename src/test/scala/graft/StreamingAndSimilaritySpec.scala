@@ -96,6 +96,94 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sliding windows under readStream match the batch result") {
+    val batchEvents = Tables.events(spark, sf)
+    val expected = EventStreams.slidingCounts(batchEvents)
+      .orderBy("ws").collect()
+    val dir = java.nio.file.Files.createTempDirectory("graft-slide").toString
+    batchEvents.write.mode("overwrite").parquet(s"$dir/in")
+    val streamIn = spark.readStream.schema(batchEvents.schema).parquet(s"$dir/in")
+    val q = EventStreams.slidingCounts(streamIn)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sliding_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sliding_out").orderBy("ws").collect()
+      assert(got.map(_.toString).toSeq === expected.map(_.toString).toSeq)
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join emits exactly the batch pair set") {
+    val batchEvents = Tables.events(spark, sf)
+    val expected = EventStreams.attributionJoin(batchEvents).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // pair count must agree with q73's per-purchase click totals
+    val q73Clicks = QueryRegistry.queries("q73_interval_join")(spark, sf)
+      .agg(sum("n_clicks")).collect()(0).getLong(0)
+    assert(expected.size.toLong === q73Clicks)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssjoin").toString
+    batchEvents.write.mode("overwrite").parquet(s"$dir/in")
+    val streamIn = spark.readStream.schema(batchEvents.schema).parquet(s"$dir/in")
+    val q = EventStreams.attributionJoin(streamIn)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ssjoin_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === expected)
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState emits each closed session exactly once") {
+    import spark.implicits._
+    val all = Tables.events(spark, sf)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("ts_sec"), col("event_id"))
+
+    // expected: spans from the window-function form, minus each user's
+    // final (still-open) span — sessionSpans can only close on a proven gap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_sec", "event_id")
+    val withSession = all
+      .withColumn("prev", lag("ts_sec", 1).over(w))
+      .withColumn("new_session",
+        when(col("prev").isNull || col("ts_sec") - col("prev") > 1800, 1).otherwise(0))
+      .withColumn("session_id", sum("new_session").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val spans = withSession.groupBy("user_id", "session_id")
+      .agg(min("ts_sec").as("start_sec"), max("ts_sec").as("end_sec"),
+        count(lit(1)).as("n_events"))
+    val lastSession = spans.groupBy("user_id")
+      .agg(max("session_id").as("session_id"))
+    val expected = spans.join(lastSession,
+      Seq("user_id", "session_id"), "left_anti")
+      .select("user_id", "start_sec", "end_sec", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-spans").toString
+    val half = all.count() / 2
+    all.filter(col("event_id") < half).drop("event_id")
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val schema = all.drop("event_id").schema
+    val streamIn = spark.readStream.schema(schema).parquet(s"$dir/in")
+      .as[EventStreams.EventRow]
+    val q = EventStreams.sessionSpans(streamIn)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("spans_out").start()
+    try {
+      q.processAllAvailable()
+      all.filter(col("event_id") >= half).drop("event_id")
+        .write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      val rows = spark.table("spans_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows.length === rows.toSet.size, "a span was emitted twice")
+      assert(rows.toSet === expected)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState sessionizer agrees with the window-function form") {
     import spark.implicits._
     val e = Tables.events(spark, sf)
@@ -128,5 +216,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall > 0.2, s"recall $recall")
     // approx results must be a subset of legal pairs: scored within bucket
     assert(approx.size <= exact.size)
+  }
+
+  test("IVF ANN self-recall and exactness of within-cell scores") {
+    val e = SimilarityOps.withNorm(Tables.embeddings(spark, sf))
+    val exact = SimilarityOps.cosineTopK(e.filter(col("vec_id") < 20), e, 5)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cosine"))).toSet
+    val ivf = QueryRegistry.queries("q72_ann_ivf")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cosine"))).toSet
+    // a query's own cell is always probed (it IS its crk=1 cell) => self hit
+    assert((0L until 20L).forall(q => ivf.exists(t => t._1 == q && t._2 == q)))
+    // candidate scores are exact: any (qid, vec_id) in both sets agrees
+    val exactByPair = exact.map(t => (t._1, t._2) -> t._3).toMap
+    assert(ivf.forall(t =>
+      exactByPair.get((t._1, t._2)).forall(_ == t._3)))
+    val recall = exact.count(t => ivf.contains(t)).toDouble / exact.size
+    assert(recall > 0.2, s"recall $recall")
   }
 }
