@@ -30,7 +30,56 @@ object MultimodalOps {
     MediaMeta(b.doc_id, n, n % 1024, (n * 7) % 768, hex)
   }
 
+  final case class FrameMeta(doc_id: Long, frame_idx: Long, n_chars: Long,
+      fingerprint: String)
+
+  /** STUB frame sampler: stands in for a video keyframe extractor. Treats
+    * the payload as fixed-size "frames" (100-byte chunks) and keeps every
+    * 2nd one — the 1→N decode shape (flatMap inside mapPartitions, batch
+    * setup amortized per partition) that a real ffmpeg-style sampler needs.
+    */
+  def frameSampleStub(b: Blob, frameSize: Int = 100, stride: Int = 2): Iterator[FrameMeta] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    b.payload.grouped(frameSize).zipWithIndex.collect {
+      case (chunk, i) if i % stride == 0 =>
+        FrameMeta(b.doc_id, i.toLong, chunk.length.toLong,
+          md.digest(chunk).map("%02x".format(_)).mkString)
+    }
+  }
+
+  /** STUB resize: target dims preserving aspect ratio under a max edge —
+    * the metadata contract of an image-resize stage, minus the codec.
+    */
+  def resizeStub(m: MediaMeta, maxEdge: Long = 256): (Long, Long) = {
+    val (w, h) = (math.max(m.fake_width, 1L), math.max(m.fake_height, 1L))
+    val scale = maxEdge.toDouble / math.max(w, h)
+    if (scale >= 1.0) (w, h)
+    else (math.max((w * scale).toLong, 1L), math.max((h * scale).toLong, 1L))
+  }
+
   def qs: Seq[Q] = Seq(
+    // ---- 1→N frame sampling: explode each payload into sampled frames ----
+    Q("q76_frame_sample",
+      (s, d) => {
+        import s.implicits._
+        val blobs = Tables.documents(s, d)
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .as[Blob]
+        blobs.mapPartitions(_.flatMap(b => frameSampleStub(b))).toDF()
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some("""WITH idx AS (SELECT doc_id, text,
+             |  unnest(range(0, CAST(ceil(length(text) / 100.0) AS BIGINT))) AS f
+             |  FROM documents),
+             |frames AS (SELECT doc_id, f,
+             |  substr(text, CAST(f * 100 + 1 AS INT), 100) AS chunk
+             |  FROM idx WHERE f % 2 = 0)
+             |SELECT doc_id, f AS frame_idx,
+             |  CAST(length(chunk) AS BIGINT) AS n_chars,
+             |  md5(chunk) AS fingerprint
+             |FROM frames ORDER BY doc_id, frame_idx""".stripMargin),
+      "pipeline-op: multimodal frame sampling (1→N batch decode, stubbed codec)"),
+
     Q("q52_multimodal_decode",
       (s, d) => {
         import s.implicits._

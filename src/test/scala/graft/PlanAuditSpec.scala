@@ -76,4 +76,67 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("q50_window_agg")
     assert(p.contains("ReadSchema: struct<ts:bigint,event_type:string,value:double>"), p)
   }
+
+  test("IVF ANN broadcasts the centroid and probe sides") {
+    val p = plan("q72_ann_ivf")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    // the base-table side is never collected to the driver: cell assignment
+    // is a join, so the plan must not degenerate to a cartesian product
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("interval join keeps the user_id equi-key (no nested-loop blowup)") {
+    val p = plan("q73_interval_join")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sliding-window query prunes to ts + user_id at the scan") {
+    val p = plan("q75_sliding_window")
+    assert(p.contains("ReadSchema: struct<ts:bigint,user_id:bigint>"), p)
+  }
+
+  test("doc pipeline aggregates map-side before its final shuffle") {
+    val p = plan("q74_doc_pipeline")
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import graft.functions.MultimodalOps
+
+  test("frame sampling keeps every stride-th frame and exact chunk bytes") {
+    val payload = ("x" * 250).getBytes("UTF-8")
+    val frames = MultimodalOps.frameSampleStub(
+      MultimodalOps.Blob(7L, payload)).toSeq
+    assert(frames.map(_.frame_idx) === Seq(0L, 2L))
+    assert(frames.map(_.n_chars) === Seq(100L, 50L))
+    assert(frames.forall(_.doc_id == 7L))
+  }
+
+  test("resize preserves aspect ratio and never upscales") {
+    val meta = MultimodalOps.MediaMeta(1L, 0L, 1024L, 512L, "")
+    val (w, h) = MultimodalOps.resizeStub(meta, 256L)
+    assert(w === 256L && h === 128L)
+    val small = MultimodalOps.MediaMeta(1L, 0L, 100L, 50L, "")
+    assert(MultimodalOps.resizeStub(small, 256L) === ((100L, 50L)))
+  }
+
+  test("q76 output agrees with a direct per-row recomputation") {
+    val got = QueryRegistry.queries("q76_frame_sample")(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .flatMap { r =>
+        MultimodalOps.frameSampleStub(MultimodalOps.Blob(
+          r.getLong(0), r.getString(1).getBytes("UTF-8")))
+      }.sortBy(f => (f.doc_id, f.frame_idx))
+    assert(got.length === docs.length)
+    got.zip(docs).foreach { case (row, f) =>
+      assert(row.getLong(0) === f.doc_id)
+      assert(row.getLong(1) === f.frame_idx)
+      assert(row.getString(3) === f.fingerprint)
+    }
+  }
 }
