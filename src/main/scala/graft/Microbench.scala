@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: time named variants of hot queries to localize cost before
+  * changing them. Not part of the driver contract.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... sbt "runMain graft.Microbench"
+  */
+object Microbench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-microbench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    def time(name: String)(f: => DataFrame): Unit = {
+      // median of 3
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        f.count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"[micro] $name%-40s ${ts(1)}%.3f s  (min ${ts.head}%.3f)")
+    }
+
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+
+    time("q03 current (decimal28 mult)") {
+      QueryRegistry.queries("q03_join_agg_topk")(spark, sfDir)
+    }
+    time("q03 narrow decimal(12,2)x(4,2)") {
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(sum((col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }
+    time("q03 plain double sum") {
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }
+    time("q03 join only (no agg)") {
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select("c_custkey")
+    }
+    time("lineitem scan only") { li.select("l_orderkey") }
+
+    time("q32 current") {
+      QueryRegistry.queries("q32_rule_viability")(spark, sfDir)
+    }
+    time("q27 current") {
+      QueryRegistry.queries("q27_rule_total_live")(spark, sfDir)
+    }
+    time("q24 current") {
+      QueryRegistry.queries("q24_rule_date_range")(spark, sfDir)
+    }
+    time("q65 current") {
+      QueryRegistry.queries("q65_dedup_components")(spark, sfDir)
+    }
+
+    // ---- q32 stage decomposition ----
+    import graft.rules.{Checks, RuleEvaluator}
+    import graft.types.CellType
+    def q32sheet = Tables.lineitem(spark, sfDir).select(
+      col("l_quantity").cast("string").as("Total_Cells_Hemocytometer_Count"),
+      (col("l_linenumber") % 5 + 1).cast("string").as("Live_Cells_Hemocytometer_Count"),
+      when(col("l_orderkey") % 2 === 0,
+        bround((col("l_linenumber") % 5 + 1) / col("l_quantity") * 100, 1))
+        .otherwise(lit(42.42)).cast("string").as("Viability_Hemocytometer_Count"),
+      (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("Row_Index"))
+    time("q32 sheet construction only") { q32sheet }
+    time("q32 sheet + memos") {
+      val names = Seq("Viability_Hemocytometer_Count",
+        "Live_Cells_Hemocytometer_Count", "Total_Cells_Hemocytometer_Count")
+      CellType.memoColumns(names).foldLeft(q32sheet) {
+        case (df, (n, e)) => df.withColumn(n, e)
+      }.select(max(length(col("__num_Viability_Hemocytometer_Count").cast("string"))))
+    }
+    time("q32 evaluate (no dedup/sort)") {
+      RuleEvaluator.evaluate("biospecimen.csv", q32sheet,
+        Seq(Checks.viability("Viability_Hemocytometer_Count")))
+    }
+    time("q32 evaluate + dedupFirst") {
+      RuleEvaluator.dedupFirst(RuleEvaluator.evaluate("biospecimen.csv", q32sheet,
+        Seq(Checks.viability("Viability_Hemocytometer_Count"))))
+    }
+    // isolate: memo parse + predicate WITHOUT bround, render, explode
+    time("q32 memos + simple predicate") {
+      val names = Seq("Viability_Hemocytometer_Count",
+        "Live_Cells_Hemocytometer_Count", "Total_Cells_Hemocytometer_Count")
+      CellType.memoColumns(names).foldLeft(q32sheet) {
+        case (df, (n, e)) => df.withColumn(n, e)
+      }.filter(col("__num_Live_Cells_Hemocytometer_Count") >
+        col("__num_Total_Cells_Hemocytometer_Count"))
+    }
+    // memo + bround predicate, no render/explode
+    time("q32 memos + bround predicate") {
+      val names = Seq("Viability_Hemocytometer_Count",
+        "Live_Cells_Hemocytometer_Count", "Total_Cells_Hemocytometer_Count")
+      CellType.memoColumns(names).foldLeft(q32sheet) {
+        case (df, (n, e)) => df.withColumn(n, e)
+      }.filter(bround(col("__num_Live_Cells_Hemocytometer_Count") /
+        col("__num_Total_Cells_Hemocytometer_Count") * 100, 1) =!=
+        col("__num_Viability_Hemocytometer_Count"))
+    }
+    time("q32 memos + bround1Fast predicate") {
+      val names = Seq("Viability_Hemocytometer_Count",
+        "Live_Cells_Hemocytometer_Count", "Total_Cells_Hemocytometer_Count")
+      val y = col("__num_Live_Cells_Hemocytometer_Count") /
+        col("__num_Total_Cells_Hemocytometer_Count") * 100 * 10
+      val fast = when(abs(y - floor(y) - 0.5) > 1e-9, floor(y + 0.5) / 10)
+        .otherwise(bround(col("__num_Live_Cells_Hemocytometer_Count") /
+          col("__num_Total_Cells_Hemocytometer_Count") * 100, 1))
+      CellType.memoColumns(names).foldLeft(q32sheet) {
+        case (df, (n, e)) => df.withColumn(n, e)
+      }.filter(fast =!= col("__num_Viability_Hemocytometer_Count"))
+    }
+    spark.stop()
+  }
+}

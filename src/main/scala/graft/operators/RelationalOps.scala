@@ -64,19 +64,26 @@ object RelationalOps {
         val li = Tables.lineitem(s, d)
         val o  = Tables.orders(s, d)
         val c  = Tables.customer(s, d)
+        // money columns are 2-decimal: integer-cents math keeps the sum
+        // exact AND order-independent on the codegen'd long fast path
+        // (a decimal(28+) accumulator would box to BigDecimal per row, and
+        // Spark's round() on doubles also detours through BigDecimal —
+        // floor(x+0.5) stays in native double math; values sit within 1e-9
+        // of an integer so the +0.5 nudge can never cross a boundary)
+        val cents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+        val discPct = floor(col("l_discount") * 100 + 0.5).cast("long")
         li.join(o, col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(c), col("o_custkey") === col("c_custkey"))
           .groupBy("c_custkey", "c_name")
-          .agg(dsum(col("l_extendedprice").cast("decimal(28,6)") *
-            (lit(1).cast("decimal(28,6)") - col("l_discount").cast("decimal(28,6)")))
+          .agg((sum(cents * (lit(100L) - discPct)).cast("double") / 10000.0)
             .as("revenue"))
           .orderBy(col("revenue").desc, col("c_custkey"))
           .limit(20)
       },
       Some("""SELECT c_custkey, c_name,
-             |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(28,6)) *
-             |    (CAST(1 AS DECIMAL(28,6)) - CAST(l_discount AS DECIMAL(28,6)))
-             |    AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+             |  CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+             |    (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE)
+             |    / 10000.0 AS revenue
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |JOIN customer ON o_custkey = c_custkey
              |GROUP BY c_custkey, c_name

@@ -274,6 +274,8 @@ object Checks {
 
   /** compare_viability (File_Submission_Object.py:278-286). Python round()
     * is banker's rounding => bround (HALF_EVEN), not round (HALF_UP).
+    * (A float fast path guarded by a near-half test measured SLOWER than
+    * plain bround here — CaseWhen branches forgo subexpression elimination.)
     */
   def viability(viabilityCol: String): CompiledRule = {
     val liveCol = viabilityCol.replace("Viability", "Live_Cells")
@@ -349,20 +351,26 @@ object RuleEvaluator {
     val prepared = CellType.memoColumns(memoNames).foldLeft(sheet) {
       case (df, (name, expr)) => df.withColumn(name, expr)
     }
+    def emitOf(r: CompiledRule): Column =
+      if (r.keepBlank) r.predicate
+      else r.predicate && col(r.column) =!= ""
+    def structOf(r: CompiledRule, i: Int): Column = struct(
+      r.severity.as("Message_Type"),
+      lit(sheetName).as("CSV_Sheet_Name"),
+      col("Row_Index").cast("long").as("Row_Index"),
+      lit(r.column).as("Column_Name"),
+      CellType.renderM(r.column).as("Column_Value"),
+      r.message.as("Error_Message"),
+      lit(seqBase + i).as("rule_seq"))
+    // NOTE: a filter+project form for single-rule sheets measured SLOWER:
+    // PushDownPredicate substitutes the memo expressions into the pushed
+    // filter, re-parsing every referenced cell. The generator form keeps
+    // the memos in one projection that every branch shares.
     val structs = usable.zipWithIndex.map { case (r, i) =>
-      val emit =
-        if (r.keepBlank) r.predicate
-        else r.predicate && col(r.column) =!= ""
-      when(emit, struct(
-        r.severity.as("Message_Type"),
-        lit(sheetName).as("CSV_Sheet_Name"),
-        col("Row_Index").cast("long").as("Row_Index"),
-        lit(r.column).as("Column_Name"),
-        CellType.renderM(r.column).as("Column_Value"),
-        r.message.as("Error_Message"),
-        lit(seqBase + i).as("rule_seq")))
+      when(emitOf(r), structOf(r, i))
     }
-    prepared.select(explode(array_compact(array(structs: _*))).as("e")).select("e.*")
+    prepared.select(explode(array_compact(array(structs: _*))).as("e"))
+      .select("e.*")
   }
 
   private def emptyErrors(sheet: DataFrame, seqBase: Long): DataFrame = {

@@ -81,10 +81,16 @@ object CellType {
   def memoNum(name: String): String = s"__num_$name"
   def memoTs(name: String): String = s"__ts_$name"
 
-  /** The memo projections for a set of referenced columns. */
+  /** The memo projections for a set of referenced columns. The ts memo is
+    * guarded on the number memo being null: the trichotomy is number →
+    * date → string, so a cell that parsed as a number never consults the
+    * cascade — skipping its shape-regexes entirely on numeric columns.
+    * (memoNum is projected first, so memoTs can reference it.)
+    */
   def memoColumns(names: Seq[String]): Seq[(String, Column)] =
     names.distinct.flatMap { n =>
-      Seq(memoNum(n) -> asNumber(col(n)), memoTs(n) -> asTimestampRaw(col(n)))
+      Seq(memoNum(n) -> asNumber(col(n)),
+        memoTs(n) -> when(col(memoNum(n)).isNull, asTimestampRaw(col(n))))
     }
 
   def isNumberM(name: String): Column = col(memoNum(name)).isNotNull
