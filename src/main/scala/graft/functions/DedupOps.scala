@@ -46,21 +46,28 @@ object DedupOps {
     */
   def connectedComponents(vertices: DataFrame, pairs: DataFrame,
       maxIter: Int = 20): DataFrame = {
+    // materialize the edge list ONCE: every iteration joins against it, and
+    // without the checkpoint the (possibly expensive) pair-generation
+    // pipeline upstream would re-execute per iteration
     val edges = pairs.select(col("doc1").as("src"), col("doc2").as("dst"))
       .union(pairs.select(col("doc2").as("src"), col("doc1").as("dst")))
+      .localCheckpoint()
     var labels = vertices.select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint()
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
       val msgs = edges.join(labels, edges("src") === labels("doc_id"))
         .groupBy("dst").agg(min("label").as("nlabel"))
+      // keep the old label alongside the new one so convergence is read off
+      // the SAME materialized result — no second join, one extra count job
+      // over checkpointed data per iteration
       val updated = labels.join(msgs, labels("doc_id") === msgs("dst"), "left")
-        .select(labels("doc_id"),
+        .select(labels("doc_id"), col("label").as("old"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
         .localCheckpoint()
-      changed = updated.join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter(col("label") =!= col("old")).count()
-      labels = updated
+      changed = updated.filter(col("label") =!= col("old")).count()
+      labels = updated.select("doc_id", "label")
       i += 1
     }
     labels.withColumnRenamed("label", "canonical")

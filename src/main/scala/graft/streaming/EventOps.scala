@@ -134,6 +134,39 @@ object EventOps {
              |SELECT ws, COUNT(*) AS n_events,
              |  COUNT(DISTINCT user_id) AS n_users
              |FROM hit GROUP BY ws ORDER BY ws""".stripMargin),
-      "§2.7 streaming: sliding event-time windows (length 1 h, slide 15 min)")
+      "§2.7 streaming: sliding event-time windows (length 1 h, slide 15 min)"),
+
+    // ---- native as-of join (custom LogicalPlan + Strategy + SparkPlan):
+    // each error event picks up the user's latest purchase at-or-before it.
+    // Right side is pre-aggregated to one row per (user, second) so the
+    // matched payload is deterministic. Oracle: DuckDB's native ASOF JOIN. ----
+    Q("q77_asof_join_native",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_timestamp(col("ts")).as("ts_sec"), col("value"))
+        val errors = e.filter(col("event_type") === "error")
+          .select("user_id", "event_id", "ts_sec")
+        val purchases = e.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id").as("p_user"), col("ts_sec").as("p_sec"))
+          .agg(max(col("value")).as("p_value"))
+        graft.plans.AsOfJoin.asof(errors, purchases,
+          "user_id", "ts_sec", "p_user", "p_sec")
+          .select("user_id", "event_id", "ts_sec", "p_sec", "p_value")
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+             |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_sec, value
+             |  FROM events),
+             |err AS (SELECT user_id, event_id, ts_sec FROM e
+             |  WHERE event_type = 'error'),
+             |pur AS (SELECT user_id AS p_user, ts_sec AS p_sec,
+             |  MAX(value) AS p_value
+             |  FROM e WHERE event_type = 'purchase' GROUP BY 1, 2)
+             |SELECT err.user_id, event_id, ts_sec, p_sec, p_value
+             |FROM err ASOF LEFT JOIN pur
+             |  ON err.user_id = pur.p_user AND pur.p_sec <= err.ts_sec
+             |ORDER BY err.user_id, event_id""".stripMargin),
+      "custom-operator family: NATIVE as-of join (LogicalPlan+Strategy+SparkPlan)")
   )
 }
