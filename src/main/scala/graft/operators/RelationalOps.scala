@@ -615,6 +615,21 @@ object RelationalOps {
              |  COUNT(*) AS n
              |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
              |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin),
-      "§2.4 aggregation generalization: cube over two dimensions")
+      "§2.4 aggregation generalization: cube over two dimensions"),
+
+    // ---- frequent-items sketch: approx_top_k. The column's cardinality
+    // (5) is far below maxItemsTracked, so the sketch is EXACT here and the
+    // DuckDB oracle is a plain count — the tie-broken ORDER BY makes the
+    // comparison deterministic either way. At high cardinality the same
+    // query degrades gracefully to approximate counts in bounded memory. ----
+    Q("q78_approx_topk",
+      (s, d) => Tables.events(s, d)
+        .select(expr("approx_top_k(event_type, 3)").as("top"))
+        .select(explode(col("top")).as("e"))
+        .select(col("e.item").as("event_type"), col("e.count").as("n"))
+        .orderBy(col("n").desc, col("event_type")),
+      Some("""SELECT event_type, COUNT(*) AS n FROM events
+             |GROUP BY event_type ORDER BY n DESC, event_type LIMIT 3""".stripMargin),
+      "§2.4 sketch family: frequent items via approx_top_k (exact at low cardinality)")
   )
 }

@@ -107,4 +107,32 @@ class BucketingSpec extends AnyFunSuite {
       assert(plan.contains("SortMergeJoin"), plan)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
+
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // at 100 TB a selective dimension filter should reach the fact scan as
+    // a runtime bloom filter (InjectRuntimeFilter); thresholds are sized
+    // for real tables, so shrink them to demonstrate on test data
+    val conf = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val prev = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.lineitem(spark, sf)
+      val o = Tables.orders(spark, sf).filter(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("bloom_filter_agg") ||
+        optimized.contains("might_contain"), optimized)
+      // and it must not change results
+      assert(joined.collect().map(_.getLong(1)).sum ===
+        li.join(o, col("l_orderkey") === col("o_orderkey")).count())
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
