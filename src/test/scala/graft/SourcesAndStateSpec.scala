@@ -1,0 +1,78 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Source/sink breadth beyond parquet+CSV, and the production state-store
+  * backend for streaming.
+  */
+class SourcesAndStateSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("ORC round-trip preserves values and pushes filters to the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    li.write.mode("overwrite").orc(s"$dir/li")
+    val back = spark.read.orc(s"$dir/li")
+    assert(back.count() === li.count())
+    val filtered = back.filter(col("l_quantity") > 45)
+    val plan = filtered.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("GreaterThan(l_quantity,45"), plan)
+    assert(filtered.count() ===
+      li.filter(col("l_quantity") > 45).count())
+  }
+
+  test("JSON-lines round-trip preserves schema-on-read values") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-json").toString
+    val e = Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "value")
+    e.write.mode("overwrite").json(s"$dir/e")
+    val back = spark.read.json(s"$dir/e")
+    assert(back.count() === e.count())
+    // schema inference finds the numeric/string split
+    assert(back.schema("event_id").dataType.typeName === "long")
+    assert(back.schema("event_type").dataType.typeName === "string")
+    val s1 = back.select(sum("value").cast("decimal(28,6)")).collect()(0).getDecimal(0)
+    val s2 = e.select(sum("value").cast("decimal(28,6)")).collect()(0).getDecimal(0)
+    assert(s1 === s2)
+  }
+
+  test("sessionizer runs on the RocksDB state store provider") {
+    import spark.implicits._
+    val all = Tables.events(spark, sf)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("ts_sec"))
+    val expected = QueryRegistry.queries("q51_sessionize")(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_events"))).toMap
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-rocksdb").toString
+    all.write.mode("overwrite").parquet(s"$dir/in")
+    val streamIn = spark.readStream.schema(all.schema).parquet(s"$dir/in")
+      .as[EventStreams.EventRow]
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = EventStreams.sessionize(streamIn)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .format("memory").queryName("rocksdb_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("rocksdb_out").collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_events"))).toMap
+      assert(got === expected)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
+    }
+  }
+}
