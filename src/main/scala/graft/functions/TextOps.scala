@@ -181,6 +181,30 @@ object TextOps {
              |  round(CAST(SUM(CAST(CAST(stop_hits AS DOUBLE) / n_tokens
              |    AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS avg_stop_ratio
              |FROM kept GROUP BY 1 ORDER BY lang_guess""".stripMargin),
-      "pipeline-op: end-to-end corpus curation (quality gate, dedup, langid, stats)")
+      "pipeline-op: end-to-end corpus curation (quality gate, dedup, langid, stats)"),
+
+    // ---- higher-order array functions (lambda surface, all codegen'd) ----
+    Q("q79_higher_order_funcs",
+      (s, d) => {
+        val words = split(col("text"), " ")
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          size(filter(words, w => length(w) > 3)).as("n_long_words"),
+          exists(words, _ === "the").as("has_the"),
+          aggregate(words, lit(0L), (acc, w) => acc + length(w))
+            .as("total_chars"),
+          array_join(slice(sort_array(words), 1, 3), ",").as("first3"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  len(list_filter(string_split(text,' '), w -> length(w) > 3))
+             |    AS n_long_words,
+             |  list_contains(string_split(text,' '), 'the') AS has_the,
+             |  CAST(list_sum(list_transform(string_split(text,' '),
+             |    w -> length(w))) AS BIGINT) AS total_chars,
+             |  array_to_string(list_sort(string_split(text,' '))[1:3], ',')
+             |    AS first3
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      "§2.6 expression surface: higher-order lambdas (filter/exists/aggregate/slice)")
   )
 }

@@ -41,6 +41,33 @@ class SourcesAndStateSpec extends AnyFunSuite {
     assert(s1 === s2)
   }
 
+  test("streaming dedup drops cross-batch replays within the watermark") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup").toString
+    val e = Tables.events(spark, sf).select("event_id", "ts", "user_id")
+    val firstHalf = e.filter(col("event_id") % 2 === 0)
+    firstHalf.write.mode("overwrite").parquet(s"$dir/in")
+    val streamIn = spark.readStream.schema(e.schema).parquet(s"$dir/in")
+    // delay chosen to exceed the dataset's full time span: every replay is
+    // then inside the watermark (a dup, dropped by state) rather than
+    // late data (dropped by the watermark itself)
+    val q = streamIn
+      .withWatermark("ts", "60 days")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      // batch 2 replays ALL of batch 1 plus the other half: replayed rows
+      // must be dropped by the keyed state, new rows must pass
+      e.write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      val got = spark.table("dedup_out")
+      assert(got.count() === got.select("event_id").distinct().count())
+      assert(got.count() === e.count())
+    } finally q.stop()
+  }
+
   test("sessionizer runs on the RocksDB state store provider") {
     import spark.implicits._
     val all = Tables.events(spark, sf)
