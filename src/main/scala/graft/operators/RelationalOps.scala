@@ -26,6 +26,17 @@ object RelationalOps {
     * representable, so Spark HALF_UP vs DuckDB rounding cannot diverge.
     */
   private def dsum(c: Column): Column = sum(c.cast("decimal(28,6)")).cast("double")
+
+  /** Exact order-independent sum for 2-decimal money columns on the long
+    * fast path (see q03 note: decimal(28,6) accumulators box to BigDecimal
+    * per row; round() also detours through BigDecimal). ANSI mode (default)
+    * turns a hypothetical long overflow into an error, never silence.
+    */
+  private def centsSum(c: Column): Column =
+    sum(floor(c * 100 + 0.5).cast("long")).cast("double") / 100.0
+  /** The DuckDB mirror of [[centsSum]]. */
+  private def centsSumSql(col: String): String =
+    s"CAST(SUM(CAST(floor($col * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0"
   private val oDsum = (e: String) => s"CAST(SUM(CAST($e AS DECIMAL(28,6))) AS DOUBLE)"
 
   def qs: Seq[Q] = Seq(
@@ -35,13 +46,13 @@ object RelationalOps {
       (s, d) => Tables.lineitem(s, d)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          dsum(col("l_quantity")).as("sum_qty"),
-          dsum(col("l_extendedprice")).as("sum_base_price"),
+          centsSum(col("l_quantity")).as("sum_qty"),
+          centsSum(col("l_extendedprice")).as("sum_base_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus"),
-      Some("""SELECT l_returnflag, l_linestatus,
-             |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
-             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
+      Some(s"""SELECT l_returnflag, l_linestatus,
+             |  ${centsSumSql("l_quantity")} AS sum_qty,
+             |  ${centsSumSql("l_extendedprice")} AS sum_base_price,
              |  COUNT(*) AS count_order
              |FROM lineitem GROUP BY l_returnflag, l_linestatus
              |ORDER BY l_returnflag, l_linestatus""".stripMargin),
@@ -367,9 +378,9 @@ object RelationalOps {
         Seq("customer", "orders", "lineitem").foreach { t =>
           Tables(s, d, t).createOrReplaceTempView(t)
         }
-        s.sql("""
+        s.sql(s"""
           SELECT c_mktsegment,
-                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+                 ${centsSumSql("l_extendedprice")} AS revenue,
                  COUNT(*) AS n_lines
           FROM customer JOIN orders ON c_custkey = o_custkey
           JOIN lineitem ON l_orderkey = o_orderkey
@@ -377,8 +388,8 @@ object RelationalOps {
           GROUP BY c_mktsegment
           ORDER BY c_mktsegment""")
       },
-      Some("""SELECT c_mktsegment,
-             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+      Some(s"""SELECT c_mktsegment,
+             |  ${centsSumSql("l_extendedprice")} AS revenue,
              |  COUNT(*) AS n_lines
              |FROM customer JOIN orders ON c_custkey = o_custkey
              |JOIN lineitem ON l_orderkey = o_orderkey
@@ -594,10 +605,10 @@ object RelationalOps {
     Q("q17_rollup",
       (s, d) => Tables.lineitem(s, d)
         .rollup("l_returnflag", "l_linestatus")
-        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .agg(centsSum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
-      Some("""SELECT l_returnflag, l_linestatus,
-             |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+      Some(s"""SELECT l_returnflag, l_linestatus,
+             |  ${centsSumSql("l_quantity")} AS sum_qty,
              |  COUNT(*) AS n
              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
              |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin),
@@ -607,11 +618,11 @@ object RelationalOps {
     Q("q71_cube",
       (s, d) => Tables.orders(s, d)
         .cube("o_orderpriority", "o_orderstatus")
-        .agg(dsum(col("o_totalprice")).as("sum_price"), count(lit(1)).as("n"))
+        .agg(centsSum(col("o_totalprice")).as("sum_price"), count(lit(1)).as("n"))
         .orderBy(col("o_orderpriority").asc_nulls_first,
           col("o_orderstatus").asc_nulls_first),
-      Some("""SELECT o_orderpriority, o_orderstatus,
-             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price,
+      Some(s"""SELECT o_orderpriority, o_orderstatus,
+             |  ${centsSumSql("o_totalprice")} AS sum_price,
              |  COUNT(*) AS n
              |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
              |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin),

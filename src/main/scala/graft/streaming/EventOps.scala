@@ -18,7 +18,8 @@ object EventOps {
         .orderBy("hour_start", "event_type"),
       Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
              |  event_type, COUNT(*) AS n,
-             |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+             |  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             |    / 100.0 AS total_value
              |FROM events GROUP BY 1, 2
              |ORDER BY hour_start, event_type""".stripMargin),
       "§2.7 streaming: tumbling-window aggregation (watermarked in stream mode)"),

@@ -23,7 +23,9 @@ object EventStreams {
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(28,6)")).cast("double").as("total_value"))
+        // 2-decimal money: exact integer-cents sum on the long fast path
+        (sum(floor(col("value") * 100 + 0.5).cast("long"))
+          .cast("double") / 100.0).as("total_value"))
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("total_value"))
 
