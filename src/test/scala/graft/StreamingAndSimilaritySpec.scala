@@ -184,6 +184,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("end-to-end streaming validation: CSV stream -> rules -> stateful dedup") {
+    import graft.rules.{Checks, NoGate, PyS, RuleEvaluator}
+    // two CSV files arriving as separate micro-batches, with overlapping
+    // (Row_Index, Column, Value) error triples across them
+    val dir = java.nio.file.Files.createTempDirectory("graft-e2e-stream")
+    val in = dir.resolve("in")
+    java.nio.file.Files.createDirectories(in)
+    def csv(name: String, rows: Seq[(Long, String)]): java.nio.file.Path = {
+      val p = dir.resolve(name)
+      java.nio.file.Files.writeString(p,
+        "Row_Index,Event_Type\n" + rows.map(r => s"${r._1},${r._2}").mkString("\n"))
+      p
+    }
+    val f1 = csv("a.csv", Seq(1L -> "bogus", 2L -> "click", 3L -> "bad"))
+    val f2 = csv("b.csv", Seq(1L -> "bogus", 4L -> "worse", 2L -> "click"))
+    val rules = Seq(Checks.inList("Event_Type", NoGate,
+      Seq(PyS("click"), PyS("view"), PyS("signup"), PyS("purchase"))))
+    val schema = "Row_Index LONG, Event_Type STRING"
+
+    // batch reference: union both files, evaluate, global first-wins dedup
+    val batchSheet = spark.read.schema(schema).option("header", "true")
+      .csv(f1.toString, f2.toString)
+    val expectedKeys = RuleEvaluator.dedupFirst(
+      RuleEvaluator.evaluate("events.csv", batchSheet, rules))
+      .select("Row_Index", "Column_Name", "Column_Value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+
+    java.nio.file.Files.copy(f1, in.resolve("a.csv"))
+    val streamIn = spark.readStream.schema(schema).option("header", "true")
+      .csv(in.toString)
+    val q = RuleEvaluator.evaluate("events.csv", streamIn, rules)
+      .dropDuplicates("Row_Index", "Column_Name", "Column_Value")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("e2e_errors").start()
+    try {
+      q.processAllAvailable()
+      java.nio.file.Files.copy(f2, in.resolve("b.csv"))
+      q.processAllAvailable()
+      val got = spark.table("e2e_errors")
+        .select("Row_Index", "Column_Name", "Column_Value").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      // cross-batch keyed state: the replayed (1, Event_Type, bogus) triple
+      // from file b must NOT be emitted again
+      assert(got.length === got.toSet.size)
+      assert(got.toSet === expectedKeys)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState sessionizer agrees with the window-function form") {
     import spark.implicits._
     val e = Tables.events(spark, sf)
