@@ -1,7 +1,6 @@
 package graft.functions
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: token counting,
@@ -143,11 +142,14 @@ object TextOps {
           size(filter(words, w => w === "the" || w === "a")).as("en_hits"),
           md5(trim(regexp_replace(regexp_replace(lower(col("text")),
             "[^a-z0-9 ]", ""), " +", " "))).as("fp"))
+        // first-wins dedup as a hash aggregate (min_by), not a window
+        // sort: map-side combine shrinks each fp group before the shuffle
         val kept = scored
           .filter(col("n_tokens") >= 10 && col("stop_hits") > 0)
-          .withColumn("rk", row_number().over(
-            Window.partitionBy("fp").orderBy("doc_id")))
-          .filter(col("rk") === 1)
+          .groupBy("fp")
+          .agg(min_by(struct(col("doc_id"), col("n_tokens"),
+            col("stop_hits"), col("en_hits")), col("doc_id")).as("e"))
+          .select("e.*")
         kept.select(
           when(col("en_hits") * 5 >= col("n_tokens"), "en")
             .when(col("en_hits") > 0, "maybe-en")
