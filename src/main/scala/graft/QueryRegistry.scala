@@ -31,7 +31,8 @@ object QueryRegistry {
       graft.functions.DedupOps.qs ++
       graft.functions.SimilarityOps.qs ++
       graft.streaming.EventOps.qs ++
-      graft.functions.MultimodalOps.qs
+      graft.functions.MultimodalOps.qs ++
+      graft.functions.CountMinOps.qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1,0 +1,100 @@
+package graft.functions
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Count-Min sketch: fixed-memory frequency estimation ("novel sketch"
+  * slot of the custom-operator mandate). depth×width counter matrix;
+  * update adds 1 to one bucket per row; estimate = min over rows.
+  *
+  * The bucket function is the portable md5-nibble trick (q43 SimHash):
+  * identical hex in JVM and DuckDB, so the ORACLE REBUILDS THE SKETCH in
+  * SQL and the comparison is exact even when buckets collide — the sketch
+  * itself is cross-engine verified, not just its happy path.
+  *
+  * State is one Array[Long](depth*width) per partition (an
+  * Aggregator ≅ TypedImperativeAggregate with Catalyst-encoded state):
+  * map-side combine reduces each partition to 192 counters before the
+  * 1-row shuffle, however many rows flow in — the fixed-memory shape that
+  * replaces exact GROUP BY counts when cardinality explodes.
+  */
+object CountMinOps {
+
+  val Depth = 3
+  val Width = 64
+
+  /** First 4 md5 hex nibbles of "d:v" mod Width — portable across engines. */
+  def bucket(d: Int, v: String): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$d:$v".getBytes("UTF-8"))
+    val h16 = ((hex(0) & 0xff) << 8) | (hex(1) & 0xff)
+    h16 % Width
+  }
+
+  final case class Sketch(m: Array[Long])
+
+  val sketchAgg: Aggregator[String, Sketch, Seq[Long]] =
+    new Aggregator[String, Sketch, Seq[Long]] {
+      override def zero: Sketch = Sketch(Array.ofDim[Long](Depth * Width))
+      override def reduce(b: Sketch, v: String): Sketch = {
+        var d = 0
+        while (d < Depth) { b.m(d * Width + bucket(d, v)) += 1; d += 1 }
+        b
+      }
+      override def merge(a: Sketch, b: Sketch): Sketch = {
+        var i = 0
+        while (i < a.m.length) { a.m(i) += b.m(i); i += 1 }
+        a
+      }
+      override def finish(r: Sketch): Seq[Long] = r.m.toSeq
+      override def bufferEncoder: Encoder[Sketch] = Encoders.product[Sketch]
+      override def outputEncoder: Encoder[Seq[Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+    }
+
+  /** The same bucket function as a Catalyst expression over a string col. */
+  def bucketExpr(d: Int, v: Column): Column = {
+    val hex = md5(concat(lit(s"$d:"), v))
+    val nib = (i: Int) =>
+      (instr(lit("0123456789abcdef"), substring(hex, i, 1)) - 1)
+    (nib(1) * 4096 + nib(2) * 256 + nib(3) * 16 + nib(4)) % Width
+  }
+
+  /** SQL text of [[bucketExpr]] (valid in DuckDB and Spark SQL). */
+  def bucketSql(d: Int, v: String): String = {
+    def nib(i: Int) = s"(instr('0123456789abcdef', substr(md5('$d:' || $v), $i, 1)) - 1)"
+    s"((${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)}) % $Width)"
+  }
+
+  def qs: Seq[Q] = Seq(
+    Q("q80_countmin_estimate",
+      (s, d) => {
+        import s.implicits._
+        val types = Tables.events(s, d).select(col("event_type").as[String])
+        val sketch = types.select(sketchAgg.toColumn).toDF("m")
+        val distinctTypes = Tables.events(s, d)
+          .select(col("event_type")).distinct()
+        val est = least((0 until Depth).map(dd =>
+          element_at(col("m"), bucketExpr(dd, col("event_type")) + dd * Width + 1)): _*)
+        distinctTypes.join(broadcast(sketch))
+          .select(col("event_type"), est.as("est_n"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH vals AS (SELECT event_type, COUNT(*) AS n FROM events
+              |  GROUP BY event_type),
+              |buckets AS (SELECT event_type, n, d.range AS d,
+              |  CASE d.range
+              |    ${(0 until Depth).map(dd =>
+                     s"WHEN $dd THEN ${bucketSql(dd, "event_type")}").mkString("\n    ")}
+              |  END AS b
+              |  FROM vals, range(0, $Depth) d),
+              |cells AS (SELECT d, b, CAST(SUM(n) AS BIGINT) AS cell
+              |  FROM buckets GROUP BY d, b)
+              |SELECT v.event_type, MIN(cell) AS est_n
+              |FROM buckets v JOIN cells c ON v.d = c.d AND v.b = c.b
+              |GROUP BY v.event_type ORDER BY v.event_type""".stripMargin),
+      "custom-operator family: Count-Min sketch Aggregator, oracle rebuilds the sketch")
+  )
+}

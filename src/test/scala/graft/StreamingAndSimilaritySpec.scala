@@ -266,6 +266,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(approx.size <= exact.size)
   }
 
+  test("Count-Min estimates dominate exact counts (one-sided error)") {
+    val exact = Tables.events(spark, sf).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = QueryRegistry.queries("q80_countmin_estimate")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet === exact.keySet)
+    // CMS never underestimates; equality iff the value's buckets are
+    // collision-free in every row of the sketch
+    exact.foreach { case (k, n) => assert(est(k) >= n, s"$k: ${est(k)} < $n") }
+    // at 5 distinct values in 3x64 buckets, at least one row is clean for
+    // every value — so the min-estimate should in fact be exact here
+    assert(est === exact)
+  }
+
   test("IVF ANN self-recall and exactness of within-cell scores") {
     val e = SimilarityOps.withNorm(Tables.embeddings(spark, sf))
     val exact = SimilarityOps.cosineTopK(e.filter(col("vec_id") < 20), e, 5)
