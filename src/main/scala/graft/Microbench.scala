@@ -125,6 +125,16 @@ object Microbench {
         col("__num_Total_Cells_Hemocytometer_Count") * 100, 1) =!=
         col("__num_Viability_Hemocytometer_Count"))
     }
+    time("q27 without final orderBy") {
+      import graft.rules.{Checks, RuleEvaluator}
+      val sheet = Tables.lineitem(spark, sfDir).select(
+        col("l_quantity").cast("string").as("Total_Cells_Hemocytometer_Count"),
+        (col("l_quantity") + when(col("l_linenumber") % 3 === 0, 1).otherwise(-1))
+          .cast("string").as("Live_Cells_Hemocytometer_Count"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("Row_Index"))
+      RuleEvaluator.dedupFirst(RuleEvaluator.evaluate("biospecimen.csv", sheet,
+        Seq(Checks.totalVsLive("Total_Cells_Hemocytometer_Count"))))
+    }
     time("q32 memos + bround1Fast predicate") {
       val names = Seq("Viability_Hemocytometer_Count",
         "Live_Cells_Hemocytometer_Count", "Total_Cells_Hemocytometer_Count")

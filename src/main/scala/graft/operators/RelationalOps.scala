@@ -641,6 +641,33 @@ object RelationalOps {
         .orderBy(col("n").desc, col("event_type")),
       Some("""SELECT event_type, COUNT(*) AS n FROM events
              |GROUP BY event_type ORDER BY n DESC, event_type LIMIT 3""".stripMargin),
-      "§2.4 sketch family: frequent items via approx_top_k (exact at low cardinality)")
+      "§2.4 sketch family: frequent items via approx_top_k (exact at low cardinality)"),
+
+    // ---- unpivot/melt: wide -> long reshaping ----
+    Q("q81_unpivot_melt",
+      (s, d) => Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "val")
+        .groupBy("metric")
+        .agg((sum(floor(col("val") * 100 + 0.5).cast("long"))
+          .cast("double") / 100.0).as("total"),
+          count(lit(1)).as("n"))
+        .orderBy("metric"),
+      Some("""WITH long AS (
+             |  SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+             |  UNION ALL
+             |  SELECT 'l_discount', l_discount FROM lineitem)
+             |SELECT metric,
+             |  CAST(SUM(CAST(floor(val * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             |    / 100.0 AS total,
+             |  COUNT(*) AS n
+             |FROM long GROUP BY metric ORDER BY metric""".stripMargin),
+      "§2.4/§2.5 reshaping: unpivot (melt) wide columns to long rows")
   )
 }
