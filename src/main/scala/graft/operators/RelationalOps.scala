@@ -25,8 +25,6 @@ object RelationalOps {
     * A double hitting an exact half-boundary at scale 6 is not binary-
     * representable, so Spark HALF_UP vs DuckDB rounding cannot diverge.
     */
-  private def dsum(c: Column): Column = sum(c.cast("decimal(28,6)")).cast("double")
-
   /** Exact order-independent sum for 2-decimal money columns on the long
     * fast path (see q03 note: decimal(28,6) accumulators box to BigDecimal
     * per row; round() also detours through BigDecimal). ANSI mode (default)
@@ -507,15 +505,16 @@ object RelationalOps {
           .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
           .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
           .groupBy("r_name", "n_name")
-          .agg(dsum(col("l_extendedprice").cast("decimal(28,6)") *
-            (lit(1).cast("decimal(28,6)") - col("l_discount").cast("decimal(28,6)")))
+          .agg((sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
+            (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long")))
+            .cast("double") / 10000.0)
             .as("revenue"), count(lit(1)).as("n_lines"))
           .orderBy("r_name", "n_name")
       },
       Some("""SELECT r_name, n_name,
-             |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(28,6)) *
-             |    (CAST(1 AS DECIMAL(28,6)) - CAST(l_discount AS DECIMAL(28,6)))
-             |    AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+             |  CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+             |    (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE)
+             |    / 10000.0 AS revenue,
              |  COUNT(*) AS n_lines
              |FROM lineitem
              |JOIN orders ON l_orderkey = o_orderkey
