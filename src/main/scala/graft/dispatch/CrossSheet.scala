@@ -86,18 +86,28 @@ object CrossSheet {
     *
     * Row identity divergence (documented): the reference assigns these
     * errors Row_Index = (position in the merged frame) + 2, a pandas
-    * join-order artifact. We use a deterministic row_number ordered by
-    * Biospecimen_ID over the scoped matrix — stable under any partitioning.
+    * join-order artifact. We assign a deterministic sequential index in
+    * Biospecimen_ID order — stable under any partitioning — via sorted
+    * zipWithIndex rather than an UNPARTITIONED window (which would gather
+    * every row into one partition; the scoped set is small today but the
+    * operator must not carry that cliff).
     */
   def crossSheetBiospecimen(matrix: DataFrame, cbcId: Int, seqBase: Long): DataFrame = {
     val key = "Biospecimen_ID"
     val anyNull = matrix.columns.filter(_ != key)
       .map(c => col(c).isNull).reduce(_ || _)
-    val scoped = matrix
+    val sorted = matrix
       .filter(anyNull)
       .filter(col(key).rlike("^" + cbcId + "[_]{1}[0-9]{6}[_]{1}[0-9]{3}$"))
-      .withColumn("Row_Index",
-        row_number().over(Window.orderBy(key)).cast("long") + 1L)
+      .orderBy(key)
+    val scoped = {
+      // range-partitioned sort + zipWithIndex = global rank, distributed
+      val schema = sorted.schema.add("Row_Index", org.apache.spark.sql.types.LongType)
+      val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 2L))
+      }
+      sorted.sparkSession.createDataFrame(rdd, schema)
+    }
     val bioPresent = col("Biospecimen_Type").isNotNull
     val children: Seq[(String, String)] = Seq(
       "Aliquot_ID" -> "Aliquot.csv",
