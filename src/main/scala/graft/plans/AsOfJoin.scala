@@ -70,7 +70,12 @@ final case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lkGen = UnsafeProjection.create(lKeyExprs, lOut)
       val rkGen = UnsafeProjection.create(rKeyExprs, rOut)
-      val outGen = UnsafeProjection.create(output, lOut ++ rOut)
+      // bind the output against a right schema FORCED nullable: the
+      // null-padding row must be read as nulls even when the child's
+      // attributes claim non-null (else the projection skips the null
+      // check and emits zeros)
+      val outGen = UnsafeProjection.create(output,
+        lOut ++ rOut.map(_.withNullability(true)))
       val joined = new JoinedRow
       val rNulls = new GenericInternalRow(rOut.size)
       var rRow: InternalRow = if (rIter.hasNext) rIter.next() else null

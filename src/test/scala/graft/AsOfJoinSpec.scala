@@ -61,6 +61,61 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(native.map(_.toString).toSeq === composed.map(_.toString).toSeq)
   }
 
+  test("edge cases: empty right, all-late right, equal timestamps, lone keys") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, "a"), (1L, 20L, "b"),   // key 1: two lefts
+      (2L, 5L, "c"),                    // key 2: right exists only AFTER
+      (3L, 7L, "d"),                    // key 3: no right rows at all
+      (4L, 15L, "e")                    // key 4: right at EXACTLY 15
+    ).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, 9L, "r1"), (1L, 15L, "r2"),
+      (2L, 99L, "r3"),
+      (4L, 15L, "r4")
+    ).toDF("rk", "rt", "payload")
+    val got = AsOfJoin.asof(left, right, "k", "t", "rk", "rt")
+      .select("k", "t", "tag", "rt", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) "-" else r.getString(4))).toSet
+    assert(got === Set(
+      (1L, 10L, "a", 9L, "r1"),   // latest <= 10 is 9
+      (1L, 20L, "b", 15L, "r2"),  // advances to 15
+      (2L, 5L, "c", -1L, "-"),    // right exists but only later
+      (3L, 7L, "d", -1L, "-"),    // no right rows for the key
+      (4L, 15L, "e", 15L, "r4"))) // rt <= lt is inclusive
+  }
+
+  test("fuzz: native as-of equals a per-row reference computation") {
+    import spark.implicits._
+    // deterministic pseudo-random data from hashed ranges (no RNG state)
+    val left = spark.range(500).select(
+      abs((hash(col("id")) % 20).cast("long")).as("k"),
+      abs((hash(col("id"), lit(1)) % 1000).cast("long")).as("t"),
+      col("id").as("lid"))
+    val right = spark.range(300).select(
+      abs((hash(col("id"), lit(2)) % 20).cast("long")).as("rk"),
+      abs((hash(col("id"), lit(3)) % 1000).cast("long")).as("rt"),
+      col("id").as("rid"))
+      // unique (rk, rt) so the matched payload is well-defined
+      .groupBy("rk", "rt").agg(max("rid").as("rid"))
+    val native = AsOfJoin.asof(left, right, "k", "t", "rk", "rt")
+      .select("lid", "rt", "rid").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+
+    val ls = left.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val rs = right.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = ls.map { case (k, t, lid) =>
+      val cands = rs.filter(r => r._1 == k && r._2 <= t)
+      if (cands.isEmpty) (lid, -1L, -1L)
+      else { val best = cands.maxBy(_._2); (lid, best._2, best._3) }
+    }.toSet
+    assert(native === expected)
+  }
+
   test("unmatched left rows pad nulls; matches never come from other keys") {
     val (l, r) = sides
     val native = AsOfJoin.asof(l, r, "user_id", "ts_sec", "p_user", "p_sec")
