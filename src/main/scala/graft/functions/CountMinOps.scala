@@ -25,22 +25,25 @@ object CountMinOps {
   val Depth = 3
   val Width = 64
 
-  /** First 4 md5 hex nibbles of "d:v" mod Width — portable across engines. */
-  def bucket(d: Int, v: String): Int = {
+  /** First 4 md5 hex nibbles of "d:v" mod width — portable across engines. */
+  def bucket(d: Int, v: String, width: Int = Width): Int = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(s"$d:$v".getBytes("UTF-8"))
     val h16 = ((hex(0) & 0xff) << 8) | (hex(1) & 0xff)
-    h16 % Width
+    h16 % width
   }
 
   final case class Sketch(m: Array[Long])
 
-  val sketchAgg: Aggregator[String, Sketch, Seq[Long]] =
+  /** depth×width Count-Min as a typed Aggregator (parameterized so specs
+    * can force collisions with a tiny width).
+    */
+  def sketchAggOf(depth: Int, width: Int): Aggregator[String, Sketch, Seq[Long]] =
     new Aggregator[String, Sketch, Seq[Long]] {
-      override def zero: Sketch = Sketch(Array.ofDim[Long](Depth * Width))
+      override def zero: Sketch = Sketch(Array.ofDim[Long](depth * width))
       override def reduce(b: Sketch, v: String): Sketch = {
         var d = 0
-        while (d < Depth) { b.m(d * Width + bucket(d, v)) += 1; d += 1 }
+        while (d < depth) { b.m(d * width + bucket(d, v, width)) += 1; d += 1 }
         b
       }
       override def merge(a: Sketch, b: Sketch): Sketch = {
@@ -53,6 +56,12 @@ object CountMinOps {
       override def outputEncoder: Encoder[Seq[Long]] =
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
     }
+
+  val sketchAgg: Aggregator[String, Sketch, Seq[Long]] = sketchAggOf(Depth, Width)
+
+  /** Estimate for `v` from a finished sketch matrix. */
+  def estimate(m: Seq[Long], v: String, depth: Int = Depth, width: Int = Width): Long =
+    (0 until depth).map(d => m(d * width + bucket(d, v, width))).min
 
   /** The same bucket function as a Catalyst expression over a string col. */
   def bucketExpr(d: Int, v: Column): Column = {

@@ -266,6 +266,50 @@ class SimilaritySpec extends AnyFunSuite {
     assert(approx.size <= exact.size)
   }
 
+  test("Count-Min collision path: tiny width overestimates but never under") {
+    import graft.functions.CountMinOps
+    import spark.implicits._
+    // 40 distinct values into a 2x4 sketch: collisions guaranteed
+    val values = spark.range(2000)
+      .select(concat(lit("v"), (col("id") % 40)).as("value")).as[String]
+    val exact = values.groupBy("value").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val m = values.select(CountMinOps.sketchAggOf(2, 4).toColumn).collect()(0)
+    val ests = exact.keys.map(k =>
+      k -> CountMinOps.estimate(m, k, depth = 2, width = 4)).toMap
+    exact.foreach { case (k, n) => assert(ests(k) >= n, s"$k under-estimated") }
+    assert(ests.exists { case (k, e) => e > exact(k) },
+      "expected at least one collision-driven overestimate at width 4")
+    // total mass per row is conserved: sum of any row = total count
+    assert(m.take(4).sum === 2000L)
+  }
+
+  test("connected components agree with a union-find reference (fuzz)") {
+    import graft.functions.DedupOps
+    // deterministic pseudo-random graph: 120 vertices, ~80 hashed edges
+    val verts = spark.range(120).select(col("id").as("doc_id"))
+    val pairs = spark.range(80).select(
+      abs(hash(col("id")) % 120).cast("long").as("doc1"),
+      abs(hash(col("id"), lit(7)) % 120).cast("long").as("doc2"))
+      .filter(col("doc1") =!= col("doc2"))
+    val got = DedupOps.connectedComponents(verts, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // reference union-find on the driver
+    val parent = Array.tabulate(120)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    pairs.collect().foreach { r =>
+      val (a, b) = (find(r.getLong(0).toInt), find(r.getLong(1).toInt))
+      if (a != b) parent(math.max(a, b)) = math.min(a, b)
+    }
+    val expected = (0 until 120).map { v =>
+      // canonical label = min vertex in the component
+      var r = find(v)
+      v.toLong -> (0 until 120).filter(u => find(u) == r).min.toLong
+    }.toMap
+    assert(got === expected)
+  }
+
   test("Count-Min estimates dominate exact counts (one-sided error)") {
     val exact = Tables.events(spark, sf).groupBy("event_type").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
