@@ -12,8 +12,16 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // metadata cache: a DataFrame is an immutable plan, so reusing it per
+  // (session, path) skips the repeated file listing + schema read when many
+  // queries touch the same tables (the catalog-cache every engine keeps);
+  // no row data is cached
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
+      key => spark.read.parquet(key._2))
 
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
     * as a timestamp. Read it as a long (legacy conf) and convert to a µs
