@@ -101,6 +101,21 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("q74_doc_pipeline")
     assert(p.contains("partial_count") || p.contains("partial_sum"), p)
   }
+
+  test("AQE coalesces shuffle partitions at runtime (small data, few tasks)") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      val df = Tables.lineitem(spark, sf)
+        .groupBy("l_returnflag").count()
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      // the runtime re-plan is visible: the shuffle read is coalesced
+      // instead of materializing all configured shuffle partitions
+      assert(p.contains("AQEShuffleRead coalesced") ||
+        p.contains("CoalescedShuffleRead"), p)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
