@@ -84,25 +84,37 @@ final case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       var matchKey = 0L
       lIter.map { lRow =>
         val lkt = lkGen(lRow)
-        val lk = lkt.getLong(0)
-        val lt = lkt.getLong(1)
-        var scan = rRow != null
-        while (scan) {
-          val rkt = rkGen(rRow)
-          val rk = rkt.getLong(0)
-          if (rk < lk) {
-            // left keys only grow within the partition: rows of earlier
-            // keys can never match again — drop without buffering
-            rRow = if (rIter.hasNext) rIter.next() else null
-          } else if (rk == lk && rkt.getLong(1) <= lt) {
-            matched = rRow.copy() // right times ascend: later consume wins
-            matchKey = rk
-            rRow = if (rIter.hasNext) rIter.next() else null
-          } else scan = false
-          if (rRow == null) scan = false
+        // SQL equi-join semantics: a null key (or time) matches nothing —
+        // pad and move on. Null-keyed rows sort NULLS FIRST, so they are
+        // consumed before any non-null work begins.
+        if (lkt.isNullAt(0) || lkt.isNullAt(1)) {
+          outGen(joined(lRow, rNulls))
+        } else {
+          val lk = lkt.getLong(0)
+          val lt = lkt.getLong(1)
+          var scan = rRow != null
+          while (scan) {
+            val rkt = rkGen(rRow)
+            if (rkt.isNullAt(0) || rkt.isNullAt(1)) {
+              // null-keyed right rows can never match — drop
+              rRow = if (rIter.hasNext) rIter.next() else null
+            } else {
+              val rk = rkt.getLong(0)
+              if (rk < lk) {
+                // left keys only grow within the partition: rows of earlier
+                // keys can never match again — drop without buffering
+                rRow = if (rIter.hasNext) rIter.next() else null
+              } else if (rk == lk && rkt.getLong(1) <= lt) {
+                matched = rRow.copy() // right times ascend: later consume wins
+                matchKey = rk
+                rRow = if (rIter.hasNext) rIter.next() else null
+              } else scan = false
+            }
+            if (rRow == null) scan = false
+          }
+          val rSide = if (matched != null && matchKey == lk) matched else rNulls
+          outGen(joined(lRow, rSide))
         }
-        val rSide = if (matched != null && matchKey == lk) matched else rNulls
-        outGen(joined(lRow, rSide))
       }
     }
   }

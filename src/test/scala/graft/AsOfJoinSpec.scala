@@ -87,6 +87,28 @@ class AsOfJoinSpec extends AnyFunSuite {
       (4L, 15L, "e", 15L, "r4"))) // rt <= lt is inclusive
   }
 
+  test("null keys never match (SQL equi-join semantics), left rows survive") {
+    import spark.implicits._
+    val left = Seq(
+      (Some(1L), Some(10L), "a"),
+      (None: Option[Long], Some(10L), "nullkey"),
+      (Some(0L), Some(10L), "zerokey")
+    ).toDF("k", "t", "tag")
+    val right = Seq(
+      (Some(1L), Some(9L), "r1"),
+      (None: Option[Long], Some(1L), "rnull"), // can never match anything
+      (Some(0L), Some(5L), "r0")
+    ).toDF("rk", "rt", "payload")
+    val got = AsOfJoin.asof(left, right, "k", "t", "rk", "rt")
+      .select("tag", "payload").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) "-" else r.getString(1)))
+      .toMap
+    assert(got === Map(
+      "a" -> "r1",
+      "nullkey" -> "-",   // null key: padded, present
+      "zerokey" -> "r0")) // and NOT polluted by the null row masquerading as 0
+  }
+
   test("fuzz: native as-of equals a per-row reference computation") {
     import spark.implicits._
     // deterministic pseudo-random data from hashed ranges (no RNG state)
