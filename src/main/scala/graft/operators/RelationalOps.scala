@@ -667,6 +667,52 @@ object RelationalOps {
              |    / 100.0 AS total,
              |  COUNT(*) AS n
              |FROM long GROUP BY metric ORDER BY metric""".stripMargin),
-      "§2.4/§2.5 reshaping: unpivot (melt) wide columns to long rows")
+      "§2.4/§2.5 reshaping: unpivot (melt) wide columns to long rows"),
+
+    // ---- conditional aggregation (FILTER-clause family) ----
+    Q("q82_conditional_agg",
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          count_if(col("o_orderstatus") === "F").as("n_finished"),
+          count_if(col("o_totalprice") > 100000).as("n_big"),
+          (sum(when(col("o_orderstatus") === "F",
+            floor(col("o_totalprice") * 100 + 0.5).cast("long")).otherwise(0L))
+            .cast("double") / 100.0).as("finished_total"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+             |  COUNT(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+             |  CAST(SUM(CASE WHEN o_orderstatus = 'F'
+             |    THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+             |    ELSE 0 END) AS DOUBLE) / 100.0 AS finished_total
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin),
+      "§2.4 conditional aggregation (count_if / FILTER clause)"),
+
+    // ---- inline literal relation (S10/S11 empty-table & event-literal
+    // sources) joined against data — the driver-provided-rows shape ----
+    Q("q83_inline_values_join",
+      (s, d) => {
+        import s.implicits._
+        val tiers = Seq(
+          ("1-URGENT", "hot"), ("2-HIGH", "hot"),
+          ("3-MEDIUM", "warm"), ("4-NOT SPECIFIED", "cold"),
+          ("5-LOW", "cold"))
+          .toDF("o_orderpriority", "tier")
+        Tables.orders(s, d)
+          .join(broadcast(tiers), Seq("o_orderpriority"))
+          .groupBy("tier")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("tier")
+      },
+      Some("""WITH tiers(o_orderpriority, tier) AS (VALUES
+             |  ('1-URGENT', 'hot'), ('2-HIGH', 'hot'),
+             |  ('3-MEDIUM', 'warm'), ('4-NOT SPECIFIED', 'cold'),
+             |  ('5-LOW', 'cold'))
+             |SELECT tier, COUNT(*) AS n
+             |FROM orders JOIN tiers USING (o_orderpriority)
+             |GROUP BY tier ORDER BY tier""".stripMargin),
+      "§2.1 S10/S11: inline literal relation broadcast-joined to data")
   )
 }
