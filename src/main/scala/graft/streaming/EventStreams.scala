@@ -48,13 +48,16 @@ object EventStreams {
     * the spec compares against q73's aggregation).
     */
   def attributionJoin(events: DataFrame): DataFrame = {
+    // truncate to whole seconds so the pair set matches q73's epoch-second
+    // arithmetic EXACTLY (raw-µs comparison differs on sub-second
+    // boundaries); truncation keeps TimestampType, so watermarks still work
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
-        col("ts").as("p_ts"))
+        date_trunc("second", col("ts")).as("p_ts"))
       .withWatermark("p_ts", "10 minutes")
     val clicks = events.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
-        col("ts").as("c_ts"))
+        date_trunc("second", col("ts")).as("c_ts"))
       .withWatermark("c_ts", "10 minutes")
     purchases.join(clicks,
       col("p_user") === col("c_user") &&
