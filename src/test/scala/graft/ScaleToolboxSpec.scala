@@ -108,6 +108,18 @@ class BucketingSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("Graft.init wires functions, rewrite rule, and strategy idempotently") {
+    Graft.init(spark)
+    Graft.init(spark) // second call must not duplicate registrations
+    assert(spark.experimental.extraOptimizations
+      .count(_ == graft.functions.RewriteTokenCount) === 1)
+    assert(spark.experimental.extraStrategies
+      .count(_ == graft.plans.GraftStrategy) === 1)
+    // the SQL function resolves after init
+    val n = spark.sql("SELECT token_count('a b c') AS n").collect()(0).getInt(0)
+    assert(n === 3)
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     // at 100 TB a selective dimension filter should reach the fact scan as
     // a runtime bloom filter (InjectRuntimeFilter); thresholds are sized
