@@ -97,6 +97,41 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("integer-cents sum: per-row recovery and partition-order invariance") {
+    import spark.implicits._
+    val cents = sample(Gen.choose(0L, 10_000_000L), 4000) // up to 100,000.00
+    val df = cents.map(_ / 100.0).toDF("x")
+    // per-row: floor(x*100+0.5) recovers the exact cents despite the
+    // double representation error of x
+    val recovered = df.select(floor(col("x") * 100 + 0.5).cast("long"))
+      .collect().map(_.getLong(0))
+    assert(recovered.toSeq === cents)
+    // aggregate: exact and identical under any partitioning
+    def total(parts: Int): Double = df.repartition(parts)
+      .select((sum(floor(col("x") * 100 + 0.5).cast("long"))
+        .cast("double") / 100.0).as("s")).collect()(0).getDouble(0)
+    val expected = cents.sum.toDouble / 100.0
+    assert(total(1) === expected)
+    assert(total(7) === expected)
+  }
+
+  test("bounded-buffer top-k equals the window form on generated data") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val rows = sample(Gen.zip(Gen.choose(0, 5), Gen.choose(0L, 1000L)), 800)
+      .zipWithIndex.map { case ((g, v), i) => (g.toString, v / 10.0, i.toLong) }
+    val df = rows.toDF("g", "v", "id")
+    val viaAgg = operators.TopK.perGroup(df, "g", "v", "id", 3)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+        r.getInt(3))).toSet
+    val w = Window.partitionBy("g").orderBy(col("v").desc, col("id"))
+    val viaWindow = df.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+        r.getInt(3))).toSet
+    assert(viaAgg === viaWindow)
+  }
+
   test("approx percentile stays within 2% of exact (q66)") {
     val rows = QueryRegistry.queries("q66_approx_percentile")(spark, sf).collect()
     rows.foreach { r =>
