@@ -41,6 +41,35 @@ class SourcesAndStateSpec extends AnyFunSuite {
     assert(s1 === s2)
   }
 
+  test("schema evolution: mergeSchema reads old and new file generations") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+    val v1 = Tables.customer(spark, sf).select("c_custkey", "c_name")
+    v1.write.mode("overwrite").parquet(s"$dir/t")
+    val v2 = Tables.customer(spark, sf)
+      .select("c_custkey", "c_name", "c_mktsegment")
+    v2.write.mode("append").parquet(s"$dir/t")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$dir/t")
+    assert(merged.columns.toSet === Set("c_custkey", "c_name", "c_mktsegment"))
+    assert(merged.count() === v1.count() * 2)
+    // old-generation rows surface the new column as null
+    assert(merged.filter(col("c_mktsegment").isNull).count() === v1.count())
+  }
+
+  test("zstd parquet round-trips (the 100 TB wire format)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zstd").toString
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    li.write.mode("overwrite").option("compression", "zstd").parquet(s"$dir/z")
+    val files = new java.io.File(s"$dir/z").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet"))
+    assert(files.nonEmpty && files.forall(_.contains("zstd")), files.toSeq)
+    val back = spark.read.parquet(s"$dir/z")
+    assert(back.count() === li.count())
+    assert(back.select(sum(floor(col("l_quantity") * 100 + 0.5).cast("long")))
+      .collect()(0).getLong(0) ===
+      li.select(sum(floor(col("l_quantity") * 100 + 0.5).cast("long")))
+        .collect()(0).getLong(0))
+  }
+
   test("streaming dedup drops cross-batch replays within the watermark") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dedup").toString
     val e = Tables.events(spark, sf).select("event_id", "ts", "user_id")
