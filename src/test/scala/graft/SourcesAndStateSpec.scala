@@ -41,6 +41,23 @@ class SourcesAndStateSpec extends AnyFunSuite {
     assert(s1 === s2)
   }
 
+  test("Observation metrics ride the job (no second pass over the data)") {
+    // production pipelines need row/quality counters without re-scanning;
+    // observe() attaches metric expressions to the SAME pass
+    val obs = new org.apache.spark.sql.Observation("ingest")
+    val li = Tables.lineitem(spark, sf)
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        count_if(col("l_quantity") > 45).as("n_big"),
+        max("l_quantity").as("max_qty"))
+    val n = li.filter(col("l_returnflag") === "R").count()
+    val m = obs.get
+    assert(m("n_rows").asInstanceOf[Long] === Tables.lineitem(spark, sf).count())
+    assert(m("n_big").asInstanceOf[Long] ===
+      Tables.lineitem(spark, sf).filter(col("l_quantity") > 45).count())
+    assert(n > 0)
+  }
+
   test("schema evolution: mergeSchema reads old and new file generations") {
     val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
     val v1 = Tables.customer(spark, sf).select("c_custkey", "c_name")
