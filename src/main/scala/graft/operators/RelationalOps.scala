@@ -713,6 +713,31 @@ object RelationalOps {
              |SELECT tier, COUNT(*) AS n
              |FROM orders JOIN tiers USING (o_orderpriority)
              |GROUP BY tier ORDER BY tier""".stripMargin),
-      "§2.1 S10/S11: inline literal relation broadcast-joined to data")
+      "§2.1 S10/S11: inline literal relation broadcast-joined to data"),
+
+    // ---- correlated scalar subquery (Catalyst decorrelates to a join;
+    // the identical SQL text runs on both engines, cents-routed avg) ----
+    Q("q84_correlated_subquery", {
+      val sqlText =
+        """SELECT o_orderkey, o_custkey,
+          |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+          |FROM orders o
+          |WHERE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) >
+          |  2 * (SELECT AVG(CAST(floor(o2.o_totalprice * 100 + 0.5) AS BIGINT))
+          |       FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+          |ORDER BY o_orderkey""".stripMargin
+      (s: org.apache.spark.sql.SparkSession, d: String) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders")
+        s.sql(sqlText)
+      }
+    },
+      Some("""SELECT o_orderkey, o_custkey,
+             |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+             |FROM orders o
+             |WHERE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) >
+             |  2 * (SELECT AVG(CAST(floor(o2.o_totalprice * 100 + 0.5) AS BIGINT))
+             |       FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+             |ORDER BY o_orderkey""".stripMargin),
+      "§3 lifecycle: correlated scalar subquery (decorrelated to an agg join)")
   )
 }
