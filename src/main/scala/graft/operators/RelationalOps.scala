@@ -738,6 +738,58 @@ object RelationalOps {
              |  2 * (SELECT AVG(CAST(floor(o2.o_totalprice * 100 + 0.5) AS BIGINT))
              |       FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
              |ORDER BY o_orderkey""".stripMargin),
-      "§3 lifecycle: correlated scalar subquery (decorrelated to an agg join)")
+      "§3 lifecycle: correlated scalar subquery (decorrelated to an agg join)"),
+
+    // ---- pagination: total order + limit/offset ----
+    Q("q85_pagination",
+      (s, d) => Tables.customer(s, d)
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+        .offset(20).limit(10),
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+             |ORDER BY c_custkey LIMIT 10 OFFSET 20""".stripMargin),
+      "§2.5 pagination: total order + limit/offset"),
+
+    // ---- explicit grouping sets with grouping_id disambiguation ----
+    Q("q86_grouping_sets",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders")
+        s.sql("""SELECT o_orderpriority, o_orderstatus,
+                |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+                |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+                |  COUNT(*) AS n
+                |FROM orders
+                |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+                |ORDER BY g_prio, g_status,
+                |  o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority, o_orderstatus,
+             |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+             |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+             |  COUNT(*) AS n
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+             |ORDER BY g_prio, g_status,
+             |  o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin),
+      "§2.4 explicit grouping sets + grouping() null disambiguation"),
+
+    // ---- distribution-rank windows: percent_rank / cume_dist ----
+    Q("q87_window_distribution",
+      (s, d) => {
+        val w = Window.partitionBy("s_nationkey")
+          .orderBy(col("s_acctbal"), col("s_suppkey"))
+        Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_nationkey"),
+            round(percent_rank().over(w), 6).as("pr"),
+            round(cume_dist().over(w), 6).as("cd"))
+          .orderBy("s_suppkey")
+      },
+      Some("""SELECT s_suppkey, s_nationkey,
+             |  round(percent_rank() OVER w, 6) AS pr,
+             |  round(cume_dist() OVER w, 6) AS cd
+             |FROM supplier
+             |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+             |ORDER BY s_suppkey""".stripMargin),
+      "§2.7 distribution-rank windows (percent_rank, cume_dist)")
   )
 }
