@@ -168,6 +168,36 @@ object EventOps {
              |FROM err ASOF LEFT JOIN pur
              |  ON err.user_id = pur.p_user AND pur.p_sec <= err.ts_sec
              |ORDER BY err.user_id, event_id""".stripMargin),
-      "custom-operator family: NATIVE as-of join (LogicalPlan+Strategy+SparkPlan)")
+      "custom-operator family: NATIVE as-of join (LogicalPlan+Strategy+SparkPlan)"),
+
+    // ---- gaps-and-islands: consecutive-day activity streaks per user.
+    // island key = day_number - row_number (constant within a run of
+    // consecutive days) — the classic sessionization-without-timestamps. ----
+    Q("q88_gaps_islands",
+      (s, d) => {
+        val days = Tables.events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val w = Window.partitionBy("user_id").orderBy("day")
+        val islands = days
+          .withColumn("island",
+            datediff(col("day"), lit("1970-01-01")) - row_number().over(w))
+          .groupBy("user_id", "island")
+          .agg(count(lit(1)).as("len"))
+        islands.groupBy("user_id")
+          .agg(count(lit(1)).as("n_islands"), max("len").as("longest_streak"))
+          .orderBy("user_id")
+      },
+      Some("""WITH days AS (SELECT DISTINCT user_id,
+             |  CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+             |marked AS (SELECT user_id, day,
+             |  (day - DATE '1970-01-01')
+             |    - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS island
+             |  FROM days),
+             |islands AS (SELECT user_id, island, COUNT(*) AS len
+             |  FROM marked GROUP BY user_id, island)
+             |SELECT user_id, COUNT(*) AS n_islands,
+             |  CAST(MAX(len) AS BIGINT) AS longest_streak
+             |FROM islands GROUP BY user_id ORDER BY user_id""".stripMargin),
+      "§2.7 gaps-and-islands: consecutive-day streaks (day_number - row_number)")
   )
 }
