@@ -10,6 +10,11 @@ import org.apache.spark.sql.SparkSession
   * showed ~2 KB): `value` is the total over ALL queries, the inline
   * `queries` map carries a stable headline subset rounded to ms, and the
   * full per-query detail goes to out/bench_detail.json.
+  *
+  * Measurement note: each query is driven by `count()`, so Catalyst may
+  * prune computed columns that don't affect the count on the handful of
+  * pure narrow-map queries — consistent across rounds, and all join/agg/
+  * window/dedup queries execute their full pipelines.
   */
 object Bench {
   /** One per operator family: scan/agg, join shapes, windows, rules,
