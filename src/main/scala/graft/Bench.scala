@@ -47,20 +47,30 @@ object Bench {
     SparkEntry.entry(spark).count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
     def fmt(pairs: Seq[(String, Double)]): String =
       pairs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val failed = results.collect { case (n, _, false) => "\"" + n + "\"" }
+      .mkString("[", ",", "]")
+    val timings = results.map { case (n, t, _) => (n, t) }
+    val total = timings.map(_._2).sum
     val detail = s"""{"total":${f"$total%.3f"},"n_queries":${results.size},""" +
-      s""""queries":${fmt(results)},"sf":"$sfDir"}"""
+      s""""failed":$failed,"queries":${fmt(timings)},"sf":"$sfDir"}"""
     val detailPath = java.nio.file.Paths.get("out", "bench_detail.json")
     java.nio.file.Files.createDirectories(detailPath.getParent)
     java.nio.file.Files.write(detailPath, detail.getBytes("UTF-8"))
-    val head = fmt(results.filter(r => headline.contains(r._1)))
-    println(s"""{"metric":"total_${results.size}_queries","value":${f"$total%.3f"},"unit":"sec","queries":$head,"sf":"$sfDir"}""")
+    val head = fmt(timings.filter(r => headline.contains(r._1)))
+    // driver contract: ONE parseable line, key "total", NO sbt log prefix
+    // (run is forked with StdoutOutput — see build.sbt)
+    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"failed":$failed,"queries":$head,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("out", "bench_headline.json"),
+      line.getBytes("UTF-8"))
+    println(line)
     spark.stop()
   }
 }

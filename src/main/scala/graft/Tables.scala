@@ -15,13 +15,19 @@ object Tables {
   // metadata cache: a DataFrame is an immutable plan, so reusing it per
   // (session, path) skips the repeated file listing + schema read when many
   // queries touch the same tables (the catalog-cache every engine keeps);
-  // no row data is cached
+  // no row data is cached. Keyed WEAKLY by session so stopped sessions
+  // (per-spec sessions in the test suite) and their plans/file listings
+  // are GC-able; a rewritten dataset dir is picked up by any new session.
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.WeakHashMap[SparkSession, java.util.HashMap[String, DataFrame]]()
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
-      key => spark.read.parquet(key._2))
+    cache.synchronized {
+      val perSession = cache.computeIfAbsent(spark,
+        _ => new java.util.HashMap[String, DataFrame]())
+      perSession.computeIfAbsent(s"$dir/$name.parquet",
+        path => spark.read.parquet(path))
+    }
 
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
     * as a timestamp. Read it as a long (legacy conf) and convert to a µs

@@ -156,6 +156,16 @@ object AsOfJoin {
     register(spark)
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
+    // Splicing two analyzed plans bypasses the analyzer's duplicate-attribute
+    // resolution: shared exprIds (both sides derived from the same source)
+    // would silently bind the wrong columns. Enforce the documented contract.
+    val shared = lp.outputSet.intersect(rp.outputSet)
+    if (shared.nonEmpty)
+      throw new IllegalArgumentException(
+        "asof(): left and right share attributes " +
+          shared.map(_.name).mkString("[", ", ", "]") +
+          " — re-alias the right side (e.g. select(cols.map(c => col(c).as(c + \"_r\")))) " +
+          "so its exprIds are fresh before joining")
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"column $n not in ${p.output.map(_.name)}"))
