@@ -81,7 +81,7 @@ object Microbench {
     }
 
     // ---- q32 stage decomposition ----
-    import graft.rules.{Checks, RuleEvaluator}
+    import graft.rules.{Checks, RuleEvaluator, NoGate}
     import graft.types.CellType
     def q32sheet = Tables.lineitem(spark, sfDir).select(
       col("l_quantity").cast("string").as("Total_Cells_Hemocytometer_Count"),
@@ -126,7 +126,7 @@ object Microbench {
         col("__num_Viability_Hemocytometer_Count"))
     }
     time("q27 without final orderBy") {
-      import graft.rules.{Checks, RuleEvaluator}
+      import graft.rules.{Checks, RuleEvaluator, NoGate}
       val sheet = Tables.lineitem(spark, sfDir).select(
         col("l_quantity").cast("string").as("Total_Cells_Hemocytometer_Count"),
         (col("l_quantity") + when(col("l_linenumber") % 3 === 0, 1).otherwise(-1))
@@ -134,6 +134,38 @@ object Microbench {
         (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("Row_Index"))
       RuleEvaluator.dedupFirst(RuleEvaluator.evaluate("biospecimen.csv", sheet,
         Seq(Checks.totalVsLive("Total_Cells_Hemocytometer_Count"))))
+    }
+    // ---- q03: eager aggregation below the join ----
+    // partial-agg lineitem to one row per orderkey BEFORE joining orders:
+    // the orderkey shuffle then moves ~150k pre-summed rows instead of
+    // ~600k raw rows (lineitem is clustered by orderkey, so map-side
+    // combine collapses nearly fully)
+    time("q03 eager agg below join") {
+      val cents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+      val discPct = floor(col("l_discount") * 100 + 0.5).cast("long")
+      val perOrder = li.groupBy("l_orderkey")
+        .agg(sum(cents * (lit(100L) - discPct)).as("order_cents"))
+      perOrder.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg((sum(col("order_cents")).cast("double") / 10000.0).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }
+    // ---- q24 decomposition: where do 1.2s go on 150k orders rows? ----
+    def q24sheet = Tables.orders(spark, sfDir).select(
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("Date_of_Visit"),
+      col("o_orderkey").cast("long").as("Row_Index"))
+    time("q24 sheet only (date_format)") { q24sheet }
+    time("q24 sheet + memos") {
+      CellType.memoColumns(Seq("Date_of_Visit")).foldLeft(q24sheet) {
+        case (df, (n, e)) => df.withColumn(n, e)
+      }.select(max(length(col("__ts_Date_of_Visit").cast("string"))))
+    }
+    time("q24 evaluate only") {
+      RuleEvaluator.evaluate("orders.csv", q24sheet,
+        Checks.date("Date_of_Visit", NoGate, naAllowed = false, "Date",
+          java.time.LocalDate.of(1995, 1, 1), java.time.LocalDate.of(1996, 6, 30)))
     }
     time("q32 memos + bround1Fast predicate") {
       val names = Seq("Viability_Hemocytometer_Count",

@@ -81,10 +81,17 @@ object RelationalOps {
         // of an integer so the +0.5 nudge can never cross a boundary)
         val cents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
         val discPct = floor(col("l_discount") * 100 + 0.5).cast("long")
-        li.join(o, col("l_orderkey") === col("o_orderkey"))
+        // eager aggregation below the join: collapse lineitem to one row
+        // per orderkey BEFORE the orders join, so the orderkey shuffle
+        // moves pre-summed rows (~1/4 the count; lineitem is clustered by
+        // orderkey so map-side combine collapses nearly fully). Exact in
+        // integer cents, so regrouping by customer is order-independent.
+        val perOrder = li.groupBy("l_orderkey")
+          .agg(sum(cents * (lit(100L) - discPct)).as("order_cents"))
+        perOrder.join(o, col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(c), col("o_custkey") === col("c_custkey"))
           .groupBy("c_custkey", "c_name")
-          .agg((sum(cents * (lit(100L) - discPct)).cast("double") / 10000.0)
+          .agg((sum(col("order_cents")).cast("double") / 10000.0)
             .as("revenue"))
           .orderBy(col("revenue").desc, col("c_custkey"))
           .limit(20)

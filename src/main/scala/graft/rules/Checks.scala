@@ -348,7 +348,11 @@ object RuleEvaluator {
     // whatever the predicates declare. CollapseProject keeps these in their
     // own stage because they're non-cheap and multiply referenced.
     val memoNames = (usable.map(_.column) ++ usable.flatMap(_.memoInputs)).distinct
-    val prepared = CellType.memoColumns(memoNames).foldLeft(sheet) {
+    // spread BEFORE the memo projection: on a low-split source (single
+    // parquet row-group) the parse cascade would otherwise run serially
+    // inside the scan stage; no-op when the scan already parallelizes
+    val spread = graft.operators.Spread.byKey(sheet, col("Row_Index"))
+    val prepared = CellType.memoColumns(memoNames).foldLeft(spread) {
       case (df, (name, expr)) => df.withColumn(name, expr)
     }
     def emitOf(r: CompiledRule): Column =
@@ -389,7 +393,8 @@ object RuleEvaluator {
     */
   def dupIds(sheetName: String, sheet: DataFrame, column: String,
       seqBase: Long): DataFrame =
-    sheet.groupBy(CellType.render(col(column)).as("Column_Value"))
+    graft.operators.Spread.byKey(sheet, col(column))
+      .groupBy(CellType.render(col(column)).as("Column_Value"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > 1)
       .select(

@@ -22,9 +22,18 @@ object ValidationOps {
   private val errCols = Seq("Message_Type", "CSV_Sheet_Name", "Row_Index",
     "Column_Name", "Column_Value", "Error_Message")
 
+  /** Spread the RAW table before sheet construction: the harness tables are
+    * single-row-group parquet (one scan split), so without this every
+    * construction expression (casts, bround, date_format) runs serially in
+    * the scan stage. Spreading the raw columns also shuffles fewer bytes
+    * than spreading constructed strings would. No-op on well-split sources.
+    */
+  private def spreadRaw(df: DataFrame, key: String): DataFrame =
+    graft.operators.Spread.byKey(df, col(key))
+
   /** Adapt the events table into a sheet: Row_Index = event_id + 2. */
   private def eventsSheet(s: SparkSession, d: String)(cols: (String, Column)*): DataFrame =
-    Tables.events(s, d).select(
+    spreadRaw(Tables.events(s, d), "event_id").select(
       cols.map { case (n, c) => c.as(n) } :+
         (col("event_id") + 2).cast("long").as("Row_Index"): _*)
 
@@ -144,7 +153,7 @@ object ValidationOps {
     // ---- check_date: range errors over real dates ----
     Q("q24_rule_date_range",
       (s, d) => {
-        val sheet = Tables.orders(s, d).select(
+        val sheet = spreadRaw(Tables.orders(s, d), "o_orderkey").select(
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("Date_of_Visit"),
           col("o_orderkey").cast("long").as("Row_Index"))
         evalRules("orders.csv", sheet, Checks.date("Date_of_Visit", NoGate,
@@ -166,7 +175,7 @@ object ValidationOps {
     Q("q25_rule_id_pattern",
       (s, d) => {
         val base = format_string("%02d_%06d", col("c_nationkey"), col("c_custkey"))
-        val sheet = Tables.customer(s, d).select(
+        val sheet = spreadRaw(Tables.customer(s, d), "c_custkey").select(
           when(col("c_custkey") % 10 === 0, concat(lit("BAD"), base))
             .otherwise(base).as("Research_Participant_ID"),
           col("c_custkey").cast("long").as("Row_Index"))
@@ -233,7 +242,7 @@ object ValidationOps {
     // ---- compare_total_to_live cross-column check ----
     Q("q27_rule_total_live",
       (s, d) => {
-        val sheet = Tables.lineitem(s, d).select(
+        val sheet = spreadRaw(Tables.lineitem(s, d), "l_orderkey").select(
           col("l_quantity").cast("string").as("Total_Cells_Hemocytometer_Count"),
           (col("l_quantity") + when(col("l_linenumber") % 3 === 0, 1).otherwise(-1))
             .cast("string").as("Live_Cells_Hemocytometer_Count"),
@@ -254,7 +263,7 @@ object ValidationOps {
     // ---- check_for_dup_ids through the engine ----
     Q("q28_rule_dup_ids",
       (s, d) => {
-        val sheet = Tables.orders(s, d).select(
+        val sheet = spreadRaw(Tables.orders(s, d), "o_orderkey").select(
           col("o_custkey").cast("string").as("Research_Participant_ID"),
           col("o_orderkey").cast("long").as("Row_Index"))
         RuleEvaluator.dupIds("orders.csv", sheet, "Research_Participant_ID", 0)
@@ -327,7 +336,7 @@ object ValidationOps {
     // ---- compare_viability: banker's rounding (bround vs round_even) ----
     Q("q32_rule_viability",
       (s, d) => {
-        val sheet = Tables.lineitem(s, d).select(
+        val sheet = spreadRaw(Tables.lineitem(s, d), "l_orderkey").select(
           col("l_quantity").cast("string").as("Total_Cells_Hemocytometer_Count"),
           (col("l_linenumber") % 5 + 1).cast("string").as("Live_Cells_Hemocytometer_Count"),
           // half the rows carry the correctly-rounded viability, half are off
@@ -492,7 +501,8 @@ object ValidationOps {
     // ---- check_assay_special: referential miss after context join ----
     Q("q36_rule_assay_special",
       (s, d) => {
-        val li = Tables.lineitem(s, d).filter(col("l_orderkey") < 2000)
+        val li = spreadRaw(Tables.lineitem(s, d), "l_orderkey")
+          .filter(col("l_orderkey") < 2000)
         // context slice: only even part keys exist in the "valid" table
         val valid = Tables.part(s, d).filter(col("p_partkey") % 2 === 0)
           .select(col("p_partkey").as("Assay_ID"), col("p_name").as("Assay_Name"))
