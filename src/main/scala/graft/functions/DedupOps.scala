@@ -20,9 +20,14 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
-  /** Distinct (doc_id, word) pairs of a scoped documents table. */
+  /** Distinct (doc_id, word) pairs of a scoped documents table. The
+    * split/explode runs above a Spread of the raw docs: on a single-row-
+    * group source the shingle explosion would otherwise be serial in the
+    * scan stage (no-op when the scan already parallelizes).
+    */
   private def words(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+    graft.operators.Spread.byKey(docs, col("doc_id"))
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
 
   /** 9 portable minhashes: min(md5(j || ':' || word)) for j in 0..8,
     * computed as 9 aggregates in ONE groupBy (no per-hash pass).
@@ -115,7 +120,8 @@ object DedupOps {
     // ---- exact dedup: content-hash groupBy ----
     Q("q40_dedup_exact",
       (s, d) => {
-        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val docs = graft.operators.Spread.byKey(
+          Tables.documents(s, d).select("doc_id", "text"), col("doc_id"))
         // inject deterministic duplicates (10% of docs re-submitted under new ids)
         val dups = docs.filter(col("doc_id") % 10 === 0)
           .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
@@ -211,7 +217,8 @@ object DedupOps {
       (s, d) => {
         // 16-bit word hash from the first 4 hex nibbles of md5 (instr-based
         // nibble math keeps it bit-identical to the DuckDB oracle)
-        val tokens = Tables.documents(s, d)
+        val tokens = graft.operators.Spread.byKey(
+            Tables.documents(s, d), col("doc_id"))
           .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
           .withColumn("h16", expr(
             """(instr('0123456789abcdef', substr(md5(w),1,1))-1)*4096 +

@@ -100,7 +100,7 @@ object SimilarityOps {
     // ---- brute-force cosine top-k (ANN correctness baseline) ----
     Q("q45_cosine_topk",
       (s, d) => {
-        val e = withNorm(Tables.embeddings(s, d))
+        val e = withNorm(graft.operators.Spread.byKey(Tables.embeddings(s, d), col("vec_id")))
         cosineTopK(e.filter(col("vec_id") < 20), e, 5)
           .orderBy("qid", "rk")
       },
@@ -124,7 +124,7 @@ object SimilarityOps {
     // ---- embedding-cosine near-duplicate pairs ----
     Q("q44_embedding_neardup",
       (s, d) => {
-        val e = withNorm(Tables.embeddings(s, d)).filter(col("vec_id") < 300)
+        val e = withNorm(graft.operators.Spread.byKey(Tables.embeddings(s, d), col("vec_id"))).filter(col("vec_id") < 300)
         val a = e.select(col("vec_id").as("id1"), col("vec").as("v1"), col("norm").as("n1"))
         val b = e.select(col("vec_id").as("id2"), col("vec").as("v2"), col("norm").as("n2"))
         a.join(b, col("id1") < col("id2"))
@@ -149,7 +149,7 @@ object SimilarityOps {
     // ---- LSH-bucketed ANN (scale path; recall validated in tests) ----
     Q("q46_ann_lsh",
       (s, d) => {
-        val e = withNorm(Tables.embeddings(s, d))
+        val e = withNorm(graft.operators.Spread.byKey(Tables.embeddings(s, d), col("vec_id")))
         lshTopK(s, e.filter(col("vec_id") < 20), e, 5)
           .orderBy("qid", "rk")
       },
@@ -165,7 +165,7 @@ object SimilarityOps {
     // join replaces the full cross product with |probed cells| buckets. ----
     Q("q72_ann_ivf",
       (s, d) => {
-        val e = withNorm(Tables.embeddings(s, d))
+        val e = withNorm(graft.operators.Spread.byKey(Tables.embeddings(s, d), col("vec_id")))
         val cent = e.filter(col("vec_id") < 8)
           .select(col("vec_id").as("cid"), col("vec").as("cvec"),
             col("norm").as("cnorm"))

@@ -90,7 +90,8 @@ object TextOps {
       (s, d) => {
         // 5-char rolling windows -> md5 -> min per seed: a compact
         // winnowing-style content fingerprint robust to local edits
-        val windows = Tables.documents(s, d)
+        val windows = graft.operators.Spread.byKey(
+            Tables.documents(s, d), col("doc_id"))
           .select(col("doc_id"),
             explode(sequence(lit(1), greatest(length(col("text")) - 4, lit(1)))).as("i"),
             col("text"))
@@ -134,7 +135,8 @@ object TextOps {
     Q("q74_doc_pipeline",
       (s, d) => {
         val words = split(col("text"), " ")
-        val scored = Tables.documents(s, d).select(
+        val scored = graft.operators.Spread.byKey(
+            Tables.documents(s, d), col("doc_id")).select(
           col("doc_id"),
           size(words).as("n_tokens"),
           size(filter(words, w => w === "the" || w === "a" || w === "of"))
