@@ -15,14 +15,26 @@ object Tables {
   // metadata cache: a DataFrame is an immutable plan, so reusing it per
   // (session, path) skips the repeated file listing + schema read when many
   // queries touch the same tables (the catalog-cache every engine keeps);
-  // no row data is cached. Keyed WEAKLY by session so stopped sessions
-  // (per-spec sessions in the test suite) and their plans/file listings
-  // are GC-able; a rewritten dataset dir is picked up by any new session.
-  private val cache =
-    new java.util.WeakHashMap[SparkSession, java.util.HashMap[String, DataFrame]]()
+  // no row data is cached. Eviction is EXPLICIT, not GC-based: a weak map
+  // cannot work here because the cached DataFrames strongly reference their
+  // SparkSession (Dataset.sparkSession), i.e. the map values would pin the
+  // weak keys forever (the value-refers-to-key pitfall in the WeakHashMap
+  // javadoc). Instead, entries for STOPPED sessions are purged on every
+  // access (per-spec sessions in the test suite stop when done), and the
+  // map is LRU-bounded as a backstop for long-lived processes that churn
+  // live sessions. A rewritten dataset dir is picked up by any new session.
+  private val maxSessions = 8
+  private val cache = new java.util.LinkedHashMap[
+      SparkSession, java.util.HashMap[String, DataFrame]](16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[SparkSession, java.util.HashMap[String, DataFrame]])
+        : Boolean = size > maxSessions
+  }
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     cache.synchronized {
+      val it = cache.keySet().iterator()
+      while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
       val perSession = cache.computeIfAbsent(spark,
         _ => new java.util.HashMap[String, DataFrame]())
       perSession.computeIfAbsent(s"$dir/$name.parquet",

@@ -42,6 +42,36 @@ object SimilarityOps {
       .select(col("qid"), col("vec_id"), col("cosine"), col("rk"))
   }
 
+  /** Deterministic sign-hyperplane weights: +1/-1 from md5 parity — no RNG
+    * state to ship to executors, and reproducible across engines (the same
+    * parity is computable in SQL from `md5('t:b:i')`).
+    */
+  def signPlanes(nTables: Int, bitsPerTable: Int,
+      dims: Int = 64): Seq[Seq[Seq[Double]]] =
+    (0 until nTables).map { t =>
+      (0 until bitsPerTable).map { b =>
+        (0 until dims).map { i =>
+          val hex = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"$t:$b:$i".getBytes("UTF-8"))
+          if ((hex(0) & 1) == 0) 1.0 else -1.0
+        }
+      }
+    }
+
+  /** Explode `df` (with a `vec` column) into one row per hash table with
+    * that table's bucket id. Plane weights are literal arrays folded into
+    * the plan: bucketing is a pure narrow map (codegen'd), no join and no
+    * shuffle — the scan-side cost is one pass regardless of nTables.
+    */
+  def withBuckets(df: DataFrame, nTables: Int, bitsPerTable: Int): DataFrame = {
+    val tableBuckets = signPlanes(nTables, bitsPerTable).map { table =>
+      table.zipWithIndex.map { case (ws, b) =>
+        when(dot(col("vec"), array(ws.map(lit): _*)) > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    df.select(col("*"), posexplode(array(tableBuckets: _*)).as(Seq("t", "bucket")))
+  }
+
   /** Multi-table sign-LSH ANN: `nTables` independent hash tables of
     * `bitsPerTable` deterministic hyperplanes each (md5-parity weights — no
     * RNG state to ship). A base vector is a candidate for a query if they
@@ -52,29 +82,9 @@ object SimilarityOps {
     */
   def lshTopK(spark: SparkSession, queries: DataFrame, base: DataFrame,
       k: Int, nTables: Int = 4, bitsPerTable: Int = 4): DataFrame = {
-    val dims = 64
-    // plane weights: +1/-1 from md5 parity — deterministic, no RNG state
-    val planes: Seq[Seq[Seq[Double]]] = (0 until nTables).map { t =>
-      (0 until bitsPerTable).map { b =>
-        (0 until dims).map { i =>
-          val hex = java.security.MessageDigest.getInstance("MD5")
-            .digest(s"$t:$b:$i".getBytes("UTF-8"))
-          if ((hex(0) & 1) == 0) 1.0 else -1.0
-        }
-      }
-    }
-    // plane weights are literal arrays folded into the plan: bucketing is a
-    // pure narrow map (codegen'd), no join and no shuffle
-    def withBuckets(df: DataFrame): DataFrame = {
-      val tableBuckets = planes.map { table =>
-        table.zipWithIndex.map { case (ws, b) =>
-          when(dot(col("vec"), array(ws.map(lit): _*)) > 0, lit(1L << b)).otherwise(lit(0L))
-        }.reduce(_ + _)
-      }
-      df.select(col("*"), posexplode(array(tableBuckets: _*)).as(Seq("t", "bucket")))
-    }
-    val qb = withBuckets(queries).select(col("vec_id").as("qid"), col("t"), col("bucket"))
-    val candidates = withBuckets(base.select("vec_id", "vec"))
+    val qb = withBuckets(queries, nTables, bitsPerTable)
+      .select(col("vec_id").as("qid"), col("t"), col("bucket"))
+    val candidates = withBuckets(base.select("vec_id", "vec"), nTables, bitsPerTable)
       .select("vec_id", "t", "bucket")
       .join(broadcast(qb), Seq("t", "bucket"))
       .select("qid", "vec_id").distinct()
@@ -88,6 +98,41 @@ object SimilarityOps {
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("qid"), col("vec_id"), col("cosine"), col("rk"))
+  }
+
+  /** Embedding-cosine near-duplicate PAIRS with LSH-bucketed candidate
+    * generation: two vectors are compared only if they share a bucket in
+    * at least one hash table — an equi-join on (table, bucket) — then every
+    * candidate pair is scored EXACTLY and thresholded. The all-pairs
+    * cross-product form (the DuckDB oracle for q44) is the correctness
+    * baseline; this is the shape that survives 100 TB, where a
+    * BroadcastNestedLoopJoin over the corpus is the textbook scale-killer.
+    *
+    * Recall: a pair at cosine >= `threshold` collides in one table with
+    * probability (1 - acos(cos)/pi)^bitsPerTable; with the defaults
+    * (2 bits, 16 tables) a worst-case pair at 0.35 is missed with
+    * probability (1 - 0.614^2)^16 ~ 5e-4. The planes are deterministic, so
+    * recall is a fixed property of the dataset, pinned by the spec that
+    * compares this operator against the exact baseline.
+    */
+  def neardupPairs(e: DataFrame, threshold: Double,
+      nTables: Int = 16, bitsPerTable: Int = 2): DataFrame = {
+    val b = withBuckets(e.select(col("vec_id"), col("vec")), nTables, bitsPerTable)
+      .select(col("t"), col("bucket"), col("vec_id"))
+    val candidates = b.select(col("t"), col("bucket"), col("vec_id").as("id1"))
+      .join(b.select(col("t"), col("bucket"), col("vec_id").as("id2")),
+        Seq("t", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    candidates
+      .join(e.select(col("vec_id").as("id1"), col("vec").as("v1"),
+        col("norm").as("n1")), Seq("id1"))
+      .join(e.select(col("vec_id").as("id2"), col("vec").as("v2"),
+        col("norm").as("n2")), Seq("id2"))
+      .withColumn("cosine", round(dot(col("v1"), col("v2")) /
+        (col("n1") * col("n2")), 6))
+      .filter(col("cosine") >= threshold)
+      .select("id1", "id2", "cosine")
   }
 
   private val normCte =
@@ -121,17 +166,15 @@ object SimilarityOps {
               |ORDER BY qid, rk""".stripMargin),
       "pipeline-op: brute-force cosine top-k (zip_with/aggregate dot product)"),
 
-    // ---- embedding-cosine near-duplicate pairs ----
+    // ---- embedding-cosine near-duplicate pairs (LSH-bucketed candidates,
+    // exact scoring; oracle below is the exact all-pairs form). The
+    // vec_id scope is applied BEFORE anything else so the tiny filtered
+    // input pays no exchange (the corpus-scale pipeline shape is identical,
+    // just without the scope filter). ----
     Q("q44_embedding_neardup",
       (s, d) => {
-        val e = withNorm(graft.operators.Spread.byKey(Tables.embeddings(s, d), col("vec_id"))).filter(col("vec_id") < 300)
-        val a = e.select(col("vec_id").as("id1"), col("vec").as("v1"), col("norm").as("n1"))
-        val b = e.select(col("vec_id").as("id2"), col("vec").as("v2"), col("norm").as("n2"))
-        a.join(b, col("id1") < col("id2"))
-          .withColumn("cosine", round(dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6))
-          .filter(col("cosine") >= 0.35)
-          .select("id1", "id2", "cosine")
-          .orderBy("id1", "id2")
+        val e = withNorm(Tables.embeddings(s, d).filter(col("vec_id") < 300))
+        neardupPairs(e, 0.35).orderBy("id1", "id2")
       },
       Some(s"""WITH $normCte,
               |dots AS (SELECT a.vec_id AS id1, b.vec_id AS id2,

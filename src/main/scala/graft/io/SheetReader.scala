@@ -40,11 +40,22 @@ object SheetReader {
     */
   def readMany(spark: SparkSession, paths: Seq[String]): Option[DataFrame] =
     if (paths.isEmpty) None
-    else Some(paths.map(p => read(spark, p)).reduce { (acc, next) =>
-      val offset = acc.count() // rows so far; files are few, counts cached scans
-      acc.unionByName(next.withColumn("Row_Index",
-        org.apache.spark.sql.functions.col("Row_Index") + offset))
-    })
+    else {
+      // one count per FILE with a running scalar offset — counting the
+      // accumulated union instead would rescan file 1 for every later file
+      // (O(files^2) scans)
+      var offset = 0L
+      val shifted = paths.map { p =>
+        val df = read(spark, p)
+        val out =
+          if (offset == 0L) df
+          else df.withColumn("Row_Index",
+            org.apache.spark.sql.functions.col("Row_Index") + offset)
+        offset += df.count()
+        out
+      }
+      Some(shifted.reduce(_ unionByName _))
+    }
 
   /** Drop pandas-style unnamed columns: blank headers surface as `_cN` in
     * Spark and `Unnamed: N` in pandas.

@@ -1,16 +1,19 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** Redistributes a CPU-heavy pipeline's input when the source's natural
   * splits under-parallelize it.
   *
-  * Spark parallelizes a file scan by row-group: a table written as a single
-  * parquet row-group yields exactly ONE input partition no matter how many
-  * cores the cluster has, and every expression evaluated in the scan stage
-  * (cell-type parsing, hashing, vector math) runs serially. That is the
-  * shape of the harness testdata (one file, one row-group per table) and of
-  * any real dataset with oversized row-groups or a few huge gzip'd files.
+  * Spark parallelizes a file scan by split: a table written as a single
+  * small parquet file yields a handful of input partitions no matter how
+  * many cores the cluster has, and every expression evaluated in the scan
+  * stage (cell-type parsing, hashing, vector math) runs nearly serially.
+  * That is the shape of the harness testdata (one file, one row-group per
+  * table) and of any real dataset with oversized row-groups or a few huge
+  * gzip'd files.
   *
   * The fix is one hash repartition on the pipeline's key BEFORE the heavy
   * projection: the scan stage then only reads and shuffles raw bytes, and
@@ -19,32 +22,82 @@ import org.apache.spark.sql.{Column, DataFrame}
   * deterministic without round-robin's defensive per-partition sort, and
   * downstream aggregations on the same key reuse the partitioning.
   *
-  * At 100 TB the guard makes this a no-op: a large table already scans as
-  * thousands of splits (`df.rdd.getNumPartitions >= target`), so no extra
-  * shuffle is introduced. It only fires on degenerate low-split inputs —
-  * exactly when one executor would otherwise do all the work.
+  * At 100 TB the guard makes this a no-op: a large table scans as
+  * thousands of splits, so no extra shuffle is introduced. It only fires
+  * on degenerate low-split inputs — exactly when one executor would
+  * otherwise do all the work.
   */
 object Spread {
 
-  /** `df` hash-partitioned on `key` if its current plan has fewer input
-    * partitions than the cluster's default parallelism; `df` unchanged
+  /** `df` hash-partitioned on `key` if its scan would produce fewer input
+    * splits than the cluster's default parallelism; `df` unchanged
     * otherwise (including streaming frames, whose partitioning the
     * micro-batch engine owns).
     *
-    * `minBytes` gates out inputs too small to amortize an exchange: below
-    * ~1 MB the shuffle set-up costs more than the serial compute it saves
-    * (measured: spreading a 0.6 MB / 5k-row table regressed every query
-    * that touched it, while 2-10 MB tables gained 20-40%). Both thresholds
-    * derive from the plan, so the same call sites adapt from laptop SF to
-    * a 1000-executor cluster, where large tables scan as thousands of
-    * splits and this is a no-op.
+    * Both gates are derived purely from SCAN METADATA — the file index's
+    * byte size and the session's split-size config — on the already-built
+    * analyzed plan. Query construction therefore never triggers
+    * optimization, physical planning, or (the AQE foot-gun) `.rdd`, which
+    * on a plan containing an exchange eagerly EXECUTES the upstream shuffle
+    * stages at build time. [[graft.SpreadSpec]] asserts zero Spark jobs run
+    * during construction.
+    *
+    * Decision table, in order:
+    *  - streaming input → unchanged (micro-batch engine owns partitioning);
+    *  - plan already contains a `RepartitionByExpression` → unchanged: any
+    *    prior keyed repartition already broke the scan-stage serialization
+    *    this operator exists to fix, and a second exchange would double
+    *    shuffle work (the round-3 double-spread in rule evaluation);
+    *  - no file-backed relation in the plan (in-memory test frames,
+    *    literals) → unchanged: such inputs are small by construction here;
+    *  - total file bytes < `minBytes` → unchanged: below ~1 MB the shuffle
+    *    set-up costs more than the serial compute it saves (measured:
+    *    spreading a 0.6 MB / 5k-row table regressed every query that
+    *    touched it, while 2-10 MB tables gained 20-40%);
+    *  - estimated scan splits >= default parallelism → unchanged (the
+    *    100 TB no-op path);
+    *  - otherwise → one hash repartition on `key` to default parallelism.
+    *
+    * The split estimate mirrors `FilePartition.maxSplitBytes`: splits ≈
+    * bytes / min(maxPartitionBytes, max(openCostInBytes, bytes/cores)).
+    * It intentionally ignores per-file boundaries — many small files
+    * produce MORE splits than the estimate, never fewer, so the gate can
+    * only err toward spreading, and only on inputs small enough that the
+    * extra exchange is cheap.
+    *
+    * Call this directly above a scan (optionally with narrow maps/filters
+    * between). The size gate reads the UNFILTERED file size, so apply it
+    * to the large corpus side of a pipeline, not to a selectively-filtered
+    * side — filters placed upstream of the returned frame are pushed below
+    * the exchange by Catalyst and would pay a pointless (if tiny) shuffle.
     */
   def byKey(df: DataFrame, key: Column,
       minBytes: Long = 1L << 20): DataFrame = {
     if (df.isStreaming) return df
-    if (df.queryExecution.optimizedPlan.stats.sizeInBytes < minBytes) return df
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df
+    val plan = df.queryExecution.analyzed // analysis already done eagerly
+    val alreadyKeyed = plan.exists {
+      case _: RepartitionByExpression => true
+      case _ => false
+    }
+    if (alreadyKeyed) return df
+    val relations = plan.collect {
+      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+        lr.relation.asInstanceOf[HadoopFsRelation]
+    }
+    if (relations.isEmpty) return df
+    val bytes = relations.map(_.location.sizeInBytes).sum
+    if (bytes < minBytes) return df
+    val sess = df.sparkSession
+    val target = sess.sparkContext.defaultParallelism
+    def bytesConf(k: String, dflt: String): Long =
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        sess.conf.get(k, dflt))
+    val maxSplit = math.min(
+      bytesConf("spark.sql.files.maxPartitionBytes", "128MB"),
+      math.max(bytesConf("spark.sql.files.openCostInBytes", "4MB"),
+        bytes / math.max(1, target)))
+    val estSplits = math.ceil(bytes.toDouble / math.max(1L, maxSplit)).toLong
+    if (estSplits >= target) df
     else df.repartition(target, key)
   }
 }

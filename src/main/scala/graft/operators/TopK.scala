@@ -32,10 +32,20 @@ object TopK {
       private def order(e: Entry): (Double, Long) = (-e.value, e.id)
       private def trim(s: Seq[Entry]): Seq[Entry] = s.sortBy(order).take(k)
       override def zero: Wrap = Wrap(Seq.empty)
-      override def reduce(b: Wrap, x: (String, Double, Long)): Wrap =
-        Wrap(trim(b.entries :+ Entry(x._2, x._3)))
+      // Deferred trim: append until the buffer holds 2k entries, then sort
+      // once and keep the best k — one O(k log k) sort per k appends
+      // (amortized O(log k)/row) instead of re-sorting the whole buffer on
+      // EVERY row. Discarding down to the best k seen is lossless: the k
+      // survivors dominate everything dropped, so no dropped entry can
+      // reappear in the final top-k.
+      override def reduce(b: Wrap, x: (String, Double, Long)): Wrap = {
+        val grown = b.entries :+ Entry(x._2, x._3)
+        Wrap(if (grown.size >= 2 * k) trim(grown) else grown)
+      }
       override def merge(a: Wrap, b: Wrap): Wrap = Wrap(trim(a.entries ++ b.entries))
-      override def finish(r: Wrap): Wrap = r
+      // the buffer is unsorted between deferred trims — sort exactly once
+      // here so downstream posexplode order IS the rank
+      override def finish(r: Wrap): Wrap = Wrap(trim(r.entries))
       override def bufferEncoder: Encoder[Wrap] = Encoders.product[Wrap]
       override def outputEncoder: Encoder[Wrap] = Encoders.product[Wrap]
     }

@@ -64,6 +64,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("near-dup pair generation is bucketed, not all-pairs") {
+    val df = QueryRegistry.queries("q44_embedding_neardup")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("no query plans an unintended CartesianProduct") {
     val offenders = QueryRegistry.all.flatMap { q =>
       val p = q.fn(spark, sf).queryExecution.executedPlan.toString
