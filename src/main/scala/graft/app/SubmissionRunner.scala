@@ -26,7 +26,11 @@ object SubmissionRunner {
       declaredParticipants: Option[Long] = None,
       declaredBiospecimens: Option[Long] = None,
       expectedColumns: Map[String, Seq[String]] = Map.empty,
-      icdExists: Column => Column = c => lit(false),
+      // default: the bundled public CMS ICD-10-CM catalog (~94k codes) —
+      // a reference user gets working check_icd10 out of the box; inject
+      // a broadcast-backed existsFn (IcdCatalog.existsFn) or a custom set
+      // to override
+      icdExists: Column => Column = graft.io.IcdCatalog.existsColumn,
       contextFallback: String => Option[DataFrame] = _ => None)
 
   final case class Result(

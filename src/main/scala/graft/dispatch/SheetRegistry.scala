@@ -30,14 +30,20 @@ object SheetRegistry {
 
   /** INFORMATION_SCHEMA.COLUMNS of the validated DB over JDBC — the
     * production catalog source (check_col_names,
-    * File_Submission_Object.py:55-58). Zero-egress environments pass a
-    * static frame to [[expectedColumns]] instead.
+    * File_Submission_Object.py:55-58). `catalogSql` overrides the MySQL
+    * default for engines that expose their catalog differently (e.g.
+    * Derby's SYS schema, which the JdbcPathSpec uses to exercise this
+    * exact read end-to-end in-process); either way the result is the
+    * (TABLE_NAME, COLUMN_NAME) frame [[expectedColumns]] consumes.
     */
   def informationSchema(spark: SparkSession, jdbcUrl: String, dbName: String,
-      props: java.util.Properties): DataFrame =
-    spark.read.jdbc(jdbcUrl,
-      s"(SELECT TABLE_NAME, COLUMN_NAME FROM INFORMATION_SCHEMA.COLUMNS " +
-        s"WHERE TABLE_SCHEMA = '$dbName') t", props)
+      props: java.util.Properties,
+      catalogSql: Option[String] = None): DataFrame = {
+    val sql = catalogSql.getOrElse(
+      s"SELECT TABLE_NAME, COLUMN_NAME FROM INFORMATION_SCHEMA.COLUMNS " +
+        s"WHERE TABLE_SCHEMA = '$dbName'")
+    spark.read.jdbc(jdbcUrl, s"($sql) t", props)
+  }
 
   /** Expected column set per sheet from a (TABLE_NAME, COLUMN_NAME) frame,
     * preserving catalog order per table.

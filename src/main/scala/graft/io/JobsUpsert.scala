@@ -14,6 +14,17 @@ import java.sql.Connection
   */
 object JobsUpsert {
 
+  /** Identifier quoting + scalar-user query differ per engine: MySQL is
+    * the production target (reference parity); Ansi lets the upsert run
+    * unchanged against any standards-quoting store (embedded Derby in
+    * JdbcPathSpec, exercising the real statement flow with zero egress).
+    */
+  final case class SqlDialect(quote: String => String, currentUserSql: String)
+  object SqlDialect {
+    val MySql: SqlDialect = SqlDialect(c => s"`$c`", "select current_user()")
+    val Ansi: SqlDialect = SqlDialect(c => "\"" + c + "\"", "VALUES CURRENT_USER")
+  }
+
   final case class JobRow(
       origFileId: String,
       resultLocation: String,
@@ -27,11 +38,13 @@ object JobsUpsert {
     "unzipped_file_id", "data_validation_notification_arn",
     "data_validation_status", "batch_validation_status", "data_validation_updatedby")
 
-  def upsert(conn: Connection, rows: Seq[JobRow]): Unit = {
+  def upsert(conn: Connection, rows: Seq[JobRow],
+      dialect: SqlDialect = SqlDialect.MySql): Unit = {
+    import dialect.quote
     val user = {
       val st = conn.createStatement()
       try {
-        val rs = st.executeQuery("select current_user()")
+        val rs = st.executeQuery(dialect.currentUserSql)
         if (rs.next()) rs.getString(1) else "unknown"
       } finally st.close()
     }
@@ -41,7 +54,7 @@ object JobsUpsert {
         r.status.batchStatus, user)
       val existing = {
         val ps = conn.prepareStatement(
-          "SELECT 1 FROM table_data_validator WHERE unzipped_file_id = ?")
+          s"SELECT 1 FROM ${quote("table_data_validator")} WHERE ${quote("unzipped_file_id")} = ?")
         try {
           ps.setString(1, r.unzippedFileId)
           val rs = ps.executeQuery()
@@ -49,9 +62,9 @@ object JobsUpsert {
         } finally ps.close()
       }
       if (existing) {
-        val sets = columns.map(c => s"`$c` = ?").mkString(", ")
+        val sets = columns.map(c => s"${quote(c)} = ?").mkString(", ")
         val ps = conn.prepareStatement(
-          s"UPDATE `table_data_validator` SET $sets WHERE unzipped_file_id = ?")
+          s"UPDATE ${quote("table_data_validator")} SET $sets WHERE ${quote("unzipped_file_id")} = ?")
         try {
           values.zipWithIndex.foreach { case (v, i) => ps.setString(i + 1, v) }
           ps.setString(values.size + 1, r.unzippedFileId)
@@ -59,7 +72,7 @@ object JobsUpsert {
         } finally ps.close()
       } else {
         val ps = conn.prepareStatement(
-          s"INSERT INTO `table_data_validator` (${columns.map(c => s"`$c`").mkString(",")}) " +
+          s"INSERT INTO ${quote("table_data_validator")} (${columns.map(quote).mkString(",")}) " +
             s"VALUES (${columns.map(_ => "?").mkString(",")})")
         try {
           values.zipWithIndex.foreach { case (v, i) => ps.setString(i + 1, v) }
@@ -67,7 +80,7 @@ object JobsUpsert {
         } finally ps.close()
       }
       val ps = conn.prepareStatement(
-        "UPDATE `table_file_validator` SET file_validation_status = ? WHERE unzipped_file_id = ?")
+        s"UPDATE ${quote("table_file_validator")} SET ${quote("file_validation_status")} = ? WHERE ${quote("unzipped_file_id")} = ?")
       try {
         ps.setString(1, r.status.status)
         ps.setString(2, r.unzippedFileId)

@@ -53,6 +53,31 @@ class CatalogSpec extends AnyFunSuite {
     assert(errs2 == Set("ZZZ"))
   }
 
+  test("bundled CMS ICD-10-CM catalog: real codes, dot-stripping, edge cases") {
+    // the full public dataset, same content the reference's vendored
+    // icd10-cm-0.0.4 package loads
+    assert(IcdCatalog.bundled.size > 90000)
+    // golden lookups
+    assert(IcdCatalog.exists("E11.9"))   // dotted billable diabetes code
+    assert(IcdCatalog.exists("E119"))    // dotless form resolves identically
+    assert(IcdCatalog.exists("A00"))     // 3-char category code
+    assert(IcdCatalog.billable("E11.9"))
+    assert(!IcdCatalog.billable("E11"))  // category header, not billable
+    assert(IcdCatalog.find("A000").exists(_.description.contains("Cholera")))
+    // edge cases
+    assert(!IcdCatalog.exists(""))
+    assert(!IcdCatalog.exists(null))
+    assert(!IcdCatalog.exists("NOPE99"))
+
+    // engine-level: the default-config rule validates against the real set
+    val sheet = SheetReader.fromRows(spark, Seq("Other_Comorbidity"),
+      Seq(Seq("E11.9"), Seq("A00"), Seq("ZZ9.99"), Seq("N/A"), Seq("")))
+    val errs = RuleEvaluator.dedupFirst(RuleEvaluator.evaluate("demographic.csv",
+      sheet, Seq(Checks.icd10("Other_Comorbidity", IcdCatalog.existsColumn))))
+      .select("Column_Value").collect().map(_.getString(0)).toSet
+    assert(errs == Set("ZZ9.99"))
+  }
+
   test("readMany concatenates files with continuous Row_Index") {
     val dir = Files.createTempDirectory("graft-many").toString
     Files.writeString(Paths.get(dir, "a.csv"), "X\n1\n2\n")
