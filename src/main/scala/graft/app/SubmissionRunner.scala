@@ -26,11 +26,12 @@ object SubmissionRunner {
       declaredParticipants: Option[Long] = None,
       declaredBiospecimens: Option[Long] = None,
       expectedColumns: Map[String, Seq[String]] = Map.empty,
-      // default: the bundled public CMS ICD-10-CM catalog (~94k codes) —
-      // a reference user gets working check_icd10 out of the box; inject
-      // a broadcast-backed existsFn (IcdCatalog.existsFn) or a custom set
-      // to override
-      icdExists: Column => Column = graft.io.IcdCatalog.existsColumn,
+      // default (None): the bundled public CMS ICD-10-CM catalog (~94k
+      // codes) via a broadcast-backed IcdCatalog.existsFn resolved against
+      // the session inside validate() — a reference user gets working
+      // check_icd10 out of the box; inject a custom membership fn to
+      // override
+      icdExists: Option[Column => Column] = None,
       contextFallback: String => Option[DataFrame] = _ => None)
 
   final case class Result(
@@ -64,11 +65,12 @@ object SubmissionRunner {
 
     // reference iterates Data_Object_Table in insertion order; we pin
     // alphabetical order (deterministic under any map implementation)
+    val icdExists = cfg.icdExists.getOrElse(graft.io.IcdCatalog.existsFn(spark))
     sheets.toSeq.sortBy(_._1).foreach { case (name, df) =>
       if (!skippedSheets.contains(name)) {
         val (merged, dropList) = MergeTables.merge(name, df, sheets, cfg.contextFallback)
         val plan = SheetCatalog.plan(name, merged.columns.filterNot(_ == "Row_Index").toSeq,
-          dropList, cfg.cbcId, cfg.asOf, cfg.icdExists)
+          dropList, cfg.cbcId, cfg.asOf, icdExists)
         perSheet += RuleEvaluator.evaluate(name, merged, plan.rowRules, seqBase)
         seqBase += plan.rowRules.size
         plan.dupIdColumns.foreach { c =>

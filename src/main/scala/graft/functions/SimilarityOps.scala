@@ -108,23 +108,26 @@ object SimilarityOps {
     * baseline; this is the shape that survives 100 TB, where a
     * BroadcastNestedLoopJoin over the corpus is the textbook scale-killer.
     *
-    * Recall: a pair at cosine >= `threshold` collides in one table with
-    * probability (1 - acos(cos)/pi)^bitsPerTable; with the defaults
-    * (2 bits, 16 tables) a worst-case pair at 0.35 is missed with
-    * probability (1 - 0.614^2)^16 ~ 5e-4. The planes are deterministic, so
-    * recall is a fixed property of the dataset, pinned by the spec that
-    * compares this operator against the exact baseline.
+    * The parameters must bound BOTH error directions, not just misses:
+    *  - recall: a pair at cosine c collides in one table with probability
+    *    p1(c) = (1 - acos(c)/pi)^bitsPerTable, so the miss probability is
+    *    (1 - p1(c))^nTables. With the defaults (10 bits, 32 tables):
+    *    miss(0.995) ~ 1e-18, miss(0.95) ~ 1.4e-6, miss(0.9) ~ 4.8e-4,
+    *    miss(0.85) ~ 7e-3, miss(0.8) ~ 3.3e-2.
+    *  - candidate rate: an UNRELATED pair (cosine ~ 0, p1 = 2^-bits) is a
+    *    candidate with probability 1 - (1 - 2^-bits)^nTables ~ 3.1% — the
+    *    fraction of the n^2/2 cross product that survives to exact scoring.
+    *    (The former 2-bit default made this ~99%: the bucketing pruned
+    *    nothing and the operator was all-pairs in disguise.)
+    * So the defaults target true near-duplicates (cosine >= 0.85) with
+    * <= 1% miss while pruning ~97% of random pairs. The planes are
+    * deterministic, so both rates are fixed properties of a dataset;
+    * [[graft.StreamingAndSimilaritySpec]] pins the candidate-rate bound
+    * and exact agreement with the brute-force baseline on the q44 corpus.
     */
   def neardupPairs(e: DataFrame, threshold: Double,
-      nTables: Int = 16, bitsPerTable: Int = 2): DataFrame = {
-    val b = withBuckets(e.select(col("vec_id"), col("vec")), nTables, bitsPerTable)
-      .select(col("t"), col("bucket"), col("vec_id"))
-    val candidates = b.select(col("t"), col("bucket"), col("vec_id").as("id1"))
-      .join(b.select(col("t"), col("bucket"), col("vec_id").as("id2")),
-        Seq("t", "bucket"))
-      .filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
-    candidates
+      nTables: Int = 32, bitsPerTable: Int = 10): DataFrame =
+    neardupCandidates(e, nTables, bitsPerTable)
       .join(e.select(col("vec_id").as("id1"), col("vec").as("v1"),
         col("norm").as("n1")), Seq("id1"))
       .join(e.select(col("vec_id").as("id2"), col("vec").as("v2"),
@@ -133,6 +136,36 @@ object SimilarityOps {
         (col("n1") * col("n2")), 6))
       .filter(col("cosine") >= threshold)
       .select("id1", "id2", "cosine")
+
+  /** `base` (vec_id, embedding) plus one planted near-duplicate per row:
+    * every dimension scaled by 1.1 (even 0-based dims) or 0.9 (odd dims).
+    * The perturbation is ~orthogonal to any vector, so each planted copy
+    * sits at cosine ~ 1/sqrt(1.01) ~ 0.995 from its source while cross
+    * pairs keep their (near-orthogonal) similarity — a deterministic
+    * near-dup workload both engines can construct with identical double
+    * arithmetic (no float round-trip).
+    */
+  def withPlantedDups(base: DataFrame, idOffset: Long = 100000L): DataFrame = {
+    val b = base.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    b.unionByName(b.select((col("vec_id") + idOffset).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        x * when(i % 2 === 0, lit(1.1)).otherwise(lit(0.9))).as("embedding")))
+  }
+
+  /** The surviving (id1 < id2) candidate pairs under the banded bucket
+    * join — the pruning stage of [[neardupPairs]], exposed so the
+    * candidate-rate bound (candidates / all pairs) is directly testable.
+    */
+  def neardupCandidates(e: DataFrame,
+      nTables: Int, bitsPerTable: Int): DataFrame = {
+    val b = withBuckets(e.select(col("vec_id"), col("vec")), nTables, bitsPerTable)
+      .select(col("t"), col("bucket"), col("vec_id"))
+    b.select(col("t"), col("bucket"), col("vec_id").as("id1"))
+      .join(b.select(col("t"), col("bucket"), col("vec_id").as("id2")),
+        Seq("t", "bucket"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
   }
 
   private val normCte =
@@ -167,36 +200,90 @@ object SimilarityOps {
       "pipeline-op: brute-force cosine top-k (zip_with/aggregate dot product)"),
 
     // ---- embedding-cosine near-duplicate pairs (LSH-bucketed candidates,
-    // exact scoring; oracle below is the exact all-pairs form). The
-    // vec_id scope is applied BEFORE anything else so the tiny filtered
-    // input pays no exchange (the corpus-scale pipeline shape is identical,
-    // just without the scope filter). ----
+    // exact scoring; oracle below is the exact all-pairs form over the
+    // SAME constructed corpus). The harness embeddings are near-orthogonal
+    // random vectors (max natural pairwise cosine ~ 0.46), so a realistic
+    // near-dup threshold would match nothing; the corpus therefore PLANTS
+    // one deterministic near-duplicate per base vector — every dimension
+    // scaled by 1.1 (even 0-based dims) or 0.9 (odd dims), giving cosine
+    // ~ 0.995 against its source for any input vector (the perturbation is
+    // ~orthogonal to the vector, so cos ~ 1/sqrt(1.01)) while leaving
+    // cross pairs far below threshold. Both engines build the planted set
+    // with the same double arithmetic, so the exact oracle still applies.
+    // The vec_id scope is applied BEFORE anything else so the tiny
+    // filtered input pays no exchange (the corpus-scale pipeline shape is
+    // identical, just without the scope filter). ----
     Q("q44_embedding_neardup",
       (s, d) => {
-        val e = withNorm(Tables.embeddings(s, d).filter(col("vec_id") < 300))
-        neardupPairs(e, 0.35).orderBy("id1", "id2")
+        val e = withNorm(withPlantedDups(
+          Tables.embeddings(s, d).filter(col("vec_id") < 300)))
+        neardupPairs(e, 0.8).orderBy("id1", "id2")
       },
-      Some(s"""WITH $normCte,
-              |dots AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
-              |  SUM(CAST(a.embedding[i.range] AS DOUBLE) * CAST(b.embedding[i.range] AS DOUBLE)) AS dot
-              |  FROM embeddings a, embeddings b, range(1,65) i
-              |  WHERE a.vec_id < 300 AND b.vec_id < 300 AND a.vec_id < b.vec_id
+      Some("""WITH cells AS (
+              |  SELECT vec_id, i.range AS i, CAST(embedding[i.range] AS DOUBLE) AS x
+              |  FROM embeddings, range(1,65) i WHERE vec_id < 300
+              |  UNION ALL
+              |  SELECT vec_id + 100000, i.range, CAST(embedding[i.range] AS DOUBLE)
+              |    * (CASE WHEN (i.range - 1) % 2 = 0 THEN 1.1 ELSE 0.9 END)
+              |  FROM embeddings, range(1,65) i WHERE vec_id < 300),
+              |norms AS (SELECT vec_id, sqrt(SUM(x * x)) AS norm
+              |  FROM cells GROUP BY vec_id),
+              |dots AS (SELECT a.vec_id AS id1, b.vec_id AS id2, SUM(a.x * b.x) AS dot
+              |  FROM cells a JOIN cells b ON a.i = b.i AND a.vec_id < b.vec_id
               |  GROUP BY a.vec_id, b.vec_id)
               |SELECT id1, id2, round(dot / (n1.norm * n2.norm), 6) AS cosine
               |FROM dots JOIN norms n1 ON n1.vec_id = id1
               |JOIN norms n2 ON n2.vec_id = id2
-              |WHERE round(dot / (n1.norm * n2.norm), 6) >= 0.35
+              |WHERE round(dot / (n1.norm * n2.norm), 6) >= 0.8
               |ORDER BY id1, id2""".stripMargin),
-      "pipeline-op: embedding-cosine near-dup pair detection"),
+      "pipeline-op: embedding-cosine near-dup pair detection (planted dups)"),
 
-    // ---- LSH-bucketed ANN (scale path; recall validated in tests) ----
+    // ---- LSH-bucketed ANN (scale path; recall validated in tests).
+    // Full oracle: the md5-parity planes are deterministic and
+    // SQL-expressible — weight(t,b,dim) = +1 iff the first byte of
+    // md5("t:b:dim") is even, i.e. iff the digest's SECOND hex nibble is
+    // even (the low bit of a byte lives in its low nibble). DuckDB
+    // recomputes the identical buckets, candidate join and exact scoring,
+    // so the compare is a full row/schema/hash match, not rows-only. ----
     Q("q46_ann_lsh",
       (s, d) => {
         val e = withNorm(graft.operators.Spread.byKey(Tables.embeddings(s, d), col("vec_id")))
         lshTopK(s, e.filter(col("vec_id") < 20), e, 5)
           .orderBy("qid", "rk")
       },
-      None, // hash-seeded bucketing: rows-only check; recall vs brute force is spec-tested
+      Some(s"""WITH $normCte,
+              |planes AS (SELECT t.range AS t, b.range AS b, d.range AS d,
+              |  CASE WHEN (instr('0123456789abcdef', substr(
+              |      md5(t.range || ':' || b.range || ':' || (d.range - 1)), 2, 1)) - 1)
+              |      % 2 = 0
+              |    THEN 1.0 ELSE -1.0 END AS w
+              |  FROM range(0,4) t, range(0,4) b, range(1,65) d),
+              |bitdots AS (SELECT e.vec_id, p.t, p.b,
+              |    SUM(CAST(e.embedding[p.d] AS DOUBLE) * p.w) AS dot
+              |  FROM embeddings e, planes p
+              |  GROUP BY e.vec_id, p.t, p.b),
+              |buckets AS (SELECT vec_id, t,
+              |    CAST(SUM(CASE WHEN dot > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS bucket
+              |  FROM bitdots GROUP BY vec_id, t),
+              |cand AS (SELECT DISTINCT qb.vec_id AS qid, bb.vec_id
+              |  FROM buckets qb JOIN buckets bb
+              |    ON qb.t = bb.t AND qb.bucket = bb.bucket
+              |  WHERE qb.vec_id < 20),
+              |dots AS (SELECT qid, cand.vec_id,
+              |    SUM(CAST(q.embedding[i.range] AS DOUBLE)
+              |      * CAST(e.embedding[i.range] AS DOUBLE)) AS dot
+              |  FROM cand JOIN embeddings q ON q.vec_id = qid
+              |  JOIN embeddings e ON e.vec_id = cand.vec_id, range(1,65) i
+              |  GROUP BY qid, cand.vec_id),
+              |scored AS (SELECT qid, dots.vec_id,
+              |    round(dot / (nq.norm * ne.norm), 6) AS cosine
+              |  FROM dots JOIN norms nq ON nq.vec_id = qid
+              |  JOIN norms ne ON ne.vec_id = dots.vec_id)
+              |SELECT qid, vec_id, cosine,
+              |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS INT) AS rk
+              |FROM scored
+              |QUALIFY rk <= 5
+              |ORDER BY qid, rk""".stripMargin),
       "pipeline-op: sign-LSH bucketed approximate nearest neighbors"),
 
     // ---- IVF ANN: coarse-quantize into cells, probe the nearest nprobe

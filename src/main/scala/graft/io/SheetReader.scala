@@ -20,41 +20,45 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType, StringType
   */
 object SheetReader {
 
-  def read(spark: SparkSession, path: String): DataFrame = {
-    val raw = spark.read
+  private def rawCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
       .option("header", "true")
       .option("mode", "PERMISSIVE")
       // RFC-4180 doubled-quote escaping (pandas default); Spark's default
       // escape is backslash, which mis-parses `"he said ""hi"""`
       .option("escape", "\"")
       .csv(path)
-    withRowIndex(clean(raw))
-  }
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    withRowIndex(clean(rawCsv(spark, path)))
 
   /** Multi-file sheet (get_df_from_keys, s3.py:140-179): the reference
     * concatenates every matching key in listing order with a single
     * continuous index (`pd.concat(ignore_index=True)`). Spark's multi-path
-    * read orders splits by size, not path, so per-file numbering with
-    * accumulated offsets is the order-faithful form; `None` for an empty
-    * key list maps to Option.empty here.
+    * read orders splits by size, not path, so the order-faithful form is an
+    * ordered per-file RDD union numbered by one zipWithIndex; `None` for an
+    * empty key list maps to Option.empty here.
     */
   def readMany(spark: SparkSession, paths: Seq[String]): Option[DataFrame] =
     if (paths.isEmpty) None
+    else if (paths.lengthCompare(1) == 0) Some(read(spark, paths.head))
     else {
-      // one count per FILE with a running scalar offset — counting the
-      // accumulated union instead would rescan file 1 for every later file
-      // (O(files^2) scans)
-      var offset = 0L
-      val shifted = paths.map { p =>
-        val df = read(spark, p)
-        val out =
-          if (offset == 0L) df
-          else df.withColumn("Row_Index",
-            org.apache.spark.sql.functions.col("Row_Index") + offset)
-        offset += df.count()
-        out
+      // RDD#union concatenates partition lists in operand order, so the
+      // per-file scans line up as [file1's partitions, file2's, ...] and a
+      // SINGLE zipWithIndex numbers rows continuously across files in
+      // listing order. No count() per file: construction runs at most one
+      // job (zipWithIndex's partition-size pass — zero when the union has
+      // <= 1 partition), same contract as every other builder here.
+      val dfs = paths.map(p => clean(rawCsv(spark, p)))
+      val order = dfs.head.columns.toIndexedSeq
+      val aligned = dfs.map { df =>
+        require(df.columns.sorted.sameElements(order.sorted),
+          s"multi-file sheet schemas differ: ${order.mkString(",")} vs " +
+            df.columns.mkString(","))
+        df.select(order.map(col): _*)
       }
-      Some(shifted.reduce(_ unionByName _))
+      Some(indexRows(spark, aligned.map(_.rdd).reduce(_ union _),
+        aligned.head.schema))
     }
 
   /** Drop pandas-style unnamed columns: blank headers surface as `_cN` in
@@ -72,14 +76,18 @@ object SheetReader {
     * offsets — no single-partition collapse, no monotonically_increasing_id
     * gaps.
     */
-  def withRowIndex(df: DataFrame, startAt: Long = 2L): DataFrame = {
-    val spark = df.sparkSession
-    val schema = StructType(df.schema.fields :+ StructField("Row_Index", LongType))
-    val indexed = df.rdd.zipWithIndex().map { case (r, i) =>
+  def withRowIndex(df: DataFrame, startAt: Long = 2L): DataFrame =
+    indexRows(df.sparkSession, df.rdd, df.schema, startAt)
+
+  private def indexRows(spark: SparkSession,
+      rows: org.apache.spark.rdd.RDD[Row], baseSchema: StructType,
+      startAt: Long = 2L): DataFrame = {
+    val schema = StructType(baseSchema.fields :+ StructField("Row_Index", LongType))
+    val indexed = rows.zipWithIndex().map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ (i + startAt))
     }
     val withIdx = spark.createDataFrame(indexed, schema)
-    val stringCols = df.schema.fields.collect {
+    val stringCols = baseSchema.fields.collect {
       case f if f.dataType == StringType => f.name
     }
     withIdx.na.fill("", stringCols)

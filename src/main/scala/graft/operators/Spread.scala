@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.execution.datasources.v2.FileTable
 
 /** Redistributes a CPU-heavy pipeline's input when the source's natural
   * splits under-parallelize it.
@@ -80,12 +82,22 @@ object Spread {
       case _ => false
     }
     if (alreadyKeyed) return df
-    val relations = plan.collect {
+    // byte sizes per file-backed relation, DataSource v1 AND v2: parquet
+    // resolves through v1 (LogicalRelation/HadoopFsRelation) under the
+    // default useV1SourceList, but a session that enables the v2 reader
+    // surfaces the same scan as DataSourceV2Relation over a FileTable —
+    // both carry the file index, so the gate fires identically (asserted
+    // in SpreadSpec under useV1SourceList=""). Non-file v2 tables (JDBC,
+    // streaming tables) are intentionally not matched: their split count
+    // is the connector's business, not the file-split heuristic's.
+    val sizes = plan.collect {
       case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
-        lr.relation.asInstanceOf[HadoopFsRelation]
+        lr.relation.asInstanceOf[HadoopFsRelation].location.sizeInBytes
+      case r: DataSourceV2Relation if r.table.isInstanceOf[FileTable] =>
+        r.table.asInstanceOf[FileTable].fileIndex.sizeInBytes
     }
-    if (relations.isEmpty) return df
-    val bytes = relations.map(_.location.sizeInBytes).sum
+    if (sizes.isEmpty) return df
+    val bytes = sizes.sum
     if (bytes < minBytes) return df
     val sess = df.sparkSession
     val target = sess.sparkContext.defaultParallelism

@@ -73,7 +73,7 @@ class CatalogSpec extends AnyFunSuite {
     val sheet = SheetReader.fromRows(spark, Seq("Other_Comorbidity"),
       Seq(Seq("E11.9"), Seq("A00"), Seq("ZZ9.99"), Seq("N/A"), Seq("")))
     val errs = RuleEvaluator.dedupFirst(RuleEvaluator.evaluate("demographic.csv",
-      sheet, Seq(Checks.icd10("Other_Comorbidity", IcdCatalog.existsColumn))))
+      sheet, Seq(Checks.icd10("Other_Comorbidity", IcdCatalog.existsFn(spark)))))
       .select("Column_Value").collect().map(_.getString(0)).toSet
     assert(errs == Set("ZZ9.99"))
   }

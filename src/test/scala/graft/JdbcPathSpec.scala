@@ -111,6 +111,88 @@ class JdbcPathSpec extends AnyFunSuite {
     assert(fileStatus == "FILE_PROCESSED_SUCCESS")
   }
 
+  test("MySql dialect emits the reference's backtick statement text (golden)") {
+    // Derby exercises the statement FLOW under Ansi quoting; production
+    // targets MySQL (update_jobs_tables, File_Submission_Object.py:480-499),
+    // whose backtick text was previously only string-built, never asserted.
+    // A recording java.sql.Connection proxy captures every statement the
+    // upsert prepares — one pass with the probe answering "row exists"
+    // (UPDATE branch), one answering "no row" (INSERT branch).
+    import java.lang.reflect.{InvocationHandler, Method, Proxy}
+    def proxy[T](cls: Class[T])(handle: (Method, Array[AnyRef]) => AnyRef): T =
+      Proxy.newProxyInstance(cls.getClassLoader, Array(cls),
+        new InvocationHandler {
+          def invoke(p: AnyRef, m: Method, a: Array[AnyRef]): AnyRef =
+            handle(m, a)
+        }).asInstanceOf[T]
+    def run(probeFinds: Boolean): Seq[String] = {
+      val seen = scala.collection.mutable.ArrayBuffer[String]()
+      def resultSet(rows: Iterator[String]): java.sql.ResultSet = {
+        var cur: Option[String] = None
+        proxy(classOf[java.sql.ResultSet]) { (m, _) =>
+          m.getName match {
+            case "next" =>
+              cur = if (rows.hasNext) Some(rows.next()) else None
+              java.lang.Boolean.valueOf(cur.isDefined)
+            case "getString" => cur.orNull
+            case _ => null
+          }
+        }
+      }
+      val conn = proxy(classOf[java.sql.Connection]) { (m, a) =>
+        m.getName match {
+          case "createStatement" => proxy(classOf[java.sql.Statement]) { (sm, sa) =>
+            sm.getName match {
+              case "executeQuery" =>
+                seen += sa(0).asInstanceOf[String]
+                resultSet(Iterator("mock_user"))
+              case _ => null
+            }
+          }
+          case "prepareStatement" =>
+            val sql = a(0).asInstanceOf[String]
+            seen += sql
+            proxy(classOf[java.sql.PreparedStatement]) { (pm, _) =>
+              pm.getName match {
+                case "executeQuery" =>
+                  resultSet(if (probeFinds) Iterator("1") else Iterator.empty)
+                case "executeUpdate" => java.lang.Integer.valueOf(1)
+                case _ => null
+              }
+            }
+          case _ => null
+        }
+      }
+      val row = JobRow("orig1", "s3://results/r1", "2026-08-12", "u1", "arn:x",
+        FileStatus("demographic.csv", "FILE_PROCESSED_ERRORS_FOUND",
+          "BATCH_PROCESSED_ERRORS_FOUND"))
+      JobsUpsert.upsert(conn, Seq(row), SqlDialect.MySql)
+      seen.toSeq
+    }
+    val cols = Seq("orig_file_id", "data_validation_result_location",
+      "data_validation_date", "unzipped_file_id",
+      "data_validation_notification_arn", "data_validation_status",
+      "batch_validation_status", "data_validation_updatedby")
+    val updatePath = run(probeFinds = true)
+    assert(updatePath == Seq(
+      "select current_user()",
+      "SELECT 1 FROM `table_data_validator` WHERE `unzipped_file_id` = ?",
+      "UPDATE `table_data_validator` SET " +
+        cols.map(c => s"`$c` = ?").mkString(", ") +
+        " WHERE `unzipped_file_id` = ?",
+      "UPDATE `table_file_validator` SET `file_validation_status` = ? " +
+        "WHERE `unzipped_file_id` = ?"))
+    val insertPath = run(probeFinds = false)
+    assert(insertPath == Seq(
+      "select current_user()",
+      "SELECT 1 FROM `table_data_validator` WHERE `unzipped_file_id` = ?",
+      "INSERT INTO `table_data_validator` (" +
+        cols.map(c => s"`$c`").mkString(",") + ") VALUES (" +
+        cols.map(_ => "?").mkString(",") + ")",
+      "UPDATE `table_file_validator` SET `file_validation_status` = ? " +
+        "WHERE `unzipped_file_id` = ?"))
+  }
+
   test("JDBC table slice reads back as a DataFrame (context fallback shape)") {
     withConn { conn =>
       val st = conn.createStatement()

@@ -266,6 +266,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(approx.size <= exact.size)
   }
 
+  test("neardup LSH prunes random pairs yet agrees exactly with brute force") {
+    val e = SimilarityOps.withNorm(SimilarityOps.withPlantedDups(
+      Tables.embeddings(spark, sf).filter(col("vec_id") < 300))).cache()
+    try {
+      val n = e.count()
+      // candidate-rate bound: the banded join must prune the cross product
+      // (the round-4 2-bit defaults passed ~99% of random pairs — vacuous)
+      val candN = SimilarityOps.neardupCandidates(e, 32, 10).count()
+      val rate = candN / (n * (n - 1) / 2.0)
+      assert(rate < 0.05, s"candidate rate $rate (n=$n, candidates=$candN)")
+      // exact all-pairs baseline (test-scale cross product)
+      val exact = e.select(col("vec_id").as("id1"), col("vec").as("v1"),
+          col("norm").as("n1"))
+        .join(e.select(col("vec_id").as("id2"), col("vec").as("v2"),
+          col("norm").as("n2")), col("id1") < col("id2"))
+        .withColumn("cosine", round(SimilarityOps.dot(col("v1"), col("v2")) /
+          (col("n1") * col("n2")), 6))
+        .filter(col("cosine") >= 0.8)
+        .select("id1", "id2", "cosine").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val lsh = SimilarityOps.neardupPairs(e, 0.8).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(lsh === exact)
+      // every planted (id, id + 100000) pair is a reported near-dup: at
+      // cosine ~ 0.995 the per-pair miss probability is ~ 1e-18
+      val baseIds = (0L until n / 2).toSet
+      val pairIds = lsh.map(p => (p._1, p._2))
+      baseIds.foreach(id => assert(pairIds.contains((id, id + 100000L)),
+        s"planted dup of $id missed"))
+    } finally e.unpersist()
+  }
+
   test("Count-Min collision path: tiny width overestimates but never under") {
     import graft.functions.CountMinOps
     import spark.implicits._
