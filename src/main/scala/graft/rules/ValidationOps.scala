@@ -239,6 +239,116 @@ object ValidationOps {
              |GROUP BY celltype ORDER BY celltype""".stripMargin),
       "§1.2 F10 per-cell dynamic typing: number/date/string trichotomy with '_' guard"),
 
+    // ---- dateutil-permissive forms: month names + 2-digit-year pivot.
+    // Synthesizes every new cascade family from o_orderkey ("Jan 5, 1987",
+    // "5 January 1987", "5-Jan-87", "January 5 1987", "6/5/87", junk) and
+    // hash-compares classification AND rendering (min/max per group pins
+    // the 19xx/20xx pivot values) against a DuckDB mirror that re-derives
+    // the same parse from components — month-token map, ordinal-free
+    // regexes identical to CellType's, year pivot 00-75 -> 20xx. ----
+    Q("q89_date_permissive",
+      (s, d) => {
+        import graft.types.CellType
+        val k = col("o_orderkey")
+        val mon3 = Seq("Jan", "Feb", "Mar", "Apr", "May", "Jun",
+          "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
+        val monFull = Seq("January", "February", "March", "April", "May",
+          "June", "July", "August", "September", "October", "November",
+          "December")
+        val idx = (k % 12 + 1).cast("int")
+        val m3 = element_at(array(mon3.map(lit): _*), idx)
+        val mf = element_at(array(monFull.map(lit): _*), idx)
+        val day = (k % 28 + 1).cast("string")
+        val y4 = (k % 120 + 1950).cast("string")
+        val yy = lpad((k % 100).cast("string"), 2, "0")
+        val m = (k % 12 + 1).cast("string")
+        val variant = (k % 6).cast("int")
+        val v = when(variant === 0, concat(m3, lit(" "), day, lit(", "), y4))
+          .when(variant === 1, concat(day, lit(" "), mf, lit(" "), y4))
+          .when(variant === 2, concat(day, lit("-"), m3, lit("-"), yy))
+          .when(variant === 3, concat(mf, lit(" "), day, lit(" "), y4))
+          .when(variant === 4, concat(m, lit("/"), day, lit("/"), yy))
+          .otherwise(concat(lit("foo "), day, lit(" bar")))
+        Tables.orders(s, d).select(variant.as("variant"), v.as("v"))
+          .select(col("variant"),
+            when(CellType.isNumber(col("v")), "number")
+              .when(CellType.isDateTime(col("v")), "datetime")
+              .otherwise("string").as("celltype"),
+            CellType.render(col("v")).as("r"))
+          .groupBy("variant", "celltype")
+          .agg(count(lit(1)).as("n"), min("r").as("r_min"), max("r").as("r_max"))
+          .orderBy("variant", "celltype")
+      },
+      Some("""WITH parts AS (SELECT
+             |    CAST(o_orderkey % 6 AS INT) AS variant,
+             |    CAST(o_orderkey % 28 + 1 AS VARCHAR) AS d,
+             |    CAST(o_orderkey % 120 + 1950 AS VARCHAR) AS y4,
+             |    lpad(CAST(o_orderkey % 100 AS VARCHAR), 2, '0') AS yy,
+             |    CAST(o_orderkey % 12 + 1 AS VARCHAR) AS m,
+             |    ['Jan','Feb','Mar','Apr','May','Jun','Jul','Aug','Sep','Oct','Nov','Dec'][CAST(o_orderkey % 12 + 1 AS INT)] AS m3,
+             |    ['January','February','March','April','May','June','July','August','September','October','November','December'][CAST(o_orderkey % 12 + 1 AS INT)] AS mf
+             |  FROM orders),
+             |sheet AS (SELECT variant,
+             |    CASE variant WHEN 0 THEN m3 || ' ' || d || ', ' || y4
+             |      WHEN 1 THEN d || ' ' || mf || ' ' || y4
+             |      WHEN 2 THEN d || '-' || m3 || '-' || yy
+             |      WHEN 3 THEN mf || ' ' || d || ' ' || y4
+             |      WHEN 4 THEN m || '/' || d || '/' || yy
+             |      ELSE 'foo ' || d || ' bar' END AS v
+             |  FROM parts),
+             |comp AS (SELECT variant, v, lower(trim(v)) AS lv FROM sheet),
+             |ext AS (SELECT variant, v,
+             |    regexp_extract(v, '^([0-9]{1,2})/([0-9]{1,2})/([0-9]{2})$', 1) AS n_m,
+             |    regexp_extract(v, '^([0-9]{1,2})/([0-9]{1,2})/([0-9]{2})$', 2) AS n_d,
+             |    regexp_extract(v, '^([0-9]{1,2})/([0-9]{1,2})/([0-9]{2})$', 3) AS n_y,
+             |    regexp_extract(lv, '^([a-z]{3,9})\.?\s+([0-9]{1,2})(?:st|nd|rd|th)?,?\s+([0-9]{2}|[0-9]{4})$', 1) AS a_tok,
+             |    regexp_extract(lv, '^([a-z]{3,9})\.?\s+([0-9]{1,2})(?:st|nd|rd|th)?,?\s+([0-9]{2}|[0-9]{4})$', 2) AS a_d,
+             |    regexp_extract(lv, '^([a-z]{3,9})\.?\s+([0-9]{1,2})(?:st|nd|rd|th)?,?\s+([0-9]{2}|[0-9]{4})$', 3) AS a_y,
+             |    regexp_extract(lv, '^([0-9]{1,2})(?:st|nd|rd|th)?[-\s]+([a-z]{3,9})\.?[-\s,]+([0-9]{2}|[0-9]{4})$', 1) AS b_d,
+             |    regexp_extract(lv, '^([0-9]{1,2})(?:st|nd|rd|th)?[-\s]+([a-z]{3,9})\.?[-\s,]+([0-9]{2}|[0-9]{4})$', 2) AS b_tok,
+             |    regexp_extract(lv, '^([0-9]{1,2})(?:st|nd|rd|th)?[-\s]+([a-z]{3,9})\.?[-\s,]+([0-9]{2}|[0-9]{4})$', 3) AS b_y
+             |  FROM comp),
+             |months(tok, mm) AS (VALUES
+             |  ('jan',1),('january',1),('feb',2),('february',2),('mar',3),('march',3),
+             |  ('apr',4),('april',4),('may',5),('jun',6),('june',6),('jul',7),('july',7),
+             |  ('aug',8),('august',8),('sep',9),('september',9),('oct',10),('october',10),
+             |  ('nov',11),('november',11),('dec',12),('december',12)),
+             |joined AS (SELECT e.*, ma.mm AS a_mm, mb.mm AS b_mm
+             |  FROM ext e LEFT JOIN months ma ON ma.tok = e.a_tok
+             |  LEFT JOIN months mb ON mb.tok = e.b_tok),
+             |parsed AS (SELECT variant, v, COALESCE(
+             |    CASE WHEN n_y <> '' THEN try_strptime(
+             |      CAST(CASE WHEN CAST(n_y AS INT) <= 75 THEN 2000 + CAST(n_y AS INT)
+             |                ELSE 1900 + CAST(n_y AS INT) END AS VARCHAR)
+             |      || '-' || n_m || '-' || n_d, '%Y-%-m-%-d') END,
+             |    CASE WHEN a_tok <> '' AND a_mm IS NOT NULL THEN try_strptime(
+             |      CAST(CASE WHEN length(a_y) = 2 THEN
+             |            (CASE WHEN CAST(a_y AS INT) <= 75 THEN 2000 + CAST(a_y AS INT)
+             |                  ELSE 1900 + CAST(a_y AS INT) END)
+             |            ELSE CAST(a_y AS INT) END AS VARCHAR)
+             |      || '-' || CAST(a_mm AS VARCHAR) || '-' || a_d, '%Y-%-m-%-d') END,
+             |    CASE WHEN b_tok <> '' AND b_mm IS NOT NULL THEN try_strptime(
+             |      CAST(CASE WHEN length(b_y) = 2 THEN
+             |            (CASE WHEN CAST(b_y AS INT) <= 75 THEN 2000 + CAST(b_y AS INT)
+             |                  ELSE 1900 + CAST(b_y AS INT) END)
+             |            ELSE CAST(b_y AS INT) END AS VARCHAR)
+             |      || '-' || CAST(b_mm AS VARCHAR) || '-' || b_d, '%Y-%-m-%-d') END
+             |  ) AS ts FROM joined),
+             |typed AS (SELECT variant,
+             |    CASE WHEN NOT regexp_matches(v, '^[^_].*_') AND TRY_CAST(v AS DOUBLE) IS NOT NULL
+             |         THEN 'number'
+             |         WHEN ts IS NOT NULL THEN 'datetime' ELSE 'string' END AS celltype,
+             |    CASE WHEN NOT regexp_matches(v, '^[^_].*_') AND TRY_CAST(v AS DOUBLE) IS NOT NULL
+             |         THEN CAST(TRY_CAST(v AS DOUBLE) AS VARCHAR)
+             |         WHEN ts IS NOT NULL THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+             |         ELSE v END AS r
+             |  FROM parsed)
+             |SELECT variant, celltype, COUNT(*) AS n,
+             |  MIN(r) AS r_min, MAX(r) AS r_max
+             |FROM typed GROUP BY variant, celltype
+             |ORDER BY variant, celltype""".stripMargin),
+      "§1.2 dateutil permissiveness: month-name dates, ordinals, 2-digit-year pivot"),
+
     // ---- compare_total_to_live cross-column check ----
     Q("q27_rule_total_live",
       (s, d) => {

@@ -43,13 +43,105 @@ object CellType {
   /** Pinned format cascade standing in for dateutil.parser.parse.
     * Order matters only for rendering (first match wins); membership is what
     * the predicates use.
+    *
+    * `M/d/yy` sits outside this list because its two-digit year needs the
+    * dateutil pivot applied after the parse (see [[pivotTwoDigitYear]]);
+    * [[asTimestampRaw]] splices it into the cascade at its original slot.
     */
   val dateTimeFormats: Seq[String] = Seq(
     "yyyy-M-d H:m:s", "yyyy-M-d'T'H:m:s", "M/d/yyyy H:m:s", "M/d/yyyy H:m")
   val dateFormats: Seq[String] = Seq(
-    "yyyy-M-d", "M/d/yyyy", "M/d/yy", "yyyy/M/d")
+    "yyyy-M-d", "M/d/yyyy", "yyyy/M/d")
   val timeFormats: Seq[String] = Seq(
     "H:m:s", "h:m:s a", "h:m a", "H:m")
+
+  // ---- dateutil permissiveness: month-name and two-digit-year forms ----
+  // dateutil accepts far more than the numeric cascade; the next-most-
+  // common families a real submission hits are month-name dates
+  // ("Jan 3, 2021", "January 3 2021", "3 Jan 2021", "3-Jan-21") and
+  // two-digit years. Month names are parsed by component extraction (a
+  // lowercase token -> month map), NOT by Java's locale-sensitive
+  // case-sensitive MMM formats, so "JAN"/"jan"/"Jan" all work like
+  // dateutil. Ordinal day suffixes (3rd, 21st) are accepted.
+  //
+  // Still-pinned divergences (documented, deliberate):
+  //  - digit-only compacts like "20210103" are NUMBERS in both engines —
+  //    the reference tries float() before dateutil (convert_data_type,
+  //    nci-seronet-data-validator.py:200-204), so the date branch never
+  //    sees them; no gap despite appearances.
+  //  - month-year forms without a day ("Jan 2021") resolve against
+  //    *today* in dateutil — non-deterministic, excluded.
+  //  - month-name forms with a trailing time are not in the cascade.
+
+  /** dateutil resolves a two-digit year to the half-century around "today"
+    * (relativedelta convertyear); pinned at build era 2026: 00-75 -> 20xx,
+    * 76-99 -> 19xx. Deterministic, unlike dateutil's wall-clock pivot.
+    */
+  val twoDigitYearPivot = 75
+
+  /** The pivot applied to a numeric two-digit year column (int). */
+  private def pivotYear2(y2: Column): Column =
+    when(y2 <= twoDigitYearPivot, y2 + 2000).otherwise(y2 + 1900)
+
+  /** A timestamp parsed under `M/d/yy` with the dateutil pivot: Java's
+    * `yy` maps every value to 20xx, so 76-99 shift back a century.
+    */
+  private def mdy2(c: Column): Column = {
+    val ts = try_to_timestamp(c, lit("M/d/yy"))
+    when(year(ts) >= 2076, add_months(ts, -1200).cast("timestamp")).otherwise(ts)
+  }
+
+  private val monthTokens: Seq[(String, Int)] =
+    (Seq("jan", "feb", "mar", "apr", "may", "jun",
+      "jul", "aug", "sep", "oct", "nov", "dec").zipWithIndex.map {
+      case (m, i) => m -> (i + 1)
+    } ++ Seq("january", "february", "march", "april", "may", "june", "july",
+      "august", "september", "october", "november", "december")
+      .zipWithIndex.map { case (m, i) => m -> (i + 1) }).distinct
+
+  /** Lowercase month token -> 1..12, null otherwise (dateutil recognises
+    * exactly full English names and 3-letter abbreviations).
+    */
+  private def monthFromToken(tok: Column): Column =
+    element_at(
+      map(monthTokens.flatMap { case (m, n) => Seq(lit(m), lit(n)) }: _*), tok)
+
+  // month-first: "jan 3, 2021" / "january 3 2021" / "jan. 3rd, 21"
+  private val monthFirstRe =
+    "^([a-z]{3,9})\\.?\\s+([0-9]{1,2})(?:st|nd|rd|th)?,?\\s+([0-9]{2}|[0-9]{4})$"
+  // day-first: "3 jan 2021" / "3-jan-21" / "3rd january, 2021"
+  private val dayFirstRe =
+    "^([0-9]{1,2})(?:st|nd|rd|th)?[-\\s]+([a-z]{3,9})\\.?[-\\s,]+([0-9]{2}|[0-9]{4})$"
+
+  /** Canonicalized parse of the (day, monthToken, yearText) components:
+    * null-propagating concat (an unknown month token nulls the whole
+    * string) re-validated through the strict `yyyy-M-d` parse, so illegal
+    * days (Feb 31) fall out as null exactly like every other format.
+    */
+  private def fromParts(day: Column, tok: Column, yearText: Column): Column = {
+    val y = when(length(yearText) === 2, pivotYear2(yearText.cast("int")))
+      .otherwise(yearText.cast("int"))
+    try_to_timestamp(
+      concat(y.cast("string"), lit("-"),
+        monthFromToken(tok).cast("string"), lit("-"), day),
+      lit("yyyy-M-d"))
+  }
+
+  /** Month-name date parse (both orders), or null. Case-insensitive via a
+    * single lower(trim()) — no locale-sensitive Java month parsing.
+    */
+  def monthNameTs(c: Column): Column = {
+    val ln = lower(trim(c))
+    coalesce(
+      when(ln.rlike(monthFirstRe), fromParts(
+        regexp_extract(ln, monthFirstRe, 2),
+        regexp_extract(ln, monthFirstRe, 1),
+        regexp_extract(ln, monthFirstRe, 3))),
+      when(ln.rlike(dayFirstRe), fromParts(
+        regexp_extract(ln, dayFirstRe, 1),
+        regexp_extract(ln, dayFirstRe, 2),
+        regexp_extract(ln, dayFirstRe, 3))))
+  }
 
   /** The parsed timestamp under the cascade, or null. Number-guard NOT
     * included — compose with isNumber for the trichotomy (numbers win:
@@ -63,14 +155,22 @@ object CellType {
   def asTimestampRaw(c: Column): Column = {
     val dateShaped = c.rlike("^\\s*[0-9]{1,4}[-/][0-9]{1,2}[-/][0-9]{1,4}")
     val timeShaped = c.rlike("^\\s*[0-9]{1,2}:[0-9]")
+    // month-name forms contain a letter run next to the digits; everything
+    // the numeric branches match contains none
+    val monthShaped = c.rlike("(?i)[a-z]{3}")
     coalesce(
       // bare dates are the common case — try them before datetime formats
       // (a datetime string cannot match a bare-date format, so ordering
-      // changes only attempt count, never the parsed value)
-      when(dateShaped, coalesce((dateFormats ++ dateTimeFormats)
-        .map(f => try_to_timestamp(c, lit(f))): _*)),
+      // changes only attempt count, never the parsed value). M/d/yy keeps
+      // its original slot in the cascade, with the two-digit-year pivot.
+      when(dateShaped, coalesce(
+        (Seq("yyyy-M-d", "M/d/yyyy").map(f => try_to_timestamp(c, lit(f))) :+
+          mdy2(c)) ++
+          (Seq("yyyy/M/d") ++ dateTimeFormats)
+            .map(f => try_to_timestamp(c, lit(f))): _*)),
       when(timeShaped, coalesce(timeFormats
-        .map(f => try_to_timestamp(c, lit(f))): _*)))
+        .map(f => try_to_timestamp(c, lit(f))): _*)),
+      when(monthShaped, monthNameTs(c)))
   }
 
   // ---- memoized per-column variants ----------------------------------

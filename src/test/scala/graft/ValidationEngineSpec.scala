@@ -39,6 +39,34 @@ class CellTypeSpec extends AnyFunSuite {
     assert(got("_5") == "string")
   }
 
+  test("dateutil-permissive forms: month names, ordinals, 2-digit years") {
+    val got = classify(Seq(
+      "Jan 3, 2021", "january 3 2021", "JAN. 3rd, 2021",  // month-first
+      "3 Jan 2021", "3-Jan-21", "3rd january, 1999",       // day-first
+      "1/3/21", "1/3/76", "1/3/75",                        // M/d/yy (pivot)
+      "Jan 2021",      // no day: dateutil resolves vs today -> excluded
+      "Foo 3, 2021",   // not a month token
+      "Feb 31, 2021",  // illegal day-of-month
+      "20210103"       // digit-only: float() wins in the reference too
+    ))
+    Seq("Jan 3, 2021", "january 3 2021", "JAN. 3rd, 2021",
+      "3 Jan 2021", "3-Jan-21", "3rd january, 1999",
+      "1/3/21", "1/3/76", "1/3/75")
+      .foreach(v => assert(got(v) == "datetime", v))
+    Seq("Jan 2021", "Foo 3, 2021", "Feb 31, 2021")
+      .foreach(v => assert(got(v) == "string", v))
+    assert(got("20210103") == "number")
+    // rendered values pin month mapping and the 2026-era year pivot:
+    // 00-75 -> 20xx, 76-99 -> 19xx (dateutil's half-century window)
+    import spark.implicits._
+    val rendered = Seq("Jan 3, 2021", "3-Jan-21", "3-Jan-76", "1/3/75",
+      "1/3/76", "31 dec 99").toDF("v")
+      .select(CellType.render(col("v"))).as[String].collect()
+    assert(rendered.toSeq == Seq(
+      "2021-01-03 00:00:00", "2021-01-03 00:00:00", "1976-01-03 00:00:00",
+      "2075-01-03 00:00:00", "1976-01-03 00:00:00", "1999-12-31 00:00:00"))
+  }
+
   test("render mimics pandas str() of converted cells") {
     import spark.implicits._
     val got = Seq("05", "5.5", "2020-01-01", "abc").toDF("v")
