@@ -32,7 +32,8 @@ object QueryRegistry {
       graft.functions.SimilarityOps.qs ++
       graft.streaming.EventOps.qs ++
       graft.functions.MultimodalOps.qs ++
-      graft.functions.CountMinOps.qs
+      graft.functions.CountMinOps.qs ++
+      graft.functions.CurationOps.qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1,0 +1,153 @@
+package graft.functions
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-corpus curation operators beyond the reference's surface:
+  * eval-set decontamination, deterministic hash sampling, and sequence
+  * packing — the steps between "deduplicated corpus" and "training run"
+  * in an LLM data pipeline.
+  *
+  * All three are built from codegen'd built-ins only (split/slice/
+  * transform/window), with the 100 TB shape noted per operator.
+  */
+object CurationOps {
+
+  /** Whitespace token array. */
+  def toks(c: Column): Column = split(c, " ")
+
+  /** One row per word n-gram of `df`'s `w` token-array column:
+    * (doc_id, g). A pure narrow map — no shuffle, no UDF; sequence+
+    * transform+slice stay inside whole-stage codegen. Documents shorter
+    * than `n` produce no rows (sequence() would count DOWNWARD on a
+    * negative span, hence the explicit size guard).
+    */
+  def ngrams(df: DataFrame, n: Int): DataFrame =
+    df.select(col("doc_id"), explode(
+      when(size(col("w")) >= n,
+        transform(sequence(lit(0), size(col("w")) - n),
+          i => array_join(slice(col("w"), i + 1, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))).as("g"))
+
+  /** Train-vs-eval n-gram decontamination: flag every training document
+    * sharing at least one word 5-gram with the eval set, with the number
+    * of distinct leaked grams per document.
+    *
+    * Scale shape: eval sets are tiny by construction (benchmarks, held-out
+    * prompts), so their distinct grams BROADCAST; the corpus side is one
+    * narrow gram-explode pass joined against that broadcast — the corpus
+    * is never shuffled. The only exchange is the per-doc hit aggregation,
+    * which partial-aggregates map-side. At 100 TB the corpus scan
+    * dominates and parallelizes by split; there is no all-pairs term.
+    */
+  def decontaminate(corpus: DataFrame, evalDocs: DataFrame,
+      n: Int = 5): DataFrame = {
+    val evalGrams = ngrams(evalDocs, n).select("g").distinct()
+    ngrams(corpus, n)
+      .join(broadcast(evalGrams), Seq("g"))
+      .groupBy("doc_id")
+      .agg(count_distinct(col("g")).as("hits"))
+  }
+
+  /** Deterministic hash bucket 0-99 for a document id: md5 of the salted
+    * id, first 8 hex digits as an integer, mod 100. Identical arithmetic
+    * is expressible in any engine (the DuckDB oracle casts the same hex
+    * substring), so a sample taken today is reproducible anywhere,
+    * resumable, and stable under corpus growth — properties a
+    * Bernoulli-RNG sample does not have.
+    */
+  def hashBucket(id: Column): Column =
+    conv(substring(md5(concat(lit("doc:"), id)), 1, 8), 16, 10)
+      .cast("long") % 100
+
+  def qs: Seq[Q] = Seq(
+
+    // ---- eval-set n-gram decontamination. The synthetic corpus has no
+    // natural cross-doc 5-gram overlap, so the eval set is PLANTED from
+    // the corpus itself: the first 24 words of every 40th document stand
+    // in for a leaked benchmark prompt. Each source document must flag
+    // itself (20 grams from a 24-word snippet) plus any true collision —
+    // a non-trivial, fully deterministic result. The oracle bounds its
+    // gram index at 128 (max document length in the harness data is 100
+    // words); the Spark side needs no bound (sequence sizes per row). ----
+    Q("q90_decontaminate",
+      (s, d) => {
+        val words = Tables.documents(s, d)
+          .select(col("doc_id"), toks(col("text")).as("w"))
+        val evalSnips = words.filter(col("doc_id") % 40 === 0)
+          .select(col("doc_id"), slice(col("w"), 1, 24).as("w"))
+        decontaminate(words, evalSnips).orderBy("doc_id")
+      },
+      Some("""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+             |  FROM documents),
+             |grams AS (SELECT doc_id, array_to_string(w[i.range:i.range+4], ' ') AS g
+             |  FROM words, range(1, 128) i WHERE i.range <= len(w) - 4),
+             |eval_snips AS (SELECT doc_id, w[1:24] AS w FROM words
+             |  WHERE doc_id % 40 = 0),
+             |eval_grams AS (SELECT DISTINCT array_to_string(w[i.range:i.range+4], ' ') AS g
+             |  FROM eval_snips, range(1, 128) i WHERE i.range <= len(w) - 4)
+             |SELECT doc_id, CAST(COUNT(DISTINCT g) AS BIGINT) AS hits
+             |FROM grams JOIN eval_grams USING (g)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      "pipeline-op: eval-set n-gram decontamination (broadcast eval grams)"),
+
+    // ---- deterministic hash-stratified sampling: keep 20% of English,
+    // 60% of everything else (the up-sample-the-tail shape of real
+    // training mixes), by md5 bucket — a pure narrow map with NO shuffle
+    // except the tiny summary agg, no RNG state, and the same rows kept
+    // on every engine and every re-run. ----
+    Q("q91_hash_sample",
+      (s, d) => {
+        val rate = when(col("lang") === "en", 20).otherwise(60)
+        Tables.documents(s, d)
+          .filter(hashBucket(col("doc_id")) < rate)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("n_chars")).as("chars_kept"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             |  CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+             |FROM (SELECT *,
+             |    CAST(('0x' || substr(md5('doc:' || doc_id), 1, 8)) AS BIGINT) % 100 AS bucket
+             |  FROM documents)
+             |WHERE bucket < (CASE WHEN lang = 'en' THEN 20 ELSE 60 END)
+             |GROUP BY lang ORDER BY lang""".stripMargin),
+      "pipeline-op: deterministic md5-bucket stratified sampling"),
+
+    // ---- sequence packing: concatenate documents in deterministic order
+    // and split at fixed 512-token context boundaries; a document belongs
+    // to the window where it STARTS. Packing runs per (lang, shard)
+    // partition — the shard key is what makes this a 100 TB operator: a
+    // single global ordering would funnel the corpus through one
+    // reducer, while per-shard running sums parallelize freely and each
+    // shard's windows are independently correct. ----
+    Q("q92_pack_sequences",
+      (s, d) => {
+        val t = Tables.documents(s, d).select(col("lang"),
+          (col("doc_id") % 4).as("shard"), col("doc_id"),
+          size(toks(col("text"))).cast("long").as("tokens"))
+        val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t.withColumn("start", sum(col("tokens")).over(w) - col("tokens"))
+          .withColumn("window_id", floor(col("start") / 512).cast("long"))
+          .groupBy("lang", "shard", "window_id")
+          .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("window_tokens"))
+          .orderBy("lang", "shard", "window_id")
+      },
+      Some("""WITH toks AS (SELECT lang, doc_id % 4 AS shard, doc_id,
+             |    len(string_split(text, ' ')) AS tokens FROM documents),
+             |packed AS (SELECT lang, shard, doc_id, tokens,
+             |    SUM(tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+             |      ROWS UNBOUNDED PRECEDING) - tokens AS start
+             |  FROM toks)
+             |SELECT lang, shard, CAST(start // 512 AS BIGINT) AS window_id,
+             |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(tokens) AS BIGINT) AS window_tokens
+             |FROM packed GROUP BY lang, shard, window_id
+             |ORDER BY lang, shard, window_id""".stripMargin),
+      "pipeline-op: fixed-context sequence packing with shard-parallel windows")
+  )
+}

@@ -72,6 +72,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("decontamination broadcasts the eval grams; corpus is never shuffled pre-join") {
+    val df = QueryRegistry.queries("q90_decontaminate")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the corpus side must meet the broadcast join without an exchange:
+    // the only shuffles are the eval-distinct and the per-doc aggregation
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("hash sampling is a pure narrow filter (no pre-agg exchange on data)") {
+    val p = plan("q91_hash_sample")
+    assert(!p.contains("Join"), p)
+    assert(!p.toLowerCase.contains("scalaudf"), p)
+  }
+
   test("no query plans an unintended CartesianProduct") {
     val offenders = QueryRegistry.all.flatMap { q =>
       val p = q.fn(spark, sf).queryExecution.executedPlan.toString
