@@ -59,18 +59,17 @@ object SimilarityOps {
     }
 
   /** Explode `df` (with a `vec` column) into one row per hash table with
-    * that table's bucket id. Plane weights are literal arrays folded into
-    * the plan: bucketing is a pure narrow map (codegen'd), no join and no
-    * shuffle — the scan-side cost is one pass regardless of nTables.
+    * that table's bucket id, via the codegen'd [[SignLshBuckets]]
+    * expression — one tight loop per row instead of nTables*bitsPerTable
+    * interpreted higher-order dot products (which at q44's 32x10 defaults
+    * cost 320 array allocations per row). Bucketing stays a pure narrow
+    * map: no join, no shuffle, one scan pass regardless of nTables.
     */
-  def withBuckets(df: DataFrame, nTables: Int, bitsPerTable: Int): DataFrame = {
-    val tableBuckets = signPlanes(nTables, bitsPerTable).map { table =>
-      table.zipWithIndex.map { case (ws, b) =>
-        when(dot(col("vec"), array(ws.map(lit): _*)) > 0, lit(1L << b)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }
-    df.select(col("*"), posexplode(array(tableBuckets: _*)).as(Seq("t", "bucket")))
-  }
+  def withBuckets(df: DataFrame, nTables: Int, bitsPerTable: Int): DataFrame =
+    df.withColumn("__buckets",
+        SignLsh.buckets(df.sparkSession, col("vec"), nTables, bitsPerTable))
+      .select(col("*"), posexplode(col("__buckets")).as(Seq("t", "bucket")))
+      .drop("__buckets")
 
   /** Multi-table sign-LSH ANN: `nTables` independent hash tables of
     * `bitsPerTable` deterministic hyperplanes each (md5-parity weights — no

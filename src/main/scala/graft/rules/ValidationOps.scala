@@ -269,12 +269,18 @@ object ValidationOps {
           .when(variant === 3, concat(mf, lit(" "), day, lit(" "), y4))
           .when(variant === 4, concat(m, lit("/"), day, lit("/"), yy))
           .otherwise(concat(lit("foo "), day, lit(" bar")))
-        Tables.orders(s, d).select(variant.as("variant"), v.as("v"))
-          .select(col("variant"),
-            when(CellType.isNumber(col("v")), "number")
-              .when(CellType.isDateTime(col("v")), "datetime")
+        // memoized typing ("parse once, branch many"): classify and render
+        // share ONE cascade evaluation per cell instead of re-parsing per
+        // output column (measured 2.75s -> ~1s at sf0.1)
+        val sheet = CellType.memoColumns(Seq("v")).foldLeft(
+          Tables.orders(s, d).select(variant.as("variant"), v.as("v"))) {
+          case (df, (name, c)) => df.withColumn(name, c)
+        }
+        sheet.select(col("variant"),
+            when(CellType.isNumberM("v"), "number")
+              .when(CellType.isDateTimeM("v"), "datetime")
               .otherwise("string").as("celltype"),
-            CellType.render(col("v")).as("r"))
+            CellType.renderM("v").as("r"))
           .groupBy("variant", "celltype")
           .agg(count(lit(1)).as("n"), min("r").as("r_min"), max("r").as("r_max"))
           .orderBy("variant", "celltype")

@@ -266,6 +266,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(approx.size <= exact.size)
   }
 
+  test("SignLshBuckets expression matches the composed HOF form bit-for-bit") {
+    val e = SimilarityOps.withNorm(Tables.embeddings(spark, sf))
+      .select(col("vec_id"), col("vec"))
+    val viaExpr = SimilarityOps.withBuckets(e, 8, 6)
+      .select("vec_id", "t", "bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // reference: the unrolled higher-order-function formulation the
+    // expression replaced (same ascending-dimension double sums)
+    val tableBuckets = SimilarityOps.signPlanes(8, 6).map { table =>
+      table.zipWithIndex.map { case (ws, b) =>
+        when(SimilarityOps.dot(col("vec"), array(ws.map(lit): _*)) > 0,
+          lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    val viaHof = e.select(col("vec_id"),
+        posexplode(array(tableBuckets: _*)).as(Seq("t", "bucket"))).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaExpr === viaHof)
+  }
+
   test("neardup LSH prunes random pairs yet agrees exactly with brute force") {
     val e = SimilarityOps.withNorm(SimilarityOps.withPlantedDups(
       Tables.embeddings(spark, sf).filter(col("vec_id") < 300))).cache()
