@@ -174,11 +174,16 @@ object SimilarityOps {
 
   def qs: Seq[Q] = Seq(
 
-    // ---- brute-force cosine top-k (ANN correctness baseline) ----
+    // ---- brute-force cosine top-k (ANN correctness baseline).
+    // Spread ONLY the corpus side: the query side is re-derived from the
+    // raw scan with its selective filter applied first, so the 20-row
+    // broadcast build never pays the corpus repartition (the filter would
+    // otherwise be pushed BELOW the inserted exchange — see Spread scaladoc). ----
     Q("q45_cosine_topk",
       (s, d) => {
-        val e = withNorm(graft.operators.Spread.byKey(Tables.embeddings(s, d), col("vec_id")))
-        cosineTopK(e.filter(col("vec_id") < 20), e, 5)
+        val raw = Tables.embeddings(s, d)
+        val corpus = withNorm(graft.operators.Spread.byKey(raw, col("vec_id")))
+        cosineTopK(withNorm(raw.filter(col("vec_id") < 20)), corpus, 5)
           .orderBy("qid", "rk")
       },
       Some(s"""WITH $normCte,
@@ -246,8 +251,9 @@ object SimilarityOps {
     // so the compare is a full row/schema/hash match, not rows-only. ----
     Q("q46_ann_lsh",
       (s, d) => {
-        val e = withNorm(graft.operators.Spread.byKey(Tables.embeddings(s, d), col("vec_id")))
-        lshTopK(s, e.filter(col("vec_id") < 20), e, 5)
+        val raw = Tables.embeddings(s, d)
+        val corpus = withNorm(graft.operators.Spread.byKey(raw, col("vec_id")))
+        lshTopK(s, withNorm(raw.filter(col("vec_id") < 20)), corpus, 5)
           .orderBy("qid", "rk")
       },
       Some(s"""WITH $normCte,
@@ -294,26 +300,34 @@ object SimilarityOps {
     // join replaces the full cross product with |probed cells| buckets. ----
     Q("q72_ann_ivf",
       (s, d) => {
-        val e = withNorm(graft.operators.Spread.byKey(Tables.embeddings(s, d), col("vec_id")))
-        val cent = e.filter(col("vec_id") < 8)
+        // Spread ONLY the full-corpus side; every selectively-filtered side
+        // (centroids, query vectors) re-derives from the raw scan so its
+        // broadcast build skips the corpus repartition (Spread scaladoc).
+        val raw = Tables.embeddings(s, d)
+        val e = withNorm(graft.operators.Spread.byKey(raw, col("vec_id")))
+        val queries = withNorm(raw.filter(col("vec_id") < 20))
+        val cent = withNorm(raw.filter(col("vec_id") < 8))
           .select(col("vec_id").as("cid"), col("vec").as("cvec"),
             col("norm").as("cnorm"))
-        // rank every (vector, centroid) pair once; reuse for base cells
-        // (crk = 1) and query probes (crk <= 2)
-        val assign = e.select(col("vec_id"), col("vec"), col("norm"))
+        // rank (vector, centroid) pairs; the identical scoring expression
+        // runs over the full corpus (for cells, crk = 1) and over the tiny
+        // query side (for probes, crk <= 2)
+        def rankCentroids(vs: DataFrame): DataFrame = vs
+          .select(col("vec_id"), col("vec"), col("norm"))
           .join(broadcast(cent))
           .withColumn("ccos", round(dot(col("vec"), col("cvec")) /
             (col("norm") * col("cnorm")), 6))
           .withColumn("crk", row_number().over(
             Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))))
-        val cells = assign.filter(col("crk") === 1).select(col("vec_id"), col("cid"))
-        val probes = assign.filter(col("vec_id") < 20 && col("crk") <= 2)
+        val cells = rankCentroids(e).filter(col("crk") === 1)
+          .select(col("vec_id"), col("cid"))
+        val probes = rankCentroids(queries).filter(col("crk") <= 2)
           .select(col("vec_id").as("qid"), col("cid"))
         val candidates = cells.join(broadcast(probes), Seq("cid"))
           .select("qid", "vec_id").distinct()
         val scored = candidates
           .join(e.select(col("vec_id"), col("vec"), col("norm")), Seq("vec_id"))
-          .join(broadcast(e.filter(col("vec_id") < 20)
+          .join(broadcast(queries
             .select(col("vec_id").as("qid"), col("vec").as("qvec"),
               col("norm").as("qnorm"))), Seq("qid"))
           .withColumn("cosine", round(dot(col("qvec"), col("vec")) /

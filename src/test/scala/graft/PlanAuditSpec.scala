@@ -64,6 +64,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("ANN broadcast query sides skip the corpus repartition (spread corpus-only)") {
+    // The query side is re-derived from the raw scan with its selective
+    // filter applied BEFORE Spread, so no broadcast build contains the
+    // corpus exchange (a filter placed above Spread would be pushed below
+    // the inserted repartition and the 20-row side would pay a shuffle).
+    // plan with AQE off: exchanges then appear as plain nodes in
+    // executedPlan (no query-stage wrappers), without running anything
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (q <- Seq("q45_cosine_topk", "q46_ann_lsh", "q72_ann_ivf")) {
+        val df = QueryRegistry.queries(q)(spark, sf)
+        val broadcastBuilds = df.queryExecution.executedPlan.collect {
+          case b: BroadcastExchangeExec => b
+        }
+        assert(broadcastBuilds.nonEmpty, s"$q: expected a broadcast side")
+        // windows on the tiny side may shuffle (ENSURE_REQUIREMENTS); what
+        // must never appear is Spread's user repartition (REPARTITION_BY_COL)
+        for (b <- broadcastBuilds)
+          assert(b.collect {
+            case s: ShuffleExchangeExec
+                if s.shuffleOrigin.toString == "REPARTITION_BY_COL" => s
+          }.isEmpty, s"$q: broadcast build contains the corpus repartition:\n$b")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("near-dup pair generation is bucketed, not all-pairs") {
     val df = QueryRegistry.queries("q44_embedding_neardup")(spark, sf)
     df.collect()
