@@ -6,10 +6,12 @@ import org.apache.spark.sql.functions._
 /** Dev tool: time named variants of hot queries to localize cost before
   * changing them. Not part of the driver contract.
   *
-  * Usage: SPARK_GRAFT_SF_DIR=... sbt "runMain graft.Microbench"
+  * Usage: SPARK_GRAFT_SF_DIR=... sbt "runMain graft.Microbench [nameFilter]"
+  * (an argument runs only the variants whose name contains it)
   */
 object Microbench {
   def main(args: Array[String]): Unit = {
+    val only = args.headOption
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -24,15 +26,34 @@ object Microbench {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    def time(name: String)(f: => DataFrame): Unit = {
-      // median of 3
-      val ts = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        f.count()
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      println(f"[micro] $name%-40s ${ts(1)}%.3f s  (min ${ts.head}%.3f)")
-    }
+    // shuffle write totals across all tasks since the last reset — the
+    // number that substantiates "map-side combine shrinks the exchange"
+    // claims (wall time at sf0.1 measures CPU, not the shuffle volume
+    // that dominates at the real design point)
+    val shufRecords = new java.util.concurrent.atomic.AtomicLong
+    val shufBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        Option(te.taskMetrics).foreach { m =>
+          shufRecords.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+          shufBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+    })
+
+    def time(name: String)(f: => DataFrame): Unit =
+      if (only.forall(name.contains)) {
+        // median of 3; shuffle volume from the last run (deterministic)
+        val ts = (1 to 3).map { i =>
+          if (i == 3) { Thread.sleep(300); shufRecords.set(0); shufBytes.set(0) }
+          val t0 = System.nanoTime()
+          f.count()
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        Thread.sleep(300) // let straggler task-end events drain
+        println(f"[micro] $name%-40s ${ts(1)}%.3f s  (min ${ts.head}%.3f)  " +
+          f"shuffle ${shufRecords.get}%,d rows / ${shufBytes.get / 1024.0}%,.0f KiB")
+      }
 
     val li = Tables.lineitem(spark, sfDir)
     val o = Tables.orders(spark, sfDir)
@@ -167,6 +188,41 @@ object Microbench {
         Checks.date("Date_of_Visit", NoGate, naAllowed = false, "Date",
           java.time.LocalDate.of(1995, 1, 1), java.time.LocalDate.of(1996, 6, 30)))
     }
+    // ---- TopK bounded-buffer aggregator vs window row_number ----
+    // Measured result (recorded 2026-08-12, sf0.1, single-split inputs):
+    // Spark 4's InferWindowGroupLimit gives the window form its own
+    // map-side group-limit below the exchange, so BOTH forms shuffle
+    // O(k x |groups|) rows and the codegen'd window wins wall-clock:
+    //   topk agg,    5 groups (orders)   0.60s   shuffle     6 rows/ 1 KiB
+    //   topk window, 5 groups (orders)   0.36s   shuffle    16 rows/ 1 KiB
+    //   topk agg,  ~1k groups (lineitem) 1.14s   shuffle 1,001 rows/72 KiB
+    //   topk window,~1k groups (lineitem)0.82s   shuffle 3,001 rows/48 KiB
+    // See the honesty note in operators/TopK.scala for when the
+    // aggregator form still earns its keep (streaming, array-per-group).
+    import graft.operators.TopK
+    time("topk agg, 5 groups (orders, k=3)") {
+      TopK.perGroup(o, "o_orderpriority", "o_totalprice", "o_orderkey", 3)
+    }
+    time("topk window, 5 groups (orders, k=3)") {
+      o.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+        .filter(col("rk") <= 3)
+        .select("o_orderpriority", "o_totalprice", "o_orderkey", "rk")
+    }
+    time("topk agg, ~1k groups (lineitem, k=3)") {
+      TopK.perGroup(li, "l_suppkey", "l_extendedprice", "l_orderkey", 3)
+    }
+    time("topk window, ~1k groups (lineitem, k=3)") {
+      li.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("l_suppkey")
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey"))))
+        .filter(col("rk") <= 3)
+        .select("l_suppkey", "l_extendedprice", "l_orderkey", "rk")
+    }
+
     time("q32 memos + bround1Fast predicate") {
       val names = Seq("Viability_Hemocytometer_Count",
         "Live_Cells_Hemocytometer_Count", "Total_Cells_Hemocytometer_Count")
