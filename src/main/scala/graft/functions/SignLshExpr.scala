@@ -69,22 +69,34 @@ case class SignLshBuckets(child: Expression, nTables: Int, bitsPerTable: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val w = ctx.addReferenceObj("lshWeights", weights, "double[]")
     nullSafeCodeGen(ctx, ev, c => {
+      // EVERY local must go through freshName: two instances of this
+      // expression can land in one generated method (e.g. the query and
+      // corpus bucketings of an LSH self-join after codegen collapsing),
+      // and janino rejects redefined locals — the whole stage would fall
+      // back to interpreted execution (observed on the sf1 multi-file
+      // plans before this was fresh-named)
       val buckets = ctx.freshName("buckets")
       val n = ctx.freshName("n")
+      val t = ctx.freshName("t")
+      val b = ctx.freshName("b")
+      val base = ctx.freshName("base")
+      val bucket = ctx.freshName("bucket")
+      val dot = ctx.freshName("dot")
+      val i = ctx.freshName("i")
       s"""
          |long[] $buckets = new long[$nTables];
          |int $n = java.lang.Math.min($dims, $c.numElements());
-         |for (int t = 0; t < $nTables; t++) {
-         |  long bucket = 0L;
-         |  for (int b = 0; b < $bitsPerTable; b++) {
-         |    int base = (t * $bitsPerTable + b) * $dims;
-         |    double dot = 0.0;
-         |    for (int i = 0; i < $n; i++) {
-         |      dot += $c.getDouble(i) * $w[base + i];
+         |for (int $t = 0; $t < $nTables; $t++) {
+         |  long $bucket = 0L;
+         |  for (int $b = 0; $b < $bitsPerTable; $b++) {
+         |    int $base = ($t * $bitsPerTable + $b) * $dims;
+         |    double $dot = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $dot += $c.getDouble($i) * $w[$base + $i];
          |    }
-         |    if (dot > 0) bucket |= 1L << b;
+         |    if ($dot > 0) $bucket |= 1L << $b;
          |  }
-         |  $buckets[t] = bucket;
+         |  $buckets[$t] = $bucket;
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($buckets);
        """.stripMargin

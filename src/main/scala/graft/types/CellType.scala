@@ -2,7 +2,7 @@ package graft.types
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, DateType}
+import org.apache.spark.sql.types.{DoubleType, DateType, DecimalType}
 
 /** Per-cell dynamic typing as Catalyst column expressions.
   *
@@ -204,7 +204,7 @@ object CellType {
 
   /** Memo-backed render (same semantics as [[render]]). */
   def renderM(name: String): Column =
-    when(col(memoNum(name)).isNotNull, col(memoNum(name)).cast("string"))
+    when(col(memoNum(name)).isNotNull, pyFloat(col(memoNum(name))))
       .when(col(memoTs(name)).isNotNull,
         date_format(col(memoTs(name)), "yyyy-MM-dd HH:mm:ss"))
       .otherwise(col(name))
@@ -229,12 +229,41 @@ object CellType {
     n.isNotNull && n === floor(n)
   }
 
+  /** Python-`str()` rendering of a parsed double.
+    *
+    * A plain `cast("string")` inherits Java's `Double.toString`, which
+    * switches to scientific notation at |x| >= 1e7 and below 1e-3 —
+    * Python (and DuckDB's VARCHAR cast) stay positional until 1e16 /
+    * 1e-4, so an id like 10000001 rendered `"1.0000001E7"` instead of
+    * the reference's `"10000001.0"` (first hit by the sf1 scale run,
+    * where synthetic keys cross 1e7). Branches:
+    *  - integral, |x| < 1e16: decimal digits + ".0" — exact, covers every
+    *    id/count cell;
+    *  - 1e-4 <= |x| < 1e-3 (the small window where Java is scientific
+    *    but Python is not): positional via a high-scale decimal cast with
+    *    trailing zeros trimmed — exact for CSV-born short decimals;
+    *  - otherwise native cast: identical to Python throughout [1e-3,
+    *    1e7) where both print the shortest decimal. Residual doc'd
+    *    divergence: NON-integral |x| >= 1e7 and |x| < 1e-4 (Python
+    *    `1e+16`/`1e-05` forms) — unreachable from the reference's cell
+    *    domain (ids, counts, short measured decimals).
+    */
+  def pyFloat(d: Column): Column = {
+    val a = abs(d)
+    when(d === floor(d) && a < 1e16,
+        concat(d.cast(DecimalType(20, 0)).cast("string"), lit(".0")))
+      .when(a >= 1e-4 && a < 1e-3,
+        regexp_replace(d.cast(DecimalType(38, 20)).cast("string"),
+          "(\\.\\d*?)0+$", "$1"))
+      .otherwise(d.cast("string"))
+  }
+
   /** Render the *converted* cell the way the reference's error CSV does
     * (pandas str() of the converted value): numbers as Python floats
     * (`"05"` -> `"5.0"`), datetimes as `yyyy-MM-dd HH:mm:ss`, strings as-is.
     */
   def render(c: Column): Column =
-    when(isNumber(c), asNumber(c).cast("string"))
+    when(isNumber(c), pyFloat(asNumber(c)))
       .when(isDateTime(c), date_format(asTimestampRaw(c), "yyyy-MM-dd HH:mm:ss"))
       .otherwise(c)
 }

@@ -286,6 +286,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(viaExpr === viaHof)
   }
 
+  test("two SignLshBuckets in one projection compile under codegen (fresh locals)") {
+    // Regression: doGenCode once used fixed local names (t/b/i/...), so two
+    // instances collapsed into one generated method made janino reject the
+    // redefinition and the stage silently fell back to interpreted (first
+    // observed on sf1 multi-file plans). fallback=false turns that into a
+    // hard failure here.
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val e = SimilarityOps.withNorm(Tables.embeddings(spark, sf))
+        .select(col("vec_id"), col("vec"))
+      val two = e.select(col("vec_id"),
+        graft.functions.SignLsh.buckets(spark, col("vec"), 4, 4).as("b1"),
+        graft.functions.SignLsh.buckets(spark, col("vec"), 2, 3).as("b2"))
+      val rows = two.collect()
+      assert(rows.nonEmpty)
+      assert(rows.forall(r => r.getSeq[Long](1).size == 4 && r.getSeq[Long](2).size == 2))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
   test("neardup LSH prunes random pairs yet agrees exactly with brute force") {
     val e = SimilarityOps.withNorm(SimilarityOps.withPlantedDups(
       Tables.embeddings(spark, sf).filter(col("vec_id") < 300))).cache()

@@ -73,6 +73,25 @@ class CellTypeSpec extends AnyFunSuite {
       .select(CellType.render(col("v"))).as[String].collect()
     assert(got.toSeq == Seq("5.0", "5.5", "2020-01-01 00:00:00", "abc"))
   }
+
+  test("render stays positional where Python does (no Java scientific)") {
+    import spark.implicits._
+    // Java's Double.toString goes scientific at 1e7 and below 1e-3;
+    // Python str() (the reference) stays positional until 1e16 / 1e-4.
+    // Each pair: raw cell -> expected Python str(float(cell)).
+    val cases = Seq(
+      "10000001" -> "10000001.0",      // the sf1 id regression
+      "123456789012345" -> "123456789012345.0",
+      "-10000001" -> "-10000001.0",
+      "0.0005" -> "0.0005",            // Java would print 5.0E-4
+      "0.00012" -> "0.00012",
+      "0.1" -> "0.1",                  // decimal-cast rounding trap
+      "5000000" -> "5000000.0",        // below the 1e7 switch: unchanged
+      "123.5" -> "123.5")
+    val got = cases.map(_._1).toDF("v")
+      .select(CellType.render(col("v"))).as[String].collect()
+    assert(got.toSeq == cases.map(_._2))
+  }
 }
 
 class ChecksSpec extends AnyFunSuite {
