@@ -148,6 +148,77 @@ object CurationOps {
              |  CAST(SUM(tokens) AS BIGINT) AS window_tokens
              |FROM packed GROUP BY lang, shard, window_id
              |ORDER BY lang, shard, window_id""".stripMargin),
-      "pipeline-op: fixed-context sequence packing with shard-parallel windows")
+      "pipeline-op: fixed-context sequence packing with shard-parallel windows"),
+
+    // ---- repetition / boilerplate quality signals, adapted from the
+    // Gopher rules (Rae et al. 2021, arXiv:2112.11446 §A1.1: documents
+    // with a high duplicated-n-gram or top-n-gram fraction are removed
+    // before training; fractions here are over n-gram COUNTS, not
+    // characters). All signals are per-row higher-order functions over
+    // the token array — local work only, NO shuffle (the explode+groupBy
+    // formulation would shuffle the entire gram stream; the oracle uses
+    // it because set-based SQL has no per-row arrays-of-counts, and the
+    // integer count arithmetic is identical either way). The corpus has
+    // no natural loops, so every 50th document PLANTS one: its first 10
+    // words repeated 5 times under doc_id+2,000,000 (clear of q40's +1e6
+    // injected ids and every ScaleUp replica range) — the dup-trigram
+    // signal must flag exactly the planted loops (~0.79) while natural
+    // docs stay near 0. ----
+    Q("q93_repetition_signals",
+      (s, d) => {
+        val words = Tables.documents(s, d)
+          .select(col("doc_id"), toks(col("text")).as("w"))
+        val planted = words.filter(col("doc_id") % 50 === 0 && size(col("w")) >= 10)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            flatten(transform(sequence(lit(1), lit(5)),
+              _ => slice(col("w"), 1, 10))).as("w"))
+        def grams(n: Int): Column = transform(sequence(lit(1), size(col("w")) - (n - 1)),
+          i => array_join(transform(sequence(lit(0), lit(n - 1)),
+            j => element_at(col("w"), i + j)), " "))
+        val all = words.filter(size(col("w")) >= 3).union(planted)
+          .withColumn("bi", grams(2)).withColumn("tri", grams(3))
+        all.select(
+            col("doc_id"),
+            size(col("w")).cast("long").as("n_words"),
+            round(size(array_distinct(col("w"))).cast("double") / size(col("w")), 6)
+              .as("distinct_word_frac"),
+            round(array_max(transform(array_distinct(col("bi")),
+                x => size(filter(col("bi"), y => y === x)))).cast("double")
+              / size(col("bi")), 6).as("top_bigram_frac"),
+            round(lit(1.0) - size(array_distinct(col("tri"))).cast("double")
+              / size(col("tri")), 6).as("dup_trigram_frac"))
+          .withColumn("repetitive",
+            col("top_bigram_frac") >= 0.2 || col("dup_trigram_frac") >= 0.3)
+          .orderBy("doc_id")
+      },
+      Some("""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+             |  FROM documents),
+             |all_docs AS (
+             |  SELECT doc_id, w FROM words WHERE len(w) >= 3
+             |  UNION ALL
+             |  SELECT doc_id + 2000000, flatten(list_transform(range(1, 6), x -> w[1:10]))
+             |  FROM words WHERE doc_id % 50 = 0 AND len(w) >= 10),
+             |bi AS (SELECT doc_id, w[i.range] || ' ' || w[i.range+1] AS g
+             |  FROM all_docs, range(1, 128) i WHERE i.range <= len(w) - 1),
+             |tri AS (SELECT doc_id, w[i.range] || ' ' || w[i.range+1] || ' ' || w[i.range+2] AS g
+             |  FROM all_docs, range(1, 128) i WHERE i.range <= len(w) - 2),
+             |bistats AS (SELECT doc_id, MAX(c) AS top_bi, SUM(c) AS n_bi FROM
+             |  (SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY doc_id, g)
+             |  GROUP BY doc_id),
+             |tristats AS (SELECT doc_id, COUNT(*) AS d_tri, SUM(c) AS n_tri FROM
+             |  (SELECT doc_id, g, COUNT(*) AS c FROM tri GROUP BY doc_id, g)
+             |  GROUP BY doc_id)
+             |SELECT a.doc_id, CAST(len(a.w) AS BIGINT) AS n_words,
+             |  round(CAST(len(list_distinct(a.w)) AS DOUBLE) / len(a.w), 6)
+             |    AS distinct_word_frac,
+             |  round(CAST(b.top_bi AS DOUBLE) / b.n_bi, 6) AS top_bigram_frac,
+             |  round(1.0 - CAST(t.d_tri AS DOUBLE) / t.n_tri, 6) AS dup_trigram_frac,
+             |  (round(CAST(b.top_bi AS DOUBLE) / b.n_bi, 6) >= 0.2
+             |    OR round(1.0 - CAST(t.d_tri AS DOUBLE) / t.n_tri, 6) >= 0.3)
+             |    AS repetitive
+             |FROM all_docs a JOIN bistats b ON b.doc_id = a.doc_id
+             |JOIN tristats t ON t.doc_id = a.doc_id
+             |ORDER BY a.doc_id""".stripMargin),
+      "pipeline-op: Gopher-style repetition signals (per-row HOFs, no shuffle)")
   )
 }

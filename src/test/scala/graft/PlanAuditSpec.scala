@@ -115,6 +115,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("scalaudf"), p)
   }
 
+  test("repetition signals stay joinless/aggless and flag exactly the planted loops") {
+    // narrow per-row HOFs: the only exchange the plan may contain is the
+    // presentation ORDER BY (range partitioning); any Join or Aggregate
+    // means the gram stream got shuffled
+    val p = plan("q93_repetition_signals")
+    assert(!p.contains("Join"), p)
+    assert(!p.toLowerCase.contains("aggregate"), p)
+    val rows = QueryRegistry.queries("q93_repetition_signals")(spark, sf)
+      .select("doc_id", "dup_trigram_frac", "repetitive").collect()
+    val (planted, natural) = rows.partition(_.getLong(0) >= 2000000L)
+    assert(planted.nonEmpty)
+    // a 10-word loop repeated 5x: 48 trigrams, 10 distinct -> ~0.79
+    assert(planted.forall(r => r.getDouble(1) > 0.7 && r.getBoolean(2)))
+    // natural synthetic docs must overwhelmingly pass the gate
+    assert(natural.count(_.getBoolean(2)) < natural.length / 10)
+  }
+
   test("no query plans an unintended CartesianProduct") {
     val offenders = QueryRegistry.all.flatMap { q =>
       val p = q.fn(spark, sf).queryExecution.executedPlan.toString
