@@ -219,6 +219,67 @@ object CurationOps {
              |FROM all_docs a JOIN bistats b ON b.doc_id = a.doc_id
              |JOIN tristats t ON t.doc_id = a.doc_id
              |ORDER BY a.doc_id""".stripMargin),
-      "pipeline-op: Gopher-style repetition signals (per-row HOFs, no shuffle)")
+      "pipeline-op: Gopher-style repetition signals (per-row HOFs, no shuffle)"),
+
+    // ---- PII detection + redaction: the scrub step every pre-training
+    // pipeline runs before tokenization. Three detector regexes (email,
+    // NANP-style phone, IPv4) deliberately restricted to syntax portable
+    // across Java-regex and RE2 (character classes, bounded repeats, \b)
+    // so the DuckDB oracle applies the IDENTICAL patterns; counts are
+    // taken on the raw text, then redaction rewrites in a fixed order
+    // (the patterns are mutually non-overlapping, so order only matters
+    // for determinism). Pure narrow map — regexp_count/regexp_replace
+    // are codegen'd; at 100 TB this is scan-bound with zero shuffle.
+    // The synthetic corpus contains no natural PII, so every 30th
+    // document PLANTS a contact line (id-derived email, phone, IP);
+    // redacted text is output as an md5 so the oracle hash-compares
+    // full redaction without megabyte rows. ----
+    Q("q94_pii_redaction",
+      (s, d) => {
+        val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+        val phone = """\b\d{3}-\d{3}-\d{4}\b"""
+        val ip = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+        val t = Tables.documents(s, d).select(col("doc_id"),
+          when(col("doc_id") % 30 === 0,
+            concat(col("text"), lit(" Contact user"), col("doc_id"),
+              lit("@example.com or 555-123-4567 from 192.168.1.99")))
+            .otherwise(col("text")).as("text"))
+        val redacted = regexp_replace(regexp_replace(regexp_replace(
+          col("text"), email, "[EMAIL]"), phone, "[PHONE]"), ip, "[IP]")
+        t.select(col("doc_id"),
+            regexp_count(col("text"), lit(email)).cast("long").as("n_emails"),
+            regexp_count(col("text"), lit(phone)).cast("long").as("n_phones"),
+            regexp_count(col("text"), lit(ip)).cast("long").as("n_ips"),
+            md5(redacted).as("redacted_md5"))
+          .withColumn("pii_found",
+            col("n_emails") + col("n_phones") + col("n_ips") > 0)
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |  CASE WHEN doc_id % 30 = 0
+             |    THEN text || ' Contact user' || doc_id ||
+             |      '@example.com or 555-123-4567 from 192.168.1.99'
+             |    ELSE text END AS text
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             |    AS n_emails,
+             |  CAST(len(regexp_extract_all(text,
+             |    '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+             |  CAST(len(regexp_extract_all(text,
+             |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+             |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             |    '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+             |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'))
+             |    AS redacted_md5,
+             |  (len(regexp_extract_all(text,
+             |     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+             |   + len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b'))
+             |   + len(regexp_extract_all(text,
+             |     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))) > 0 AS pii_found
+             |FROM t ORDER BY doc_id""".stripMargin),
+      "pipeline-op: PII detect + redact (portable regexes, planted contacts)")
   )
 }

@@ -132,6 +132,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(natural.count(_.getBoolean(2)) < natural.length / 10)
   }
 
+  test("PII redaction is a joinless narrow map and catches every planted contact") {
+    val p = plan("q94_pii_redaction")
+    assert(!p.contains("Join"), p)
+    assert(!p.toLowerCase.contains("aggregate"), p)
+    val rows = QueryRegistry.queries("q94_pii_redaction")(spark, sf)
+      .select("doc_id", "n_emails", "n_phones", "n_ips", "pii_found").collect()
+    val planted = rows.filter(_.getLong(0) % 30 == 0)
+    assert(planted.nonEmpty)
+    assert(planted.forall(r =>
+      r.getLong(1) >= 1 && r.getLong(2) >= 1 && r.getLong(3) >= 1 && r.getBoolean(4)))
+    // unplanted synthetic docs carry no PII
+    assert(rows.filter(_.getLong(0) % 30 != 0).forall(!_.getBoolean(4)))
+  }
+
   test("no query plans an unintended CartesianProduct") {
     val offenders = QueryRegistry.all.flatMap { q =>
       val p = q.fn(spark, sf).queryExecution.executedPlan.toString
