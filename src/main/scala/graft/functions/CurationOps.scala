@@ -280,6 +280,51 @@ object CurationOps {
              |   + len(regexp_extract_all(text,
              |     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))) > 0 AS pii_found
              |FROM t ORDER BY doc_id""".stripMargin),
-      "pipeline-op: PII detect + redact (portable regexes, planted contacts)")
+      "pipeline-op: PII detect + redact (portable regexes, planted contacts)"),
+
+    // ---- domain-mixture reweighting: flatten the corpus toward a UNIFORM
+    // per-language token budget (the DoReMi/Pile-style mixing step,
+    // downsample-only). Per-language char totals set a keep-rate
+    // `min(100, floor(100 * fair_share / actual_share))`; documents then
+    // pass the same deterministic md5 bucket gate as q91, so the sample
+    // is reproducible on any engine and stable under reruns. Scale shape:
+    // the rate table is |languages| rows — aggregate once (map-side
+    // partial), BROADCAST it back, and the corpus itself is only ever
+    // scanned, never shuffled; the final summary agg is per-language.
+    // The integer rate arithmetic (exact BIGINT totals, one double
+    // division, floor) is bit-identical across engines. ----
+    Q("q96_mixture_reweight",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val langTotals = docs.groupBy("lang")
+          .agg(sum("n_chars").as("lang_chars"))
+        val totals = langTotals.agg(sum("lang_chars").as("total_chars"),
+          count(lit(1)).as("n_langs"))
+        val rates = langTotals.crossJoin(broadcast(totals))
+          .withColumn("rate", least(lit(100L),
+            floor(lit(100.0) * (col("total_chars") / col("n_langs"))
+              / col("lang_chars"))))
+          .select("lang", "rate")
+        docs.join(broadcast(rates), Seq("lang"))
+          .filter(hashBucket(col("doc_id")) < col("rate"))
+          .groupBy("lang", "rate")
+          .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("chars_kept"))
+          .orderBy("lang")
+      },
+      Some("""WITH lt AS (SELECT lang, SUM(n_chars) AS lang_chars
+             |  FROM documents GROUP BY lang),
+             |tot AS (SELECT SUM(lang_chars) AS total_chars,
+             |  COUNT(*) AS n_langs FROM lt),
+             |rates AS (SELECT lang, LEAST(100, CAST(floor(
+             |    100.0 * (total_chars / n_langs) / lang_chars) AS BIGINT)) AS rate
+             |  FROM lt, tot),
+             |kept AS (SELECT d.lang, rate, d.n_chars
+             |  FROM documents d JOIN rates USING (lang)
+             |  WHERE CAST(('0x' || substr(md5('doc:' || doc_id), 1, 8)) AS BIGINT)
+             |    % 100 < rate)
+             |SELECT lang, rate, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             |  CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+             |FROM kept GROUP BY lang, rate ORDER BY lang""".stripMargin),
+      "pipeline-op: uniform-target mixture reweighting (broadcast rate table)")
   )
 }

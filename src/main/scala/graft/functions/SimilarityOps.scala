@@ -368,6 +368,94 @@ object SimilarityOps {
               |FROM scored
               |QUALIFY rk <= 5
               |ORDER BY qid, rk""".stripMargin),
-      "pipeline-op: IVF approximate nearest neighbors (probe nprobe=2 of 8 cells)")
+      "pipeline-op: IVF approximate nearest neighbors (probe nprobe=2 of 8 cells)"),
+
+    // ---- int8 scalar quantization + two-phase retrieval: the memory-
+    // bound scale pattern real vector stores use (FAISS SQ8 / Lucene
+    // scalar quantization). Phase 1 scores EVERY candidate on the int8
+    // codes — 4x smaller than float32, and the dot product is exact
+    // int64 arithmetic, so the approximate scores are bit-identical on
+    // any engine and any partial-sum order (no float reduction in the
+    // wide scan at all). Phase 2 re-scores only the per-query top-8
+    // shortlist at full precision. Quantization is per-vector symmetric:
+    // q_i = floor(x_i / s + 0.5) with s = max|x| / 127 (floor(+0.5), not
+    // round(): identical halfway behavior everywhere). At 100 TB phase 1
+    // is the only full-corpus pass and it reads a quarter of the bytes;
+    // phase 2 touches 8 rows per query. ----
+    Q("q95_quantized_rescore",
+      (s, d) => {
+        val raw = Tables.embeddings(s, d)
+        def quant(df: DataFrame): DataFrame = df
+          .withColumn("scale", array_max(transform(col("vec"), x => abs(x))) / 127d)
+          .withColumn("qvec", transform(col("vec"),
+            x => floor(x / col("scale") + 0.5d).cast("long")))
+        val corpus = quant(withNorm(graft.operators.Spread.byKey(raw, col("vec_id"))))
+        val queries = quant(withNorm(raw.filter(col("vec_id") < 20)))
+          .select(col("vec_id").as("qid"), col("qvec").as("q_qvec"),
+            col("scale").as("q_scale"), col("vec").as("q_vec"),
+            col("norm").as("q_norm"))
+        val idot = aggregate(zip_with(col("q_qvec"), col("qvec"),
+          (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+        val approx = corpus.join(broadcast(queries))
+          .withColumn("approx_cosine", round(col("q_scale") * col("scale")
+            * idot.cast("double") / (col("q_norm") * col("norm")), 6))
+        val w1 = Window.partitionBy("qid")
+          .orderBy(col("approx_cosine").desc, col("vec_id"))
+        val shortlist = approx.withColumn("ark", row_number().over(w1))
+          .filter(col("ark") <= 8)
+          .select(col("qid"), col("vec_id"), col("approx_cosine"),
+            col("q_vec"), col("q_norm"))
+        val exact = shortlist
+          .join(withNorm(raw).select(col("vec_id"), col("vec"), col("norm")),
+            Seq("vec_id"))
+          .withColumn("cosine",
+            round(dot(col("q_vec"), col("vec")) / (col("q_norm") * col("norm")), 6))
+        val w2 = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
+        exact.withColumn("rk", row_number().over(w2))
+          .filter(col("rk") <= 5)
+          .select(col("qid"), col("vec_id"), col("cosine"),
+            col("approx_cosine"), col("rk"))
+          .orderBy("qid", "rk")
+      },
+      Some(s"""WITH $normCte,
+              |cells AS (SELECT vec_id, i.range AS i,
+              |    CAST(embedding[i.range] AS DOUBLE) AS x
+              |  FROM embeddings, range(1,65) i),
+              |scales AS (SELECT vec_id, MAX(abs(x)) / 127 AS s
+              |  FROM cells GROUP BY vec_id),
+              |qcells AS (SELECT c.vec_id, i,
+              |    CAST(floor(x / s + 0.5) AS BIGINT) AS qx
+              |  FROM cells c JOIN scales USING (vec_id)),
+              |idots AS (SELECT q.vec_id AS qid, c.vec_id, SUM(q.qx * c.qx) AS idot
+              |  FROM qcells q JOIN qcells c ON q.i = c.i
+              |  WHERE q.vec_id < 20
+              |  GROUP BY q.vec_id, c.vec_id),
+              |approx AS (SELECT qid, idots.vec_id,
+              |    round(sq.s * sc.s * CAST(idot AS DOUBLE)
+              |      / (nq.norm * nc.norm), 6) AS approx_cosine
+              |  FROM idots JOIN scales sq ON sq.vec_id = qid
+              |  JOIN scales sc ON sc.vec_id = idots.vec_id
+              |  JOIN norms nq ON nq.vec_id = qid
+              |  JOIN norms nc ON nc.vec_id = idots.vec_id),
+              |shortlist AS (SELECT qid, vec_id, approx_cosine,
+              |    ROW_NUMBER() OVER (PARTITION BY qid
+              |      ORDER BY approx_cosine DESC, vec_id) AS ark
+              |  FROM approx QUALIFY ark <= 8),
+              |exact AS (SELECT qid, sl.vec_id, approx_cosine,
+              |    SUM(CAST(q.embedding[i.range] AS DOUBLE)
+              |      * CAST(e.embedding[i.range] AS DOUBLE)) AS dot
+              |  FROM shortlist sl JOIN embeddings q ON q.vec_id = qid
+              |  JOIN embeddings e ON e.vec_id = sl.vec_id, range(1,65) i
+              |  GROUP BY qid, sl.vec_id, approx_cosine),
+              |scored AS (SELECT qid, exact.vec_id, approx_cosine,
+              |    round(dot / (nq.norm * ne.norm), 6) AS cosine
+              |  FROM exact JOIN norms nq ON nq.vec_id = qid
+              |  JOIN norms ne ON ne.vec_id = exact.vec_id)
+              |SELECT qid, vec_id, cosine, approx_cosine,
+              |  CAST(ROW_NUMBER() OVER (PARTITION BY qid
+              |    ORDER BY cosine DESC, vec_id) AS INT) AS rk
+              |FROM scored QUALIFY rk <= 5
+              |ORDER BY qid, rk""".stripMargin),
+      "pipeline-op: int8 scalar quantization + exact top-5 rescore of top-8 shortlist")
   )
 }

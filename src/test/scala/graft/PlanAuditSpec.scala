@@ -146,6 +146,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(rows.filter(_.getLong(0) % 30 != 0).forall(!_.getBoolean(4)))
   }
 
+  test("mixture reweighting broadcasts the rate table and flattens the mix") {
+    val df = QueryRegistry.queries("q96_mixture_reweight")(spark, sf)
+    val rows = df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the corpus meets the |languages|-row rate table via broadcast only
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // downsample-only: every keep-rate is a valid percentage, and at least
+    // one over-represented language was actually cut below 100
+    val rates = rows.map(r => r.getAs[Long]("rate"))
+    assert(rates.forall(r => r >= 0 && r <= 100))
+    assert(rates.exists(_ < 100), rates.mkString(","))
+  }
+
   test("no query plans an unintended CartesianProduct") {
     val offenders = QueryRegistry.all.flatMap { q =>
       val p = q.fn(spark, sf).queryExecution.executedPlan.toString

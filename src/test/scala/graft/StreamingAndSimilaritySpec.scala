@@ -266,6 +266,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(approx.size <= exact.size)
   }
 
+  test("int8 quantized rescore: high recall vs brute force, bounded sq error") {
+    val e = SimilarityOps.withNorm(Tables.embeddings(spark, sf))
+    val exact = SimilarityOps.cosineTopK(e.filter(col("vec_id") < 20), e, 5)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val rows = QueryRegistry.queries("q95_quantized_rescore")(spark, sf).collect()
+    val twoPhase = rows.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    // int8 symmetric quantization on 64 dims keeps ~2 decimal digits of
+    // cosine: the top-8 shortlist rarely drops a true top-5 neighbor
+    val recall = exact.intersect(twoPhase).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
+    // and the approximate score itself must sit near the exact one
+    assert(rows.forall(r => math.abs(r.getAs[Double]("cosine")
+      - r.getAs[Double]("approx_cosine")) < 0.03), "sq error exceeded 0.03")
+  }
+
   test("SignLshBuckets expression matches the composed HOF form bit-for-bit") {
     val e = SimilarityOps.withNorm(Tables.embeddings(spark, sf))
       .select(col("vec_id"), col("vec"))
