@@ -272,8 +272,12 @@ object ValidationOps {
         // memoized typing ("parse once, branch many"): classify and render
         // share ONE cascade evaluation per cell instead of re-parsing per
         // output column (measured 2.75s -> ~1s at sf0.1)
+        // spread BEFORE synthesizing: the cascade is the most expression-
+        // heavy projection in the engine, and the raw orders scan may be
+        // a handful of splits (sf1: 5 files -> ~7 tasks on 32 threads)
         val sheet = CellType.memoColumns(Seq("v")).foldLeft(
-          Tables.orders(s, d).select(variant.as("variant"), v.as("v"))) {
+          spreadRaw(Tables.orders(s, d), "o_orderkey")
+            .select(variant.as("variant"), v.as("v"))) {
           case (df, (name, c)) => df.withColumn(name, c)
         }
         sheet.select(col("variant"),
