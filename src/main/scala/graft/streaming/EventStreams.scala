@@ -40,6 +40,24 @@ object EventStreams {
         approx_count_distinct("user_id").as("n_users_approx"))
       .select(col("window.start").as("ws"), col("n_events"), col("n_users_approx"))
 
+  /** Ingest-time exact dedup: first occurrence of each `event_id` wins,
+    * with state bounded by the watermark — the streaming half of the
+    * corpus dedup story (batch exact dedup: q40). On a streaming frame
+    * this is `dropDuplicatesWithinWatermark`: unlike plain
+    * `dropDuplicates`, whose key state grows forever, the state store
+    * evicts an id once the watermark passes its event time, so the
+    * operator runs indefinitely at ingest scale on the (realistic)
+    * assumption that a duplicate arrives within the lateness bound. On a
+    * batch frame the watermark is a no-op and this is plain
+    * `dropDuplicates` — the exact-equivalence oracle the spec compares
+    * (same ids, one row per id).
+    */
+  def dedupedEvents(events: DataFrame, lateness: String = "10 minutes"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", lateness)
+        .dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
+
   /** Stream-stream interval join: clicks attributed to a later purchase by
     * the same user within 10 minutes. Watermarks on BOTH sides bound the
     * join state (Spark evicts buffered rows once the other side's watermark

@@ -72,6 +72,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup within watermark matches batch dropDuplicates") {
+    val batchEvents = Tables.events(spark, sf).limit(2000)
+    // stage each event TWICE (two files) — the streaming dedup must
+    // collapse them to one row per event_id, like the batch form
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup").toString
+    batchEvents.write.mode("overwrite").parquet(s"$dir/in")
+    batchEvents.write.mode("append").parquet(s"$dir/in")
+    val expected = EventStreams.dedupedEvents(
+      spark.read.parquet(s"$dir/in")).count()
+    assert(expected === batchEvents.count())
+    val q = EventStreams.dedupedEvents(
+        spark.readStream.schema(batchEvents.schema).parquet(s"$dir/in"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_wm_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dedup_wm_out")
+      assert(got.count() === expected)
+      assert(got.select("event_id").distinct().count() === expected)
+    } finally q.stop()
+  }
+
   test("validation rules compose with readStream (streaming data quality)") {
     import graft.rules.{Checks, NoGate, PyS, RuleEvaluator}
     val batchEvents = Tables.events(spark, sf)
