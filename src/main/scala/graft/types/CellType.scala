@@ -242,19 +242,40 @@ object CellType {
     *  - 1e-4 <= |x| < 1e-3 (the small window where Java is scientific
     *    but Python is not): positional via a high-scale decimal cast with
     *    trailing zeros trimmed — exact for CSV-born short decimals;
+    *  - non-integral |x| in [1e7, 1e15): positional via per-decade
+    *    decimal scales (see inline note) — exact for every double whose
+    *    shortest repr needs <= 16 significant digits;
     *  - otherwise native cast: identical to Python throughout [1e-3,
     *    1e7) where both print the shortest decimal. Residual doc'd
-    *    divergence: NON-integral |x| >= 1e7 and |x| < 1e-4 (Python
-    *    `1e+16`/`1e-05` forms) — unreachable from the reference's cell
-    *    domain (ids, counts, short measured decimals).
+    *    divergence: 17-significant-digit doubles, non-integral
+    *    |x| >= 1e15, |x| >= 1e16, |x| < 1e-4 (Python `1e+16`/`1e-05`
+    *    forms) — unreachable from the reference's cell domain (ids,
+    *    counts, short measured decimals).
     */
   def pyFloat(d: Column): Column = {
     val a = abs(d)
-    when(d === floor(d) && a < 1e16,
+    // positional decimal with trailing zeros trimmed (and a bare trailing
+    // dot healed to ".0" for values that round up to an integer)
+    def positional(scale: Int): Column =
+      regexp_replace(regexp_replace(
+        d.cast(DecimalType(38, scale)).cast("string"),
+        "(\\.\\d*?)0+$", "$1"), "\\.$", ".0")
+    // non-integral [1e7, 1e15): per-decade scale 15-decade. The exact
+    // binary value differs from the shortest repr by < ulp/2 ~ |x|*1.1e-16
+    // = 1.1*10^(decade-16); rounding at 5*10^(decade-16) (half of scale
+    // 15-decade) snaps that noise back to the repr, and the repr's own
+    // fraction fits the scale whenever the double needs <= 16 significant
+    // digits. Only 17-significant-digit doubles (which Python prints in
+    // full) lose their last digit here — unreachable from CSV-born cells.
+    val decadeBranches = (7 to 14).map { dec =>
+      (a >= math.pow(10, dec) && a < math.pow(10, dec + 1),
+        positional(15 - dec))
+    }
+    val base =
+      when(d === floor(d) && a < 1e16,
         concat(d.cast(DecimalType(20, 0)).cast("string"), lit(".0")))
-      .when(a >= 1e-4 && a < 1e-3,
-        regexp_replace(d.cast(DecimalType(38, 20)).cast("string"),
-          "(\\.\\d*?)0+$", "$1"))
+      .when(a >= 1e-4 && a < 1e-3, positional(20))
+    decadeBranches.foldLeft(base) { case (acc, (cond, r)) => acc.when(cond, r) }
       .otherwise(d.cast("string"))
   }
 

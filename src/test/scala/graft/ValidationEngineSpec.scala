@@ -87,7 +87,15 @@ class CellTypeSpec extends AnyFunSuite {
       "0.00012" -> "0.00012",
       "0.1" -> "0.1",                  // decimal-cast rounding trap
       "5000000" -> "5000000.0",        // below the 1e7 switch: unchanged
-      "123.5" -> "123.5")
+      "123.5" -> "123.5",
+      // non-integral >= 1e7: per-decade positional (Java is scientific)
+      "12345678.5" -> "12345678.5",
+      "123456789.25" -> "123456789.25",
+      "-1234567.875" -> "-1234567.875",
+      "1234567890123.4" -> "1234567890123.4",
+      "99999999999999.5" -> "99999999999999.5",
+      "1e6" -> "1000000.0",            // scientific INPUT, decimal output
+      "2500000000" -> "2500000000.0")
     val got = cases.map(_._1).toDF("v")
       .select(CellType.render(col("v"))).as[String].collect()
     assert(got.toSeq == cases.map(_._2))
