@@ -51,6 +51,25 @@ object CurationOps {
       .agg(count_distinct(col("g")).as("hits"))
   }
 
+  /** Highest multiplicity of any element of a string array, as
+    * sort + one linear run-length pass (`aggregate` carrying
+    * (prev, current-run, best-run) struct state): O(n log n) per row.
+    * The naive per-distinct-gram `filter` count is O(n * distinct) —
+    * quadratic on a repetitive 100k-word document, which is exactly the
+    * input a repetition gate exists to catch. The `""` sentinel for
+    * `prev` is safe: a first element equal to the sentinel still starts
+    * its run at 0+1.
+    */
+  def topRunCount(arr: Column): Column = {
+    def runOf(acc: Column, x: Column): Column =
+      when(x === acc.getField("prev"), acc.getField("run") + 1L).otherwise(lit(1L))
+    aggregate(array_sort(arr),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => struct(x.as("prev"), runOf(acc, x).as("run"),
+        greatest(acc.getField("best"), runOf(acc, x)).as("best")),
+      acc => greatest(acc.getField("best"), acc.getField("run")))
+  }
+
   /** Deterministic hash bucket 0-99 for a document id: md5 of the salted
     * id, first 8 hex digits as an integer, mod 100. Identical arithmetic
     * is expressible in any engine (the DuckDB oracle casts the same hex
@@ -182,8 +201,7 @@ object CurationOps {
             size(col("w")).cast("long").as("n_words"),
             round(size(array_distinct(col("w"))).cast("double") / size(col("w")), 6)
               .as("distinct_word_frac"),
-            round(array_max(transform(array_distinct(col("bi")),
-                x => size(filter(col("bi"), y => y === x)))).cast("double")
+            round(topRunCount(col("bi")).cast("double")
               / size(col("bi")), 6).as("top_bigram_frac"),
             round(lit(1.0) - size(array_distinct(col("tri"))).cast("double")
               / size(col("tri")), 6).as("dup_trigram_frac"))

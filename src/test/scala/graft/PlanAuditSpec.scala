@@ -119,9 +119,15 @@ class PlanAuditSpec extends AnyFunSuite {
     // narrow per-row HOFs: the only exchange the plan may contain is the
     // presentation ORDER BY (range partitioning); any Join or Aggregate
     // means the gram stream got shuffled
+    // Match physical operators, not expression text: the projection
+    // legitimately contains the HOF expressions `array_join` and
+    // `aggregate`, so case-sensitive "Join" / lowercase operator names
+    // are the discriminators.
     val p = plan("q93_repetition_signals")
     assert(!p.contains("Join"), p)
-    assert(!p.toLowerCase.contains("aggregate"), p)
+    val pl = p.toLowerCase
+    assert(!pl.contains("hashaggregate") && !pl.contains("sortaggregate")
+      && !pl.contains("objecthashaggregate"), p)
     val rows = QueryRegistry.queries("q93_repetition_signals")(spark, sf)
       .select("doc_id", "dup_trigram_frac", "repetitive").collect()
     val (planted, natural) = rows.partition(_.getLong(0) >= 2000000L)
