@@ -343,6 +343,162 @@ object CurationOps {
              |SELECT lang, rate, CAST(COUNT(*) AS BIGINT) AS n_kept,
              |  CAST(SUM(n_chars) AS BIGINT) AS chars_kept
              |FROM kept GROUP BY lang, rate ORDER BY lang""".stripMargin),
-      "pipeline-op: uniform-target mixture reweighting (broadcast rate table)")
+      "pipeline-op: uniform-target mixture reweighting (broadcast rate table)"),
+
+    // ---- C4-style line-level cleanup (Raffel et al. 2020, arXiv:
+    // 1910.10683 §2.2): keep only lines ending in terminal punctuation
+    // with >= 3 words and no "javascript" warning; drop the whole page on
+    // "lorem ipsum" or a curly brace. The synthetic docs are single-line,
+    // so each PAGE is constructed deterministically: the document text as
+    // a content line plus id-gated boilerplate lines (nav bar on %3,
+    // too-short on %5, javascript warning on %7, lorem-ipsum page killer
+    // on %97). Everything after construction is the real operator: one
+    // split + two `filter` HOFs per row — a pure narrow map, no shuffle,
+    // no UDF; at 100 TB this is scan-bound and the page either shrinks
+    // in place or disappears. Cleaned text is emitted as an md5 so the
+    // oracle hash-compares entire pages without megabyte rows. ----
+    Q("q97_line_cleanup",
+      (s, d) => {
+        def gated(m: Int, line: String): Column =
+          when(col("doc_id") % m === 0, concat(lit("\n"), lit(line)))
+            .otherwise(lit(""))
+        val page = concat(col("text"), lit("."),
+          gated(3, "home | about | contact"),
+          gated(5, "click here."),
+          gated(7, "please enable javascript to view this page."),
+          gated(97, "lorem ipsum dolor sit amet."))
+        val lines = split(col("page"), "\n")
+        val kept = filter(lines, x => x.rlike("[.!?\"]$") &&
+          size(split(x, " ")) >= 3 && !x.contains("javascript"))
+        val killer = exists(lines,
+          x => x.contains("lorem ipsum") || x.contains("{"))
+        Tables.documents(s, d).select(col("doc_id"), page.as("page"))
+          .filter(!killer)
+          .select(col("doc_id"),
+            size(lines).cast("long").as("n_lines"),
+            size(kept).cast("long").as("n_kept"),
+            md5(array_join(kept, "\n")).as("cleaned_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH pages AS (SELECT doc_id, text || '.'
+             |  || CASE WHEN doc_id % 3 = 0
+             |       THEN chr(10) || 'home | about | contact' ELSE '' END
+             |  || CASE WHEN doc_id % 5 = 0
+             |       THEN chr(10) || 'click here.' ELSE '' END
+             |  || CASE WHEN doc_id % 7 = 0
+             |       THEN chr(10) || 'please enable javascript to view this page.'
+             |       ELSE '' END
+             |  || CASE WHEN doc_id % 97 = 0
+             |       THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END
+             |    AS page
+             |  FROM documents),
+             |l AS (SELECT doc_id, string_split(page, chr(10)) AS lines
+             |  FROM pages),
+             |k AS (SELECT doc_id, lines,
+             |    list_filter(lines, x -> regexp_matches(x, '[.!?"]$')
+             |      AND len(string_split(x, ' ')) >= 3
+             |      AND NOT contains(x, 'javascript')) AS kept
+             |  FROM l
+             |  WHERE len(list_filter(lines, x -> contains(x, 'lorem ipsum')
+             |    OR contains(x, '{'))) = 0)
+             |SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+             |  CAST(len(kept) AS BIGINT) AS n_kept,
+             |  md5(array_to_string(kept, chr(10))) AS cleaned_md5
+             |FROM k ORDER BY doc_id""".stripMargin),
+      "pipeline-op: C4-style line cleanup (narrow HOF filters, page kill)"),
+
+    // ---- sliding-window chunking: split each document into 16-token
+    // windows advancing by a 12-token stride (4-token overlap carries
+    // context across boundaries), the tokenizer-prep step between
+    // curation and training. One `sequence`+`explode` per row — row-local
+    // generation, no shuffle; a document's chunk count depends only on
+    // its own length, so the operator scales linearly with corpus bytes
+    // and chunks inherit the parent scan's partitioning. The final chunk
+    // is allowed to run short (slice clamps at the document end; both
+    // engines clamp identically). ----
+    Q("q99_chunk_stride",
+      (s, d) => {
+        val t = Tables.documents(s, d)
+          .select(col("doc_id"), toks(col("text")).as("w"))
+          .withColumn("n", size(col("w")))
+        val nChunks = (floor((greatest(col("n") - 16, lit(0)) + 11)
+          / lit(12.0)) + 1).cast("int")
+        val start = (col("chunk_id") * 12).cast("int")
+        t.select(col("doc_id"), col("w"), col("n"),
+            explode(sequence(lit(0L), nChunks.cast("long") - 1)).as("chunk_id"))
+          .select(col("doc_id"), col("chunk_id"),
+            least(lit(16), col("n") - start).cast("long").as("n_tokens"),
+            md5(array_join(slice(col("w"), start + 1, lit(16)), " "))
+              .as("chunk_md5"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some("""WITH wds AS (SELECT doc_id, string_split(text, ' ') AS w,
+             |    len(string_split(text, ' ')) AS n FROM documents)
+             |SELECT doc_id, i.range AS chunk_id,
+             |  CAST(LEAST(16, n - i.range * 12) AS BIGINT) AS n_tokens,
+             |  md5(array_to_string(w[i.range * 12 + 1 : i.range * 12 + 16], ' '))
+             |    AS chunk_md5
+             |FROM wds, range(0, 16) i
+             |WHERE i.range < 1 + ((GREATEST(n - 16, 0) + 11) // 12)
+             |ORDER BY doc_id, chunk_id""".stripMargin),
+      "pipeline-op: sliding-window chunking with stride overlap (row-local)"),
+
+    // ---- corpus-global line dedup, the C4 "discard repeated spans"
+    // rule: documents are segmented into 12-word lines and every line
+    // that already occurred anywhere earlier in the corpus (first
+    // occurrence by (doc_id, line_no)) is removed; surviving lines are
+    // reassembled in order. Every 25th document is PLANTED as a full
+    // copy under +3,000,000 (clear of q93's +2M and q40's +1M id
+    // ranges) — planted copies must come out EMPTY (n_kept = 0), while
+    // the corpus's ~96 natural short-tail-line collisions dedup too.
+    // Scale shape: one shuffle, keyed by the line content, decides
+    // keep-first globally (at 100 TB the key would be the line's hash,
+    // same decisions); reassembly groups by doc_id with an ordered
+    // collect. No all-pairs term anywhere — cost is linear in corpus
+    // lines for any corpus size. ----
+    Q("q100_line_dedup_global",
+      (s, d) => {
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), toks(col("text")).as("w"))
+        val corpus = base.unionByName(base.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"), col("w")))
+        val lines = corpus
+          .select(col("doc_id"), explode(transform(
+            sequence(lit(0), (floor((size(col("w")) + 11) / lit(12.0)))
+              .cast("int") - 1),
+            i => struct(i.cast("long").as("line_no"),
+              array_join(slice(col("w"), i * 12 + 1, lit(12)), " ").as("line"))))
+            .as("x"))
+          .select(col("doc_id"), col("x.line_no"), col("x.line"))
+        val firstSeen = Window.partitionBy("line").orderBy("doc_id", "line_no")
+        lines.withColumn("kept", row_number().over(firstSeen) === 1)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_lines"),
+            sum(col("kept").cast("long")).as("n_kept"),
+            md5(array_join(transform(
+              array_sort(collect_list(when(col("kept"),
+                struct(col("line_no"), col("line"))))),
+              p => p.getField("line")), "\n")).as("cleaned_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 3000000, string_split(text, ' ')
+             |  FROM documents WHERE doc_id % 25 = 0),
+             |lines AS (SELECT doc_id, i.range AS line_no,
+             |    array_to_string(w[i.range * 12 + 1 : i.range * 12 + 12], ' ')
+             |      AS line
+             |  FROM base, range(0, 16) i WHERE i.range < (len(w) + 11) // 12),
+             |marked AS (SELECT doc_id, line_no, line,
+             |    (ROW_NUMBER() OVER (PARTITION BY line
+             |      ORDER BY doc_id, line_no)) = 1 AS kept
+             |  FROM lines)
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+             |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  md5(COALESCE(string_agg(CASE WHEN kept THEN line END, chr(10)
+             |    ORDER BY line_no), '')) AS cleaned_md5
+             |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      "pipeline-op: corpus-global line dedup, keep-first (C4 repeated spans)")
   )
 }

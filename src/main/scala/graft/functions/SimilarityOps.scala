@@ -456,6 +456,114 @@ object SimilarityOps {
               |    ORDER BY cosine DESC, vec_id) AS INT) AS rk
               |FROM scored QUALIFY rk <= 5
               |ORDER BY qid, rk""".stripMargin),
-      "pipeline-op: int8 scalar quantization + exact top-5 rescore of top-8 shortlist")
+      "pipeline-op: int8 scalar quantization + exact top-5 rescore of top-8 shortlist"),
+
+    // ---- semantic dedup via k-means clustering (SemDeDup, Abbas et al.
+    // 2023, arXiv:2303.09540): cluster the corpus, then search for
+    // near-duplicate pairs only WITHIN each cluster — the cluster
+    // partition replaces the n^2 cross product with k independent
+    // n_c^2 problems (and at real scale each cluster's pairing would
+    // itself be LSH-bucketed, see q44). One full Lloyd iteration runs
+    // distributed: seed centroids (vec_id < 8) assign members by argmax
+    // rounded cosine (broadcast, narrow), then the centroid UPDATE is a
+    // posexplode + groupBy(cid, pos) mean — 8x64 partial sums per map
+    // task, so the corpus shuffles k*dims scalars, not vectors. The mean
+    // is made bit-identical across engines and partial-sum orders by
+    // quantizing each component to integer millionths (floor(x*1e6+0.5),
+    // exact BIGINT sums) before dividing — the same integer-cents trick
+    // the money columns use; a raw double mean would depend on Spark's
+    // partition order. Cross-cluster near-dup pairs are MISSED by
+    // construction (the documented SemDeDup recall trade-off); the spec
+    // pins recovered-pair recall vs q44's exhaustive baseline. ----
+    Q("q98_kmeans_semdedup",
+      (s, d) => {
+        val e = withNorm(withPlantedDups(
+          Tables.embeddings(s, d).filter(col("vec_id") < 300)))
+        def assign(cents: DataFrame): DataFrame = e
+          .select(col("vec_id"), col("vec"), col("norm"))
+          .join(broadcast(cents))
+          .withColumn("ccos", round(dot(col("vec"), col("cvec")) /
+            (col("norm") * col("cnorm")), 6))
+          .withColumn("crk", row_number().over(
+            Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))))
+          .filter(col("crk") === 1)
+          .select(col("vec_id"), col("cid"))
+        val seeds = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("vec").as("cvec"),
+            col("norm").as("cnorm"))
+        val updated = assign(seeds)
+          .join(e.select(col("vec_id"), col("vec")), Seq("vec_id"))
+          .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "x")))
+          .groupBy("cid", "pos")
+          .agg(sum(floor(col("x") * 1000000d + 0.5d)).as("sumq"),
+            count(lit(1)).as("n"))
+          .withColumn("cx",
+            col("sumq").cast("double") / lit(1000000.0) / col("n"))
+          .groupBy("cid")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+            p => p.getField("cx")).as("cvec"))
+          .withColumn("cnorm",
+            sqrt(aggregate(col("cvec"), lit(0.0), (acc, x) => acc + x * x)))
+        val members = assign(updated).withColumnRenamed("cid", "cluster")
+        members.select(col("cluster"), col("vec_id").as("id1"))
+          .join(members.select(col("cluster"), col("vec_id").as("id2")),
+            Seq("cluster"))
+          .filter(col("id1") < col("id2"))
+          .join(e.select(col("vec_id").as("id1"), col("vec").as("v1"),
+            col("norm").as("n1")), Seq("id1"))
+          .join(e.select(col("vec_id").as("id2"), col("vec").as("v2"),
+            col("norm").as("n2")), Seq("id2"))
+          .withColumn("cosine", round(dot(col("v1"), col("v2")) /
+            (col("n1") * col("n2")), 6))
+          .filter(col("cosine") >= 0.8)
+          .select(col("cluster"), col("id1"), col("id2"), col("cosine"))
+          .orderBy("id1", "id2")
+      },
+      Some("""WITH cells AS (
+             |  SELECT vec_id, i.range AS i, CAST(embedding[i.range] AS DOUBLE) AS x
+             |  FROM embeddings, range(1,65) i WHERE vec_id < 300
+             |  UNION ALL
+             |  SELECT vec_id + 100000, i.range, CAST(embedding[i.range] AS DOUBLE)
+             |    * (CASE WHEN (i.range - 1) % 2 = 0 THEN 1.1 ELSE 0.9 END)
+             |  FROM embeddings, range(1,65) i WHERE vec_id < 300),
+             |norms AS (SELECT vec_id, sqrt(SUM(x * x)) AS norm
+             |  FROM cells GROUP BY vec_id),
+             |seeds AS (SELECT vec_id AS cid, i, x FROM cells WHERE vec_id < 8),
+             |d0 AS (SELECT c.vec_id, s.cid, SUM(c.x * s.x) AS dot
+             |  FROM cells c JOIN seeds s ON s.i = c.i GROUP BY c.vec_id, s.cid),
+             |a0 AS (SELECT d0.vec_id, cid, ROW_NUMBER() OVER (
+             |    PARTITION BY d0.vec_id
+             |    ORDER BY round(dot / (nv.norm * nc.norm), 6) DESC, cid) AS crk
+             |  FROM d0 JOIN norms nv ON nv.vec_id = d0.vec_id
+             |  JOIN norms nc ON nc.vec_id = cid),
+             |m0 AS (SELECT vec_id, cid FROM a0 WHERE crk = 1),
+             |cent AS (SELECT cid, i,
+             |    CAST(SUM(CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+             |      / 1000000.0 / COUNT(*) AS x
+             |  FROM m0 JOIN cells USING (vec_id) GROUP BY cid, i),
+             |cnorms AS (SELECT cid, sqrt(SUM(x * x)) AS cnorm
+             |  FROM cent GROUP BY cid),
+             |d1 AS (SELECT c.vec_id, cent.cid, SUM(c.x * cent.x) AS dot
+             |  FROM cells c JOIN cent ON cent.i = c.i GROUP BY c.vec_id, cent.cid),
+             |a1 AS (SELECT d1.vec_id, d1.cid, ROW_NUMBER() OVER (
+             |    PARTITION BY d1.vec_id
+             |    ORDER BY round(dot / (nv.norm * cn.cnorm), 6) DESC, d1.cid) AS crk
+             |  FROM d1 JOIN norms nv ON nv.vec_id = d1.vec_id
+             |  JOIN cnorms cn ON cn.cid = d1.cid),
+             |m1 AS (SELECT vec_id, cid AS cluster FROM a1 WHERE crk = 1),
+             |pairs AS (SELECT x.cluster, x.vec_id AS id1, y.vec_id AS id2
+             |  FROM m1 x JOIN m1 y
+             |    ON x.cluster = y.cluster AND x.vec_id < y.vec_id),
+             |pdots AS (SELECT p.cluster, p.id1, p.id2, SUM(a.x * b.x) AS dot
+             |  FROM pairs p JOIN cells a ON a.vec_id = p.id1
+             |  JOIN cells b ON b.vec_id = p.id2 AND b.i = a.i
+             |  GROUP BY p.cluster, p.id1, p.id2)
+             |SELECT cluster, id1, id2,
+             |  round(dot / (n1.norm * n2.norm), 6) AS cosine
+             |FROM pdots JOIN norms n1 ON n1.vec_id = id1
+             |JOIN norms n2 ON n2.vec_id = id2
+             |WHERE round(dot / (n1.norm * n2.norm), 6) >= 0.8
+             |ORDER BY id1, id2""".stripMargin),
+      "pipeline-op: SemDeDup — k-means clustering + within-cluster near-dup pairs")
   )
 }

@@ -166,6 +166,76 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(rates.exists(_ < 100), rates.mkString(","))
   }
 
+  test("line cleanup is a narrow HOF map; line rules and page kill fire exactly") {
+    val p = plan("q97_line_cleanup")
+    assert(!p.contains("Join"), p)
+    val pl = p.toLowerCase
+    assert(!pl.contains("hashaggregate") && !pl.contains("sortaggregate")
+      && !pl.contains("objecthashaggregate"), p)
+    assert(!pl.contains("scalaudf"), p)
+    val rows = QueryRegistry.queries("q97_line_cleanup")(spark, sf).collect()
+    // lorem-ipsum pages are killed outright
+    assert(rows.forall(_.getLong(0) % 97 != 0))
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (id, nLines, nKept) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      // exactly the id-gated boilerplate lines are dropped; content survives
+      val expectDropped = Seq(3L, 5L, 7L).count(m => id % m == 0)
+      assert(nLines - nKept == expectDropped, s"doc $id: $nLines/$nKept")
+      assert(nKept >= 1, s"doc $id lost its content line")
+    }
+  }
+
+  test("chunking is row-local (no join/agg) and chunks tile each document") {
+    val p = plan("q99_chunk_stride")
+    assert(!p.contains("Join"), p)
+    val pl = p.toLowerCase
+    assert(!pl.contains("hashaggregate") && !pl.contains("sortaggregate")
+      && !pl.contains("objecthashaggregate"), p)
+    val byDoc = QueryRegistry.queries("q99_chunk_stride")(spark, sf)
+      .collect().groupBy(_.getLong(0))
+    assert(byDoc.nonEmpty)
+    for ((id, cs) <- byDoc) {
+      val sorted = cs.sortBy(_.getLong(1))
+      // contiguous chunk ids from 0; all full 16-token windows except a
+      // possibly-short final chunk
+      assert(sorted.map(_.getLong(1)).toSeq == (0L until sorted.length.toLong),
+        s"doc $id chunk ids")
+      assert(sorted.init.forall(_.getLong(2) == 16L), s"doc $id mid chunk short")
+      assert(sorted.last.getLong(2) >= 1 && sorted.last.getLong(2) <= 16)
+    }
+  }
+
+  test("global line dedup empties planted copies; no all-pairs operator") {
+    val df = QueryRegistry.queries("q100_line_dedup_global")(spark, sf)
+    val rows = df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val (planted, orig) = rows.partition(_.getLong(0) >= 3000000L)
+    assert(planted.nonEmpty)
+    // every line of a planted copy already occurred in its source doc
+    assert(planted.forall(_.getLong(2) == 0L))
+    assert(planted.forall(_.getString(3) == "d41d8cd98f00b204e9800998ecf8427e"))
+    // originals overwhelmingly keep all lines (modulo natural short-tail
+    // line collisions)
+    assert(orig.count(r => r.getLong(2) == r.getLong(1)) > orig.length * 8 / 10)
+  }
+
+  test("k-means semantic dedup recovers planted pairs within clusters") {
+    val rows = QueryRegistry.queries("q98_kmeans_semdedup")(spark, sf).collect()
+    // every surviving pair is a planted near-duplicate: natural pairwise
+    // cosine tops out far below the 0.8 threshold on this corpus
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(2) == r.getLong(1) + 100000L))
+    assert(rows.forall(_.getDouble(3) >= 0.99))
+    // recall vs the exhaustive q44 baseline (300 planted pairs): only
+    // pairs split across a cluster boundary may be missed
+    assert(rows.length >= 270, s"recovered ${rows.length} of 300")
+    // the cluster partition is balanced enough that every cluster hit
+    assert(rows.map(_.getLong(0)).distinct.length == 8, "cluster spread")
+  }
+
   test("no query plans an unintended CartesianProduct") {
     val offenders = QueryRegistry.all.flatMap { q =>
       val p = q.fn(spark, sf).queryExecution.executedPlan.toString
