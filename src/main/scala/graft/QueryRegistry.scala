@@ -33,7 +33,9 @@ object QueryRegistry {
       graft.streaming.EventOps.qs ++
       graft.functions.MultimodalOps.qs ++
       graft.functions.CountMinOps.qs ++
-      graft.functions.CurationOps.qs
+      graft.functions.CurationOps.qs ++
+      graft.functions.RetrievalOps.qs ++
+      graft.functions.ProfileOps.qs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -18,6 +18,31 @@ object CurationOps {
   /** Whitespace token array. */
   def toks(c: Column): Column = split(c, " ")
 
+  /** Per-document duplicated n-gram span counts over (doc_id, text):
+    * how many of the document's word `n`-gram positions are duplicated
+    * anywhere in the corpus (including within the same document), plus
+    * the distinct offending grams and the duplicated fraction. See the
+    * q103 docstring for the plan shape.
+    */
+  def dupNgramSpans(docs: DataFrame, n: Int = 8): DataFrame = {
+    val grams = ngrams(docs.select(col("doc_id"), toks(col("text")).as("w")), n)
+      .select(col("doc_id"), md5(col("g")).as("gh"))
+    val gcounts = grams.groupBy("gh").agg(count(lit(1)).as("total"))
+    val perDoc = grams.join(gcounts, Seq("gh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("total") > 1, lit(1))).as("dup_pos"),
+        count_distinct(when(col("total") > 1, col("gh"))).as("dup_grams"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("dup_pos"), lit(0L)).as("dup_pos"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"),
+        round(when(coalesce(col("n_grams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("dup_pos").cast("double") / col("n_grams")), 6)
+          .as("dup_frac"))
+  }
+
   /** One row per word n-gram of `df`'s `w` token-array column:
     * (doc_id, g). A pure narrow map — no shuffle, no UDF; sequence+
     * transform+slice stay inside whole-stage codegen. Documents shorter
@@ -499,6 +524,45 @@ object CurationOps {
              |  md5(COALESCE(string_agg(CASE WHEN kept THEN line END, chr(10)
              |    ORDER BY line_no), '')) AS cleaned_md5
              |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin),
-      "pipeline-op: corpus-global line dedup, keep-first (C4 repeated spans)")
+      "pipeline-op: corpus-global line dedup, keep-first (C4 repeated spans)"),
+
+    // ---- duplicated n-gram span detection (the exact-substring-dedup
+    // SIGNAL of Lee et al. 2022, "Deduplicating Training Data Makes
+    // Language Models Better"): for every document, how many of its
+    // word 8-gram positions are duplicated ANYWHERE in the corpus
+    // (including within the same document). Plan: one narrow gram-
+    // explode pass (md5 of each gram so the shuffle key is fixed-width
+    // regardless of gram text), a gram-keyed partial-agg count, a
+    // shuffle join of grams back to their corpus-wide multiplicity,
+    // and a per-doc re-aggregation. Cost is linear in corpus grams —
+    // no all-pairs term — and every stage partial-aggregates, so the
+    // 100 TB shape is two shuffles of (hash, count)-width rows. The
+    // left join back to `documents` keeps zero-dup and short (<8-token)
+    // documents in the output with explicit zeros. ----
+    Q("q103_dup_ngram_spans",
+      (s, d) => dupNgramSpans(graft.operators.Spread.byKey(
+          Tables.documents(s, d), col("doc_id")))
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (SELECT doc_id, string_split(text,' ') AS w
+             |  FROM documents),
+             |idx AS (SELECT doc_id, w,
+             |    unnest(range(0, greatest(len(w)-7, 0))) AS i FROM toks),
+             |grams AS (SELECT doc_id, array_to_string(w[i+1:i+8],' ') AS g
+             |  FROM idx),
+             |gcounts AS (SELECT g, count(*) AS total FROM grams GROUP BY g),
+             |per_doc AS (SELECT doc_id,
+             |    count(*) AS n_grams,
+             |    count(*) FILTER (WHERE total > 1) AS dup_pos,
+             |    count(DISTINCT g) FILTER (WHERE total > 1) AS dup_grams
+             |  FROM grams JOIN gcounts USING (g) GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |  COALESCE(n_grams, 0) AS n_grams,
+             |  COALESCE(dup_pos, 0) AS dup_pos,
+             |  COALESCE(dup_grams, 0) AS dup_grams,
+             |  round(CASE WHEN COALESCE(n_grams, 0) = 0 THEN 0.0
+             |    ELSE CAST(dup_pos AS DOUBLE)/n_grams END, 6) AS dup_frac
+             |FROM documents d LEFT JOIN per_doc USING (doc_id)
+             |ORDER BY doc_id""".stripMargin),
+      "pipeline-op: duplicated 8-gram span detection (exact-substring dedup signal)")
   )
 }

@@ -1,0 +1,83 @@
+package graft.functions
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deequ-style column profiling: per-column row/null/distinct counts and
+  * min/max, as ONE full-scan aggregate (the natural extension of the
+  * reference's per-column validation rules — profile first, then pick
+  * thresholds).
+  *
+  * Plan shape: a single Aggregate over the table computes every
+  * column's statistics together (Spark plans the multi-distinct via one
+  * Expand — still one scan, partial-aggregated map-side), then the
+  * 1-row result is exploded into the (column_name, stats) long form on
+  * the driver-side-sized output. At 100 TB this is exactly the ANALYZE
+  * TABLE shape: one pass, no per-column rescans. Exact distinct counts
+  * are what the oracle can check; for trillion-row profiling swap
+  * count_distinct for approx_count_distinct (HLL, q54) — same plan, no
+  * Expand.
+  */
+object ProfileOps {
+
+  /** Profile `cols` of `df`: (column_name, n_rows, n_null, n_distinct,
+    * min_val, max_val), min/max rendered as strings after the given
+    * per-column normalizing cast (pin doubles to DECIMAL so the
+    * rendering is engine-independent).
+    */
+  def profile(df: DataFrame, cols: Seq[(String, Column => Column)]): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { case (n, t) =>
+      Seq(count(col(n)).as(s"cnt_$n"),
+        count_distinct(col(n)).as(s"nd_$n"),
+        min(t(col(n))).cast("string").as(s"min_$n"),
+        max(t(col(n))).cast("string").as(s"max_$n"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map { case (n, _) =>
+        struct(lit(n).as("column_name"),
+          col("n_rows"),
+          (col("n_rows") - col(s"cnt_$n")).as("n_null"),
+          col(s"nd_$n").as("n_distinct"),
+          col(s"min_$n").as("min_val"),
+          col(s"max_$n").as("max_val"))
+      }: _*)).as("p"))
+      .select("p.*")
+  }
+
+  private val id: Column => Column = identity
+  private val money: Column => Column = _.cast("decimal(18,2)")
+
+  def qs: Seq[Q] = Seq(
+
+    Q("q105_column_profile",
+      (s, d) => profile(Tables.customer(s, d), Seq(
+        ("c_acctbal", money), ("c_custkey", id), ("c_mktsegment", id),
+        ("c_name", id), ("c_nationkey", id)))
+        .orderBy("column_name"),
+      Some("""SELECT 'c_acctbal' AS column_name, COUNT(*) AS n_rows,
+             |  COUNT(*) - COUNT(c_acctbal) AS n_null,
+             |  COUNT(DISTINCT c_acctbal) AS n_distinct,
+             |  CAST(MIN(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS min_val,
+             |  CAST(MAX(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS max_val
+             |FROM customer
+             |UNION ALL
+             |SELECT 'c_custkey', COUNT(*), COUNT(*) - COUNT(c_custkey),
+             |  COUNT(DISTINCT c_custkey), CAST(MIN(c_custkey) AS VARCHAR),
+             |  CAST(MAX(c_custkey) AS VARCHAR) FROM customer
+             |UNION ALL
+             |SELECT 'c_mktsegment', COUNT(*), COUNT(*) - COUNT(c_mktsegment),
+             |  COUNT(DISTINCT c_mktsegment), CAST(MIN(c_mktsegment) AS VARCHAR),
+             |  CAST(MAX(c_mktsegment) AS VARCHAR) FROM customer
+             |UNION ALL
+             |SELECT 'c_name', COUNT(*), COUNT(*) - COUNT(c_name),
+             |  COUNT(DISTINCT c_name), CAST(MIN(c_name) AS VARCHAR),
+             |  CAST(MAX(c_name) AS VARCHAR) FROM customer
+             |UNION ALL
+             |SELECT 'c_nationkey', COUNT(*), COUNT(*) - COUNT(c_nationkey),
+             |  COUNT(DISTINCT c_nationkey), CAST(MIN(c_nationkey) AS VARCHAR),
+             |  CAST(MAX(c_nationkey) AS VARCHAR) FROM customer
+             |ORDER BY column_name""".stripMargin),
+      "validation generalization: single-pass column profiling (ANALYZE shape)")
+  )
+}

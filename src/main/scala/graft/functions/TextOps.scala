@@ -11,6 +11,15 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Canonical text normalization: lowercase, pinned accent-fold table,
+    * control/punctuation removal, whitespace collapse. A pure codegen'd
+    * Column expression — see the q104 docstring.
+    */
+  def normalizeText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(regexp_replace(
+      translate(lower(c), "éüï", "eui"),
+      "[^a-z0-9 ]", " "), " +", " "))
+
   def qs: Seq[Q] = Seq(
 
     // ---- token counts + quality scoring ----
@@ -209,6 +218,78 @@ object TextOps {
              |  array_to_string(list_sort(string_split(text,' '))[1:3], ',')
              |    AS first3
              |FROM documents ORDER BY doc_id""".stripMargin),
-      "§2.6 expression surface: higher-order lambdas (filter/exists/aggregate/slice)")
+      "§2.6 expression surface: higher-order lambdas (filter/exists/aggregate/slice)"),
+
+    // ---- text normalization: the canonicalization pass a corpus gets
+    // before fingerprinting/dedup — lowercase, accent folding (explicit
+    // translate map, so the folding is a pinned engine-independent
+    // table, not a locale call), control/punctuation removal, and
+    // whitespace collapse. The corpus is ASCII by construction, so an
+    // accented suffix ("Café Über naïve résumé" + a tab) is APPENDED to
+    // every document to make the folding observable and oracle-checked.
+    // Pure narrow map — codegen'd string expressions, no shuffle except
+    // the presentation sort; linear at any scale. ----
+    Q("q104_text_normalize",
+      (s, d) => {
+        val norm = normalizeText(
+          concat(col("text"), lit(" Café Über naïve résumé\t")))
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          md5(norm).as("norm_fp"),
+          length(norm).as("norm_len"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  md5(trim(regexp_replace(regexp_replace(
+             |    translate(lower(text || ' Café Über naïve résumé' || chr(9)),
+             |      'éüï', 'eui'),
+             |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_fp,
+             |  length(trim(regexp_replace(regexp_replace(
+             |    translate(lower(text || ' Café Über naïve résumé' || chr(9)),
+             |      'éüï', 'eui'),
+             |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_len
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      "pipeline-op: text normalization (case/accent fold, control strip, ws collapse)"),
+
+    // ---- one BPE vocabulary-induction step: the distributed half of
+    // tokenizer training. Count every ADJACENT token pair across the
+    // corpus and emit the top merge candidates — exactly the statistic
+    // a BPE trainer recomputes per merge round (Sennrich et al. 2016).
+    // Pair extraction is a narrow map (transform over an index
+    // sequence, no self-join); the count is one token-pair-keyed
+    // partial agg; top-10 is a TakeOrdered, not a full sort. At 100 TB
+    // each round is therefore one scan + one shuffle of (pair, count)
+    // partials — the iteration driver would re-run this with the
+    // merged vocabulary applied, state that lives in the (tiny)
+    // merge table, not in the corpus. ----
+    Q("q106_bpe_merge_step",
+      (s, d) => {
+        val w = split(col("text"), " ")
+        val pairs = graft.operators.Spread.byKey(
+            Tables.documents(s, d), col("doc_id"))
+          .select(explode(when(size(w) >= 2,
+            transform(sequence(lit(1), size(w) - 1),
+              i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
+            .otherwise(array().cast("array<string>"))).as("pair"))
+        // top-10 via TakeOrdered (distributed per-partition top + merge),
+        // THEN rank the 10 survivors — a global row_number over all pairs
+        // would funnel the whole count table through one partition
+        pairs.groupBy("pair").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("pair")).limit(10)
+          .select(col("pair"), col("n"),
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy(col("n").desc, col("pair"))).as("rk"))
+          .orderBy(col("n").desc, col("pair"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text,' ') AS w
+             |  FROM documents),
+             |idx AS (SELECT doc_id, w,
+             |    unnest(range(1, greatest(len(w), 1))) AS i FROM toks),
+             |pairs AS (SELECT w[i] || ' ' || w[i+1] AS pair FROM idx),
+             |counts AS (SELECT pair, count(*) AS n FROM pairs GROUP BY pair)
+             |SELECT pair, n,
+             |  CAST(ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS INT) AS rk
+             |FROM counts ORDER BY n DESC, pair LIMIT 10""".stripMargin),
+      "pipeline-op: BPE merge-step statistics (adjacent-pair counts, top candidates)")
   )
 }

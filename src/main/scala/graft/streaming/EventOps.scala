@@ -198,6 +198,24 @@ object EventOps {
              |SELECT user_id, COUNT(*) AS n_islands,
              |  CAST(MAX(len) AS BIGINT) AS longest_streak
              |FROM islands GROUP BY user_id ORDER BY user_id""".stripMargin),
-      "§2.7 gaps-and-islands: consecutive-day streaks (day_number - row_number)")
+      "§2.7 gaps-and-islands: consecutive-day streaks (day_number - row_number)"),
+
+    // ---- stream-static broadcast enrichment (batch twin; the streaming
+    // run of the SAME transform is pinned in StreamingSpec). The static
+    // dimension broadcasts per micro-batch; the event stream is never
+    // shuffled before the windowed aggregate, whose state the watermark
+    // bounds — the standard "enrich at ingest" topology. ----
+    Q("q107_stream_static_join",
+      (s, d) => EventStreams.enrichedSegmentCounts(
+          Tables.events(s, d).select("user_id", "ts", "value"),
+          Tables.customer(s, d).select("c_custkey", "c_mktsegment"))
+        .orderBy("hour_start", "segment"),
+      Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+             |  c_mktsegment AS segment, COUNT(*) AS n,
+             |  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             |    / 100.0 AS total_value
+             |FROM events JOIN customer ON user_id = c_custkey
+             |GROUP BY 1, 2 ORDER BY hour_start, segment""".stripMargin),
+      "§2.7 streaming: stream-static broadcast enrichment join (batch twin)")
   )
 }

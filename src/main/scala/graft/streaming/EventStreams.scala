@@ -84,6 +84,28 @@ object EventStreams {
       .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"))
   }
 
+  /** Stream-static enrichment: each micro-batch of events joins the
+    * STATIC `customer` dimension (re-read at its current snapshot every
+    * batch, broadcast by size) and aggregates per (hour, market
+    * segment) — the canonical streaming-enrichment shape. The join
+    * itself is stateless (only the static side is buffered, as a
+    * broadcast); all streaming state lives in the downstream windowed
+    * aggregate, bounded by the watermark. Works identically on batch
+    * inputs (watermark no-op) — the oracle-checked twin is
+    * q107_stream_static_join.
+    */
+  def enrichedSegmentCounts(events: DataFrame, dim: DataFrame): DataFrame = {
+    val in = if (events.isStreaming) events.withWatermark("ts", "10 minutes")
+             else events
+    in.join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("value") * 100 + 0.5).cast("long"))
+          .cast("double") / 100.0).as("total_value"))
+      .select(col("window.start").as("hour_start"),
+        col("c_mktsegment").as("segment"), col("n"), col("total_value"))
+  }
+
   final case class EventRow(user_id: Long, ts_sec: Long)
   final case class SessionSummary(user_id: Long, n_sessions: Long, n_events: Long)
   // public: the state encoder's generated code must reach the accessors

@@ -1,0 +1,106 @@
+package graft
+
+import graft.functions.{CurationOps, RetrievalOps, TextOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic tests for the retrieval / corpus-statistics operators on
+  * handcrafted corpora (the sf-corpus cross-check is the DuckDB oracle;
+  * these pin the semantics the oracle can't explain: ranking order,
+  * boundary documents, fold table).
+  */
+class RetrievalOpsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("bm25: higher tf of a rare term outranks; docs without the term absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "rare common common common"),
+      (2L, "common common common common"),
+      (3L, "rare rare common common"))
+      .toDF("doc_id", "text")
+    val queries = Seq((1, "rare")).toDF("qid", "term")
+    val out = RetrievalOps.bm25TopK(docs, queries, 5)
+      .orderBy("rk").collect()
+    assert(out.map(_.getLong(1)).toSeq === Seq(3L, 1L)) // tf=2 beats tf=1
+    assert(out.forall(_.getDouble(2) > 0))
+    assert(!out.map(_.getLong(1)).contains(2L)) // no 'rare' -> not retrieved
+  }
+
+  test("bm25: multi-term queries sum per-term scores; equal docs tie-break by id") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamma"), // identical content -> identical score
+      (3L, "alpha alpha alpha"))
+      .toDF("doc_id", "text")
+    val queries = Seq((7, "alpha"), (7, "beta")).toDF("qid", "term")
+    val out = RetrievalOps.bm25TopK(docs, queries, 3)
+      .orderBy("rk").collect()
+    // docs 1/2 match both terms, doc 3 only one (idf of 'alpha' is ln(1 +
+    // 0.5/3.5) — present in all docs, so worth little); ties break by id
+    assert(out.map(_.getLong(1)).toSeq === Seq(1L, 2L, 3L))
+    assert(out(0).getDouble(2) === out(1).getDouble(2))
+  }
+
+  test("unigram quality: all-common doc scores ratio 1.0, rare-token doc lower") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the the the the"),
+      (2L, "the zyzzyva"))
+      .toDF("doc_id", "text")
+    val out = RetrievalOps.unigramQuality(docs, topV = 1)
+      .orderBy("doc_id").collect()
+    assert(out(0).getDouble(3) === 1.0) // common_ratio
+    assert(out(1).getDouble(3) === 0.5)
+    // mean freq: doc 1 = 5.0 ('the' occurs 5x); doc 2 = (5 + 1) / 2 = 3.0
+    assert(out(0).getDouble(2) === 5.0)
+    assert(out(1).getDouble(2) === 3.0)
+  }
+
+  test("dup ngram spans: exact copies are fully duplicated, uniques zero, short docs empty") {
+    import spark.implicits._
+    val eight = "a b c d e f g h"
+    val docs = Seq(
+      (1L, s"$eight i j"),  // 3 8-gram positions, all shared with doc 2
+      (2L, s"$eight i j"),
+      (3L, "q r s t u v w x y z"), // unique 8-grams
+      (4L, "too short"))           // < 8 tokens -> no grams
+      .toDF("doc_id", "text")
+    val out = CurationOps.dupNgramSpans(docs)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getDouble(4))).toSeq === Seq(
+      (1L, 3L, 3L, 1.0), (2L, 3L, 3L, 1.0),
+      (3L, 3L, 0L, 0.0), (4L, 0L, 0L, 0.0)))
+    // within-doc repetition also counts as duplication
+    val selfDup = CurationOps.dupNgramSpans(Seq(
+      (9L, s"$eight $eight")).toDF("doc_id", "text"))
+      .collect().head
+    assert(selfDup.getLong(2) > 0)
+  }
+
+  test("normalizeText golden: case, accents, control chars, punctuation, whitespace") {
+    import spark.implicits._
+    val out = Seq(
+      "Héllo,  WORLD\t!",
+      "  Café-naïve RÉSUMÉ  ",
+      "already clean")
+      .toDF("s").select(TextOps.normalizeText(col("s")).as("n"))
+      .collect().map(_.getString(0))
+    assert(out(0) === "hello world")
+    assert(out(1) === "cafe naive resume") // lower() first, so É -> é -> e
+    assert(out(2) === "already clean")
+  }
+
+  test("bm25 plan: query-term joins broadcast, no shuffle of the corpus side") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val queries = Seq((1, "dup"), (2, "vector")).toDF("qid", "term")
+    val phys = RetrievalOps.bm25TopK(docs, queries, 5)
+      .queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin"), phys)
+    assert(!phys.contains("CartesianProduct"), phys)
+    assert(!phys.contains("SortMergeJoin"), phys)
+  }
+}

@@ -34,6 +34,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join matches the batch twin") {
+    val events = Tables.events(spark, sf).select("user_id", "ts", "value")
+    val dim = Tables.customer(spark, sf).select("c_custkey", "c_mktsegment")
+    val expected = EventStreams.enrichedSegmentCounts(events, dim)
+      .orderBy("hour_start", "segment").collect()
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-enrich").toString
+    events.write.mode("overwrite").parquet(s"$dir/in")
+    val streamIn = spark.readStream.schema(events.schema).parquet(s"$dir/in")
+    val q = EventStreams.enrichedSegmentCounts(streamIn, dim)
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("enrich_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("enrich_out")
+        .orderBy("hour_start", "segment").collect()
+      assert(got.length === expected.length && got.nonEmpty)
+      assert(got.map(_.toString).toSeq === expected.map(_.toString).toSeq)
+    } finally q.stop()
+  }
+
   test("sessionizer state carries across micro-batches (mapGroupsWithState)") {
     import spark.implicits._
     val all = Tables.events(spark, sf)
