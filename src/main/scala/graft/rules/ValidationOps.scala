@@ -662,6 +662,145 @@ object ValidationOps {
              |  'Invalid or unknown ICD10 code, Value must be Valid ICD10 code or N/A' AS Error_Message
              |FROM events WHERE event_id % 4 = 2
              |ORDER BY Row_Index""".stripMargin),
-      "§2.8 check_icd10 shape: F9 membership vs injected catalog")
-  )
+      "§2.8 check_icd10 shape: F9 membership vs injected catalog"),
+
+    // ---- IQR outlier audit (Tukey fences), the numeric-distribution
+    // generalization of the reference's fixed-range checks (§2.8
+    // check_if_number): instead of a hand-pinned [lo, hi], the bounds
+    // derive from the data per group. Two passes: exact per-group
+    // quartiles (5 groups — a tiny aggregate), then the bounds
+    // BROADCAST back onto the unshuffled event scan for flagging — at
+    // 100 TB the flagging pass stays narrow; only the quartile
+    // aggregate shuffles, with map-side partials. Bounds are rounded
+    // to 6 decimals in both engines so fence comparisons can't flip
+    // on a final-ulp disagreement in quantile interpolation. ----
+    Q("q108_outlier_iqr",
+      (s, d) => {
+        val bounds = Tables.events(s, d)
+          .groupBy("event_type")
+          .agg(round(expr("percentile(value, 0.25)"), 6).as("q1"),
+            round(expr("percentile(value, 0.75)"), 6).as("q3"))
+        val iqr = col("q3") - col("q1")
+        Tables.events(s, d)
+          .join(broadcast(bounds), Seq("event_type"))
+          .select(col("event_type"),
+            when(col("value") < col("q1") - lit(1.5) * iqr, 1L).otherwise(0L)
+              .as("low"),
+            when(col("value") > col("q3") + lit(1.5) * iqr, 1L).otherwise(0L)
+              .as("high"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("low")).as("n_out_low"),
+            sum(col("high")).as("n_out_high"),
+            round((sum(col("low")) + sum(col("high"))).cast("double")
+              / count(lit(1)), 6).as("outlier_rate"))
+          .orderBy("event_type")
+      },
+      Some("""WITH bounds AS (SELECT event_type,
+             |    round(quantile_cont(value, 0.25), 6) AS q1,
+             |    round(quantile_cont(value, 0.75), 6) AS q3
+             |  FROM events GROUP BY event_type),
+             |flagged AS (SELECT e.event_type, value,
+             |    CASE WHEN value < q1 - 1.5*(q3-q1) THEN 1 ELSE 0 END AS low,
+             |    CASE WHEN value > q3 + 1.5*(q3-q1) THEN 1 ELSE 0 END AS high
+             |  FROM events e JOIN bounds USING (event_type))
+             |SELECT event_type, COUNT(*) AS n,
+             |  CAST(SUM(low) AS BIGINT) AS n_out_low,
+             |  CAST(SUM(high) AS BIGINT) AS n_out_high,
+             |  round(CAST(SUM(low)+SUM(high) AS DOUBLE)/COUNT(*), 6) AS outlier_rate
+             |FROM flagged GROUP BY event_type ORDER BY event_type""".stripMargin),
+      "validation generalization: IQR/Tukey-fence outlier audit per group"),
+
+    q109FkOrphanAudit)
+
+  /** One FK relation's orphan summary: child rows whose `fk` has no
+    * match among the DISTINCT parent `pk` values — left join + null
+    * count, parent side broadcast (swap to a shuffle join when the key
+    * set outgrows the broadcast threshold; the child side never
+    * shuffles either way). Used by q109's schema sweep.
+    */
+  def fkOrphanAudit(relation: String, child: DataFrame, fk: String,
+      parent: DataFrame, pk: String): DataFrame =
+    child.join(
+        broadcast(parent.select(col(pk).as("__k")).distinct()),
+        col(fk) === col("__k"), "left")
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("__k").isNull, lit(1))).as("n_orphans"))
+      .select(lit(relation).as("relation"), col("n_rows"),
+        col("n_orphans"),
+        round(col("n_orphans").cast("double") / col("n_rows"), 6)
+          .as("orphan_rate"))
+
+  private def q109FkOrphanAudit: Q =
+
+    // ---- whole-schema referential-integrity audit: every declared FK
+    // relation's orphan count in one summary — the reference's
+    // per-sheet referential checks (§2.8 compare_id_to_database)
+    // generalized to a schema sweep. Each relation is a left join
+    // against the DISTINCT parent keys with a null-count aggregate;
+    // parent key sets broadcast when small (dimensions) and shuffle
+    // otherwise, while the child side is never shuffled beyond its
+    // partial count — at 100 TB each relation costs one child scan. ----
+    Q("q109_fk_orphan_audit",
+      (s, d) => {
+        val audit = fkOrphanAudit _
+        val li = Tables.lineitem(s, d)
+        audit("events.user_id->customer", Tables.events(s, d), "user_id",
+            Tables.customer(s, d), "c_custkey")
+          .unionByName(audit("lineitem.l_orderkey->orders", li, "l_orderkey",
+            Tables.orders(s, d), "o_orderkey"))
+          .unionByName(audit("lineitem.l_partkey->part", li, "l_partkey",
+            Tables.part(s, d), "p_partkey"))
+          .unionByName(audit("lineitem.l_suppkey->supplier", li, "l_suppkey",
+            Tables.supplier(s, d), "s_suppkey"))
+          .unionByName(audit("nation.n_regionkey->region", Tables.nation(s, d),
+            "n_regionkey", Tables.region(s, d), "r_regionkey"))
+          .unionByName(audit("orders.o_custkey->customer", Tables.orders(s, d),
+            "o_custkey", Tables.customer(s, d), "c_custkey"))
+          .orderBy("relation")
+      },
+      Some("""SELECT 'events.user_id->customer' AS relation,
+             |  COUNT(*) AS n_rows,
+             |  COUNT(*) FILTER (WHERE k.k IS NULL) AS n_orphans,
+             |  round(CAST(COUNT(*) FILTER (WHERE k.k IS NULL) AS DOUBLE)
+             |    / COUNT(*), 6) AS orphan_rate
+             |FROM events LEFT JOIN (SELECT DISTINCT c_custkey AS k
+             |  FROM customer) k ON user_id = k.k
+             |UNION ALL
+             |SELECT 'lineitem.l_orderkey->orders', COUNT(*),
+             |  COUNT(*) FILTER (WHERE k.k IS NULL),
+             |  round(CAST(COUNT(*) FILTER (WHERE k.k IS NULL) AS DOUBLE)
+             |    / COUNT(*), 6)
+             |FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey AS k
+             |  FROM orders) k ON l_orderkey = k.k
+             |UNION ALL
+             |SELECT 'lineitem.l_partkey->part', COUNT(*),
+             |  COUNT(*) FILTER (WHERE k.k IS NULL),
+             |  round(CAST(COUNT(*) FILTER (WHERE k.k IS NULL) AS DOUBLE)
+             |    / COUNT(*), 6)
+             |FROM lineitem LEFT JOIN (SELECT DISTINCT p_partkey AS k
+             |  FROM part) k ON l_partkey = k.k
+             |UNION ALL
+             |SELECT 'lineitem.l_suppkey->supplier', COUNT(*),
+             |  COUNT(*) FILTER (WHERE k.k IS NULL),
+             |  round(CAST(COUNT(*) FILTER (WHERE k.k IS NULL) AS DOUBLE)
+             |    / COUNT(*), 6)
+             |FROM lineitem LEFT JOIN (SELECT DISTINCT s_suppkey AS k
+             |  FROM supplier) k ON l_suppkey = k.k
+             |UNION ALL
+             |SELECT 'nation.n_regionkey->region', COUNT(*),
+             |  COUNT(*) FILTER (WHERE k.k IS NULL),
+             |  round(CAST(COUNT(*) FILTER (WHERE k.k IS NULL) AS DOUBLE)
+             |    / COUNT(*), 6)
+             |FROM nation LEFT JOIN (SELECT DISTINCT r_regionkey AS k
+             |  FROM region) k ON n_regionkey = k.k
+             |UNION ALL
+             |SELECT 'orders.o_custkey->customer', COUNT(*),
+             |  COUNT(*) FILTER (WHERE k.k IS NULL),
+             |  round(CAST(COUNT(*) FILTER (WHERE k.k IS NULL) AS DOUBLE)
+             |    / COUNT(*), 6)
+             |FROM orders LEFT JOIN (SELECT DISTINCT c_custkey AS k
+             |  FROM customer) k ON o_custkey = k.k
+             |ORDER BY relation""".stripMargin),
+      "validation generalization: whole-schema FK orphan audit (anti-join sweep)")
 }

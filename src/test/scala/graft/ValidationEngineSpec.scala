@@ -227,6 +227,20 @@ class ChecksSpec extends AnyFunSuite {
     val got = errs(df, Seq(Checks.viability("Viability_Hemocytometer_Count")))
     assert(got.map(_._1).toSeq == Seq(3L)) // only 6.3 mismatches under HALF_EVEN
   }
+
+  test("fkOrphanAudit counts planted orphans exactly") {
+    import spark.implicits._
+    val child = Seq((1L, "a"), (2L, "b"), (99L, "c"), (98L, "d"))
+      .toDF("fk", "x")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val row = ValidationOps
+      .fkOrphanAudit("t.fk->p", child, "fk", parent, "pk")
+      .collect().head
+    assert(row.getString(0) === "t.fk->p")
+    assert(row.getLong(1) === 4L)
+    assert(row.getLong(2) === 2L)
+    assert(row.getDouble(3) === 0.5)
+  }
 }
 
 class SubmissionRunnerSpec extends AnyFunSuite {
