@@ -40,7 +40,8 @@ object Bench {
     "q15_window_running", "q17_rollup", "q27_rule_total_live",
     "q32_rule_viability", "q42_dedup_minhash_lsh", "q45_cosine_topk",
     "q46_ann_lsh", "q51_sessionize", "q61_star_join", "q64_topk_per_group",
-    "q65_dedup_components", "q69_bpe_token_count")
+    "q65_dedup_components", "q69_bpe_token_count", "q101_bm25_topk",
+    "q103_dup_ngram_spans")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

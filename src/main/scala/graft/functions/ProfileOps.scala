@@ -78,6 +78,38 @@ object ProfileOps {
              |  COUNT(DISTINCT c_nationkey), CAST(MIN(c_nationkey) AS VARCHAR),
              |  CAST(MAX(c_nationkey) AS VARCHAR) FROM customer
              |ORDER BY column_name""".stripMargin),
-      "validation generalization: single-pass column profiling (ANALYZE shape)")
+      "validation generalization: single-pass column profiling (ANALYZE shape)"),
+
+    // ---- equi-width histogram profile: the distribution complement to
+    // q105's scalar stats. Two passes: a global (min, max) aggregate
+    // (tiny, broadcast), then a narrow binning map + (group, bin)
+    // partial-agg count — at 100 TB the binning pass is the only big
+    // stage and it never shuffles rows, only (group, bin) partials.
+    // The bin expression multiplies before dividing, mirrored exactly
+    // in the oracle, so boundary values land identically; empty bins
+    // are absent on both engines (group-by of existing rows). ----
+    Q("q110_histogram_profile",
+      (s, d) => {
+        val bounds = Tables.events(s, d)
+          .agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+        Tables.events(s, d)
+          .crossJoin(broadcast(bounds))
+          .select(col("event_type"),
+            least(floor((col("value") - col("mn")) * 10
+              / (col("mx") - col("mn"))).cast("int"), lit(9)).as("bin"))
+          .groupBy("event_type", "bin")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("event_type", "bin")
+      },
+      Some("""WITH bounds AS (SELECT MIN(value) AS mn, MAX(value) AS mx
+             |  FROM events),
+             |binned AS (SELECT event_type,
+             |    LEAST(CAST(floor((value - mn) * 10 / (mx - mn)) AS INT), 9)
+             |      AS bin
+             |  FROM events, bounds)
+             |SELECT event_type, bin, COUNT(*) AS n
+             |FROM binned GROUP BY event_type, bin
+             |ORDER BY event_type, bin""".stripMargin),
+      "validation generalization: equi-width histogram profile per group")
   )
 }

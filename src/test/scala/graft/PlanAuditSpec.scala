@@ -288,6 +288,40 @@ class PlanAuditSpec extends AnyFunSuite {
         p.contains("CoalescedShuffleRead"), p)
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
+
+  test("q105 column profile is one scan (no per-column rescans)") {
+    val p = plan("q105_column_profile")
+    // formatted explain prints each operator in the tree AND as a detail
+    // heading "(n) Scan parquet" — count the headings
+    assert("""\) Scan parquet""".r.findAllIn(p).size === 1, p)
+    assert(p.contains("Expand"), p) // the multi-distinct rewrite, not rescans
+  }
+
+  test("q108 outlier audit broadcasts the bounds, never shuffles the fact scan") {
+    val p = plan("q108_outlier_iqr")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q109 FK audit: every parent key set broadcasts") {
+    val p = plan("q109_fk_orphan_audit")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // one detail heading "(n) BroadcastHashJoin" per relation
+    assert("""\) BroadcastHashJoin""".r.findAllIn(p).size === 6, p)
+  }
+
+  test("q103 dup-span detection has no all-pairs operator") {
+    val p = plan("q103_dup_ngram_spans")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q107 stream-static twin broadcasts the dimension") {
+    val p = plan("q107_stream_static_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
