@@ -721,15 +721,33 @@ object ValidationOps {
     */
   def fkOrphanAudit(relation: String, child: DataFrame, fk: String,
       parent: DataFrame, pk: String): DataFrame =
-    child.join(
-        broadcast(parent.select(col(pk).as("__k")).distinct()),
-        col(fk) === col("__k"), "left")
-      .agg(count(lit(1)).as("n_rows"),
-        count(when(col("__k").isNull, lit(1))).as("n_orphans"))
-      .select(lit(relation).as("relation"), col("n_rows"),
-        col("n_orphans"),
-        round(col("n_orphans").cast("double") / col("n_rows"), 6)
-          .as("orphan_rate"))
+    fkOrphanAuditMulti(child, Seq((relation, fk, parent, pk)))
+
+  /** Audit SEVERAL FK relations of one child table in a single scan:
+    * one chained broadcast left join per parent key set, ONE aggregate
+    * computing every relation's null count, exploded into per-relation
+    * summary rows. At 100 TB this is the difference between one fact
+    * scan per FK column and one fact scan per fact TABLE — lineitem's
+    * three relations cost one pass, not three.
+    */
+  def fkOrphanAuditMulti(child: DataFrame,
+      rels: Seq[(String, String, DataFrame, String)]): DataFrame = {
+    val joined = rels.zipWithIndex.foldLeft(child) {
+      case (df, ((_, fk, parent, pk), i)) =>
+        df.join(broadcast(parent.select(col(pk).as(s"__k$i")).distinct()),
+          col(fk) === col(s"__k$i"), "left")
+    }
+    val aggs = count(lit(1)).as("n_rows") +: rels.indices.map(i =>
+      count(when(col(s"__k$i").isNull, lit(1))).as(s"__o$i"))
+    joined.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rels.zipWithIndex.map { case ((rel, _, _, _), i) =>
+        struct(lit(rel).as("relation"), col("n_rows"),
+          col(s"__o$i").as("n_orphans"),
+          round(col(s"__o$i").cast("double") / col("n_rows"), 6)
+            .as("orphan_rate"))
+      }: _*)).as("r"))
+      .select("r.*")
+  }
 
   private def q109FkOrphanAudit: Q =
 
@@ -740,23 +758,27 @@ object ValidationOps {
     // against the DISTINCT parent keys with a null-count aggregate;
     // parent key sets broadcast when small (dimensions) and shuffle
     // otherwise, while the child side is never shuffled beyond its
-    // partial count — at 100 TB each relation costs one child scan. ----
+    // partial count. Relations sharing a child table fold into ONE
+    // scan with chained broadcast joins (fkOrphanAuditMulti) — at
+    // 100 TB the sweep costs one scan per child TABLE, not per FK. ----
     Q("q109_fk_orphan_audit",
       (s, d) => {
-        val audit = fkOrphanAudit _
-        val li = Tables.lineitem(s, d)
-        audit("events.user_id->customer", Tables.events(s, d), "user_id",
-            Tables.customer(s, d), "c_custkey")
-          .unionByName(audit("lineitem.l_orderkey->orders", li, "l_orderkey",
-            Tables.orders(s, d), "o_orderkey"))
-          .unionByName(audit("lineitem.l_partkey->part", li, "l_partkey",
-            Tables.part(s, d), "p_partkey"))
-          .unionByName(audit("lineitem.l_suppkey->supplier", li, "l_suppkey",
-            Tables.supplier(s, d), "s_suppkey"))
-          .unionByName(audit("nation.n_regionkey->region", Tables.nation(s, d),
-            "n_regionkey", Tables.region(s, d), "r_regionkey"))
-          .unionByName(audit("orders.o_custkey->customer", Tables.orders(s, d),
-            "o_custkey", Tables.customer(s, d), "c_custkey"))
+        // lineitem's three relations share ONE scan (fkOrphanAuditMulti)
+        fkOrphanAudit("events.user_id->customer", Tables.events(s, d),
+            "user_id", Tables.customer(s, d), "c_custkey")
+          .unionByName(fkOrphanAuditMulti(Tables.lineitem(s, d), Seq(
+            ("lineitem.l_orderkey->orders", "l_orderkey",
+              Tables.orders(s, d), "o_orderkey"),
+            ("lineitem.l_partkey->part", "l_partkey",
+              Tables.part(s, d), "p_partkey"),
+            ("lineitem.l_suppkey->supplier", "l_suppkey",
+              Tables.supplier(s, d), "s_suppkey"))))
+          .unionByName(fkOrphanAudit("nation.n_regionkey->region",
+            Tables.nation(s, d), "n_regionkey",
+            Tables.region(s, d), "r_regionkey"))
+          .unionByName(fkOrphanAudit("orders.o_custkey->customer",
+            Tables.orders(s, d), "o_custkey",
+            Tables.customer(s, d), "c_custkey"))
           .orderBy("relation")
       },
       Some("""SELECT 'events.user_id->customer' AS relation,

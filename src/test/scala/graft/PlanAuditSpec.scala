@@ -309,6 +309,8 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     // one detail heading "(n) BroadcastHashJoin" per relation
     assert("""\) BroadcastHashJoin""".r.findAllIn(p).size === 6, p)
+    // lineitem's 3 relations share one scan: 4 child + 6 parent scans
+    assert("""\) Scan parquet""".r.findAllIn(p).size === 10, p)
   }
 
   test("q103 dup-span detection has no all-pairs operator") {

@@ -241,6 +241,21 @@ class ChecksSpec extends AnyFunSuite {
     assert(row.getLong(2) === 2L)
     assert(row.getDouble(3) === 0.5)
   }
+
+  test("fkOrphanAuditMulti audits several FKs of one child in one pass") {
+    import spark.implicits._
+    val child = Seq((1L, 10L), (2L, 20L), (99L, 10L), (98L, 77L))
+      .toDF("fk_a", "fk_b")
+    val pa = Seq(1L, 2L).toDF("pk_a")
+    val pb = Seq(10L, 20L).toDF("pk_b")
+    val rows = ValidationOps.fkOrphanAuditMulti(child, Seq(
+        ("c.fk_a->pa", "fk_a", pa, "pk_a"),
+        ("c.fk_b->pb", "fk_b", pb, "pk_b")))
+      .orderBy("relation").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3))).toSeq === Seq(
+      ("c.fk_a->pa", 4L, 2L, 0.5), ("c.fk_b->pb", 4L, 1L, 0.25)))
+  }
 }
 
 class SubmissionRunnerSpec extends AnyFunSuite {
