@@ -249,6 +249,55 @@ object DedupOps {
              |SELECT doc_id,
              |  CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
              |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin),
-      "pipeline-op: SimHash document signatures (frequency-weighted bit votes)")
+      "pipeline-op: SimHash document signatures (frequency-weighted bit votes)"),
+
+    // ---- fuzzy (edit-distance) matching with blocking — the classic
+    // record-linkage shape the set-based dedups (MinHash q42, SimHash
+    // q43) don't cover: near-identical STRINGS (typos, OCR noise, ID
+    // transcription errors). Every 10th customer name is PLANTED with a
+    // one-character deletion under +100000; candidate pairs come from a
+    // BLOCKING key (last 4 name chars — invariant under the planted
+    // edit), then only within-block pairs pay the O(len^2) levenshtein,
+    // which is a codegen'd built-in. At 100 TB the block join is a
+    // plain shuffle join whose fan-out the key bounds (singleton blocks
+    // here); an unblocked all-pairs edit-distance join is the
+    // scale-killer this operator exists to avoid. The spec-pinned
+    // outcome: all 150 planted typos recovered at distance 1, zero
+    // false positives at threshold 2. ----
+    Q("q111_fuzzy_match_dedup",
+      (s, d) => {
+        val base = Tables.customer(s, d)
+          .select(col("c_custkey").as("id"), col("c_name").as("name"))
+        val typos = base.filter(col("id") % 10 === 0)
+          .select((col("id") + 100000L).as("id"),
+            concat(substring(col("name"), 1, 5),
+              col("name").substr(lit(7), length(col("name")))).as("name"))
+        val all = graft.operators.Spread.byKey(
+            base.unionByName(typos), col("id"))
+          .withColumn("block",
+            col("name").substr(length(col("name")) - 3, lit(4)))
+        all.select(col("block"), col("id").as("id1"), col("name").as("n1"))
+          .join(all.select(col("block"), col("id").as("id2"),
+            col("name").as("n2")), Seq("block"))
+          .filter(col("id1") < col("id2"))
+          .withColumn("dist", levenshtein(col("n1"), col("n2")))
+          .filter(col("dist") <= 2)
+          .select("id1", "id2", "dist")
+          .orderBy("id1", "id2")
+      },
+      Some("""WITH base AS (SELECT c_custkey AS id, c_name AS name
+             |  FROM customer),
+             |typos AS (SELECT id + 100000, substr(name, 1, 5) || substr(name, 7)
+             |  FROM base WHERE id % 10 = 0),
+             |al AS (SELECT * FROM base UNION ALL SELECT * FROM typos),
+             |pairs AS (SELECT a.id AS id1, b.id AS id2, a.name AS n1, b.name AS n2
+             |  FROM al a JOIN al b
+             |    ON substr(a.name, length(a.name) - 3, 4)
+             |     = substr(b.name, length(b.name) - 3, 4)
+             |   AND a.id < b.id)
+             |SELECT id1, id2, levenshtein(n1, n2) AS dist
+             |FROM pairs WHERE levenshtein(n1, n2) <= 2
+             |ORDER BY id1, id2""".stripMargin),
+      "pipeline-op: fuzzy edit-distance dedup with blocking (record linkage)")
   )
 }

@@ -93,6 +93,27 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(out(2) === "already clean")
   }
 
+  test("null text survives the text operators (excluded, not crashed)") {
+    import spark.implicits._
+    val docs = Seq((1L, Some("the quick brown fox jumps over the lazy dog")),
+      (2L, None: Option[String]))
+      .toDF("doc_id", "text")
+    // bm25: the null doc simply can't match any term
+    val bm = RetrievalOps.bm25TopK(docs, Seq((1, "fox")).toDF("qid", "term"), 5)
+      .collect()
+    assert(bm.map(_.getLong(1)).toSeq === Seq(1L))
+    // unigram quality: null doc contributes no tokens, so no row
+    assert(RetrievalOps.unigramQuality(docs).count() === 1)
+    // dup spans: null doc kept in the summary with zero grams
+    val spans = CurationOps.dupNgramSpans(docs)
+      .orderBy("doc_id").collect()
+    assert(spans.length === 2)
+    assert(spans(1).getLong(1) === 0L && spans(1).getDouble(4) === 0.0)
+    // normalize: null in, null out
+    val n = docs.select(TextOps.normalizeText(col("text"))).collect()
+    assert(n(1).isNullAt(0))
+  }
+
   test("bm25 plan: query-term joins broadcast, no shuffle of the corpus side") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
