@@ -1,6 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Partitioned-lake layout helpers: Hive-style partition directories give
   * partition *pruning* — a predicate on the partition column never touches
@@ -16,4 +17,42 @@ object PartitionedLake {
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** SCD-type-1 upsert (MERGE: delta wins by `keyCol`, everything else
+    * kept) that rewrites ONLY the partitions the delta touches:
+    *
+    *  1. the delta's distinct partition values are collected — this is
+    *     metadata cardinality (partition count, not row count), the one
+    *     sanctioned driver-side read;
+    *  2. the base is read with an `isin` filter on those values, so
+    *     partition pruning keeps every untouched directory's bytes
+    *     unread;
+    *  3. surviving base rows (left anti on the key) union the delta and
+    *     are written back in dynamic partition-overwrite mode, which
+    *     replaces exactly the touched directories and leaves all other
+    *     partitions' files byte-identical on disk.
+    *
+    * At 100 TB the rewrite cost scales with the delta's partition
+    * footprint, not the table size — the pattern table formats (Delta,
+    * Iceberg, Hudi) implement with manifests; plain parquet gets it via
+    * directory layout. The merged frame is `localCheckpoint`ed before
+    * the write because Spark (correctly) refuses a plan that overwrites
+    * a path it is still reading lazily; at cluster scale use a
+    * checkpoint directory or a staging path + atomic swap instead.
+    */
+  def upsert(spark: SparkSession, path: String, partitionCol: String,
+      keyCol: String, delta: DataFrame): Unit = {
+    val parts = delta.select(partitionCol).distinct().collect().map(_.get(0))
+    val base = read(spark, path)
+      .filter(col(partitionCol).isin(parts: _*))
+    val merged = base
+      .join(delta.select(col(keyCol)), Seq(keyCol), "left_anti")
+      .unionByName(delta.select(base.columns.map(col): _*))
+      .localCheckpoint(true)
+    merged.write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol)
+      .parquet(path)
+  }
 }

@@ -57,4 +57,36 @@ class PartitionedLakeSpec extends AnyFunSuite {
     val expected = Tables.lineitem(spark, sf).filter(col("l_returnflag") === "R").count()
     assert(pruned.count() == expected)
   }
+
+  test("upsert rewrites only touched partitions; untouched files byte-identical") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+    val base = Seq(
+      (1L, "p1", "old-1"), (2L, "p1", "old-2"),
+      (3L, "p2", "old-3"), (4L, "p3", "old-4"))
+      .toDF("k", "part", "v")
+    PartitionedLake.write(base, path, "part")
+
+    def files(p: String): Map[String, Long] = {
+      val d = new java.io.File(s"$path/part=$p")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val p2Before = files("p2")
+    val p3Before = files("p3")
+
+    // update k=1 in p1, insert k=5 into p1, leave p2/p3 untouched
+    val delta = Seq((1L, "p1", "new-1"), (5L, "p1", "new-5"))
+      .toDF("k", "part", "v")
+    PartitionedLake.upsert(spark, path, "part", "k", delta)
+
+    val got = PartitionedLake.read(spark, path)
+      .orderBy("k").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v")))
+    assert(got.toSeq === Seq(1L -> "new-1", 2L -> "old-2",
+      3L -> "old-3", 4L -> "old-4", 5L -> "new-5"))
+    // dynamic overwrite must not have touched the other partitions
+    assert(files("p2") === p2Before)
+    assert(files("p3") === p3Before)
+  }
 }
