@@ -235,6 +235,26 @@ object Microbench {
         case (df, (n, e)) => df.withColumn(n, e)
       }.filter(fast =!= col("__num_Viability_Hemocytometer_Count"))
     }
+
+    // ---- q109: one lineitem scan (multi) vs one scan per FK ----
+    {
+      import graft.rules.ValidationOps.{fkOrphanAudit, fkOrphanAuditMulti}
+      val rels = Seq(
+        ("lineitem.l_orderkey->orders", "l_orderkey",
+          Tables.orders(spark, sfDir), "o_orderkey"),
+        ("lineitem.l_partkey->part", "l_partkey",
+          Tables.part(spark, sfDir), "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "l_suppkey",
+          Tables.supplier(spark, sfDir), "s_suppkey"))
+      time("fk audit multi (one lineitem scan)") {
+        fkOrphanAuditMulti(Tables.lineitem(spark, sfDir), rels)
+      }
+      time("fk audit separate (3 lineitem scans)") {
+        rels.map { case (r, fk, p, pk) =>
+          fkOrphanAudit(r, Tables.lineitem(spark, sfDir), fk, p, pk)
+        }.reduce(_ unionByName _)
+      }
+    }
     spark.stop()
   }
 }

@@ -28,10 +28,15 @@ object RetrievalOps {
   def bm25TopK(docs: org.apache.spark.sql.DataFrame,
       queries: org.apache.spark.sql.DataFrame, k: Int)
       : org.apache.spark.sql.DataFrame = {
-    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
-    val stats = toks.agg(
+    // stats pass: a two-scalar aggregate straight off the RAW scan — it
+    // must not pay the Spread exchange the tf pass wants (each pass is
+    // its own job, so a shared Spread input would execute the
+    // repartition twice for no benefit to this reduce-only plan)
+    val stats = docs.select(split(col("text"), " ").as("w")).agg(
       count(lit(1)).as("n_docs"),
       (sum(size(col("w"))).cast("double") / count(lit(1))).as("avgdl"))
+    val toks = graft.operators.Spread.byKey(docs, col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
     val tf = toks
       .select(col("doc_id"), size(col("w")).as("dl"),
         explode(col("w")).as("term"))
@@ -69,11 +74,15 @@ object RetrievalOps {
     */
   def unigramQuality(docs: org.apache.spark.sql.DataFrame, topV: Int = 10)
       : org.apache.spark.sql.DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      explode(split(col("text"), " ")).as("tok"))
-    val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    // vocabulary pass off the RAW scan (reduce-only — the Spread
+    // exchange would re-execute per job for no benefit); scoring pass
+    // off the Spread'd scan (wide per-row work)
+    val counts = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
     val top = counts.orderBy(col("c").desc, col("tok")).limit(topV)
       .select(col("tok"), lit(1).as("is_common"))
+    val toks = graft.operators.Spread.byKey(docs, col("doc_id"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     toks.join(broadcast(counts), Seq("tok"))
       .join(broadcast(top), Seq("tok"), "left")
       .groupBy("doc_id")
@@ -110,8 +119,7 @@ object RetrievalOps {
           (2, "vector"), (2, "stream"),
           (3, "spark"), (3, "window"), (3, "join"))
           .toDF("qid", "term")
-        bm25TopK(graft.operators.Spread.byKey(
-            Tables.documents(s, d), col("doc_id")), queries, 5)
+        bm25TopK(Tables.documents(s, d), queries, 5)
           .orderBy("qid", "rk")
       },
       Some("""WITH q(qid, term) AS (VALUES (1,'dup'),(1,'merge'),
@@ -153,8 +161,7 @@ object RetrievalOps {
     // set is always tiny and broadcast.
     Q("q102_unigram_quality",
       (s, d) => {
-        unigramQuality(graft.operators.Spread.byKey(
-            Tables.documents(s, d), col("doc_id")))
+        unigramQuality(Tables.documents(s, d))
           .orderBy("doc_id")
       },
       Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
