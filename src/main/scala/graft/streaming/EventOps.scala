@@ -325,6 +325,52 @@ object EventOps {
              |FROM u LEFT JOIN fv USING (user_id) LEFT JOIN fc USING (user_id)
              |LEFT JOIN fp USING (user_id)
              |ORDER BY user_id""".stripMargin),
-      "§2.7 event analytics: ordered funnel stages with 24h SLA (no self-join)")
+      "§2.7 event analytics: ordered funnel stages with 24h SLA (no self-join)"),
+
+    // ---- cohort retention: day-of-first-purchase cohorts x days-since
+    // retention triangle (offsets 0-7). The cohort table (one row per
+    // user) and cohort sizes are dimension-cardinality — they BROADCAST
+    // onto the distinct-activity stream; the only event-scale work is
+    // one filtered scan + one distinct. The retention ratio divides two
+    // exact counts, so the triangle is engine-independent. ----
+    Q("q114_cohort_retention",
+      (s, d) => {
+        val p = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), to_date(col("ts")).as("d"))
+        val first = p.groupBy("user_id").agg(min(col("d")).as("cohort_day"))
+        val sizes = first.groupBy("cohort_day")
+          .agg(count(lit(1)).as("cohort_n"))
+        p.distinct()
+          .join(broadcast(first), Seq("user_id"))
+          .withColumn("day_offset", datediff(col("d"), col("cohort_day")))
+          .filter(col("day_offset") <= 7)
+          .groupBy("cohort_day", "day_offset")
+          .agg(count(lit(1)).as("n_active"))
+          .join(broadcast(sizes), Seq("cohort_day"))
+          .select(col("cohort_day"), col("day_offset"), col("n_active"),
+            col("cohort_n"),
+            round(col("n_active").cast("double") / col("cohort_n"), 6)
+              .as("retention"))
+          .orderBy("cohort_day", "day_offset")
+      },
+      Some("""WITH first_seen AS (SELECT user_id,
+             |    CAST(min(CAST(ts AS TIMESTAMP)) AS DATE) AS cohort_day
+             |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+             |activity AS (SELECT DISTINCT user_id,
+             |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+             |  FROM events WHERE event_type = 'purchase'),
+             |sizes AS (SELECT cohort_day, count(*) AS cohort_n
+             |  FROM first_seen GROUP BY 1)
+             |SELECT f.cohort_day,
+             |  CAST(date_diff('day', f.cohort_day, a.d) AS INT) AS day_offset,
+             |  count(*) AS n_active, any_value(cohort_n) AS cohort_n,
+             |  round(CAST(count(*) AS DOUBLE) / any_value(cohort_n), 6)
+             |    AS retention
+             |FROM first_seen f JOIN activity a USING (user_id)
+             |JOIN sizes USING (cohort_day)
+             |WHERE date_diff('day', f.cohort_day, a.d) <= 7
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      "§2.7 event analytics: day-cohort retention triangle (broadcast cohorts)")
   )
 }
