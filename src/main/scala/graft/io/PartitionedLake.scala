@@ -42,6 +42,14 @@ object PartitionedLake {
     */
   def upsert(spark: SparkSession, path: String, partitionCol: String,
       keyCol: String, delta: DataFrame): Unit = {
+    // bootstrap: an absent lake is just the delta (lets the same call
+    // serve as a streaming foreachBatch sink from batch zero)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path))) {
+      delta.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+      return
+    }
     val parts = delta.select(partitionCol).distinct().collect().map(_.get(0))
     val base = read(spark, path)
       .filter(col(partitionCol).isin(parts: _*))

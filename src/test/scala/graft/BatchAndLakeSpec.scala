@@ -89,4 +89,31 @@ class PartitionedLakeSpec extends AnyFunSuite {
     assert(files("p2") === p2Before)
     assert(files("p3") === p3Before)
   }
+
+  test("streaming foreachBatch + lake upsert is idempotent under replay") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-lake").toString
+    val lake = s"$dir/lake"
+    val e = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        to_date(col("ts")).as("day"))
+    val firstHalf = e.filter(col("event_id") % 2 === 0)
+    firstHalf.write.mode("overwrite").parquet(s"$dir/in")
+    val streamIn = spark.readStream.schema(e.schema).parquet(s"$dir/in")
+    val q = streamIn.writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        PartitionedLake.upsert(spark, lake, "day", "event_id", batch)
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      // batch 2 REPLAYS all of batch 1 plus the other half: the idempotent
+      // key-merge must absorb the replays, not duplicate them
+      e.write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      val got = PartitionedLake.read(spark, lake)
+      assert(got.count() === e.count())
+      assert(got.select("event_id").distinct().count() === e.count())
+    } finally q.stop()
+  }
 }
