@@ -15,9 +15,13 @@ object TextOps {
     * control/punctuation removal, whitespace collapse. A pure codegen'd
     * Column expression — see the q104 docstring.
     */
+  /** Latin-1 accent fold table (1:1 codepoints, applied after lower()). */
+  private[functions] val foldFrom = "àâäáãåèêëéìîíïòôöóõùûüúçñÿý"
+  private[functions] val foldTo   = "aaaaaaeeeeiiiiooooouuuucnyy"
+
   def normalizeText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     trim(regexp_replace(regexp_replace(
-      translate(lower(c), "éüï", "eui"),
+      translate(lower(c), foldFrom, foldTo),
       "[^a-z0-9 ]", " "), " +", " "))
 
   def qs: Seq[Q] = Seq(
@@ -242,11 +246,11 @@ object TextOps {
       Some("""SELECT doc_id,
              |  md5(trim(regexp_replace(regexp_replace(
              |    translate(lower(text || ' Café Über naïve résumé' || chr(9)),
-             |      'éüï', 'eui'),
+             |      'àâäáãåèêëéìîíïòôöóõùûüúçñÿý', 'aaaaaaeeeeiiiiooooouuuucnyy'),
              |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_fp,
              |  length(trim(regexp_replace(regexp_replace(
              |    translate(lower(text || ' Café Über naïve résumé' || chr(9)),
-             |      'éüï', 'eui'),
+             |      'àâäáãåèêëéìîíïòôöóõùûüúçñÿý', 'aaaaaaeeeeiiiiooooouuuucnyy'),
              |    '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_len
              |FROM documents ORDER BY doc_id""".stripMargin),
       "pipeline-op: text normalization (case/accent fold, control strip, ws collapse)"),

@@ -85,12 +85,14 @@ class RetrievalOpsSpec extends AnyFunSuite {
     val out = Seq(
       "Héllo,  WORLD\t!",
       "  Café-naïve RÉSUMÉ  ",
+      "àâäáãå èêëé ìîíï òôöóõ ùûüú çñÿý",
       "already clean")
       .toDF("s").select(TextOps.normalizeText(col("s")).as("n"))
       .collect().map(_.getString(0))
     assert(out(0) === "hello world")
     assert(out(1) === "cafe naive resume") // lower() first, so É -> é -> e
-    assert(out(2) === "already clean")
+    assert(out(2) === "aaaaaa eeee iiii ooooo uuuu cnyy")
+    assert(out(3) === "already clean")
   }
 
   test("null text survives the text operators (excluded, not crashed)") {
