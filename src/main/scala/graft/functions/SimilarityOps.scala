@@ -564,6 +564,61 @@ object SimilarityOps {
              |JOIN norms n2 ON n2.vec_id = id2
              |WHERE round(dot / (n1.norm * n2.norm), 6) >= 0.8
              |ORDER BY id1, id2""".stripMargin),
-      "pipeline-op: SemDeDup — k-means clustering + within-cluster near-dup pairs")
+      "pipeline-op: SemDeDup — k-means clustering + within-cluster near-dup pairs"),
+
+    // ---- chunk -> document embedding aggregation: mean-pool each
+    // 10-chunk group into one document vector (the standard long-doc
+    // embedding recipe), then score the pooled vector against the
+    // group's first chunk. The pooling aggregate shuffles (group, dim)
+    // SCALAR partials — k*dims values regardless of corpus size, the
+    // same shape as q98's centroid update — and the mean is made
+    // bit-identical across engines/partition orders by the integer-
+    // millionths quantization trick (floor(x*1e6+0.5) summed as
+    // BIGINT before the divide). ----
+    Q("q115_meanpool_embeddings",
+      (s, d) => {
+        val cells = graft.operators.Spread.byKey(
+            Tables.embeddings(s, d), col("vec_id"))
+          .select(col("vec_id"), expr("vec_id DIV 10").as("grp"),
+            posexplode(transform(col("embedding"), x => x.cast("double")))
+              .as(Seq("pos", "x")))
+          .select(col("vec_id"), col("grp"), (col("pos") + 1).as("i"), col("x"))
+        val pooled = cells.groupBy("grp", "i")
+          .agg((sum(floor(col("x") * 1000000d + 0.5d).cast("long"))
+            .cast("double") / lit(1000000.0) / count(lit(1))).as("p"))
+        val pnorm = pooled.groupBy("grp")
+          .agg(sqrt(sum(col("p") * col("p"))).as("pn"))
+        val firstChunk = cells.filter(col("vec_id") % 10 === 0)
+          .select(col("grp"), col("i"), col("x"))
+        val fnorm = firstChunk.groupBy("grp")
+          .agg(sqrt(sum(col("x") * col("x"))).as("fn"))
+        pooled.join(firstChunk, Seq("grp", "i"))
+          .groupBy("grp").agg(sum(col("p") * col("x")).as("dot"))
+          .join(pnorm, Seq("grp")).join(fnorm, Seq("grp"))
+          .select(col("grp"),
+            round(col("dot") / (col("pn") * col("fn")), 6).as("cos_first"),
+            round(col("pn"), 6).as("pooled_norm"))
+          .orderBy("grp")
+      },
+      Some("""WITH cells AS (SELECT vec_id, vec_id // 10 AS grp,
+             |    i.range AS i, CAST(embedding[i.range] AS DOUBLE) AS x
+             |  FROM embeddings, range(1,65) i),
+             |pooled AS (SELECT grp, i,
+             |    CAST(SUM(CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+             |      / 1000000.0 / COUNT(*) AS p
+             |  FROM cells GROUP BY grp, i),
+             |pnorm AS (SELECT grp, sqrt(SUM(p * p)) AS pn
+             |  FROM pooled GROUP BY grp),
+             |first_chunk AS (SELECT grp, i, x FROM cells WHERE vec_id % 10 = 0),
+             |fnorm AS (SELECT grp, sqrt(SUM(x * x)) AS fn
+             |  FROM first_chunk GROUP BY grp),
+             |dots AS (SELECT p.grp, SUM(p.p * f.x) AS dot
+             |  FROM pooled p JOIN first_chunk f ON p.grp = f.grp AND p.i = f.i
+             |  GROUP BY p.grp)
+             |SELECT grp, round(dot / (pn * fn), 6) AS cos_first,
+             |  round(pn, 6) AS pooled_norm
+             |FROM dots JOIN pnorm USING (grp) JOIN fnorm USING (grp)
+             |ORDER BY grp""".stripMargin),
+      "pipeline-op: chunk->doc mean-pool embedding aggregation (quantized mean)")
   )
 }
