@@ -563,6 +563,77 @@ object CurationOps {
              |    ELSE CAST(dup_pos AS DOUBLE)/n_grams END, 6) AS dup_frac
              |FROM documents d LEFT JOIN per_doc USING (doc_id)
              |ORDER BY doc_id""".stripMargin),
-      "pipeline-op: duplicated 8-gram span detection (exact-substring dedup signal)")
+      "pipeline-op: duplicated 8-gram span detection (exact-substring dedup signal)"),
+
+    // ---- curation pipeline v2: the round-5 signals composed end to
+    // end — normalize (q104's fold/collapse) -> unigram-typicality gate
+    // (q102's common-token ratio, >= 20%) -> exact dedup on the
+    // NORMALIZED fingerprint (first doc_id wins, as a min_by hash
+    // aggregate — map-side combine, no window sort) -> per-language
+    // rollup using the table's real lang column. Three shuffles total
+    // at any scale: the vocabulary partial-agg, the fingerprint dedup,
+    // and the rollup; everything else is narrow. The avg ratio sums
+    // through DECIMAL so the rollup is partition-order-independent. ----
+    Q("q116_curation_v2",
+      (s, d) => {
+        val normed = graft.operators.Spread.byKey(
+            Tables.documents(s, d), col("doc_id"))
+          .select(col("doc_id"), col("lang"),
+            TextOps.normalizeText(col("text")).as("norm"))
+        val toks = normed.select(col("doc_id"),
+          explode(split(col("norm"), " ")).as("tok"))
+        val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+        val top10 = counts.orderBy(col("c").desc, col("tok")).limit(10)
+          .select(col("tok"), lit(1).as("is_common"))
+        val scored = toks
+          .join(broadcast(top10), Seq("tok"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(coalesce(col("is_common"), lit(0))).as("common_hits"))
+        val gated = normed.join(scored, Seq("doc_id"))
+          .filter(col("n_tokens") >= 10 &&
+            col("common_hits") * 5 >= col("n_tokens"))
+          .select(col("doc_id"), col("lang"), md5(col("norm")).as("fp"),
+            col("n_tokens"),
+            round(col("common_hits").cast("double") / col("n_tokens"), 6)
+              .as("common_ratio"))
+        val kept = gated.groupBy("fp")
+          .agg(min_by(struct(col("doc_id"), col("lang"), col("n_tokens"),
+            col("common_ratio")), col("doc_id")).as("e"))
+          .select("e.*")
+        kept.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            round(sum(col("common_ratio").cast("decimal(28,12)"))
+              .cast("double") / count(lit(1)), 6).as("avg_common_ratio"))
+          .orderBy("lang")
+      },
+      Some("""WITH normed AS (SELECT doc_id, lang,
+             |    trim(regexp_replace(regexp_replace(
+             |      translate(lower(text), 'àâäáãåèêëéìîíïòôöóõùûüúçñÿý',
+             |        'aaaaaaeeeeiiiiooooouuuucnyy'),
+             |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+             |  FROM documents),
+             |toks AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS tok
+             |  FROM normed),
+             |counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+             |top10 AS (SELECT tok FROM counts ORDER BY c DESC, tok LIMIT 10),
+             |scored AS (SELECT doc_id, count(*) AS n_tokens,
+             |    count(*) FILTER (WHERE tok IN (SELECT tok FROM top10))
+             |      AS common_hits
+             |  FROM toks GROUP BY doc_id),
+             |gated AS (SELECT n.doc_id, lang, md5(norm) AS fp, n_tokens,
+             |    round(CAST(common_hits AS DOUBLE) / n_tokens, 6)
+             |      AS common_ratio
+             |  FROM normed n JOIN scored s ON n.doc_id = s.doc_id
+             |  WHERE n_tokens >= 10 AND common_hits * 5 >= n_tokens),
+             |kept AS (SELECT * FROM gated
+             |  QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1)
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             |  round(CAST(SUM(CAST(common_ratio AS DECIMAL(28,12))) AS DOUBLE)
+             |    / count(*), 6) AS avg_common_ratio
+             |FROM kept GROUP BY lang ORDER BY lang""".stripMargin),
+      "pipeline-op: curation v2 — normalize, typicality gate, dedup, lang rollup")
   )
 }
