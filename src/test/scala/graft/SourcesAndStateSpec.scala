@@ -26,6 +26,19 @@ class SourcesAndStateSpec extends AnyFunSuite {
       li.filter(col("l_quantity") > 45).count())
   }
 
+  test("XML round-trip via the built-in Spark 4 xml source") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-xml").toString
+    val c = Tables.customer(spark, sf)
+      .select("c_custkey", "c_name", "c_mktsegment")
+    c.write.mode("overwrite").option("rowTag", "customer").xml(s"$dir/c")
+    val back = spark.read.option("rowTag", "customer").xml(s"$dir/c")
+    assert(back.count() === c.count())
+    val got = back.select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey").collect()
+    val want = c.orderBy("c_custkey").collect()
+    assert(got.map(_.toString).toSeq === want.map(_.toString).toSeq)
+  }
+
   test("JSON-lines round-trip preserves schema-on-read values") {
     val dir = java.nio.file.Files.createTempDirectory("graft-json").toString
     val e = Tables.events(spark, sf)
