@@ -132,6 +132,41 @@ object EventStreams {
       }
   }
 
+  /** Spark 4 `transformWithState` sessionizer: the same gap semantics as
+    * [[sessionize]], expressed as a [[StatefulProcessor]] with typed
+    * [[org.apache.spark.sql.streaming.ValueState]] — the modern
+    * arbitrary-state API (per-state-variable storage, TTL support,
+    * timers) that replaces mapGroupsWithState. Streaming runs require
+    * the RocksDB state store provider; the spec pins its per-user
+    * output against q51's batch result across two micro-batches.
+    */
+  class SessionProcessor(gapSec: Long = 1800)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, EventRow, SessionSummary] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, TimerValues}
+    import org.apache.spark.sql.{Encoders, streaming => ss}
+    @transient private var state: ss.ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessionState]("sess",
+        Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[EventRow],
+        timers: TimerValues): Iterator[SessionSummary] = {
+      val sorted = rows.toSeq.sortBy(_.ts_sec)
+      var st = if (state.exists()) state.get()
+               else SessionState(Long.MinValue, 0L, 0L)
+      sorted.foreach { r =>
+        val newSession =
+          st.lastTs == Long.MinValue || r.ts_sec - st.lastTs > gapSec
+        st = SessionState(r.ts_sec,
+          st.sessions + (if (newSession) 1 else 0), st.events + 1)
+      }
+      state.update(st)
+      Iterator.single(SessionSummary(key, st.sessions, st.events))
+    }
+  }
+
   final case class SessionSpan(user_id: Long, start_sec: Long, end_sec: Long,
       n_events: Long)
   final case class SpanState(startTs: Long, lastTs: Long, events: Long)

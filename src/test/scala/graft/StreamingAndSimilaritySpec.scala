@@ -58,6 +58,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState sessionizer matches q51 across two micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val all = Tables.events(spark, sf)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("ts_sec"))
+    val expected = QueryRegistry.queries("q51_sessionize")(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_events"))).toMap
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-tws").toString
+    // batch 1: events before the median second; batch 2: the rest — state
+    // must carry session counts across the trigger boundary
+    val mid = all.agg(expr("percentile(ts_sec, 0.5)")).head().getDouble(0)
+    all.filter(col("ts_sec") <= mid).write.mode("overwrite").parquet(s"$dir/in")
+    val streamIn = spark.readStream.schema(all.schema).parquet(s"$dir/in")
+      .as[EventStreams.EventRow]
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = streamIn.groupByKey(_.user_id)
+      .transformWithState(new EventStreams.SessionProcessor(),
+        TimeMode.None(), org.apache.spark.sql.streaming.OutputMode.Update())
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .format("memory").queryName("tws_out").start()
+    try {
+      q.processAllAvailable()
+      all.filter(col("ts_sec") > mid).write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      // memory sink in update mode appends; keep the LAST row per user
+      val got = spark.table("tws_out").collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_events")))
+        .groupBy(_._1).map { case (u, rows) =>
+          u -> rows.map(_._2).maxBy(_._2) }
+      assert(got === expected)
+    } finally {
+      q.stop()
+      prev.fold(spark.conf.unset(confKey))(spark.conf.set(confKey, _))
+    }
+  }
+
   test("sessionizer state carries across micro-batches (mapGroupsWithState)") {
     import spark.implicits._
     val all = Tables.events(spark, sf)
