@@ -39,6 +39,32 @@ class SourcesAndStateSpec extends AnyFunSuite {
     assert(got.map(_.toString).toSeq === want.map(_.toString).toSeq)
   }
 
+  test("binaryFile source ingests raw files into the multimodal decode path") {
+    import spark.implicits._
+    import graft.functions.MultimodalOps
+    // stage raw "media" files on disk — the real-world multimodal input
+    val dir = java.nio.file.Files.createTempDirectory("graft-bin").toString
+    (0 until 5).foreach { i =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/doc$i.bin"),
+        Array.tabulate[Byte](50 + i * 7)(j => ((i * 31 + j) % 127).toByte))
+    }
+    val files = spark.read.format("binaryFile").load(dir)
+    assert(files.count() === 5)
+    assert(files.columns.toSet ===
+      Set("path", "modificationTime", "length", "content"))
+    // path -> doc_id, content -> payload: straight into the decode stub
+    val blobs = files.select(
+        regexp_extract(col("path"), "doc(\\d+)\\.bin$", 1).cast("long")
+          .as("doc_id"),
+        col("content").as("payload"))
+      .as[MultimodalOps.Blob]
+    val metas = blobs.mapPartitions(_.map(MultimodalOps.decodeStub))
+      .collect().sortBy(_.doc_id)
+    assert(metas.length === 5)
+    assert(metas.map(_.n_bytes).toSeq === Seq(50L, 57L, 64L, 71L, 78L))
+  }
+
   test("JSON-lines round-trip preserves schema-on-read values") {
     val dir = java.nio.file.Files.createTempDirectory("graft-json").toString
     val e = Tables.events(spark, sf)
