@@ -548,6 +548,35 @@ object RelationalOps {
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
       "semi-structured: JSON path extraction over a string column"),
 
+    // ---- semi-structured via the Spark 4 VARIANT type: parse once into
+    // the shredded binary encoding, then typed variant_get extraction.
+    // At 100 TB this is the difference between re-parsing JSON text per
+    // path (q62's get_json_object) and one parse feeding any number of
+    // typed reads — the engine's native semi-structured story. The
+    // oracle reads the same paths with DuckDB's JSON functions. ----
+    Q("q117_variant_extract",
+      (s, d) => {
+        val v = parse_json(col("props"))
+        Tables.events(s, d)
+          .select(col("event_type"),
+            variant_get(v, "$.k", "long").as("k"))
+          .filter(col("k") >= 50)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_hi"),
+            count_distinct(col("k")).as("n_distinct_k"),
+            sum(col("k")).as("sum_k"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS n_hi,
+             |  COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
+             |    AS n_distinct_k,
+             |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             |    AS sum_k
+             |FROM events
+             |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      "semi-structured: Spark 4 VARIANT (parse_json + typed variant_get)"),
+
     // ---- generator / UDTF surface: lateral row expansion ----
     Q("q63_generator_explode",
       (s, d) => Tables.supplier(s, d)
