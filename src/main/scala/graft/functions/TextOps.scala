@@ -11,14 +11,16 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Latin-1 accent fold table (1:1 codepoints, applied after lower()). */
+  private[graft] val foldFrom = "àâäáãåèêëéìîíïòôöóõùûüúçñÿý"
+  private[graft] val foldTo   = "aaaaaaeeeeiiiiooooouuuucnyy"
+
   /** Canonical text normalization: lowercase, pinned accent-fold table,
     * control/punctuation removal, whitespace collapse. A pure codegen'd
-    * Column expression — see the q104 docstring.
+    * Column expression — see the q104 docstring. SQL-text callers get the
+    * same semantics via the `graft_normalize` SQL UDF ([[graft.Graft
+    * .registerSqlUdfs]]).
     */
-  /** Latin-1 accent fold table (1:1 codepoints, applied after lower()). */
-  private[functions] val foldFrom = "àâäáãåèêëéìîíïòôöóõùûüúçñÿý"
-  private[functions] val foldTo   = "aaaaaaeeeeiiiiooooouuuucnyy"
-
   def normalizeText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     trim(regexp_replace(regexp_replace(
       translate(lower(c), foldFrom, foldTo),

@@ -118,6 +118,11 @@ class BucketingSpec extends AnyFunSuite {
     // the SQL function resolves after init
     val n = spark.sql("SELECT token_count('a b c') AS n").collect()(0).getInt(0)
     assert(n === 3)
+    // the SQL UDF inlines normalizeText's exact semantics — no UDF node
+    val norm = spark.sql("SELECT graft_normalize('  Café-naïve RÉSUMÉ  ') AS x")
+    assert(norm.collect()(0).getString(0) === "cafe naive resume")
+    assert(!norm.queryExecution.executedPlan.toString
+      .toLowerCase.contains("scalaudf"))
   }
 
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
