@@ -577,6 +577,35 @@ object RelationalOps {
              |GROUP BY event_type ORDER BY event_type""".stripMargin),
       "semi-structured: Spark 4 VARIANT (parse_json + typed variant_get)"),
 
+    // ---- recursive CTE (Spark 4 WITH RECURSIVE): ancestor-chain walk
+    // over the synthetic key-decimation hierarchy (parent = key DIV 10,
+    // a 4-level tree over customer). The declarative surface for
+    // bounded-depth hierarchy queries — Spark executes it as iterated
+    // union materialization, so depth, not data size, bounds the
+    // iteration count; for UNBOUNDED closure over huge edge sets (near-
+    // dup components) the engine instead uses q65's checkpointed
+    // min-label loop, which controls persistence per iteration. ----
+    Q("q118_recursive_cte",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("customer_rec")
+        s.sql("""WITH RECURSIVE chain(id, anc, depth) AS (
+          SELECT c_custkey, c_custkey DIV 10, 1
+          FROM customer_rec WHERE c_custkey > 0
+          UNION ALL
+          SELECT id, anc DIV 10, depth + 1 FROM chain WHERE anc > 0)
+          SELECT depth, count(*) AS n_nodes,
+            CAST(SUM(id) AS BIGINT) AS sum_ids
+          FROM chain GROUP BY depth ORDER BY depth""")
+      },
+      Some("""WITH RECURSIVE chain(id, anc, depth) AS (
+             |  SELECT c_custkey, c_custkey // 10, 1
+             |  FROM customer WHERE c_custkey > 0
+             |  UNION ALL
+             |  SELECT id, anc // 10, depth + 1 FROM chain WHERE anc > 0)
+             |SELECT depth, count(*) AS n_nodes, CAST(SUM(id) AS BIGINT) AS sum_ids
+             |FROM chain GROUP BY depth ORDER BY depth""".stripMargin),
+      "§2.3 generalization: recursive CTE hierarchy walk (Spark 4 WITH RECURSIVE)"),
+
     // ---- generator / UDTF surface: lateral row expansion ----
     Q("q63_generator_explode",
       (s, d) => Tables.supplier(s, d)
