@@ -242,6 +242,25 @@ class ChecksSpec extends AnyFunSuite {
     assert(row.getDouble(3) === 0.5)
   }
 
+  test("Observation piggybacks rule metrics on the main pass (no second scan)") {
+    // the Deequ-style observability shape: constraint counters ride the
+    // production job's own scan as an observe() aggregate, so data-quality
+    // metrics at 100 TB cost zero extra passes
+    val obs = new org.apache.spark.sql.Observation("rule-metrics")
+    val li = Tables.lineitem(spark, sf)
+    val observed = li.observe(obs,
+      count(lit(1)).as("n_rows"),
+      sum(when(col("l_quantity") > 45, 1L).otherwise(0L)).as("qty_violations"),
+      sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L)).as("price_violations"))
+    // run the "production" job — here, any action over the observed frame
+    val total = observed.count()
+    val got = obs.get
+    assert(got("n_rows") === total)
+    assert(got("qty_violations") ===
+      li.filter(col("l_quantity") > 45).count())
+    assert(got("price_violations") === 0L)
+  }
+
   test("fkOrphanAuditMulti audits several FKs of one child in one pass") {
     import spark.implicits._
     val child = Seq((1L, 10L), (2L, 20L), (99L, 10L), (98L, 77L))
