@@ -606,6 +606,33 @@ object RelationalOps {
              |FROM chain GROUP BY depth ORDER BY depth""".stripMargin),
       "§2.3 generalization: recursive CTE hierarchy walk (Spark 4 WITH RECURSIVE)"),
 
+    // ---- LATERAL correlated subquery in FROM: per-customer top-2
+    // orders, the "top-N related rows per driving row" idiom. Catalyst
+    // DECORRELATES the lateral into a ranked join (DecorrelateInnerQuery
+    // + RewriteLateralSubquery), so the executed plan is the same
+    // window/join shape q64 builds by hand — per-row re-execution never
+    // happens, which is exactly why the construct survives 100 TB. ----
+    Q("q119_lateral_join",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("customer_lat")
+        Tables.orders(s, d).createOrReplaceTempView("orders_lat")
+        s.sql("""SELECT c_custkey, t.o_orderkey, t.o_totalprice
+          FROM customer_lat, LATERAL (
+            SELECT o_orderkey, o_totalprice FROM orders_lat
+            WHERE o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+          WHERE c_custkey < 50
+          ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")
+      },
+      Some("""SELECT c_custkey, t.o_orderkey, t.o_totalprice
+             |FROM customer, LATERAL (
+             |  SELECT o_orderkey, o_totalprice FROM orders
+             |  WHERE o_custkey = c_custkey
+             |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+             |WHERE c_custkey < 50
+             |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin),
+      "§2.3 generalization: LATERAL correlated subquery (decorrelated top-N per row)"),
+
     // ---- generator / UDTF surface: lateral row expansion ----
     Q("q63_generator_explode",
       (s, d) => Tables.supplier(s, d)
