@@ -110,6 +110,64 @@ object ProfileOps {
              |SELECT event_type, bin, COUNT(*) AS n
              |FROM binned GROUP BY event_type, bin
              |ORDER BY event_type, bin""".stripMargin),
-      "validation generalization: equi-width histogram profile per group")
+      "validation generalization: equi-width histogram profile per group"),
+
+    // ---- distribution-drift monitoring (PSI): compare the value
+    // distribution of the first vs second half of the month over the
+    // shared 10-bin grid and emit each bin's Population-Stability-Index
+    // term — the drift gate a production validation pipeline runs
+    // between snapshots (Deequ/evidently-style). Plan: ONE narrow
+    // binning pass tags (half, bin); two tiny aggregates (per-half
+    // totals broadcast back); fractions round to 6 decimals BEFORE the
+    // ln() so both engines feed the log identical doubles; the 0.0005
+    // smoothing keeps empty bins finite. At 100 TB the only event-scale
+    // stage is the binning scan. ----
+    Q("q120_distribution_drift",
+      (s, d) => {
+        val bounds = Tables.events(s, d)
+          .agg(min(col("value")).as("mn"), max(col("value")).as("mx"))
+        val b = Tables.events(s, d).crossJoin(broadcast(bounds))
+          .select(
+            when(col("ts") < lit("2024-01-16").cast("timestamp"), 1)
+              .otherwise(2).as("half"),
+            least(floor((col("value") - col("mn")) * 10
+              / (col("mx") - col("mn"))).cast("int"), lit(9)).as("bin"))
+        val totals = b.groupBy("half").agg(count(lit(1)).as("n"))
+        val wide = b.groupBy("bin", "half").agg(count(lit(1)).as("c"))
+          .join(broadcast(totals), Seq("half"))
+          .groupBy("bin")
+          .agg(
+            round(coalesce(max(when(col("half") === 1,
+              col("c").cast("double") / col("n"))), lit(0.0)), 6).as("p1"),
+            round(coalesce(max(when(col("half") === 2,
+              col("c").cast("double") / col("n"))), lit(0.0)), 6).as("p2"))
+        wide.select(col("bin"), col("p1"), col("p2"),
+          round((col("p1") - col("p2"))
+            * log((col("p1") + 0.0005) / (col("p2") + 0.0005)), 6)
+            .as("psi_term"))
+          .orderBy("bin")
+      },
+      Some("""WITH bounds AS (SELECT MIN(value) AS mn, MAX(value) AS mx
+             |  FROM events),
+             |binned AS (SELECT
+             |    CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16'
+             |      THEN 1 ELSE 2 END AS half,
+             |    LEAST(CAST(floor((value - mn) * 10 / (mx - mn)) AS INT), 9)
+             |      AS bin
+             |  FROM events, bounds),
+             |totals AS (SELECT half, count(*) AS n FROM binned GROUP BY half),
+             |wide AS (SELECT bin,
+             |    round(CAST(COALESCE(MAX(CASE WHEN half = 1 THEN c END), 0)
+             |      AS DOUBLE) / (SELECT n FROM totals WHERE half = 1), 6) AS p1,
+             |    round(CAST(COALESCE(MAX(CASE WHEN half = 2 THEN c END), 0)
+             |      AS DOUBLE) / (SELECT n FROM totals WHERE half = 2), 6) AS p2
+             |  FROM (SELECT bin, half, count(*) AS c FROM binned
+             |        GROUP BY bin, half) dist
+             |  GROUP BY bin)
+             |SELECT bin, p1, p2,
+             |  round((p1 - p2) * ln((p1 + 0.0005) / (p2 + 0.0005)), 6)
+             |    AS psi_term
+             |FROM wide ORDER BY bin""".stripMargin),
+      "validation generalization: PSI distribution-drift monitor between snapshots")
   )
 }
