@@ -37,5 +37,6 @@ object Graft {
          |RETURN trim(regexp_replace(regexp_replace(
          |  translate(lower(s), '${functions.TextOps.foldFrom}',
          |    '${functions.TextOps.foldTo}'),
-         |  '[^a-z0-9 ]', ' '), ' +', ' '))""".stripMargin)
+         |  '${functions.TextOps.stripPattern}', ' '),
+         |  '${functions.TextOps.wsPattern}', ' '))""".stripMargin)
 }

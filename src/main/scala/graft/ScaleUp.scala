@@ -53,7 +53,6 @@ object ScaleUp {
     val part = off(Tables(spark, src, "part"), "p_partkey")
     val supp = off(Tables(spark, src, "supplier"), "s_suppkey")
     val event = off(Tables.events(spark, src), "event_id")
-    val user = off(Tables.events(spark, src), "user_id")
     val doc = off(Tables(spark, src, "documents"), "doc_id")
     val vec = off(Tables(spark, src, "embeddings"), "vec_id")
 
@@ -65,7 +64,12 @@ object ScaleUp {
       "orders"     -> Seq("o_orderkey" -> ord, "o_custkey" -> cust),
       "lineitem"   -> Seq("l_orderkey" -> ord, "l_partkey" -> part,
                           "l_suppkey" -> supp),
-      "events"     -> Seq("event_id" -> event, "user_id" -> user),
+      // user_id is an FK into customer, so it shifts by the CUSTOMER
+      // family offset (not its own table's max) — replica r's events
+      // attach to replica r's customers, keeping the per-user event
+      // density constant under scaling instead of piling every replica
+      // onto replica-0's users
+      "events"     -> Seq("event_id" -> event, "user_id" -> cust),
       "documents"  -> Seq("doc_id" -> doc),
       "embeddings" -> Seq("vec_id" -> vec))
 

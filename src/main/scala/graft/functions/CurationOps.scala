@@ -582,14 +582,8 @@ object CurationOps {
             TextOps.normalizeText(col("text")).as("norm"))
         val toks = normed.select(col("doc_id"),
           explode(split(col("norm"), " ")).as("tok"))
-        val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
-        val top10 = counts.orderBy(col("c").desc, col("tok")).limit(10)
-          .select(col("tok"), lit(1).as("is_common"))
-        val scored = toks
-          .join(broadcast(top10), Seq("tok"), "left")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_tokens"),
-            sum(coalesce(col("is_common"), lit(0))).as("common_hits"))
+        val scored = RetrievalOps.commonTokenScores(toks, toks.select("tok"), 10)
+          .select("doc_id", "n_tokens", "common_hits")
         val gated = normed.join(scored, Seq("doc_id"))
           .filter(col("n_tokens") >= 10 &&
             col("common_hits") * 5 >= col("n_tokens"))

@@ -72,23 +72,37 @@ object RetrievalOps {
     * tokens in the corpus top-`topV` vocabulary. Exact integer-sum
     * ratios — see the q102 docstring.
     */
-  def unigramQuality(docs: org.apache.spark.sql.DataFrame, topV: Int = 10)
+  /** Per-doc token/common-hit counts of `toks` (doc_id, tok) against the
+    * corpus vocabulary derived from `vocabToks` (tok): output
+    * (doc_id, n_tokens, freq_sum, common_hits) where "common" means the
+    * top-`topV` vocabulary (ties broken by token). The vocabulary count
+    * is a token-keyed partial agg; the top-V set always broadcasts.
+    * Shared by [[unigramQuality]] and CurationOps q116 so the gate's
+    * tie-break/null handling has exactly one definition.
+    */
+  def commonTokenScores(toks: org.apache.spark.sql.DataFrame,
+      vocabToks: org.apache.spark.sql.DataFrame, topV: Int)
       : org.apache.spark.sql.DataFrame = {
-    // vocabulary pass off the RAW scan (reduce-only — the Spread
-    // exchange would re-execute per job for no benefit); scoring pass
-    // off the Spread'd scan (wide per-row work)
-    val counts = docs.select(explode(split(col("text"), " ")).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val counts = vocabToks.groupBy("tok").agg(count(lit(1)).as("c"))
     val top = counts.orderBy(col("c").desc, col("tok")).limit(topV)
       .select(col("tok"), lit(1).as("is_common"))
-    val toks = graft.operators.Spread.byKey(docs, col("doc_id"))
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     toks.join(broadcast(counts), Seq("tok"))
       .join(broadcast(top), Seq("tok"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("c")).as("freq_sum"),
         sum(coalesce(col("is_common"), lit(0))).as("common_hits"))
+  }
+
+  def unigramQuality(docs: org.apache.spark.sql.DataFrame, topV: Int = 10)
+      : org.apache.spark.sql.DataFrame = {
+    // vocabulary pass off the RAW scan (reduce-only — the Spread
+    // exchange would re-execute per job for no benefit); scoring pass
+    // off the Spread'd scan (wide per-row work)
+    val vocab = docs.select(explode(split(col("text"), " ")).as("tok"))
+    val toks = graft.operators.Spread.byKey(docs, col("doc_id"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    commonTokenScores(toks, vocab, topV)
       .select(col("doc_id"), col("n_tokens"),
         round(col("freq_sum").cast("double") / col("n_tokens"), 6)
           .as("mean_tok_freq"),

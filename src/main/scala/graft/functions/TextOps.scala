@@ -14,6 +14,10 @@ object TextOps {
   /** Latin-1 accent fold table (1:1 codepoints, applied after lower()). */
   private[graft] val foldFrom = "àâäáãåèêëéìîíïòôöóõùûüúçñÿý"
   private[graft] val foldTo   = "aaaaaaeeeeiiiiooooouuuucnyy"
+  /** Normalization regexes — shared with the `graft_normalize` SQL UDF
+    * (Graft.registerSqlUdfs) so the two surfaces cannot drift. */
+  private[graft] val stripPattern = "[^a-z0-9 ]"
+  private[graft] val wsPattern    = " +"
 
   /** Canonical text normalization: lowercase, pinned accent-fold table,
     * control/punctuation removal, whitespace collapse. A pure codegen'd
@@ -24,7 +28,7 @@ object TextOps {
   def normalizeText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     trim(regexp_replace(regexp_replace(
       translate(lower(c), foldFrom, foldTo),
-      "[^a-z0-9 ]", " "), " +", " "))
+      stripPattern, " "), wsPattern, " "))
 
   def qs: Seq[Q] = Seq(
 

@@ -18,8 +18,10 @@ object PartitionedLake {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
-  /** SCD-type-1 upsert (MERGE: delta wins by `keyCol`, everything else
-    * kept) that rewrites ONLY the partitions the delta touches:
+  /** SCD-type-1 upsert — MERGE where the row identity is the COMPOSITE
+    * `(partitionCol, keyCol)`: within each partition the delta wins by
+    * key, everything else is kept — rewriting ONLY the partitions the
+    * delta touches:
     *
     *  1. the delta's distinct partition values are collected — this is
     *     metadata cardinality (partition count, not row count), the one
@@ -35,7 +37,16 @@ object PartitionedLake {
     * At 100 TB the rewrite cost scales with the delta's partition
     * footprint, not the table size — the pattern table formats (Delta,
     * Iceberg, Hudi) implement with manifests; plain parquet gets it via
-    * directory layout. The merged frame is `localCheckpoint`ed before
+    * directory layout.
+    *
+    * CONTRACT: a key's partition value must be stable (the usual case —
+    * the partition derives from the row's identity, e.g. event date).
+    * A delta that MOVES a key to a different partition upserts into the
+    * new partition but cannot retire the old partition's row — finding
+    * it would need a full-table key scan, which is exactly the cost
+    * manifest-based formats exist to avoid. Callers needing
+    * cross-partition moves must delete from the old partition
+    * explicitly. The merged frame is `localCheckpoint`ed before
     * the write because Spark (correctly) refuses a plan that overwrites
     * a path it is still reading lazily; at cluster scale use a
     * checkpoint directory or a staging path + atomic swap instead.
@@ -54,7 +65,8 @@ object PartitionedLake {
     val base = read(spark, path)
       .filter(col(partitionCol).isin(parts: _*))
     val merged = base
-      .join(delta.select(col(keyCol)), Seq(keyCol), "left_anti")
+      .join(delta.select(col(partitionCol), col(keyCol)),
+        Seq(partitionCol, keyCol), "left_anti")
       .unionByName(delta.select(base.columns.map(col): _*))
       .localCheckpoint(true)
     merged.write

@@ -90,6 +90,23 @@ class PartitionedLakeSpec extends AnyFunSuite {
     assert(files("p3") === p3Before)
   }
 
+  test("upsert identity is (partition, key): same-partition updates merge, cross-partition moves documented") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-upsert2").toString
+    PartitionedLake.write(Seq((1L, "p1", "old"), (2L, "p2", "old"))
+      .toDF("k", "part", "v"), path, "part")
+    // same key in BOTH delta partitions: each partition merges by key
+    // independently (composite identity), nothing leaks across
+    PartitionedLake.upsert(spark, path, "part", "k",
+      Seq((2L, "p1", "new-p1"), (2L, "p2", "new-p2")).toDF("k", "part", "v"))
+    val got = PartitionedLake.read(spark, path)
+      .orderBy("part", "k").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("part"),
+        r.getAs[String]("v")))
+    assert(got.toSeq === Seq((1L, "p1", "old"), (2L, "p1", "new-p1"),
+      (2L, "p2", "new-p2")))
+  }
+
   test("streaming foreachBatch + lake upsert is idempotent under replay") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-lake").toString
     val lake = s"$dir/lake"
