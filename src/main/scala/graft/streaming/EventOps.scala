@@ -371,6 +371,42 @@ object EventOps {
              |JOIN sizes USING (cohort_day)
              |WHERE date_diff('day', f.cohort_day, a.d) <= 7
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
-      "§2.7 event analytics: day-cohort retention triangle (broadcast cohorts)")
+      "§2.7 event analytics: day-cohort retention triangle (broadcast cohorts)"),
+
+    // ---- NATIVE session windows: `session_window(ts, gap)` makes
+    // sessionization a plain groupBy aggregate — Spark merges adjacent
+    // windows per key inside the aggregation, so no per-key iterator
+    // state (q51's mapGroupsWithState) and no window-function sort pass
+    // (q88's islands); on a stream the same expression is watermark-
+    // evicted. The oracle rebuilds identical sessions with the classic
+    // lag/cumsum islands construction; window end = last event + gap
+    // in both. ----
+    Q("q121_session_window_native",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"))
+        .orderBy("user_id", "session_start"),
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t
+             |  FROM events),
+             |marked AS (SELECT user_id, t,
+             |    CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t)
+             |        > INTERVAL 30 MINUTE
+             |      OR LAG(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+             |      THEN 1 ELSE 0 END AS new_s
+             |  FROM e),
+             |sess AS (SELECT user_id, t,
+             |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM marked)
+             |SELECT user_id, MIN(t) AS session_start,
+             |  MAX(t) + INTERVAL 30 MINUTE AS session_end,
+             |  COUNT(*) AS n_events
+             |FROM sess GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin),
+      "§2.7 streaming: native session_window aggregation (merge-on-aggregate)")
   )
 }
