@@ -633,6 +633,24 @@ object RelationalOps {
              |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin),
       "§2.3 generalization: LATERAL correlated subquery (decorrelated top-N per row)"),
 
+    // ---- SQL-standard ordered string aggregation (Spark 4 listagg
+    // WITHIN GROUP): the deterministic form of string concatenation —
+    // the explicit ORDER BY inside the aggregate is what makes the
+    // result partition-order-independent (q67 gets the same guarantee
+    // from collect_list + array_sort). ----
+    Q("q122_listagg",
+      (s, d) => {
+        Tables.nation(s, d).createOrReplaceTempView("nation_agg")
+        s.sql("""SELECT n_regionkey,
+            listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS names
+          FROM nation_agg GROUP BY n_regionkey ORDER BY n_regionkey""")
+      },
+      Some("""SELECT n_regionkey,
+             |  string_agg(n_name, ',' ORDER BY n_name) AS names
+             |FROM nation GROUP BY n_regionkey
+             |ORDER BY n_regionkey""".stripMargin),
+      "§2.4 generalization: SQL-standard listagg WITHIN GROUP (ordered concat)"),
+
     // ---- generator / UDTF surface: lateral row expansion ----
     Q("q63_generator_explode",
       (s, d) => Tables.supplier(s, d)
