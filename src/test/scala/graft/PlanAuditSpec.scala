@@ -324,6 +324,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("q113 funnel: per-user scalar tables broadcast, no event self-join") {
+    val p = plan("q113_funnel_stages")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q116 curation v2: vocabulary and top-V broadcast, no all-pairs op") {
+    val p = plan("q116_curation_v2")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q121 native session windows aggregate without a rank/window pass") {
+    // the merge-on-aggregate claim: sessions form inside an Aggregate
+    // (MergingSessions / session-window aggregate), not via a window
+    // function rank pass over all events
+    val p = plan("q121_session_window_native")
+    assert(p.toLowerCase.contains("session"), p)
+    assert(!p.contains(") Window"), p) // no window-function operator
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
