@@ -651,6 +651,40 @@ object RelationalOps {
              |ORDER BY n_regionkey""".stripMargin),
       "§2.4 generalization: SQL-standard listagg WITHIN GROUP (ordered concat)"),
 
+    // ---- MAP-type surface: build a per-user event_type -> count map
+    // (map_from_entries over a deterministic sorted entry list), then
+    // read it back with typed element_at and map_keys — the nested
+    // key-value column shape feature stores and props bags use. The map
+    // itself never crosses the oracle boundary (engines render maps
+    // differently); the compare is on the typed reads, which pin the
+    // map's content exactly. ----
+    Q("q123_map_type",
+      (s, d) => {
+        val m = map_from_entries(array_sort(collect_list(
+          struct(col("event_type"), col("c")))))
+        Tables.events(s, d).filter(col("user_id") < 30)
+          .groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("c"))
+          .groupBy("user_id")
+          .agg(m.as("by_type"))
+          .select(col("user_id"),
+            coalesce(element_at(col("by_type"), "click"), lit(0L))
+              .as("n_click"),
+            coalesce(element_at(col("by_type"), "view"), lit(0L))
+              .as("n_view"),
+            size(map_keys(col("by_type"))).cast("long").as("n_types"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id,
+             |  CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0)
+             |    AS BIGINT) AS n_click,
+             |  CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0)
+             |    AS BIGINT) AS n_view,
+             |  COUNT(DISTINCT event_type) AS n_types
+             |FROM events WHERE user_id < 30
+             |GROUP BY user_id ORDER BY user_id""".stripMargin),
+      "§2.6 nested types: MAP column build (map_from_entries) + typed reads"),
+
     // ---- generator / UDTF surface: lateral row expansion ----
     Q("q63_generator_explode",
       (s, d) => Tables.supplier(s, d)
