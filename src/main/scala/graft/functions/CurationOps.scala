@@ -582,7 +582,12 @@ object CurationOps {
             TextOps.normalizeText(col("text")).as("norm"))
         val toks = normed.select(col("doc_id"),
           explode(split(col("norm"), " ")).as("tok"))
-        val scored = RetrievalOps.commonTokenScores(toks, toks.select("tok"), 10)
+        // vocabulary pass off the RAW scan (reduce-only — it must not pay
+        // the Spread exchange; same policy as unigramQuality)
+        val vocab = Tables.documents(s, d)
+          .select(explode(split(TextOps.normalizeText(col("text")), " "))
+            .as("tok"))
+        val scored = RetrievalOps.commonTokenScores(toks, vocab, 10)
           .select("doc_id", "n_tokens", "common_hits")
         val gated = normed.join(scored, Seq("doc_id"))
           .filter(col("n_tokens") >= 10 &&

@@ -259,11 +259,17 @@ object DedupOps {
     // BLOCKING key (last 4 name chars — invariant under the planted
     // edit), then only within-block pairs pay the O(len^2) levenshtein,
     // which is a codegen'd built-in. At 100 TB the block join is a
-    // plain shuffle join whose fan-out the key bounds (singleton blocks
-    // here); an unblocked all-pairs edit-distance join is the
-    // scale-killer this operator exists to avoid. The spec-pinned
-    // outcome: all 150 planted typos recovered at distance 1, zero
-    // false positives at threshold 2. ----
+    // plain shuffle join whose fan-out the key bounds; an unblocked
+    // all-pairs edit-distance join is the scale-killer this operator
+    // exists to avoid. The spec-pinned outcome — all planted typos
+    // recovered at distance 1, zero false positives at threshold 2 —
+    // holds for the spec's sf0.01 corpus (< 10k customers, singleton
+    // blocks). At larger SF, distinct customers sharing a last-4-digit
+    // block legitimately differ by one digit (Customer#000000001 vs
+    // Customer#000010001) and are emitted as distance-1 pairs: correct
+    // under the operator's contract (the threshold defines "duplicate")
+    // and oracle-consistent, but callers wanting typo-only semantics at
+    // scale should tighten the threshold or post-filter on digit runs. ----
     Q("q111_fuzzy_match_dedup",
       (s, d) => {
         val base = Tables.customer(s, d)

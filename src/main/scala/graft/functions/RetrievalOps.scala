@@ -77,6 +77,11 @@ object RetrievalOps {
     * (doc_id, n_tokens, freq_sum, common_hits) where "common" means the
     * top-`topV` vocabulary (ties broken by token). The vocabulary count
     * is a token-keyed partial agg; the top-V set always broadcasts.
+    * The full `counts` relation is deliberately UNhinted: a raw web-text
+    * vocabulary is unbounded (billions of distinct tokens at 100 TB), so
+    * the planner must stay free to pick a token-keyed shuffle join when
+    * the size stats say broadcast won't fit — a forced hint would OOM
+    * instead of degrading (PlanAuditSpec pins both plan shapes).
     * Shared by [[unigramQuality]] and CurationOps q116 so the gate's
     * tie-break/null handling has exactly one definition.
     */
@@ -86,7 +91,7 @@ object RetrievalOps {
     val counts = vocabToks.groupBy("tok").agg(count(lit(1)).as("c"))
     val top = counts.orderBy(col("c").desc, col("tok")).limit(topV)
       .select(col("tok"), lit(1).as("is_common"))
-    toks.join(broadcast(counts), Seq("tok"))
+    toks.join(counts, Seq("tok"))
       .join(broadcast(top), Seq("tok"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),

@@ -62,11 +62,23 @@ object PartitionedLake {
       return
     }
     val parts = delta.select(partitionCol).distinct().collect().map(_.get(0))
-    val base = read(spark, path)
-      .filter(col(partitionCol).isin(parts: _*))
+    // `isin` is null-hostile (NULL isin(...) is never true), so a delta
+    // touching the null partition (__HIVE_DEFAULT_PARTITION__) needs an
+    // explicit isNull arm — otherwise surviving base rows in that
+    // directory are excluded from the merge and dynamic overwrite
+    // replaces it with delta-only rows, silently dropping data.
+    val (nullParts, realParts) = parts.partition(_ == null)
+    val partFilter =
+      if (nullParts.isEmpty) col(partitionCol).isin(realParts: _*)
+      else if (realParts.isEmpty) col(partitionCol).isNull
+      else col(partitionCol).isin(realParts: _*) || col(partitionCol).isNull
+    val base = read(spark, path).filter(partFilter)
+    // null-safe on the partition column (the identity's partition half
+    // may legitimately be the null partition); keys are assumed non-null
+    val dk = delta.select(col(partitionCol).as("__dp"), col(keyCol).as("__dk"))
     val merged = base
-      .join(delta.select(col(partitionCol), col(keyCol)),
-        Seq(partitionCol, keyCol), "left_anti")
+      .join(dk, col(partitionCol) <=> col("__dp") &&
+        col(keyCol) === col("__dk"), "left_anti")
       .unionByName(delta.select(base.columns.map(col): _*))
       .localCheckpoint(true)
     merged.write

@@ -715,26 +715,32 @@ object ValidationOps {
 
   /** One FK relation's orphan summary: child rows whose `fk` has no
     * match among the DISTINCT parent `pk` values — left join + null
-    * count, parent side broadcast (swap to a shuffle join when the key
-    * set outgrows the broadcast threshold; the child side never
-    * shuffles either way). Used by q109's schema sweep.
+    * count. The parent side is unhinted, so the planner broadcasts it
+    * while it fits and swaps to a shuffle join when the key set
+    * outgrows the threshold; the child side never shuffles either way.
+    * Used by q109's schema sweep.
     */
   def fkOrphanAudit(relation: String, child: DataFrame, fk: String,
       parent: DataFrame, pk: String): DataFrame =
     fkOrphanAuditMulti(child, Seq((relation, fk, parent, pk)))
 
   /** Audit SEVERAL FK relations of one child table in a single scan:
-    * one chained broadcast left join per parent key set, ONE aggregate
-    * computing every relation's null count, exploded into per-relation
-    * summary rows. At 100 TB this is the difference between one fact
-    * scan per FK column and one fact scan per fact TABLE — lineitem's
-    * three relations cost one pass, not three.
+    * one chained left join per parent key set, ONE aggregate computing
+    * every relation's null count, exploded into per-relation summary
+    * rows. At 100 TB this is the difference between one fact scan per
+    * FK column and one fact scan per fact TABLE — lineitem's three
+    * relations cost one pass, not three. The parent key sets are
+    * deliberately UNhinted: dimension keys (region, nation, part)
+    * auto-broadcast from their size stats, but fact-keyed parents
+    * (orders.o_orderkey under lineitem) scale with the data, and a
+    * forced hint would OOM the driver instead of degrading to a
+    * key-partitioned shuffle join.
     */
   def fkOrphanAuditMulti(child: DataFrame,
       rels: Seq[(String, String, DataFrame, String)]): DataFrame = {
     val joined = rels.zipWithIndex.foldLeft(child) {
       case (df, ((_, fk, parent, pk), i)) =>
-        df.join(broadcast(parent.select(col(pk).as(s"__k$i")).distinct()),
+        df.join(parent.select(col(pk).as(s"__k$i")).distinct(),
           col(fk) === col(s"__k$i"), "left")
     }
     val aggs = count(lit(1)).as("n_rows") +: rels.indices.map(i =>
@@ -759,7 +765,7 @@ object ValidationOps {
     // parent key sets broadcast when small (dimensions) and shuffle
     // otherwise, while the child side is never shuffled beyond its
     // partial count. Relations sharing a child table fold into ONE
-    // scan with chained broadcast joins (fkOrphanAuditMulti) — at
+    // scan with chained left joins (fkOrphanAuditMulti) — at
     // 100 TB the sweep costs one scan per child TABLE, not per FK. ----
     Q("q109_fk_orphan_audit",
       (s, d) => {

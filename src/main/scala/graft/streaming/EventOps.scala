@@ -274,11 +274,15 @@ object EventOps {
 
     // ---- funnel analysis: strict view -> click -> purchase ordering
     // with a 24 h SLA between stages. Three filtered passes over the
-    // event scan, each reduced to a per-user scalar table that
-    // BROADCASTS onto the next stage's filter (user-cardinality, i.e.
-    // dimension-sized) — no event-to-event self-join, which is the
-    // funnel anti-pattern at 100 TB. Stage counts at sf0.01:
-    // 90 view-only / 35 reached click / 25 converted. ----
+    // event scan, each reduced to a per-user scalar table — no
+    // event-to-event self-join, which is the funnel anti-pattern at
+    // 100 TB. The per-user stage tables are deliberately UNhinted:
+    // user cardinality scales with the corpus (10^9 users at the
+    // design point), so the planner must stay free to pick a
+    // user-keyed shuffle join when size stats say broadcast won't fit;
+    // AQE still broadcasts them automatically at small SF. Stage
+    // counts at sf0.01: 90 view-only / 35 reached click / 25
+    // converted. ----
     Q("q113_funnel_stages",
       (s, d) => {
         val ev = Tables.events(s, d)
@@ -286,12 +290,12 @@ object EventOps {
         val fv = ev.filter(col("event_type") === "view")
           .groupBy("user_id").agg(min(col("ts")).as("t1"))
         val fc = ev.filter(col("event_type") === "click")
-          .join(broadcast(fv), Seq("user_id"))
+          .join(fv, Seq("user_id"))
           .filter(col("ts") > col("t1") &&
             col("ts") <= col("t1") + expr("INTERVAL 24 HOURS"))
           .groupBy("user_id").agg(min(col("ts")).as("t2"))
         val fp = ev.filter(col("event_type") === "purchase")
-          .join(broadcast(fc), Seq("user_id"))
+          .join(fc, Seq("user_id"))
           .filter(col("ts") > col("t2") &&
             col("ts") <= col("t2") + expr("INTERVAL 24 HOURS"))
           .groupBy("user_id").agg(min(col("ts")).as("t3"))
@@ -328,11 +332,13 @@ object EventOps {
       "§2.7 event analytics: ordered funnel stages with 24h SLA (no self-join)"),
 
     // ---- cohort retention: day-of-first-purchase cohorts x days-since
-    // retention triangle (offsets 0-7). The cohort table (one row per
-    // user) and cohort sizes are dimension-cardinality — they BROADCAST
-    // onto the distinct-activity stream; the only event-scale work is
-    // one filtered scan + one distinct. The retention ratio divides two
-    // exact counts, so the triangle is engine-independent. ----
+    // retention triangle (offsets 0-7). The per-user cohort table is
+    // UNhinted (user cardinality scales with the corpus — a forced
+    // broadcast would OOM at 10^9 users; AQE broadcasts it when small).
+    // `sizes` (one row per cohort DAY — calendar-bounded) keeps its
+    // broadcast hint. The only event-scale work is one filtered scan +
+    // one distinct. The retention ratio divides two exact counts, so
+    // the triangle is engine-independent. ----
     Q("q114_cohort_retention",
       (s, d) => {
         val p = Tables.events(s, d)
@@ -342,7 +348,7 @@ object EventOps {
         val sizes = first.groupBy("cohort_day")
           .agg(count(lit(1)).as("cohort_n"))
         p.distinct()
-          .join(broadcast(first), Seq("user_id"))
+          .join(first, Seq("user_id"))
           .withColumn("day_offset", datediff(col("d"), col("cohort_day")))
           .filter(col("day_offset") <= 7)
           .groupBy("cohort_day", "day_offset")

@@ -114,6 +114,16 @@ object EventStreams {
   /** Stateful sessionization via mapGroupsWithState: a new session starts
     * when the gap exceeds `gapSec`. Works on batch Datasets too (state is
     * then per-group-single-shot), which is how the spec pins semantics.
+    *
+    * Late-data contract (shared by [[SessionProcessor]] and
+    * [[sessionSpans]]): rows are sorted within each trigger, but a row
+    * arriving in a LATER micro-batch with an older event time must not
+    * move the session clock backwards — `lastTs` advances monotonically
+    * (max), and a late row is absorbed into the current session (counted,
+    * never session-opening). Exact late-row session attribution would
+    * need the full per-key history; a monotone clock is the bounded-state
+    * compromise, and it makes results independent of which trigger a
+    * late row lands in.
     */
   def sessionize(events: Dataset[EventRow], gapSec: Long = 1800): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
@@ -124,7 +134,7 @@ object EventStreams {
           var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
           sorted.foreach { r =>
             val newSession = st.lastTs == Long.MinValue || r.ts_sec - st.lastTs > gapSec
-            st = SessionState(r.ts_sec,
+            st = SessionState(math.max(st.lastTs, r.ts_sec),
               st.sessions + (if (newSession) 1 else 0), st.events + 1)
           }
           state.update(st)
@@ -159,7 +169,9 @@ object EventStreams {
       sorted.foreach { r =>
         val newSession =
           st.lastTs == Long.MinValue || r.ts_sec - st.lastTs > gapSec
-        st = SessionState(r.ts_sec,
+        // monotone clock: a late row from a later trigger never moves
+        // lastTs backwards (see sessionize's late-data contract)
+        st = SessionState(math.max(st.lastTs, r.ts_sec),
           st.sessions + (if (newSession) 1 else 0), st.events + 1)
       }
       state.update(st)
@@ -191,7 +203,8 @@ object EventStreams {
             else if (r.ts_sec - st.lastTs > gapSec) {
               closed += SessionSpan(userId, st.startTs, st.lastTs, st.events)
               st = SpanState(r.ts_sec, r.ts_sec, 1L)
-            } else st = SpanState(st.startTs, r.ts_sec, st.events + 1L)
+            } else st = SpanState(st.startTs, // monotone clock (late rows)
+              math.max(st.lastTs, r.ts_sec), st.events + 1L)
           }
           if (st != null) state.update(st)
           closed.result().iterator

@@ -338,6 +338,38 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("unbounded-side joins degrade to shuffle joins when broadcast is off " +
+      "(q102/q113/q114/q116), results unchanged") {
+    // The 100 TB hazard class from round 5: corpus-vocabulary and per-user
+    // relations grow with the data, so their joins carry NO broadcast()
+    // hint — the planner must be free to fall back to a key-partitioned
+    // shuffle join when size stats say the build side won't fit. Forcing
+    // the threshold to -1 simulates that regime: every UNhinted join must
+    // plan as SortMergeJoin/ShuffledHashJoin (the bounded-cardinality
+    // sides — top-V vocabulary, per-cohort-day sizes — legitimately keep
+    // their hints and stay broadcast), and the results must be identical.
+    val names = Seq("q102_unigram_quality", "q109_fk_orphan_audit",
+      "q113_funnel_stages", "q114_cohort_retention", "q116_curation_v2")
+    val expected = names.map(n =>
+      n -> QueryRegistry.queries(n)(spark, sf).collect().toSeq).toMap
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      for (n <- names) {
+        val df = QueryRegistry.queries(n)(spark, sf)
+        val got = df.collect().toSeq
+        val p = df.queryExecution.executedPlan.toString
+        assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+          s"$n: unhinted join did not degrade to a shuffle join:\n$p")
+        assert(!p.contains("CartesianProduct"), s"$n:\n$p")
+        assert(got == expected(n), s"$n: shuffle-join results differ")
+      }
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("q121 native session windows aggregate without a rank/window pass") {
     // the merge-on-aggregate claim: sessions form inside an Aggregate
     // (MergingSessions / session-window aggregate), not via a window
