@@ -102,6 +102,48 @@ class GoldenSubmissionSpec extends AnyFunSuite {
     assert(summary.text.contains("demographic.csv"))
   }
 
+  test("S9: the Slack send path POSTs the summary to a loopback webhook " +
+      "with the reference's routing, body shape, and content type") {
+    // zero-egress closure of S9: a 127.0.0.1 HttpServer stands in for the
+    // webhook, so the actual HTTP POST executes — routing (failure channel
+    // unless zero errors), the {"type":"mrkdwn","text":...} body, and the
+    // application/json header are all asserted on the wire.
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, String)]()
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def handler(channel: String): HttpHandler = (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      received.add((channel, ex.getRequestHeaders.getFirst("Content-Type"), body))
+      ex.sendResponseHeaders(200, -1)
+      ex.close()
+    }
+    server.createContext("/success", handler("success"))
+    server.createContext("/failure", handler("failure"))
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val fail = graft.app.SummaryFormatter.format("submission.zip", "42", "cbc14",
+        Seq("demographic.csv"), Map(("demographic.csv", "Error") -> 3L),
+        "2026-08-12 00:00:00")
+      val clean = graft.app.SummaryFormatter.format("submission.zip", "43", "cbc14",
+        Seq("demographic.csv"), Map.empty, "2026-08-12 00:00:00")
+      assert(graft.app.SlackNotifier.postSummary(fail,
+        s"$base/success", s"$base/failure") === 200)
+      assert(graft.app.SlackNotifier.postSummary(clean,
+        s"$base/success", s"$base/failure") === 200)
+      val posts = received.toArray(Array.empty[(String, String, String)]).toSeq
+      assert(posts.map(_._1) === Seq("failure", "success"))
+      assert(posts.forall(_._2 == "application/json"))
+      val failBody = posts.head._3
+      assert(failBody.startsWith("""{"type": "mrkdwn", "text": """), failBody)
+      assert(failBody.contains("*FAILURE") || failBody.contains("*Validation fail:*"), failBody)
+      assert(failBody.contains("""\n"""), failBody) // newlines JSON-escaped
+      assert(posts(1)._3.contains("Validation pass clean: (demographic.csv (0) )"),
+        posts(1)._3)
+    } finally server.stop(0)
+  }
+
   test("full-family golden submission: gated rules, context merges, bio cross-sheet") {
     val dir = Files.createTempDirectory("graft-golden-full").toString
     def put(name: String, content: String): Unit =

@@ -101,6 +101,58 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("q121's session_window expression is watermark-evicted on a stream " +
+      "and matches the batch result") {
+    // The q121 docstring's streaming claim, spec-backed: the SAME
+    // `session_window(ts, 30 min)` groupBy runs under readStream with a
+    // watermark in append mode. Append only emits a session once the
+    // watermark passes its end, so after the two real micro-batches two
+    // sentinel events (far future, sentinel user) push the watermark past
+    // every real session end — the flushed output must equal the batch
+    // q121 result exactly.
+    val all = Tables.events(spark, sf).select("user_id", "ts")
+    val expected = QueryRegistry.queries("q121_session_window_native")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+
+    val sessionized: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      in => in.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-sesswin").toString
+    val mid = all.agg(expr("percentile(unix_timestamp(ts), 0.5)")).head().getDouble(0)
+    val maxTs = all.agg(max(unix_timestamp(col("ts")))).head().getLong(0)
+    val sentinel = 9999999999L
+    all.filter(unix_timestamp(col("ts")) <= mid)
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val streamIn = spark.readStream.schema(all.schema).parquet(s"$dir/in")
+    val q = sessionized(streamIn.withWatermark("ts", "1 second"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .format("memory").queryName("sesswin_out").start()
+    try {
+      q.processAllAvailable()
+      all.filter(unix_timestamp(col("ts")) > mid)
+        .write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      // two flush batches: the first advances the watermark past every
+      // real session end, the second triggers their append emission
+      for (h <- Seq(2L, 4L)) {
+        all.limit(1).select(lit(sentinel).as("user_id"),
+            to_timestamp(lit(maxTs + h * 3600)).as("ts"))
+          .write.mode("append").parquet(s"$dir/in")
+        q.processAllAvailable()
+      }
+      val got = spark.table("sesswin_out")
+        .filter(col("user_id") =!= sentinel)
+        .collect().map(_.toString).sorted.toSeq
+      assert(got === expected)
+    } finally q.stop()
+  }
+
   test("sessionizer state carries across micro-batches (mapGroupsWithState)") {
     import spark.implicits._
     val all = Tables.events(spark, sf)
