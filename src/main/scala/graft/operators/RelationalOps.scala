@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{Q, Tables}
+import graft.{BoundOracle, Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -354,8 +354,12 @@ object RelationalOps {
              |ORDER BY src, id""".stripMargin),
       "§2.5 generalization: INTERSECT / EXCEPT set semantics"),
 
-    // ---- sketch aggregation: approximate percentile (rows-only; the
-    // sketch differs per engine — spec pins the rank-error bound) ----
+    // ---- sketch aggregation: approximate percentile. The sketch value
+    // differs per engine (Spark GK vs DuckDB t-digest), so there is no
+    // hash oracle; instead a BOUND oracle has the checker run DuckDB's
+    // own sketch + exact quantile and assert BOTH engines' estimates
+    // within the spec-pinned 2% of the (engine-independent) exact
+    // median. ----
     Q("q66_approx_percentile",
       (s, d) => Tables.lineitem(s, d)
         .groupBy("l_returnflag")
@@ -364,10 +368,19 @@ object RelationalOps {
           expr("percentile(l_extendedprice, 0.5)").as("p50_exact"))
         .orderBy("l_returnflag"),
       None,
-      "pipeline-op: approximate percentile sketch (bounded-memory quantiles)"),
+      "pipeline-op: approximate percentile sketch (bounded-memory quantiles)",
+      boundOracle = Some(BoundOracle(
+        sql = """SELECT l_returnflag,
+                |  approx_quantile(l_extendedprice, 0.5) AS p50_approx,
+                |  quantile_cont(l_extendedprice, 0.5) AS p50_exact
+                |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+        bound = 0.02, key = "l_returnflag",
+        approxCol = "p50_approx", exactCol = "p50_exact"))),
 
-    // ---- sketch aggregation: HLL approximate distinct (no SQL oracle —
-    // engines use different sketch impls; error bound pinned in spec) ----
+    // ---- sketch aggregation: HLL approximate distinct. Engines use
+    // different HLL variants (Spark HLL++ vs DuckDB HLL), so no hash
+    // oracle; the BOUND oracle asserts both engines' estimates within
+    // the spec-pinned 5% of the exact distinct count. ----
     Q("q54_approx_distinct",
       (s, d) => Tables.lineitem(s, d)
         .groupBy("l_returnflag")
@@ -375,7 +388,14 @@ object RelationalOps {
           countDistinct(col("l_partkey")).as("exact_parts"))
         .orderBy("l_returnflag"),
       None,
-      "pipeline-op: HLL++ sketch distinct-count (scale substitute for countDistinct)"),
+      "pipeline-op: HLL++ sketch distinct-count (scale substitute for countDistinct)",
+      boundOracle = Some(BoundOracle(
+        sql = """SELECT l_returnflag,
+                |  approx_count_distinct(l_partkey) AS approx_parts,
+                |  count(DISTINCT l_partkey) AS exact_parts
+                |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+        bound = 0.05, key = "l_returnflag",
+        approxCol = "approx_parts", exactCol = "exact_parts"))),
 
     // ---- SQL-text entry point: same engine, spark.sql surface ----
     Q("q56_sql_text_entry",
