@@ -705,6 +705,91 @@ object RelationalOps {
              |GROUP BY user_id ORDER BY user_id""".stripMargin),
       "§2.6 nested types: MAP column build (map_from_entries) + typed reads"),
 
+    // ---- nested types end-to-end: ARRAY-of-STRUCT and STRUCT-of-ARRAY
+    // through a real parquet round-trip — the feature-store shapes. Per
+    // order: collect line items into a sorted array of structs, derive
+    // the transposed struct-of-arrays, WRITE both nested columns to
+    // parquet and read them back (pinning nested IO, not just in-memory
+    // exprs), then compute everything from the round-tripped columns
+    // with codegen'd HOFs: filter (qty > 25) -> aggregate (DECIMAL fold
+    // for the revenue — element order is deterministic because the
+    // array is sorted, and the decimal accumulator makes the value
+    // engine-independent anyway). Scale: the only exchange is the
+    // per-order collect_list shuffle; the selective filter is pushed to
+    // the scan; arrays are per-order bounded (<= 7 line items). ----
+    Q("q124_array_structs_roundtrip",
+      (s, d) => {
+        val nested = Tables.lineitem(s, d).filter(col("l_orderkey") < 200)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"), col("l_extendedprice"))
+          .groupBy("l_orderkey")
+          .agg(array_sort(collect_list(struct(col("l_linenumber"),
+            col("l_quantity"), col("l_extendedprice")))).as("items"))
+          .withColumn("soa", struct(
+            col("items.l_quantity").as("qtys"),
+            col("items.l_extendedprice").as("prices")))
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-nested").toString
+        nested.write.mode("overwrite").parquet(dir)
+        s.read.parquet(dir).select(col("l_orderkey"),
+            size(col("items")).cast("long").as("n_items"),
+            expr("size(filter(items, x -> x.l_quantity > 25))")
+              .cast("long").as("n_big"),
+            expr("""CAST(aggregate(filter(items, x -> x.l_quantity > 25),
+                CAST(0 AS DECIMAL(28,2)),
+                (acc, x) -> CAST(acc + CAST(x.l_extendedprice AS DECIMAL(18,2))
+                  AS DECIMAL(28,2))) AS DOUBLE)""").as("big_revenue"),
+            expr("""CAST(aggregate(soa.qtys, CAST(0 AS DECIMAL(28,2)),
+                (acc, q) -> CAST(acc + CAST(q AS DECIMAL(18,2))
+                  AS DECIMAL(28,2))) AS DOUBLE)""").as("qty_sum"))
+          .orderBy("l_orderkey")
+      },
+      Some("""SELECT l_orderkey,
+             |  COUNT(*) AS n_items,
+             |  CAST(COUNT(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_big,
+             |  CAST(COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+             |    FILTER (WHERE l_quantity > 25), 0) AS DOUBLE) AS big_revenue,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum
+             |FROM lineitem WHERE l_orderkey < 200
+             |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin),
+      "§2.6 nested types: array-of-struct + struct-of-array parquet round-trip, HOF fold"),
+
+    // ---- MAP transformation surface: map_filter / transform_values /
+    // aggregate over map_values — the props-bag manipulations feature
+    // stores hit after q123's build step. The map never crosses the
+    // oracle boundary: every output is a typed scalar read whose value
+    // pins the transformed map's content exactly. ----
+    Q("q125_map_transform",
+      (s, d) => {
+        val m = map_from_entries(array_sort(collect_list(
+          struct(col("event_type"), col("c")))))
+        Tables.events(s, d).filter(col("user_id") < 30)
+          .groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("c"))
+          .groupBy("user_id")
+          .agg(m.as("by_type"))
+          .select(col("user_id"),
+            size(map_keys(col("by_type"))).cast("long").as("n_types"),
+            expr("size(map_filter(by_type, (k, v) -> v >= 5))")
+              .cast("long").as("n_frequent"),
+            coalesce(element_at(
+              expr("transform_values(by_type, (k, v) -> v * 2)"), "click"),
+              lit(0L)).as("click_x2"),
+            expr("""aggregate(map_values(by_type), CAST(0 AS BIGINT),
+                (acc, v) -> acc + v)""").as("total_events"))
+          .orderBy("user_id")
+      },
+      Some("""WITH c AS (SELECT user_id, event_type, count(*) AS c
+             |  FROM events WHERE user_id < 30 GROUP BY 1, 2)
+             |SELECT user_id,
+             |  COUNT(*) AS n_types,
+             |  CAST(COUNT(*) FILTER (WHERE c >= 5) AS BIGINT) AS n_frequent,
+             |  CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN c END), 0)
+             |    * 2 AS BIGINT) AS click_x2,
+             |  CAST(SUM(c) AS BIGINT) AS total_events
+             |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin),
+      "§2.6 nested types: map_filter / transform_values / map-value fold (typed reads)"),
+
     // ---- generator / UDTF surface: lateral row expansion ----
     Q("q63_generator_explode",
       (s, d) => Tables.supplier(s, d)
