@@ -236,6 +236,24 @@ object Microbench {
       }.filter(fast =!= col("__num_Viability_Hemocytometer_Count"))
     }
 
+    // ---- q102 vocabulary join: broadcast vs shuffle degrade path ----
+    // The round-6 unhinted join (RetrievalOps.commonTokenScores): the
+    // planner broadcasts `counts` while it fits and key-shuffles past the
+    // threshold. Forcing threshold=-1 here prices the degrade path the
+    // engine falls back to at 100 TB vocabulary cardinality.
+    {
+      time("q102 vocab join (auto: broadcast)") {
+        QueryRegistry.queries("q102_unigram_quality")(spark, sfDir)
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      time("q102 vocab join (forced shuffle)") {
+        QueryRegistry.queries("q102_unigram_quality")(spark, sfDir)
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+
     // ---- q109: one lineitem scan (multi) vs one scan per FK ----
     {
       import graft.rules.ValidationOps.{fkOrphanAudit, fkOrphanAuditMulti}

@@ -82,6 +82,10 @@ object RetrievalOps {
     * the planner must stay free to pick a token-keyed shuffle join when
     * the size stats say broadcast won't fit — a forced hint would OOM
     * instead of degrading (PlanAuditSpec pins both plan shapes).
+    * Measured (Microbench `q102`, sf1, 2026-08-13): the shuffle form
+    * costs the same wall time (1.13 s vs 1.15 s) but moves 3.1M shuffle
+    * rows where broadcast moves 50k — broadcast is the right choice
+    * while it fits, and the degrade path is priced, not hypothetical.
     * Shared by [[unigramQuality]] and CurationOps q116 so the gate's
     * tie-break/null handling has exactly one definition.
     */

@@ -604,9 +604,17 @@ object RelationalOps {
     // union materialization, so depth, not data size, bounds the
     // iteration count; for UNBOUNDED closure over huge edge sets (near-
     // dup components) the engine instead uses q65's checkpointed
-    // min-label loop, which controls persistence per iteration. ----
+    // min-label loop, which controls persistence per iteration.
+    // cteRecursionRowLimit guards CUMULATIVE rows (default 1M): the
+    // chain is anchor-rows x depth, so it trips on data growth, not
+    // runaway recursion — the sf10 run hit it at ~11M chain rows. It is
+    // raised to a deliberate 100M here (the level limit stays at its
+    // default 100 — that is the guard that actually detects
+    // non-termination; at 100 TB size the row ceiling to
+    // anchor x depth). ----
     Q("q118_recursive_cte",
       (s, d) => {
+        s.conf.set("spark.sql.cteRecursionRowLimit", "100000000")
         Tables.customer(s, d).createOrReplaceTempView("customer_rec")
         s.sql("""WITH RECURSIVE chain(id, anc, depth) AS (
           SELECT c_custkey, c_custkey DIV 10, 1

@@ -101,6 +101,34 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("late events in a later micro-batch never move the session clock backwards") {
+    // the monotone-clock contract (sessionize scaladoc): batch 1 ends at
+    // t=10000; batch 2 delivers a LATE row (t=5000) then t=11000. With a
+    // monotone lastTs the late row is absorbed and t=11000 is within the
+    // 1800s gap of t=10000 -> ONE session of 3 events. A clock that
+    // followed the late row backwards would see 11000-5000 > 1800 and
+    // fabricate a spurious second session.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-late").toString
+    val b1 = Seq((1L, 10000L)).toDF("user_id", "ts_sec")
+    b1.write.mode("overwrite").parquet(s"$dir/in")
+    val streamIn = spark.readStream.schema(b1.schema).parquet(s"$dir/in")
+      .as[EventStreams.EventRow]
+    val q = EventStreams.sessionize(streamIn)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("late_out").start()
+    try {
+      q.processAllAvailable()
+      Seq((1L, 5000L), (1L, 11000L)).toDF("user_id", "ts_sec")
+        .write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      val last = spark.table("late_out")
+        .orderBy(col("n_events").desc).head()
+      assert(last.getAs[Long]("n_sessions") === 1L)
+      assert(last.getAs[Long]("n_events") === 3L)
+    } finally q.stop()
+  }
+
   test("q121's session_window expression is watermark-evicted on a stream " +
       "and matches the batch result") {
     // The q121 docstring's streaming claim, spec-backed: the SAME
