@@ -161,6 +161,139 @@ object CurationOps {
              |GROUP BY lang ORDER BY lang""".stripMargin),
       "pipeline-op: deterministic md5-bucket stratified sampling"),
 
+    // ---- train/val/test split: the hash-bucket assignment every
+    // training pipeline needs before anything else. Same md5 arithmetic
+    // as q91 (so the split is reproducible on any engine, resumable,
+    // and stable under corpus growth — a document NEVER changes split
+    // when new data arrives, which Bernoulli RNG splits cannot
+    // guarantee), cut at 80/10/10. Pure narrow map + one tiny
+    // (lang, split) aggregate; the per-lang fraction window runs over
+    // |langs| x 3 rows on the driver-scale result. ----
+    Q("q126_stratified_split",
+      (s, d) => {
+        val b = hashBucket(col("doc_id"))
+        val splitCol = when(b < 80, "train").when(b < 90, "val")
+          .otherwise("test")
+        val perSplit = Tables.documents(s, d)
+          .select(col("lang"), splitCol.as("split"), col("n_chars"))
+          .groupBy("lang", "split")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("split_chars"))
+        val w = Window.partitionBy("lang")
+        perSplit
+          .withColumn("frac",
+            round(col("n_docs").cast("double") / sum("n_docs").over(w), 6))
+          .orderBy("lang", "split")
+      },
+      Some("""WITH b AS (SELECT lang, n_chars,
+             |    CAST(('0x' || substr(md5('doc:' || doc_id), 1, 8)) AS BIGINT)
+             |      % 100 AS bucket
+             |  FROM documents),
+             |s AS (SELECT lang,
+             |    CASE WHEN bucket < 80 THEN 'train'
+             |         WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+             |    n_chars FROM b),
+             |a AS (SELECT lang, split, COUNT(*) AS n_docs,
+             |    CAST(SUM(n_chars) AS BIGINT) AS split_chars
+             |  FROM s GROUP BY 1, 2)
+             |SELECT lang, split, n_docs, split_chars,
+             |  round(CAST(n_docs AS DOUBLE)
+             |    / SUM(n_docs) OVER (PARTITION BY lang), 6) AS frac
+             |FROM a ORDER BY lang, split""".stripMargin),
+      "pipeline-op: deterministic train/val/test hash split (stable under growth)"),
+
+    // ---- per-source document caps (the C4/RefinedWeb "domain cap"
+    // rule: no single domain may dominate the mix). Selection is
+    // deterministic — rank within source by (md5 bucket, doc_id), keep
+    // the first `cap` — so the same documents survive on every engine
+    // and re-run. Scale: the rank filter is the InferWindowGroupLimit
+    // shape (Spark pushes a per-group limit below the exchange for
+    // rank <= k predicates), and per-source totals partial-aggregate
+    // map-side; a pathological mega-domain hot-spots its reducer, which
+    // is the usual domain-cap reality — salt the rank pass per shard
+    // and cap per (source, shard) if one domain exceeds a reducer. ----
+    Q("q128_source_cap",
+      (s, d) => {
+        val cap = 15
+        val w = Window.partitionBy("source")
+          .orderBy(hashBucket(col("doc_id")), col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"), col("n_chars"))
+          .withColumn("rk", row_number().over(w))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_total"),
+            count(when(col("rk") <= cap, lit(1))).as("n_kept"),
+            sum(when(col("rk") <= cap, col("n_chars"))).as("chars_kept"))
+          .orderBy("source")
+      },
+      Some("""WITH ranked AS (SELECT source, n_chars,
+             |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+             |      CAST(('0x' || substr(md5('doc:' || doc_id), 1, 8)) AS BIGINT)
+             |        % 100, doc_id) AS rk
+             |  FROM documents)
+             |SELECT source, COUNT(*) AS n_total,
+             |  CAST(COUNT(*) FILTER (WHERE rk <= 15) AS BIGINT) AS n_kept,
+             |  CAST(SUM(n_chars) FILTER (WHERE rk <= 15) AS BIGINT) AS chars_kept
+             |FROM ranked GROUP BY source ORDER BY source""".stripMargin),
+      "pipeline-op: per-source document caps (deterministic domain-cap rule)"),
+
+    // ---- incremental-ingest dedup: dedupe a NEW batch against the
+    // standing corpus by normalized-text fingerprint — the daily-crawl
+    // shape (the full-corpus pair queries q40/q42 answer a different
+    // question: dedup WITHIN a corpus). The batch is planted from the
+    // corpus itself: every 7th document re-arrives verbatim under a new
+    // id (a true re-crawl duplicate), every 7th+1 arrives with an
+    // edit marker appended (genuinely new content). Scale: the corpus
+    // side reduces to DISTINCT fingerprints (one md5 per doc — 16
+    // bytes a row at 100 TB, the standing "seen" set every ingest
+    // system maintains); the anti-join is fp-keyed shuffle on the
+    // small batch vs that set, and the corpus text itself is scanned
+    // once, never shuffled. ----
+    Q("q130_incremental_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        def fp(c: Column) = md5(TextOps.normalizeText(c))
+        val batch = docs.filter(col("doc_id") % 7 < 2)
+          .select((col("doc_id") + 3000000L).as("doc_id"), col("lang"),
+            when(col("doc_id") % 7 === 1,
+              concat(col("text"), lit(" edit marker")))
+              .otherwise(col("text")).as("text"))
+        val seen = docs.select(fp(col("text")).as("fp")).distinct()
+        val stats = batch.groupBy("lang").agg(count(lit(1)).as("n_batch"))
+        val fresh = batch.select(col("lang"), fp(col("text")).as("fp"))
+          .join(seen, Seq("fp"), "left_anti")
+          .groupBy("lang").agg(count(lit(1)).as("n_new"))
+        stats.join(fresh, Seq("lang"), "left")
+          .select(col("lang"), col("n_batch"),
+            coalesce(col("n_new"), lit(0L)).as("n_new"),
+            (col("n_batch") - coalesce(col("n_new"), lit(0L))).as("n_dup"))
+          .orderBy("lang")
+      },
+      Some("""WITH norm AS (SELECT doc_id, lang,
+             |    trim(regexp_replace(regexp_replace(
+             |      translate(lower(text), 'àâäáãåèêëéìîíïòôöóõùûüúçñÿý',
+             |        'aaaaaaeeeeiiiiooooouuuucnyy'),
+             |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm,
+             |    text
+             |  FROM documents),
+             |batch AS (SELECT doc_id + 3000000 AS doc_id, lang,
+             |    CASE WHEN doc_id % 7 = 1 THEN md5(trim(regexp_replace(
+             |        regexp_replace(translate(lower(text || ' edit marker'),
+             |          'àâäáãåèêëéìîíïòôöóõùûüúçñÿý',
+             |          'aaaaaaeeeeiiiiooooouuuucnyy'),
+             |        '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))
+             |      ELSE md5(norm) END AS fp
+             |  FROM norm WHERE doc_id % 7 < 2),
+             |seen AS (SELECT DISTINCT md5(norm) AS fp FROM norm),
+             |stats AS (SELECT lang, COUNT(*) AS n_batch
+             |  FROM batch GROUP BY lang),
+             |fresh AS (SELECT lang, COUNT(*) AS n_new FROM batch
+             |  WHERE fp NOT IN (SELECT fp FROM seen) GROUP BY lang)
+             |SELECT lang, n_batch, COALESCE(n_new, 0) AS n_new,
+             |  n_batch - COALESCE(n_new, 0) AS n_dup
+             |FROM stats LEFT JOIN fresh USING (lang)
+             |ORDER BY lang""".stripMargin),
+      "pipeline-op: incremental-ingest dedup vs standing fingerprint set (anti-join)"),
+
     // ---- sequence packing: concatenate documents in deterministic order
     // and split at fixed 512-token context boundaries; a document belongs
     // to the window where it STARTS. Packing runs per (lang, shard)

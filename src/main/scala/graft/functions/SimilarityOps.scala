@@ -242,6 +242,59 @@ object SimilarityOps {
               |ORDER BY id1, id2""".stripMargin),
       "pipeline-op: embedding-cosine near-dup pair detection (planted dups)"),
 
+    // ---- semantic decontamination: flag corpus vectors whose cosine
+    // against ANY eval-set embedding crosses the threshold — the
+    // embedding-space complement of q90's n-gram decontamination
+    // (catches paraphrases and re-encodings that share no 5-gram). The
+    // eval set is FIXED-SIZE by construction (benchmarks don't grow
+    // with the corpus — scoped here to 20 planted paraphrases of
+    // vec_id % 25 == 0 && < 500, built with q44's deterministic
+    // 1.1/0.9 perturbation at cosine ~0.995), so it always broadcasts
+    // and the corpus is scanned once, never shuffled: the same
+    // broadcast-the-small-side shape as q45 at any scale. Natural
+    // cross-pairs top out near 0.5 on this corpus, so the 0.9
+    // threshold separates cleanly. ----
+    Q("q129_semantic_decontam",
+      (s, d) => {
+        val raw = Tables.embeddings(s, d)
+        val ev = withNorm(raw
+          .filter(col("vec_id") % 25 === 0 && col("vec_id") < 500)
+          .select((col("vec_id") + 100000L).as("vec_id"),
+            transform(col("embedding"), (x, i) => x.cast("double") *
+              when(i % 2 === 0, lit(1.1)).otherwise(lit(0.9)))
+              .as("embedding")))
+          .select(col("vec_id").as("eval_id"), col("vec").as("evec"),
+            col("norm").as("enorm"))
+        val corpus = withNorm(graft.operators.Spread.byKey(raw, col("vec_id")))
+        corpus.join(broadcast(ev))
+          .withColumn("cosine", round(dot(col("evec"), col("vec")) /
+            (col("enorm") * col("norm")), 6))
+          .filter(col("cosine") >= 0.9)
+          .select(col("vec_id"), col("eval_id"), col("cosine"))
+          .orderBy("vec_id", "eval_id")
+      },
+      Some("""WITH ev AS (
+             |  SELECT vec_id + 100000 AS eval_id, i.range AS i,
+             |    CAST(embedding[i.range] AS DOUBLE)
+             |      * (CASE WHEN (i.range - 1) % 2 = 0 THEN 1.1 ELSE 0.9 END) AS x
+             |  FROM embeddings, range(1,65) i
+             |  WHERE vec_id % 25 = 0 AND vec_id < 500),
+             |enorms AS (SELECT eval_id, sqrt(SUM(x * x)) AS enorm
+             |  FROM ev GROUP BY eval_id),
+             |cnorms AS (SELECT vec_id, sqrt(SUM(CAST(embedding[i.range] AS DOUBLE)
+             |    * CAST(embedding[i.range] AS DOUBLE))) AS norm
+             |  FROM embeddings, range(1,65) i GROUP BY vec_id),
+             |dots AS (SELECT e.vec_id, ev.eval_id,
+             |    SUM(CAST(e.embedding[ev.i] AS DOUBLE) * ev.x) AS dot
+             |  FROM embeddings e, ev
+             |  GROUP BY e.vec_id, ev.eval_id)
+             |SELECT vec_id, eval_id,
+             |  round(dot / (enorm * norm), 6) AS cosine
+             |FROM dots JOIN enorms USING (eval_id) JOIN cnorms USING (vec_id)
+             |WHERE round(dot / (enorm * norm), 6) >= 0.9
+             |ORDER BY vec_id, eval_id""".stripMargin),
+      "pipeline-op: embedding-space eval decontamination (broadcast eval side)"),
+
     // ---- LSH-bucketed ANN (scale path; recall validated in tests).
     // Full oracle: the md5-parity planes are deterministic and
     // SQL-expressible — weight(t,b,dim) = +1 iff the first byte of

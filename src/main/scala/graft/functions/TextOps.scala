@@ -32,6 +32,48 @@ object TextOps {
 
   def qs: Seq[Q] = Seq(
 
+    // ---- bigram language-model table: conditional probabilities
+    // p(y|x) = c(x,y) / sum_y c(x,y) as exact integer-count ratios
+    // (rounded once at output — no libm in the pipeline), with a
+    // min-count floor. The context totals derive FROM the bigram
+    // relation itself (one aggregate tree, self-consistent with the
+    // floor's denominator). Scale: the bigram explode is a narrow map
+    // off the scan; the only exchange is the (x,y)-keyed partial agg
+    // whose state is vocabulary-bounded (word-level vocabularies fit;
+    // the context-total join is x-keyed and auto-broadcasts while the
+    // vocab does, shuffle-joins past it — same degrade contract as
+    // q102). ----
+    Q("q127_bigram_lm",
+      (s, d) => {
+        val t = graft.operators.Spread.byKey(
+            Tables.documents(s, d), col("doc_id"))
+          .select(split(col("text"), " ").as("w"))
+          .filter(size(col("w")) >= 2)
+        val bg = t.select(explode(transform(
+            sequence(lit(1), size(col("w")) - 1),
+            i => struct(element_at(col("w"), i).as("x"),
+              element_at(col("w"), i + 1).as("y")))).as("b"))
+          .select(col("b.x").as("x"), col("b.y").as("y"))
+          .groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+        val ctx = bg.groupBy("x").agg(sum("c_xy").as("c_x"))
+        bg.join(ctx, Seq("x"))
+          .filter(col("c_xy") >= 5)
+          .select(col("x"), col("y"), col("c_xy"), col("c_x"),
+            round(col("c_xy").cast("double") / col("c_x"), 6).as("p"))
+          .orderBy("x", "y")
+      },
+      Some("""WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
+             |idx AS (SELECT w, unnest(range(1, len(w))) AS i
+             |  FROM toks WHERE len(w) >= 2),
+             |bg AS (SELECT w[i] AS x, w[i + 1] AS y FROM idx),
+             |c AS (SELECT x, y, COUNT(*) AS c_xy FROM bg GROUP BY 1, 2),
+             |ctx AS (SELECT x, CAST(SUM(c_xy) AS BIGINT) AS c_x FROM c GROUP BY x)
+             |SELECT x, y, c_xy, c_x,
+             |  round(CAST(c_xy AS DOUBLE) / c_x, 6) AS p
+             |FROM c JOIN ctx USING (x) WHERE c_xy >= 5
+             |ORDER BY x, y""".stripMargin),
+      "pipeline-op: bigram LM conditional-probability table (exact count ratios)"),
+
     // ---- token counts + quality scoring ----
     Q("q47_text_stats",
       (s, d) => {
