@@ -183,6 +183,69 @@ object EventStreams {
       n_events: Long)
   final case class SpanState(startTs: Long, lastTs: Long, events: Long)
 
+  /** Timer-driven idle-session finalizer: the transformWithState TIMER
+    * surface ([[SessionProcessor]] covers values-only state). Each input
+    * row extends the user's open span and re-arms an EVENT-TIME timer
+    * `idleMs` past the span's last event; when the watermark passes it
+    * with no intervening activity, the span is EMITTED ONCE and the
+    * state cleared — the "flush idle sessions without waiting for the
+    * user's next event" shape that gap-based sessionizers (q51/q121)
+    * cannot express, because their sessions only close when a LATER
+    * event of the same key proves the gap. Event-time (not
+    * processing-time) timers deliberately: expiry is driven by the
+    * watermark, so results are deterministic and replayable, and an
+    * idle QUERY doesn't spin micro-batches just to poll wall-clock
+    * timers. State per key is one span + one armed timer — bounded at
+    * any scale, and expired keys leave the store entirely (the timer
+    * is the TTL).
+    */
+  class IdleSessionProcessor(idleMs: Long = 2000L)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, EventRow, SessionSpan] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode,
+      TimerValues, TTLConfig}
+    import org.apache.spark.sql.{Encoders, streaming => ss}
+    @transient private var span: ss.ValueState[SpanState] = _
+    @transient private var armed: ss.ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      span = getHandle.getValueState[SpanState]("span",
+        Encoders.product[SpanState], TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[EventRow],
+        timers: TimerValues): Iterator[SessionSpan] = {
+      var st = if (span.exists()) span.get() else null
+      rows.toSeq.sortBy(_.ts_sec).foreach { r =>
+        st = if (st == null) SpanState(r.ts_sec, r.ts_sec, 1L)
+          else SpanState(st.startTs, math.max(st.lastTs, r.ts_sec),
+            st.events + 1L)
+      }
+      if (st != null) {
+        span.update(st)
+        // re-arm: drop the previous timer so exactly one is pending
+        if (armed.exists()) getHandle.deleteTimer(armed.get())
+        val at = st.lastTs * 1000L + idleMs // event-time ms
+        getHandle.registerTimer(at)
+        armed.update(at)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[SessionSpan] = {
+      val out = if (span.exists()) {
+        val st = span.get()
+        Iterator.single(SessionSpan(key, st.startTs, st.lastTs, st.events))
+      } else Iterator.empty
+      span.clear()
+      armed.clear()
+      out
+    }
+  }
+
   /** flatMapGroupsWithState: emit one row per CLOSED session (a gap >
     * `gapSec` closes the open span). The open span stays in state — it can
     * only close when later data proves the gap — so each user's final

@@ -101,6 +101,56 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("timer-driven idle sessions flush exactly once when the watermark " +
+      "passes their idle deadline") {
+    // IdleSessionProcessor (event-time timers): users 1 and 2 are active
+    // in batch 1 then go quiet; user 3's later arrivals advance the
+    // watermark past their lastTs + 2s idle deadlines, firing the timers
+    // — each span is emitted exactly once with the event-time bounds
+    // from state. User 3's own deadline stays AHEAD of the final
+    // watermark, so its span deterministically remains open. No
+    // wall-clock sleeps: expiry is replayable watermark arithmetic.
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val dir = java.nio.file.Files.createTempDirectory("graft-idle").toString
+    def write(mode: String, rows: (Long, Long)*): Unit =
+      rows.toSeq.toDF("user_id", "ts_sec")
+        .select(col("user_id"), col("ts_sec"),
+          to_timestamp(col("ts_sec")).as("ts"))
+        .write.mode(mode).parquet(s"$dir/in")
+    write("overwrite", (1L, 1000L), (1L, 1100L), (2L, 5000L))
+    val streamIn = spark.readStream
+      .schema("user_id bigint, ts_sec bigint, ts timestamp")
+      .parquet(s"$dir/in")
+      .withWatermark("ts", "0 seconds")
+      .as[EventStreams.EventRow]
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = streamIn.groupByKey(_.user_id)
+      .transformWithState(new EventStreams.IdleSessionProcessor(2000L),
+        TimeMode.EventTime(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .format("memory").queryName("idle_out").start()
+    try {
+      q.processAllAvailable() // wm -> 5000s; timers armed at 1102s / 5002s
+      write("append", (3L, 9000L))
+      q.processAllAvailable() // user 1 fires (1102s < 5000s); wm -> 9000s
+      write("append", (3L, 9100L))
+      q.processAllAvailable() // user 2 fires (5002s < 9000s); u3 at 9102s stays
+      val got = spark.table("idle_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(got.toSet === Set((1L, 1000L, 1100L, 2L), (2L, 5000L, 5000L, 1L)),
+        got.mkString(","))
+    } finally {
+      q.stop()
+      prev.fold(spark.conf.unset(confKey))(spark.conf.set(confKey, _))
+    }
+  }
+
   test("late events in a later micro-batch never move the session clock backwards") {
     // the monotone-clock contract (sessionize scaladoc): batch 1 ends at
     // t=10000; batch 2 delivers a LATE row (t=5000) then t=11000. With a
