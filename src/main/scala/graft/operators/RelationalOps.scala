@@ -798,6 +798,65 @@ object RelationalOps {
              |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin),
       "§2.6 nested types: map_filter / transform_values / map-value fold (typed reads)"),
 
+    // ---- SCD-2 dimension-history merge: apply a change batch to a
+    // type-2 slowly-changing dimension — close the current row of every
+    // changed key (valid_to = effective date) and open a new current
+    // row, leaving unchanged keys untouched. This is the declarative
+    // plan behind lake-format MERGE INTO ... WHEN MATCHED: one
+    // key-equi-join of base x changes (the change batch auto-broadcasts
+    // while small and key-shuffles past the threshold — same unhinted
+    // degrade contract as q109), then a three-way union of closed /
+    // opened / untouched rows; at 100 TB the dimension scans once and
+    // only changed keys rewrite (PartitionedLake.upsert is the storage
+    // half of the same story). ----
+    Q("q131_scd2_merge",
+      (s, d) => {
+        val eff = to_date(lit("1996-06-01"))
+        val base = Tables.customer(s, d).select(col("c_custkey"),
+          col("c_mktsegment").as("segment"),
+          to_date(lit("1995-01-01")).as("valid_from"),
+          lit(null).cast("date").as("valid_to"))
+        val changes = Tables.customer(s, d)
+          .filter(col("c_custkey") % 10 === 3)
+          .select(col("c_custkey"), lit("MIGRATED").as("new_segment"))
+        val joined = base.join(changes, Seq("c_custkey"), "left")
+        val changed = joined.filter(col("new_segment").isNotNull &&
+          col("new_segment") =!= col("segment"))
+        val closed = changed.select(col("c_custkey"), col("segment"),
+          col("valid_from"), eff.as("valid_to"))
+        val opened = changed.select(col("c_custkey"),
+          col("new_segment").as("segment"), eff.as("valid_from"),
+          lit(null).cast("date").as("valid_to"))
+        val untouched = joined.filter(col("new_segment").isNull ||
+            col("new_segment") === col("segment"))
+          .select("c_custkey", "segment", "valid_from", "valid_to")
+        closed.unionByName(opened).unionByName(untouched)
+          .withColumn("is_current", col("valid_to").isNull)
+          .orderBy("c_custkey", "valid_from")
+      },
+      Some("""WITH base AS (SELECT c_custkey, c_mktsegment AS segment,
+             |    DATE '1995-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+             |  FROM customer),
+             |changes AS (SELECT c_custkey, 'MIGRATED' AS new_segment
+             |  FROM customer WHERE c_custkey % 10 = 3),
+             |joined AS (SELECT b.*, new_segment
+             |  FROM base b LEFT JOIN changes USING (c_custkey)),
+             |changed AS (SELECT * FROM joined
+             |  WHERE new_segment IS NOT NULL AND new_segment <> segment),
+             |merged AS (
+             |  SELECT c_custkey, segment, valid_from,
+             |    DATE '1996-06-01' AS valid_to FROM changed
+             |  UNION ALL
+             |  SELECT c_custkey, new_segment, DATE '1996-06-01',
+             |    CAST(NULL AS DATE) FROM changed
+             |  UNION ALL
+             |  SELECT c_custkey, segment, valid_from, valid_to FROM joined
+             |  WHERE new_segment IS NULL OR new_segment = segment)
+             |SELECT c_custkey, segment, valid_from, valid_to,
+             |  valid_to IS NULL AS is_current
+             |FROM merged ORDER BY c_custkey, valid_from""".stripMargin),
+      "§2.3 generalization: SCD-2 history merge (MERGE INTO's declarative plan)"),
+
     // ---- generator / UDTF surface: lateral row expansion ----
     Q("q63_generator_explode",
       (s, d) => Tables.supplier(s, d)
