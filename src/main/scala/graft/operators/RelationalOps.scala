@@ -857,6 +857,53 @@ object RelationalOps {
              |FROM merged ORDER BY c_custkey, valid_from""".stripMargin),
       "§2.3 generalization: SCD-2 history merge (MERGE INTO's declarative plan)"),
 
+    // ---- snapshot reconciliation: classify every key across two
+    // dimension snapshots as added / removed / changed (the audit
+    // companion to q131's merge — "what did the batch actually do").
+    // One full-outer join on the key classifies all three cases in a
+    // single pass; the summary is a 3-row aggregate. At 100 TB both
+    // snapshots shuffle once on the key — the unavoidable minimum for
+    // an exact diff — and nothing else moves; count/IS NULL logic is
+    // codegen'd. ----
+    Q("q132_snapshot_diff",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        // snapshot B derives from A deterministically: every 10th+3 key
+        // changes segment (q131's batch), every 7th key is dropped,
+        // and 100 new keys arrive above the max
+        val a = c.select(col("c_custkey").as("k"),
+          col("c_mktsegment").as("v"))
+        val b = c.filter(col("c_custkey") % 7 =!= 0)
+          .select(col("c_custkey").as("k"),
+            when(col("c_custkey") % 10 === 3, "MIGRATED")
+              .otherwise(col("c_mktsegment")).as("v"))
+          .unionByName(s.range(1, 101).select(
+            (col("id") + 9000000L).as("k"), lit("NEW").as("v")))
+        a.select(col("k"), col("v").as("va"))
+          .join(b.select(col("k"), col("v").as("vb")), Seq("k"), "full_outer")
+          .select(when(col("va").isNull, "added")
+            .when(col("vb").isNull, "removed")
+            .when(col("va") =!= col("vb"), "changed")
+            .otherwise("unchanged").as("status"))
+          .groupBy("status").agg(count(lit(1)).as("n"))
+          .orderBy("status")
+      },
+      Some("""WITH a AS (SELECT c_custkey AS k, c_mktsegment AS v FROM customer),
+             |b AS (SELECT c_custkey AS k,
+             |    CASE WHEN c_custkey % 10 = 3 THEN 'MIGRATED'
+             |         ELSE c_mktsegment END AS v
+             |  FROM customer WHERE c_custkey % 7 <> 0
+             |  UNION ALL
+             |  SELECT 9000000 + i.range AS k, 'NEW' AS v FROM range(1, 101) i),
+             |d AS (SELECT CASE WHEN a.k IS NULL THEN 'added'
+             |    WHEN b.k IS NULL THEN 'removed'
+             |    WHEN a.v <> b.v THEN 'changed'
+             |    ELSE 'unchanged' END AS status
+             |  FROM a FULL OUTER JOIN b ON a.k = b.k)
+             |SELECT status, COUNT(*) AS n FROM d
+             |GROUP BY status ORDER BY status""".stripMargin),
+      "§2.3 generalization: snapshot diff / reconciliation (full-outer classify)"),
+
     // ---- generator / UDTF surface: lateral row expansion ----
     Q("q63_generator_explode",
       (s, d) => Tables.supplier(s, d)

@@ -370,6 +370,24 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("round-6 curation ops keep their scale shapes: narrow split, " +
+      "broadcast eval, anti-join ingest dedup") {
+    // q126: the split assignment is a pure narrow map — the only join-free
+    // exchanges are the (lang, split) aggregate and presentation sort
+    assert(!plan("q126_stratified_split").contains("Join"),
+      plan("q126_stratified_split"))
+    // q129: the fixed-size eval side broadcasts; corpus never sort-merges
+    val p129 = plan("q129_semantic_decontam")
+    assert(p129.contains("BroadcastNestedLoopJoin") ||
+      p129.contains("BroadcastHashJoin"), p129)
+    assert(!p129.contains("SortMergeJoin"), p129)
+    // q130: the batch-vs-seen dedup plans as a LEFT ANTI join, no
+    // cartesian anywhere
+    val p130 = plan("q130_incremental_dedup")
+    assert(p130.contains("LeftAnti"), p130)
+    assert(!p130.contains("CartesianProduct"), p130)
+  }
+
   test("q121 native session windows aggregate without a rank/window pass") {
     // the merge-on-aggregate claim: sessions form inside an Aggregate
     // (MergingSessions / session-window aggregate), not via a window
