@@ -43,6 +43,8 @@ final case class BoundOracle(
 object QueryRegistry {
   def all: Seq[Q] =
     graft.operators.RelationalOps.qs ++
+      graft.operators.GraphOps.qs ++
+      graft.operators.LayoutOps.qs ++
       graft.rules.ValidationOps.qs ++
       graft.functions.TextOps.qs ++
       graft.functions.DedupOps.qs ++

@@ -42,10 +42,14 @@ case class TokenCount(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
+      // every local through freshName: two TokenCount instances in one
+      // generated function would otherwise redefine the loop variable and
+      // kick the whole predicate back to interpreter mode
+      val i = ctx.freshName("i")
       s"""
          |int ${ev.value}_n = 1;
-         |for (int i = 0; i < $c.numBytes(); i++) {
-         |  if ($c.getByte(i) == (byte) 0x20) ${ev.value}_n++;
+         |for (int $i = 0; $i < $c.numBytes(); $i++) {
+         |  if ($c.getByte($i) == (byte) 0x20) ${ev.value}_n++;
          |}
          |${ev.value} = ${ev.value}_n;
        """.stripMargin

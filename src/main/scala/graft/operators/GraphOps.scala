@@ -1,0 +1,139 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over relationship graphs derived from the
+  * relational tables.
+  *
+  * The reference walks relationships one submission at a time (pandas
+  * merges over participant/biospecimen IDs — `File_Submission_Object
+  * .py:106-147`); a 100 TB curation pipeline instead needs whole-graph
+  * passes: influence scoring of the customer↔supplier network, seed
+  * expansion for contamination tracing, connected components for dedup
+  * clusters (q65). PageRank is the canonical iterative join-aggregate
+  * workload, so it doubles as the scale proof for ANY fixed-point loop
+  * here: each iteration is one shuffle-join on the edge list plus one
+  * key-shuffle aggregate, with `localCheckpoint` cutting lineage so
+  * iteration k does not re-execute iterations 1..k-1 (same contract as
+  * q65's min-label loop; on a cluster this is `checkpoint` to
+  * alluxio/HDFS).
+  *
+  * Determinism: ranks live in integer micro-units (1e-12) and every
+  * per-iteration update is `floor(ieee_double_expr + 0.5)` over exact
+  * BIGINT sums — IEEE 754 ops are bit-identical across engines, so the
+  * DuckDB oracle (same formula, 5 unrolled CTE iterations) matches by
+  * hash, not approximately. Mass stays below 2^53 so every double cast
+  * of an accumulated BIGINT is exact (GraphOpsSpec pins conservation).
+  */
+object GraphOps {
+
+  /** One PageRank power-iteration step in exact micro-unit arithmetic.
+    * deg carries every node (the graphs here are undirected doublings,
+    * so out-degree ≥ 1 and no dangling-mass term is needed).
+    */
+  private def step(pr: DataFrame, deg: DataFrame, edges: DataFrame,
+      n: Long): DataFrame = {
+    val contrib = pr.join(deg, "node")
+      .join(edges, col("node") === edges("src"))
+      .select(edges("dst").as("node"),
+        floor(col("pr").cast("double") / col("outdeg") + 0.5)
+          .cast("long").as("c"))
+    contrib.groupBy("node").agg(sum("c").as("sc"))
+      .select(col("node"),
+        floor(lit(1.5e11) / n + lit(0.85) * col("sc").cast("double") + 0.5)
+          .cast("long").as("pr"))
+  }
+
+  /** Fixed-iteration PageRank (damping 0.85) over a directed edge list
+    * `(src, dst)`. Returns `(node, pr)` with pr in micro-units.
+    */
+  def pageRank(edgesIn: DataFrame, iterations: Int): DataFrame = {
+    val edges = edgesIn.localCheckpoint()
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
+    // one scalar to the driver (node count), as any engine's planner does
+    val n = deg.count()
+    var pr = deg.select(col("node"),
+      floor(lit(1.0e12) / n + 0.5).cast("long").as("pr"))
+    for (_ <- 1 to iterations)
+      pr = step(pr, deg, edges, n).localCheckpoint()
+    pr
+  }
+
+  /** Customer↔supplier trading graph: an undirected edge per distinct
+    * (customer, supplier) pair that co-occurs on an order.
+    */
+  private def tradeEdges(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+    val cNode = concat(lit("C"), col("c").cast("string"))
+    val sNode = concat(lit("S"), col("s").cast("string"))
+    pairs.select(cNode.as("src"), sNode.as("dst"))
+      .union(pairs.select(sNode.as("src"), cNode.as("dst")))
+  }
+
+  /** The oracle mirror of [[pageRank]]: 5 unrolled CTE iterations of the
+    * identical micro-unit formula (no recursion — a fixed iteration count
+    * is plain SQL in any engine).
+    */
+  private def pageRankOracle(iterations: Int): String = {
+    val base = """WITH pairs AS (
+      |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |edges AS (
+      |  SELECT 'C' || CAST(c AS VARCHAR) AS src,
+      |         'S' || CAST(s AS VARCHAR) AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT 'S' || CAST(s AS VARCHAR), 'C' || CAST(c AS VARCHAR)
+      |  FROM pairs),
+      |nc AS (SELECT count(*) AS n
+      |  FROM (SELECT DISTINCT src FROM edges)),
+      |deg AS (SELECT src AS node, count(*) AS outdeg
+      |  FROM edges GROUP BY 1),
+      |pr0 AS (SELECT node, CAST(floor(1.0e12 / nc.n + 0.5) AS BIGINT) AS pr
+      |  FROM deg, nc)""".stripMargin
+    val iters = (1 to iterations).map { k =>
+      s"""c$k AS (
+         |  SELECT e.dst AS node,
+         |    CAST(floor(CAST(p.pr AS DOUBLE) / d.outdeg + 0.5) AS BIGINT) AS c
+         |  FROM pr${k - 1} p JOIN deg d ON p.node = d.node
+         |    JOIN edges e ON e.src = p.node),
+         |pr$k AS (
+         |  SELECT sc.node,
+         |    CAST(floor(1.5e11 / nc.n + 0.85 * CAST(sc.sc AS DOUBLE) + 0.5)
+         |      AS BIGINT) AS pr
+         |  FROM (SELECT node, SUM(c) AS sc FROM c$k GROUP BY node) sc, nc)"""
+        .stripMargin
+    }
+    (base +: iters).mkString(",\n") +
+      s"""\nSELECT node, CAST(pr AS DOUBLE) / 1.0e12 AS pagerank
+         |FROM pr$iterations ORDER BY pagerank DESC, node LIMIT 30"""
+        .stripMargin
+  }
+
+  def qs: Seq[Q] = Seq(
+
+    // ---- PageRank influence scoring of the trading network: which
+    // suppliers/customers sit at the center of the order graph. 5 power
+    // iterations, damping 0.85; undirected edges so no dangling mass.
+    // Scale: the edge list shuffles once into the checkpoint; each
+    // iteration is an edge-partitioned join against a rank table that is
+    // orders-of-magnitude smaller (node count, not edge count), so AQE
+    // broadcast-joins the rank side when it fits and degrades to a
+    // key-shuffle when it does not — no hints. ----
+    Q("q134_pagerank",
+      (s, d) => pageRank(tradeEdges(s, d), 5)
+        .select(col("node"),
+          (col("pr").cast("double") / 1.0e12).as("pagerank"))
+        .orderBy(desc("pagerank"), col("node"))
+        .limit(30),
+      Some(pageRankOracle(5)),
+      "pipeline op: iterative graph analytics (PageRank power iteration)")
+  )
+}

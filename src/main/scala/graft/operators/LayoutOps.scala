@@ -1,0 +1,167 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Physical data-layout operators: the storage-side half of 100 TB
+  * performance. The reference rewrites its parquet output in arrival
+  * order (`s3.py:176` concat → single file); at scale, HOW rows are
+  * clustered into files decides how much of those 100 TB a selective
+  * query must scan. Two canonical techniques:
+  *
+  *   - Z-ORDER clustering (q133): interleave the bits of two filter
+  *     columns and sort by the result, so every file group is a small
+  *     rectangle in (col1, col2) space and file-level min/max stats
+  *     prune multi-dimensional box predicates (Delta/Iceberg `OPTIMIZE
+  *     ZORDER BY`).
+  *   - Bucketed co-located joins (q135): pre-hash both join sides into
+  *     the same bucket layout at write time, so every later join on the
+  *     bucket key runs with ZERO shuffle exchanges (LayoutOpsSpec
+  *     asserts the plan).
+  */
+object LayoutOps {
+
+  /** Bit-interleaved z-value of two non-negative keys (16 bits each →
+    * one 32-bit morton code), built from codegen'd shift/mask
+    * primitives — no UDF. */
+  def zValue(x: Column, y: Column, bits: Int = 16): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(pmod(x, lit(65536L)), i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(pmod(y, lit(65536L)), i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** The same interleave as portable SQL text (generated, not hand-kept
+    * in sync — both engines evaluate the identical expression). */
+  def zValueSql(x: String, y: String, bits: Int = 16): String =
+    (0 until bits).map { i =>
+      s"(((($x % 65536) >> $i) & 1) << ${2 * i}) + " +
+        s"(((($y % 65536) >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+
+  private def centsSum(c: Column): Column =
+    sum(floor(c * 100 + 0.5).cast("long")).cast("double") / 100.0
+
+  /** Drop + physically clear a managed table so a bucketed rewrite is
+    * idempotent across JVMs (the in-memory catalog forgets tables from
+    * a previous run, but their warehouse directories survive and would
+    * fail CTAS non-empty-location checks). */
+  private def resetTable(s: SparkSession, name: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val path = new org.apache.hadoop.fs.Path(wh, name)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+  }
+
+  /** Rewrite `df` as a managed table bucketed+sorted on `key`, and read
+    * it back. This is the write-side investment that later joins/aggs on
+    * `key` repay by skipping their exchange entirely. */
+  def rewriteBucketed(s: SparkSession, name: String, df: DataFrame,
+      key: String, buckets: Int): DataFrame = {
+    resetTable(s, name)
+    df.write.mode("overwrite").bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(name)
+    s.table(name)
+  }
+
+  def qs: Seq[Q] = Seq(
+
+    // ---- Z-order layout vs natural layout, measured: cluster lineitem
+    // into 64 file groups two ways (arrival order vs z-value order),
+    // collect per-group (partkey, suppkey) min/max — exactly the footer
+    // stats parquet keeps — and count how many groups a 2-D box
+    // predicate would have to read. Same 1353 matching rows either way;
+    // natural layout touches all 64 groups, z-order ~7 (sf0.01). The
+    // ntile here stands in for `repartitionByRange(zval)` — the
+    // production form at 100 TB — because the oracle must mirror the
+    // group assignment exactly; the sort IS the cost of OPTIMIZE
+    // ZORDER either way. ----
+    Q("q133_zorder_layout",
+      (s, d) => {
+        val z = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+            col("l_suppkey"),
+            zValue(col("l_partkey"), col("l_suppkey")).as("zval"))
+        val natural = z.withColumn("grp",
+          ntile(64).over(Window.orderBy(col("l_orderkey"), col("l_linenumber"))))
+          .withColumn("layout", lit("natural"))
+        val zorder = z.withColumn("grp",
+          ntile(64).over(
+            Window.orderBy(col("zval"), col("l_orderkey"), col("l_linenumber"))))
+          .withColumn("layout", lit("zorder"))
+        val inBox = col("l_partkey").between(100, 300) &&
+          col("l_suppkey").between(10, 30)
+        val stats = natural.union(zorder)
+          .groupBy("layout", "grp")
+          .agg(min("l_partkey").as("pmin"), max("l_partkey").as("pmax"),
+            min("l_suppkey").as("smin"), max("l_suppkey").as("smax"),
+            sum(when(inBox, 1L).otherwise(0L)).as("rows_in_box"))
+        stats.groupBy("layout")
+          .agg(count(lit(1)).as("groups_total"),
+            sum(when(col("pmin") <= 300 && col("pmax") >= 100 &&
+              col("smin") <= 30 && col("smax") >= 10, 1L).otherwise(0L))
+              .as("groups_hit"),
+            sum("rows_in_box").as("rows_in_box"))
+          .orderBy("layout")
+      },
+      Some(s"""WITH z AS (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |    CAST(${zValueSql("l_partkey", "l_suppkey")} AS BIGINT) AS zval
+        |  FROM lineitem),
+        |layouts AS (
+        |  SELECT 'natural' AS layout, l_partkey, l_suppkey,
+        |    ntile(64) OVER (ORDER BY l_orderkey, l_linenumber) AS grp
+        |  FROM z
+        |  UNION ALL
+        |  SELECT 'zorder', l_partkey, l_suppkey,
+        |    ntile(64) OVER (ORDER BY zval, l_orderkey, l_linenumber)
+        |  FROM z),
+        |stats AS (
+        |  SELECT layout, grp,
+        |    min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+        |    min(l_suppkey) AS smin, max(l_suppkey) AS smax,
+        |    sum(CASE WHEN l_partkey BETWEEN 100 AND 300
+        |          AND l_suppkey BETWEEN 10 AND 30 THEN 1 ELSE 0 END)
+        |      AS rows_in_box
+        |  FROM layouts GROUP BY 1, 2)
+        |SELECT layout, count(*) AS groups_total,
+        |  CAST(sum(CASE WHEN pmin <= 300 AND pmax >= 100
+        |        AND smin <= 30 AND smax >= 10 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS groups_hit,
+        |  CAST(sum(rows_in_box) AS BIGINT) AS rows_in_box
+        |FROM stats GROUP BY 1 ORDER BY layout""".stripMargin),
+      "pipeline op: z-order data clustering + min/max pruning stats"),
+
+    // ---- bucketed co-located join: write orders and lineitem bucketed
+    // by order key into the warehouse, then join and aggregate the
+    // bucketed tables. Both scans come out hash-partitioned the same
+    // way, so the join needs NO Exchange on either side (LayoutOpsSpec
+    // pins the plan with auto-broadcast off) — at 100 TB that is the
+    // difference between re-shuffling 100 TB per join and shuffling it
+    // once at ingest. Result is byte-identical to the plain join the
+    // oracle runs. ----
+    Q("q135_bucketed_join",
+      (s, d) => {
+        val o = rewriteBucketed(s, "graft_bkt_orders",
+          Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"),
+          "o_orderkey", 16)
+        val l = rewriteBucketed(s, "graft_bkt_lineitem",
+          Tables.lineitem(s, d)
+            .select("l_orderkey", "l_quantity", "l_extendedprice"),
+          "l_orderkey", 16)
+        o.join(l, o("o_orderkey") === l("l_orderkey"))
+          .groupBy(pmod(col("o_orderkey"), lit(100L)).as("okey_mod"))
+          .agg(count(lit(1)).as("n"),
+            centsSum(col("l_extendedprice")).as("revenue"))
+          .orderBy("okey_mod")
+      },
+      Some("""SELECT o_orderkey % 100 AS okey_mod, count(*) AS n,
+        |  CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |    AS DOUBLE) / 100.0 AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY okey_mod""".stripMargin),
+      "pipeline op: bucketed tables -> shuffle-free co-located join")
+  )
+}

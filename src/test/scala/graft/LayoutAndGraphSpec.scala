@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.{GraphOps, LayoutOps}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics pins for the layout (z-order, bucketing) and graph
+  * (PageRank) operators on handcrafted inputs, plus the plan-shape
+  * assertion that is the entire point of bucketing: a join on the bucket
+  * key runs without a single shuffle exchange.
+  */
+class LayoutAndGraphSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import org.apache.spark.sql.functions._
+
+  test("zValue interleaves bits (x -> even positions, y -> odd)") {
+    // x=3 (bits 0,1 -> positions 0,2 = 5), y=5 (bits 0,2 -> positions 1,5 = 34)
+    val row = spark.range(1)
+      .select(LayoutOps.zValue(lit(3L), lit(5L)).as("z"),
+        LayoutOps.zValue(lit(0L), lit(0L)).as("z0"),
+        // wraps mod 2^16: 65536 interleaves like 0
+        LayoutOps.zValue(lit(65536L), lit(1L)).as("zwrap"))
+      .head()
+    assert(row.getLong(0) === 39L)
+    assert(row.getLong(1) === 0L)
+    assert(row.getLong(2) === 2L)
+  }
+
+  test("z-order groups are tighter rectangles than arrival order") {
+    val rows = QueryRegistry.queries("q133_zorder_layout")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet === Set("natural", "zorder"))
+    val (natHit, natRows) = rows("natural")
+    val (zHit, zRows) = rows("zorder")
+    // identical matching rows either way; z-order never reads more groups
+    assert(natRows === zRows)
+    assert(zHit <= natHit)
+  }
+
+  test("bucketed join on the bucket key runs with zero exchanges") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import s.implicits._
+    val dim = (1L to 200L).map(k => (k, s"name$k")).toDF("k", "name")
+    val fact = (1L to 2000L).map(i => (i % 200 + 1, i)).toDF("k", "v")
+    val bd = LayoutOps.rewriteBucketed(s, "graft_bkt_spec_dim", dim, "k", 8)
+    val bf = LayoutOps.rewriteBucketed(s, "graft_bkt_spec_fact", fact, "k", 8)
+    val joined = bd.join(bf, bd("k") === bf("k")).select(bd("k"), $"name", $"v")
+    assert(joined.count() === 2000L)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("pagerank: center of a path ranks highest, mass is conserved") {
+    import spark.implicits._
+    val pairs = Seq("A" -> "B", "B" -> "C") // path A - B - C
+    val edges = (pairs ++ pairs.map(_.swap)).toDF("src", "dst")
+    val pr = GraphOps.pageRank(edges, 5).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pr.keySet === Set("A", "B", "C"))
+    assert(pr("B") > pr("A"))
+    assert(pr("A") === pr("C")) // symmetric endpoints agree exactly
+    // micro-unit mass: 1e12 up to floor-rounding drift (< 1 unit per
+    // node per contribution/update)
+    assert(math.abs(pr.values.sum - 1e12).toLong < 1000L)
+  }
+
+  test("pagerank: a regular graph is uniform at every iteration") {
+    import spark.implicits._
+    val cycle = Seq("A" -> "B", "B" -> "C", "C" -> "D", "D" -> "A")
+    val edges = (cycle ++ cycle.map(_.swap)).toDF("src", "dst")
+    val pr = GraphOps.pageRank(edges, 3).collect().map(_.getLong(1)).toSet
+    assert(pr.size === 1) // all four nodes identical
+  }
+}

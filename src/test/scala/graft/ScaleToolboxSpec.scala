@@ -28,6 +28,26 @@ class CustomExprSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(1, 1, 2, 3, 4))
   }
 
+  test("two token_count instances compile into one generated predicate") {
+    // regression: the loop variable must go through freshName — with a raw
+    // `int i`, the second instance in the same generated function failed
+    // janino compilation and the whole predicate fell back to interpreter
+    // mode (WARN Predicate: Expr codegen error)
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.expressions.codegen.GeneratePredicate
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val s = BoundReference(0, StringType, nullable = true)
+    val expr = And(
+      GreaterThan(graft.functions.TokenCount(s), Literal(1)),
+      LessThan(graft.functions.TokenCount(s), Literal(10)))
+    // throws CompileException without the fix (no silent fallback here)
+    val pred = GeneratePredicate.generate(expr)
+    assert(pred.eval(InternalRow(UTF8String.fromString("a b c"))))
+    assert(!pred.eval(InternalRow(UTF8String.fromString("x"))))
+  }
+
   test("RewriteTokenCount optimizer rule rewrites size(split(...))") {
     val before = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations = before :+ RewriteTokenCount
