@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Physical data-layout operators: the storage-side half of 100 TB
@@ -43,6 +42,37 @@ object LayoutOps {
   private def centsSum(c: Column): Column =
     sum(floor(c * 100 + 0.5).cast("long")).cast("double") / 100.0
 
+  /** SQL NTILE(tiles) OVER (ORDER BY orderCols), computed WITHOUT the
+    * single-partition window a global ORDER BY window forces: range-
+    * repartition + per-partition sort runs the total sort in parallel,
+    * `zipWithIndex` turns it into an exact global rank (partition sizes
+    * + cumulative offsets — one extra count job, same idiom as
+    * SheetReader's Row_Index), and NTILE's fill rule (first n%tiles
+    * groups get one extra row) is closed-form over that rank. Sampling
+    * inside repartitionByRange only moves PARTITION BOUNDARIES; the
+    * rank is defined by the total order alone, so the result is
+    * deterministic and byte-equal to the window form the oracle runs.
+    */
+  def globalNtile(df: DataFrame, orderCols: Seq[Column], tiles: Int,
+      grpCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    val schema = sorted.schema.add("graft_rank",
+      org.apache.spark.sql.types.LongType)
+    val ranked = spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }, schema)
+    val n = df.count()
+    val q = n / tiles
+    val r = n % tiles
+    val cut = r * (q + 1)
+    val grp = when(col("graft_rank") < cut,
+      expr(s"graft_rank div ${q + 1}"))
+      .otherwise(lit(r) + expr(s"(graft_rank - $cut) div ${math.max(q, 1L)}"))
+    ranked.withColumn(grpCol, (grp + 1).cast("int")).drop("graft_rank")
+  }
+
   /** Drop + physically clear a managed table so a bucketed rewrite is
     * idempotent across JVMs (the in-memory catalog forgets tables from
     * a previous run, but their warehouse directories survive and would
@@ -73,23 +103,22 @@ object LayoutOps {
     // collect per-group (partkey, suppkey) min/max — exactly the footer
     // stats parquet keeps — and count how many groups a 2-D box
     // predicate would have to read. Same 1353 matching rows either way;
-    // natural layout touches all 64 groups, z-order ~7 (sf0.01). The
-    // ntile here stands in for `repartitionByRange(zval)` — the
-    // production form at 100 TB — because the oracle must mirror the
-    // group assignment exactly; the sort IS the cost of OPTIMIZE
-    // ZORDER either way. ----
+    // natural layout touches all 64 groups, z-order ~7 (sf0.01). Group
+    // assignment is NTILE over the z-order (mirrored verbatim by the
+    // oracle) but computed via [[globalNtile]]'s parallel range sort —
+    // the single-partition global window would be the one
+    // non-distributed step in the repo at 100 TB. ----
     Q("q133_zorder_layout",
       (s, d) => {
         val z = Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
             col("l_suppkey"),
             zValue(col("l_partkey"), col("l_suppkey")).as("zval"))
-        val natural = z.withColumn("grp",
-          ntile(64).over(Window.orderBy(col("l_orderkey"), col("l_linenumber"))))
+        val natural = globalNtile(z,
+          Seq(col("l_orderkey"), col("l_linenumber")), 64, "grp")
           .withColumn("layout", lit("natural"))
-        val zorder = z.withColumn("grp",
-          ntile(64).over(
-            Window.orderBy(col("zval"), col("l_orderkey"), col("l_linenumber"))))
+        val zorder = globalNtile(z,
+          Seq(col("zval"), col("l_orderkey"), col("l_linenumber")), 64, "grp")
           .withColumn("layout", lit("zorder"))
         val inBox = col("l_partkey").between(100, 300) &&
           col("l_suppkey").between(10, 30)

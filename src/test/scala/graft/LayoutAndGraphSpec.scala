@@ -36,6 +36,18 @@ class LayoutAndGraphSpec extends AnyFunSuite {
     assert(zHit <= natHit)
   }
 
+  test("globalNtile matches the window NTILE it replaces, n % tiles != 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // 103 rows over 8 tiles: first 103 % 8 = 7 groups get 13 rows, last gets 12
+    val df = (1L to 103L).map(i => (i * 37 % 101, i)).toDF("k", "id")
+    val viaWindow = df.withColumn("grp",
+      ntile(8).over(Window.orderBy($"k", $"id")))
+    val viaRank = LayoutOps.globalNtile(df, Seq($"k", $"id"), 8, "grp")
+    assert(viaRank.count() === 103L)
+    assert(viaWindow.except(viaRank).isEmpty && viaRank.except(viaWindow).isEmpty)
+  }
+
   test("bucketed join on the bucket key runs with zero exchanges") {
     val s = spark.newSession()
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
