@@ -101,6 +101,20 @@ object Microbench {
       QueryRegistry.queries("q65_dedup_components")(spark, sfDir)
     }
 
+    // ---- q134: does pre-partitioning the edge checkpoint pay? (no —
+    // AQE broadcasts the rank side; see GraphOps.pageRank scaladoc) ----
+    time("q134 current (unpartitioned edge checkpoint)") {
+      QueryRegistry.queries("q134_pagerank")(spark, sfDir)
+    }
+    time("q134 edges pre-partitioned by src") {
+      graft.operators.GraphOps
+        .pageRank(graft.operators.GraphOps.tradeEdges(spark, sfDir), 5,
+          prePartition = true)
+        .select(col("node"),
+          (col("pr").cast("double") / 1.0e12).as("pagerank"))
+        .orderBy(desc("pagerank"), col("node")).limit(30)
+    }
+
     // ---- q32 stage decomposition ----
     import graft.rules.{Checks, RuleEvaluator, NoGate}
     import graft.types.CellType

@@ -2,6 +2,7 @@ package graft.functions
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deequ-style column profiling: per-column row/null/distinct counts and
@@ -168,6 +169,54 @@ object ProfileOps {
              |  round((p1 - p2) * ln((p1 + 0.0005) / (p2 + 0.0005)), 6)
              |    AS psi_term
              |FROM wide ORDER BY bin""".stripMargin),
-      "validation generalization: PSI distribution-drift monitor between snapshots")
+      "validation generalization: PSI distribution-drift monitor between snapshots"),
+
+    // ---- join-key skew diagnostics: the profile that decides WHETHER
+    // to salt (operators/Skew) before a 100 TB join, computed from the
+    // data instead of guessed. One count-per-key aggregate per audited
+    // key column (map-side combined), per-table totals joined back, and
+    // only the top-10 heaviest keys per column surface. share_ppm =
+    // key's fraction of all rows; skew_x1000 = count / mean-count — a
+    // key at skew_x1000 >= ~20x is where AQE skew-split or salting pays.
+    // Exact integer outputs (floor(x + 0.5) over IEEE-deterministic
+    // ratios), so the gate hash-matches. ----
+    Q("q137_skew_profile",
+      (s, d) => {
+        val keyed = Tables.lineitem(s, d)
+          .select(lit("lineitem.l_partkey").as("tbl"),
+            col("l_partkey").as("k"))
+          .union(Tables.orders(s, d)
+            .select(lit("orders.o_custkey"), col("o_custkey")))
+        val cnts = keyed.groupBy("tbl", "k").agg(count(lit(1)).as("cnt"))
+        val tot = cnts.groupBy("tbl").agg(sum("cnt").as("total"),
+          count(lit(1)).as("n_keys"), max("cnt").as("max_cnt"))
+        val top = cnts.withColumn("rn", row_number().over(
+          Window.partitionBy("tbl").orderBy(col("cnt").desc, col("k"))))
+          .filter(col("rn") <= 10)
+        top.join(tot, "tbl")
+          .select(col("tbl"), col("k").as("key"), col("cnt"),
+            floor(col("cnt") * lit(1000000.0) / col("total") + 0.5)
+              .cast("long").as("share_ppm"),
+            floor(col("cnt") * col("n_keys") * lit(1000.0) / col("total") + 0.5)
+              .cast("long").as("skew_x1000"))
+          .orderBy(col("tbl"), col("cnt").desc, col("key"))
+      },
+      Some("""WITH pk AS (
+        |  SELECT 'lineitem.l_partkey' AS tbl, l_partkey AS k FROM lineitem
+        |  UNION ALL SELECT 'orders.o_custkey', o_custkey FROM orders),
+        |cnts AS (SELECT tbl, k, count(*) AS cnt FROM pk GROUP BY 1, 2),
+        |tot AS (SELECT tbl, CAST(sum(cnt) AS BIGINT) AS total,
+        |    count(*) AS n_keys, max(cnt) AS max_cnt FROM cnts GROUP BY 1),
+        |top AS (SELECT tbl, k, cnt,
+        |    row_number() OVER (PARTITION BY tbl ORDER BY cnt DESC, k) AS rn
+        |  FROM cnts)
+        |SELECT t.tbl, t.k AS key, t.cnt,
+        |  CAST(floor(t.cnt * 1000000.0 / o.total + 0.5) AS BIGINT)
+        |    AS share_ppm,
+        |  CAST(floor(t.cnt * o.n_keys * 1000.0 / o.total + 0.5) AS BIGINT)
+        |    AS skew_x1000
+        |FROM top t JOIN tot o ON t.tbl = o.tbl WHERE t.rn <= 10
+        |ORDER BY t.tbl, t.cnt DESC, t.k""".stripMargin),
+      "pipeline op: join-key skew diagnostics (salting decision input)")
   )
 }

@@ -672,6 +672,106 @@ object SimilarityOps {
              |  round(pn, 6) AS pooled_norm
              |FROM dots JOIN pnorm USING (grp) JOIN fnorm USING (grp)
              |ORDER BY grp""".stripMargin),
-      "pipeline-op: chunk->doc mean-pool embedding aggregation (quantized mean)")
+      "pipeline-op: chunk->doc mean-pool embedding aggregation (quantized mean)"),
+
+    // ---- product quantization ANN (PQ, Jégou et al. 2011): split each
+    // 64-dim vector into 8 subspaces of 8 dims, code every subvector as
+    // its nearest of 32 codebook centroids (corpus-seeded, cf. q98's
+    // seeding), and answer queries via ADC — the query precomputes an
+    // 8x32 table of subspace distances, so scoring a corpus vector is 8
+    // table lookups + adds on its 5-byte code instead of 64 floats:
+    // the memory-bound trick that fits billion-vector indexes in RAM.
+    // Plan shape: the codebook (256 rows) and ADC tables (8x32 per query)
+    // broadcast unhinted; the corpus encodes in one narrow pass
+    // (map-side min-by over 8 candidates, no corpus shuffle before the
+    // per-(query, vec) partial-sum aggregate); exact rescore touches
+    // only the top-8 shortlist. All arithmetic is exact BIGINT on
+    // milli-quantized components (floor(x*1000+0.5)) — argmin ties
+    // break by centroid id, so codes, ADC sums, and both rank columns
+    // hash-match the oracle bit-for-bit. SimilaritySpec pins shortlist
+    // recall vs the exact-scan baseline. ----
+    Q("q139_pq_ann",
+      (s, d) => {
+        val quant = Tables.embeddings(s, d).select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))")
+            .as("qv"))
+        val sub = quant.select(col("vec_id"), explode(sequence(lit(0), lit(7)))
+            .as("m"), col("qv"))
+          .select(col("vec_id"), col("m"),
+            expr("slice(qv, m * 8 + 1, 8)").as("sv"))
+        val codebook = sub.filter(col("vec_id") < 32)
+          .select(col("vec_id").as("cid"), col("m").as("cm"), col("sv").as("cv"))
+        val sq = "aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)), " +
+          "0L, (acc, x) -> acc + x)"
+        val dists = sub.join(codebook, col("m") === col("cm"))
+          .select(col("vec_id"), col("m"), col("cid"), expr(sq).as("d2"))
+        val codes = dists.groupBy("vec_id", "m")
+          .agg(min(struct(col("d2"), col("cid"))).getField("cid").as("code"))
+        val adc = dists.filter(col("vec_id").isin(11, 222, 333))
+          .select(col("vec_id").as("qid"), col("m").as("am"),
+            col("cid").as("acid"), col("d2"))
+        val approx = codes.join(adc,
+            col("m") === col("am") && col("code") === col("acid"))
+          .filter(col("vec_id") =!= col("qid"))
+          .groupBy("qid", "vec_id").agg(sum("d2").as("approx_d2"))
+        val shortlist = approx.withColumn("ark", row_number().over(
+            Window.partitionBy("qid").orderBy(col("approx_d2"), col("vec_id"))))
+          .filter(col("ark") <= 8)
+        val qv = quant.select(col("vec_id").as("qid"), col("qv").as("qqv"))
+        val fullSq = "aggregate(zip_with(qqv, qv, (a, b) -> (a - b) * (a - b)), " +
+          "0L, (acc, x) -> acc + x)"
+        shortlist.join(qv, "qid").join(quant, "vec_id")
+          .select(col("qid"), col("vec_id"), col("approx_d2"),
+            expr(fullSq).as("exact_d2"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("qid").orderBy(col("exact_d2"), col("vec_id")))
+            .cast("int"))
+          .filter(col("rk") <= 5)
+          .orderBy(col("qid"), col("rk"))
+      },
+      Some("""WITH quant AS (
+        |  SELECT vec_id,
+        |    [CAST(floor(x * 1000 + 0.5) AS BIGINT) FOR x IN embedding] AS qv
+        |  FROM embeddings),
+        |sub AS (
+        |  SELECT vec_id, m.m AS m, qv[m.m * 8 + 1 : m.m * 8 + 8] AS sv
+        |  FROM quant, (SELECT range AS m FROM range(0, 8)) m),
+        |codebook AS (
+        |  SELECT vec_id AS cid, m, sv AS cv FROM sub WHERE vec_id < 32),
+        |dists AS (
+        |  SELECT s.vec_id, s.m, c.cid,
+        |    list_sum([ (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])
+        |               FOR i IN range(1, 9) ]) AS d2
+        |  FROM sub s JOIN codebook c ON s.m = c.m),
+        |codes AS (
+        |  SELECT vec_id, m, cid AS code FROM (
+        |    SELECT vec_id, m, cid,
+        |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+        |    FROM dists) WHERE rn = 1),
+        |adc AS (
+        |  SELECT vec_id AS qid, m, cid, d2 FROM dists
+        |  WHERE vec_id IN (11, 222, 333)),
+        |approx AS (
+        |  SELECT a.qid, co.vec_id, CAST(SUM(a.d2) AS BIGINT) AS approx_d2
+        |  FROM codes co JOIN adc a ON a.m = co.m AND a.cid = co.code
+        |  WHERE co.vec_id <> a.qid
+        |  GROUP BY 1, 2),
+        |shortlist AS (
+        |  SELECT qid, vec_id, approx_d2,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY approx_d2, vec_id) AS ark
+        |  FROM approx QUALIFY ark <= 8),
+        |exact AS (
+        |  SELECT sl.qid, sl.vec_id, sl.approx_d2,
+        |    CAST(list_sum([ (q.qv[i] - e.qv[i]) * (q.qv[i] - e.qv[i])
+        |                    FOR i IN range(1, 65) ]) AS BIGINT) AS exact_d2
+        |  FROM shortlist sl JOIN quant q ON q.vec_id = sl.qid
+        |  JOIN quant e ON e.vec_id = sl.vec_id)
+        |SELECT qid, vec_id, approx_d2, exact_d2,
+        |  CAST(row_number() OVER (PARTITION BY qid
+        |    ORDER BY exact_d2, vec_id) AS INT) AS rk
+        |FROM exact QUALIFY rk <= 5
+        |ORDER BY qid, rk""".stripMargin),
+      "pipeline-op: product-quantization ANN (8 sub-codes of 32, ADC scan, exact rescore)")
   )
 }

@@ -14,7 +14,8 @@ import org.apache.spark.sql.functions._
   * expansion for contamination tracing, connected components for dedup
   * clusters (q65). PageRank is the canonical iterative join-aggregate
   * workload, so it doubles as the scale proof for ANY fixed-point loop
-  * here: each iteration is one shuffle-join on the edge list plus one
+  * here: each iteration joins the node-sized rank table to the edge
+  * list (AQE broadcasts it while it fits, key-shuffles beyond) plus one
   * key-shuffle aggregate, with `localCheckpoint` cutting lineage so
   * iteration k does not re-execute iterations 1..k-1 (same contract as
   * q65's min-label loop; on a cluster this is `checkpoint` to
@@ -49,8 +50,20 @@ object GraphOps {
   /** Fixed-iteration PageRank (damping 0.85) over a directed edge list
     * `(src, dst)`. Returns `(node, pr)` with pr in micro-units.
     */
-  def pageRank(edgesIn: DataFrame, iterations: Int): DataFrame = {
-    val edges = edgesIn.localCheckpoint()
+  def pageRank(edgesIn: DataFrame, iterations: Int,
+      prePartition: Boolean = false): DataFrame = {
+    // the edge checkpoint is deliberately NOT pre-partitioned by src:
+    // AQE broadcast-joins the node-sized rank table against the edges
+    // (rank ⪡ edges by orders of magnitude), so an up-front
+    // repartition(src) is a pure extra |E|-row exchange with nothing
+    // downstream to reuse it — measured at sf10 (~100M edges, 5
+    // iterations): 100 s unpartitioned vs 188 s pre-partitioned
+    // (Microbench q134; same no-hints lesson as q109/q113). When nodes
+    // outgrow the broadcast threshold the join degrades to a key
+    // shuffle on its own. prePartition=true exists only so the
+    // Microbench comparison stays runnable.
+    val edges = (if (prePartition) edgesIn.repartition(col("src"))
+                 else edgesIn).localCheckpoint()
     val deg = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg"))
       .localCheckpoint()
@@ -66,7 +79,7 @@ object GraphOps {
   /** Customer↔supplier trading graph: an undirected edge per distinct
     * (customer, supplier) pair that co-occurs on an order.
     */
-  private def tradeEdges(s: SparkSession, d: String): DataFrame = {
+  private[graft] def tradeEdges(s: SparkSession, d: String): DataFrame = {
     val pairs = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
       .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
@@ -122,11 +135,12 @@ object GraphOps {
     // ---- PageRank influence scoring of the trading network: which
     // suppliers/customers sit at the center of the order graph. 5 power
     // iterations, damping 0.85; undirected edges so no dangling mass.
-    // Scale: the edge list shuffles once into the checkpoint; each
-    // iteration is an edge-partitioned join against a rank table that is
-    // orders-of-magnitude smaller (node count, not edge count), so AQE
-    // broadcast-joins the rank side when it fits and degrades to a
-    // key-shuffle when it does not — no hints. ----
+    // Scale: the edge list materializes once into the checkpoint
+    // (narrow — deliberately NOT repartitioned, see pageRank scaladoc);
+    // each iteration joins it to a rank table that is orders-of-
+    // magnitude smaller (node count, not edge count), so AQE broadcast-
+    // joins the rank side when it fits and degrades to a key-shuffle
+    // when it does not — no hints. ----
     Q("q134_pagerank",
       (s, d) => pageRank(tradeEdges(s, d), 5)
         .select(col("node"),

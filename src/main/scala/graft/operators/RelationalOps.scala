@@ -37,6 +37,27 @@ object RelationalOps {
     s"CAST(SUM(CAST(floor($col * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0"
   private val oDsum = (e: String) => s"CAST(SUM(CAST($e AS DECIMAL(28,6))) AS DOUBLE)"
 
+  /** Fold a CDC op log into a base table, latest-wins per key. `ops`
+    * must carry columns `k` (join key), `seq` (total op order), `op`
+    * ('U' update / 'D' delete), `val` (the new value). The log first
+    * collapses to one row per key (a window over the LOG only — base is
+    * never sorted), then one left join applies it: 'D' drops the row,
+    * 'U' overwrites `valueCol`. Keys in `ops` but not in base are
+    * ignored (pure upsert-into-existing; see q131 for the
+    * history-keeping variant). */
+  def cdcApply(base: DataFrame, ops: DataFrame, keyCol: String,
+      valueCol: String): DataFrame = {
+    val latest = ops
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("k").orderBy(col("seq").desc)))
+      .filter(col("rn") === 1).drop("rn", "seq")
+    base.join(latest, base(keyCol) === latest("k"), "left")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .withColumn(valueCol,
+        when(col("op") === "U", col("val")).otherwise(col(valueCol)))
+      .drop("k", "op", "val")
+  }
+
   def qs: Seq[Q] = Seq(
 
     // ---- A4/A1-style full-scan aggregation (TPC-H Q1 shape; flagship) ----
@@ -1153,6 +1174,81 @@ object RelationalOps {
              |FROM supplier
              |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
              |ORDER BY s_suppkey""".stripMargin),
-      "§2.7 distribution-rank windows (percent_rank, cume_dist)")
+      "§2.7 distribution-rank windows (percent_rank, cume_dist)"),
+
+    // ---- CDC apply: fold an insert/update/delete op-log into a base
+    // table, latest-wins per key by op sequence. q131 is the SCD-2
+    // (history-keeping) merge; this is the overwrite form — the apply
+    // step of a change-data-feed consumer (Delta CDF / Debezium sink).
+    // Scale: the op log collapses to one row per key BEFORE touching the
+    // base table (row_number over the log only, usually orders of
+    // magnitude smaller), then one left join against base; unhinted, so
+    // the collapsed log broadcasts while small and key-shuffles past the
+    // threshold. Deletes here are U-rows superseded by a D — both paths
+    // exercised (99 of 1500 keys delete at sf0.01). ----
+    Q("q136_cdc_apply",
+      (s, d) => {
+        val ops = Tables.orders(s, d).filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_custkey").as("k"), col("o_orderkey").as("seq"),
+            when(col("o_orderkey") % 11 === 0, "D").otherwise("U").as("op"),
+            col("o_totalprice").as("val"))
+        cdcApply(Tables.customer(s, d), ops, "c_custkey", "c_acctbal")
+          .select(col("c_mktsegment").as("segment"), col("c_acctbal").as("bal"))
+          .groupBy("segment")
+          .agg(count(lit(1)).as("n"), centsSum(col("bal")).as("total_bal"))
+          .orderBy("segment")
+      },
+      Some(s"""WITH ops AS (
+        |  SELECT o_custkey AS k, o_orderkey AS seq,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    o_totalprice AS val
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |latest AS (
+        |  SELECT k, op, val FROM (
+        |    SELECT k, op, val,
+        |      row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        |    FROM ops) WHERE rn = 1),
+        |applied AS (
+        |  SELECT c.c_mktsegment AS segment,
+        |    CASE WHEN l.op = 'U' THEN l.val ELSE c.c_acctbal END AS bal
+        |  FROM customer c LEFT JOIN latest l ON c.c_custkey = l.k
+        |  WHERE l.op IS NULL OR l.op <> 'D')
+        |SELECT segment, count(*) AS n, ${centsSumSql("bal")} AS total_bal
+        |FROM applied GROUP BY 1 ORDER BY segment""".stripMargin),
+      "pipeline op: CDC op-log apply (latest-wins upsert + delete)"),
+
+    // ---- incremental aggregation maintenance: the partial-state merge
+    // behind every materialized view / streaming total. Base partition
+    // (90% of lineitem) and a late-arriving delta batch are aggregated
+    // SEPARATELY into mergeable states (count + exact cent-sum), then
+    // the states merge by summation — never rescanning base. The gate
+    // proves merge(base_state, delta_state) == full recompute (the
+    // oracle aggregates the whole table). At 100 TB this is the
+    // difference between re-reading the lake per refresh and touching
+    // only the new partition; it works because count/sum are
+    // commutative monoids — the same property Spark's own partial
+    // aggregation relies on. ----
+    Q("q138_incremental_agg_merge",
+      (s, d) => {
+        def state(df: DataFrame): DataFrame = df
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("l_quantity") * 100 + 0.5).cast("long"))
+              .as("qty_cents"))
+        val li = Tables.lineitem(s, d)
+        val base = state(li.filter(col("l_orderkey") % 10 =!= 0))
+        val delta = state(li.filter(col("l_orderkey") % 10 === 0))
+        base.union(delta)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(sum("n").as("n"),
+            (sum("qty_cents").cast("double") / 100.0).as("sum_qty"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 AS sum_qty
+        |FROM lineitem GROUP BY 1, 2
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      "pipeline op: incremental aggregate maintenance (partial-state merge)")
   )
 }

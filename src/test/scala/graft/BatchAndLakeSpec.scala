@@ -7,6 +7,27 @@ import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.{Files, Paths}
 import java.time.LocalDate
 
+class CdcApplySpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("cdcApply: latest op wins, deletes drop, unknown keys ignored") {
+    import spark.implicits._
+    val base = Seq((1L, 10.0, "x"), (2L, 20.0, "y"), (3L, 30.0, "z"))
+      .toDF("id", "bal", "tag")
+    val ops = Seq(
+      (1L, 100L, "U", 11.0), (1L, 200L, "D", 0.0),   // U then D -> gone
+      (2L, 100L, "D", 0.0), (2L, 200L, "U", 22.0),   // D then U -> survives
+      (9L, 100L, "U", 99.0))                          // key not in base
+      .toDF("k", "seq", "op", "val")
+    val out = graft.operators.RelationalOps
+      .cdcApply(base, ops, "id", "bal")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    // key 1 deleted; key 2 updated by the later op; key 3 untouched
+    assert(out.toSeq === Seq((2L, 22.0, "y"), (3L, 30.0, "z")))
+  }
+}
+
 class BatchRunnerSpec extends AnyFunSuite {
   import SparkTestSession._
 
