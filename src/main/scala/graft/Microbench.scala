@@ -41,17 +41,21 @@ object Microbench {
         }
     })
 
+    // SPARK_GRAFT_MICRO_RUNS=1 mimics Bench's single-shot memory profile
+    // (the default 3x loop keeps prior runs' checkpoint blocks alive and
+    // is deliberately harsher than the graded run)
+    val runs = sys.env.getOrElse("SPARK_GRAFT_MICRO_RUNS", "3").toInt
     def time(name: String)(f: => DataFrame): Unit =
       if (only.forall(name.contains)) {
-        // median of 3; shuffle volume from the last run (deterministic)
-        val ts = (1 to 3).map { i =>
-          if (i == 3) { Thread.sleep(300); shufRecords.set(0); shufBytes.set(0) }
+        // median; shuffle volume from the last run (deterministic)
+        val ts = (1 to runs).map { i =>
+          if (i == runs) { Thread.sleep(300); shufRecords.set(0); shufBytes.set(0) }
           val t0 = System.nanoTime()
           f.count()
           (System.nanoTime() - t0) / 1e9
         }.sorted
         Thread.sleep(300) // let straggler task-end events drain
-        println(f"[micro] $name%-40s ${ts(1)}%.3f s  (min ${ts.head}%.3f)  " +
+        println(f"[micro] $name%-40s ${ts(ts.size / 2)}%.3f s  (min ${ts.head}%.3f)  " +
           f"shuffle ${shufRecords.get}%,d rows / ${shufBytes.get / 1024.0}%,.0f KiB")
       }
 
@@ -110,7 +114,7 @@ object Microbench {
       graft.operators.GraphOps
         .pageRank(graft.operators.GraphOps.tradeEdges(spark, sfDir), 5,
           prePartition = true)
-        .select(col("node"),
+        .select(graft.operators.GraphOps.nodeLabel(col("node")).as("node"),
           (col("pr").cast("double") / 1.0e12).as("pagerank"))
         .orderBy(desc("pagerank"), col("node")).limit(30)
     }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over relationship graphs derived from the
@@ -16,10 +16,11 @@ import org.apache.spark.sql.functions._
   * workload, so it doubles as the scale proof for ANY fixed-point loop
   * here: each iteration joins the node-sized rank table to the edge
   * list (AQE broadcasts it while it fits, key-shuffles beyond) plus one
-  * key-shuffle aggregate, with `localCheckpoint` cutting lineage so
-  * iteration k does not re-execute iterations 1..k-1 (same contract as
-  * q65's min-label loop; on a cluster this is `checkpoint` to
-  * alluxio/HDFS).
+  * key-shuffle aggregate; the fixed-count loop unrolls into a single
+  * declarative plan over a once-checkpointed edge list (see
+  * [[pageRank]] for why per-iteration checkpoints would be wrong here,
+  * and q65 for the convergence-loop case that does need them; on a
+  * cluster the edge materialization is `checkpoint` to alluxio/HDFS).
   *
   * Determinism: ranks live in integer micro-units (1e-12) and every
   * per-iteration update is `floor(ieee_double_expr + 0.5)` over exact
@@ -36,9 +37,13 @@ object GraphOps {
     */
   private def step(pr: DataFrame, deg: DataFrame, edges: DataFrame,
       n: Long): DataFrame = {
-    val contrib = pr.join(deg, "node")
-      .join(edges, col("node") === edges("src"))
-      .select(edges("dst").as("node"),
+    // fresh aliases per invocation: the unrolled plan contains edges/deg
+    // once per iteration INSIDE pr's lineage, so df-qualified references
+    // like edges("dst") would be ambiguous — name-based joins against
+    // per-call aliased projections keep every level self-contained
+    val e = edges.select(col("src").as("node"), col("dst").as("edge_dst"))
+    val contrib = pr.join(deg, "node").join(e, "node")
+      .select(col("edge_dst").as("node"),
         floor(col("pr").cast("double") / col("outdeg") + 0.5)
           .cast("long").as("c"))
     contrib.groupBy("node").agg(sum("c").as("sc"))
@@ -69,15 +74,34 @@ object GraphOps {
       .localCheckpoint()
     // one scalar to the driver (node count), as any engine's planner does
     val n = deg.count()
-    var pr = deg.select(col("node"),
+    // re-alias node so pr0 does not expose deg's attribute ids (the
+    // first iteration joins pr back to deg — identical ids would trip
+    // the ambiguous-self-join check now that no checkpoint re-ids them)
+    var pr = deg.select(col("node").as("node"),
       floor(lit(1.0e12) / n + 0.5).cast("long").as("pr"))
+    // the fixed-count loop unrolls into ONE declarative plan: each
+    // iteration's output feeds exactly one consumer (the next), so a
+    // single execution evaluates every level once and per-iteration
+    // checkpoints would only add eager materializations plus evictable
+    // block-manager state (under memory pressure a dropped
+    // localCheckpoint block ABORTS the job — lineage is truncated, so
+    // nothing can recompute it). Only the multiply-referenced inputs
+    // (edges x5, deg x6) checkpoint, once. q65's loop checkpoints per
+    // iteration because its convergence test is a driver action each
+    // round; a fixed-iteration fold has no such barrier.
     for (_ <- 1 to iterations)
-      pr = step(pr, deg, edges, n).localCheckpoint()
+      pr = step(pr, deg, edges, n)
     pr
   }
 
   /** Customer↔supplier trading graph: an undirected edge per distinct
-    * (customer, supplier) pair that co-occurs on an order.
+    * (customer, supplier) pair that co-occurs on an order. Nodes are
+    * LONG-encoded (customer k → 2k, supplier k → 2k+1): the edge
+    * checkpoint and every per-iteration shuffle then move two longs per
+    * edge instead of two strings — roughly half the bytes and cheaper
+    * comparisons at the ~100M-edge sf10 size, where the checkpoint
+    * competes with execution memory. [[nodeLabel]] renders the display
+    * id only on the 30-row output.
     */
   private[graft] def tradeEdges(s: SparkSession, d: String): DataFrame = {
     val pairs = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
@@ -85,11 +109,17 @@ object GraphOps {
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
       .distinct()
-    val cNode = concat(lit("C"), col("c").cast("string"))
-    val sNode = concat(lit("S"), col("s").cast("string"))
+    val cNode = col("c") * 2
+    val sNode = col("s") * 2 + 1
     pairs.select(cNode.as("src"), sNode.as("dst"))
       .union(pairs.select(sNode.as("src"), cNode.as("dst")))
   }
+
+  /** Long node id back to the 'C<key>' / 'S<key>' label the oracle
+    * speaks. */
+  private[graft] def nodeLabel(node: Column): Column =
+    concat(when(node % 2 === 0, "C").otherwise("S"),
+      shiftright(node, 1).cast("string"))
 
   /** The oracle mirror of [[pageRank]]: 5 unrolled CTE iterations of the
     * identical micro-unit formula (no recursion — a fixed iteration count
@@ -143,7 +173,7 @@ object GraphOps {
     // when it does not — no hints. ----
     Q("q134_pagerank",
       (s, d) => pageRank(tradeEdges(s, d), 5)
-        .select(col("node"),
+        .select(nodeLabel(col("node")).as("node"),
           (col("pr").cast("double") / 1.0e12).as("pagerank"))
         .orderBy(desc("pagerank"), col("node"))
         .limit(30),
