@@ -16,11 +16,11 @@ import org.apache.spark.sql.functions._
   * workload, so it doubles as the scale proof for ANY fixed-point loop
   * here: each iteration joins the node-sized rank table to the edge
   * list (AQE broadcasts it while it fits, key-shuffles beyond) plus one
-  * key-shuffle aggregate; the fixed-count loop unrolls into a single
-  * declarative plan over a once-checkpointed edge list (see
-  * [[pageRank]] for why per-iteration checkpoints would be wrong here,
-  * and q65 for the convergence-loop case that does need them; on a
-  * cluster the edge materialization is `checkpoint` to alluxio/HDFS).
+  * key-shuffle aggregate, chained as one job per iteration over a
+  * once-checkpointed edge list (see [[pageRank]] for the measured
+  * peak-memory trade-off against unrolling everything into one plan;
+  * on a cluster the edge materialization is `checkpoint` to
+  * alluxio/HDFS).
   *
   * Determinism: ranks live in integer micro-units (1e-12) and every
   * per-iteration update is `floor(ieee_double_expr + 0.5)` over exact
@@ -37,16 +37,26 @@ object GraphOps {
     */
   private def step(pr: DataFrame, deg: DataFrame, edges: DataFrame,
       n: Long): DataFrame = {
-    // fresh aliases per invocation: the unrolled plan contains edges/deg
-    // once per iteration INSIDE pr's lineage, so df-qualified references
-    // like edges("dst") would be ambiguous — name-based joins against
-    // per-call aliased projections keep every level self-contained
+    // fresh aliases per invocation and name-based joins only: pr's
+    // lineage can contain deg/edges (pr0 derives from deg; under
+    // prePartition=false microbenching the first step joins them
+    // directly), and df-qualified references like edges("dst") would
+    // then be ambiguous — per-call aliased projections keep every
+    // step self-contained regardless of how pr was produced
     val e = edges.select(col("src").as("node"), col("dst").as("edge_dst"))
     val contrib = pr.join(deg, "node").join(e, "node")
       .select(col("edge_dst").as("node"),
         floor(col("pr").cast("double") / col("outdeg") + 0.5)
           .cast("long").as("c"))
-    contrib.groupBy("node").agg(sum("c").as("sc"))
+    // repartition BEFORE the aggregate: dst values arrive near-uniformly
+    // scattered, so map-side partial aggregation would build a hash map
+    // over ~every node per task (32 concurrent node-count maps was the
+    // single biggest memory demand in the engine at sf10/8 GiB) while
+    // combining almost nothing — the explicit hash exchange moves the
+    // same rows the partial agg shuffled anyway, and the aggregate then
+    // runs per-partition over its own key range only
+    contrib.repartition(col("node"))
+      .groupBy("node").agg(sum("c").as("sc"))
       .select(col("node"),
         floor(lit(1.5e11) / n + lit(0.85) * col("sc").cast("double") + 0.5)
           .cast("long").as("pr"))
@@ -56,19 +66,27 @@ object GraphOps {
     * `(src, dst)`. Returns `(node, pr)` with pr in micro-units.
     */
   def pageRank(edgesIn: DataFrame, iterations: Int,
-      prePartition: Boolean = false): DataFrame = {
-    // the edge checkpoint is deliberately NOT pre-partitioned by src:
-    // AQE broadcast-joins the node-sized rank table against the edges
-    // (rank ⪡ edges by orders of magnitude), so an up-front
-    // repartition(src) is a pure extra |E|-row exchange with nothing
-    // downstream to reuse it — measured at sf10 (~100M edges, 5
-    // iterations): 100 s unpartitioned vs 188 s pre-partitioned
-    // (Microbench q134; same no-hints lesson as q109/q113). When nodes
-    // outgrow the broadcast threshold the join degrades to a key
-    // shuffle on its own. prePartition=true exists only so the
-    // Microbench comparison stays runnable.
+      prePartition: Boolean = true): DataFrame = {
+    // hash-partition the edge list by src ONCE before caching: the
+    // columnar cache preserves its outputPartitioning, so every
+    // iteration's rank⋈edges join reuses it and only the node-sized
+    // rank side moves — measured at sf10 (~100M edges, 5 iterations,
+    // Microbench q134 single-shot): 63 s / 720M shuffled rows
+    // pre-partitioned vs 89 s / 1.36B unpartitioned. (The rank table
+    // cannot auto-broadcast its way out: after each iteration's
+    // checkpoint its LogicalRDD has no size statistics, so the join
+    // plans as a shuffle either way — pinning the edge side is what
+    // removes the per-iteration |E|-row exchange.)
+    // the edge list is referenced by every iteration, so it must
+    // materialize once — but as a COLUMNAR cache (persist), not a
+    // localCheckpoint: the checkpoint stores deserialized row objects
+    // (~100 B per edge — the sf10 graph alone outgrew the 8 GiB bench
+    // heap) and a dropped block aborts the job because the lineage is
+    // gone, while the compressed columnar cache packs the two long
+    // columns ~5x smaller and RECOMPUTES on eviction instead of dying
     val edges = (if (prePartition) edgesIn.repartition(col("src"))
-                 else edgesIn).localCheckpoint()
+                 else edgesIn).persist()
+    edges.count() // materialize eagerly, as checkpoint did
     val deg = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg"))
       .localCheckpoint()
@@ -79,18 +97,19 @@ object GraphOps {
     // the ambiguous-self-join check now that no checkpoint re-ids them)
     var pr = deg.select(col("node").as("node"),
       floor(lit(1.0e12) / n + 0.5).cast("long").as("pr"))
-    // the fixed-count loop unrolls into ONE declarative plan: each
-    // iteration's output feeds exactly one consumer (the next), so a
-    // single execution evaluates every level once and per-iteration
-    // checkpoints would only add eager materializations plus evictable
-    // block-manager state (under memory pressure a dropped
-    // localCheckpoint block ABORTS the job — lineage is truncated, so
-    // nothing can recompute it). Only the multiply-referenced inputs
-    // (edges x5, deg x6) checkpoint, once. q65's loop checkpoints per
-    // iteration because its convergence test is a driver action each
-    // round; a fixed-iteration fold has no such barrier.
+    // each iteration runs as its OWN job (the localCheckpoint is the
+    // barrier), deliberately: unrolling all iterations into one
+    // declarative plan is ~40% faster in isolation (110 s vs 193 s for
+    // the sf10 graph, Microbench single-shot) but pins every
+    // iteration's broadcast rank table and shuffle state until the end
+    // of the single job — inside the full 136-query bench sweep at the
+    // 8 GiB harness heap that peak OOM-killed the JVM. Chained jobs
+    // bound peak memory to one iteration, which is the property that
+    // matters when the engine shares a fixed heap; the checkpointed
+    // rank table itself is only node-sized. (Same shape as q65's loop,
+    // where the per-round driver action forces the barrier anyway.)
     for (_ <- 1 to iterations)
-      pr = step(pr, deg, edges, n)
+      pr = step(pr, deg, edges, n).localCheckpoint()
     pr
   }
 
