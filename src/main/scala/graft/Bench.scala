@@ -63,6 +63,10 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.session.timeZone", "UTC")
+      // q118's recursion guard scales with anchor-rows x depth (sf10 hit
+      // the 1M default); raised here, not inside the query fn, so it
+      // never leaks mid-session state (level limit stays default 100)
+      .config("spark.sql.cteRecursionRowLimit", "100000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

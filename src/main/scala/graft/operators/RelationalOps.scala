@@ -628,14 +628,17 @@ object RelationalOps {
     // min-label loop, which controls persistence per iteration.
     // cteRecursionRowLimit guards CUMULATIVE rows (default 1M): the
     // chain is anchor-rows x depth, so it trips on data growth, not
-    // runaway recursion — the sf10 run hit it at ~11M chain rows. It is
-    // raised to a deliberate 100M here (the level limit stays at its
-    // default 100 — that is the guard that actually detects
-    // non-termination; at 100 TB size the row ceiling to
-    // anchor x depth). ----
+    // runaway recursion — the sf10 run hit it at ~11M chain rows. The
+    // limit is raised to a deliberate 100M in the engine's session
+    // builders (Bench/Verify/ScaleUp/... alongside the other engine
+    // confs), NOT here: a conf set inside the query fn would leak into
+    // every later query on the shared session, and restoring it after
+    // s.sql() returns would race the lazy execution that actually reads
+    // it. The level limit stays at its default 100 — that is the guard
+    // that actually detects non-termination; at 100 TB size the row
+    // ceiling to anchor x depth. ----
     Q("q118_recursive_cte",
       (s, d) => {
-        s.conf.set("spark.sql.cteRecursionRowLimit", "100000000")
         Tables.customer(s, d).createOrReplaceTempView("customer_rec")
         s.sql("""WITH RECURSIVE chain(id, anc, depth) AS (
           SELECT c_custkey, c_custkey DIV 10, 1
