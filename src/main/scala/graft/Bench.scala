@@ -38,6 +38,17 @@ import org.apache.spark.sql.SparkSession
   * runs in ~0.1-0.3 s; a sentinel several times that marks the WHOLE
   * artifact as contention-suspect without re-running anything. Compare
   * artifacts' sentinels before comparing their totals.
+  *
+  * Per-query escape hatch: the sentinel only LABELS a contended run; it
+  * cannot repair it (round 7's driver artifact: 88.7s vs 62.0s on an
+  * idle re-run — both its min-of-2 samples collided with contention on
+  * several queries). Each query therefore carries an idle-run reference
+  * (per-query min over the committed `bench_history.json` and the
+  * previous local `out/bench_detail.json`), and a min-of-2 that still
+  * exceeds 2.5× its reference (+50 ms jitter floor for sub-100 ms
+  * queries) earns up to 3 extra samples, keeping the running min. An
+  * idle run is unaffected (no query trips the threshold); a contended
+  * run gets 5 chances per inflated query to land in a contention gap.
   */
 object Bench {
   /** One per operator family: scan/agg, join shapes, windows, rules,
@@ -51,6 +62,30 @@ object Bench {
     "q46_ann_lsh", "q51_sessionize", "q61_star_join", "q64_topk_per_group",
     "q65_dedup_components", "q69_bpe_token_count", "q101_bm25_topk",
     "q103_dup_ngram_spans")
+
+  /** Idle-run reference timings for the per-query contention escape:
+    * per-query MIN over the committed `bench_history.json` (refreshed
+    * whenever a verified-idle sweep is committed) and the previous local
+    * `out/bench_detail.json`. Min-of-available is deliberate: a contended
+    * prior run can only RAISE a single file's numbers, and an inflated
+    * reference would mask contention in the next run.
+    */
+  private def loadHistory(names: Set[String]): Map[String, Double] = {
+    val pair = """"([^"]+)":([0-9]+\.[0-9]+)""".r
+    def fromFile(p: java.nio.file.Path): Map[String, Double] =
+      if (java.nio.file.Files.exists(p)) {
+        val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        pair.findAllMatchIn(s)
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .filter { case (k, _) => names(k) }.toMap
+      } else Map.empty[String, Double]
+    val committed = fromFile(java.nio.file.Paths.get("bench_history.json"))
+    val prior = fromFile(java.nio.file.Paths.get("out", "bench_detail.json"))
+    (committed.keySet ++ prior.keySet).map { k =>
+      k -> math.min(committed.getOrElse(k, Double.MaxValue),
+        prior.getOrElse(k, Double.MaxValue))
+    }.toMap
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -66,7 +101,7 @@ object Bench {
       // q118's recursion guard scales with anchor-rows x depth (sf10 hit
       // the 1M default); raised here, not inside the query fn, so it
       // never leaks mid-session state (level limit stays default 100)
-      .config("spark.sql.cteRecursionRowLimit", "100000000")
+      .config("spark.sql.cteRecursionRowLimit", EngineConf.CteRecursionRowLimit)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -81,6 +116,7 @@ object Bench {
     }
     val sentinelStart = sentinel()
     val penaltySec = 60.0 // documented flat cost per failed query
+    val history = loadHistory(SparkEntry.queries.keySet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def sample(): Option[Double] = {
         val t0 = System.nanoTime()
@@ -90,7 +126,16 @@ object Bench {
       sample() match {
         case Some(t1) =>
           // min-of-2: clips one-sided contention noise (see header note)
-          (name, sample().fold(t1)(t2 => math.min(t1, t2)), true)
+          var t = sample().fold(t1)(t2 => math.min(t1, t2))
+          // per-query escape: still implausible vs the idle reference →
+          // up to 3 extra samples, keep the running min (header note)
+          val ref = history.get(name)
+          var extra = 0
+          while (ref.exists(h => t > 2.5 * h + 0.05) && extra < 3) {
+            sample().foreach(s => t = math.min(t, s))
+            extra += 1
+          }
+          (name, t, true)
         case None => (name, penaltySec, false)
       }
     }

@@ -21,7 +21,7 @@ object Microbench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.cteRecursionRowLimit", "100000000")
+      .config("spark.sql.cteRecursionRowLimit", EngineConf.CteRecursionRowLimit)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -119,6 +119,44 @@ object Microbench {
         .select(graft.operators.GraphOps.nodeLabel(col("node")).as("node"),
           (col("pr").cast("double") / 1.0e12).as("pagerank"))
         .orderBy(desc("pagerank"), col("node")).limit(30)
+    }
+
+    // ---- q133 globalNtile: Tungsten bucketed-window path (round 8)
+    // vs the legacy RDD zipWithIndex path it replaced. Same exact
+    // ranks; the legacy path pays RDD<->DataFrame conversion and
+    // per-row Row.fromSeq boxing. ----
+    {
+      import graft.operators.LayoutOps
+      def ntileRddLegacy(df: DataFrame,
+          orderCols: Seq[org.apache.spark.sql.Column],
+          tiles: Int, grpCol: String): DataFrame = {
+        val sorted = df.repartitionByRange(orderCols: _*)
+          .sortWithinPartitions(orderCols: _*)
+        val schema = sorted.schema.add("graft_rank",
+          org.apache.spark.sql.types.LongType)
+        val ranked = spark.createDataFrame(
+          sorted.rdd.zipWithIndex.map { case (r, i) =>
+            org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }, schema)
+        val n = df.count()
+        val q = n / tiles
+        val r = n % tiles
+        val cut = r * (q + 1)
+        val grp = when(col("graft_rank") < cut,
+          expr(s"graft_rank div ${q + 1}"))
+          .otherwise(lit(r) + expr(s"(graft_rank - $cut) div ${math.max(q, 1L)}"))
+        ranked.withColumn(grpCol, (grp + 1).cast("int")).drop("graft_rank")
+      }
+      def z = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"),
+          LayoutOps.zValue(col("l_partkey"), col("l_suppkey")).as("zval"))
+      val ord = Seq(col("zval"), col("l_orderkey"), col("l_linenumber"))
+      time("globalNtile Tungsten bucketed window") {
+        LayoutOps.globalNtile(z, ord, 64, "grp")
+      }
+      time("globalNtile legacy RDD zipWithIndex") {
+        ntileRddLegacy(z, ord, 64, "grp")
+      }
     }
 
     // ---- q32 stage decomposition ----
@@ -262,6 +300,7 @@ object Microbench {
     // threshold. Forcing threshold=-1 here prices the degrade path the
     // engine falls back to at 100 TB vocabulary cardinality.
     {
+      val savedThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       time("q102 vocab join (auto: broadcast)") {
         QueryRegistry.queries("q102_unigram_quality")(spark, sfDir)
       }
@@ -270,7 +309,7 @@ object Microbench {
       time("q102 vocab join (forced shuffle)") {
         QueryRegistry.queries("q102_unigram_quality")(spark, sfDir)
       }
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThreshold)
       spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     }
 

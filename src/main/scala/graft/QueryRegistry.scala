@@ -20,24 +20,7 @@ final case class Q(
     name: String,
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    doc: String,
-    boundOracle: Option[BoundOracle] = None)
-
-/** Bound-compare oracle for sketch queries whose estimates legitimately
-  * differ per engine (HLL, GK): instead of a hash compare, the checker
-  * runs `sql` in DuckDB (must yield `key`, an approximate column named
-  * like `approxCol`, and an exact column named like `exactCol`), matches
-  * rows to the Spark output on `key`, asserts the EXACT columns agree
-  * across engines (they are engine-independent), and asserts BOTH
-  * engines' estimates sit within `bound` relative error of the exact
-  * value — the same bound the ScalaTest spec pins.
-  */
-final case class BoundOracle(
-    sql: String,
-    bound: Double,
-    key: String,
-    approxCol: String,
-    exactCol: String)
+    doc: String)
 
 /** Central registry — SparkEntry derives its maps from here. */
 object QueryRegistry {
@@ -61,7 +44,4 @@ object QueryRegistry {
 
   def oracleSql: Map[String, String] =
     all.flatMap(q => q.oracle.map(q.name -> _)).toMap
-
-  def boundOracles: Map[String, BoundOracle] =
-    all.flatMap(q => q.boundOracle.map(q.name -> _)).toMap
 }

@@ -41,21 +41,37 @@ object Tables {
         path => spark.read.parquet(path))
     }
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-    * as a timestamp. Read it as a long (legacy conf) and convert to a µs
-    * TimestampType column — the generated data is exactly µs-precision, so
-    * the conversion is lossless. Oracle SQL mirrors with CAST(ts AS
-    * TIMESTAMP) (DuckDB ns→µs cast, also lossless here).
+  /** Normalizes event-time columns to session-tz `TIMESTAMP` regardless of
+    * how the parquet writer encoded them. This is the engine's data-encoding
+    * contract for event time: downstream (batch window aggs, and especially
+    * `withWatermark`, which rejects `TIMESTAMP_NTZ`) always sees
+    * `TimestampType`. Three physical encodings are absorbed:
+    *
+    *   - parquet TIMESTAMP(NANOS): Spark 4 refuses to read it as a timestamp;
+    *     the legacy conf reads it as a long which we convert at µs precision
+    *     (the generated data is exactly µs-precision, so lossless);
+    *   - naive `timestamp[us]` (isAdjustedToUTC=false — what pandas/arrow
+    *     write by default): Spark infers `TIMESTAMP_NTZ`; reinterpreted in
+    *     the session timezone via `to_timestamp_ltz` (session tz is UTC in
+    *     all entry points, so values are unchanged vs a naive read);
+    *   - UTC-adjusted `timestamp[us]`: already `TimestampType`, passthrough.
+    *
+    * The DuckDB oracle mirrors with CAST(ts AS TIMESTAMP) under UTC.
     */
   private def nanosTable(spark: SparkSession, dir: String, name: String,
       tsCols: Seq[String]): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = apply(spark, dir, name)
+    import org.apache.spark.sql.functions.{expr, timestamp_micros, to_timestamp_ltz, col}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     tsCols.foldLeft(raw) { (df, c) =>
-      if (df.schema(c).dataType == org.apache.spark.sql.types.LongType)
-        df.withColumn(c, org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr(s"$c div 1000")))
-      else df
+      df.schema(c).dataType match {
+        case LongType =>
+          df.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+        case TimestampNTZType =>
+          df.withColumn(c, to_timestamp_ltz(col(c)))
+        case _ => df
+      }
     }
   }
 

@@ -12,7 +12,7 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.cteRecursionRowLimit", "100000000")
+      .config("spark.sql.cteRecursionRowLimit", EngineConf.CteRecursionRowLimit)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -39,14 +39,6 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // sketch queries: bound-compare oracles (check_oracle.py's bound mode;
-    // the driver's hash gate ignores this file and records rows-only)
-    val bounds = QueryRegistry.boundOracles.map { case (k, b) =>
-      s"${q(k)}: {${q("sql")}: ${q(b.sql)}, ${q("bound")}: ${b.bound}, " +
-        s"${q("key")}: ${q(b.key)}, ${q("approx")}: ${q(b.approxCol)}, " +
-        s"${q("exact")}: ${q(b.exactCol)}}"
-    }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/bound_oracle.json"), bounds)
     spark.stop()
   }
 }

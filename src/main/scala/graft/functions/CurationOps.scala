@@ -205,9 +205,14 @@ object CurationOps {
     // rule: no single domain may dominate the mix). Selection is
     // deterministic — rank within source by (md5 bucket, doc_id), keep
     // the first `cap` — so the same documents survive on every engine
-    // and re-run. Scale: the rank filter is the InferWindowGroupLimit
-    // shape (Spark pushes a per-group limit below the exchange for
-    // rank <= k predicates), and per-source totals partial-aggregate
+    // and re-run. Scale: `rk` feeds conditional aggregates (the query
+    // reports kept AND total per source), so every row flows through
+    // the per-source window sort — InferWindowGroupLimit does NOT fire
+    // here (it needs a `rk <= k` FILTER, which would discard the
+    // uncapped totals). That is the right trade for a cap REPORT; a
+    // cap APPLICATION (keep only the survivors, totals not needed)
+    // should filter `rk <= cap` directly and let the per-group limit
+    // push below the exchange. Per-source totals partial-aggregate
     // map-side; a pathological mega-domain hot-spots its reducer, which
     // is the usual domain-cap reality — salt the rank pass per shard
     // and cap per (source, shard) if one domain exceeds a reducer. ----

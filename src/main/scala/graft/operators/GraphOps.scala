@@ -84,8 +84,14 @@ object GraphOps {
     // heap) and a dropped block aborts the job because the lineage is
     // gone, while the compressed columnar cache packs the two long
     // columns ~5x smaller and RECOMPUTES on eviction instead of dying
+    // cache OWNERSHIP: always derive a pageRank-owned plan before
+    // persisting — under prePartition=false, persisting `edgesIn` itself
+    // would attach the cache to the CALLER's DataFrame, and the unpersist
+    // below would then silently evict any cache the caller holds on it
+    // (pageRank is public API; persist/unpersist must be confined to
+    // plans this function created)
     val edges = (if (prePartition) edgesIn.repartition(col("src"))
-                 else edgesIn).persist()
+                 else edgesIn.select(col("src"), col("dst"))).persist()
     edges.count() // materialize eagerly, as checkpoint did
     val deg = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg"))

@@ -43,34 +43,72 @@ object LayoutOps {
     sum(floor(c * 100 + 0.5).cast("long")).cast("double") / 100.0
 
   /** SQL NTILE(tiles) OVER (ORDER BY orderCols), computed WITHOUT the
-    * single-partition window a global ORDER BY window forces: range-
-    * repartition + per-partition sort runs the total sort in parallel,
-    * `zipWithIndex` turns it into an exact global rank (partition sizes
-    * + cumulative offsets — one extra count job, same idiom as
-    * SheetReader's Row_Index), and NTILE's fill rule (first n%tiles
-    * groups get one extra row) is closed-form over that rank. Sampling
-    * inside repartitionByRange only moves PARTITION BOUNDARIES; the
-    * rank is defined by the total order alone, so the result is
-    * deterministic and byte-equal to the window form the oracle runs.
+    * single-partition window a global ORDER BY window forces, and fully
+    * inside Tungsten (no RDD conversion, no per-row `Row.fromSeq`
+    * boxing). Parallel decomposition of the total sort:
+    *
+    *   1. one aggregate job samples quantile boundaries of the LEADING
+    *      sort column (`percentile_approx`, collected to the driver);
+    *   2. every row gets a range-bucket id from those boundaries — a
+    *      pure codegen'd function of the ROW DATA, so the assignment is
+    *      identical in every later job (per-partition ids would NOT be:
+    *      range-exchange boundary sampling is seeded by the physical
+    *      rdd id, which differs per plan compilation — offsets computed
+    *      in one job could disagree with partitions in the next);
+    *   3. one tiny job counts rows per bucket (map-side partial agg →
+    *      ≤ #buckets rows shuffled) → cumulative offsets, inlined as a
+    *      literal lookup map;
+    *   4. `row_number` over (bucket, orderCols) sorts each bucket in
+    *      parallel — one hash exchange on the bucket id — and
+    *      offset + bucket-local rank is the exact global rank; NTILE's
+    *      fill rule (first n%tiles groups get one extra row) is
+    *      closed-form over it.
+    *
+    * Boundary QUALITY only affects balance, never correctness: the rank
+    * is defined by the total order alone, so any boundary snapshot
+    * yields the same byte-equal result as the window form the oracle
+    * runs. Ties with a boundary value all land in one bucket (strict
+    * `>` comparisons), and nulls land in bucket 0, matching null-first
+    * sort order. Contract: the leading order column must be numeric;
+    * a leading column with few distinct values degrades parallelism
+    * (buckets collapse), not correctness.
     */
   def globalNtile(df: DataFrame, orderCols: Seq[Column], tiles: Int,
       grpCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val sorted = df.repartitionByRange(orderCols: _*)
-      .sortWithinPartitions(orderCols: _*)
-    val schema = sorted.schema.add("graft_rank",
-      org.apache.spark.sql.types.LongType)
-    val ranked = spark.createDataFrame(
-      sorted.rdd.zipWithIndex.map { case (r, i) =>
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }, schema)
-    val n = df.count()
+    import org.apache.spark.sql.expressions.Window
+    val nb = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val probs = (1 until nb).map(_.toDouble / nb)
+    val lead = orderCols.head
+    val bounds =
+      if (probs.isEmpty) Seq.empty[Double]
+      else Option(df
+        .select(percentile_approx(lead.cast("double"),
+          array(probs.map(lit): _*), lit(1000)).as("b"))
+        .head().getSeq[Double](0))
+        .getOrElse(Seq.empty) // empty input: everything in bucket 0
+        .distinct // duplicate quantiles would all-zero their buckets anyway
+    val bucket = bounds.map(b => when(lead > lit(b), 1).otherwise(0))
+      .reduceOption(_ + _).getOrElse(lit(0))
+    val bucketed = df.withColumn("graft_bkt", bucket)
+    val counts = bucketed.groupBy("graft_bkt").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    val offsets = counts.map(_._1).zip(
+      counts.map(_._2).scanLeft(0L)(_ + _)) // bucket -> rows before it
+    val offsetMap = map(offsets.flatMap { case (b, o) =>
+      Seq(lit(b), lit(o)) }: _*)
+    val w = Window.partitionBy("graft_bkt").orderBy(orderCols: _*)
+    val ranked = bucketed.withColumn("graft_rank",
+      element_at(offsetMap, col("graft_bkt")) +
+        row_number().over(w).cast("long") - 1)
     val q = n / tiles
     val r = n % tiles
     val cut = r * (q + 1)
     val grp = when(col("graft_rank") < cut,
       expr(s"graft_rank div ${q + 1}"))
       .otherwise(lit(r) + expr(s"(graft_rank - $cut) div ${math.max(q, 1L)}"))
-    ranked.withColumn(grpCol, (grp + 1).cast("int")).drop("graft_rank")
+    ranked.withColumn(grpCol, (grp + 1).cast("int"))
+      .drop("graft_rank", "graft_bkt")
   }
 
   /** Drop + physically clear a managed table so a bucketed rewrite is
@@ -105,7 +143,7 @@ object LayoutOps {
     // predicate would have to read. Same 1353 matching rows either way;
     // natural layout touches all 64 groups, z-order ~7 (sf0.01). Group
     // assignment is NTILE over the z-order (mirrored verbatim by the
-    // oracle) but computed via [[globalNtile]]'s parallel range sort —
+    // oracle) but computed via [[globalNtile]]'s parallel bucketed sort —
     // the single-partition global window would be the one
     // non-distributed step in the repo at 100 TB. ----
     Q("q133_zorder_layout",

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{BoundOracle, Q, Tables}
+import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -375,48 +375,52 @@ object RelationalOps {
              |ORDER BY src, id""".stripMargin),
       "§2.5 generalization: INTERSECT / EXCEPT set semantics"),
 
-    // ---- sketch aggregation: approximate percentile. The sketch value
-    // differs per engine (Spark GK vs DuckDB t-digest), so there is no
-    // hash oracle; instead a BOUND oracle has the checker run DuckDB's
-    // own sketch + exact quantile and assert BOTH engines' estimates
-    // within the spec-pinned 2% of the (engine-independent) exact
-    // median. ----
+    // ---- sketch aggregation: approximate percentile. The sketch VALUE
+    // differs per engine (Spark GK vs DuckDB t-digest), so the estimate
+    // itself cannot be hash-compared; instead the query emits the bound
+    // VERDICT: the exact median (engine-independent; stabilized to 4
+    // decimals via the integer-scaling idiom so the double is bit-stable
+    // across engines) plus a boolean asserting the GK estimate sits
+    // within 2% of it. The oracle pins the boolean to true, so a sketch
+    // drifting out of bound fails the driver's hash gate. ----
     Q("q66_approx_percentile",
       (s, d) => Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(
           expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50_approx"),
-          expr("percentile(l_extendedprice, 0.5)").as("p50_exact"))
+          expr("percentile(l_extendedprice, 0.5)").as("p50_raw"))
+        .select(
+          col("l_returnflag"),
+          (floor(col("p50_raw") * 10000 + 0.5).cast("long").cast("double")
+            / 10000.0).as("p50_exact"),
+          (abs(col("p50_approx") - col("p50_raw")) <=
+            col("p50_raw") * 0.02).as("approx_within_2pct"))
         .orderBy("l_returnflag"),
-      None,
-      "pipeline-op: approximate percentile sketch (bounded-memory quantiles)",
-      boundOracle = Some(BoundOracle(
-        sql = """SELECT l_returnflag,
-                |  approx_quantile(l_extendedprice, 0.5) AS p50_approx,
-                |  quantile_cont(l_extendedprice, 0.5) AS p50_exact
-                |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
-        bound = 0.02, key = "l_returnflag",
-        approxCol = "p50_approx", exactCol = "p50_exact"))),
+      Some("""SELECT l_returnflag,
+             |  CAST(CAST(floor(quantile_cont(l_extendedprice, 0.5) * 10000 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0 AS p50_exact,
+             |  true AS approx_within_2pct
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
+      "pipeline-op: approximate percentile sketch (bounded-memory quantiles)"),
 
     // ---- sketch aggregation: HLL approximate distinct. Engines use
-    // different HLL variants (Spark HLL++ vs DuckDB HLL), so no hash
-    // oracle; the BOUND oracle asserts both engines' estimates within
-    // the spec-pinned 5% of the exact distinct count. ----
+    // different HLL variants (Spark HLL++ vs DuckDB HLL), so the
+    // estimate cannot be hash-compared; as with q66 the query emits the
+    // exact distinct count plus the within-5% verdict, and the oracle
+    // pins the verdict true. ----
     Q("q54_approx_distinct",
       (s, d) => Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")).cast("double") <=
+            col("exact_parts").cast("double") * 0.05).as("approx_within_5pct"))
         .orderBy("l_returnflag"),
-      None,
-      "pipeline-op: HLL++ sketch distinct-count (scale substitute for countDistinct)",
-      boundOracle = Some(BoundOracle(
-        sql = """SELECT l_returnflag,
-                |  approx_count_distinct(l_partkey) AS approx_parts,
-                |  count(DISTINCT l_partkey) AS exact_parts
-                |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
-        bound = 0.05, key = "l_returnflag",
-        approxCol = "approx_parts", exactCol = "exact_parts"))),
+      Some("""SELECT l_returnflag,
+             |  count(DISTINCT l_partkey) AS exact_parts,
+             |  true AS approx_within_5pct
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
+      "pipeline-op: HLL++ sketch distinct-count (scale substitute for countDistinct)"),
 
     // ---- SQL-text entry point: same engine, spark.sql surface ----
     Q("q56_sql_text_entry",
@@ -629,16 +633,21 @@ object RelationalOps {
     // cteRecursionRowLimit guards CUMULATIVE rows (default 1M): the
     // chain is anchor-rows x depth, so it trips on data growth, not
     // runaway recursion — the sf10 run hit it at ~11M chain rows. The
-    // limit is raised to a deliberate 100M in the engine's session
-    // builders (Bench/Verify/ScaleUp/... alongside the other engine
-    // confs), NOT here: a conf set inside the query fn would leak into
-    // every later query on the shared session, and restoring it after
-    // s.sql() returns would race the lazy execution that actually reads
-    // it. The level limit stays at its default 100 — that is the guard
-    // that actually detects non-termination; at 100 TB size the row
-    // ceiling to anchor x depth. ----
+    // limit is raised to the deliberate [[EngineConf.CteRecursionRowLimit]]
+    // in the engine's session builders (Bench/Verify/ScaleUp/...), and
+    // ALSO re-asserted idempotently below so an external session (a
+    // driver embedding the registry, spark-shell) doesn't fail at ~sf1+
+    // on the 1M default. The set is deliberately NOT restored: restoring
+    // after s.sql() returns would race the lazy execution that actually
+    // reads it, and the value is the engine's documented session
+    // contract, not per-query state. The level limit stays at its
+    // default 100 — that is the guard that actually detects
+    // non-termination; at 100 TB size the row ceiling to anchor x
+    // depth. ----
     Q("q118_recursive_cte",
       (s, d) => {
+        s.conf.set("spark.sql.cteRecursionRowLimit",
+          graft.EngineConf.CteRecursionRowLimit)
         Tables.customer(s, d).createOrReplaceTempView("customer_rec")
         s.sql("""WITH RECURSIVE chain(id, anc, depth) AS (
           SELECT c_custkey, c_custkey DIV 10, 1

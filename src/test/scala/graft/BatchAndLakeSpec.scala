@@ -128,6 +128,58 @@ class PartitionedLakeSpec extends AnyFunSuite {
       (2L, "p2", "new-p2")))
   }
 
+  test("streaming CDC op-log -> foreachBatch cdcSink == batch cdcApply, across replayed micro-batches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc-e2e").toString
+    val lake = s"$dir/lake"
+    val opsDir = s"$dir/ops"
+    val base = Seq(
+      (1L, "p1", 10.0), (2L, "p1", 20.0),
+      (3L, "p2", 30.0), (4L, "p2", 40.0),
+      (5L, "p3", 50.0))
+      .toDF("id", "part", "bal")
+    PartitionedLake.write(base, lake, "part")
+
+    val b1 = Seq(
+      (1L, "p1", 100L, "U", 11.0),  // update, later superseded by seq 200
+      (3L, "p2", 110L, "D", 0.0))   // delete
+      .toDF("k", "part", "seq", "op", "val")
+    val b2 = Seq(
+      (1L, "p1", 200L, "U", 12.0),  // latest-wins over seq 100
+      (2L, "p1", 210L, "D", 0.0),   // delete second p1 row
+      (5L, "p3", 230L, "D", 0.0))   // empties partition p3 entirely
+      .toDF("k", "part", "seq", "op", "val")
+
+    b1.write.mode("overwrite").parquet(opsDir)
+    val q = spark.readStream.schema(b1.schema).parquet(opsDir)
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (ops: org.apache.spark.sql.DataFrame, _: Long) =>
+        PartitionedLake.cdcSink(spark, lake, "part", "id", "bal", ops)
+      }
+      .start()
+    try {
+      q.processAllAvailable() // micro-batch 1: b1 alone
+      // micro-batch 2 REPLAYS b1 in full alongside b2 (the foreachBatch
+      // redelivery contract): replayed U re-applies, replayed D finds no
+      // row, and b2's seq-200 op must win over the replayed seq-100 one
+      b1.union(b2).write.mode("append").parquet(opsDir)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // the lake must equal the one-shot batch fold of the whole op log
+    val expected = graft.operators.RelationalOps
+      .cdcApply(base, b1.union(b2).select("k", "seq", "op", "val"), "id", "bal")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val got = PartitionedLake.read(spark, lake)
+      .select("id", "part", "bal")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got === expected)
+    assert(got === Set((1L, "p1", 12.0), (4L, "p2", 40.0)))
+    // the fully-deleted partition's directory is retired, not orphaned
+    assert(!new java.io.File(s"$lake/part=p3").exists())
+  }
+
   test("streaming foreachBatch + lake upsert is idempotent under replay") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-lake").toString
     val lake = s"$dir/lake"

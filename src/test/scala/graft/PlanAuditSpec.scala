@@ -246,7 +246,7 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("window-agg query reads only the columns it needs") {
     val p = plan("q50_window_agg")
-    assert(p.contains("ReadSchema: struct<ts:bigint,event_type:string,value:double>"), p)
+    assert(p.contains("ReadSchema: struct<ts:timestamp_ntz,event_type:string,value:double>"), p)
   }
 
   test("IVF ANN broadcasts the centroid and probe sides") {
@@ -266,7 +266,7 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("sliding-window query prunes to ts + user_id at the scan") {
     val p = plan("q75_sliding_window")
-    assert(p.contains("ReadSchema: struct<ts:bigint,user_id:bigint>"), p)
+    assert(p.contains("ReadSchema: struct<ts:timestamp_ntz,user_id:bigint>"), p)
   }
 
   test("doc pipeline aggregates map-side before its final shuffle") {

@@ -132,23 +132,21 @@ class PropertySpec extends AnyFunSuite {
     assert(viaAgg === viaWindow)
   }
 
-  test("approx percentile stays within 2% of exact (q66)") {
+  test("approx percentile verdict holds: GK estimate within 2% of exact (q66)") {
     val rows = QueryRegistry.queries("q66_approx_percentile")(spark, sf).collect()
+    assert(rows.length == 3)
     rows.foreach { r =>
-      val approx = r.getAs[Double]("p50_approx")
-      val exact = r.getAs[Double]("p50_exact")
-      assert(math.abs(approx - exact) / exact < 0.02,
-        s"approx $approx vs exact $exact")
+      assert(r.getAs[Double]("p50_exact") > 0, r.toString)
+      assert(r.getAs[Boolean]("approx_within_2pct"), r.toString)
     }
   }
 
-  test("HLL approx distinct stays within 5% of exact (q54)") {
+  test("HLL approx distinct verdict holds: estimate within 5% of exact (q54)") {
     val rows = QueryRegistry.queries("q54_approx_distinct")(spark, sf).collect()
+    assert(rows.length == 3)
     rows.foreach { r =>
-      val approx = r.getAs[Long]("approx_parts").toDouble
-      val exact = r.getAs[Long]("exact_parts").toDouble
-      assert(math.abs(approx - exact) / exact < 0.05,
-        s"approx $approx vs exact $exact")
+      assert(r.getAs[Long]("exact_parts") > 0, r.toString)
+      assert(r.getAs[Boolean]("approx_within_5pct"), r.toString)
     }
   }
 }

@@ -43,41 +43,6 @@ def table_digest(cols, rows):
     return h.hexdigest()
 
 
-def check_bound(con, name, spec, out_dir):
-    """Bound-compare mode for sketch queries (HLL/GK): the estimates
-    legitimately differ per engine, so instead of a hash compare we (a)
-    assert the EXACT companion columns agree across engines, and (b)
-    assert BOTH engines' estimates sit within the spec-pinned relative
-    `bound` of the exact value."""
-    spark_dir = os.path.join(out_dir, name)
-    if not os.path.isdir(spark_dir):
-        return [f"no spark output dir"]
-    srows = con.execute(
-        f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')").fetchall()
-    scols = [d[0] for d in con.description]
-    orows = con.execute(spec["sql"]).fetchall()
-    ocols = [d[0] for d in con.description]
-    key, approx, exact, bound = (spec["key"], spec["approx"],
-                                 spec["exact"], spec["bound"])
-    s = {r[scols.index(key)]: (float(r[scols.index(approx)]),
-                               float(r[scols.index(exact)])) for r in srows}
-    o = {r[ocols.index(key)]: (float(r[ocols.index(approx)]),
-                               float(r[ocols.index(exact)])) for r in orows}
-    problems = []
-    if sorted(map(str, s)) != sorted(map(str, o)):
-        problems.append(f"keys spark={sorted(map(str, s))} oracle={sorted(map(str, o))}")
-        return problems
-    for k in s:
-        (sa, se), (oa, oe) = s[k], o[k]
-        if abs(se - oe) > 1e-9 * max(abs(se), abs(oe), 1.0):
-            problems.append(f"{k}: exact differs spark={se} oracle={oe}")
-        for eng, a, e in (("spark", sa, se), ("duckdb", oa, oe)):
-            if abs(a - e) > bound * abs(e):
-                problems.append(
-                    f"{k}: {eng} estimate {a} outside {bound:.0%} of exact {e}")
-    return problems
-
-
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -90,19 +55,6 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = 0
-    bound_path = os.path.join(out_dir, "bound_oracle.json")
-    if os.path.exists(bound_path):
-        for name, spec in sorted(json.load(open(bound_path)).items()):
-            try:
-                problems = check_bound(con, name, spec, out_dir)
-            except Exception as e:
-                problems = [str(e)]
-            if problems:
-                print(f"FAIL {name} (bound): " + "; ".join(problems))
-                n_fail += 1
-            else:
-                print(f"PASS {name} (bound-compare, rel err <= {spec['bound']:.0%})")
-                n_pass += 1
     for name in sorted(oracle):
         spark_dir = os.path.join(out_dir, name)
         if not os.path.isdir(spark_dir):
