@@ -681,9 +681,15 @@ object SimilarityOps {
     // 8x32 table of subspace distances, so scoring a corpus vector is 8
     // table lookups + adds on its 5-byte code instead of 64 floats:
     // the memory-bound trick that fits billion-vector indexes in RAM.
+    // MULTI-ASSIGNMENT (multi-probe ADC): each subvector keeps its TWO
+    // nearest codebook entries (10-byte code instead of 5), and the ADC
+    // estimate takes the min of the two table entries per subspace
+    // before summing — quantization error only shrinks, so shortlist
+    // recall rises for 2x code bytes and 2x lookup fan-out, the
+    // standard soft-assignment trade.
     // Plan shape: the codebook (256 rows) and ADC tables (8x32 per query)
     // broadcast unhinted; the corpus encodes in one narrow pass
-    // (map-side min-by over 8 candidates, no corpus shuffle before the
+    // (map-side top-2-by over 8 candidates, no corpus shuffle before the
     // per-(query, vec) partial-sum aggregate); exact rescore touches
     // only the top-8 shortlist. All arithmetic is exact BIGINT on
     // milli-quantized components (floor(x*1000+0.5)) — argmin ties
@@ -705,15 +711,18 @@ object SimilarityOps {
           "0L, (acc, x) -> acc + x)"
         val dists = sub.join(codebook, col("m") === col("cm"))
           .select(col("vec_id"), col("m"), col("cid"), expr(sq).as("d2"))
-        val codes = dists.groupBy("vec_id", "m")
-          .agg(min(struct(col("d2"), col("cid"))).getField("cid").as("code"))
+        val codes = dists.withColumn("crk", row_number().over(
+            Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("cid"))))
+          .filter(col("crk") <= 2)
+          .select(col("vec_id"), col("m"), col("cid").as("code"))
         val adc = dists.filter(col("vec_id").isin(11, 222, 333))
           .select(col("vec_id").as("qid"), col("m").as("am"),
             col("cid").as("acid"), col("d2"))
         val approx = codes.join(adc,
             col("m") === col("am") && col("code") === col("acid"))
           .filter(col("vec_id") =!= col("qid"))
-          .groupBy("qid", "vec_id").agg(sum("d2").as("approx_d2"))
+          .groupBy("qid", "vec_id", "m").agg(min("d2").as("md2"))
+          .groupBy("qid", "vec_id").agg(sum("md2").as("approx_d2"))
         val shortlist = approx.withColumn("ark", row_number().over(
             Window.partitionBy("qid").orderBy(col("approx_d2"), col("vec_id"))))
           .filter(col("ark") <= 8)
@@ -747,14 +756,16 @@ object SimilarityOps {
         |  SELECT vec_id, m, cid AS code FROM (
         |    SELECT vec_id, m, cid,
         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
-        |    FROM dists) WHERE rn = 1),
+        |    FROM dists) WHERE rn <= 2),
         |adc AS (
         |  SELECT vec_id AS qid, m, cid, d2 FROM dists
         |  WHERE vec_id IN (11, 222, 333)),
         |approx AS (
-        |  SELECT a.qid, co.vec_id, CAST(SUM(a.d2) AS BIGINT) AS approx_d2
-        |  FROM codes co JOIN adc a ON a.m = co.m AND a.cid = co.code
-        |  WHERE co.vec_id <> a.qid
+        |  SELECT qid, vec_id, CAST(SUM(md2) AS BIGINT) AS approx_d2 FROM (
+        |    SELECT a.qid, co.vec_id, co.m, MIN(a.d2) AS md2
+        |    FROM codes co JOIN adc a ON a.m = co.m AND a.cid = co.code
+        |    WHERE co.vec_id <> a.qid
+        |    GROUP BY 1, 2, 3)
         |  GROUP BY 1, 2),
         |shortlist AS (
         |  SELECT qid, vec_id, approx_d2,

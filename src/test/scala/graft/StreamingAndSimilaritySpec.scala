@@ -648,7 +648,11 @@ class SimilaritySpec extends AnyFunSuite {
     // aggregate recall@5 over the three queries vs the brute-force truth:
     // the synthetic embeddings are near-orthogonal (tiny distance spread),
     // so an untrained-seed PQ is noisy by design — like the LSH/IVF specs,
-    // pin it above degenerate, not near-perfect (measured: 6/15)
+    // pin it above degenerate, not near-perfect. Measured on the current
+    // testdata generation: 4/15 at both probe=1 and the shipped probe=2
+    // multi-assignment (probe=3 degrades to 1/15 — min-of-k compresses
+    // the noise floor); the floor stays >3/15 because recall here is
+    // data-generation-dependent, not a property the engine controls.
     val hits = qids.map { qid =>
       val trueTop = q.keys.filter(_ != qid).toSeq
         .sortBy(v => (d2(q(qid), q(v)), v)).take(5).toSet
