@@ -44,11 +44,13 @@ import org.apache.spark.sql.SparkSession
   * idle re-run — both its min-of-2 samples collided with contention on
   * several queries). Each query therefore carries an idle-run reference
   * (per-query min over the committed `bench_history.json` and the
-  * previous local `out/bench_detail.json`), and a min-of-2 that still
-  * exceeds 2.5× its reference (+50 ms jitter floor for sub-100 ms
-  * queries) earns up to 3 extra samples, keeping the running min. An
-  * idle run is unaffected (no query trips the threshold); a contended
-  * run gets 5 chances per inflated query to land in a contention gap.
+  * previous local `out/bench_detail.json`, each used only when its
+  * recorded `sf` matches this run's SPARK_GRAFT_SF_DIR — see
+  * [[loadHistory]]), and a min-of-2 that still exceeds 2.5× its
+  * reference (+50 ms jitter floor for sub-100 ms queries) earns up to 3
+  * extra samples, keeping the running min. An idle run is unaffected
+  * (no query trips the threshold); a contended run gets 5 chances per
+  * inflated query to land in a contention gap.
   */
 object Bench {
   /** One per operator family: scan/agg, join shapes, windows, rules,
@@ -70,21 +72,49 @@ object Bench {
     * prior run can only RAISE a single file's numbers, and an inflated
     * reference would mask contention in the next run.
     */
-  private def loadHistory(names: Set[String]): Map[String, Double] = {
+  private[graft] def loadHistory(names: Set[String], sfDir: String,
+      committedPath: String = "bench_history.json",
+      priorPath: String = "out/bench_detail.json"): Map[String, Double] = {
     val pair = """"([^"]+)":([0-9]+\.[0-9]+)""".r
+    val sfTag = """"sf":"([^"]+)"""".r
+    // a reference is only comparable at ITS OWN scale: the decade runs
+    // (SCALE.md) point SPARK_GRAFT_SF_DIR at sf1/sf10, where every query
+    // legitimately exceeds 2.5x its sf0.1 time — an SF-mismatched file
+    // would arm the escape on every query and quintuple the sweep
     def fromFile(p: java.nio.file.Path): Map[String, Double] =
       if (java.nio.file.Files.exists(p)) {
         val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-        pair.findAllMatchIn(s)
+        if (!sfTag.findFirstMatchIn(s).exists(_.group(1) == sfDir))
+          Map.empty[String, Double]
+        else pair.findAllMatchIn(s)
           .map(m => m.group(1) -> m.group(2).toDouble)
           .filter { case (k, _) => names(k) }.toMap
       } else Map.empty[String, Double]
-    val committed = fromFile(java.nio.file.Paths.get("bench_history.json"))
-    val prior = fromFile(java.nio.file.Paths.get("out", "bench_detail.json"))
+    val committed = fromFile(java.nio.file.Paths.get(committedPath))
+    val prior = fromFile(java.nio.file.Paths.get(priorPath))
     (committed.keySet ++ prior.keySet).map { k =>
       k -> math.min(committed.getOrElse(k, Double.MaxValue),
         prior.getOrElse(k, Double.MaxValue))
     }.toMap
+  }
+
+  /** Sampling policy for one query, given its first sample: min-of-2
+    * always (clips one-sided noise), then the per-query contention
+    * escape — while the running min still exceeds 2.5× the idle
+    * reference (+50 ms jitter floor for sub-100 ms queries), up to 3
+    * extra samples. A failed re-sample (None) spends an attempt without
+    * improving the min, so the loop always terminates in ≤ 4 samples
+    * after the first.
+    */
+  private[graft] def measure(t1: Double, sample: () => Option[Double],
+      ref: Option[Double]): Double = {
+    var t = sample().fold(t1)(t2 => math.min(t1, t2))
+    var extra = 0
+    while (ref.exists(h => t > 2.5 * h + 0.05) && extra < 3) {
+      sample().foreach(s => t = math.min(t, s))
+      extra += 1
+    }
+    t
   }
 
   def main(args: Array[String]): Unit = {
@@ -116,7 +146,7 @@ object Bench {
     }
     val sentinelStart = sentinel()
     val penaltySec = 60.0 // documented flat cost per failed query
-    val history = loadHistory(SparkEntry.queries.keySet)
+    val history = loadHistory(SparkEntry.queries.keySet, sfDir)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def sample(): Option[Double] = {
         val t0 = System.nanoTime()
@@ -124,18 +154,7 @@ object Bench {
         catch { case _: Throwable => None }
       }
       sample() match {
-        case Some(t1) =>
-          // min-of-2: clips one-sided contention noise (see header note)
-          var t = sample().fold(t1)(t2 => math.min(t1, t2))
-          // per-query escape: still implausible vs the idle reference →
-          // up to 3 extra samples, keep the running min (header note)
-          val ref = history.get(name)
-          var extra = 0
-          while (ref.exists(h => t > 2.5 * h + 0.05) && extra < 3) {
-            sample().foreach(s => t = math.min(t, s))
-            extra += 1
-          }
-          (name, t, true)
+        case Some(t1) => (name, measure(t1, sample, history.get(name)), true)
         case None => (name, penaltySec, false)
       }
     }

@@ -16,6 +16,64 @@ class RobustnessSpec extends AnyFunSuite {
     f.toString
   }
 
+  test("bench contention reference: committed history covers every query; min-of-two semantics") {
+    val names = QueryRegistry.queries.keySet
+    // format contract of the committed idle reference the per-query
+    // contention escape reads (Bench header note): every registered query
+    // present, plausible idle-run magnitudes, recorded at the bench SF
+    val committed = Bench.loadHistory(names, "/root/testdata/sf0.1",
+      "bench_history.json", "/nonexistent/prior.json")
+    assert(committed.keySet === names)
+    assert(committed.values.forall(v => v > 0 && v < 60), committed)
+    // min-of-available across committed + prior-run files: a contended
+    // prior run can only raise one file's numbers, min keeps the floor
+    val dir = java.nio.file.Files.createTempDirectory("graft-bench-hist")
+    val a = dir.resolve("committed.json")
+    val b = dir.resolve("prior.json")
+    java.nio.file.Files.writeString(a,
+      """{"sf":"X","queries":{"qa":1.000,"qb":2.000}}""")
+    java.nio.file.Files.writeString(b,
+      """{"sf":"X","queries":{"qb":0.500,"qc":3.000}}""")
+    val h = Bench.loadHistory(Set("qa", "qb", "qc"), "X",
+      a.toString, b.toString)
+    assert(h === Map("qa" -> 1.0, "qb" -> 0.5, "qc" -> 3.0))
+    // name filtering keeps non-query JSON numbers (total, sentinel) out
+    assert(Bench.loadHistory(Set("qa"), "X", a.toString, b.toString) ===
+      Map("qa" -> 1.0))
+    // an SF-mismatched reference is ignored entirely: at a decade run
+    // (sf1/sf10) every query legitimately exceeds 2.5x its sf0.1 time,
+    // and an armed escape there would quintuple the sweep
+    assert(Bench.loadHistory(Set("qa", "qb", "qc"), "out/sf1",
+      a.toString, b.toString).isEmpty)
+    // absent files -> empty reference: the escape stays disarmed instead
+    // of misfiring on garbage
+    assert(Bench.loadHistory(names, "X", dir.resolve("x.json").toString,
+      dir.resolve("y.json").toString).isEmpty)
+  }
+
+  test("bench sampling policy: synthetic contention is escaped, idle runs untouched") {
+    def seq(xs: Double*): () => Option[Double] = {
+      val it = xs.iterator
+      () => if (it.hasNext) Some(it.next()) else fail("sampled past budget")
+    }
+    // idle box: min-of-2, no escape samples consumed (ref present)
+    assert(Bench.measure(0.52, seq(0.48), Some(0.5)) === 0.48)
+    // round-7 shape: BOTH min-of-2 samples collide with contention
+    // (0.76 s query reads 3.6 s twice); the escape's third sample lands
+    // in a contention gap and recovers the intrinsic time
+    assert(Bench.measure(3.6, seq(3.5, 0.78), Some(0.76)) === 0.78)
+    // fully contended throughout: all 3 extra samples spent, best seen
+    // wins — degrades to the old min-of-N behavior, never loops forever
+    assert(Bench.measure(3.6, seq(3.5, 3.4, 3.3, 3.2), Some(0.76)) === 3.2)
+    // no reference (first run at a new SF): plain min-of-2, escape off
+    assert(Bench.measure(3.6, seq(3.5), None) === 3.5)
+    // jitter floor: a 20 ms query reading 60 ms is not "contention"
+    assert(Bench.measure(0.06, seq(0.055), Some(0.02)) === 0.055)
+    // failed re-samples spend attempts without improving the min
+    val failing = { var n = 0; () => { n += 1; if (n > 4) fail("unbounded") else None } }
+    assert(Bench.measure(3.6, failing, Some(0.5)) === 3.6)
+  }
+
   test("PERMISSIVE JSON scan quarantines corrupt records instead of failing") {
     val path = writeLines(Seq(
       """{"id": 1, "v": "ok"}""",
