@@ -151,11 +151,42 @@ object Microbench {
           col("l_suppkey"),
           LayoutOps.zValue(col("l_partkey"), col("l_suppkey")).as("zval"))
       val ord = Seq(col("zval"), col("l_orderkey"), col("l_linenumber"))
+      // group on the tile so count() cannot prune the ranking work (the
+      // Tungsten form is a declarative plan Catalyst would otherwise
+      // strip the unused window from; the RDD form is opaque and pays
+      // full cost either way — grouping makes the comparison fair)
       time("globalNtile Tungsten bucketed window") {
-        LayoutOps.globalNtile(z, ord, 64, "grp")
+        LayoutOps.globalNtile(z, ord, 64, "grp").groupBy("grp").count()
       }
       time("globalNtile legacy RDD zipWithIndex") {
-        ntileRddLegacy(z, ord, 64, "grp")
+        ntileRddLegacy(z, ord, 64, "grp").groupBy("grp").count()
+      }
+      // the decision-relevant comparison: the whole q133 with each ntile
+      // (the declarative form lets Catalyst pipeline the downstream
+      // union/aggregate; the RDD form is an optimization barrier)
+      time("q133 current (Tungsten ntile)") {
+        QueryRegistry.queries("q133_zorder_layout")(spark, sfDir)
+      }
+      time("q133 with legacy RDD ntile") {
+        val natural = ntileRddLegacy(z,
+          Seq(col("l_orderkey"), col("l_linenumber")), 64, "grp")
+          .withColumn("layout", lit("natural"))
+        val zorder = ntileRddLegacy(z, ord, 64, "grp")
+          .withColumn("layout", lit("zorder"))
+        val inBox = col("l_partkey").between(100, 300) &&
+          col("l_suppkey").between(10, 30)
+        val stats = natural.union(zorder)
+          .groupBy("layout", "grp")
+          .agg(min("l_partkey").as("pmin"), max("l_partkey").as("pmax"),
+            min("l_suppkey").as("smin"), max("l_suppkey").as("smax"),
+            sum(when(inBox, 1L).otherwise(0L)).as("rows_in_box"))
+        stats.groupBy("layout")
+          .agg(count(lit(1)).as("groups_total"),
+            sum(when(col("pmin") <= 300 && col("pmax") >= 100 &&
+              col("smin") <= 30 && col("smax") >= 10, 1L).otherwise(0L))
+              .as("groups_hit"),
+            sum("rows_in_box").as("rows_in_box"))
+          .orderBy("layout")
       }
     }
 
