@@ -104,6 +104,69 @@ object CountMinOps {
               |SELECT v.event_type, MIN(cell) AS est_n
               |FROM buckets v JOIN cells c ON v.d = c.d AND v.b = c.b
               |GROUP BY v.event_type ORDER BY v.event_type""".stripMargin),
-      "custom-operator family: Count-Min sketch Aggregator, oracle rebuilds the sketch")
+      "custom-operator family: Count-Min sketch Aggregator, oracle rebuilds the sketch"),
+
+    // ---- mergeable HLL sketches as DATA (Apache DataSketches via
+    // Spark's hll_sketch_agg / hll_union / hll_sketch_estimate):
+    // estimate the overlap between two corpus slices by inclusion-
+    // exclusion over sketch estimates — NO join between the slices ever
+    // runs. This is the 100 TB overlap-planning primitive: per-source /
+    // per-snapshot ~4 KB sketches are computed incrementally at ingest
+    // (the same mergeable-state discipline as q138's agg states), and
+    // any pair's overlap is then answered from sketch algebra on the
+    // driver, however large the corpora. Union is register-max, so the
+    // estimate is independent of partition/merge order and the query is
+    // deterministic. Correctness surfaces q54-style: exact counts
+    // (engine-independent, hash-compared against DuckDB) plus
+    // within-bound verdict booleans the oracle pins to true; the
+    // inclusion-exclusion overlap compounds three estimate errors, so
+    // its bound is wider (20% or ±5 absolute) than the per-set 5%. ----
+    Q("q140_sketch_overlap",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        def slice(m: Int) = docs.filter(col("doc_id") % m === 0)
+          .select(md5(col("text")).as("fp"))
+        val a = slice(2)
+        val b = slice(3)
+        def side(df: org.apache.spark.sql.DataFrame, p: String) = df.agg(
+          hll_sketch_agg(col("fp")).as(s"${p}_sk"),
+          countDistinct(col("fp")).as(s"${p}_exact")).withColumn("k", lit(1))
+        val uexact = a.union(b)
+          .agg(countDistinct(col("fp")).as("u_exact")).withColumn("k", lit(1))
+        val estA = hll_sketch_estimate(col("a_sk"))
+        val estB = hll_sketch_estimate(col("b_sk"))
+        val estU = hll_sketch_estimate(hll_union(col("a_sk"), col("b_sk")))
+        val overlapExact = col("a_exact") + col("b_exact") - col("u_exact")
+        side(a, "a")
+          .join(broadcast(side(b, "b")), "k")
+          .join(broadcast(uexact), "k")
+          .select(
+            col("a_exact"), col("b_exact"), col("u_exact"),
+            overlapExact.as("overlap_exact"),
+            (abs(estA - col("a_exact")) <= col("a_exact") * 0.05)
+              .as("a_within_5pct"),
+            (abs(estB - col("b_exact")) <= col("b_exact") * 0.05)
+              .as("b_within_5pct"),
+            (abs(estU - col("u_exact")) <= col("u_exact") * 0.05)
+              .as("union_within_5pct"),
+            (abs((estA + estB - estU) - overlapExact) <=
+              greatest(overlapExact.cast("double") * 0.2, lit(5.0)))
+              .as("overlap_within_20pct"))
+      },
+      Some("""WITH a AS (SELECT DISTINCT md5(text) AS fp FROM documents
+             |  WHERE doc_id % 2 = 0),
+             |b AS (SELECT DISTINCT md5(text) AS fp FROM documents
+             |  WHERE doc_id % 3 = 0),
+             |u AS (SELECT fp FROM a UNION SELECT fp FROM b)
+             |SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS a_exact,
+             |  CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS b_exact,
+             |  CAST((SELECT COUNT(*) FROM u) AS BIGINT) AS u_exact,
+             |  CAST((SELECT COUNT(*) FROM a) + (SELECT COUNT(*) FROM b)
+             |    - (SELECT COUNT(*) FROM u) AS BIGINT) AS overlap_exact,
+             |  true AS a_within_5pct,
+             |  true AS b_within_5pct,
+             |  true AS union_within_5pct,
+             |  true AS overlap_within_20pct""".stripMargin),
+      "pipeline-op: corpus-overlap estimation via mergeable HLL sketches (no join)")
   )
 }

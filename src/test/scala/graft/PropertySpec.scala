@@ -141,6 +141,33 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sketch overlap verdicts hold; sketch algebra is consistent (q140)") {
+    import org.apache.spark.sql.functions._
+    val rows = QueryRegistry.queries("q140_sketch_overlap")(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    // inclusion-exclusion identity on the exact side
+    assert(r.getAs[Long]("overlap_exact") ===
+      r.getAs[Long]("a_exact") + r.getAs[Long]("b_exact") - r.getAs[Long]("u_exact"))
+    // doc_id % 6 == 0 rows are in both slices, so overlap is non-trivial
+    assert(r.getAs[Long]("overlap_exact") > 0)
+    Seq("a_within_5pct", "b_within_5pct", "union_within_5pct",
+      "overlap_within_20pct").foreach(c => assert(r.getAs[Boolean](c), c))
+    // sketch algebra: the union estimate can never fall below either
+    // side's estimate (register-max union only raises registers)
+    val docs = Tables.documents(spark, sf)
+    def sk(m: Int) = docs.filter(col("doc_id") % m === 0)
+      .select(md5(col("text")).as("fp"))
+      .agg(hll_sketch_agg(col("fp")).as(s"sk$m")).withColumn("k", lit(1))
+    val est = sk(2).join(broadcast(sk(3)), "k").select(
+      hll_sketch_estimate(col("sk2")).as("ea"),
+      hll_sketch_estimate(col("sk3")).as("eb"),
+      hll_sketch_estimate(hll_union(col("sk2"), col("sk3"))).as("eu"))
+      .collect()(0)
+    assert(est.getAs[Long]("eu") >= math.max(est.getAs[Long]("ea"),
+      est.getAs[Long]("eb")))
+  }
+
   test("HLL approx distinct verdict holds: estimate within 5% of exact (q54)") {
     val rows = QueryRegistry.queries("q54_approx_distinct")(spark, sf).collect()
     assert(rows.length == 3)
