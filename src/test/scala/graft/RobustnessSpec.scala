@@ -74,6 +74,43 @@ class RobustnessSpec extends AnyFunSuite {
     assert(Bench.measure(3.6, failing, Some(0.5)) === 3.6)
   }
 
+  test("event-time encoding contract: long-nanos, NTZ, and LTZ all normalize to TIMESTAMP") {
+    // the round-7 harness regen silently switched events.ts from
+    // nanos-as-long to naive timestamp[us] and broke every watermark;
+    // this pins Tables.events' normalization for all three encodings a
+    // parquet writer can produce
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val micros = 1704067200123456L // 2024-01-01T00:00:00.123456 UTC
+    val base = java.nio.file.Files.createTempDirectory("graft-ts-enc")
+    def dirFor(name: String): String = {
+      val d = base.resolve(name); java.nio.file.Files.createDirectory(d)
+      d.toString
+    }
+    // (a) legacy nanos-as-long (how Spark reads parquet TIMESTAMP(NANOS))
+    val dLong = dirFor("long")
+    Seq((1L, micros * 1000L)).toDF("event_id", "ts")
+      .write.parquet(s"$dLong/events.parquet")
+    // (b) naive timestamp[us] -> Spark infers TIMESTAMP_NTZ (pandas/arrow default)
+    val dNtz = dirFor("ntz")
+    Seq((2L, java.time.LocalDateTime.parse("2024-01-01T00:00:00.123456")))
+      .toDF("event_id", "ts").write.parquet(s"$dNtz/events.parquet")
+    // (c) UTC-adjusted timestamp -> TIMESTAMP passthrough
+    val dLtz = dirFor("ltz")
+    Seq((3L, new java.sql.Timestamp(micros / 1000L)))
+      .toDF("event_id", "ts")
+      .withColumn("ts", col("ts") + expr("INTERVAL 456 MICROSECONDS"))
+      .write.parquet(s"$dLtz/events.parquet")
+    for (d <- Seq(dLong, dNtz, dLtz)) {
+      val df = Tables.events(spark, d)
+      assert(df.schema("ts").dataType === TimestampType, d)
+      val got = df.select(unix_micros(col("ts"))).collect()(0).getLong(0)
+      assert(got === micros, d)
+      // the normalized column is watermark-eligible (the round-7 break)
+      df.withWatermark("ts", "1 minute")
+    }
+  }
+
   test("PERMISSIVE JSON scan quarantines corrupt records instead of failing") {
     val path = writeLines(Seq(
       """{"id": 1, "v": "ok"}""",
