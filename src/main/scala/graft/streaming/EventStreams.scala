@@ -29,6 +29,23 @@ object EventStreams {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Per-window mergeable HLL user sketches — the streaming half of
+    * q140's sketch-algebra pattern: the stream maintains one ~4 KB
+    * DataSketches HLL state per hour window (bounded however many users
+    * flow through), and OFFLINE consumers answer distinct-user questions
+    * over ANY window range by `hll_union_agg` over the stored sketches,
+    * never re-reading events. Works identically in batch and streaming
+    * (the spec pins batch == stream and merged-estimate accuracy).
+    */
+  def windowedUserSketches(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(hll_sketch_agg(col("user_id")).as("user_sketch"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("hour_start"), col("user_sketch"),
+        col("n_events"))
+
   /** Sliding-window event counts (1 h window, 15 min slide: each event lands
     * in 4 windows). Batch twin: q75_sliding_window.
     */

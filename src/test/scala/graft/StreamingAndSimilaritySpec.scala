@@ -34,6 +34,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed HLL sketches: stream == batch, and merged sketches answer global distinct") {
+    val batchEvents = Tables.events(spark, sf)
+    val expected = EventStreams.windowedUserSketches(batchEvents)
+      .orderBy("hour_start").collect()
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-sketch-stream").toString
+    batchEvents.write.mode("overwrite").parquet(s"$dir/in")
+    val streamIn = spark.readStream.schema(batchEvents.schema).parquet(s"$dir/in")
+    val q = EventStreams.windowedUserSketches(streamIn)
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("sketch_out")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sketch_out").orderBy("hour_start").collect()
+      assert(got.length === expected.length && got.nonEmpty)
+      // sketches are deterministic byte-for-byte (register-max merges)
+      assert(got.map(r => (r.get(0).toString,
+          java.util.Arrays.hashCode(r.getAs[Array[Byte]]("user_sketch")),
+          r.getAs[Long]("n_events"))).toSeq ===
+        expected.map(r => (r.get(0).toString,
+          java.util.Arrays.hashCode(r.getAs[Array[Byte]]("user_sketch")),
+          r.getAs[Long]("n_events"))).toSeq)
+      // the offline consumer: union the stored per-window sketches and
+      // answer the GLOBAL distinct-user question without touching events
+      val est = spark.table("sketch_out")
+        .agg(hll_sketch_estimate(hll_union_agg(col("user_sketch")))
+          .as("users")).collect()(0).getLong(0)
+      val exact = batchEvents.select(countDistinct("user_id"))
+        .collect()(0).getLong(0)
+      assert(math.abs(est - exact).toDouble <= 0.05 * exact,
+        s"est $est vs exact $exact")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join matches the batch twin") {
     val events = Tables.events(spark, sf).select("user_id", "ts", "value")
     val dim = Tables.customer(spark, sf).select("c_custkey", "c_mktsegment")
