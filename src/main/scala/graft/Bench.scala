@@ -75,8 +75,10 @@ object Bench {
   private[graft] def loadHistory(names: Set[String], sfDir: String,
       committedPath: String = "bench_history.json",
       priorPath: String = "out/bench_detail.json"): Map[String, Double] = {
-    val pair = """"([^"]+)":([0-9]+\.[0-9]+)""".r
-    val sfTag = """"sf":"([^"]+)"""".r
+    // whitespace-tolerant: the file may be Scala-written (compact) or
+    // round-tripped through a pretty-printer (": " separators)
+    val pair = """"([^"]+)"\s*:\s*([0-9]+\.[0-9]+)""".r
+    val sfTag = """"sf"\s*:\s*"([^"]+)"""".r
     // a reference is only comparable at ITS OWN scale: the decade runs
     // (SCALE.md) point SPARK_GRAFT_SF_DIR at sf1/sf10, where every query
     // legitimately exceeds 2.5x its sf0.1 time — an SF-mismatched file

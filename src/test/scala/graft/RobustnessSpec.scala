@@ -40,6 +40,14 @@ class RobustnessSpec extends AnyFunSuite {
     // name filtering keeps non-query JSON numbers (total, sentinel) out
     assert(Bench.loadHistory(Set("qa"), "X", a.toString, b.toString) ===
       Map("qa" -> 1.0))
+    // pretty-printed JSON (": " separators, e.g. a python round-trip)
+    // parses identically — a spaced rewrite once silently disarmed the
+    // whole reference
+    val c = dir.resolve("spaced.json")
+    java.nio.file.Files.writeString(c,
+      """{"sf": "X", "queries": {"qa": 1.5, "qb": 2.5}}""")
+    assert(Bench.loadHistory(Set("qa", "qb"), "X", c.toString,
+      dir.resolve("none.json").toString) === Map("qa" -> 1.5, "qb" -> 2.5))
     // an SF-mismatched reference is ignored entirely: at a decade run
     // (sf1/sf10) every query legitimately exceeds 2.5x its sf0.1 time,
     // and an armed escape there would quintuple the sweep
