@@ -241,6 +241,41 @@ object CurationOps {
              |FROM ranked GROUP BY source ORDER BY source""".stripMargin),
       "pipeline-op: per-source document caps (deterministic domain-cap rule)"),
 
+    // ---- cap APPLICATION — q128's production twin. q128 is the cap
+    // REPORT (kept AND uncapped totals per source, so every row must
+    // flow through the window); the pipeline stage that actually
+    // enforces the cap keeps only the survivors, which lets the
+    // `rk <= cap` FILTER drive Catalyst's InferWindowGroupLimit: a
+    // partial WindowGroupLimit below the exchange cuts each map
+    // partition to its local top-`cap` per source BEFORE shuffling, so
+    // the exchange moves O(sources x cap) rows instead of the corpus —
+    // at 100 TB that is the difference between shuffling terabytes and
+    // shuffling megabytes. PlanAuditSpec pins both the partial and
+    // final WindowGroupLimit nodes in the physical plan. Same
+    // deterministic (md5 bucket, doc_id) selection order as q128, so
+    // the survivor set equals the rows q128 counts as kept. ----
+    Q("q141_source_cap_apply",
+      (s, d) => {
+        val cap = 15
+        val w = Window.partitionBy("source")
+          .orderBy(hashBucket(col("doc_id")), col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"), col("n_chars"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= cap)
+          .select(col("source"), col("doc_id"), col("n_chars"))
+          .orderBy("source", "doc_id")
+      },
+      Some("""WITH ranked AS (SELECT source, doc_id, n_chars,
+             |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+             |      CAST(('0x' || substr(md5('doc:' || doc_id), 1, 8)) AS BIGINT)
+             |        % 100, doc_id) AS rk
+             |  FROM documents)
+             |SELECT source, doc_id, n_chars
+             |FROM ranked WHERE rk <= 15
+             |ORDER BY source, doc_id""".stripMargin),
+      "pipeline-op: per-source cap application (group-limit pushed below the shuffle)"),
+
     // ---- incremental-ingest dedup: dedupe a NEW batch against the
     // standing corpus by normalized-text fingerprint — the daily-crawl
     // shape (the full-corpus pair queries q40/q42 answer a different

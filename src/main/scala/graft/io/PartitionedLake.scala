@@ -1,22 +1,332 @@
 package graft.io
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.util.UUID
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{DataType, StructType, TimestampNTZType, TimestampType}
 
 /** Partitioned-lake layout helpers: Hive-style partition directories give
   * partition *pruning* — a predicate on the partition column never touches
   * the other directories' files at all. At 100 TB this is the first-order
   * scan optimization (before pushdown, before codegen): the bytes are never
   * read.
+  *
+  * == Atomic snapshot commits ==
+  *
+  * Every write goes through a minimal Iceberg-style commit protocol instead
+  * of in-place dynamic partition overwrite (which exposes concurrent
+  * readers to half-rewritten partitions):
+  *
+  *  1. new data files are written to a transient `_staging/<uuid>/`
+  *     directory (so Spark itself produces the escaped `col=value`
+  *     partition directory names);
+  *  2. the staged files are MOVED (metadata rename, never a data copy on
+  *     HDFS/local) into the lake's `col=value/` directories under
+  *     commit-unique names — existing files are never modified;
+  *  3. a new manifest version listing exactly the files that constitute
+  *     the snapshot is published under `_manifest/` via write-to-temp +
+  *     atomic rename. The rename IS the commit point: a reader resolves
+  *     the latest manifest once, and the files it lists are immutable, so
+  *     it sees the whole old snapshot or the whole new one — never a mix.
+  *
+  * Readers pay one tiny manifest read; scans remain partition-pruned
+  * (the manifest read hands Spark an explicit file list + `basePath`, so
+  * the file index still knows each file's partition value). Superseded
+  * files stay on disk for in-flight readers until [[vacuum]] reclaims
+  * them. Single committer per lake (the streaming `foreachBatch` contract
+  * already serializes commits); a lost race on the manifest rename fails
+  * loudly rather than corrupting. On object stores without atomic rename
+  * (raw S3) this protocol needs a conditional-PUT manifest swap or a real
+  * table format — the reference's `s3.py:45-92` sidestepped this by always
+  * writing whole objects (object-store PUTs are atomic); a partitioned
+  * layout has to earn that property back, which is what the manifest does.
+  *
+  * Partition directory names for values the committer must account for
+  * (e.g. a CDC fold that empties a partition) are computed with Spark's
+  * own `ExternalCatalogUtils.escapePathName` and cross-checked against
+  * the directory names Spark actually staged — a divergence fails the
+  * commit instead of silently orphaning or resurrecting data.
   */
 object PartitionedLake {
 
-  /** Write `df` partitioned by `partitionCol` (Hive-style directories). */
-  def write(df: DataFrame, path: String, partitionCol: String): Unit =
-    df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+  private val ManifestDirName = "_manifest"
+  private val StagingDirName = "_staging"
+  private val ManifestFile = """^v(\d{9})\.txt$""".r
 
-  def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+  /** version + snapshot schema + live files per partition directory. */
+  private[io] case class Manifest(version: Long, schema: StructType,
+      files: Map[String, Seq[String]])
+
+  private def fsFor(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The `col=value` directory name Spark would write for this partition
+    * value — null maps to the Hive default partition, everything else is
+    * the value's canonical string form escaped exactly as Spark escapes
+    * it ('/', ':', '%', '=', '#', control chars, ...). Timestamp-typed
+    * partition columns are rejected at commit time (their path form is
+    * timezone-dependent); use a string or date column.
+    */
+  private[io] def dirNameFor(partitionCol: String, v: Any): String = {
+    val valuePart =
+      if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+      else ExternalCatalogUtils.escapePathName(v.toString)
+    s"${ExternalCatalogUtils.escapePathName(partitionCol)}=$valuePart"
+  }
+
+  private def requireSupportedPartitionType(df: DataFrame,
+      partitionCol: String): Unit = {
+    val dt = df.schema(partitionCol).dataType
+    require(dt != TimestampType && dt != TimestampNTZType,
+      s"timestamp-typed partition column '$partitionCol' is not supported: " +
+        "its directory form is timezone/format dependent; partition on a " +
+        "string or date derivation instead")
+  }
+
+  // ---- manifest read/write -------------------------------------------------
+
+  private def manifestDir(path: String) = new Path(path, ManifestDirName)
+
+  private[io] def latestManifest(fs: FileSystem, path: String): Option[Manifest] = {
+    val dir = manifestDir(path)
+    if (!fs.exists(dir)) return None
+    val versions = fs.listStatus(dir).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case ManifestFile(n) => Some(n.toLong)
+        case _ => None
+      }
+    }
+    if (versions.isEmpty) None else Some(readManifest(fs, path, versions.max))
+  }
+
+  private def readManifest(fs: FileSystem, path: String, version: Long): Manifest = {
+    val p = new Path(manifestDir(path), f"v$version%09d.txt")
+    val in = fs.open(p)
+    val text = try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+      new String(out.toByteArray, "UTF-8")
+    } finally in.close()
+    val lines = text.split("\n").toSeq
+    require(lines.headOption.contains("graft-lake-manifest v1"),
+      s"unrecognized manifest header in $p")
+    val schema = DataType.fromJson(lines(1).stripPrefix("schema "))
+      .asInstanceOf[StructType]
+    val files = lines.drop(2).filter(_.nonEmpty).map { line =>
+      // escapePathName escapes '/', so the last separator splits dir/file
+      val i = line.lastIndexOf('/')
+      (line.substring(0, i), line.substring(i + 1))
+    }.groupBy(_._1).map { case (d, fs0) => d -> fs0.map(_._2) }
+    Manifest(version, schema, files)
+  }
+
+  /** Publish a manifest version: write to a hidden temp file, then
+    * atomically rename to `v<N>.txt`. The rename refuses an existing
+    * target, so two racing committers cannot both win version N — the
+    * loser fails loudly (single-committer contract; see class doc).
+    */
+  private def publishManifest(fs: FileSystem, path: String, m: Manifest): Unit = {
+    val dir = manifestDir(path)
+    fs.mkdirs(dir)
+    val body = new StringBuilder("graft-lake-manifest v1\n")
+    body.append("schema ").append(m.schema.json).append('\n')
+    m.files.toSeq.sortBy(_._1).foreach { case (d, names) =>
+      names.sorted.foreach(n => body.append(d).append('/').append(n).append('\n'))
+    }
+    val tmp = new Path(dir, s".tmp-${UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(body.toString.getBytes("UTF-8")) finally out.close()
+    val dst = new Path(dir, f"v${m.version}%09d.txt")
+    if (fs.exists(dst) || !fs.rename(tmp, dst)) {
+      fs.delete(tmp, true)
+      sys.error(s"concurrent commit detected: manifest $dst already " +
+        "published; this lake requires a single committer")
+    }
+  }
+
+  // ---- commit --------------------------------------------------------------
+
+  /** Write `df` partitioned by `partitionCol` into a fresh staging dir and
+    * return (stagingPath, dirName -> staged file names).
+    */
+  private def stage(spark: SparkSession, fs: FileSystem, path: String,
+      df: DataFrame, partitionCol: String): (Path, Map[String, Seq[String]]) = {
+    requireSupportedPartitionType(df, partitionCol)
+    val staging = new Path(new Path(path, StagingDirName),
+      UUID.randomUUID().toString.take(8))
+    df.write.mode("overwrite").partitionBy(partitionCol)
+      .parquet(staging.toString)
+    val dirs = fs.listStatus(staging).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .map { st =>
+        val names = fs.listStatus(st.getPath).toSeq
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+          .map(_.getPath.getName)
+        st.getPath.getName -> names
+      }.toMap
+    (staging, dirs)
+  }
+
+  /** Move staged files into the lake and publish the next manifest.
+    *
+    * `replaced` is the set of partition directory names whose previous
+    * files this commit supersedes: for a full overwrite, every directory
+    * in the old manifest; for an upsert/CDC commit, the directories of
+    * the touched partition VALUES (computed via [[dirNameFor]] and
+    * cross-checked against what Spark staged). Returns the directory
+    * names this commit EMPTIED (replaced, nothing staged, nothing live).
+    */
+  private def commitStaged(fs: FileSystem, path: String, staging: Path,
+      staged: Map[String, Seq[String]], replaced: Set[String],
+      schema: StructType): Seq[String] = {
+    val unexpected = staged.keySet.diff(replaced)
+    require(unexpected.isEmpty,
+      "partition path encoding diverged from Spark's for: " +
+        unexpected.mkString(", ") + " — refusing to commit")
+    val old = latestManifest(fs, path)
+    val commitId = UUID.randomUUID().toString.take(8)
+    val moved = staged.map { case (d, names) =>
+      val destDir = new Path(path, d)
+      fs.mkdirs(destDir)
+      d -> names.map { n =>
+        val finalName = s"c$commitId-$n"
+        require(fs.rename(new Path(new Path(staging, d), n),
+          new Path(destDir, finalName)), s"rename failed for $d/$n")
+        finalName
+      }
+    }
+    fs.delete(staging, true)
+    val nullableSchema = StructType(schema.fields.map(_.copy(nullable = true)))
+    val newFiles = old.map(_.files).getOrElse(Map.empty) -- replaced ++ moved
+    publishManifest(fs, path,
+      Manifest(old.map(_.version + 1).getOrElse(1L), nullableSchema, newFiles))
+    (replaced -- moved.keySet).filterNot(newFiles.contains).toSeq
+  }
+
+  /** Adopt a pre-protocol lake (Hive-layout parquet written without a
+    * manifest) by publishing a v1 manifest listing its current files —
+    * run once, before the first incremental commit, so untouched
+    * partitions survive that commit. Returns the manifest.
+    */
+  private def manifestOrMigrate(spark: SparkSession, fs: FileSystem,
+      path: String): Option[Manifest] =
+    latestManifest(fs, path).orElse {
+      if (!fs.exists(new Path(path))) None
+      else {
+        val dirs = fs.listStatus(new Path(path)).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+          .map { st =>
+            st.getPath.getName -> fs.listStatus(st.getPath).toSeq
+              .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+                !f.getPath.getName.startsWith("."))
+              .map(_.getPath.getName)
+          }.toMap
+        if (dirs.isEmpty) None
+        else {
+          val schema = spark.read.parquet(path).schema
+          val m = Manifest(1L,
+            StructType(schema.fields.map(_.copy(nullable = true))), dirs)
+          publishManifest(fs, path, m)
+          Some(m)
+        }
+      }
+    }
+
+  /** Full-snapshot write (overwrite semantics): every previously-live file
+    * is superseded; directories the new snapshot no longer uses are
+    * physically retired (they are unreferenced by the new manifest, so an
+    * in-flight reader pinned to the OLD manifest is the only loser — same
+    * retention tradeoff as any vacuum; see [[vacuum]]).
+    */
+  def write(df: DataFrame, path: String, partitionCol: String): Unit = {
+    val spark = df.sparkSession
+    val fs = fsFor(spark, path)
+    val (staging, staged) = stage(spark, fs, path, df, partitionCol)
+    val oldDirs = latestManifest(fs, path).map(_.files.keySet).getOrElse(Set.empty)
+    val emptied = commitStaged(fs, path, staging, staged,
+      oldDirs ++ staged.keySet, df.schema)
+    emptied.foreach(d => fs.delete(new Path(path, d), true))
+  }
+
+  /** Read the lake at its latest published snapshot. The manifest is
+    * resolved ONCE, eagerly, and the returned frame is pinned to that
+    * snapshot's (immutable) files: collecting it after a later commit
+    * still yields the snapshot that was current at `read` time. Falls
+    * back to a plain recursive read for a path without a manifest
+    * (pre-protocol layout).
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val fs = fsFor(spark, path)
+    latestManifest(fs, path) match {
+      case None => spark.read.parquet(path)
+      case Some(m) =>
+        val files = m.files.toSeq.flatMap { case (d, names) =>
+          names.map(n => s"$path/$d/$n")
+        }
+        if (files.isEmpty)
+          spark.createDataFrame(new java.util.ArrayList[Row](), m.schema)
+        else
+          // explicit file list + basePath: the file index still knows each
+          // file's partition value, so partition pruning is intact. The
+          // scan surfaces partition columns last regardless of the
+          // provided schema, so restore the snapshot's column order.
+          spark.read.schema(m.schema).option("basePath", path)
+            .parquet(files: _*)
+            .select(m.schema.fieldNames.map(col).toIndexedSeq: _*)
+    }
+  }
+
+  /** Delete files superseded by the latest snapshot and manifests older
+    * than it. Run with the same single-committer serialization as writes;
+    * readers pinned to pre-vacuum snapshots lose (standard retention
+    * tradeoff — schedule vacuum beyond the longest reader's lifetime).
+    */
+  def vacuum(spark: SparkSession, path: String): Unit = {
+    val fs = fsFor(spark, path)
+    latestManifest(fs, path).foreach { m =>
+      fs.listStatus(new Path(path)).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory && name.contains("=")) {
+          m.files.get(name) match {
+            case None => fs.delete(st.getPath, true)
+            case Some(live) =>
+              val keep = live.toSet
+              fs.listStatus(st.getPath)
+                .filter(f => f.isFile && !keep(f.getPath.getName))
+                .foreach(f => fs.delete(f.getPath, false))
+          }
+        } else if (st.isDirectory && name == StagingDirName) {
+          fs.delete(st.getPath, true) // abandoned stagings
+        }
+      }
+      fs.listStatus(manifestDir(path)).foreach { st =>
+        st.getPath.getName match {
+          case ManifestFile(n) if n.toLong < m.version =>
+            fs.delete(st.getPath, false)
+          case _ => ()
+        }
+      }
+    }
+  }
+
+  /** Partition-pruning filter over the collected partition values.
+    * `isin` is null-hostile (NULL isin(...) is never true), so a delta
+    * touching the null partition (__HIVE_DEFAULT_PARTITION__) needs an
+    * explicit isNull arm — otherwise surviving base rows in that
+    * directory are excluded from the merge and the commit would replace
+    * it with delta-only rows, silently dropping data.
+    */
+  private def partitionFilter(partitionCol: String,
+      parts: Array[Any]): org.apache.spark.sql.Column = {
+    val (nullParts, realParts) = parts.partition(_ == null)
+    if (nullParts.isEmpty) col(partitionCol).isin(realParts: _*)
+    else if (realParts.isEmpty) col(partitionCol).isNull
+    else col(partitionCol).isin(realParts: _*) || col(partitionCol).isNull
+  }
 
   /** SCD-type-1 upsert — MERGE where the row identity is the COMPOSITE
     * `(partitionCol, keyCol)`: within each partition the delta wins by
@@ -30,14 +340,14 @@ object PartitionedLake {
     *     partition pruning keeps every untouched directory's bytes
     *     unread;
     *  3. surviving base rows (left anti on the key) union the delta and
-    *     are written back in dynamic partition-overwrite mode, which
-    *     replaces exactly the touched directories and leaves all other
-    *     partitions' files byte-identical on disk.
+    *     are committed through the snapshot protocol above — untouched
+    *     partitions' manifest entries (and files) carry over verbatim.
     *
     * At 100 TB the rewrite cost scales with the delta's partition
-    * footprint, not the table size — the pattern table formats (Delta,
-    * Iceberg, Hudi) implement with manifests; plain parquet gets it via
-    * directory layout.
+    * footprint, not the table size. No checkpoint/materialization is
+    * needed: the commit never overwrites a file the merge plan reads
+    * (new files land under fresh names; the old ones are only
+    * de-referenced), so the lazy plan is safe by construction.
     *
     * CONTRACT: a key's partition value must be stable (the usual case —
     * the partition derives from the row's identity, e.g. event date).
@@ -45,38 +355,20 @@ object PartitionedLake {
     * new partition but cannot retire the old partition's row — finding
     * it would need a full-table key scan, which is exactly the cost
     * manifest-based formats exist to avoid. Callers needing
-    * cross-partition moves must delete from the old partition
-    * explicitly. The merged frame is `localCheckpoint`ed before
-    * the write because Spark (correctly) refuses a plan that overwrites
-    * a path it is still reading lazily; at cluster scale use a
-    * checkpoint directory or a staging path + atomic swap instead.
+    * cross-partition moves must delete from the old partition explicitly.
     */
-  /** Partition-pruning filter over the collected partition values.
-    * `isin` is null-hostile (NULL isin(...) is never true), so a delta
-    * touching the null partition (__HIVE_DEFAULT_PARTITION__) needs an
-    * explicit isNull arm — otherwise surviving base rows in that
-    * directory are excluded from the merge and dynamic overwrite
-    * replaces it with delta-only rows, silently dropping data.
-    */
-  private def partitionFilter(partitionCol: String,
-      parts: Array[Any]): org.apache.spark.sql.Column = {
-    val (nullParts, realParts) = parts.partition(_ == null)
-    if (nullParts.isEmpty) col(partitionCol).isin(realParts: _*)
-    else if (realParts.isEmpty) col(partitionCol).isNull
-    else col(partitionCol).isin(realParts: _*) || col(partitionCol).isNull
-  }
-
   def upsert(spark: SparkSession, path: String, partitionCol: String,
       keyCol: String, delta: DataFrame): Unit = {
+    val fs = fsFor(spark, path)
     // bootstrap: an absent lake is just the delta (lets the same call
-    // serve as a streaming foreachBatch sink from batch zero)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(path))) {
-      delta.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+    // serve as a streaming foreachBatch sink from batch zero); an
+    // existing pre-protocol lake is adopted with a v1 manifest first
+    if (manifestOrMigrate(spark, fs, path).isEmpty) {
+      write(delta, path, partitionCol)
       return
     }
     val parts = delta.select(partitionCol).distinct().collect().map(_.get(0))
+    if (parts.isEmpty) return
     val base = read(spark, path).filter(partitionFilter(partitionCol, parts))
     // null-safe on the partition column (the identity's partition half
     // may legitimately be the null partition); keys are assumed non-null
@@ -85,12 +377,9 @@ object PartitionedLake {
       .join(dk, col(partitionCol) <=> col("__dp") &&
         col(keyCol) === col("__dk"), "left_anti")
       .unionByName(delta.select(base.columns.map(col): _*))
-      .localCheckpoint(true)
-    merged.write
-      .mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partitionCol)
-      .parquet(path)
+    val (staging, staged) = stage(spark, fs, path, merged, partitionCol)
+    val replaced = parts.map(v => dirNameFor(partitionCol, v)).toSet
+    commitStaged(fs, path, staging, staged, replaced, merged.schema)
   }
 
   /** Exactly-once streaming CDC sink: fold one micro-batch of a CDC op
@@ -101,16 +390,17 @@ object PartitionedLake {
     * (`k`, `seq`, `op`, `val`) plus the key's `partitionCol` value. Per
     * batch: prune the base to the touched partitions (same metadata-only
     * driver read as [[upsert]]), fold the ops with `cdcApply`
-    * (latest-wins per key, 'D' drops, 'U' overwrites), and write the
-    * corrected slice back via dynamic partition overwrite.
+    * (latest-wins per key, 'D' drops, 'U' overwrites), and commit the
+    * corrected slice through the snapshot protocol — the manifest
+    * rename makes the whole batch visible atomically.
     *
     * NOT [[upsert]], deliberately: upsert's key-anti-join MERGE can only
     * add or replace rows, so a delete op could never retire its row — a
     * delete-capable CDC fold must rewrite the touched partitions
-    * wholesale. A partition whose rows are ALL deleted writes no files
-    * under dynamic overwrite (which only replaces directories it writes
-    * into), so emptied directories are removed explicitly — both sides
-    * of that decision are partition-count metadata, not row data.
+    * wholesale. A partition whose rows are ALL deleted simply drops out
+    * of the new manifest; its directory is then physically retired
+    * (directory name computed with Spark's own escaping — see
+    * [[dirNameFor]] — so exotic partition values retire correctly).
     *
     * Idempotent under micro-batch replay (the foreachBatch redelivery
     * contract): 'U' re-applies to the same value, a replayed 'D' finds
@@ -120,31 +410,23 @@ object PartitionedLake {
     */
   def cdcSink(spark: SparkSession, path: String, partitionCol: String,
       keyCol: String, valueCol: String, ops: DataFrame): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = fsFor(spark, path)
     // absent lake: update/delete ops have nothing to apply to (cdcApply
-    // is update/delete-on-existing; q131's SCD-2 merge covers inserts)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(path))) return
+    // is update/delete-on-existing; q131's SCD-2 merge covers inserts);
+    // a pre-protocol lake is adopted with a v1 manifest first
+    if (manifestOrMigrate(spark, fs, path).isEmpty) return
     val parts = ops.select(partitionCol).distinct().collect().map(_.get(0))
     if (parts.isEmpty) return // empty micro-batch
     val base = read(spark, path).filter(partitionFilter(partitionCol, parts))
     val corrected = graft.operators.RelationalOps
       .cdcApply(base, ops.select("k", "seq", "op", "val"), keyCol, valueCol)
-      .localCheckpoint(true)
-    corrected.write
-      .mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partitionCol)
-      .parquet(path)
-    // retire directories the fold emptied (dynamic overwrite never
-    // touches a partition it writes zero rows into)
-    val survivors = corrected.select(partitionCol).distinct()
-      .collect().map(_.get(0)).toSet
-    parts.filterNot(survivors).foreach { v =>
-      val dirName =
-        if (v == null) s"$partitionCol=__HIVE_DEFAULT_PARTITION__"
-        else s"$partitionCol=$v"
-      fs.delete(new org.apache.hadoop.fs.Path(path, dirName), true)
-    }
+    val (staging, staged) = stage(spark, fs, path, corrected, partitionCol)
+    val replaced = parts.map(v => dirNameFor(partitionCol, v)).toSet
+    val emptied = commitStaged(fs, path, staging, staged, replaced,
+      corrected.schema)
+    // retire directories the fold emptied — they are unreferenced by the
+    // new manifest, so only a reader pinned to an older snapshot can
+    // still want them (same retention tradeoff as vacuum)
+    emptied.foreach(d => fs.delete(new Path(path, d), true))
   }
 }

@@ -70,9 +70,14 @@ object LayoutOps {
     * yields the same byte-equal result as the window form the oracle
     * runs. Ties with a boundary value all land in one bucket (strict
     * `>` comparisons), and nulls land in bucket 0, matching null-first
-    * sort order. Contract: the leading order column must be numeric;
-    * a leading column with few distinct values degrades parallelism
-    * (buckets collapse), not correctness.
+    * sort order. Contract (checked, not conventional): the leading
+    * order column must be a plain ascending NUMERIC column — a
+    * `desc(...)`/`asc(...)` SortOrder or a non-numeric type fails fast
+    * with the workaround in the message (the bucket comparison and the
+    * quantile sampling are both direction- and type-sensitive, and a
+    * silently wrong tile id is worse than an error). A leading column
+    * with few distinct values (even all-equal — spec-pinned) degrades
+    * parallelism (buckets collapse), not correctness.
     *
     * Measured vs the RDD zipWithIndex form it replaced (Microbench
     * `globalNtile`/`q133`, sf0.1, idle): in q133 itself the declarative
@@ -88,8 +93,29 @@ object LayoutOps {
       grpCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nb = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val probs = (1 until nb).map(_.toDouble / nb)
+    // the offsets branch runs a <= nb-row single-partition window; keep
+    // that bound STRUCTURAL: nb is cluster-sized (shuffle partitions),
+    // never data-sized, and a misconfigured session fails here rather
+    // than silently serializing a huge window
+    require(nb <= 10000, s"globalNtile buckets follow " +
+      s"spark.sql.shuffle.partitions ($nb): the per-bucket offsets " +
+      "window is only bounded if the bucket count is cluster-sized; " +
+      "cap shuffle partitions (or split the job) below 10000")
     val lead = orderCols.head
+    // Column.node is the sql-api tree; SortOrder there is package-private,
+    // so the detection matches on the node class name (spec-pinned for
+    // both asc and desc forms)
+    require(lead.node.getClass.getSimpleName != "SortOrder",
+      "globalNtile requires a plain ascending leading order column: " +
+        s"got the sort expression `$lead`. Pass the bare column; for " +
+        "descending numeric order pass its negation (e.g. -col) in " +
+        "every orderCols slot")
+    val leadType = df.select(lead).schema.head.dataType
+    require(leadType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"globalNtile's quantile bucketing needs a numeric leading order " +
+        s"column; `$lead` is $leadType — order by a numeric derivation " +
+        "(e.g. a hash or epoch cast) instead")
+    val probs = (1 until nb).map(_.toDouble / nb)
     // boundary job runs on a 5% SAMPLE (fixed seed): boundaries only
     // decompose the sort — any snapshot yields the same ranks — so the
     // full-input pass (which would re-evaluate the caller's projection,

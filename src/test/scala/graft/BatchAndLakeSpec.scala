@@ -180,6 +180,116 @@ class PartitionedLakeSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$lake/part=p3").exists())
   }
 
+  test("snapshot isolation: a reader pinned before a commit sees only the old snapshot; after, only the new") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-atomic").toString + "/lake"
+    PartitionedLake.write(
+      Seq((1L, "p1", "old-1"), (2L, "p2", "old-2")).toDF("k", "part", "v"),
+      path, "part")
+    // resolve the manifest BEFORE the commit: this frame is pinned to v1
+    val pinned = PartitionedLake.read(spark, path)
+    PartitionedLake.upsert(spark, path, "part", "k",
+      Seq((1L, "p1", "new-1"), (3L, "p2", "new-3")).toDF("k", "part", "v"))
+    // the pinned reader materializes AFTER the commit and still sees the
+    // whole old snapshot (its files were de-referenced, not rewritten)
+    val before = pinned.orderBy("k").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v")))
+    assert(before.toSeq === Seq(1L -> "old-1", 2L -> "old-2"))
+    // a fresh resolution sees the whole new snapshot
+    val after = PartitionedLake.read(spark, path).orderBy("k").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v")))
+    assert(after.toSeq === Seq(1L -> "new-1", 2L -> "old-2", 3L -> "new-3"))
+  }
+
+  test("a crashed commit (staged files, no manifest publish) is invisible to readers") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-crash").toString + "/lake"
+    PartitionedLake.write(Seq((1L, "p1", "v1")).toDF("k", "part", "v"),
+      path, "part")
+    // simulate a writer that died after staging, before the manifest
+    // rename: orphan files under _staging and even a stray data file in
+    // the partition directory must not surface (the manifest is the
+    // source of truth, not the directory listing)
+    val staged = java.nio.file.Paths.get(path, "_staging", "deadbeef", "part=p1")
+    java.nio.file.Files.createDirectories(staged)
+    Seq((99L, "p1", "ghost")).toDF("k", "part", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_staging/junk")
+    val got = PartitionedLake.read(spark, path).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v")))
+    assert(got.toSeq === Seq(1L -> "v1"))
+  }
+
+  test("special-character and null partition values: upsert, CDC retirement, and vacuum all resolve the escaped directory") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-escape").toString + "/lake"
+    // '/' ':' '%' '=' '#' are all escaped by Spark in partition paths;
+    // the old raw-interpolated delete would silently no-op on these and
+    // stale rows would resurface after a full-partition delete
+    val weird = Seq((1L, "a/b", 10.0), (2L, "x:y=z", 20.0),
+      (3L, "100%", 30.0), (4L, null.asInstanceOf[String], 40.0))
+      .toDF("id", "part", "bal")
+    PartitionedLake.write(weird, path, "part")
+    // upsert into an escaped partition merges, not duplicates
+    PartitionedLake.upsert(spark, path, "part", "id",
+      Seq((1L, "a/b", 11.0)).toDF("id", "part", "bal"))
+    val afterUpsert = PartitionedLake.read(spark, path)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(afterUpsert.toSeq === Seq(1L -> 11.0, 2L -> 20.0, 3L -> 30.0, 4L -> 40.0))
+    // delete every row of the escaped partitions -> directories retire,
+    // rows must NOT resurface on re-read
+    val ops = Seq((1L, "a/b", 100L, "D", 0.0), (2L, "x:y=z", 110L, "D", 0.0),
+      (4L, null.asInstanceOf[String], 120L, "D", 0.0))
+      .toDF("k", "part", "seq", "op", "val")
+    PartitionedLake.cdcSink(spark, path, "part", "id", "bal", ops)
+    val afterCdc = PartitionedLake.read(spark, path)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(afterCdc.toSeq === Seq(3L -> 30.0))
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.contains("=")).toSet
+    assert(dirs === Set("part=100%25"), dirs) // only the survivor remains
+    PartitionedLake.vacuum(spark, path)
+    val afterVacuum = PartitionedLake.read(spark, path)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(afterVacuum.toSeq === Seq(3L -> 30.0))
+  }
+
+  test("vacuum reclaims superseded files and old manifests; the latest snapshot is untouched") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-vacuum").toString + "/lake"
+    PartitionedLake.write(
+      Seq((1L, "p1", "a"), (2L, "p2", "b")).toDF("k", "part", "v"),
+      path, "part")
+    PartitionedLake.upsert(spark, path, "part", "k",
+      Seq((1L, "p1", "a2")).toDF("k", "part", "v"))
+    def parquetFiles(p: String): Int = {
+      val d = new java.io.File(s"$path/part=$p")
+      d.listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    // superseded v1 files still on disk for pinned readers
+    assert(parquetFiles("p1") >= 2)
+    PartitionedLake.vacuum(spark, path)
+    assert(parquetFiles("p1") === 1)
+    val manifests = new java.io.File(s"$path/_manifest").listFiles()
+      .map(_.getName).filter(_.endsWith(".txt"))
+    assert(manifests.length === 1)
+    val got = PartitionedLake.read(spark, path).orderBy("k").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v")))
+    assert(got.toSeq === Seq(1L -> "a2", 2L -> "b"))
+  }
+
+  test("pre-protocol lake (no manifest) is adopted on first incremental commit; untouched partitions survive") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-legacy").toString + "/lake"
+    // written directly, not through PartitionedLake: no manifest exists
+    Seq((1L, "p1", "old-1"), (2L, "p2", "old-2")).toDF("k", "part", "v")
+      .write.partitionBy("part").parquet(path)
+    PartitionedLake.upsert(spark, path, "part", "k",
+      Seq((1L, "p1", "new-1")).toDF("k", "part", "v"))
+    val got = PartitionedLake.read(spark, path).orderBy("k").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v")))
+    assert(got.toSeq === Seq(1L -> "new-1", 2L -> "old-2"))
+  }
+
   test("streaming foreachBatch + lake upsert is idempotent under replay") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-lake").toString
     val lake = s"$dir/lake"

@@ -48,6 +48,40 @@ class LayoutAndGraphSpec extends AnyFunSuite {
     assert(viaWindow.except(viaRank).isEmpty && viaRank.except(viaWindow).isEmpty)
   }
 
+  test("globalNtile: all-equal leading column collapses buckets but stays correct") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // every row shares the leading value -> quantile boundaries dedup to
+    // nothing, all rows land in bucket 0, and the tie-break column alone
+    // must still produce the exact NTILE assignment
+    val df = (1L to 50L).map(i => (7L, i * 13 % 47, i)).toDF("k", "t", "id")
+    val viaWindow = df.withColumn("grp",
+      ntile(4).over(Window.orderBy($"k", $"t", $"id")))
+    val viaRank = LayoutOps.globalNtile(df, Seq($"k", $"t", $"id"), 4, "grp")
+    assert(viaRank.count() === 50L)
+    assert(viaWindow.except(viaRank).isEmpty && viaRank.except(viaWindow).isEmpty)
+  }
+
+  test("globalNtile: descending and non-numeric leading columns fail fast; negation is the documented descending path") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 40L).map(i => (i * 37 % 101, s"s$i", i)).toDF("k", "s", "id")
+    val eDesc = intercept[IllegalArgumentException] {
+      LayoutOps.globalNtile(df, Seq($"k".desc, $"id"), 4, "grp")
+    }
+    assert(eDesc.getMessage.contains("plain ascending"))
+    val eType = intercept[IllegalArgumentException] {
+      LayoutOps.globalNtile(df, Seq($"s", $"id"), 4, "grp")
+    }
+    assert(eType.getMessage.contains("numeric"))
+    // the error message's workaround actually works: negating every slot
+    // reproduces the descending window NTILE exactly
+    val viaWindow = df.withColumn("grp",
+      ntile(4).over(Window.orderBy($"k".desc, $"id".desc)))
+    val viaRank = LayoutOps.globalNtile(df, Seq(-$"k", -$"id"), 4, "grp")
+    assert(viaWindow.except(viaRank).isEmpty && viaRank.except(viaWindow).isEmpty)
+  }
+
   test("bucketed join on the bucket key runs with zero exchanges") {
     val s = spark.newSession()
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

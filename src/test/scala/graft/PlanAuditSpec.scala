@@ -236,6 +236,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(0)).distinct.length == 8, "cluster spread")
   }
 
+  test("q141 cap application pushes a partial WindowGroupLimit below the exchange") {
+    val p = plan("q141_source_cap_apply")
+    // the rk <= 15 filter must let InferWindowGroupLimit cut each map
+    // partition to its local top-15 per source BEFORE the shuffle
+    // (Partial mode) and re-cut after it (Final mode) — the exchange
+    // then moves O(sources x 15) rows, not the corpus
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("Partial"), p)
+    assert(p.contains("Final"), p)
+    // ...and the report twin q128 deliberately cannot (it keeps the
+    // uncapped totals, so every row flows through its window)
+    assert(!plan("q128_source_cap").contains("WindowGroupLimit"))
+  }
+
   test("no query plans an unintended CartesianProduct") {
     val offenders = QueryRegistry.all.flatMap { q =>
       val p = q.fn(spark, sf).queryExecution.executedPlan.toString

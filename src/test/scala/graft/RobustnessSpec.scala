@@ -57,6 +57,14 @@ class RobustnessSpec extends AnyFunSuite {
     // of misfiring on garbage
     assert(Bench.loadHistory(names, "X", dir.resolve("x.json").toString,
       dir.resolve("y.json").toString).isEmpty)
+    // integer-formatted timings (a round-trip writer emitting "qa": 3)
+    // must still load — the old fraction-required regex silently dropped
+    // them, disarming the escape for that query
+    val d = dir.resolve("ints.json")
+    java.nio.file.Files.writeString(d,
+      """{"sf": "X", "queries": {"qa": 3, "qb": 2.5}}""")
+    assert(Bench.loadHistory(Set("qa", "qb"), "X", d.toString,
+      dir.resolve("none.json").toString) === Map("qa" -> 3.0, "qb" -> 2.5))
   }
 
   test("bench sampling policy: synthetic contention is escaped, idle runs untouched") {
@@ -80,6 +88,13 @@ class RobustnessSpec extends AnyFunSuite {
     // failed re-samples spend attempts without improving the min
     val failing = { var n = 0; () => { n += 1; if (n > 4) fail("unbounded") else None } }
     assert(Bench.measure(3.6, failing, Some(0.5)) === 3.6)
+    // round-8 shape: a 0.8 s query reading 1.65 s (2.06x) slipped under
+    // the old uniform 2.5x bar; references >= 0.3 s now escape at 1.6x
+    assert(Bench.measure(1.65, seq(1.64, 0.82), Some(0.8)) === 0.82)
+    // ...while a genuinely idle 1.25x reading spends no escape samples
+    assert(Bench.measure(1.0, seq(1.05), Some(0.8)) === 1.0)
+    // sub-0.3 s references keep the loose 2.5x bar (scheduling noise)
+    assert(Bench.measure(0.55, seq(0.52), Some(0.25)) === 0.52)
   }
 
   test("event-time encoding contract: long-nanos, NTZ, and LTZ all normalize to TIMESTAMP") {

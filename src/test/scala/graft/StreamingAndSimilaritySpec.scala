@@ -36,8 +36,18 @@ class StreamingSpec extends AnyFunSuite {
 
   test("windowed HLL sketches: stream == batch, and merged sketches answer global distinct") {
     val batchEvents = Tables.events(spark, sf)
-    val expected = EventStreams.windowedUserSketches(batchEvents)
+    // compare per-window ESTIMATES (+ exact event counts), not raw
+    // sketch bytes: a sparse-mode (LIST/SET) HLL serializes its coupons
+    // in insertion order, so byte equality would hinge on merge order
+    // and could go flaky on regenerated/smaller data even when the
+    // sketches agree on every estimate
+    def estimates(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("hour_start"),
+        hll_sketch_estimate(col("user_sketch")).as("users"),
+        col("n_events"))
       .orderBy("hour_start").collect()
+      .map(r => (r.get(0).toString, r.getLong(1), r.getLong(2))).toSeq
+    val expected = estimates(EventStreams.windowedUserSketches(batchEvents))
 
     val dir = java.nio.file.Files.createTempDirectory("graft-sketch-stream").toString
     batchEvents.write.mode("overwrite").parquet(s"$dir/in")
@@ -50,15 +60,9 @@ class StreamingSpec extends AnyFunSuite {
       .start()
     try {
       q.processAllAvailable()
-      val got = spark.table("sketch_out").orderBy("hour_start").collect()
-      assert(got.length === expected.length && got.nonEmpty)
-      // sketches are deterministic byte-for-byte (register-max merges)
-      assert(got.map(r => (r.get(0).toString,
-          java.util.Arrays.hashCode(r.getAs[Array[Byte]]("user_sketch")),
-          r.getAs[Long]("n_events"))).toSeq ===
-        expected.map(r => (r.get(0).toString,
-          java.util.Arrays.hashCode(r.getAs[Array[Byte]]("user_sketch")),
-          r.getAs[Long]("n_events"))).toSeq)
+      val got = estimates(spark.table("sketch_out"))
+      assert(got.nonEmpty)
+      assert(got === expected)
       // the offline consumer: union the stored per-window sketches and
       // answer the GLOBAL distinct-user question without touching events
       val est = spark.table("sketch_out")
