@@ -363,6 +363,51 @@ object Microbench {
         }.reduce(_ unionByName _)
       }
     }
+
+    // ---- runtime bloom filter at bench scale (round 9): a selective
+    // dimension predicate (1-URGENT ~ 1/5 of orders) must reach the
+    // lineitem side as an InjectRuntimeFilter bloom BEFORE the join
+    // exchange. Broadcast is disabled because the 100 TB case this
+    // demonstrates is a dim too big to broadcast; the application-side
+    // scan threshold is zeroed because sf0.1-sf10 lineitem sits below
+    // the 10 GB default that a real fact table exceeds on its own. The
+    // evidence is the shuffle row count: with the bloom the exchange
+    // moves ~1/5 of lineitem (SCALE.md records the sf1 numbers). The
+    // ON variant hard-asserts might_contain in the optimized plan, so a
+    // silent regression of the rewrite fails the run, not just the
+    // timing.
+    {
+      val conf = Map(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+        // the creation-side gate compares the dim's UNFILTERED size
+        // estimate (no CBO stats here to shrink it through the
+        // predicate), so past sf0.1 the 10 MB default vetoes the
+        // rewrite; raised to model the stats-informed decision a real
+        // deployment's ANALYZE-fed planner makes
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1GB")
+      val prev = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
+      conf.foreach { case (k, v) => spark.conf.set(k, v) }
+      def starSel = Tables.lineitem(spark, sfDir)
+        .join(Tables.orders(spark, sfDir)
+          .filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      time("star sel-dim join, bloom OFF") { starSel }
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      require(starSel.queryExecution.optimizedPlan.toString
+          .contains("might_contain"),
+        "runtime bloom filter did not fire on the selective star join")
+      time("star sel-dim join, bloom ON") { starSel }
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+    }
     spark.stop()
   }
 }

@@ -172,6 +172,56 @@ object SimilarityOps {
       |    * CAST(embedding[i.range] AS DOUBLE))) AS norm
       |  FROM embeddings, range(1,65) i GROUP BY vec_id)""".stripMargin
 
+  /** PQ encode + ADC shortlist — the approximate half of q139, shared so
+    * the recall spec can compare soft-assignment widths on one code
+    * path. `quant` carries (vec_id, qv: array<bigint>) milli-quantized
+    * 64-dim vectors; 8 subspaces of 8 dims each get a 32-entry codebook
+    * seeded from the `vec_id < 32` corpus vectors. Every subvector keeps
+    * its `probes` nearest codebook entries (1 = classic PQ, 2 = the
+    * shipped multi-probe ADC) and the ADC estimate takes the per-
+    * subspace MIN over the probed entries before summing. The ESTIMATE
+    * can only tighten as `probes` grows; RECALL does not always follow:
+    * on separated clusters (inter-cluster distance >> quantization
+    * error) multi-probe recall is >= single-assignment — the regime the
+    * trade is for — but when the shortlist must order near-tied
+    * neighbors, min-of-k COMPRESSES the noise floor and can reorder
+    * ties either way. Both regimes are measured and pinned in
+    * RetrievalOpsSpec on planted corpora (and q139's own near-
+    * orthogonal synthetic corpus sits in the tied regime: 4/15 at both
+    * settings, 1/15 at probes=3). Returns the top-`k` shortlist per query:
+    * (qid, vec_id, approx_d2, ark). Plan shape: codebook and per-query
+    * ADC tables broadcast; the corpus encodes in one narrow pass and is
+    * never shuffled before the per-(query, vec) partial-sum aggregate.
+    */
+  def pqShortlist(quant: DataFrame, queryIds: Seq[Long], probes: Int,
+      k: Int): DataFrame = {
+    val sub = quant.select(col("vec_id"),
+        explode(sequence(lit(0), lit(7))).as("m"), col("qv"))
+      .select(col("vec_id"), col("m"),
+        expr("slice(qv, m * 8 + 1, 8)").as("sv"))
+    val codebook = sub.filter(col("vec_id") < 32)
+      .select(col("vec_id").as("cid"), col("m").as("cm"), col("sv").as("cv"))
+    val sq = "aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)), " +
+      "0L, (acc, x) -> acc + x)"
+    val dists = sub.join(codebook, col("m") === col("cm"))
+      .select(col("vec_id"), col("m"), col("cid"), expr(sq).as("d2"))
+    val codes = dists.withColumn("crk", row_number().over(
+        Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("cid"))))
+      .filter(col("crk") <= probes)
+      .select(col("vec_id"), col("m"), col("cid").as("code"))
+    val adc = dists.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("m").as("am"),
+        col("cid").as("acid"), col("d2"))
+    val approx = codes.join(adc,
+        col("m") === col("am") && col("code") === col("acid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id", "m").agg(min("d2").as("md2"))
+      .groupBy("qid", "vec_id").agg(sum("md2").as("approx_d2"))
+    approx.withColumn("ark", row_number().over(
+        Window.partitionBy("qid").orderBy(col("approx_d2"), col("vec_id"))))
+      .filter(col("ark") <= k)
+  }
+
   def qs: Seq[Q] = Seq(
 
     // ---- brute-force cosine top-k (ANN correctness baseline).
@@ -684,9 +734,11 @@ object SimilarityOps {
     // MULTI-ASSIGNMENT (multi-probe ADC): each subvector keeps its TWO
     // nearest codebook entries (10-byte code instead of 5), and the ADC
     // estimate takes the min of the two table entries per subspace
-    // before summing — quantization error only shrinks, so shortlist
-    // recall rises for 2x code bytes and 2x lookup fan-out, the
-    // standard soft-assignment trade.
+    // before summing — the distance ESTIMATE only tightens for 2x code
+    // bytes and 2x lookup fan-out. Shortlist recall follows on
+    // separated clusters (pinned in RetrievalOpsSpec), but on near-tied
+    // candidates min-of-k compresses the noise floor and can reorder
+    // ties — see [[pqShortlist]] for the measured trade.
     // Plan shape: the codebook (256 rows) and ADC tables (8x32 per query)
     // broadcast unhinted; the corpus encodes in one narrow pass
     // (map-side top-2-by over 8 candidates, no corpus shuffle before the
@@ -701,31 +753,8 @@ object SimilarityOps {
         val quant = Tables.embeddings(s, d).select(col("vec_id"),
           expr("transform(embedding, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))")
             .as("qv"))
-        val sub = quant.select(col("vec_id"), explode(sequence(lit(0), lit(7)))
-            .as("m"), col("qv"))
-          .select(col("vec_id"), col("m"),
-            expr("slice(qv, m * 8 + 1, 8)").as("sv"))
-        val codebook = sub.filter(col("vec_id") < 32)
-          .select(col("vec_id").as("cid"), col("m").as("cm"), col("sv").as("cv"))
-        val sq = "aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)), " +
-          "0L, (acc, x) -> acc + x)"
-        val dists = sub.join(codebook, col("m") === col("cm"))
-          .select(col("vec_id"), col("m"), col("cid"), expr(sq).as("d2"))
-        val codes = dists.withColumn("crk", row_number().over(
-            Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("cid"))))
-          .filter(col("crk") <= 2)
-          .select(col("vec_id"), col("m"), col("cid").as("code"))
-        val adc = dists.filter(col("vec_id").isin(11, 222, 333))
-          .select(col("vec_id").as("qid"), col("m").as("am"),
-            col("cid").as("acid"), col("d2"))
-        val approx = codes.join(adc,
-            col("m") === col("am") && col("code") === col("acid"))
-          .filter(col("vec_id") =!= col("qid"))
-          .groupBy("qid", "vec_id", "m").agg(min("d2").as("md2"))
-          .groupBy("qid", "vec_id").agg(sum("md2").as("approx_d2"))
-        val shortlist = approx.withColumn("ark", row_number().over(
-            Window.partitionBy("qid").orderBy(col("approx_d2"), col("vec_id"))))
-          .filter(col("ark") <= 8)
+        val shortlist = pqShortlist(quant, Seq(11L, 222L, 333L),
+          probes = 2, k = 8)
         val qv = quant.select(col("vec_id").as("qid"), col("qv").as("qqv"))
         val fullSq = "aggregate(zip_with(qqv, qv, (a, b) -> (a - b) * (a - b)), " +
           "0L, (acc, x) -> acc + x)"

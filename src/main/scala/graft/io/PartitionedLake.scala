@@ -5,7 +5,7 @@ import java.util.UUID
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types.{DataType, StructType, TimestampNTZType, TimestampType}
 
 /** Partitioned-lake layout helpers: Hive-style partition directories give
@@ -56,9 +56,18 @@ object PartitionedLake {
   private val StagingDirName = "_staging"
   private val ManifestFile = """^v(\d{9})\.txt$""".r
 
+  /** One live data file: its name within the partition directory plus
+    * optional per-column (min, max) bounds harvested from its parquet
+    * FOOTER at commit time (free — no data read). Bounds are stored as
+    * conservatively-widened doubles; a column absent from the map means
+    * "unknown", which [[readRange]] treats as cannot-skip.
+    */
+  private[io] case class FileEntry(name: String,
+      stats: Map[String, (Double, Double)] = Map.empty)
+
   /** version + snapshot schema + live files per partition directory. */
   private[io] case class Manifest(version: Long, schema: StructType,
-      files: Map[String, Seq[String]])
+      files: Map[String, Seq[FileEntry]])
 
   private def fsFor(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -116,9 +125,20 @@ object PartitionedLake {
     val schema = DataType.fromJson(lines(1).stripPrefix("schema "))
       .asInstanceOf[StructType]
     val files = lines.drop(2).filter(_.nonEmpty).map { line =>
-      // escapePathName escapes '/', so the last separator splits dir/file
-      val i = line.lastIndexOf('/')
-      (line.substring(0, i), line.substring(i + 1))
+      // fields are tab-separated: the file path, then optional
+      // col=min..max stats (escapePathName escapes both '/' and
+      // whitespace, so neither tab nor '/' can occur inside names —
+      // the last '/' splits dir/file)
+      val fields = line.split('\t')
+      val i = fields(0).lastIndexOf('/')
+      val stats = fields.drop(1).map { f =>
+        val eq = f.indexOf('=')
+        val dots = f.lastIndexOf("..")
+        f.substring(0, eq) -> (f.substring(eq + 1, dots).toDouble,
+          f.substring(dots + 2).toDouble)
+      }.toMap
+      (fields(0).substring(0, i),
+        FileEntry(fields(0).substring(i + 1), stats))
     }.groupBy(_._1).map { case (d, fs0) => d -> fs0.map(_._2) }
     Manifest(version, schema, files)
   }
@@ -133,8 +153,15 @@ object PartitionedLake {
     fs.mkdirs(dir)
     val body = new StringBuilder("graft-lake-manifest v1\n")
     body.append("schema ").append(m.schema.json).append('\n')
-    m.files.toSeq.sortBy(_._1).foreach { case (d, names) =>
-      names.sorted.foreach(n => body.append(d).append('/').append(n).append('\n'))
+    m.files.toSeq.sortBy(_._1).foreach { case (d, entries) =>
+      entries.sortBy(_.name).foreach { e =>
+        body.append(d).append('/').append(e.name)
+        e.stats.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
+          body.append('\t').append(c).append('=').append(lo)
+            .append("..").append(hi)
+        }
+        body.append('\n')
+      }
     }
     val tmp = new Path(dir, s".tmp-${UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, true)
@@ -149,24 +176,68 @@ object PartitionedLake {
 
   // ---- commit --------------------------------------------------------------
 
+  /** Per-column (min, max) bounds from one staged file's parquet footer —
+    * a metadata read, no data bytes. A column is reported only if EVERY
+    * row group has non-null numeric statistics for it; long bounds are
+    * widened through the double conversion (nextDown/nextUp) so the
+    * stored range is always conservative.
+    */
+  private def footerStats(conf: org.apache.hadoop.conf.Configuration,
+      file: Path, statsCols: Set[String]): Map[String, (Double, Double)] = {
+    import scala.jdk.CollectionConverters._
+    val meta = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+      conf, file,
+      org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+    val blocks = meta.getBlocks.asScala.toSeq
+    statsCols.flatMap { c =>
+      val perBlock = blocks.map { b =>
+        b.getColumns.asScala.find(_.getPath.toDotString == c)
+          .map(_.getStatistics)
+          .filter(s => s != null && !s.isEmpty && s.hasNonNullValue)
+          .flatMap { s =>
+            (s.genericGetMin, s.genericGetMax) match {
+              case (lo: java.lang.Long, hi: java.lang.Long) =>
+                Some((Math.nextDown(lo.toDouble), Math.nextUp(hi.toDouble)))
+              case (lo: Number, hi: Number) =>
+                Some((lo.doubleValue, hi.doubleValue))
+              case _ => None // non-numeric column: no range skipping
+            }
+          }
+      }
+      if (perBlock.exists(_.isEmpty)) None
+      else {
+        val bs = perBlock.flatten
+        Some(c -> (bs.map(_._1).min, bs.map(_._2).max))
+      }
+    }.toMap
+  }
+
   /** Write `df` partitioned by `partitionCol` into a fresh staging dir and
-    * return (stagingPath, dirName -> staged file names).
+    * return (stagingPath, dirName -> staged file entries). `statsCols`
+    * names columns whose per-file min/max should be harvested from the
+    * staged footers into the manifest for [[readRange]] file skipping.
     */
   private def stage(spark: SparkSession, fs: FileSystem, path: String,
-      df: DataFrame, partitionCol: String): (Path, Map[String, Seq[String]]) = {
+      df: DataFrame, partitionCol: String,
+      statsCols: Seq[String]): (Path, Map[String, Seq[FileEntry]]) = {
     requireSupportedPartitionType(df, partitionCol)
     val staging = new Path(new Path(path, StagingDirName),
       UUID.randomUUID().toString.take(8))
     df.write.mode("overwrite").partitionBy(partitionCol)
       .parquet(staging.toString)
+    val conf = spark.sparkContext.hadoopConfiguration
     val dirs = fs.listStatus(staging).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.contains("="))
       .map { st =>
-        val names = fs.listStatus(st.getPath).toSeq
+        val entries = fs.listStatus(st.getPath).toSeq
           .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
             !f.getPath.getName.startsWith("."))
-          .map(_.getPath.getName)
-        st.getPath.getName -> names
+          .map { f =>
+            val stats = if (statsCols.isEmpty) Map.empty[String, (Double, Double)]
+              else footerStats(conf, f.getPath, statsCols.toSet)
+            FileEntry(f.getPath.getName, stats)
+          }
+        st.getPath.getName -> entries
       }.toMap
     (staging, dirs)
   }
@@ -181,7 +252,7 @@ object PartitionedLake {
     * names this commit EMPTIED (replaced, nothing staged, nothing live).
     */
   private def commitStaged(fs: FileSystem, path: String, staging: Path,
-      staged: Map[String, Seq[String]], replaced: Set[String],
+      staged: Map[String, Seq[FileEntry]], replaced: Set[String],
       schema: StructType): Seq[String] = {
     val unexpected = staged.keySet.diff(replaced)
     require(unexpected.isEmpty,
@@ -189,14 +260,14 @@ object PartitionedLake {
         unexpected.mkString(", ") + " — refusing to commit")
     val old = latestManifest(fs, path)
     val commitId = UUID.randomUUID().toString.take(8)
-    val moved = staged.map { case (d, names) =>
+    val moved = staged.map { case (d, entries) =>
       val destDir = new Path(path, d)
       fs.mkdirs(destDir)
-      d -> names.map { n =>
-        val finalName = s"c$commitId-$n"
-        require(fs.rename(new Path(new Path(staging, d), n),
-          new Path(destDir, finalName)), s"rename failed for $d/$n")
-        finalName
+      d -> entries.map { e =>
+        val finalName = s"c$commitId-${e.name}"
+        require(fs.rename(new Path(new Path(staging, d), e.name),
+          new Path(destDir, finalName)), s"rename failed for $d/${e.name}")
+        e.copy(name = finalName)
       }
     }
     fs.delete(staging, true)
@@ -223,7 +294,7 @@ object PartitionedLake {
             st.getPath.getName -> fs.listStatus(st.getPath).toSeq
               .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
                 !f.getPath.getName.startsWith("."))
-              .map(_.getPath.getName)
+              .map(f => FileEntry(f.getPath.getName))
           }.toMap
         if (dirs.isEmpty) None
         else {
@@ -242,10 +313,11 @@ object PartitionedLake {
     * in-flight reader pinned to the OLD manifest is the only loser — same
     * retention tradeoff as any vacuum; see [[vacuum]]).
     */
-  def write(df: DataFrame, path: String, partitionCol: String): Unit = {
+  def write(df: DataFrame, path: String, partitionCol: String,
+      statsCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     val fs = fsFor(spark, path)
-    val (staging, staged) = stage(spark, fs, path, df, partitionCol)
+    val (staging, staged) = stage(spark, fs, path, df, partitionCol, statsCols)
     val oldDirs = latestManifest(fs, path).map(_.files.keySet).getOrElse(Set.empty)
     val emptied = commitStaged(fs, path, staging, staged,
       oldDirs ++ staged.keySet, df.schema)
@@ -263,21 +335,82 @@ object PartitionedLake {
     val fs = fsFor(spark, path)
     latestManifest(fs, path) match {
       case None => spark.read.parquet(path)
-      case Some(m) =>
-        val files = m.files.toSeq.flatMap { case (d, names) =>
-          names.map(n => s"$path/$d/$n")
-        }
-        if (files.isEmpty)
-          spark.createDataFrame(new java.util.ArrayList[Row](), m.schema)
-        else
-          // explicit file list + basePath: the file index still knows each
-          // file's partition value, so partition pruning is intact. The
-          // scan surfaces partition columns last regardless of the
-          // provided schema, so restore the snapshot's column order.
-          spark.read.schema(m.schema).option("basePath", path)
-            .parquet(files: _*)
-            .select(m.schema.fieldNames.map(col).toIndexedSeq: _*)
+      case Some(m) => frameFor(spark, path, m)
     }
+  }
+
+  private def frameFor(spark: SparkSession, path: String,
+      m: Manifest): DataFrame = {
+    val files = m.files.toSeq.flatMap { case (d, entries) =>
+      entries.map(e => s"$path/$d/${e.name}")
+    }
+    if (files.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[Row](), m.schema)
+    else
+      // explicit file list + basePath: the file index still knows each
+      // file's partition value, so partition pruning is intact. The
+      // scan surfaces partition columns last regardless of the
+      // provided schema, so restore the snapshot's column order.
+      spark.read.schema(m.schema).option("basePath", path)
+        .parquet(files: _*)
+        .select(m.schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** Range scan with manifest-level FILE SKIPPING: rows of the latest
+    * snapshot where `statsCol BETWEEN lo AND hi`, reading only the files
+    * whose committed footer bounds intersect the range (files without
+    * bounds for the column are conservatively read). This is the lake
+    * half of the z-order story (q133): a z-value-clustered table written
+    * with `statsCols = Seq("zval")` answers 2-D box predicates from a
+    * handful of files, and the skip decision costs ZERO file-footer
+    * reads at query time — the bounds were harvested once at commit.
+    * The residual predicate is always applied, so results are exact
+    * regardless of how coarse the bounds are.
+    */
+  def readRange(spark: SparkSession, path: String, statsCol: String,
+      lo: Double, hi: Double): DataFrame = {
+    val fs = fsFor(spark, path)
+    val residual = col(statsCol) >= lit(lo) && col(statsCol) <= lit(hi)
+    latestManifest(fs, path) match {
+      case None => spark.read.parquet(path).filter(residual)
+      case Some(m) =>
+        val pruned = m.files.map { case (d, entries) =>
+          d -> entries.filter(e =>
+            e.stats.get(statsCol).forall { case (mn, mx) =>
+              mx >= lo && mn <= hi
+            })
+        }.filter(_._2.nonEmpty)
+        frameFor(spark, path, m.copy(files = pruned)).filter(residual)
+    }
+  }
+
+  /** Published snapshot versions still resolvable on this lake (ascending;
+    * vacuumed versions are gone). Metadata-only: one directory listing.
+    */
+  def snapshots(spark: SparkSession, path: String): Seq[Long] = {
+    val fs = fsFor(spark, path)
+    val dir = manifestDir(path)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case ManifestFile(n) => Some(n.toLong)
+        case _ => None
+      }
+    }.sorted
+  }
+
+  /** Time travel: read the lake AS OF a published snapshot version (see
+    * [[snapshots]]). Works because commits only ever ADD files and
+    * de-reference old ones — a version's files stay on disk until
+    * [[vacuum]] reclaims them, so reading a vacuumed version fails with
+    * a clear error rather than silently returning partial data.
+    */
+  def readVersion(spark: SparkSession, path: String, version: Long): DataFrame = {
+    val fs = fsFor(spark, path)
+    require(fs.exists(new Path(manifestDir(path), f"v$version%09d.txt")),
+      s"snapshot v$version is not resolvable on $path (never published, " +
+        s"or reclaimed by vacuum); available: ${snapshots(spark, path).mkString(", ")}")
+    frameFor(spark, path, readManifest(fs, path, version))
   }
 
   /** Delete files superseded by the latest snapshot and manifests older
@@ -294,7 +427,7 @@ object PartitionedLake {
           m.files.get(name) match {
             case None => fs.delete(st.getPath, true)
             case Some(live) =>
-              val keep = live.toSet
+              val keep = live.map(_.name).toSet
               fs.listStatus(st.getPath)
                 .filter(f => f.isFile && !keep(f.getPath.getName))
                 .foreach(f => fs.delete(f.getPath, false))
@@ -358,13 +491,13 @@ object PartitionedLake {
     * cross-partition moves must delete from the old partition explicitly.
     */
   def upsert(spark: SparkSession, path: String, partitionCol: String,
-      keyCol: String, delta: DataFrame): Unit = {
+      keyCol: String, delta: DataFrame, statsCols: Seq[String] = Nil): Unit = {
     val fs = fsFor(spark, path)
     // bootstrap: an absent lake is just the delta (lets the same call
     // serve as a streaming foreachBatch sink from batch zero); an
     // existing pre-protocol lake is adopted with a v1 manifest first
     if (manifestOrMigrate(spark, fs, path).isEmpty) {
-      write(delta, path, partitionCol)
+      write(delta, path, partitionCol, statsCols)
       return
     }
     val parts = delta.select(partitionCol).distinct().collect().map(_.get(0))
@@ -377,7 +510,8 @@ object PartitionedLake {
       .join(dk, col(partitionCol) <=> col("__dp") &&
         col(keyCol) === col("__dk"), "left_anti")
       .unionByName(delta.select(base.columns.map(col): _*))
-    val (staging, staged) = stage(spark, fs, path, merged, partitionCol)
+    val (staging, staged) = stage(spark, fs, path, merged, partitionCol,
+      statsCols)
     val replaced = parts.map(v => dirNameFor(partitionCol, v)).toSet
     commitStaged(fs, path, staging, staged, replaced, merged.schema)
   }
@@ -420,7 +554,7 @@ object PartitionedLake {
     val base = read(spark, path).filter(partitionFilter(partitionCol, parts))
     val corrected = graft.operators.RelationalOps
       .cdcApply(base, ops.select("k", "seq", "op", "val"), keyCol, valueCol)
-    val (staging, staged) = stage(spark, fs, path, corrected, partitionCol)
+    val (staging, staged) = stage(spark, fs, path, corrected, partitionCol, Nil)
     val replaced = parts.map(v => dirNameFor(partitionCol, v)).toSet
     val emptied = commitStaged(fs, path, staging, staged, replaced,
       corrected.schema)

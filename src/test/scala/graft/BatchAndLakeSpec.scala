@@ -253,6 +253,60 @@ class PartitionedLakeSpec extends AnyFunSuite {
     assert(afterVacuum.toSeq === Seq(3L -> 30.0))
   }
 
+  test("manifest file-skipping stats: a z-ordered lake answers range scans from a subset of files, exactly") {
+    import graft.operators.LayoutOps
+    val path = java.nio.file.Files.createTempDirectory("graft-skip").toString + "/lake"
+    // cluster lineitem by z-value (q133's layout) and commit footer
+    // bounds for zval into the manifest
+    val z = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_suppkey"),
+        LayoutOps.zValue(col("l_partkey"), col("l_suppkey")).as("zval"))
+    val tiled = LayoutOps.globalNtile(z,
+      Seq(col("zval"), col("l_partkey"), col("l_suppkey")), 8, "grp")
+    PartitionedLake.write(tiled, path, "grp", statsCols = Seq("zval"))
+    val full = PartitionedLake.read(spark, path)
+    val zs = full.select("zval").collect().map(_.getLong(0)).sorted
+    // a range spanning ~a tenth of the z space, offset into the data
+    val (lo, hi) = (zs(zs.length / 4).toDouble,
+      zs(zs.length / 4 + zs.length / 10).toDouble)
+    val ranged = PartitionedLake.readRange(spark, path, "zval", lo, hi)
+    val expected = full.filter(col("zval") >= lo && col("zval") <= hi)
+    assert(ranged.count() === expected.count() && expected.count() > 0)
+    // the point: the clustered layout + committed bounds skip most files
+    // without a single footer read at query time
+    assert(ranged.inputFiles.length < full.inputFiles.length,
+      s"read ${ranged.inputFiles.length} of ${full.inputFiles.length} files")
+    // a column with no committed stats cannot skip — conservative, exact
+    val ns = PartitionedLake.readRange(spark, path, "l_partkey", 0, 50)
+    assert(ns.inputFiles.length === full.inputFiles.length)
+    assert(ns.count() === full.filter(col("l_partkey").between(0, 50)).count())
+  }
+
+  test("time travel: every published snapshot reads back exactly until vacuum reclaims it") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-travel").toString + "/lake"
+    PartitionedLake.write(Seq((1L, "p1", "v1")).toDF("k", "part", "v"),
+      path, "part")
+    PartitionedLake.upsert(spark, path, "part", "k",
+      Seq((1L, "p1", "v2"), (2L, "p2", "v2")).toDF("k", "part", "v"))
+    PartitionedLake.upsert(spark, path, "part", "k",
+      Seq((1L, "p1", "v3")).toDF("k", "part", "v"))
+    assert(PartitionedLake.snapshots(spark, path) === Seq(1L, 2L, 3L))
+    def at(ver: Long) = PartitionedLake.readVersion(spark, path, ver)
+      .orderBy("k").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toSeq
+    assert(at(1) === Seq(1L -> "v1"))
+    assert(at(2) === Seq(1L -> "v2", 2L -> "v2"))
+    assert(at(3) === Seq(1L -> "v3", 2L -> "v2"))
+    // vacuum keeps only the latest resolvable; older versions now fail
+    // loudly instead of returning partial data
+    PartitionedLake.vacuum(spark, path)
+    assert(PartitionedLake.snapshots(spark, path) === Seq(3L))
+    assert(at(3) === Seq(1L -> "v3", 2L -> "v2"))
+    val e = intercept[IllegalArgumentException] { at(1) }
+    assert(e.getMessage.contains("not resolvable"))
+  }
+
   test("vacuum reclaims superseded files and old manifests; the latest snapshot is untouched") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft-vacuum").toString + "/lake"
@@ -288,6 +342,65 @@ class PartitionedLakeSpec extends AnyFunSuite {
     val got = PartitionedLake.read(spark, path).orderBy("k").collect()
       .map(r => (r.getAs[Long]("k"), r.getAs[String]("v")))
     assert(got.toSeq === Seq(1L -> "new-1", 2L -> "old-2"))
+  }
+
+  test("lake-backed sketch rollup: streamed per-window HLL sketches upserted into the lake answer range distinct queries like batch recompute") {
+    import graft.streaming.EventStreams
+    val dir = java.nio.file.Files.createTempDirectory("graft-sketch-lake").toString
+    val lake = s"$dir/sketches"
+    val events = Tables.events(spark, sf)
+    // two micro-batches split by event time: batch 2 re-emits windows
+    // batch 1 already published (update mode), so the lake upsert's
+    // latest-wins (day, hour_start) merge is what makes the stored
+    // rollup converge to the batch recompute — the composition a real
+    // telemetry pipeline runs (sketch at ingest, roll up offline)
+    val mid = events.agg(expr("percentile(CAST(ts AS DOUBLE), 0.5)"))
+      .head().getDouble(0)
+    events.filter(col("ts").cast("double") <= mid)
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val streamIn = spark.readStream.schema(events.schema).parquet(s"$dir/in")
+    val q = EventStreams.windowedUserSketches(streamIn)
+      .withColumn("day", to_date(col("hour_start")))
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        PartitionedLake.upsert(spark, lake, "day", "hour_start", batch)
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      events.filter(col("ts").cast("double") > mid)
+        .write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+    } finally q.stop()
+    val stored = PartitionedLake.read(spark, lake)
+    val batchSide = EventStreams.windowedUserSketches(events)
+    // per-window estimates + exact event counts match the one-shot batch
+    // recompute (estimates, not sketch bytes — sparse-mode serialization
+    // is insertion-order-dependent)
+    def est(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("hour_start"),
+        hll_sketch_estimate(col("user_sketch")).as("users"), col("n_events"))
+      .orderBy("hour_start").collect()
+      .map(r => (r.get(0).toString, r.getLong(1), r.getLong(2))).toSeq
+    assert(est(stored).nonEmpty)
+    assert(est(stored) === est(batchSide))
+    // the offline range query: union the STORED sketches for the first
+    // week — the day predicate prunes the lake scan to those partition
+    // directories — and answer distinct-users-over-range without ever
+    // touching the event log again
+    val cut = java.sql.Date.valueOf("2024-01-08")
+    val ranged = stored.filter(col("day") < lit(cut))
+    val plan = ranged.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), plan)
+    val rangeEst = ranged
+      .agg(hll_sketch_estimate(hll_union_agg(col("user_sketch"))))
+      .head().getLong(0)
+    val exact = events.filter(to_date(col("ts")) < lit(cut))
+      .select(countDistinct("user_id")).head().getLong(0)
+    assert(math.abs(rangeEst - exact).toDouble <= 0.05 * exact,
+      s"range estimate $rangeEst vs exact $exact")
   }
 
   test("streaming foreachBatch + lake upsert is idempotent under replay") {
