@@ -49,6 +49,17 @@ import org.apache.spark.sql.types.{DataType, StructType, TimestampNTZType, Times
   * own `ExternalCatalogUtils.escapePathName` and cross-checked against
   * the directory names Spark actually staged — a divergence fails the
   * commit instead of silently orphaning or resurrecting data.
+  *
+  * Manifest scale limit, stated honestly: the manifest is ONE text file
+  * with a line per live data file (~100 bytes each), re-listed whole on
+  * every commit and read whole on every resolve. With [[compact]] run
+  * routinely (one file per partition) that is a line per PARTITION —
+  * fine to ~1M partitions (a ~100 MB driver read, the same order as
+  * Spark's own file listing for such a table). A lake that must carry
+  * millions of UNCOMPACTED files per snapshot needs sharded/tree
+  * manifests (Iceberg's manifest-list indirection) — out of scope here;
+  * the design seam is `Manifest`, which is already the only thing
+  * readers resolve.
   */
 object PartitionedLake {
 
@@ -368,17 +379,32 @@ object PartitionedLake {
     * regardless of how coarse the bounds are.
     */
   def readRange(spark: SparkSession, path: String, statsCol: String,
-      lo: Double, hi: Double): DataFrame = {
+      lo: Double, hi: Double): DataFrame =
+    readBox(spark, path, Map(statsCol -> (lo, hi)))
+
+  /** Multi-column box scan — the faithful z-order consumer. A 2-D box
+    * predicate is NOT a contiguous z-value range (it is a union of z
+    * segments), so real layouts skip on the ORIGINAL columns' per-file
+    * bounds: z-order clustering makes each file a small rectangle in
+    * (x, y) space, and the box intersects few rectangles. Every bound
+    * must intersect for a file to be read; any column without committed
+    * stats in a file keeps that file (conservative). Exact via the
+    * residual conjunction.
+    */
+  def readBox(spark: SparkSession, path: String,
+      bounds: Map[String, (Double, Double)]): DataFrame = {
+    require(bounds.nonEmpty, "readBox needs at least one column bound")
     val fs = fsFor(spark, path)
-    val residual = col(statsCol) >= lit(lo) && col(statsCol) <= lit(hi)
+    val residual = bounds.map { case (c, (lo, hi)) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    }.reduce(_ && _)
     latestManifest(fs, path) match {
       case None => spark.read.parquet(path).filter(residual)
       case Some(m) =>
         val pruned = m.files.map { case (d, entries) =>
-          d -> entries.filter(e =>
-            e.stats.get(statsCol).forall { case (mn, mx) =>
-              mx >= lo && mn <= hi
-            })
+          d -> entries.filter(e => bounds.forall { case (c, (lo, hi)) =>
+            e.stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+          })
         }.filter(_._2.nonEmpty)
         frameFor(spark, path, m.copy(files = pruned)).filter(residual)
     }
@@ -411,6 +437,38 @@ object PartitionedLake {
       s"snapshot v$version is not resolvable on $path (never published, " +
         s"or reclaimed by vacuum); available: ${snapshots(spark, path).mkString(", ")}")
     frameFor(spark, path, readManifest(fs, path, version))
+  }
+
+  /** Bin-pack compaction: partitions holding more than one live file are
+    * rewritten to one file each (split further only by
+    * `spark.sql.files.maxRecordsPerFile` if set) and committed through
+    * the snapshot protocol — readers keep resolving whole snapshots
+    * throughout, untouched partitions carry over verbatim, and the
+    * superseded small files stay until [[vacuum]]. This is the standing
+    * companion job of the streaming sinks ([[upsert]]/[[cdcSink]] add a
+    * few files per micro-batch; without compaction a year of 1-minute
+    * batches is half a million files per partition and the scan is
+    * listing-bound, not byte-bound). `statsCols` re-harvests footer
+    * bounds for the rewritten files (pass the same columns the writes
+    * used, or fewer — absent stats only cost skipping, never
+    * correctness).
+    */
+  def compact(spark: SparkSession, path: String,
+      statsCols: Seq[String] = Nil): Unit = {
+    val fs = fsFor(spark, path)
+    latestManifest(fs, path).foreach { m =>
+      val todo = m.files.filter(_._2.size > 1)
+      if (todo.isEmpty) return
+      // the partition column is the dir-name prefix Spark wrote
+      val partitionCol = ExternalCatalogUtils
+        .unescapePathName(todo.head._1.takeWhile(_ != '='))
+      // one task per partition value -> one output file per partition
+      val slice = frameFor(spark, path, m.copy(files = todo))
+        .repartition(col(partitionCol))
+      val (staging, staged) = stage(spark, fs, path, slice, partitionCol,
+        statsCols)
+      commitStaged(fs, path, staging, staged, todo.keySet, slice.schema)
+    }
   }
 
   /** Delete files superseded by the latest snapshot and manifests older

@@ -263,7 +263,8 @@ class PartitionedLakeSpec extends AnyFunSuite {
         LayoutOps.zValue(col("l_partkey"), col("l_suppkey")).as("zval"))
     val tiled = LayoutOps.globalNtile(z,
       Seq(col("zval"), col("l_partkey"), col("l_suppkey")), 8, "grp")
-    PartitionedLake.write(tiled, path, "grp", statsCols = Seq("zval"))
+    PartitionedLake.write(tiled, path, "grp",
+      statsCols = Seq("zval", "l_partkey"))
     val full = PartitionedLake.read(spark, path)
     val zs = full.select("zval").collect().map(_.getLong(0)).sorted
     // a range spanning ~a tenth of the z space, offset into the data
@@ -276,10 +277,23 @@ class PartitionedLakeSpec extends AnyFunSuite {
     // without a single footer read at query time
     assert(ranged.inputFiles.length < full.inputFiles.length,
       s"read ${ranged.inputFiles.length} of ${full.inputFiles.length} files")
+    // the faithful z-order consumer: a 2-D BOX on the ORIGINAL columns
+    // (a box is a union of z segments, so it cannot be one zval range);
+    // z-clustering makes each file a small (x, y) rectangle, the box
+    // hits few rectangles. l_suppkey has no committed stats, so the
+    // skip decision rides l_partkey's bounds alone — conservative and
+    // still pruning.
+    val box = PartitionedLake.readBox(spark, path,
+      Map("l_partkey" -> (50.0, 80.0), "l_suppkey" -> (1.0, 5.0)))
+    val boxExpected = full.filter(col("l_partkey").between(50, 80) &&
+      col("l_suppkey").between(1, 5))
+    assert(box.count() === boxExpected.count() && boxExpected.count() > 0)
+    assert(box.inputFiles.length < full.inputFiles.length,
+      s"box read ${box.inputFiles.length} of ${full.inputFiles.length} files")
     // a column with no committed stats cannot skip — conservative, exact
-    val ns = PartitionedLake.readRange(spark, path, "l_partkey", 0, 50)
+    val ns = PartitionedLake.readRange(spark, path, "l_suppkey", 0, 5)
     assert(ns.inputFiles.length === full.inputFiles.length)
-    assert(ns.count() === full.filter(col("l_partkey").between(0, 50)).count())
+    assert(ns.count() === full.filter(col("l_suppkey").between(0, 5)).count())
   }
 
   test("time travel: every published snapshot reads back exactly until vacuum reclaims it") {
@@ -305,6 +319,38 @@ class PartitionedLakeSpec extends AnyFunSuite {
     assert(at(3) === Seq(1L -> "v3", 2L -> "v2"))
     val e = intercept[IllegalArgumentException] { at(1) }
     assert(e.getMessage.contains("not resolvable"))
+  }
+
+  test("compaction bin-packs multi-file partitions to one file each through the snapshot protocol") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/lake"
+    // force multiple files into p1: the delta arrives pre-split, so the
+    // staged write emits one file per task holding p1 rows
+    PartitionedLake.write(
+      Seq((1L, "p1", "a"), (2L, "p2", "b")).toDF("k", "part", "v"),
+      path, "part")
+    PartitionedLake.upsert(spark, path, "part", "k",
+      Seq((3L, "p1", "c"), (4L, "p1", "d"), (5L, "p1", "e"))
+        .toDF("k", "part", "v").repartition(3))
+    def filesIn(p: String) = PartitionedLake.read(spark, path)
+      .inputFiles.count(_.contains(s"/part=$p/"))
+    assert(filesIn("p1") > 1, s"precondition: ${filesIn("p1")}")
+    val p2Files = PartitionedLake.read(spark, path)
+      .inputFiles.filter(_.contains("/part=p2/")).toSet
+    val before = PartitionedLake.read(spark, path).orderBy("k").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toSeq
+    PartitionedLake.compact(spark, path)
+    assert(filesIn("p1") === 1)
+    // untouched single-file partitions carry over verbatim
+    assert(PartitionedLake.read(spark, path)
+      .inputFiles.filter(_.contains("/part=p2/")).toSet === p2Files)
+    val after = PartitionedLake.read(spark, path).orderBy("k").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toSeq
+    assert(after === before)
+    // a second compaction is a no-op (nothing above one file)
+    val ver = PartitionedLake.snapshots(spark, path).max
+    PartitionedLake.compact(spark, path)
+    assert(PartitionedLake.snapshots(spark, path).max === ver)
   }
 
   test("vacuum reclaims superseded files and old manifests; the latest snapshot is untouched") {
