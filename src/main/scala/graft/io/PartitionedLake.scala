@@ -581,10 +581,11 @@ object PartitionedLake {
     * `ops` carries [[graft.operators.RelationalOps.cdcApply]]'s columns
     * (`k`, `seq`, `op`, `val`) plus the key's `partitionCol` value. Per
     * batch: prune the base to the touched partitions (same metadata-only
-    * driver read as [[upsert]]), fold the ops with `cdcApply`
-    * (latest-wins per key, 'D' drops, 'U' overwrites), and commit the
-    * corrected slice through the snapshot protocol — the manifest
-    * rename makes the whole batch visible atomically.
+    * driver read as [[upsert]]), fold the ops latest-wins per COMPOSITE
+    * identity `(partitionCol, k)` — the same identity as [[upsert]];
+    * 'D' drops, 'U' overwrites, ops on absent identities are ignored —
+    * and commit the corrected slice through the snapshot protocol; the
+    * manifest rename makes the whole batch visible atomically.
     *
     * NOT [[upsert]], deliberately: upsert's key-anti-join MERGE can only
     * add or replace rows, so a delete op could never retire its row — a
@@ -610,8 +611,31 @@ object PartitionedLake {
     val parts = ops.select(partitionCol).distinct().collect().map(_.get(0))
     if (parts.isEmpty) return // empty micro-batch
     val base = read(spark, path).filter(partitionFilter(partitionCol, parts))
-    val corrected = graft.operators.RelationalOps
-      .cdcApply(base, ops.select("k", "seq", "op", "val"), keyCol, valueCol)
+    // composite-identity fold — (partition, key), same identity as
+    // [[upsert]]: latest op per identity wins, applied only to the row
+    // in the op's DECLARED partition. The key-only
+    // [[graft.operators.RelationalOps.cdcApply]] coincides with this
+    // when keys are globally unique (the Debezium primary-key reality),
+    // but a key reused across partitions must not cross-apply — the
+    // LakeModelSpec random-op model caught exactly that: a delete
+    // declared in one partition retiring the same key's row in another.
+    val latest = ops
+      .select(col(partitionCol).as("__cdc_p"), col("k").as("__cdc_k"),
+        col("seq").as("__cdc_seq"), col("op").as("__cdc_op"),
+        col("val").as("__cdc_val"))
+      .withColumn("__cdc_rn", org.apache.spark.sql.functions.row_number()
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy("__cdc_p", "__cdc_k")
+          .orderBy(col("__cdc_seq").desc)))
+      .filter(col("__cdc_rn") === 1).drop("__cdc_rn", "__cdc_seq")
+    val corrected = base
+      .join(latest, base(partitionCol) <=> latest("__cdc_p") &&
+        base(keyCol) === latest("__cdc_k"), "left")
+      .filter(col("__cdc_op").isNull || col("__cdc_op") =!= "D")
+      .withColumn(valueCol, org.apache.spark.sql.functions
+        .when(col("__cdc_op") === "U", col("__cdc_val"))
+        .otherwise(col(valueCol)))
+      .drop("__cdc_p", "__cdc_k", "__cdc_op", "__cdc_val")
     val (staging, staged) = stage(spark, fs, path, corrected, partitionCol, Nil)
     val replaced = parts.map(v => dirNameFor(partitionCol, v)).toSet
     val emptied = commitStaged(fs, path, staging, staged, replaced,

@@ -47,15 +47,22 @@ object RelationalOps {
     * history-keeping variant). */
   def cdcApply(base: DataFrame, ops: DataFrame, keyCol: String,
       valueCol: String): DataFrame = {
+    // the op-log protocol columns are renamed to reserved names before
+    // the join: a plain drop("k", "op", "val") would also drop BASE
+    // columns with those names (a base keyed by a column literally
+    // named "k" silently lost it — caught by LakeModelSpec's random-op
+    // model check)
     val latest = ops
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("k").orderBy(col("seq").desc)))
-      .filter(col("rn") === 1).drop("rn", "seq")
-    base.join(latest, base(keyCol) === latest("k"), "left")
-      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("k").as("__cdc_k"), col("seq").as("__cdc_seq"),
+        col("op").as("__cdc_op"), col("val").as("__cdc_val"))
+      .withColumn("__cdc_rn", row_number().over(
+        Window.partitionBy("__cdc_k").orderBy(col("__cdc_seq").desc)))
+      .filter(col("__cdc_rn") === 1).drop("__cdc_rn", "__cdc_seq")
+    base.join(latest, base(keyCol) === latest("__cdc_k"), "left")
+      .filter(col("__cdc_op").isNull || col("__cdc_op") =!= "D")
       .withColumn(valueCol,
-        when(col("op") === "U", col("val")).otherwise(col(valueCol)))
-      .drop("k", "op", "val")
+        when(col("__cdc_op") === "U", col("__cdc_val")).otherwise(col(valueCol)))
+      .drop("__cdc_k", "__cdc_op", "__cdc_val")
   }
 
   def qs: Seq[Q] = Seq(

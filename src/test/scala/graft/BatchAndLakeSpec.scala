@@ -60,6 +60,95 @@ class BatchRunnerSpec extends AnyFunSuite {
   }
 }
 
+/** Model check of the snapshot commit protocol: a seeded random sequence
+  * of upsert / CDC-fold / compact / vacuum operations against an
+  * in-memory map of the lake's logical contents. After EVERY operation
+  * `read()` must equal the model, and a reader pinned before an
+  * operation must keep seeing the pre-op snapshot until a vacuum
+  * reclaims it — the two invariants the whole protocol exists for,
+  * exercised across operation interleavings no single scenario test
+  * covers.
+  */
+class LakeModelSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  test("random op sequences: read() == model after every op; pinned readers survive non-vacuum ops") {
+    val rnd = new scala.util.Random(7)
+    val path = java.nio.file.Files.createTempDirectory("graft-model").toString + "/lake"
+    val partPool = Seq("p0", "p1", "p=2", null) // incl. escaped + null dirs
+    var model = Map.empty[(String, Long), Double]
+    var seq = 0L
+
+    def upsertOp(): Unit = {
+      val n = 1 + rnd.nextInt(4)
+      val rows = Seq.fill(n)((partPool(rnd.nextInt(partPool.size)),
+          rnd.nextInt(8).toLong, math.floor(rnd.nextDouble() * 100)))
+        .distinctBy(r => (r._1, r._2)) // one row per composite identity
+      val df = rows.map(r => (r._2, r._1, r._3)).toDF("k", "part", "bal")
+      graft.io.PartitionedLake.upsert(spark, path, "part", "k", df)
+      rows.foreach { case (p, k, v) => model += ((p, k) -> v) }
+    }
+
+    def cdcOp(): Unit = {
+      val keys = model.keys.toSeq
+      val n = 1 + rnd.nextInt(4)
+      val ops = Seq.fill(n) {
+        // mostly existing identities, some unknown (must be ignored)
+        val (p, k) = if (keys.nonEmpty && rnd.nextInt(4) > 0)
+          keys(rnd.nextInt(keys.size))
+        else (partPool(rnd.nextInt(partPool.size)), (8 + rnd.nextInt(4)).toLong)
+        seq += 1
+        val isDelete = rnd.nextBoolean()
+        (k, p, seq, if (isDelete) "D" else "U",
+          math.floor(rnd.nextDouble() * 100))
+      }
+      val df = ops.map(o => (o._1, o._2, o._3, o._4, o._5))
+        .toDF("k", "part", "seq", "op", "val")
+      graft.io.PartitionedLake.cdcSink(spark, path, "part", "k", "bal", df)
+      // model fold: latest op per (declared partition, key) wins; U only
+      // touches existing rows, D drops, unknown identities are ignored
+      ops.groupBy(o => (o._2, o._1)).foreach { case ((p, k), os) =>
+        val last = os.maxBy(_._3)
+        if (model.contains((p, k))) {
+          if (last._4 == "D") model -= ((p, k))
+          else model += ((p, k) -> last._5)
+        }
+      }
+    }
+
+    def readBack(): Map[(String, Long), Double] =
+      graft.io.PartitionedLake.read(spark, path).collect()
+        .map(r => (r.getAs[String]("part"), r.getAs[Long]("k")) ->
+          r.getAs[Double]("bal")).toMap
+
+    graft.io.PartitionedLake.write(
+      Seq((0L, "p0", 1.0), (1L, "p1", 2.0)).toDF("k", "part", "bal"),
+      path, "part")
+    model = Map(("p0", 0L) -> 1.0, ("p1", 1L) -> 2.0)
+
+    var pinned: Option[(org.apache.spark.sql.DataFrame,
+      Map[(String, Long), Double])] = None
+    for (step <- 1 to 24) {
+      if (step % 5 == 0) // pin a reader to the current snapshot
+        pinned = Some((graft.io.PartitionedLake.read(spark, path), model))
+      val vacuumed = rnd.nextInt(10) match {
+        case 0 => graft.io.PartitionedLake.compact(spark, path); false
+        case 1 => graft.io.PartitionedLake.vacuum(spark, path); true
+        case n if n < 6 => upsertOp(); false
+        case _ => cdcOp(); false
+      }
+      if (vacuumed) pinned = None // vacuum legitimately reclaims old snaps
+      assert(readBack() === model, s"divergence after step $step")
+      pinned.foreach { case (df, expect) =>
+        val got = df.collect().map(r => (r.getAs[String]("part"),
+          r.getAs[Long]("k")) -> r.getAs[Double]("bal")).toMap
+        assert(got === expect, s"pinned snapshot drifted at step $step")
+      }
+    }
+  }
+}
+
 class PartitionedLakeSpec extends AnyFunSuite {
   import SparkTestSession._
 
@@ -447,6 +536,45 @@ class PartitionedLakeSpec extends AnyFunSuite {
       .select(countDistinct("user_id")).head().getLong(0)
     assert(math.abs(rangeEst - exact).toDouble <= 0.05 * exact,
       s"range estimate $rangeEst vs exact $exact")
+  }
+
+  test("lake maintenance interleaves with an active streaming sink: compact + vacuum between micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-maint").toString
+    val lake = s"$dir/lake"
+    val e = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        to_date(col("ts")).as("day"))
+    val firstHalf = e.filter(col("event_id") % 2 === 0)
+    firstHalf.write.mode("overwrite").parquet(s"$dir/in")
+    val streamIn = spark.readStream.schema(e.schema).parquet(s"$dir/in")
+    val q = streamIn.writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        PartitionedLake.upsert(spark, lake, "day", "event_id", batch)
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      // the maintenance jobs a real deployment schedules between
+      // micro-batches (same single-committer serialization as the sink):
+      // neither may disturb what the next batch merges against
+      PartitionedLake.compact(spark, lake)
+      PartitionedLake.vacuum(spark, lake)
+      e.write.mode("append").parquet(s"$dir/in") // full replay + 2nd half
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = PartitionedLake.read(spark, lake)
+    assert(got.count() === e.count())
+    assert(got.select("event_id").distinct().count() === e.count())
+    // post-stream maintenance converges to one file per day partition
+    PartitionedLake.compact(spark, lake)
+    PartitionedLake.vacuum(spark, lake)
+    val after = PartitionedLake.read(spark, lake)
+    assert(after.count() === e.count())
+    val perDay = after.inputFiles
+      .groupBy(f => f.split('/').takeRight(2).head)
+    assert(perDay.values.forall(_.length === 1),
+      perDay.view.mapValues(_.length).toMap.toString)
   }
 
   test("streaming foreachBatch + lake upsert is idempotent under replay") {
