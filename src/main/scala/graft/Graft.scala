@@ -34,9 +34,8 @@ object Graft {
     spark.sql(
       s"""CREATE OR REPLACE TEMPORARY FUNCTION graft_normalize(s STRING)
          |RETURNS STRING
-         |RETURN trim(regexp_replace(regexp_replace(
+         |RETURN trim(regexp_replace(
          |  translate(lower(s), '${functions.TextOps.foldFrom}',
          |    '${functions.TextOps.foldTo}'),
-         |  '${functions.TextOps.stripPattern}', ' '),
-         |  '${functions.TextOps.wsPattern}', ' '))""".stripMargin)
+         |  '${functions.TextOps.normPattern}', ' '))""".stripMargin)
 }

@@ -364,6 +364,26 @@ object Microbench {
       }
     }
 
+    // ---- normalizeText regex cost: the shipped single-pass form
+    // ([^a-z0-9]+ -> one space) vs the historical two-pass form the
+    // DuckDB oracles still run (strip punct to spaces, then collapse
+    // space runs). Measured wall-FLAT at this scale (both ~0.12 s, scan
+    // + md5 dominate); the single-pass saving is one fewer full-size
+    // intermediate string per row — transient allocation, not CPU. ----
+    {
+      val docs = Tables.documents(spark, sfDir)
+      time("normalize single-pass (shipped)") {
+        docs.select(md5(graft.functions.TextOps.normalizeText(col("text")))
+          .as("fp")).groupBy().count()
+      }
+      time("normalize two-pass (oracle form)") {
+        docs.select(md5(trim(regexp_replace(regexp_replace(
+          translate(lower(col("text")), graft.functions.TextOps.foldFrom,
+            graft.functions.TextOps.foldTo), "[^a-z0-9 ]", " "), " +", " ")))
+          .as("fp")).groupBy().count()
+      }
+    }
+
     // ---- runtime bloom filter at bench scale (round 9): a selective
     // dimension predicate (1-URGENT ~ 1/5 of orders) must reach the
     // lineitem side as an InjectRuntimeFilter bloom BEFORE the join

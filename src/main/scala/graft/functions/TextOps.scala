@@ -14,10 +14,23 @@ object TextOps {
   /** Latin-1 accent fold table (1:1 codepoints, applied after lower()). */
   private[graft] val foldFrom = "àâäáãåèêëéìîíïòôöóõùûüúçñÿý"
   private[graft] val foldTo   = "aaaaaaeeeeiiiiooooouuuucnyy"
-  /** Normalization regexes — shared with the `graft_normalize` SQL UDF
-    * (Graft.registerSqlUdfs) so the two surfaces cannot drift. */
-  private[graft] val stripPattern = "[^a-z0-9 ]"
-  private[graft] val wsPattern    = " +"
+  /** Normalization regex — shared with the `graft_normalize` SQL UDF
+    * (Graft.registerSqlUdfs) so the two surfaces cannot drift. One pass:
+    * every maximal run of non-alphanumerics (punctuation, control chars,
+    * AND the spaces between them) becomes a single space — provably the
+    * same result as the historical two-pass form (strip `[^a-z0-9 ]` to
+    * spaces, then collapse `' +'`) that the DuckDB oracles still run,
+    * which makes the oracle an independent cross-check of the
+    * equivalence on every corpus hash (and RetrievalOpsSpec pins it on
+    * adversarial strings). Measured honestly (Microbench `normalize`):
+    * WALL-FLAT at local scale — the scan dominates and both forms read
+    * ~0.12 s — so the reason to prefer one pass is allocation, not CPU:
+    * each regexp_replace materializes a full-size intermediate string
+    * per row, and this function runs over every byte of
+    * q100/q102/q104/q116/q127/q130's input, so dropping a pass halves
+    * the transient garbage of the normalize step at 100 TB.
+    */
+  private[graft] val normPattern = "[^a-z0-9]+"
 
   /** Canonical text normalization: lowercase, pinned accent-fold table,
     * control/punctuation removal, whitespace collapse. A pure codegen'd
@@ -26,9 +39,8 @@ object TextOps {
     * .registerSqlUdfs]]).
     */
   def normalizeText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    trim(regexp_replace(regexp_replace(
-      translate(lower(c), foldFrom, foldTo),
-      stripPattern, " "), wsPattern, " "))
+    trim(regexp_replace(
+      translate(lower(c), foldFrom, foldTo), normPattern, " "))
 
   def qs: Seq[Q] = Seq(
 

@@ -95,6 +95,27 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(out(3) === "already clean")
   }
 
+  test("normalizeText single-pass == historical two-pass (the form the oracles run) on adversarial strings and the whole corpus") {
+    import spark.implicits._
+    def twoPass(c: org.apache.spark.sql.Column) =
+      trim(regexp_replace(regexp_replace(
+        translate(lower(c), "àâäáãåèêëéìîíïòôöóõùûüúçñÿý",
+          "aaaaaaeeeeiiiiooooouuuucnyy"),
+        "[^a-z0-9 ]", " "), " +", " "))
+    val adversarial = Seq(
+      "a!!b", "  x\t\ty  ", "a !?,. b", "", "!!!", " ", "a",
+      "Café—Über…naïve", "tab\tand\nnewline\r\nmix", "a  b   c",
+      "1.5e-3 = 0.0015?", "__under__score__", "ümläut ünchanged: ü")
+      .toDF("s")
+    val mismatch = adversarial
+      .filter(TextOps.normalizeText(col("s")) =!= twoPass(col("s")))
+    assert(mismatch.count() === 0,
+      mismatch.collect().map(_.getString(0)).mkString("; "))
+    val corpusMismatch = Tables.documents(spark, sf)
+      .filter(TextOps.normalizeText(col("text")) =!= twoPass(col("text")))
+    assert(corpusMismatch.count() === 0)
+  }
+
   test("null text survives the text operators (excluded, not crashed)") {
     import spark.implicits._
     val docs = Seq((1L, Some("the quick brown fox jumps over the lazy dog")),
