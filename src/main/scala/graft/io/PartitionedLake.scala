@@ -76,9 +76,14 @@ object PartitionedLake {
   private[io] case class FileEntry(name: String,
       stats: Map[String, (Double, Double)] = Map.empty)
 
-  /** version + snapshot schema + live files per partition directory. */
+  /** version + snapshot schema + live files per partition directory +
+    * the highest streaming batch id folded in (Delta's `txn` idea): a
+    * redelivered micro-batch with `batchId <= txn` is skipped whole, so
+    * sinks are exactly-once at the TRANSACTION level, not just
+    * idempotent at the value level.
+    */
   private[io] case class Manifest(version: Long, schema: StructType,
-      files: Map[String, Seq[FileEntry]])
+      files: Map[String, Seq[FileEntry]], txn: Option[Long] = None)
 
   private def fsFor(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -135,7 +140,10 @@ object PartitionedLake {
       s"unrecognized manifest header in $p")
     val schema = DataType.fromJson(lines(1).stripPrefix("schema "))
       .asInstanceOf[StructType]
-    val files = lines.drop(2).filter(_.nonEmpty).map { line =>
+    val txn = lines.drop(2).headOption.filter(_.startsWith("txn "))
+      .map(_.stripPrefix("txn ").toLong)
+    val files = lines.drop(if (txn.isDefined) 3 else 2)
+      .filter(_.nonEmpty).map { line =>
       // fields are tab-separated: the file path, then optional
       // col=min..max stats (escapePathName escapes both '/' and
       // whitespace, so neither tab nor '/' can occur inside names —
@@ -151,7 +159,7 @@ object PartitionedLake {
       (fields(0).substring(0, i),
         FileEntry(fields(0).substring(i + 1), stats))
     }.groupBy(_._1).map { case (d, fs0) => d -> fs0.map(_._2) }
-    Manifest(version, schema, files)
+    Manifest(version, schema, files, txn)
   }
 
   /** Publish a manifest version: write to a hidden temp file, then
@@ -164,6 +172,7 @@ object PartitionedLake {
     fs.mkdirs(dir)
     val body = new StringBuilder("graft-lake-manifest v1\n")
     body.append("schema ").append(m.schema.json).append('\n')
+    m.txn.foreach(t => body.append("txn ").append(t).append('\n'))
     m.files.toSeq.sortBy(_._1).foreach { case (d, entries) =>
       entries.sortBy(_.name).foreach { e =>
         body.append(d).append('/').append(e.name)
@@ -264,7 +273,7 @@ object PartitionedLake {
     */
   private def commitStaged(fs: FileSystem, path: String, staging: Path,
       staged: Map[String, Seq[FileEntry]], replaced: Set[String],
-      schema: StructType): Seq[String] = {
+      schema: StructType, batchId: Option[Long] = None): Seq[String] = {
     val unexpected = staged.keySet.diff(replaced)
     require(unexpected.isEmpty,
       "partition path encoding diverged from Spark's for: " +
@@ -284,8 +293,9 @@ object PartitionedLake {
     fs.delete(staging, true)
     val nullableSchema = StructType(schema.fields.map(_.copy(nullable = true)))
     val newFiles = old.map(_.files).getOrElse(Map.empty) -- replaced ++ moved
-    publishManifest(fs, path,
-      Manifest(old.map(_.version + 1).getOrElse(1L), nullableSchema, newFiles))
+    val txn = (old.flatMap(_.txn) ++ batchId).reduceOption(_ max _)
+    publishManifest(fs, path, Manifest(old.map(_.version + 1).getOrElse(1L),
+      nullableSchema, newFiles, txn))
     (replaced -- moved.keySet).filterNot(newFiles.contains).toSeq
   }
 
@@ -547,17 +557,32 @@ object PartitionedLake {
     * it would need a full-table key scan, which is exactly the cost
     * manifest-based formats exist to avoid. Callers needing
     * cross-partition moves must delete from the old partition explicitly.
+    *
+    * `batchId` (pass the `foreachBatch` id) arms the TRANSACTION-level
+    * replay guard: the committed manifest records the highest id folded
+    * in, and a redelivered batch with `id <= recorded` is skipped whole
+    * — exactly-once even where the value-level merge would not be
+    * idempotent. Without it the key-merge idempotence is the (weaker,
+    * still spec-pinned) safety net.
     */
   def upsert(spark: SparkSession, path: String, partitionCol: String,
-      keyCol: String, delta: DataFrame, statsCols: Seq[String] = Nil): Unit = {
+      keyCol: String, delta: DataFrame, statsCols: Seq[String] = Nil,
+      batchId: Option[Long] = None): Unit = {
     val fs = fsFor(spark, path)
     // bootstrap: an absent lake is just the delta (lets the same call
     // serve as a streaming foreachBatch sink from batch zero); an
     // existing pre-protocol lake is adopted with a v1 manifest first
-    if (manifestOrMigrate(spark, fs, path).isEmpty) {
-      write(delta, path, partitionCol, statsCols)
+    val existing = manifestOrMigrate(spark, fs, path)
+    if (existing.isEmpty) {
+      val (staging, staged) = stage(spark, fs, path, delta, partitionCol,
+        statsCols)
+      commitStaged(fs, path, staging, staged, staged.keySet, delta.schema,
+        batchId)
       return
     }
+    // transaction-level replay guard: a redelivered micro-batch whose id
+    // the manifest already records committed is skipped whole
+    if (batchId.exists(b => existing.flatMap(_.txn).exists(_ >= b))) return
     val parts = delta.select(partitionCol).distinct().collect().map(_.get(0))
     if (parts.isEmpty) return
     val base = read(spark, path).filter(partitionFilter(partitionCol, parts))
@@ -571,7 +596,7 @@ object PartitionedLake {
     val (staging, staged) = stage(spark, fs, path, merged, partitionCol,
       statsCols)
     val replaced = parts.map(v => dirNameFor(partitionCol, v)).toSet
-    commitStaged(fs, path, staging, staged, replaced, merged.schema)
+    commitStaged(fs, path, staging, staged, replaced, merged.schema, batchId)
   }
 
   /** Exactly-once streaming CDC sink: fold one micro-batch of a CDC op
@@ -602,12 +627,16 @@ object PartitionedLake {
     * as [[upsert]].
     */
   def cdcSink(spark: SparkSession, path: String, partitionCol: String,
-      keyCol: String, valueCol: String, ops: DataFrame): Unit = {
+      keyCol: String, valueCol: String, ops: DataFrame,
+      batchId: Option[Long] = None): Unit = {
     val fs = fsFor(spark, path)
     // absent lake: update/delete ops have nothing to apply to (cdcApply
     // is update/delete-on-existing; q131's SCD-2 merge covers inserts);
     // a pre-protocol lake is adopted with a v1 manifest first
-    if (manifestOrMigrate(spark, fs, path).isEmpty) return
+    val existing = manifestOrMigrate(spark, fs, path)
+    if (existing.isEmpty) return
+    // transaction-level replay guard (see [[upsert]])
+    if (batchId.exists(b => existing.flatMap(_.txn).exists(_ >= b))) return
     val parts = ops.select(partitionCol).distinct().collect().map(_.get(0))
     if (parts.isEmpty) return // empty micro-batch
     val base = read(spark, path).filter(partitionFilter(partitionCol, parts))
@@ -639,7 +668,7 @@ object PartitionedLake {
     val (staging, staged) = stage(spark, fs, path, corrected, partitionCol, Nil)
     val replaced = parts.map(v => dirNameFor(partitionCol, v)).toSet
     val emptied = commitStaged(fs, path, staging, staged, replaced,
-      corrected.schema)
+      corrected.schema, batchId)
     // retire directories the fold emptied — they are unreferenced by the
     // new manifest, so only a reader pinned to an older snapshot can
     // still want them (same retention tradeoff as vacuum)

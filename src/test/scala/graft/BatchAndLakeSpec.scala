@@ -90,7 +90,11 @@ class LakeModelSpec extends AnyFunSuite {
       rows.foreach { case (p, k, v) => model += ((p, k) -> v) }
     }
 
-    def cdcOp(): Unit = {
+    // returns true when the fold emptied a partition: cdcSink retires the
+    // directory physically (documented retention tradeoff), which
+    // legitimately breaks readers pinned to older snapshots
+    def cdcOp(): Boolean = {
+      val partsBefore = model.keys.map(_._1).toSet
       val keys = model.keys.toSeq
       val n = 1 + rnd.nextInt(4)
       val ops = Seq.fill(n) {
@@ -115,6 +119,7 @@ class LakeModelSpec extends AnyFunSuite {
           else model += ((p, k) -> last._5)
         }
       }
+      partsBefore.diff(model.keys.map(_._1).toSet).nonEmpty
     }
 
     def readBack(): Map[(String, Long), Double] =
@@ -132,13 +137,23 @@ class LakeModelSpec extends AnyFunSuite {
     for (step <- 1 to 24) {
       if (step % 5 == 0) // pin a reader to the current snapshot
         pinned = Some((graft.io.PartitionedLake.read(spark, path), model))
-      val vacuumed = rnd.nextInt(10) match {
+      val breaksPins = rnd.nextInt(12) match {
         case 0 => graft.io.PartitionedLake.compact(spark, path); false
         case 1 => graft.io.PartitionedLake.vacuum(spark, path); true
-        case n if n < 6 => upsertOp(); false
-        case _ => cdcOp(); false
+        case 2 => // full-overwrite snapshot: the lake becomes exactly this
+          val rows = Seq.fill(1 + rnd.nextInt(3))(
+              (partPool(rnd.nextInt(partPool.size)), rnd.nextInt(8).toLong,
+                math.floor(rnd.nextDouble() * 100)))
+            .distinctBy(r => (r._1, r._2))
+          graft.io.PartitionedLake.write(
+            rows.map(r => (r._2, r._1, r._3)).toDF("k", "part", "bal"),
+            path, "part")
+          model = rows.map(r => (r._1, r._2) -> r._3).toMap
+          true // write retires now-empty partition dirs immediately
+        case n if n < 8 => upsertOp(); false
+        case _ => cdcOp() // emptied-partition retirement breaks pins
       }
-      if (vacuumed) pinned = None // vacuum legitimately reclaims old snaps
+      if (breaksPins) pinned = None // vacuum/overwrite reclaim old snaps
       assert(readBack() === model, s"divergence after step $step")
       pinned.foreach { case (df, expect) =>
         val got = df.collect().map(r => (r.getAs[String]("part"),
@@ -536,6 +551,43 @@ class PartitionedLakeSpec extends AnyFunSuite {
       .select(countDistinct("user_id")).head().getLong(0)
     assert(math.abs(rangeEst - exact).toDouble <= 0.05 * exact,
       s"range estimate $rangeEst vs exact $exact")
+  }
+
+  test("transaction-level replay guard: a redelivered batchId is skipped whole; txn survives compaction and vacuum") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-txn").toString + "/lake"
+    def delta(k: Long, v: String) = Seq((k, "p1", v)).toDF("k", "part", "v")
+    def state() = PartitionedLake.read(spark, path).orderBy("k").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toSeq
+    PartitionedLake.upsert(spark, path, "part", "k", delta(1L, "b0"),
+      batchId = Some(0L)) // bootstrap records txn 0
+    PartitionedLake.upsert(spark, path, "part", "k", delta(2L, "b1"),
+      batchId = Some(1L))
+    assert(state() === Seq(1L -> "b0", 2L -> "b1"))
+    // crash-redelivery of batch 1 with DIFFERENT (non-idempotent-safe)
+    // content: the txn guard must skip it whole
+    PartitionedLake.upsert(spark, path, "part", "k", delta(2L, "poison"),
+      batchId = Some(1L))
+    assert(state() === Seq(1L -> "b0", 2L -> "b1"))
+    // maintenance must not lose the watermark
+    PartitionedLake.compact(spark, path)
+    PartitionedLake.vacuum(spark, path)
+    PartitionedLake.upsert(spark, path, "part", "k", delta(3L, "late-replay"),
+      batchId = Some(0L))
+    assert(state() === Seq(1L -> "b0", 2L -> "b1"))
+    // the next real batch applies and advances the watermark
+    PartitionedLake.upsert(spark, path, "part", "k", delta(3L, "b2"),
+      batchId = Some(2L))
+    assert(state() === Seq(1L -> "b0", 2L -> "b1", 3L -> "b2"))
+    // same contract on the CDC sink
+    // `val` carries the valueCol's type (string here)
+    val del = Seq((2L, "p1", 10L, "D", "")).toDF("k", "part", "seq", "op", "val")
+    PartitionedLake.cdcSink(spark, path, "part", "k", "v", del,
+      batchId = Some(2L)) // replayed id -> skipped
+    assert(state() === Seq(1L -> "b0", 2L -> "b1", 3L -> "b2"))
+    PartitionedLake.cdcSink(spark, path, "part", "k", "v", del,
+      batchId = Some(3L)) // fresh id -> applies
+    assert(state() === Seq(1L -> "b0", 3L -> "b2"))
   }
 
   test("lake maintenance interleaves with an active streaming sink: compact + vacuum between micro-batches") {
