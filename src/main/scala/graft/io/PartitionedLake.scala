@@ -9,10 +9,13 @@ import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types.{DataType, StructType, TimestampNTZType, TimestampType}
 
 /** Partitioned-lake layout helpers: Hive-style partition directories give
-  * partition *pruning* — a predicate on the partition column never touches
+  * partition *pruning* — a predicate on a partition column never touches
   * the other directories' files at all. At 100 TB this is the first-order
   * scan optimization (before pushdown, before codegen): the bytes are never
-  * read.
+  * read. Partitioning may be multi-level (`Seq("day", "src")` — the
+  * canonical (date, source) lake layout): directories nest, a predicate
+  * on any prefix of the columns prunes, and row identity for the
+  * incremental sinks is the full `(partition tuple, key)`.
   *
   * == Atomic snapshot commits ==
   *
@@ -102,11 +105,19 @@ object PartitionedLake {
     s"${ExternalCatalogUtils.escapePathName(partitionCol)}=$valuePart"
   }
 
+  /** Relative partition directory path for a values tuple — one
+    * `col=value` level per partition column, e.g. `day=2024-01-05/src=web`.
+    */
+  private[io] def dirPathFor(partitionCols: Seq[String],
+      values: Seq[Any]): String =
+    partitionCols.zip(values).map { case (c, v) => dirNameFor(c, v) }
+      .mkString("/")
+
   private def requireSupportedPartitionType(df: DataFrame,
-      partitionCol: String): Unit = {
-    val dt = df.schema(partitionCol).dataType
+      partitionCols: Seq[String]): Unit = partitionCols.foreach { c =>
+    val dt = df.schema(c).dataType
     require(dt != TimestampType && dt != TimestampNTZType,
-      s"timestamp-typed partition column '$partitionCol' is not supported: " +
+      s"timestamp-typed partition column '$c' is not supported: " +
         "its directory form is timezone/format dependent; partition on a " +
         "string or date derivation instead")
   }
@@ -237,19 +248,35 @@ object PartitionedLake {
     * names columns whose per-file min/max should be harvested from the
     * staged footers into the manifest for [[readRange]] file skipping.
     */
+  /** Leaf partition directories (relative path -> absolute Path) `depth`
+    * `col=value` levels below `root`.
+    */
+  private def leafPartitionDirs(fs: FileSystem, root: Path,
+      depth: Int): Seq[(String, Path)] = {
+    def walk(dir: Path, rel: String, d: Int): Seq[(String, Path)] =
+      fs.listStatus(dir).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+        .flatMap { st =>
+          val childRel = if (rel.isEmpty) st.getPath.getName
+            else s"$rel/${st.getPath.getName}"
+          if (d == 1) Seq(childRel -> st.getPath)
+          else walk(st.getPath, childRel, d - 1)
+        }
+    walk(root, "", depth)
+  }
+
   private def stage(spark: SparkSession, fs: FileSystem, path: String,
-      df: DataFrame, partitionCol: String,
+      df: DataFrame, partitionCols: Seq[String],
       statsCols: Seq[String]): (Path, Map[String, Seq[FileEntry]]) = {
-    requireSupportedPartitionType(df, partitionCol)
+    requireSupportedPartitionType(df, partitionCols)
     val staging = new Path(new Path(path, StagingDirName),
       UUID.randomUUID().toString.take(8))
-    df.write.mode("overwrite").partitionBy(partitionCol)
+    df.write.mode("overwrite").partitionBy(partitionCols: _*)
       .parquet(staging.toString)
     val conf = spark.sparkContext.hadoopConfiguration
-    val dirs = fs.listStatus(staging).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
-      .map { st =>
-        val entries = fs.listStatus(st.getPath).toSeq
+    val dirs = leafPartitionDirs(fs, staging, partitionCols.size)
+      .map { case (rel, dirPath) =>
+        val entries = fs.listStatus(dirPath).toSeq
           .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
             !f.getPath.getName.startsWith("."))
           .map { f =>
@@ -257,19 +284,19 @@ object PartitionedLake {
               else footerStats(conf, f.getPath, statsCols.toSet)
             FileEntry(f.getPath.getName, stats)
           }
-        st.getPath.getName -> entries
+        rel -> entries
       }.toMap
     (staging, dirs)
   }
 
   /** Move staged files into the lake and publish the next manifest.
     *
-    * `replaced` is the set of partition directory names whose previous
+    * `replaced` is the set of partition directory paths whose previous
     * files this commit supersedes: for a full overwrite, every directory
     * in the old manifest; for an upsert/CDC commit, the directories of
-    * the touched partition VALUES (computed via [[dirNameFor]] and
+    * the touched partition VALUE TUPLES (computed via [[dirPathFor]] and
     * cross-checked against what Spark staged). Returns the directory
-    * names this commit EMPTIED (replaced, nothing staged, nothing live).
+    * paths this commit EMPTIED (replaced, nothing staged, nothing live).
     */
   private def commitStaged(fs: FileSystem, path: String, staging: Path,
       staged: Map[String, Seq[FileEntry]], replaced: Set[String],
@@ -305,14 +332,13 @@ object PartitionedLake {
     * partitions survive that commit. Returns the manifest.
     */
   private def manifestOrMigrate(spark: SparkSession, fs: FileSystem,
-      path: String): Option[Manifest] =
+      path: String, depth: Int): Option[Manifest] =
     latestManifest(fs, path).orElse {
       if (!fs.exists(new Path(path))) None
       else {
-        val dirs = fs.listStatus(new Path(path)).toSeq
-          .filter(st => st.isDirectory && st.getPath.getName.contains("="))
-          .map { st =>
-            st.getPath.getName -> fs.listStatus(st.getPath).toSeq
+        val dirs = leafPartitionDirs(fs, new Path(path), depth)
+          .map { case (rel, dirPath) =>
+            rel -> fs.listStatus(dirPath).toSeq
               .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
                 !f.getPath.getName.startsWith("."))
               .map(f => FileEntry(f.getPath.getName))
@@ -335,10 +361,18 @@ object PartitionedLake {
     * retention tradeoff as any vacuum; see [[vacuum]]).
     */
   def write(df: DataFrame, path: String, partitionCol: String,
-      statsCols: Seq[String] = Nil): Unit = {
+      statsCols: Seq[String] = Nil): Unit =
+    write(df, path, Seq(partitionCol), statsCols)
+
+  /** Multi-level variant: `partitionCols` produce nested Hive directories
+    * (`day=.../src=...`), the canonical lake layout for (date, source)-
+    * style data; a predicate on any prefix of the columns prunes.
+    */
+  def write(df: DataFrame, path: String, partitionCols: Seq[String],
+      statsCols: Seq[String]): Unit = {
     val spark = df.sparkSession
     val fs = fsFor(spark, path)
-    val (staging, staged) = stage(spark, fs, path, df, partitionCol, statsCols)
+    val (staging, staged) = stage(spark, fs, path, df, partitionCols, statsCols)
     val oldDirs = latestManifest(fs, path).map(_.files.keySet).getOrElse(Set.empty)
     val emptied = commitStaged(fs, path, staging, staged,
       oldDirs ++ staged.keySet, df.schema)
@@ -469,13 +503,14 @@ object PartitionedLake {
     latestManifest(fs, path).foreach { m =>
       val todo = m.files.filter(_._2.size > 1)
       if (todo.isEmpty) return
-      // the partition column is the dir-name prefix Spark wrote
-      val partitionCol = ExternalCatalogUtils
-        .unescapePathName(todo.head._1.takeWhile(_ != '='))
-      // one task per partition value -> one output file per partition
+      // the partition columns are the dir-name prefixes Spark wrote,
+      // one per nesting level
+      val partitionCols = todo.head._1.split('/').toSeq.map(level =>
+        ExternalCatalogUtils.unescapePathName(level.takeWhile(_ != '=')))
+      // one task per partition tuple -> one output file per partition
       val slice = frameFor(spark, path, m.copy(files = todo))
-        .repartition(col(partitionCol))
-      val (staging, staged) = stage(spark, fs, path, slice, partitionCol,
+        .repartition(partitionCols.map(col): _*)
+      val (staging, staged) = stage(spark, fs, path, slice, partitionCols,
         statsCols)
       commitStaged(fs, path, staging, staged, todo.keySet, slice.schema)
     }
@@ -489,21 +524,29 @@ object PartitionedLake {
   def vacuum(spark: SparkSession, path: String): Unit = {
     val fs = fsFor(spark, path)
     latestManifest(fs, path).foreach { m =>
-      fs.listStatus(new Path(path)).foreach { st =>
-        val name = st.getPath.getName
-        if (st.isDirectory && name.contains("=")) {
-          m.files.get(name) match {
-            case None => fs.delete(st.getPath, true)
-            case Some(live) =>
-              val keep = live.map(_.name).toSet
+      // recursive sweep over the nested partition tree: a dir that IS a
+      // manifest key keeps its live files; a dir that is a PREFIX of
+      // live keys recurses; anything else is unreferenced and retires
+      def sweep(dir: Path, rel: String): Unit =
+        fs.listStatus(dir).foreach { st =>
+          val name = st.getPath.getName
+          val childRel = if (rel.isEmpty) name else s"$rel/$name"
+          if (st.isDirectory && name.contains("=")) {
+            if (m.files.contains(childRel)) {
+              val keep = m.files(childRel).map(_.name).toSet
               fs.listStatus(st.getPath)
                 .filter(f => f.isFile && !keep(f.getPath.getName))
                 .foreach(f => fs.delete(f.getPath, false))
+            } else if (m.files.keys.exists(_.startsWith(childRel + "/"))) {
+              sweep(st.getPath, childRel)
+            } else {
+              fs.delete(st.getPath, true)
+            }
+          } else if (rel.isEmpty && st.isDirectory && name == StagingDirName) {
+            fs.delete(st.getPath, true) // abandoned stagings
           }
-        } else if (st.isDirectory && name == StagingDirName) {
-          fs.delete(st.getPath, true) // abandoned stagings
         }
-      }
+      sweep(new Path(path), "")
       fs.listStatus(manifestDir(path)).foreach { st =>
         st.getPath.getName match {
           case ManifestFile(n) if n.toLong < m.version =>
@@ -521,13 +564,26 @@ object PartitionedLake {
     * directory are excluded from the merge and the commit would replace
     * it with delta-only rows, silently dropping data.
     */
-  private def partitionFilter(partitionCol: String,
-      parts: Array[Any]): org.apache.spark.sql.Column = {
-    val (nullParts, realParts) = parts.partition(_ == null)
-    if (nullParts.isEmpty) col(partitionCol).isin(realParts: _*)
-    else if (realParts.isEmpty) col(partitionCol).isNull
-    else col(partitionCol).isin(realParts: _*) || col(partitionCol).isNull
-  }
+  private def partitionFilter(partitionCols: Seq[String],
+      parts: Array[Seq[Any]]): org.apache.spark.sql.Column =
+    if (partitionCols.size == 1) {
+      // single-column fast path: one isin instead of an OR chain
+      val values = parts.map(_.head)
+      val (nullParts, realParts) = values.partition(_ == null)
+      if (nullParts.isEmpty) col(partitionCols.head).isin(realParts: _*)
+      else if (realParts.isEmpty) col(partitionCols.head).isNull
+      else col(partitionCols.head).isin(realParts: _*) ||
+        col(partitionCols.head).isNull
+    } else {
+      // tuple membership as OR of null-safe conjunctions; the touched
+      // tuple count is batch-bounded by contract, so the predicate stays
+      // small and each conjunct prunes at the partition index
+      parts.map { tuple =>
+        partitionCols.zip(tuple).map { case (c, v) =>
+          if (v == null) col(c).isNull else col(c) <=> lit(v)
+        }.reduce(_ && _)
+      }.reduce(_ || _)
+    }
 
   /** SCD-type-1 upsert — MERGE where the row identity is the COMPOSITE
     * `(partitionCol, keyCol)`: within each partition the delta wins by
@@ -567,14 +623,20 @@ object PartitionedLake {
     */
   def upsert(spark: SparkSession, path: String, partitionCol: String,
       keyCol: String, delta: DataFrame, statsCols: Seq[String] = Nil,
-      batchId: Option[Long] = None): Unit = {
+      batchId: Option[Long] = None): Unit =
+    upsert(spark, path, Seq(partitionCol), keyCol, delta, statsCols, batchId)
+
+  /** Multi-level variant: row identity is `(partitionCols..., keyCol)`. */
+  def upsert(spark: SparkSession, path: String, partitionCols: Seq[String],
+      keyCol: String, delta: DataFrame, statsCols: Seq[String],
+      batchId: Option[Long]): Unit = {
     val fs = fsFor(spark, path)
     // bootstrap: an absent lake is just the delta (lets the same call
     // serve as a streaming foreachBatch sink from batch zero); an
     // existing pre-protocol lake is adopted with a v1 manifest first
-    val existing = manifestOrMigrate(spark, fs, path)
+    val existing = manifestOrMigrate(spark, fs, path, partitionCols.size)
     if (existing.isEmpty) {
-      val (staging, staged) = stage(spark, fs, path, delta, partitionCol,
+      val (staging, staged) = stage(spark, fs, path, delta, partitionCols,
         statsCols)
       commitStaged(fs, path, staging, staged, staged.keySet, delta.schema,
         batchId)
@@ -583,19 +645,23 @@ object PartitionedLake {
     // transaction-level replay guard: a redelivered micro-batch whose id
     // the manifest already records committed is skipped whole
     if (batchId.exists(b => existing.flatMap(_.txn).exists(_ >= b))) return
-    val parts = delta.select(partitionCol).distinct().collect().map(_.get(0))
+    val parts = delta.select(partitionCols.map(col): _*).distinct()
+      .collect().map(_.toSeq)
     if (parts.isEmpty) return
-    val base = read(spark, path).filter(partitionFilter(partitionCol, parts))
-    // null-safe on the partition column (the identity's partition half
+    val base = read(spark, path).filter(partitionFilter(partitionCols, parts))
+    // null-safe on the partition columns (the identity's partition half
     // may legitimately be the null partition); keys are assumed non-null
-    val dk = delta.select(col(partitionCol).as("__dp"), col(keyCol).as("__dk"))
+    val dk = delta.select(partitionCols.zipWithIndex.map { case (c, i) =>
+      col(c).as(s"__dp$i") } :+ col(keyCol).as("__dk"): _*)
+    val joinCond = partitionCols.zipWithIndex.map { case (c, i) =>
+      col(c) <=> col(s"__dp$i") }.reduce(_ && _) &&
+      col(keyCol) === col("__dk")
     val merged = base
-      .join(dk, col(partitionCol) <=> col("__dp") &&
-        col(keyCol) === col("__dk"), "left_anti")
+      .join(dk, joinCond, "left_anti")
       .unionByName(delta.select(base.columns.map(col): _*))
-    val (staging, staged) = stage(spark, fs, path, merged, partitionCol,
+    val (staging, staged) = stage(spark, fs, path, merged, partitionCols,
       statsCols)
-    val replaced = parts.map(v => dirNameFor(partitionCol, v)).toSet
+    val replaced = parts.map(vs => dirPathFor(partitionCols, vs)).toSet
     commitStaged(fs, path, staging, staged, replaced, merged.schema, batchId)
   }
 
@@ -628,19 +694,28 @@ object PartitionedLake {
     */
   def cdcSink(spark: SparkSession, path: String, partitionCol: String,
       keyCol: String, valueCol: String, ops: DataFrame,
-      batchId: Option[Long] = None): Unit = {
+      batchId: Option[Long] = None): Unit =
+    cdcSink(spark, path, Seq(partitionCol), keyCol, valueCol, ops, batchId)
+
+  /** Multi-level variant: ops declare every partition column; identity is
+    * `(partitionCols..., k)`.
+    */
+  def cdcSink(spark: SparkSession, path: String, partitionCols: Seq[String],
+      keyCol: String, valueCol: String, ops: DataFrame,
+      batchId: Option[Long]): Unit = {
     val fs = fsFor(spark, path)
     // absent lake: update/delete ops have nothing to apply to (cdcApply
     // is update/delete-on-existing; q131's SCD-2 merge covers inserts);
     // a pre-protocol lake is adopted with a v1 manifest first
-    val existing = manifestOrMigrate(spark, fs, path)
+    val existing = manifestOrMigrate(spark, fs, path, partitionCols.size)
     if (existing.isEmpty) return
     // transaction-level replay guard (see [[upsert]])
     if (batchId.exists(b => existing.flatMap(_.txn).exists(_ >= b))) return
-    val parts = ops.select(partitionCol).distinct().collect().map(_.get(0))
+    val parts = ops.select(partitionCols.map(col): _*).distinct()
+      .collect().map(_.toSeq)
     if (parts.isEmpty) return // empty micro-batch
-    val base = read(spark, path).filter(partitionFilter(partitionCol, parts))
-    // composite-identity fold — (partition, key), same identity as
+    val base = read(spark, path).filter(partitionFilter(partitionCols, parts))
+    // composite-identity fold — (partitions..., key), same identity as
     // [[upsert]]: latest op per identity wins, applied only to the row
     // in the op's DECLARED partition. The key-only
     // [[graft.operators.RelationalOps.cdcApply]] coincides with this
@@ -648,25 +723,29 @@ object PartitionedLake {
     // but a key reused across partitions must not cross-apply — the
     // LakeModelSpec random-op model caught exactly that: a delete
     // declared in one partition retiring the same key's row in another.
+    val pAliases = partitionCols.indices.map(i => s"__cdc_p$i")
     val latest = ops
-      .select(col(partitionCol).as("__cdc_p"), col("k").as("__cdc_k"),
+      .select(partitionCols.zip(pAliases).map { case (c, a) =>
+        col(c).as(a) } ++ Seq(col("k").as("__cdc_k"),
         col("seq").as("__cdc_seq"), col("op").as("__cdc_op"),
-        col("val").as("__cdc_val"))
+        col("val").as("__cdc_val")): _*)
       .withColumn("__cdc_rn", org.apache.spark.sql.functions.row_number()
         .over(org.apache.spark.sql.expressions.Window
-          .partitionBy("__cdc_p", "__cdc_k")
+          .partitionBy((pAliases :+ "__cdc_k").map(col): _*)
           .orderBy(col("__cdc_seq").desc)))
       .filter(col("__cdc_rn") === 1).drop("__cdc_rn", "__cdc_seq")
+    val joinCond = partitionCols.zip(pAliases).map { case (c, a) =>
+      base(c) <=> latest(a) }.reduce(_ && _) &&
+      base(keyCol) === latest("__cdc_k")
     val corrected = base
-      .join(latest, base(partitionCol) <=> latest("__cdc_p") &&
-        base(keyCol) === latest("__cdc_k"), "left")
+      .join(latest, joinCond, "left")
       .filter(col("__cdc_op").isNull || col("__cdc_op") =!= "D")
       .withColumn(valueCol, org.apache.spark.sql.functions
         .when(col("__cdc_op") === "U", col("__cdc_val"))
         .otherwise(col(valueCol)))
-      .drop("__cdc_p", "__cdc_k", "__cdc_op", "__cdc_val")
-    val (staging, staged) = stage(spark, fs, path, corrected, partitionCol, Nil)
-    val replaced = parts.map(v => dirNameFor(partitionCol, v)).toSet
+      .drop(pAliases ++ Seq("__cdc_k", "__cdc_op", "__cdc_val"): _*)
+    val (staging, staged) = stage(spark, fs, path, corrected, partitionCols, Nil)
+    val replaced = parts.map(vs => dirPathFor(partitionCols, vs)).toSet
     val emptied = commitStaged(fs, path, staging, staged, replaced,
       corrected.schema, batchId)
     // retire directories the fold emptied — they are unreferenced by the

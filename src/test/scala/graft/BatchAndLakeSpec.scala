@@ -553,6 +553,51 @@ class PartitionedLakeSpec extends AnyFunSuite {
       s"range estimate $rangeEst vs exact $exact")
   }
 
+  test("multi-level partitioning (day/src): nested commits, prefix pruning, tuple-identity upsert, leaf retirement, maintenance") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-multi").toString + "/lake"
+    val base = Seq(
+      (1L, "d1", "web", 10.0), (2L, "d1", "app", 20.0),
+      (3L, "d2", "web", 30.0), (4L, "d2", "app", 40.0))
+      .toDF("id", "day", "src", "bal")
+    PartitionedLake.write(base, path, Seq("day", "src"), Nil)
+    // nested Hive layout on disk
+    assert(new java.io.File(s"$path/day=d1/src=web").isDirectory)
+    // a predicate on the LEADING level prunes at the partition index
+    val pruned = PartitionedLake.read(spark, path).filter(col("day") === "d1")
+    assert(pruned.count() === 2)
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [isnotnull(day"),
+      pruned.queryExecution.executedPlan.toString)
+    // tuple identity: the same id may live in two (day, src) cells and
+    // each upserts independently
+    PartitionedLake.upsert(spark, path, Seq("day", "src"), "id",
+      Seq((1L, "d1", "web", 11.0), (1L, "d1", "app", 99.0))
+        .toDF("id", "day", "src", "bal"), Nil, None)
+    def state() = PartitionedLake.read(spark, path)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getDouble(3))).toSet
+    assert(state() === Set((1L, "d1", "web", 11.0), (1L, "d1", "app", 99.0),
+      (2L, "d1", "app", 20.0), (3L, "d2", "web", 30.0),
+      (4L, "d2", "app", 40.0)))
+    // CDC delete empties exactly the (d2, web) leaf: its directory
+    // retires while the sibling src under the same day survives
+    PartitionedLake.cdcSink(spark, path, Seq("day", "src"), "id", "bal",
+      Seq((3L, "d2", "web", 100L, "D", 0.0))
+        .toDF("k", "day", "src", "seq", "op", "val"), None)
+    assert(!new java.io.File(s"$path/day=d2/src=web").exists())
+    assert(new java.io.File(s"$path/day=d2/src=app").isDirectory)
+    assert(state().size === 4)
+    // maintenance walks the nested tree
+    PartitionedLake.compact(spark, path)
+    PartitionedLake.vacuum(spark, path)
+    assert(state() === Set((1L, "d1", "web", 11.0), (1L, "d1", "app", 99.0),
+      (2L, "d1", "app", 20.0), (4L, "d2", "app", 40.0)))
+    val perLeaf = PartitionedLake.read(spark, path).inputFiles
+      .groupBy(f => f.split('/').takeRight(3).take(2).mkString("/"))
+    assert(perLeaf.values.forall(_.length === 1), perLeaf.toString)
+  }
+
   test("transaction-level replay guard: a redelivered batchId is skipped whole; txn survives compaction and vacuum") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft-txn").toString + "/lake"
