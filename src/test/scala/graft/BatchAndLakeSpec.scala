@@ -164,6 +164,78 @@ class LakeModelSpec extends AnyFunSuite {
   }
 }
 
+/** The same random-op model as above, against a TWO-LEVEL (day, src)
+  * lake: identity is the (day, src, k) tuple, CDC deletes can retire a
+  * leaf while its day-sibling survives, and maintenance walks the nested
+  * tree — every interleaving must still agree with the in-memory model.
+  */
+class LakeModelMultiLevelSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  test("random op sequences on a (day, src) lake: read() == model after every op") {
+    val rnd = new scala.util.Random(11)
+    val path = java.nio.file.Files.createTempDirectory("graft-model2").toString + "/lake"
+    val days = Seq("d1", "d2")
+    val srcs = Seq("web", "a/b", null) // escaped + null at the second level
+    var model = Map.empty[(String, String, Long), Double]
+    var seq = 0L
+    def cell() = (days(rnd.nextInt(days.size)), srcs(rnd.nextInt(srcs.size)))
+
+    def upsertOp(): Unit = {
+      val rows = Seq.fill(1 + rnd.nextInt(4)) {
+        val (d, s) = cell()
+        (d, s, rnd.nextInt(6).toLong, math.floor(rnd.nextDouble() * 100))
+      }.distinctBy(r => (r._1, r._2, r._3))
+      PartitionedLake.upsert(spark, path, Seq("day", "src"), "id",
+        rows.map(r => (r._3, r._1, r._2, r._4)).toDF("id", "day", "src", "bal"),
+        Nil, None)
+      rows.foreach { case (d, s, k, v) => model += ((d, s, k) -> v) }
+    }
+
+    def cdcOp(): Unit = {
+      val keys = model.keys.toSeq
+      val ops = Seq.fill(1 + rnd.nextInt(4)) {
+        val (d, s, k) = if (keys.nonEmpty && rnd.nextInt(4) > 0)
+          keys(rnd.nextInt(keys.size))
+        else { val (d0, s0) = cell(); (d0, s0, (6 + rnd.nextInt(3)).toLong) }
+        seq += 1
+        (k, d, s, seq, if (rnd.nextBoolean()) "D" else "U",
+          math.floor(rnd.nextDouble() * 100))
+      }
+      PartitionedLake.cdcSink(spark, path, Seq("day", "src"), "id", "bal",
+        ops.toDF("k", "day", "src", "seq", "op", "val"), None)
+      ops.groupBy(o => (o._2, o._3, o._1)).foreach { case ((d, s, k), os) =>
+        val last = os.maxBy(_._4)
+        if (model.contains((d, s, k))) {
+          if (last._5 == "D") model -= ((d, s, k))
+          else model += ((d, s, k) -> last._6)
+        }
+      }
+    }
+
+    def readBack(): Map[(String, String, Long), Double] =
+      PartitionedLake.read(spark, path).collect()
+        .map(r => (r.getAs[String]("day"), r.getAs[String]("src"),
+          r.getAs[Long]("id")) -> r.getAs[Double]("bal")).toMap
+
+    PartitionedLake.write(
+      Seq((0L, "d1", "web", 1.0), (1L, "d2", "a/b", 2.0))
+        .toDF("id", "day", "src", "bal"), path, Seq("day", "src"), Nil)
+    model = Map(("d1", "web", 0L) -> 1.0, ("d2", "a/b", 1L) -> 2.0)
+
+    for (step <- 1 to 18) {
+      rnd.nextInt(10) match {
+        case 0 => PartitionedLake.compact(spark, path)
+        case 1 => PartitionedLake.vacuum(spark, path)
+        case n if n < 6 => upsertOp()
+        case _ => cdcOp()
+      }
+      assert(readBack() === model, s"divergence after step $step")
+    }
+  }
+}
+
 class PartitionedLakeSpec extends AnyFunSuite {
   import SparkTestSession._
 
