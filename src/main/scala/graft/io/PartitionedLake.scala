@@ -620,6 +620,12 @@ object PartitionedLake {
     * — exactly-once even where the value-level merge would not be
     * idempotent. Without it the key-merge idempotence is the (weaker,
     * still spec-pinned) safety net.
+    *
+    * Schema evolution is ADDITIVE: a delta may carry new columns (the
+    * whole lake surfaces them, nulls for untouched rows — parquet's
+    * by-name reads make old files null there for free) or omit base
+    * columns (nulls); a column present in both sides must keep its
+    * type. Old snapshots time-travel under their own schema.
     */
   def upsert(spark: SparkSession, path: String, partitionCol: String,
       keyCol: String, delta: DataFrame, statsCols: Seq[String] = Nil,
@@ -656,9 +662,20 @@ object PartitionedLake {
     val joinCond = partitionCols.zipWithIndex.map { case (c, i) =>
       col(c) <=> col(s"__dp$i") }.reduce(_ && _) &&
       col(keyCol) === col("__dk")
-    val merged = base
-      .join(dk, joinCond, "left_anti")
-      .unionByName(delta.select(base.columns.map(col): _*))
+    // additive schema evolution: a delta may CARRY NEW COLUMNS (base
+    // rows take null for them — parquet's by-name reads give old files
+    // null there too, so the whole lake surfaces the widened schema)
+    // and may OMIT base columns (nulls). A column present in both must
+    // agree in type; anything else fails analysis loudly.
+    val allCols = base.columns ++
+      delta.columns.filterNot(base.columns.contains(_))
+    def aligned(df: DataFrame, other: DataFrame): DataFrame =
+      df.select(allCols.map { c =>
+        if (df.columns.contains(c)) col(c)
+        else lit(null).cast(other.schema(c).dataType).as(c)
+      }.toIndexedSeq: _*)
+    val merged = aligned(base.join(dk, joinCond, "left_anti"), delta)
+      .unionByName(aligned(delta, base))
     val (staging, staged) = stage(spark, fs, path, merged, partitionCols,
       statsCols)
     val replaced = parts.map(vs => dirPathFor(partitionCols, vs)).toSet

@@ -625,6 +625,33 @@ class PartitionedLakeSpec extends AnyFunSuite {
       s"range estimate $rangeEst vs exact $exact")
   }
 
+  test("additive schema evolution: a widening delta surfaces the new column lake-wide; old snapshots keep the old schema") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-evolve").toString + "/lake"
+    PartitionedLake.write(
+      Seq((1L, "p1", "a"), (2L, "p2", "b")).toDF("k", "part", "v"),
+      path, "part")
+    // the delta carries a NEW column: untouched rows and partitions
+    // surface it as null (old parquet files simply lack the column)
+    PartitionedLake.upsert(spark, path, "part", "k",
+      Seq((1L, "p1", "a2", "hello")).toDF("k", "part", "v", "note"))
+    val got = PartitionedLake.read(spark, path)
+    assert(got.columns.toSeq === Seq("k", "part", "v", "note"))
+    val rows = got.orderBy("k").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"),
+        r.getAs[String]("note"))).toSeq
+    assert(rows === Seq((1L, "a2", "hello"), (2L, "b", null)))
+    // a later delta OMITTING base columns takes nulls for them
+    PartitionedLake.upsert(spark, path, "part", "k",
+      Seq((3L, "p2", "c")).toDF("k", "part", "v"))
+    val got2 = PartitionedLake.read(spark, path).orderBy("k").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("note"))).toSeq
+    assert(got2 === Seq(1L -> "hello", 2L -> null, 3L -> null))
+    // time travel returns each snapshot under ITS OWN schema
+    assert(PartitionedLake.readVersion(spark, path, 1L).columns.toSeq ===
+      Seq("k", "part", "v"))
+  }
+
   test("multi-level partitioning (day/src): nested commits, prefix pruning, tuple-identity upsert, leaf retirement, maintenance") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft-multi").toString + "/lake"
