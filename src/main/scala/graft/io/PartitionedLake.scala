@@ -178,7 +178,7 @@ object PartitionedLake {
     * target, so two racing committers cannot both win version N — the
     * loser fails loudly (single-committer contract; see class doc).
     */
-  private def publishManifest(fs: FileSystem, path: String, m: Manifest): Unit = {
+  private[io] def publishManifest(fs: FileSystem, path: String, m: Manifest): Unit = {
     val dir = manifestDir(path)
     fs.mkdirs(dir)
     val body = new StringBuilder("graft-lake-manifest v1\n")
