@@ -276,6 +276,59 @@ object CurationOps {
              |ORDER BY source, doc_id""".stripMargin),
       "pipeline-op: per-source cap application (group-limit pushed below the shuffle)"),
 
+    // ---- deterministic PPS sampling (probability proportional to
+    // size): systematic threshold sampling over the cumulative weight —
+    // pick the documents where the running sum of n_chars crosses a
+    // multiple of step = total/k. Every engine and every re-run selects
+    // the SAME ~k documents (unlike A-RES exponential keys, this needs
+    // no libm pow/ln, so the oracle hash-matches on exact BIGINTs), a
+    // doc's inclusion probability is proportional to its size, and a
+    // doc with n_chars >= step is ALWAYS included — the weighted-
+    // sampling rule mixture construction wants. Scale: the naive form
+    // is one global ORDER BY cumsum — a single-partition window. Here
+    // the prefix sum is SHARDED exactly like globalNtile: doc_id range
+    // buckets sized by one scalar max(doc_id) read, per-bucket cumsums
+    // behind the buckets' hash exchange (parallel), per-bucket totals
+    // collapse to <= shuffle-partitions rows whose offsets come from a
+    // bounded single-partition window and broadcast-join back. The
+    // oracle runs the naive global-window form — same integers. ----
+    Q("q142_pps_sample",
+      (s, d) => {
+        val k = 25
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+        val nb = s.conf.get("spark.sql.shuffle.partitions").toInt
+        // one scalar read sizes cluster-bounded buckets (globalNtile's
+        // boundary-job precedent)
+        val maxId = docs.agg(max("doc_id")).head().getLong(0)
+        val width = math.max(maxId / nb + 1, 1L)
+        val bucketed = docs.withColumn("bkt", expr(s"doc_id div $width"))
+        val wIn = Window.partitionBy("bkt").orderBy("doc_id")
+        val local = bucketed.withColumn("lcum", sum("n_chars").over(wIn))
+        val wOff = Window.orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wAll = Window.orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val offsets = bucketed.groupBy("bkt").agg(sum("n_chars").as("bsum"))
+          .select(col("bkt"),
+            coalesce(sum("bsum").over(wOff), lit(0L)).as("off"),
+            sum("bsum").over(wAll).as("tot"))
+        local.join(broadcast(offsets), "bkt")
+          .withColumn("cum", col("off") + col("lcum"))
+          .withColumn("step", greatest(expr(s"tot div $k"), lit(1L)))
+          .filter(expr("cum div step") > expr("(cum - n_chars) div step"))
+          .select(col("doc_id"), col("n_chars"), col("cum"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH c AS (SELECT doc_id, n_chars,
+             |    CAST(SUM(n_chars) OVER (ORDER BY doc_id) AS BIGINT) AS cum,
+             |    CAST(SUM(n_chars) OVER () AS BIGINT) AS tot
+             |  FROM documents)
+             |SELECT doc_id, n_chars, cum FROM c
+             |WHERE (cum // greatest(tot // 25, 1))
+             |  > ((cum - n_chars) // greatest(tot // 25, 1))
+             |ORDER BY doc_id""".stripMargin),
+      "pipeline-op: deterministic PPS corpus sampling (sharded prefix sum, no libm)"),
+
     // ---- incremental-ingest dedup: dedupe a NEW batch against the
     // standing corpus by normalized-text fingerprint — the daily-crawl
     // shape (the full-corpus pair queries q40/q42 answer a different

@@ -250,6 +250,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan("q128_source_cap").contains("WindowGroupLimit"))
   }
 
+  test("q142 PPS sampling: sharded prefix sum broadcasts its offsets, no global-window sort of the data") {
+    val p = plan("q142_pps_sample")
+    // the <= shuffle-partitions offsets table must come back by
+    // broadcast; the only unpartitioned windows run over that bounded
+    // offsets relation, never over the corpus
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    val df = QueryRegistry.queries("q142_pps_sample")(spark, sf)
+    assert(df.count() >= 24) // ~k docs selected, deterministic
+  }
+
   test("no query plans an unintended CartesianProduct") {
     val offenders = QueryRegistry.all.flatMap { q =>
       val p = q.fn(spark, sf).queryExecution.executedPlan.toString
