@@ -78,8 +78,11 @@ object Bench {
     // whitespace-tolerant: the file may be Scala-written (compact) or
     // round-tripped through a pretty-printer (": " separators); the
     // fraction is optional so an integer-formatted timing ("q01": 3)
-    // still arms the escape instead of silently dropping out
-    val pair = """"([^"]+)"\s*:\s*([0-9]+(?:\.[0-9]+)?)(?![0-9.])""".r
+    // still arms the escape instead of silently dropping out. The
+    // lookahead also rejects an exponent suffix: "1.49E-1" must DROP
+    // (unparsed) rather than mis-read as 1.49 — a 10x-inflated
+    // reference would mask exactly the contention it exists to catch.
+    val pair = """"([^"]+)"\s*:\s*([0-9]+(?:\.[0-9]+)?)(?![0-9.eE])""".r
     val sfTag = """"sf"\s*:\s*"([^"]+)"""".r
     // a reference is only comparable at ITS OWN scale: the decade runs
     // (SCALE.md) point SPARK_GRAFT_SF_DIR at sf1/sf10, where every query

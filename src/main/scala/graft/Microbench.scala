@@ -396,7 +396,11 @@ object Microbench {
     // ON variant hard-asserts might_contain in the optimized plan, so a
     // silent regression of the rewrite fails the run, not just the
     // timing.
-    {
+    // the whole section (conf mutations + the hard plan assertion, not
+    // just the timings) honors the name filter, so a filtered run for
+    // an unrelated variant can neither perturb session confs nor abort
+    // on the bloom assertion
+    if (only.forall("star sel-dim join".contains(_))) {
       val conf = Map(
         "spark.sql.autoBroadcastJoinThreshold" -> "-1",
         "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
@@ -407,7 +411,9 @@ object Microbench {
         // rewrite; raised to model the stats-informed decision a real
         // deployment's ANALYZE-fed planner makes
         "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1GB")
-      val prev = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
+      val toggled = conf.keys.toSeq :+
+        "spark.sql.optimizer.runtime.bloomFilter.enabled"
+      val prev = toggled.map(k => k -> spark.conf.getOption(k)).toMap
       conf.foreach { case (k, v) => spark.conf.set(k, v) }
       def starSel = Tables.lineitem(spark, sfDir)
         .join(Tables.orders(spark, sfDir)
@@ -426,7 +432,6 @@ object Microbench {
         case (k, Some(v)) => spark.conf.set(k, v)
         case (k, None) => spark.conf.unset(k)
       }
-      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
     }
     spark.stop()
   }

@@ -243,11 +243,6 @@ object PartitionedLake {
     }.toMap
   }
 
-  /** Write `df` partitioned by `partitionCol` into a fresh staging dir and
-    * return (stagingPath, dirName -> staged file entries). `statsCols`
-    * names columns whose per-file min/max should be harvested from the
-    * staged footers into the manifest for [[readRange]] file skipping.
-    */
   /** Leaf partition directories (relative path -> absolute Path) `depth`
     * `col=value` levels below `root`.
     */
@@ -265,6 +260,23 @@ object PartitionedLake {
     walk(root, "", depth)
   }
 
+  /** The data files of one partition directory (the one definition of
+    * "live data file" — underscore/dot-prefixed side files excluded —
+    * shared by staging and legacy-lake adoption so they can never
+    * disagree).
+    */
+  private def dataFiles(fs: FileSystem, dir: Path): Seq[Path] =
+    fs.listStatus(dir).toSeq
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith("."))
+      .map(_.getPath)
+
+  /** Write `df` partitioned by `partitionCols` into a fresh staging dir
+    * and return (stagingPath, relative dir path -> staged file entries).
+    * `statsCols` names columns whose per-file min/max should be
+    * harvested from the staged footers into the manifest for
+    * [[readRange]]/[[readBox]] file skipping.
+    */
   private def stage(spark: SparkSession, fs: FileSystem, path: String,
       df: DataFrame, partitionCols: Seq[String],
       statsCols: Seq[String]): (Path, Map[String, Seq[FileEntry]]) = {
@@ -276,14 +288,11 @@ object PartitionedLake {
     val conf = spark.sparkContext.hadoopConfiguration
     val dirs = leafPartitionDirs(fs, staging, partitionCols.size)
       .map { case (rel, dirPath) =>
-        val entries = fs.listStatus(dirPath).toSeq
-          .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
-            !f.getPath.getName.startsWith("."))
-          .map { f =>
-            val stats = if (statsCols.isEmpty) Map.empty[String, (Double, Double)]
-              else footerStats(conf, f.getPath, statsCols.toSet)
-            FileEntry(f.getPath.getName, stats)
-          }
+        val entries = dataFiles(fs, dirPath).map { f =>
+          val stats = if (statsCols.isEmpty) Map.empty[String, (Double, Double)]
+            else footerStats(conf, f, statsCols.toSet)
+          FileEntry(f.getName, stats)
+        }
         rel -> entries
       }.toMap
     (staging, dirs)
@@ -298,14 +307,19 @@ object PartitionedLake {
     * cross-checked against what Spark staged). Returns the directory
     * paths this commit EMPTIED (replaced, nothing staged, nothing live).
     */
+  /** `old` is the manifest the caller already resolved for this commit —
+    * threaded through rather than re-read (at the class doc's stated
+    * manifest ceiling a re-resolve is a ~100 MB driver read; under the
+    * single-committer contract nothing can have advanced it).
+    */
   private def commitStaged(fs: FileSystem, path: String, staging: Path,
       staged: Map[String, Seq[FileEntry]], replaced: Set[String],
-      schema: StructType, batchId: Option[Long] = None): Seq[String] = {
+      schema: StructType, old: Option[Manifest],
+      batchId: Option[Long]): Seq[String] = {
     val unexpected = staged.keySet.diff(replaced)
     require(unexpected.isEmpty,
       "partition path encoding diverged from Spark's for: " +
         unexpected.mkString(", ") + " — refusing to commit")
-    val old = latestManifest(fs, path)
     val commitId = UUID.randomUUID().toString.take(8)
     val moved = staged.map { case (d, entries) =>
       val destDir = new Path(path, d)
@@ -338,10 +352,7 @@ object PartitionedLake {
       else {
         val dirs = leafPartitionDirs(fs, new Path(path), depth)
           .map { case (rel, dirPath) =>
-            rel -> fs.listStatus(dirPath).toSeq
-              .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
-                !f.getPath.getName.startsWith("."))
-              .map(f => FileEntry(f.getPath.getName))
+            rel -> dataFiles(fs, dirPath).map(f => FileEntry(f.getName))
           }.toMap
         if (dirs.isEmpty) None
         else {
@@ -372,10 +383,11 @@ object PartitionedLake {
       statsCols: Seq[String]): Unit = {
     val spark = df.sparkSession
     val fs = fsFor(spark, path)
+    val old = latestManifest(fs, path)
     val (staging, staged) = stage(spark, fs, path, df, partitionCols, statsCols)
-    val oldDirs = latestManifest(fs, path).map(_.files.keySet).getOrElse(Set.empty)
+    val oldDirs = old.map(_.files.keySet).getOrElse(Set.empty)
     val emptied = commitStaged(fs, path, staging, staged,
-      oldDirs ++ staged.keySet, df.schema)
+      oldDirs ++ staged.keySet, df.schema, old, None)
     emptied.foreach(d => fs.delete(new Path(path, d), true))
   }
 
@@ -471,16 +483,27 @@ object PartitionedLake {
 
   /** Time travel: read the lake AS OF a published snapshot version (see
     * [[snapshots]]). Works because commits only ever ADD files and
-    * de-reference old ones — a version's files stay on disk until
-    * [[vacuum]] reclaims them, so reading a vacuumed version fails with
-    * a clear error rather than silently returning partial data.
+    * de-reference old ones. Two reclamation events can invalidate an old
+    * version, and both fail HERE with a clear error instead of a
+    * mid-scan FileNotFound (or silent partial data under
+    * ignoreMissingFiles): [[vacuum]] deletes superseded files AND the
+    * old manifests (caught by the manifest check), and a full overwrite
+    * or CDC delete physically retires now-empty partition DIRECTORIES
+    * (caught by the directory check — retirement is always
+    * whole-directory, so directory existence is sufficient and costs
+    * partition-count metadata, not file stats).
     */
   def readVersion(spark: SparkSession, path: String, version: Long): DataFrame = {
     val fs = fsFor(spark, path)
     require(fs.exists(new Path(manifestDir(path), f"v$version%09d.txt")),
       s"snapshot v$version is not resolvable on $path (never published, " +
         s"or reclaimed by vacuum); available: ${snapshots(spark, path).mkString(", ")}")
-    frameFor(spark, path, readManifest(fs, path, version))
+    val m = readManifest(fs, path, version)
+    val retired = m.files.keys.filterNot(d => fs.exists(new Path(path, d)))
+    require(retired.isEmpty,
+      s"snapshot v$version references partitions retired by a later " +
+        s"overwrite or CDC delete: ${retired.mkString(", ")}")
+    frameFor(spark, path, m)
   }
 
   /** Bin-pack compaction: partitions holding more than one live file are
@@ -512,7 +535,8 @@ object PartitionedLake {
         .repartition(partitionCols.map(col): _*)
       val (staging, staged) = stage(spark, fs, path, slice, partitionCols,
         statsCols)
-      commitStaged(fs, path, staging, staged, todo.keySet, slice.schema)
+      commitStaged(fs, path, staging, staged, todo.keySet, slice.schema,
+        Some(m), None)
     }
   }
 
@@ -550,6 +574,10 @@ object PartitionedLake {
       fs.listStatus(manifestDir(path)).foreach { st =>
         st.getPath.getName match {
           case ManifestFile(n) if n.toLong < m.version =>
+            fs.delete(st.getPath, false)
+          // a committer that died between writing its temp manifest and
+          // the publish rename leaves a .tmp-* orphan — reclaim it here
+          case tmp if tmp.startsWith(".tmp-") =>
             fs.delete(st.getPath, false)
           case _ => ()
         }
@@ -645,7 +673,7 @@ object PartitionedLake {
       val (staging, staged) = stage(spark, fs, path, delta, partitionCols,
         statsCols)
       commitStaged(fs, path, staging, staged, staged.keySet, delta.schema,
-        batchId)
+        None, batchId)
       return
     }
     // transaction-level replay guard: a redelivered micro-batch whose id
@@ -654,7 +682,8 @@ object PartitionedLake {
     val parts = delta.select(partitionCols.map(col): _*).distinct()
       .collect().map(_.toSeq)
     if (parts.isEmpty) return
-    val base = read(spark, path).filter(partitionFilter(partitionCols, parts))
+    val base = frameFor(spark, path, existing.get)
+      .filter(partitionFilter(partitionCols, parts))
     // null-safe on the partition columns (the identity's partition half
     // may legitimately be the null partition); keys are assumed non-null
     val dk = delta.select(partitionCols.zipWithIndex.map { case (c, i) =>
@@ -665,8 +694,18 @@ object PartitionedLake {
     // additive schema evolution: a delta may CARRY NEW COLUMNS (base
     // rows take null for them — parquet's by-name reads give old files
     // null there too, so the whole lake surfaces the widened schema)
-    // and may OMIT base columns (nulls). A column present in both must
-    // agree in type; anything else fails analysis loudly.
+    // and may OMIT base columns (nulls). A column present in both MUST
+    // keep its type — checked here, not left to union analysis, because
+    // union quietly COERCES (long+double -> double) and the widened
+    // manifest schema would then fail against untouched partitions'
+    // old files at read time, poisoning the lake.
+    val conflicts = delta.schema.filter(f => base.columns.contains(f.name))
+      .filter(f => base.schema(f.name).dataType != f.dataType)
+    require(conflicts.isEmpty,
+      "type change is not supported (only additive evolution): " +
+        conflicts.map(f => s"${f.name}: lake has " +
+          s"${base.schema(f.name).dataType.simpleString}, delta has " +
+          s"${f.dataType.simpleString}").mkString("; "))
     val allCols = base.columns ++
       delta.columns.filterNot(base.columns.contains(_))
     def aligned(df: DataFrame, other: DataFrame): DataFrame =
@@ -679,7 +718,8 @@ object PartitionedLake {
     val (staging, staged) = stage(spark, fs, path, merged, partitionCols,
       statsCols)
     val replaced = parts.map(vs => dirPathFor(partitionCols, vs)).toSet
-    commitStaged(fs, path, staging, staged, replaced, merged.schema, batchId)
+    commitStaged(fs, path, staging, staged, replaced, merged.schema,
+      existing, batchId)
   }
 
   /** Exactly-once streaming CDC sink: fold one micro-batch of a CDC op
@@ -731,7 +771,8 @@ object PartitionedLake {
     val parts = ops.select(partitionCols.map(col): _*).distinct()
       .collect().map(_.toSeq)
     if (parts.isEmpty) return // empty micro-batch
-    val base = read(spark, path).filter(partitionFilter(partitionCols, parts))
+    val base = frameFor(spark, path, existing.get)
+      .filter(partitionFilter(partitionCols, parts))
     // composite-identity fold — (partitions..., key), same identity as
     // [[upsert]]: latest op per identity wins, applied only to the row
     // in the op's DECLARED partition. The key-only
@@ -764,7 +805,7 @@ object PartitionedLake {
     val (staging, staged) = stage(spark, fs, path, corrected, partitionCols, Nil)
     val replaced = parts.map(vs => dirPathFor(partitionCols, vs)).toSet
     val emptied = commitStaged(fs, path, staging, staged, replaced,
-      corrected.schema, batchId)
+      corrected.schema, existing, batchId)
     // retire directories the fold emptied — they are unreferenced by the
     // new manifest, so only a reader pinned to an older snapshot can
     // still want them (same retention tradeoff as vacuum)

@@ -495,6 +495,15 @@ class PartitionedLakeSpec extends AnyFunSuite {
     assert(at(3) === Seq(1L -> "v3", 2L -> "v2"))
     val e = intercept[IllegalArgumentException] { at(1) }
     assert(e.getMessage.contains("not resolvable"))
+    // a CDC delete that empties a partition retires its directory
+    // WITHOUT a vacuum: older versions referencing it must fail with
+    // the clear retirement error, not a mid-scan FileNotFound
+    PartitionedLake.cdcSink(spark, path, "part", "k", "v",
+      Seq((2L, "p2", 10L, "D", "")).toDF("k", "part", "seq", "op", "val"))
+    val e2 = intercept[IllegalArgumentException] { at(3) }
+    assert(e2.getMessage.contains("retired"), e2.getMessage)
+    // the latest snapshot is of course unaffected
+    assert(PartitionedLake.read(spark, path).count() === 1)
   }
 
   test("compaction bin-packs multi-file partitions to one file each through the snapshot protocol") {
@@ -650,6 +659,15 @@ class PartitionedLakeSpec extends AnyFunSuite {
     // time travel returns each snapshot under ITS OWN schema
     assert(PartitionedLake.readVersion(spark, path, 1L).columns.toSeq ===
       Seq("k", "part", "v"))
+    // a TYPE change is refused loudly before anything commits — union
+    // coercion would otherwise widen the manifest schema out from under
+    // untouched partitions' files and poison every later read
+    val e = intercept[IllegalArgumentException] {
+      PartitionedLake.upsert(spark, path, "part", "k",
+        Seq((9, "p1", 1.5)).toDF("k", "part", "v"))
+    }
+    assert(e.getMessage.contains("type change"), e.getMessage)
+    assert(PartitionedLake.read(spark, path).count() === 3) // unharmed
   }
 
   test("multi-level partitioning (day/src): nested commits, prefix pruning, tuple-identity upsert, leaf retirement, maintenance") {

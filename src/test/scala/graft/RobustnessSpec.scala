@@ -65,6 +65,14 @@ class RobustnessSpec extends AnyFunSuite {
       """{"sf": "X", "queries": {"qa": 3, "qb": 2.5}}""")
     assert(Bench.loadHistory(Set("qa", "qb"), "X", d.toString,
       dir.resolve("none.json").toString) === Map("qa" -> 3.0, "qb" -> 2.5))
+    // exponent-formatted timings must DROP, not mis-parse: reading
+    // "1.49E-1" as 1.49 would inflate the reference 10x and mask the
+    // very contention the escape exists to catch
+    val ex = dir.resolve("exp.json")
+    java.nio.file.Files.writeString(ex,
+      """{"sf": "X", "queries": {"qa": 1.49E-1, "qb": 2.5}}""")
+    assert(Bench.loadHistory(Set("qa", "qb"), "X", ex.toString,
+      dir.resolve("none.json").toString) === Map("qb" -> 2.5))
   }
 
   test("bench sampling policy: synthetic contention is escaped, idle runs untouched") {
