@@ -31,7 +31,7 @@ object Graft {
     * exact Column-API cost.
     */
   def registerSqlUdfs(spark: SparkSession): Unit =
-    spark.sql(
+    if (!spark.catalog.functionExists("graft_normalize")) spark.sql(
       s"""CREATE OR REPLACE TEMPORARY FUNCTION graft_normalize(s STRING)
          |RETURNS STRING
          |RETURN trim(regexp_replace(

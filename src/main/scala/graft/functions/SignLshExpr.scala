@@ -111,11 +111,17 @@ object SignLsh {
   /** Register `sign_lsh_buckets(vec, nTables, bitsPerTable)` on a session
     * (idempotent; the table-shape arguments must be literals).
     */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sign_lsh_buckets", exprs => SignLshBuckets(exprs(0),
-        exprs(1).eval().asInstanceOf[Int],
-        exprs(2).eval().asInstanceOf[Int]), "scala_udf")
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    // guarded: per-query callers must not WARN-spam "replaced a
+    // previously registered function" on every invocation
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("sign_lsh_buckets")))
+      reg.createOrReplaceTempFunction(
+        "sign_lsh_buckets", exprs => SignLshBuckets(exprs(0),
+          exprs(1).eval().asInstanceOf[Int],
+          exprs(2).eval().asInstanceOf[Int]), "scala_udf")
+  }
 
   /** Column API (registers on the fly). */
   def buckets(spark: SparkSession, c: Column,

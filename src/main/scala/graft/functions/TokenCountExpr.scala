@@ -84,10 +84,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftFunctions {
-  /** Register `token_count` for SQL + call_function use on a session. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "token_count", exprs => TokenCount(exprs.head), "scala_udf")
+  /** Register `token_count` for SQL + call_function use on a session.
+    * Idempotent AND quiet: re-registration is guarded by a registry
+    * lookup so per-query callers don't spam "replaced a previously
+    * registered function" WARNs into every artifact tail.
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("token_count")))
+      reg.createOrReplaceTempFunction(
+        "token_count", exprs => TokenCount(exprs.head), "scala_udf")
+  }
 
   /** Column API (requires [[register]] on the session first). */
   def token_count(c: Column): Column = call_function("token_count", c)

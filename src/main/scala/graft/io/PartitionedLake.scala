@@ -68,7 +68,12 @@ object PartitionedLake {
 
   private val ManifestDirName = "_manifest"
   private val StagingDirName = "_staging"
-  private val ManifestFile = """^v(\d{9})\.txt$""".r
+  // %09d pads for sortable names but is MINIMUM width: version 10^9
+  // writes 10 digits, so the matcher accepts \d{9,} — a fixed {9} would
+  // silently stop resolving past that version (split-brain to an older
+  // snapshot), the worst possible failure mode for a commit protocol
+  private val ManifestFile = """^v(\d{9,})\.txt$""".r
+  private val TxnLine = """^txn (\d+)$""".r
 
   /** One live data file: its name within the partition directory plus
     * optional per-column (min, max) bounds harvested from its parquet
@@ -151,13 +156,17 @@ object PartitionedLake {
       s"unrecognized manifest header in $p")
     val schema = DataType.fromJson(lines(1).stripPrefix("schema "))
       .asInstanceOf[StructType]
-    val txn = lines.drop(2).headOption.filter(_.startsWith("txn "))
-      .map(_.stripPrefix("txn ").toLong)
+    // the txn line is anchored (`^txn \d+$`), never prefix-matched: a
+    // partition COLUMN literally named `txn ...` produces file lines that
+    // start with "txn " but always contain '=' and '/', which the anchor
+    // rejects — escapePathName does NOT escape the space character
+    val txn = lines.drop(2).headOption.collect { case TxnLine(t) => t.toLong }
     val files = lines.drop(if (txn.isDefined) 3 else 2)
       .filter(_.nonEmpty).map { line =>
       // fields are tab-separated: the file path, then optional
-      // col=min..max stats (escapePathName escapes both '/' and
-      // whitespace, so neither tab nor '/' can occur inside names —
+      // col=min..max stats (escapePathName escapes '/' and control
+      // chars including tab — space is NOT escaped but neither split
+      // here is on space — so no tab or '/' occurs inside names;
       // the last '/' splits dir/file)
       val fields = line.split('\t')
       val i = fields(0).lastIndexOf('/')
@@ -234,6 +243,14 @@ object PartitionedLake {
               case _ => None // non-numeric column: no range skipping
             }
           }
+          // parquet-mr seeds double stats from the FIRST value, so a row
+          // group whose first value is NaN reports NaN bounds; readBox's
+          // `mx >= lo && mn <= hi` is then false and the file would be
+          // silently SKIPPED despite possibly holding in-range rows.
+          // Non-finite bounds (NaN, ±Inf) degrade to "no stats = cannot
+          // skip" — the conservative direction.
+          .filter { case (lo, hi) =>
+            java.lang.Double.isFinite(lo) && java.lang.Double.isFinite(hi) }
       }
       if (perBlock.exists(_.isEmpty)) None
       else {

@@ -102,15 +102,29 @@ object LayoutOps {
       "window is only bounded if the bucket count is cluster-sized; " +
       "cap shuffle partitions (or split the job) below 10000")
     val lead = orderCols.head
-    // Column.node is the sql-api tree; SortOrder there is package-private,
-    // so the detection matches on the node class name (spec-pinned for
-    // both asc and desc forms)
-    require(lead.node.getClass.getSimpleName != "SortOrder",
-      "globalNtile requires a plain ascending leading order column: " +
-        s"got the sort expression `$lead`. Pass the bare column; for " +
-        "descending numeric order pass its negation (e.g. -col) in " +
-        "every orderCols slot")
-    val leadType = df.select(lead).schema.head.dataType
+    // Column.node is the sql-api tree; SortOrder there is package-private
+    // to org.apache.spark.sql at COMPILE time (bytecode-public), so the
+    // detection matches on the node class name and the direction/child
+    // are read reflectively. Both asc and desc leading columns are
+    // supported: bucket 0 holds the FIRST values of the requested order
+    // (smallest for asc, largest for desc), and the null bucket follows
+    // the SortOrder's null ordering (nulls-first -> bucket 0, nulls-last
+    // -> last bucket), so the global rank always equals the window form.
+    val (orderKey, descending, nullsLast) =
+      if (lead.node.getClass.getSimpleName == "SortOrder") {
+        val node = lead.node
+        val child = node.getClass.getMethod("child").invoke(node)
+        val ctor = classOf[org.apache.spark.sql.Column].getConstructor(
+          Class.forName("org.apache.spark.sql.internal.ColumnNode"))
+        val childCol = ctor.newInstance(child)
+          .asInstanceOf[org.apache.spark.sql.Column]
+        val desc = node.getClass.getMethod("sortDirection").invoke(node)
+          .getClass.getSimpleName.startsWith("Descending")
+        val nLast = node.getClass.getMethod("nullOrdering").invoke(node)
+          .getClass.getSimpleName.startsWith("NullsLast")
+        (childCol, desc, nLast)
+      } else (lead, false, false) // bare column = asc nulls-first
+    val leadType = df.select(orderKey).schema.head.dataType
     require(leadType.isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"globalNtile's quantile bucketing needs a numeric leading order " +
         s"column; `$lead` is $leadType — order by a numeric derivation " +
@@ -124,13 +138,24 @@ object LayoutOps {
     val bounds =
       if (probs.isEmpty) Seq.empty[Double]
       else Option(df.sample(withReplacement = false, 0.05, seed = 42)
-        .select(percentile_approx(lead.cast("double"),
+        .select(percentile_approx(orderKey.cast("double"),
           array(probs.map(lit): _*), lit(1000)).as("b"))
         .head().getSeq[Double](0))
         .getOrElse(Seq.empty) // empty input: everything in bucket 0
         .distinct // duplicate quantiles would all-zero their buckets anyway
-    val bucket = bounds.map(b => when(lead > lit(b), 1).otherwise(0))
+    // bucket id counts boundaries the row's value has PASSED in the
+    // requested direction: `> b` ascending, `< b` descending (for desc,
+    // a value above every bound has passed none and sits in bucket 0 —
+    // the largest-first front). A null comparison yields null -> the
+    // otherwise(0) arm, which is only correct for nulls-FIRST; nulls-last
+    // orders get an explicit null arm pinning them past every boundary.
+    val nonNull = bounds.map(b =>
+        when(if (descending) orderKey < lit(b) else orderKey > lit(b), 1)
+          .otherwise(0))
       .reduceOption(_ + _).getOrElse(lit(0))
+    val bucket = if (nullsLast)
+      when(orderKey.isNull, lit(bounds.size)).otherwise(nonNull)
+    else nonNull
     val bucketed = df.withColumn("graft_bkt", bucket)
     // the window's own hash exchange places buckets on partitions — the
     // one full-data shuffle. Hash placement of nb contiguous ids into

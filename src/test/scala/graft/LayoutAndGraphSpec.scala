@@ -62,24 +62,51 @@ class LayoutAndGraphSpec extends AnyFunSuite {
     assert(viaWindow.except(viaRank).isEmpty && viaRank.except(viaWindow).isEmpty)
   }
 
-  test("globalNtile: descending and non-numeric leading columns fail fast; negation is the documented descending path") {
+  test("globalNtile: descending leading column matches window NTILE; non-numeric fails fast") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val df = (1L to 40L).map(i => (i * 37 % 101, s"s$i", i)).toDF("k", "s", "id")
-    val eDesc = intercept[IllegalArgumentException] {
-      LayoutOps.globalNtile(df, Seq($"k".desc, $"id"), 4, "grp")
-    }
-    assert(eDesc.getMessage.contains("plain ascending"))
-    val eType = intercept[IllegalArgumentException] {
-      LayoutOps.globalNtile(df, Seq($"s", $"id"), 4, "grp")
-    }
-    assert(eType.getMessage.contains("numeric"))
-    // the error message's workaround actually works: negating every slot
-    // reproduces the descending window NTILE exactly
+    // desc leading column directly (bucket comparison inverted): exact
+    // match against the window form, no negation workaround needed
+    val viaWindowDesc = df.withColumn("grp",
+      ntile(4).over(Window.orderBy($"k".desc, $"id")))
+    val viaRankDesc = LayoutOps.globalNtile(df, Seq($"k".desc, $"id"), 4, "grp")
+    assert(viaWindowDesc.except(viaRankDesc).isEmpty &&
+      viaRankDesc.except(viaWindowDesc).isEmpty)
+    // the old negation path still agrees with it
     val viaWindow = df.withColumn("grp",
       ntile(4).over(Window.orderBy($"k".desc, $"id".desc)))
     val viaRank = LayoutOps.globalNtile(df, Seq(-$"k", -$"id"), 4, "grp")
     assert(viaWindow.except(viaRank).isEmpty && viaRank.except(viaWindow).isEmpty)
+    val eType = intercept[IllegalArgumentException] {
+      LayoutOps.globalNtile(df, Seq($"s", $"id"), 4, "grp")
+    }
+    assert(eType.getMessage.contains("numeric"))
+  }
+
+  test("globalNtile: SortOrder null ordering places the null bucket where the window puts it") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = ((1L to 30L).map(i => (java.lang.Long.valueOf(i * 37 % 101), i)) ++
+      (31L to 36L).map(i => (null.asInstanceOf[java.lang.Long], i)))
+      .toDF("k", "id")
+    // desc default = nulls LAST: the null rows must fill the final tiles
+    val wDesc = df.withColumn("grp",
+      ntile(4).over(Window.orderBy($"k".desc, $"id")))
+    val gDesc = LayoutOps.globalNtile(df, Seq($"k".desc, $"id"), 4, "grp")
+    assert(wDesc.except(gDesc).isEmpty && gDesc.except(wDesc).isEmpty)
+    // desc_nulls_first: null rows lead
+    val wDnf = df.withColumn("grp",
+      ntile(4).over(Window.orderBy($"k".desc_nulls_first, $"id")))
+    val gDnf = LayoutOps.globalNtile(df,
+      Seq($"k".desc_nulls_first, $"id"), 4, "grp")
+    assert(wDnf.except(gDnf).isEmpty && gDnf.except(wDnf).isEmpty)
+    // asc_nulls_last via explicit SortOrder also lands nulls at the end
+    val wAnl = df.withColumn("grp",
+      ntile(4).over(Window.orderBy($"k".asc_nulls_last, $"id")))
+    val gAnl = LayoutOps.globalNtile(df,
+      Seq($"k".asc_nulls_last, $"id"), 4, "grp")
+    assert(wAnl.except(gAnl).isEmpty && gAnl.except(wAnl).isEmpty)
   }
 
   test("bucketed join on the bucket key runs with zero exchanges") {
