@@ -34,10 +34,14 @@ import org.apache.spark.sql.SparkSession
   * (round 5's driver artifact: 137.8s where the judge's identical re-run
   * measured 49.4s — one query inflated 42×). A fixed CPU-bound workload
   * (`spark.range(5e7).sum(id*2+1)`) is therefore timed before and after
-  * the sweep and recorded in the JSON as `sentinel`: on an idle box it
-  * runs in ~0.1-0.3 s; a sentinel several times that marks the WHOLE
-  * artifact as contention-suspect without re-running anything. Compare
-  * artifacts' sentinels before comparing their totals.
+  * the sweep and recorded in the JSON as `sentinel`. The band is
+  * ADVISORY, not a gate: an idle box lands ~0.1-0.3 s once warm, but the
+  * START sentinel regularly reads up to ~0.45 s from sbt/JVM warmup
+  * alone (observed across rounds 8-10 on verified-idle runs) — judge a
+  * run by the END sentinel and the pair together; a sentinel SEVERAL
+  * TIMES the band marks the whole artifact as contention-suspect
+  * without re-running anything. Compare artifacts' sentinels before
+  * comparing their totals.
   *
   * Per-query escape hatch: the sentinel only LABELS a contended run; it
   * cannot repair it (round 7's driver artifact: 88.7s vs 62.0s on an

@@ -3,9 +3,9 @@ package graft.io
 import java.util.UUID
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{array, col, explode, lit, struct, when}
 import org.apache.spark.sql.types.{DataType, StructType, TimestampNTZType, TimestampType}
 
 /** Partitioned-lake layout helpers: Hive-style partition directories give
@@ -38,20 +38,31 @@ import org.apache.spark.sql.types.{DataType, StructType, TimestampNTZType, Times
   * Readers pay one tiny manifest read; scans remain partition-pruned
   * (the manifest read hands Spark an explicit file list + `basePath`, so
   * the file index still knows each file's partition value). Superseded
-  * files stay on disk for in-flight readers until [[vacuum]] reclaims
-  * them. Single committer per lake (the streaming `foreachBatch` contract
-  * already serializes commits); a lost race on the manifest rename fails
-  * loudly rather than corrupting. On object stores without atomic rename
-  * (raw S3) this protocol needs a conditional-PUT manifest swap or a real
-  * table format — the reference's `s3.py:45-92` sidestepped this by always
-  * writing whole objects (object-store PUTs are atomic); a partitioned
-  * layout has to earn that property back, which is what the manifest does.
+  * AND de-referenced files stay on disk for in-flight readers, time
+  * travel, and [[changesBetween]] pre-images until [[vacuum]] reclaims
+  * them — commits never delete anything.
   *
-  * Partition directory names for values the committer must account for
-  * (e.g. a CDC fold that empties a partition) are computed with Spark's
-  * own `ExternalCatalogUtils.escapePathName` and cross-checked against
-  * the directory names Spark actually staged — a divergence fails the
-  * commit instead of silently orphaning or resurrecting data.
+  * Concurrency: MULTI-WRITER with optimistic rebase. The manifest
+  * rename is the commit point (the rename refuses an existing target,
+  * so exactly one committer wins each version); a loser whose touched
+  * partitions are DISJOINT from everything changed since the manifest
+  * it read rebases onto the new head and re-publishes — an ingester
+  * and the compactor can race safely. Overlapping committers conflict
+  * loudly, with this commit's files unlinked first ([[commitStaged]]).
+  * [[vacuum]] remains exclusive (it deletes files a mid-flight commit
+  * may be about to reference) — schedule it in the maintenance window.
+  * On object stores without atomic rename (raw S3) this protocol needs
+  * a conditional-PUT manifest swap or a real table format — the
+  * reference's `s3.py:45-92` sidestepped this by always writing whole
+  * objects (object-store PUTs are atomic); a partitioned layout has to
+  * earn that property back, which is what the manifest does.
+  *
+  * Partition directory names are Spark's own, end to end: the staged
+  * write's directory names ARE the touched set for an upsert, and a
+  * commit that must account for partitions it EMPTIES (a CDC fold)
+  * derives their names from a probe write ([[sparkDirsFor]]) — the
+  * commit path never re-implements Spark's value rendering or escaping,
+  * so manifest bookkeeping cannot diverge from the physical layout.
   *
   * Manifest scale limit, stated honestly: the manifest is ONE text file
   * with a line per live data file (~100 bytes each), re-listed whole on
@@ -89,9 +100,41 @@ object PartitionedLake {
     * redelivered micro-batch with `batchId <= txn` is skipped whole, so
     * sinks are exactly-once at the TRANSACTION level, not just
     * idempotent at the value level.
+    *
+    * `deltas` lists the live merge-on-read delta sidecars per partition
+    * directory (see [[cdcSinkMergeOnRead]]): row-level corrections
+    * (`__graft_op` = 'U' post-image / 'D' tombstone) merged at read and
+    * materialized away by [[compact]]. `mor` names the key column the
+    * delta identities use; present iff any delta is live.
     */
   private[io] case class Manifest(version: Long, schema: StructType,
-      files: Map[String, Seq[FileEntry]], txn: Option[Long] = None)
+      files: Map[String, Seq[FileEntry]], txn: Option[Long] = None,
+      deltas: Map[String, Seq[String]] = Map.empty,
+      mor: Option[String] = None)
+
+  /** The op column carried inside delta sidecar files ('U' or 'D'). */
+  private[io] val MorOpCol = "__graft_op"
+
+  /** A partition directory's change signature: the live file + delta
+    * names. Two manifests agree on a directory iff the signatures match
+    * — the unit of change for [[changesBetween]] and for the
+    * optimistic-concurrency conflict check.
+    */
+  private def dirSig(m: Manifest, d: String): (Set[String], Set[String]) =
+    (m.files.getOrElse(d, Nil).map(_.name).toSet,
+      m.deltas.getOrElse(d, Nil).toSet)
+
+  private def allDirs(m: Manifest): Set[String] =
+    m.files.keySet ++ m.deltas.keySet
+
+  /** Directories whose contents differ between two snapshots. */
+  private def changedDirs(a: Option[Manifest], b: Manifest): Set[String] = {
+    val ad = a.map(allDirs).getOrElse(Set.empty)
+    val empty = (Set.empty[String], Set.empty[String])
+    (ad ++ allDirs(b)).filter { d =>
+      a.map(dirSig(_, d)).getOrElse(empty) != dirSig(b, d)
+    }
+  }
 
   private def fsFor(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -159,10 +202,21 @@ object PartitionedLake {
     // the txn line is anchored (`^txn \d+$`), never prefix-matched: a
     // partition COLUMN literally named `txn ...` produces file lines that
     // start with "txn " but always contain '=' and '/', which the anchor
-    // rejects — escapePathName does NOT escape the space character
+    // rejects — escapePathName does NOT escape the space character.
+    // `mor:`/`delta:` prefixes are unambiguous for the same reason:
+    // escapePathName escapes ':' itself, so no path line can start with
+    // a raw-colon prefix.
     val txn = lines.drop(2).headOption.collect { case TxnLine(t) => t.toLong }
-    val files = lines.drop(if (txn.isDefined) 3 else 2)
-      .filter(_.nonEmpty).map { line =>
+    val body = lines.drop(if (txn.isDefined) 3 else 2).filter(_.nonEmpty)
+    val mor = body.find(_.startsWith("mor:"))
+      .map(l => ExternalCatalogUtils.unescapePathName(l.stripPrefix("mor:")))
+    val deltas = body.filter(_.startsWith("delta:")).map { l =>
+      val p = l.stripPrefix("delta:")
+      val i = p.lastIndexOf('/')
+      (p.substring(0, i), p.substring(i + 1))
+    }.groupBy(_._1).map { case (d, ns) => d -> ns.map(_._2) }
+    val files = body.filterNot(l => l.startsWith("mor:") ||
+        l.startsWith("delta:")).map { line =>
       // fields are tab-separated: the file path, then optional
       // col=min..max stats (escapePathName escapes '/' and control
       // chars including tab — space is NOT escaped but neither split
@@ -179,20 +233,29 @@ object PartitionedLake {
       (fields(0).substring(0, i),
         FileEntry(fields(0).substring(i + 1), stats))
     }.groupBy(_._1).map { case (d, fs0) => d -> fs0.map(_._2) }
-    Manifest(version, schema, files, txn)
+    Manifest(version, schema, files, txn, deltas, mor)
   }
 
-  /** Publish a manifest version: write to a hidden temp file, then
-    * atomically rename to `v<N>.txt`. The rename refuses an existing
+  /** Attempt to publish a manifest version: write to a hidden temp file,
+    * then atomically rename to `v<N>.txt`. The rename refuses an existing
     * target, so two racing committers cannot both win version N — the
-    * loser fails loudly (single-committer contract; see class doc).
+    * loser gets `false` and either rebases ([[commitStaged]]'s
+    * optimistic-concurrency loop) or fails loudly ([[publishManifest]]).
     */
-  private[io] def publishManifest(fs: FileSystem, path: String, m: Manifest): Unit = {
+  private[io] def tryPublishManifest(fs: FileSystem, path: String,
+      m: Manifest): Boolean = {
     val dir = manifestDir(path)
     fs.mkdirs(dir)
     val body = new StringBuilder("graft-lake-manifest v1\n")
     body.append("schema ").append(m.schema.json).append('\n')
     m.txn.foreach(t => body.append("txn ").append(t).append('\n'))
+    m.mor.foreach(k => body.append("mor:")
+      .append(ExternalCatalogUtils.escapePathName(k)).append('\n'))
+    m.deltas.toSeq.sortBy(_._1).foreach { case (d, names) =>
+      names.sorted.foreach { n =>
+        body.append("delta:").append(d).append('/').append(n).append('\n')
+      }
+    }
     m.files.toSeq.sortBy(_._1).foreach { case (d, entries) =>
       entries.sortBy(_.name).foreach { e =>
         body.append(d).append('/').append(e.name)
@@ -209,10 +272,17 @@ object PartitionedLake {
     val dst = new Path(dir, f"v${m.version}%09d.txt")
     if (fs.exists(dst) || !fs.rename(tmp, dst)) {
       fs.delete(tmp, true)
-      sys.error(s"concurrent commit detected: manifest $dst already " +
-        "published; this lake requires a single committer")
-    }
+      false
+    } else true
   }
+
+  /** Publish or fail loudly — for the paths that must not rebase (lake
+    * adoption, tests).
+    */
+  private[io] def publishManifest(fs: FileSystem, path: String, m: Manifest): Unit =
+    if (!tryPublishManifest(fs, path, m))
+      sys.error("concurrent commit detected: manifest " +
+        f"v${m.version}%09d.txt already published")
 
   // ---- commit --------------------------------------------------------------
 
@@ -288,13 +358,41 @@ object PartitionedLake {
         !f.getPath.getName.startsWith("."))
       .map(_.getPath)
 
+  /** Spark-rendered partition directory names for a set of distinct
+    * partition value tuples: a tiny probe write (one row per tuple —
+    * driver-bounded metadata cardinality) partitioned the same way
+    * yields the EXACT `col=value` names Spark uses, so the commit path
+    * never re-implements Spark's value rendering + escaping. This is
+    * what lets a commit that EMPTIES a partition (a CDC fold) retire the
+    * right manifest entry even for values whose rendering is
+    * non-obvious: the names come from Spark itself, not a re-derivation.
+    */
+  private def sparkDirsFor(spark: SparkSession, fs: FileSystem, path: String,
+      partitionCols: Seq[String], partSchema: StructType,
+      parts: Array[Seq[Any]]): Set[String] = {
+    val probe = new Path(new Path(path, StagingDirName),
+      s"probe-${UUID.randomUUID().toString.take(8)}")
+    val rows = new java.util.ArrayList[Row]()
+    parts.foreach(vs => rows.add(Row.fromSeq(vs :+ 1)))
+    val schema = StructType(partSchema.fields :+
+      org.apache.spark.sql.types.StructField("__probe",
+        org.apache.spark.sql.types.IntegerType))
+    spark.createDataFrame(rows, schema)
+      .coalesce(1).write.mode("overwrite")
+      .partitionBy(partitionCols: _*).parquet(probe.toString)
+    val dirs = leafPartitionDirs(fs, probe, partitionCols.size)
+      .map(_._1).toSet
+    fs.delete(probe, true)
+    dirs
+  }
+
   /** Write `df` partitioned by `partitionCols` into a fresh staging dir
     * and return (stagingPath, relative dir path -> staged file entries).
     * `statsCols` names columns whose per-file min/max should be
     * harvested from the staged footers into the manifest for
     * [[readRange]]/[[readBox]] file skipping.
     */
-  private def stage(spark: SparkSession, fs: FileSystem, path: String,
+  private[io] def stage(spark: SparkSession, fs: FileSystem, path: String,
       df: DataFrame, partitionCols: Seq[String],
       statsCols: Seq[String]): (Path, Map[String, Seq[FileEntry]]) = {
     requireSupportedPartitionType(df, partitionCols)
@@ -315,46 +413,135 @@ object PartitionedLake {
     (staging, dirs)
   }
 
-  /** Move staged files into the lake and publish the next manifest.
+  /** Additive schema merge for a rebase: `head`'s fields first, then the
+    * commit's NEW fields. A field present in both must keep its type —
+    * same rule as [[upsert]]'s evolution check, re-applied here because
+    * a concurrent committer may have widened the schema under us.
+    */
+  private def mergeSchemas(head: StructType, ours: StructType): StructType = {
+    val conflicts = ours.fields.filter(f =>
+      head.fields.exists(g => g.name == f.name && g.dataType != f.dataType))
+    require(conflicts.isEmpty,
+      "concurrent commit conflict: schema type change for " +
+        conflicts.map(_.name).mkString(", "))
+    StructType(head.fields ++
+      ours.fields.filterNot(f => head.fields.exists(_.name == f.name)))
+  }
+
+  /** Move staged files into the lake and publish the next manifest,
+    * retrying with an OPTIMISTIC REBASE when another committer wins the
+    * version race.
     *
     * `replaced` is the set of partition directory paths whose previous
-    * files this commit supersedes: for a full overwrite, every directory
-    * in the old manifest; for an upsert/CDC commit, the directories of
-    * the touched partition VALUE TUPLES (computed via [[dirPathFor]] and
-    * cross-checked against what Spark staged). Returns the directory
-    * paths this commit EMPTIED (replaced, nothing staged, nothing live).
-    */
-  /** `old` is the manifest the caller already resolved for this commit —
+    * files (and merge-on-read deltas) this commit supersedes: for a full
+    * overwrite, every directory in the old manifest; for an upsert/CDC
+    * commit, the directories of the touched partition VALUE TUPLES
+    * (Spark-rendered — the staged directory names, plus [[sparkDirsFor]]
+    * probe names for partitions the commit empties — so the manifest
+    * bookkeeping can never diverge from Spark's path encoding).
+    *
+    * Concurrency: the manifest rename is the commit point; a lost race
+    * means the head advanced while this commit was computed against
+    * `old`. The commit's DATA is still valid if no intervening commit
+    * touched the same partitions (the merge/fold read only `replaced`
+    * partitions' rows), so the loop re-resolves the head and, when
+    * `replaced` is disjoint from every directory changed since `old`,
+    * re-publishes on top of it (schemas merged additively). An overlap —
+    * or exhausted retries — fails loudly AFTER unlinking this commit's
+    * moved-but-never-referenced files, leaving the lake exactly at the
+    * winner's snapshot. Directories the commit EMPTIES are only
+    * de-referenced here; the files stay on disk for pinned readers,
+    * time travel, and [[changesBetween]] pre-images until [[vacuum]].
+    *
+    * `old` is the manifest the caller already resolved for this commit —
     * threaded through rather than re-read (at the class doc's stated
-    * manifest ceiling a re-resolve is a ~100 MB driver read; under the
-    * single-committer contract nothing can have advanced it).
+    * manifest ceiling a re-resolve is a ~100 MB driver read; the
+    * no-contention fast path must not pay it twice).
     */
-  private def commitStaged(fs: FileSystem, path: String, staging: Path,
+  private[io] def commitStaged(fs: FileSystem, path: String, staging: Path,
       staged: Map[String, Seq[FileEntry]], replaced: Set[String],
-      schema: StructType, old: Option[Manifest],
-      batchId: Option[Long]): Seq[String] = {
-    val unexpected = staged.keySet.diff(replaced)
+      schema: StructType, old: Option[Manifest], batchId: Option[Long],
+      stagedDeltas: Map[String, Seq[FileEntry]] = Map.empty,
+      deltaStaging: Option[Path] = None,
+      morKey: Option[String] = None,
+      replacedDeltas: Option[Set[String]] = None): Unit = {
+    // a copy-on-write commit supersedes a touched partition's deltas
+    // along with its data files; a merge-on-read commit supersedes ONLY
+    // the deltas (base data carries over verbatim — that's the point)
+    val deltasReplaced = replacedDeltas.getOrElse(replaced)
+    val unexpected = staged.keySet.diff(replaced) ++
+      stagedDeltas.keySet.diff(deltasReplaced)
     require(unexpected.isEmpty,
       "partition path encoding diverged from Spark's for: " +
         unexpected.mkString(", ") + " — refusing to commit")
     val commitId = UUID.randomUUID().toString.take(8)
-    val moved = staged.map { case (d, entries) =>
-      val destDir = new Path(path, d)
-      fs.mkdirs(destDir)
-      d -> entries.map { e =>
-        val finalName = s"c$commitId-${e.name}"
-        require(fs.rename(new Path(new Path(staging, d), e.name),
-          new Path(destDir, finalName)), s"rename failed for $d/${e.name}")
-        e.copy(name = finalName)
+    def move(from: Path, dirs: Map[String, Seq[FileEntry]],
+        prefix: String): Map[String, Seq[FileEntry]] =
+      dirs.map { case (d, entries) =>
+        val destDir = new Path(path, d)
+        fs.mkdirs(destDir)
+        d -> entries.map { e =>
+          val finalName = s"$prefix$commitId-${e.name}"
+          require(fs.rename(new Path(new Path(from, d), e.name),
+            new Path(destDir, finalName)), s"rename failed for $d/${e.name}")
+          e.copy(name = finalName)
+        }
+      }
+    val moved = move(staging, staged, "c")
+    // delta sidecars are named `delta-<commit>-...` — NOT dot/underscore
+    // prefixed, because Spark's file index silently drops hidden files
+    // even from explicit lists. Nothing mistakes them for data: every
+    // consumer resolves files through the manifest, and legacy-lake
+    // adoption (the one directory-listing path) only runs on
+    // manifest-less lakes, which cannot have deltas.
+    val movedDeltas = deltaStaging.map(ds =>
+      move(ds, stagedDeltas, "delta-")).getOrElse(Map.empty)
+    fs.delete(staging, true)
+    deltaStaging.foreach(ds => fs.delete(ds, true))
+    def unlinkMoved(): Unit = {
+      (moved ++ movedDeltas).foreach { case (d, entries) =>
+        entries.foreach(e => fs.delete(new Path(new Path(path, d), e.name), false))
       }
     }
-    fs.delete(staging, true)
     val nullableSchema = StructType(schema.fields.map(_.copy(nullable = true)))
-    val newFiles = old.map(_.files).getOrElse(Map.empty) -- replaced ++ moved
-    val txn = (old.flatMap(_.txn) ++ batchId).reduceOption(_ max _)
-    publishManifest(fs, path, Manifest(old.map(_.version + 1).getOrElse(1L),
-      nullableSchema, newFiles, txn))
-    (replaced -- moved.keySet).filterNot(newFiles.contains).toSeq
+    var base = old
+    var attempts = 0
+    while (true) {
+      val newFiles = base.map(_.files).getOrElse(Map.empty) -- replaced ++ moved
+      val newDeltas = (base.map(_.deltas).getOrElse(Map.empty)
+        -- deltasReplaced) ++
+        movedDeltas.view.mapValues(_.map(_.name)).toMap
+      val mor = if (newDeltas.isEmpty) None
+        else morKey.orElse(base.flatMap(_.mor))
+      val txn = (base.flatMap(_.txn) ++ batchId).reduceOption(_ max _)
+      val snapshotSchema = base match {
+        case Some(h) if !(h eq old.orNull) => mergeSchemas(h.schema, nullableSchema)
+        case _ => nullableSchema
+      }
+      val ok = tryPublishManifest(fs, path, Manifest(
+        base.map(_.version + 1).getOrElse(1L), snapshotSchema, newFiles,
+        txn, newDeltas, mor))
+      if (ok) return
+      attempts += 1
+      val head = latestManifest(fs, path).getOrElse(
+        sys.error(s"manifest for $path vanished during commit"))
+      // a racing duplicate of the SAME streaming batch already landed:
+      // applying ours on top would double-apply — drop this commit whole
+      // (the transaction-level replay guard, re-checked post-race)
+      if (batchId.exists(b => head.txn.exists(_ >= b))) { unlinkMoved(); return }
+      val conflict = changedDirs(base, head)
+        .intersect(replaced ++ deltasReplaced)
+      if (conflict.nonEmpty || attempts > 5) {
+        unlinkMoved()
+        sys.error(s"concurrent commit conflict on $path: " +
+          (if (conflict.nonEmpty)
+            s"partitions ${conflict.mkString(", ")} were changed by a " +
+              "racing committer after this commit read them; re-run " +
+              "against the new snapshot"
+          else s"lost the publish race $attempts times; giving up"))
+      }
+      base = Some(head)
+    }
   }
 
   /** Adopt a pre-protocol lake (Hive-layout parquet written without a
@@ -384,9 +571,9 @@ object PartitionedLake {
 
   /** Full-snapshot write (overwrite semantics): every previously-live file
     * is superseded; directories the new snapshot no longer uses are
-    * physically retired (they are unreferenced by the new manifest, so an
-    * in-flight reader pinned to the OLD manifest is the only loser — same
-    * retention tradeoff as any vacuum; see [[vacuum]]).
+    * de-referenced by the manifest and stay on disk for pinned readers,
+    * time travel, and [[changesBetween]] pre-images until [[vacuum]]
+    * physically reclaims them.
     */
   def write(df: DataFrame, path: String, partitionCol: String,
       statsCols: Seq[String] = Nil): Unit =
@@ -402,10 +589,9 @@ object PartitionedLake {
     val fs = fsFor(spark, path)
     val old = latestManifest(fs, path)
     val (staging, staged) = stage(spark, fs, path, df, partitionCols, statsCols)
-    val oldDirs = old.map(_.files.keySet).getOrElse(Set.empty)
-    val emptied = commitStaged(fs, path, staging, staged,
+    val oldDirs = old.map(allDirs).getOrElse(Set.empty)
+    commitStaged(fs, path, staging, staged,
       oldDirs ++ staged.keySet, df.schema, old, None)
-    emptied.foreach(d => fs.delete(new Path(path, d), true))
   }
 
   /** Read the lake at its latest published snapshot. The manifest is
@@ -423,21 +609,86 @@ object PartitionedLake {
     }
   }
 
-  private def frameFor(spark: SparkSession, path: String,
-      m: Manifest): DataFrame = {
-    val files = m.files.toSeq.flatMap { case (d, entries) =>
+  /** Scan of an explicit (dir -> files) slice under the snapshot schema.
+    * explicit file list + basePath: the file index still knows each
+    * file's partition value, so partition pruning is intact. The scan
+    * surfaces partition columns last regardless of the provided schema,
+    * so restore the snapshot's column order.
+    */
+  private def filesFrame(spark: SparkSession, path: String,
+      schema: StructType, files: Map[String, Seq[FileEntry]]): DataFrame = {
+    val names = files.toSeq.flatMap { case (d, entries) =>
       entries.map(e => s"$path/$d/${e.name}")
     }
-    if (files.isEmpty)
-      spark.createDataFrame(new java.util.ArrayList[Row](), m.schema)
+    if (names.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[Row](), schema)
     else
-      // explicit file list + basePath: the file index still knows each
-      // file's partition value, so partition pruning is intact. The
-      // scan surfaces partition columns last regardless of the
-      // provided schema, so restore the snapshot's column order.
-      spark.read.schema(m.schema).option("basePath", path)
-        .parquet(files: _*)
-        .select(m.schema.fieldNames.map(col).toIndexedSeq: _*)
+      spark.read.schema(schema).option("basePath", path)
+        .parquet(names: _*)
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** The snapshot a manifest describes, with merge-on-read deltas
+    * applied: partitions without deltas scan verbatim; for partitions
+    * with deltas, base rows whose `(partition tuple, key)` identity
+    * appears in the delta are superseded (anti-join) and the delta's 'U'
+    * post-images are unioned in. The anti-join shuffles only the DIRTY
+    * partitions' rows; with [[compact]] run routinely the delta side is
+    * small and AQE broadcasts it. Deletes never rewrite base files —
+    * that is the merge-on-read contract ([[cdcSinkMergeOnRead]]).
+    */
+  /** Partition columns of a manifest, read off any directory key (the
+    * dir-name prefixes Spark wrote, one per nesting level).
+    */
+  private def partitionColsOf(m: Manifest): Seq[String] =
+    allDirs(m).head.split('/').toSeq.map(level =>
+      ExternalCatalogUtils.unescapePathName(level.takeWhile(_ != '=')))
+
+  /** Scan of a manifest's merge-on-read delta sidecars, normalized to
+    * the snapshot column order plus [[MorOpCol]] (partition values come
+    * from the directory structure via basePath, exactly like data files).
+    */
+  private def deltaScan(spark: SparkSession, path: String, m: Manifest,
+      partitionCols: Seq[String]): DataFrame = {
+    val deltaFiles = m.deltas.toSeq.flatMap { case (d, names) =>
+      names.map(n => s"$path/$d/$n")
+    }
+    val outOrder = m.schema.fieldNames :+ MorOpCol
+    val fullSchema = StructType(m.schema.fields :+
+      org.apache.spark.sql.types.StructField(MorOpCol,
+        org.apache.spark.sql.types.StringType))
+    if (deltaFiles.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[Row](), fullSchema)
+    val fileSchema = StructType(
+      m.schema.fields.filterNot(f => partitionCols.contains(f.name)) :+
+        org.apache.spark.sql.types.StructField(MorOpCol,
+          org.apache.spark.sql.types.StringType))
+    spark.read.schema(fileSchema).option("basePath", path)
+      .parquet(deltaFiles: _*)
+      .select(outOrder.map(col).toIndexedSeq: _*)
+  }
+
+  private def frameFor(spark: SparkSession, path: String,
+      m: Manifest): DataFrame = {
+    if (m.deltas.isEmpty)
+      return filesFrame(spark, path, m.schema, m.files)
+    val key = m.mor.getOrElse(sys.error(
+      s"manifest v${m.version} lists deltas but no mor key"))
+    val partitionCols = partitionColsOf(m)
+    val clean = filesFrame(spark, path, m.schema,
+      m.files.view.filterKeys(d => !m.deltas.contains(d)).toMap)
+    val dirty = filesFrame(spark, path, m.schema,
+      m.files.view.filterKeys(m.deltas.contains).toMap)
+    val delta = deltaScan(spark, path, m, partitionCols)
+    val ident = partitionCols :+ key
+    val identCond = ident.map(c => dirty(c) <=> delta(c)).reduce(_ && _)
+    val survivors = dirty.join(
+      delta.select(ident.map(c => delta(c)).toIndexedSeq: _*),
+      identCond, "left_anti")
+    val postImages = delta.filter(col(MorOpCol) === "U").drop(MorOpCol)
+    survivors.unionByName(postImages)
+      .select(m.schema.fieldNames.map(col).toIndexedSeq: _*)
+      .unionByName(clean)
   }
 
   /** Range scan with manifest-level FILE SKIPPING: rows of the latest
@@ -516,11 +767,136 @@ object PartitionedLake {
       s"snapshot v$version is not resolvable on $path (never published, " +
         s"or reclaimed by vacuum); available: ${snapshots(spark, path).mkString(", ")}")
     val m = readManifest(fs, path, version)
-    val retired = m.files.keys.filterNot(d => fs.exists(new Path(path, d)))
+    val retired = allDirs(m).filterNot(d => fs.exists(new Path(path, d)))
     require(retired.isEmpty,
-      s"snapshot v$version references partitions retired by a later " +
-        s"overwrite or CDC delete: ${retired.mkString(", ")}")
+      s"snapshot v$version references partitions retired by vacuum or " +
+        s"external cleanup: ${retired.mkString(", ")}")
     frameFor(spark, path, m)
+  }
+
+  /** Change-data-feed between two published snapshots — the read half of
+    * the incremental story (Delta CDF / Iceberg incremental scan): rows
+    * that differ between `fromVersion` and `toVersion`, each tagged
+    * `_change_type` in `insert | delete | update_preimage |
+    * update_postimage`, computed WITHOUT diffing whole snapshots:
+    *
+    *  - manifests are explicit per-partition file lists, so partitions
+    *    whose file + delta signatures are identical in both versions are
+    *    skipped entirely — their files are never opened (spec-pinned via
+    *    `inputFiles`). At 100 TB this is the whole point: the cost
+    *    scales with the CHANGED partition footprint, not table size;
+    *  - partitions present only in `toVersion` stream out as inserts,
+    *    only in `fromVersion` as deletes — a straight scoped scan, no
+    *    join (deferred physical retirement is what keeps the pre-images
+    *    readable until [[vacuum]]);
+    *  - rewritten partitions get the q132-style row-level classify: one
+    *    full-outer join on `keyCols` scoped to those partitions, emitted
+    *    in a single pass (`explode` of per-row change arrays, so the
+    *    join executes once, not once per change type). A compaction
+    *    commit therefore yields ZERO changes.
+    *
+    * `keyCols` is the row identity within a partition — the same
+    * `(partition cols..., key)` contract as [[upsert]]; null-safe
+    * equality, must be unique per side or the join multiplies. Output
+    * columns are `toVersion`'s schema (pre-images of since-dropped
+    * columns surface as null) plus `_change_type`. Both versions must
+    * still be resolvable (not vacuumed).
+    */
+  def changesBetween(spark: SparkSession, path: String, fromVersion: Long,
+      toVersion: Long, keyCols: Seq[String]): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"changesBetween: fromVersion $fromVersion > toVersion $toVersion")
+    val fs = fsFor(spark, path)
+    Seq(fromVersion, toVersion).foreach { v =>
+      require(fs.exists(new Path(manifestDir(path), f"v$v%09d.txt")),
+        s"snapshot v$v is not resolvable on $path (never published, or " +
+          s"reclaimed by vacuum); available: " +
+          snapshots(spark, path).mkString(", "))
+    }
+    val m1 = readManifest(fs, path, fromVersion)
+    val m2 = readManifest(fs, path, toVersion)
+    val out = m2.schema
+    require(keyCols.forall(out.fieldNames.contains),
+      s"keyCols ${keyCols.mkString(", ")} must all exist in snapshot " +
+        s"v$toVersion's schema (${out.fieldNames.mkString(", ")})")
+    val ct = "_change_type"
+    def scoped(m: Manifest, ds: Set[String]): DataFrame =
+      frameFor(spark, path, m.copy(
+        files = m.files.view.filterKeys(ds).toMap,
+        deltas = m.deltas.view.filterKeys(ds).toMap))
+    // pre-image rows aligned to the TO schema (additive evolution:
+    // columns the old snapshot lacked surface as null)
+    def align(df: DataFrame): DataFrame =
+      df.select(out.fieldNames.map { c =>
+        if (df.columns.contains(c)) col(c)
+        else lit(null).cast(out(c).dataType).as(c)
+      }.toIndexedSeq: _*)
+    val d1 = allDirs(m1)
+    val d2 = allDirs(m2)
+    val rewritten = (d1 & d2).filter(d => dirSig(m1, d) != dirSig(m2, d))
+    val inserts = scoped(m2, d2 -- d1).withColumn(ct, lit("insert"))
+    val deletes = align(scoped(m1, d1 -- d2)).withColumn(ct, lit("delete"))
+    val o = align(scoped(m1, rewritten))
+    val n = scoped(m2, rewritten)
+    val valueCols = out.fieldNames.filterNot(keyCols.contains)
+    val oKeyed = o.select(
+      (keyCols.map(c => col(c).as(s"__o_$c")) ++
+        valueCols.map(c => col(c).as(s"__o_$c")) :+
+        lit(true).as("__o_present")).toIndexedSeq: _*)
+    val nKeyed = n.withColumn("__n_present", lit(true))
+    val cond = keyCols.map(c => nKeyed(c) <=> oKeyed(s"__o_$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val j = nKeyed.join(oKeyed, cond, "full_outer")
+    def rowStruct(side: String => Column, tag: String): Column =
+      struct((out.fieldNames.map(c => side(c).as(c)) :+
+        lit(tag).as(ct)).toIndexedSeq: _*)
+    val newSide = (c: String) => col(c)
+    val oldSide = (c: String) => col(s"__o_$c")
+    val anyDiff = valueCols.map(c => !(col(c) <=> col(s"__o_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    // single-pass emission: the join runs ONCE; each row explodes into
+    // its 0/1/2 change rows (a union of filtered branches would re-run
+    // the join per change type)
+    val changes = when(col("__o_present").isNull,
+        array(rowStruct(newSide, "insert")))
+      .when(col("__n_present").isNull, array(rowStruct(oldSide, "delete")))
+      .when(anyDiff, array(rowStruct(oldSide, "update_preimage"),
+        rowStruct(newSide, "update_postimage")))
+      .otherwise(array(rowStruct(newSide, "__unchanged")))
+    val diffed = j.select(explode(changes).as("__c")).select(col("__c.*"))
+      .filter(col(ct) =!= "__unchanged")
+    diffed.unionByName(inserts).unionByName(deletes)
+  }
+
+  /** Poll-driven incremental change-feed consumer — the streaming lake
+    * source in the same shape as the repo's other `foreachBatch`
+    * integrations: resolves every snapshot published after
+    * `fromVersion` (0 = from the lake's creation) and feeds each
+    * consecutive per-version diff to `consumer(changes, fromV, toV)` in
+    * commit order, returning the new cursor (persist it and pass it
+    * back on the next poll — redelivery after a crash before the cursor
+    * write is the usual at-least-once contract, and the change rows are
+    * keyed so downstream merges are idempotent). Stream == batch by
+    * construction: replaying every fed diff onto `readVersion(
+    * fromVersion)` reconstructs `readVersion(<returned cursor>)`
+    * (spec-pinned).
+    */
+  def readChangesStream(spark: SparkSession, path: String,
+      keyCols: Seq[String], fromVersion: Long)(
+      consumer: (DataFrame, Long, Long) => Unit): Long = {
+    var cur = fromVersion
+    snapshots(spark, path).filter(_ > fromVersion).sorted.foreach { v =>
+      if (cur == 0L) {
+        // no pre-creation snapshot to diff against: the first feed batch
+        // is the whole v1 snapshot as inserts
+        consumer(readVersion(spark, path, v)
+          .withColumn("_change_type", lit("insert")), cur, v)
+      } else {
+        consumer(changesBetween(spark, path, cur, v, keyCols), cur, v)
+      }
+      cur = v
+    }
+    cur
   }
 
   /** Bin-pack compaction: partitions holding more than one live file are
@@ -541,18 +917,24 @@ object PartitionedLake {
       statsCols: Seq[String] = Nil): Unit = {
     val fs = fsFor(spark, path)
     latestManifest(fs, path).foreach { m =>
-      val todo = m.files.filter(_._2.size > 1)
-      if (todo.isEmpty) return
+      // a partition needs compaction when it holds multiple files OR
+      // carries merge-on-read deltas (materialized away by the rewrite:
+      // the slice below reads THROUGH frameFor, so the merged view is
+      // what gets written back and the deltas drop from the manifest)
+      val todoDirs = m.files.filter(_._2.size > 1).keySet ++ m.deltas.keySet
+      if (todoDirs.isEmpty) return
+      val todo = m.files.view.filterKeys(todoDirs).toMap
       // the partition columns are the dir-name prefixes Spark wrote,
       // one per nesting level
-      val partitionCols = todo.head._1.split('/').toSeq.map(level =>
+      val partitionCols = todoDirs.head.split('/').toSeq.map(level =>
         ExternalCatalogUtils.unescapePathName(level.takeWhile(_ != '=')))
       // one task per partition tuple -> one output file per partition
-      val slice = frameFor(spark, path, m.copy(files = todo))
+      val slice = frameFor(spark, path, m.copy(files = todo,
+          deltas = m.deltas.view.filterKeys(todoDirs).toMap))
         .repartition(partitionCols.map(col): _*)
       val (staging, staged) = stage(spark, fs, path, slice, partitionCols,
         statsCols)
-      commitStaged(fs, path, staging, staged, todo.keySet, slice.schema,
+      commitStaged(fs, path, staging, staged, todoDirs, slice.schema,
         Some(m), None)
     }
   }
@@ -573,12 +955,14 @@ object PartitionedLake {
           val name = st.getPath.getName
           val childRel = if (rel.isEmpty) name else s"$rel/$name"
           if (st.isDirectory && name.contains("=")) {
-            if (m.files.contains(childRel)) {
-              val keep = m.files(childRel).map(_.name).toSet
+            if (allDirs(m).contains(childRel)) {
+              // live data files AND live merge-on-read delta sidecars
+              val keep = m.files.getOrElse(childRel, Nil).map(_.name).toSet ++
+                m.deltas.getOrElse(childRel, Nil)
               fs.listStatus(st.getPath)
                 .filter(f => f.isFile && !keep(f.getPath.getName))
                 .foreach(f => fs.delete(f.getPath, false))
-            } else if (m.files.keys.exists(_.startsWith(childRel + "/"))) {
+            } else if (allDirs(m).exists(_.startsWith(childRel + "/"))) {
               sweep(st.getPath, childRel)
             } else {
               fs.delete(st.getPath, true)
@@ -734,8 +1118,10 @@ object PartitionedLake {
       .unionByName(aligned(delta, base))
     val (staging, staged) = stage(spark, fs, path, merged, partitionCols,
       statsCols)
-    val replaced = parts.map(vs => dirPathFor(partitionCols, vs)).toSet
-    commitStaged(fs, path, staging, staged, replaced, merged.schema,
+    // every touched tuple has >= 1 delta row and the merge keeps all
+    // delta rows, so the STAGED directory set IS the touched set, in
+    // Spark's own rendering — no re-derivation of path encoding at all
+    commitStaged(fs, path, staging, staged, staged.keySet, merged.schema,
       existing, batchId)
   }
 
@@ -774,6 +1160,43 @@ object PartitionedLake {
   /** Multi-level variant: ops declare every partition column; identity is
     * `(partitionCols..., k)`.
     */
+  /** `ops` folded latest-wins per (declared partition tuple, key):
+    * columns `__cdc_p0..`, `__cdc_k`, `__cdc_op`, `__cdc_val`.
+    */
+  private def latestOps(ops: DataFrame, partitionCols: Seq[String]): DataFrame = {
+    val pAliases = partitionCols.indices.map(i => s"__cdc_p$i")
+    ops
+      .select(partitionCols.zip(pAliases).map { case (c, a) =>
+        col(c).as(a) } ++ Seq(col("k").as("__cdc_k"),
+        col("seq").as("__cdc_seq"), col("op").as("__cdc_op"),
+        col("val").as("__cdc_val")): _*)
+      .withColumn("__cdc_rn", org.apache.spark.sql.functions.row_number()
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy((pAliases :+ "__cdc_k").map(col): _*)
+          .orderBy(col("__cdc_seq").desc)))
+      .filter(col("__cdc_rn") === 1).drop("__cdc_rn", "__cdc_seq")
+  }
+
+  /** Apply a folded op set to the current rows: 'D' drops the identity's
+    * row, 'U' overwrites `valueCol`, ops on absent identities are
+    * ignored. Identity is null-safe on the partition half.
+    */
+  private def applyFold(current: DataFrame, latest: DataFrame,
+      partitionCols: Seq[String], keyCol: String,
+      valueCol: String): DataFrame = {
+    val pAliases = partitionCols.indices.map(i => s"__cdc_p$i")
+    val joinCond = partitionCols.zip(pAliases).map { case (c, a) =>
+      current(c) <=> latest(a) }.reduce(_ && _) &&
+      current(keyCol) === latest("__cdc_k")
+    current
+      .join(latest, joinCond, "left")
+      .filter(col("__cdc_op").isNull || col("__cdc_op") =!= "D")
+      .withColumn(valueCol, org.apache.spark.sql.functions
+        .when(col("__cdc_op") === "U", col("__cdc_val"))
+        .otherwise(col(valueCol)))
+      .drop(pAliases ++ Seq("__cdc_k", "__cdc_op", "__cdc_val"): _*)
+  }
+
   def cdcSink(spark: SparkSession, path: String, partitionCols: Seq[String],
       keyCol: String, valueCol: String, ops: DataFrame,
       batchId: Option[Long]): Unit = {
@@ -785,8 +1208,15 @@ object PartitionedLake {
     if (existing.isEmpty) return
     // transaction-level replay guard (see [[upsert]])
     if (batchId.exists(b => existing.flatMap(_.txn).exists(_ >= b))) return
-    val parts = ops.select(partitionCols.map(col): _*).distinct()
-      .collect().map(_.toSeq)
+    // partition values are collected under the LAKE's column types (not
+    // the op frame's): the probe write below must render directory names
+    // exactly as the base data did, and the isin/null-safe filter
+    // literals must compare without implicit coercion surprises
+    val partSchema = StructType(
+      partitionCols.map(c => existing.get.schema(c)).toArray)
+    val parts = ops.select(partitionCols.map(c =>
+        col(c).cast(existing.get.schema(c).dataType)): _*)
+      .distinct().collect().map(_.toSeq)
     if (parts.isEmpty) return // empty micro-batch
     val base = frameFor(spark, path, existing.get)
       .filter(partitionFilter(partitionCols, parts))
@@ -798,34 +1228,123 @@ object PartitionedLake {
     // but a key reused across partitions must not cross-apply — the
     // LakeModelSpec random-op model caught exactly that: a delete
     // declared in one partition retiring the same key's row in another.
-    val pAliases = partitionCols.indices.map(i => s"__cdc_p$i")
-    val latest = ops
-      .select(partitionCols.zip(pAliases).map { case (c, a) =>
-        col(c).as(a) } ++ Seq(col("k").as("__cdc_k"),
-        col("seq").as("__cdc_seq"), col("op").as("__cdc_op"),
-        col("val").as("__cdc_val")): _*)
-      .withColumn("__cdc_rn", org.apache.spark.sql.functions.row_number()
-        .over(org.apache.spark.sql.expressions.Window
-          .partitionBy((pAliases :+ "__cdc_k").map(col): _*)
-          .orderBy(col("__cdc_seq").desc)))
-      .filter(col("__cdc_rn") === 1).drop("__cdc_rn", "__cdc_seq")
-    val joinCond = partitionCols.zip(pAliases).map { case (c, a) =>
-      base(c) <=> latest(a) }.reduce(_ && _) &&
-      base(keyCol) === latest("__cdc_k")
-    val corrected = base
-      .join(latest, joinCond, "left")
-      .filter(col("__cdc_op").isNull || col("__cdc_op") =!= "D")
-      .withColumn(valueCol, org.apache.spark.sql.functions
-        .when(col("__cdc_op") === "U", col("__cdc_val"))
-        .otherwise(col(valueCol)))
-      .drop(pAliases ++ Seq("__cdc_k", "__cdc_op", "__cdc_val"): _*)
+    val latest = latestOps(ops, partitionCols)
+    val corrected = applyFold(base, latest, partitionCols, keyCol, valueCol)
     val (staging, staged) = stage(spark, fs, path, corrected, partitionCols, Nil)
-    val replaced = parts.map(vs => dirPathFor(partitionCols, vs)).toSet
-    val emptied = commitStaged(fs, path, staging, staged, replaced,
+    // the fold can EMPTY a partition (all rows deleted), which stages
+    // nothing for its directory — the authoritative replaced set comes
+    // from a Spark probe write of the touched tuples ([[sparkDirsFor]]),
+    // so even an emptied partition's manifest entry retires under
+    // Spark's own path rendering. Emptied directories stay on disk for
+    // pinned readers / time travel / change-feed pre-images until
+    // [[vacuum]].
+    val replaced = sparkDirsFor(spark, fs, path, partitionCols, partSchema,
+      parts)
+    commitStaged(fs, path, staging, staged, replaced,
       corrected.schema, existing, batchId)
-    // retire directories the fold emptied — they are unreferenced by the
-    // new manifest, so only a reader pinned to an older snapshot can
-    // still want them (same retention tradeoff as vacuum)
-    emptied.foreach(d => fs.delete(new Path(path, d), true))
+  }
+
+  /** Merge-on-read CDC sink — the same fold semantics as [[cdcSink]]
+    * (latest op per composite identity wins; 'D' drops, 'U' overwrites
+    * `valueCol`, ops on absent identities are ignored) with a different
+    * write-amplification contract: base data files are NEVER rewritten.
+    * Each batch rewrites only the touched partitions' DELTA sidecars —
+    * row-level correction logs holding 'U' post-images and 'D' key
+    * tombstones — merged at read by [[read]]/[[readVersion]] (anti-join
+    * on the `(partition tuple, key)` identity, then union of the
+    * post-images) and materialized away by [[compact]].
+    *
+    * Per-batch rewrite bytes therefore scale with the ACCUMULATED
+    * changed-key count per touched partition since its last compaction,
+    * not with partition size — the cost cliff copy-on-write hits on a
+    * high-churn 100 TB lake (every batch re-writes every touched
+    * partition wholesale) is exactly what this path removes. The read
+    * tax is one anti-join over the dirty partitions, which routine
+    * [[compact]] keeps small (and AQE broadcasts). This is Hudi's
+    * merge-on-read / Delta deletion-vector design point, chosen here as
+    * per-partition correction logs rather than per-file vectors: the
+    * log carries post-images, so updates need no new base files and no
+    * file-ordering bookkeeping — a commit replaces the touched
+    * partitions' logs atomically through the same manifest protocol.
+    *
+    * The delta is SELF-CONTAINED per partition: folding a new batch
+    * reads the current merged view of the touched partitions (base ⊕
+    * old delta), applies the ops, and re-emits the whole (still small)
+    * per-partition log: identities ever touched stay in the log — 'U'
+    * with their latest post-image or 'D' — until compaction. Same
+    * replay/idempotence contracts as [[cdcSink]], including the
+    * `batchId` transaction guard.
+    */
+  def cdcSinkMergeOnRead(spark: SparkSession, path: String,
+      partitionCol: String, keyCol: String, valueCol: String,
+      ops: DataFrame, batchId: Option[Long] = None): Unit =
+    cdcSinkMergeOnRead(spark, path, Seq(partitionCol), keyCol, valueCol,
+      ops, batchId)
+
+  /** Multi-level variant: ops declare every partition column. */
+  def cdcSinkMergeOnRead(spark: SparkSession, path: String,
+      partitionCols: Seq[String], keyCol: String, valueCol: String,
+      ops: DataFrame, batchId: Option[Long]): Unit = {
+    val fs = fsFor(spark, path)
+    val existing = manifestOrMigrate(spark, fs, path, partitionCols.size)
+    if (existing.isEmpty) return
+    val m = existing.get
+    require(m.mor.forall(_ == keyCol),
+      s"this lake's merge-on-read deltas are keyed by '${m.mor.get}'; " +
+        s"cannot fold ops keyed by '$keyCol'")
+    if (batchId.exists(b => m.txn.exists(_ >= b))) return
+    val partSchema = StructType(
+      partitionCols.map(c => m.schema(c)).toArray)
+    val parts = ops.select(partitionCols.map(c =>
+        col(c).cast(m.schema(c).dataType)): _*)
+      .distinct().collect().map(_.toSeq)
+    if (parts.isEmpty) return
+    val touched = partitionFilter(partitionCols, parts)
+    // current merged view of the touched partitions: base ⊕ old delta —
+    // partition-pruned on both scans
+    val current = frameFor(spark, path, m).filter(touched)
+    val latest = latestOps(ops, partitionCols)
+    val corrected = applyFold(current, latest, partitionCols, keyCol, valueCol)
+    val ident = partitionCols :+ keyCol
+    // identities the new log must carry: everything the old log carried
+    // (scoped to touched partitions) plus ops that APPLIED (identity
+    // existed in the current view — 'U' on an absent key is ignored,
+    // matching cdcApply)
+    val oldIds = deltaScan(spark, path, m, partitionCols)
+      .filter(touched).select(ident.map(col).toIndexedSeq: _*)
+    val pAliases = partitionCols.indices.map(i => s"__cdc_p$i")
+    val opIds = latest.select((pAliases.zip(partitionCols).map {
+      case (a, c) => col(a).cast(m.schema(c).dataType).as(c) } :+
+      col("__cdc_k").as(keyCol)).toIndexedSeq: _*)
+    val curIds = current.select(ident.map(col).toIndexedSeq: _*)
+    val appliedIds = opIds.intersect(curIds)
+    // both join sides share scan lineage (the log rebuild reads the same
+    // base + delta files the corrected view folded), so break the
+    // self-join ambiguity by renaming every column before joining
+    val unionIds = oldIds.union(appliedIds).distinct()
+      .select(ident.map(c => col(c).as(s"__id_$c")).toIndexedSeq: _*)
+    val correctedR = corrected.select(m.schema.fieldNames.map(c =>
+      col(c).as(s"__cur_$c")).toIndexedSeq: _*)
+    val joinCond = ident.map(c =>
+      col(s"__id_$c") <=> col(s"__cur_$c")).reduce(_ && _)
+    val otherCols = m.schema.fieldNames
+      .filterNot(c => partitionCols.contains(c) || c == keyCol)
+    // matched identity -> live post-image ('U'); unmatched -> deleted
+    // ('D', payload null). Identity columns come from the union side
+    // (the corrected side is null for deletes).
+    val newLog = unionIds.join(correctedR, joinCond, "left")
+      .select((partitionCols.map(c => col(s"__id_$c").as(c)) ++
+        Seq(col(s"__id_$keyCol").as(keyCol)) ++
+        otherCols.map(c => col(s"__cur_$c").as(c)) :+
+        when(col(s"__cur_$keyCol").isNotNull, lit("U"))
+          .otherwise(lit("D")).as(MorOpCol)).toIndexedSeq: _*)
+    val (logStaging, stagedLog) = stage(spark, fs, path, newLog,
+      partitionCols, Nil)
+    val replacedDeltas = sparkDirsFor(spark, fs, path, partitionCols,
+      partSchema, parts)
+    commitStaged(fs, path, logStaging, Map.empty, Set.empty,
+      m.schema, existing, batchId,
+      stagedDeltas = stagedLog, deltaStaging = Some(logStaging),
+      morKey = Some(keyCol), replacedDeltas = Some(replacedDeltas))
   }
 }

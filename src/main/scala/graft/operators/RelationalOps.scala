@@ -1268,6 +1268,82 @@ object RelationalOps {
         |    / 100.0 AS sum_qty
         |FROM lineitem GROUP BY 1, 2
         |ORDER BY l_returnflag, l_linestatus""".stripMargin),
-      "pipeline op: incremental aggregate maintenance (partial-state merge)")
+      "pipeline op: incremental aggregate maintenance (partial-state merge)"),
+
+    // ---- lake change-data-feed: commit a snapshot, upsert a delta
+    // (updates + inserts), and read the CHANGES between the two
+    // versions from the manifests' file-list diff
+    // (PartitionedLake.changesBetween — Delta CDF / Iceberg incremental
+    // scan). Partitions whose file signatures match are never opened;
+    // rewritten partitions get one scoped full-outer classify emitted in
+    // a single pass. This is the read half every incremental consumer in
+    // the repo (q130 dedup, q138 agg maintenance) plugs into. The lake
+    // build is part of the measured query, like q135's bucketed write. ----
+    Q("q143_lake_change_feed",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft-cdf")
+          .toString + "/lake"
+        val base = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderpriority"), col("o_totalprice"))
+        graft.io.PartitionedLake.write(base, dir, "o_orderpriority")
+        // the inserted keys are negations; orderkey 0 must sit out of the
+        // insert arm (-0 == 0 would collide with its own update row)
+        val delta = base.filter(col("o_orderkey") % 97 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1)
+          .unionByName(base.filter(col("o_orderkey") % 101 === 0 &&
+              col("o_orderkey") =!= 0)
+            .withColumn("o_orderkey", -col("o_orderkey")))
+        graft.io.PartitionedLake.upsert(s, dir, "o_orderpriority",
+          "o_orderkey", delta)
+        graft.io.PartitionedLake.changesBetween(s, dir, 1L, 2L,
+          Seq("o_orderpriority", "o_orderkey"))
+          .orderBy("_change_type", "o_orderkey")
+      },
+      Some("""WITH base AS (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders)
+        |SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |    'update_preimage' AS _change_type
+        |  FROM base WHERE o_orderkey % 97 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_orderpriority, o_totalprice + 1,
+        |    'update_postimage'
+        |  FROM base WHERE o_orderkey % 97 = 0
+        |UNION ALL
+        |SELECT -o_orderkey, o_orderpriority, o_totalprice, 'insert'
+        |  FROM base WHERE o_orderkey % 101 = 0 AND o_orderkey <> 0
+        |ORDER BY _change_type, o_orderkey""".stripMargin),
+      "lake op: change-data-feed between snapshots from manifest file-list diffs"),
+
+    // ---- merge-on-read CDC: deletes + updates fold into per-partition
+    // delta sidecars (PartitionedLake.cdcSinkMergeOnRead) — base data
+    // files are never rewritten; the read merges base ⊖ tombstones ⊕
+    // post-images. Within the batch, latest op per key wins (a key with
+    // both D seq=1 and U seq=2 survives updated — the oracle mirrors
+    // that with the %97∧%101 carve-out). ----
+    Q("q144_lake_merge_on_read",
+      (s, d) => {
+        val dir = java.nio.file.Files.createTempDirectory("graft-mor")
+          .toString + "/lake"
+        val base = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderpriority"), col("o_totalprice"))
+        graft.io.PartitionedLake.write(base, dir, "o_orderpriority")
+        val ops = base.filter(col("o_orderkey") % 97 === 0)
+          .select(col("o_orderkey").as("k"), col("o_orderpriority"),
+            lit(1L).as("seq"), lit("D").as("op"), lit(0.0).as("val"))
+          .unionByName(base.filter(col("o_orderkey") % 101 === 0)
+            .select(col("o_orderkey").as("k"), col("o_orderpriority"),
+              lit(2L).as("seq"), lit("U").as("op"),
+              (col("o_totalprice") + 5).as("val")))
+        graft.io.PartitionedLake.cdcSinkMergeOnRead(s, dir,
+          "o_orderpriority", "o_orderkey", "o_totalprice", ops)
+        graft.io.PartitionedLake.read(s, dir).orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderpriority,
+        |  CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 5
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders
+        |WHERE NOT (o_orderkey % 97 = 0 AND o_orderkey % 101 <> 0)
+        |ORDER BY o_orderkey""".stripMargin),
+      "lake op: merge-on-read CDC (delta sidecars; zero base-file rewrite)")
   )
 }

@@ -90,11 +90,7 @@ class LakeModelSpec extends AnyFunSuite {
       rows.foreach { case (p, k, v) => model += ((p, k) -> v) }
     }
 
-    // returns true when the fold emptied a partition: cdcSink retires the
-    // directory physically (documented retention tradeoff), which
-    // legitimately breaks readers pinned to older snapshots
-    def cdcOp(): Boolean = {
-      val partsBefore = model.keys.map(_._1).toSet
+    def cdcOp(): Unit = {
       val keys = model.keys.toSeq
       val n = 1 + rnd.nextInt(4)
       val ops = Seq.fill(n) {
@@ -109,7 +105,15 @@ class LakeModelSpec extends AnyFunSuite {
       }
       val df = ops.map(o => (o._1, o._2, o._3, o._4, o._5))
         .toDF("k", "part", "seq", "op", "val")
-      graft.io.PartitionedLake.cdcSink(spark, path, "part", "k", "bal", df)
+      // copy-on-write and merge-on-read folds share ONE semantics; the
+      // model cannot tell which sink ran, so interleave them randomly —
+      // every mixed sequence (MOR deltas later rewritten by CoW, CoW
+      // rows later tombstoned by MOR, compact/vacuum between) must agree
+      if (rnd.nextBoolean())
+        graft.io.PartitionedLake.cdcSink(spark, path, "part", "k", "bal", df)
+      else
+        graft.io.PartitionedLake.cdcSinkMergeOnRead(spark, path, "part",
+          "k", "bal", df)
       // model fold: latest op per (declared partition, key) wins; U only
       // touches existing rows, D drops, unknown identities are ignored
       ops.groupBy(o => (o._2, o._1)).foreach { case ((p, k), os) =>
@@ -119,7 +123,6 @@ class LakeModelSpec extends AnyFunSuite {
           else model += ((p, k) -> last._5)
         }
       }
-      partsBefore.diff(model.keys.map(_._1).toSet).nonEmpty
     }
 
     def readBack(): Map[(String, Long), Double] =
@@ -137,6 +140,9 @@ class LakeModelSpec extends AnyFunSuite {
     for (step <- 1 to 24) {
       if (step % 5 == 0) // pin a reader to the current snapshot
         pinned = Some((graft.io.PartitionedLake.read(spark, path), model))
+      // ONLY vacuum may break a pinned reader: commits (including full
+      // overwrites and partition-emptying CDC folds) de-reference files
+      // without deleting them, so every pre-vacuum snapshot stays whole
       val breaksPins = rnd.nextInt(12) match {
         case 0 => graft.io.PartitionedLake.compact(spark, path); false
         case 1 => graft.io.PartitionedLake.vacuum(spark, path); true
@@ -149,11 +155,11 @@ class LakeModelSpec extends AnyFunSuite {
             rows.map(r => (r._2, r._1, r._3)).toDF("k", "part", "bal"),
             path, "part")
           model = rows.map(r => (r._1, r._2) -> r._3).toMap
-          true // write retires now-empty partition dirs immediately
+          false
         case n if n < 8 => upsertOp(); false
-        case _ => cdcOp() // emptied-partition retirement breaks pins
+        case _ => cdcOp(); false
       }
-      if (breaksPins) pinned = None // vacuum/overwrite reclaim old snaps
+      if (breaksPins) pinned = None // vacuum reclaims old snapshots
       assert(readBack() === model, s"divergence after step $step")
       pinned.foreach { case (df, expect) =>
         val got = df.collect().map(r => (r.getAs[String]("part"),
@@ -203,8 +209,12 @@ class LakeModelMultiLevelSpec extends AnyFunSuite {
         (k, d, s, seq, if (rnd.nextBoolean()) "D" else "U",
           math.floor(rnd.nextDouble() * 100))
       }
-      PartitionedLake.cdcSink(spark, path, Seq("day", "src"), "id", "bal",
-        ops.toDF("k", "day", "src", "seq", "op", "val"), None)
+      if (rnd.nextBoolean())
+        PartitionedLake.cdcSink(spark, path, Seq("day", "src"), "id", "bal",
+          ops.toDF("k", "day", "src", "seq", "op", "val"), None)
+      else
+        PartitionedLake.cdcSinkMergeOnRead(spark, path, Seq("day", "src"),
+          "id", "bal", ops.toDF("k", "day", "src", "seq", "op", "val"), None)
       ops.groupBy(o => (o._2, o._3, o._1)).foreach { case ((d, s, k), os) =>
         val last = os.maxBy(_._4)
         if (model.contains((d, s, k))) {
@@ -352,7 +362,11 @@ class PartitionedLakeSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
     assert(got === expected)
     assert(got === Set((1L, "p1", 12.0), (4L, "p2", 40.0)))
-    // the fully-deleted partition's directory is retired, not orphaned
+    // the fully-deleted partition is de-referenced (invisible to reads)
+    // but its directory stays for pinned readers / time travel /
+    // change-feed pre-images; vacuum physically retires it
+    assert(new java.io.File(s"$lake/part=p3").exists())
+    PartitionedLake.vacuum(spark, lake)
     assert(!new java.io.File(s"$lake/part=p3").exists())
   }
 
@@ -411,8 +425,10 @@ class PartitionedLakeSpec extends AnyFunSuite {
     val afterUpsert = PartitionedLake.read(spark, path)
       .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(2)))
     assert(afterUpsert.toSeq === Seq(1L -> 11.0, 2L -> 20.0, 3L -> 30.0, 4L -> 40.0))
-    // delete every row of the escaped partitions -> directories retire,
-    // rows must NOT resurface on re-read
+    // delete every row of the escaped partitions -> their manifest
+    // entries retire (rows must NOT resurface on re-read); the escaped
+    // DIRECTORIES stay for pinned readers until vacuum resolves and
+    // physically removes them
     val ops = Seq((1L, "a/b", 100L, "D", 0.0), (2L, "x:y=z", 110L, "D", 0.0),
       (4L, null.asInstanceOf[String], 120L, "D", 0.0))
       .toDF("k", "part", "seq", "op", "val")
@@ -420,10 +436,10 @@ class PartitionedLakeSpec extends AnyFunSuite {
     val afterCdc = PartitionedLake.read(spark, path)
       .collect().map(r => (r.getLong(0), r.getDouble(2)))
     assert(afterCdc.toSeq === Seq(3L -> 30.0))
+    PartitionedLake.vacuum(spark, path)
     val dirs = new java.io.File(path).listFiles().filter(_.isDirectory)
       .map(_.getName).filter(_.contains("=")).toSet
     assert(dirs === Set("part=100%25"), dirs) // only the survivor remains
-    PartitionedLake.vacuum(spark, path)
     val afterVacuum = PartitionedLake.read(spark, path)
       .collect().map(r => (r.getLong(0), r.getDouble(2)))
     assert(afterVacuum.toSeq === Seq(3L -> 30.0))
@@ -495,15 +511,20 @@ class PartitionedLakeSpec extends AnyFunSuite {
     assert(at(3) === Seq(1L -> "v3", 2L -> "v2"))
     val e = intercept[IllegalArgumentException] { at(1) }
     assert(e.getMessage.contains("not resolvable"))
-    // a CDC delete that empties a partition retires its directory
-    // WITHOUT a vacuum: older versions referencing it must fail with
-    // the clear retirement error, not a mid-scan FileNotFound
+    // a CDC delete that EMPTIES a partition only de-references it: the
+    // pre-delete snapshot must stay fully readable (this is what keeps
+    // changesBetween's pre-images and pinned readers alive)
     PartitionedLake.cdcSink(spark, path, "part", "k", "v",
       Seq((2L, "p2", 10L, "D", "")).toDF("k", "part", "seq", "op", "val"))
+    assert(at(3) === Seq(1L -> "v3", 2L -> "v2"))
+    assert(PartitionedLake.read(spark, path).count() === 1)
+    // external cleanup that removes a referenced directory must fail the
+    // resolve loudly with the retirement error, not a mid-scan
+    // FileNotFound (or silent partial data under ignoreMissingFiles)
+    val p2 = new java.io.File(s"$path/part=p2")
+    p2.listFiles().foreach(_.delete()); p2.delete()
     val e2 = intercept[IllegalArgumentException] { at(3) }
     assert(e2.getMessage.contains("retired"), e2.getMessage)
-    // the latest snapshot is of course unaffected
-    assert(PartitionedLake.read(spark, path).count() === 1)
   }
 
   test("compaction bin-packs multi-file partitions to one file each through the snapshot protocol") {
@@ -697,17 +718,18 @@ class PartitionedLakeSpec extends AnyFunSuite {
     assert(state() === Set((1L, "d1", "web", 11.0), (1L, "d1", "app", 99.0),
       (2L, "d1", "app", 20.0), (3L, "d2", "web", 30.0),
       (4L, "d2", "app", 40.0)))
-    // CDC delete empties exactly the (d2, web) leaf: its directory
-    // retires while the sibling src under the same day survives
+    // CDC delete empties exactly the (d2, web) leaf: it drops from the
+    // manifest (invisible to reads) while the sibling src under the same
+    // day survives; the physical leaf is vacuum's to reclaim
     PartitionedLake.cdcSink(spark, path, Seq("day", "src"), "id", "bal",
       Seq((3L, "d2", "web", 100L, "D", 0.0))
         .toDF("k", "day", "src", "seq", "op", "val"), None)
-    assert(!new java.io.File(s"$path/day=d2/src=web").exists())
     assert(new java.io.File(s"$path/day=d2/src=app").isDirectory)
     assert(state().size === 4)
-    // maintenance walks the nested tree
+    // maintenance walks the nested tree; vacuum retires the emptied leaf
     PartitionedLake.compact(spark, path)
     PartitionedLake.vacuum(spark, path)
+    assert(!new java.io.File(s"$path/day=d2/src=web").exists())
     assert(state() === Set((1L, "d1", "web", 11.0), (1L, "d1", "app", 99.0),
       (2L, "d1", "app", 20.0), (4L, "d2", "app", 40.0)))
     val perLeaf = PartitionedLake.read(spark, path).inputFiles
