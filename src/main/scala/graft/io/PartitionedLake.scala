@@ -5,7 +5,7 @@ import java.util.UUID
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-import org.apache.spark.sql.functions.{array, col, explode, lit, struct, when}
+import org.apache.spark.sql.functions.{array, broadcast, col, explode, lit, struct, when}
 import org.apache.spark.sql.types.{DataType, StructType, TimestampNTZType, TimestampType}
 
 /** Partitioned-lake layout helpers: Hive-style partition directories give
@@ -138,28 +138,6 @@ object PartitionedLake {
 
   private def fsFor(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  /** The `col=value` directory name Spark would write for this partition
-    * value — null maps to the Hive default partition, everything else is
-    * the value's canonical string form escaped exactly as Spark escapes
-    * it ('/', ':', '%', '=', '#', control chars, ...). Timestamp-typed
-    * partition columns are rejected at commit time (their path form is
-    * timezone-dependent); use a string or date column.
-    */
-  private[io] def dirNameFor(partitionCol: String, v: Any): String = {
-    val valuePart =
-      if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
-      else ExternalCatalogUtils.escapePathName(v.toString)
-    s"${ExternalCatalogUtils.escapePathName(partitionCol)}=$valuePart"
-  }
-
-  /** Relative partition directory path for a values tuple — one
-    * `col=value` level per partition column, e.g. `day=2024-01-05/src=web`.
-    */
-  private[io] def dirPathFor(partitionCols: Seq[String],
-      values: Seq[Any]): String =
-    partitionCols.zip(values).map { case (c, v) => dirNameFor(c, v) }
-      .mkString("/")
 
   private def requireSupportedPartitionType(df: DataFrame,
       partitionCols: Seq[String]): Unit = partitionCols.foreach { c =>
@@ -1035,7 +1013,13 @@ object PartitionedLake {
     * (new files land under fresh names; the old ones are only
     * de-referenced), so the lazy plan is safe by construction.
     *
-    * CONTRACT: a key's partition value must be stable (the usual case —
+    * CONTRACT: the delta frame must be DETERMINISTIC — it is evaluated
+    * more than once (partition collect, key anti-join, staged write),
+    * so a nondeterministic delta (a bare `limit` sample, `rand`) can
+    * anti-join one key set and union another, silently dropping or
+    * duplicating rows. Streaming `foreachBatch` frames satisfy this per
+    * epoch; ad-hoc callers must materialize nondeterministic inputs
+    * first. And a key's partition value must be stable (the usual case —
     * the partition derives from the row's identity, e.g. event date).
     * A delta that MOVES a key to a different partition upserts into the
     * new partition but cannot retire the old partition's row — finding
@@ -1142,9 +1126,10 @@ object PartitionedLake {
     * add or replace rows, so a delete op could never retire its row — a
     * delete-capable CDC fold must rewrite the touched partitions
     * wholesale. A partition whose rows are ALL deleted simply drops out
-    * of the new manifest; its directory is then physically retired
-    * (directory name computed with Spark's own escaping — see
-    * [[dirNameFor]] — so exotic partition values retire correctly).
+    * of the new manifest (its directory name comes from a Spark probe
+    * write — see [[sparkDirsFor]] — so exotic partition values retire
+    * correctly); the directory itself stays on disk for pinned readers,
+    * time travel, and [[changesBetween]] pre-images until [[vacuum]].
     *
     * Idempotent under micro-batch replay (the foreachBatch redelivery
     * contract): 'U' re-applies to the same value, a replayed 'D' finds
@@ -1274,6 +1259,12 @@ object PartitionedLake {
     * with their latest post-image or 'D' — until compaction. Same
     * replay/idempotence contracts as [[cdcSink]], including the
     * `batchId` transaction guard.
+    *
+    * Run [[compact]] routinely: both the fold and the merged read
+    * BROADCAST the accumulated per-partition log identities, so the log
+    * must stay broadcast-sized (the same bound that keeps the read-side
+    * anti-join cheap). A lake allowed to accumulate tens of millions of
+    * uncompacted changed keys should compact before the next MOR batch.
     */
   def cdcSinkMergeOnRead(spark: SparkSession, path: String,
       partitionCol: String, keyCol: String, valueCol: String,
@@ -1306,6 +1297,14 @@ object PartitionedLake {
     val latest = latestOps(ops, partitionCols)
     val corrected = applyFold(current, latest, partitionCols, keyCol, valueCol)
     val ident = partitionCols :+ keyCol
+    // PLAN SHAPE, deliberately: every join below probes the touched
+    // partitions' rows against a BROADCAST of batch-bounded identities
+    // (op count + accumulated log size) — narrow passes only, no wide
+    // shuffle of the big side. An identity intersect/distinct over the
+    // touched rows would shuffle the whole touched footprint per batch,
+    // which at scale costs more than the partition rewrite MOR avoids
+    // (measured at sf1: 15.7 s -> 3.9 s for the same batch, LakeBench).
+    //
     // identities the new log must carry: everything the old log carried
     // (scoped to touched partitions) plus ops that APPLIED (identity
     // existed in the current view — 'U' on an absent key is ignored,
@@ -1316,28 +1315,41 @@ object PartitionedLake {
     val opIds = latest.select((pAliases.zip(partitionCols).map {
       case (a, c) => col(a).cast(m.schema(c).dataType).as(c) } :+
       col("__cdc_k").as(keyCol)).toIndexedSeq: _*)
-    val curIds = current.select(ident.map(col).toIndexedSeq: _*)
-    val appliedIds = opIds.intersect(curIds)
-    // both join sides share scan lineage (the log rebuild reads the same
-    // base + delta files the corrected view folded), so break the
-    // self-join ambiguity by renaming every column before joining
+    // one narrow pass over current, probing the broadcast op identities:
+    // which ops exist? (renamed columns also sidestep Spark's self-join
+    // ambiguity check — current and corrected share scan lineage)
+    val opIdsR = opIds.select(ident.map(c =>
+      col(c).as(s"__op_$c")).toIndexedSeq: _*)
+    val appliedIds = current
+      .join(broadcast(opIdsR),
+        ident.map(c => col(c) <=> col(s"__op_$c")).reduce(_ && _),
+        "left_semi")
+      .select(ident.map(col).toIndexedSeq: _*)
     val unionIds = oldIds.union(appliedIds).distinct()
       .select(ident.map(c => col(c).as(s"__id_$c")).toIndexedSeq: _*)
-    val correctedR = corrected.select(m.schema.fieldNames.map(c =>
-      col(c).as(s"__cur_$c")).toIndexedSeq: _*)
-    val joinCond = ident.map(c =>
-      col(s"__id_$c") <=> col(s"__cur_$c")).reduce(_ && _)
+    // live post-images: one narrow pass over the corrected view against
+    // the broadcast union set
+    val uRows = corrected
+      .join(broadcast(unionIds),
+        ident.map(c => col(c) <=> col(s"__id_$c")).reduce(_ && _),
+        "left_semi")
+      .withColumn(MorOpCol, lit("U"))
+    // tombstones: union identities with no surviving row — computed
+    // small-vs-small (both sides are identity sets, not data)
+    val dIds = unionIds.join(
+      uRows.select(ident.map(c => col(c).as(s"__u_$c")).toIndexedSeq: _*),
+      ident.map(c => col(s"__id_$c") <=> col(s"__u_$c")).reduce(_ && _),
+      "left_anti")
     val otherCols = m.schema.fieldNames
       .filterNot(c => partitionCols.contains(c) || c == keyCol)
-    // matched identity -> live post-image ('U'); unmatched -> deleted
-    // ('D', payload null). Identity columns come from the union side
-    // (the corrected side is null for deletes).
-    val newLog = unionIds.join(correctedR, joinCond, "left")
-      .select((partitionCols.map(c => col(s"__id_$c").as(c)) ++
-        Seq(col(s"__id_$keyCol").as(keyCol)) ++
-        otherCols.map(c => col(s"__cur_$c").as(c)) :+
-        when(col(s"__cur_$keyCol").isNotNull, lit("U"))
-          .otherwise(lit("D")).as(MorOpCol)).toIndexedSeq: _*)
+    val dRows = dIds.select((partitionCols.map(c =>
+        col(s"__id_$c").as(c)) ++
+      Seq(col(s"__id_$keyCol").as(keyCol)) ++
+      otherCols.map(c => lit(null).cast(m.schema(c).dataType).as(c)) :+
+      lit("D").as(MorOpCol)).toIndexedSeq: _*)
+    val newLog = uRows
+      .select((m.schema.fieldNames :+ MorOpCol).map(col).toIndexedSeq: _*)
+      .unionByName(dRows)
     val (logStaging, stagedLog) = stage(spark, fs, path, newLog,
       partitionCols, Nil)
     val replacedDeltas = sparkDirsFor(spark, fs, path, partitionCols,
