@@ -1301,9 +1301,10 @@ object PartitionedLake {
     // partitions' rows against a BROADCAST of batch-bounded identities
     // (op count + accumulated log size) — narrow passes only, no wide
     // shuffle of the big side. An identity intersect/distinct over the
-    // touched rows would shuffle the whole touched footprint per batch,
-    // which at scale costs more than the partition rewrite MOR avoids
-    // (measured at sf1: 15.7 s -> 3.9 s for the same batch, LakeBench).
+    // touched rows would shuffle the whole touched footprint per batch —
+    // a term that grows with data size, not batch size (the sf1
+    // LakeBench batch: 15.7 s with the intersect form, 13.2 s with this
+    // one, and only this one's shuffle volume is batch-bounded).
     //
     // identities the new log must carry: everything the old log carried
     // (scoped to touched partitions) plus ops that APPLIED (identity

@@ -298,6 +298,39 @@ class LakeMorSpec extends AnyFunSuite {
       changes.inputFiles.toSeq)
   }
 
+  test("additive schema evolution composes with live deltas: untouched partitions' logs survive under the widened schema") {
+    val path = java.nio.file.Files.createTempDirectory("graft-mor7").toString + "/lake"
+    PartitionedLake.write(Seq((1L, "p1", 10.0), (2L, "p2", 20.0))
+      .toDF("k", "part", "bal"), path, "part")
+    // MOR corrections in BOTH partitions under the original schema
+    PartitionedLake.cdcSinkMergeOnRead(spark, path, "part", "k", "bal",
+      Seq((1L, "p1", 1L, "U", 11.0), (2L, "p2", 2L, "U", 21.0))
+        .toDF("k", "part", "seq", "op", "val"))
+    // a widening upsert touches ONLY p1: its delta materializes into the
+    // rewrite (cleared), p2's log survives and must read correctly under
+    // the widened snapshot schema (old delta files lack `note` — parquet
+    // by-name reads surface null, same as old data files)
+    PartitionedLake.upsert(spark, path, "part", "k",
+      Seq((1L, "p1", 12.0, "hello")).toDF("k", "part", "bal", "note"))
+    val got = PartitionedLake.read(spark, path).orderBy("k").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Double]("bal"),
+        r.getAs[String]("note"))).toSeq
+    assert(got === Seq((1L, 12.0, "hello"), (2L, 21.0, null)))
+    // the post-evolution MOR fold writes logs under the widened schema
+    PartitionedLake.cdcSinkMergeOnRead(spark, path, "part", "k", "bal",
+      Seq((2L, "p2", 3L, "U", 22.0)).toDF("k", "part", "seq", "op", "val"))
+    val got2 = PartitionedLake.read(spark, path).orderBy("k").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Double]("bal"),
+        r.getAs[String]("note"))).toSeq
+    assert(got2 === Seq((1L, 12.0, "hello"), (2L, 22.0, null)))
+    // compaction materializes everything; the lake stays identical
+    PartitionedLake.compact(spark, path)
+    val got3 = PartitionedLake.read(spark, path).orderBy("k").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Double]("bal"),
+        r.getAs[String]("note"))).toSeq
+    assert(got3 === got2)
+  }
+
   test("readRange on a MOR lake stays exact: residual filter covers delta post-images") {
     val path = java.nio.file.Files.createTempDirectory("graft-mor6").toString + "/lake"
     PartitionedLake.write(Seq(

@@ -1,0 +1,155 @@
+package graft
+
+import graft.io.PartitionedLake
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The engine-managed streaming form of the change feed:
+  * `spark.readStream.format("graft-lake-cdf")` — offsets are snapshot
+  * versions, recovery replays from the checkpointed version, and the
+  * materialized feed reconstructs the lake.
+  */
+class LakeChangeFeedStreamSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def applyFeed(state: scala.collection.mutable.Map[(String, Long), Double],
+      rows: Array[org.apache.spark.sql.Row]): Unit =
+    rows.foreach { r =>
+      val id = (r.getAs[String]("part"), r.getAs[Long]("k"))
+      r.getAs[String]("_change_type") match {
+        case "insert" | "update_postimage" => state(id) = r.getAs[Double]("bal")
+        case "delete" => state.remove(id)
+        case "update_preimage" => ()
+      }
+    }
+
+  test("readStream over the lake CDF: bootstrap + incremental batches reconstruct the lake; checkpoint recovery resumes from the committed version") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdf-stream").toString
+    val lake = s"$dir/lake"
+    val ckpt = s"$dir/ckpt"
+    PartitionedLake.write(Seq((1L, "p1", 10.0), (2L, "p2", 20.0))
+      .toDF("k", "part", "bal"), lake, "part")
+    PartitionedLake.upsert(spark, lake, "part", "k",
+      Seq((1L, "p1", 11.0), (3L, "p2", 30.0)).toDF("k", "part", "bal"))
+
+    val state = scala.collection.mutable.Map[(String, Long), Double]()
+    var batches = 0
+    def start() = spark.readStream.format("graft-lake-cdf")
+      .option("path", lake).option("keyCols", "part,k")
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches += 1
+        applyFeed(state, df.collect())
+      }
+      .start()
+
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      // bootstrap (v1 as inserts) + the v1->v2 diff arrived
+      assert(state.toMap === Map(("p1", 1L) -> 11.0, ("p2", 2L) -> 20.0,
+        ("p2", 3L) -> 30.0))
+      // new commits while the stream is live: a CDC delete + an upsert
+      PartitionedLake.cdcSink(spark, lake, "part", "k", "bal",
+        Seq((2L, "p2", 1L, "D", 0.0)).toDF("k", "part", "seq", "op", "val"))
+      q1.processAllAvailable()
+      assert(state.toMap === Map(("p1", 1L) -> 11.0, ("p2", 3L) -> 30.0))
+    } finally q1.stop()
+
+    // commits while the stream is DOWN, including a merge-on-read batch
+    PartitionedLake.upsert(spark, lake, "part", "k",
+      Seq((4L, "p1", 40.0)).toDF("k", "part", "bal"))
+    PartitionedLake.cdcSinkMergeOnRead(spark, lake, "part", "k", "bal",
+      Seq((1L, "p1", 2L, "U", 12.0)).toDF("k", "part", "seq", "op", "val"))
+
+    val batchesBeforeRestart = batches
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      // recovery resumed from the checkpointed version: the offline
+      // commits arrived as ONE net diff, no bootstrap replay
+      assert(batches > batchesBeforeRestart)
+      assert(state.toMap === Map(("p1", 1L) -> 12.0, ("p2", 3L) -> 30.0,
+        ("p1", 4L) -> 40.0))
+    } finally q2.stop()
+
+    // the materialized feed equals the lake
+    val latest = PartitionedLake.read(spark, lake).collect()
+      .map(r => (r.getAs[String]("part"), r.getAs[Long]("k")) ->
+        r.getAs[Double]("bal")).toMap
+    assert(state.toMap === latest)
+  }
+
+  test("mid-stream additive evolution: rows keep flowing under the start-time schema; restart surfaces the new column") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdf-evolve").toString
+    val lake = s"$dir/lake"
+    PartitionedLake.write(Seq((1L, "p1", 10.0)).toDF("k", "part", "bal"),
+      lake, "part")
+    val cols = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+    def start() = spark.readStream.format("graft-lake-cdf")
+      .option("path", lake).option("keyCols", "part,k")
+      .load()
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!df.isEmpty) cols += df.columns.toSeq
+        df.collect().foreach(r =>
+          rows += ((r.getAs[Long]("k"), r.getAs[Double]("bal"))))
+      }
+      .start()
+    val q = start()
+    try {
+      q.processAllAvailable()
+      // a widening commit lands mid-stream: its rows flow under the
+      // START-TIME schema (new column not yet surfaced, no failure)
+      PartitionedLake.upsert(spark, lake, "part", "k",
+        Seq((2L, "p1", 20.0, "x")).toDF("k", "part", "bal", "note"))
+      q.processAllAvailable()
+      assert(rows.toSeq === Seq(1L -> 10.0, 2L -> 20.0))
+      assert(cols.forall(_ === Seq("k", "part", "bal", "_change_type")))
+    } finally q.stop()
+    // restart picks up the widened schema
+    cols.clear()
+    PartitionedLake.upsert(spark, lake, "part", "k",
+      Seq((3L, "p1", 30.0, "y")).toDF("k", "part", "bal", "note"))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(cols.nonEmpty &&
+        cols.forall(_ === Seq("k", "part", "bal", "note", "_change_type")))
+    } finally q2.stop()
+  }
+
+  test("startingVersion=latest skips history; only post-start commits stream") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdf-latest").toString
+    val lake = s"$dir/lake"
+    PartitionedLake.write(Seq((1L, "p1", 10.0)).toDF("k", "part", "bal"),
+      lake, "part")
+    PartitionedLake.upsert(spark, lake, "part", "k",
+      Seq((2L, "p1", 20.0)).toDF("k", "part", "bal"))
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val q = spark.readStream.format("graft-lake-cdf")
+      .option("path", lake).option("keyCols", "part,k")
+      .option("startingVersion", "latest")
+      .load()
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r =>
+          seen += ((r.getAs[Long]("k"), r.getAs[String]("_change_type"))))
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(seen.isEmpty) // history skipped
+      PartitionedLake.upsert(spark, lake, "part", "k",
+        Seq((3L, "p1", 30.0)).toDF("k", "part", "bal"))
+      q.processAllAvailable()
+      assert(seen.toSeq === Seq(3L -> "insert"))
+    } finally q.stop()
+  }
+}
