@@ -76,6 +76,69 @@ object CurationOps {
       .agg(count_distinct(col("g")).as("hits"))
   }
 
+  /** Register the bloom build/probe Catalyst expressions as named
+    * functions — the exact machinery Spark's own InjectRuntimeFilter
+    * uses (mergeable BloomFilterAggregate build, codegen'd
+    * BloomFilterMightContain probe), surfaced for explicit use the way
+    * `token_count` is. Guarded: idempotent and WARN-free.
+    */
+  private def registerBloom(s: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    val reg = s.sessionState.functionRegistry
+    if (!reg.functionExists(FunctionIdentifier("graft_bloom_agg")))
+      reg.createOrReplaceTempFunction("graft_bloom_agg", exprs =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(exprs(0), exprs(1), exprs(2)), "scala_udf")
+    if (!reg.functionExists(FunctionIdentifier("graft_bloom_contains")))
+      reg.createOrReplaceTempFunction("graft_bloom_contains", exprs =>
+        new org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(exprs(0), exprs(1)), "scala_udf")
+  }
+
+  /** Bloom-filter n-gram decontamination — the membership-structure form
+    * of [[decontaminate]] for eval suites too large to broadcast as an
+    * exact gram set (the Dolma-scale design): build ONE bloom over the
+    * eval set's distinct n-gram hashes (a mergeable aggregate, so the
+    * build is distributed with map-side partials), broadcast the ~MB
+    * filter, and probe every training gram with a codegen'd
+    * might_contain — a NARROW map over the corpus, no join and no
+    * shuffle of the corpus side at all. Bloom semantics: zero false
+    * negatives (every truly leaked gram flags), false positives bounded
+    * by the sizing (`numBits` for the expected item count).
+    *
+    * Returns one row per distinct (doc_id, gram) probe with BOTH the
+    * bloom verdict and the exact-join verdict, so callers can assert
+    * the contract (bloom ⊇ exact; FP rate under bound) in-band — q145
+    * pins exactly that against the DuckDB exact side. Production use
+    * drops the exact column (and with it the only corpus-side join).
+    */
+  def bloomDecontaminate(corpus: DataFrame, evalDocs: DataFrame,
+      n: Int = 5, expectedItems: Long = 1L << 20,
+      numBits: Long = 1L << 23): DataFrame = {
+    val s = corpus.sparkSession
+    registerBloom(s)
+    val evalGrams = ngrams(evalDocs, n).select("g").distinct()
+    // the build aggregates distributed (map-side partial filters merge)
+    // and lands as ONE ~MB binary on the driver — the same sanctioned
+    // one-row scalar read a runtime-filter subquery performs — then
+    // rides into the probe as a plan literal (might_contain requires a
+    // constant/scalar-subquery filter side; a reference object, not
+    // inlined codegen text)
+    val bloomBytes = Option(evalGrams.agg(call_function("graft_bloom_agg",
+        xxhash64(col("g")), lit(expectedItems), lit(numBits)).as("bf"))
+      .head().getAs[Array[Byte]]("bf"))
+    val probe = bloomBytes match {
+      case Some(bytes) => call_function("graft_bloom_contains", lit(bytes),
+        xxhash64(col("g")))
+      case None => lit(false) // empty eval set: nothing can leak
+    }
+    ngrams(corpus, n).select("doc_id", "g").distinct()
+      .join(broadcast(evalGrams.select(col("g"), lit(true).as("ex"))),
+        Seq("g"), "left")
+      .select(col("doc_id"), col("g"), probe.as("bloom_hit"),
+        coalesce(col("ex"), lit(false)).as("exact_hit"))
+  }
+
   /** Highest multiplicity of any element of a string array, as
     * sort + one linear run-length pass (`aggregate` carrying
     * (prev, current-run, best-run) struct state): O(n log n) per row.
@@ -105,6 +168,47 @@ object CurationOps {
   def hashBucket(id: Column): Column =
     conv(substring(md5(concat(lit("doc:"), id)), 1, 8), 16, 10)
       .cast("long") % 100
+
+  /** Content-defined chunk statistics (the FastCDC/Rabin idea on word
+    * windows): a chunk boundary falls after word `i` when the md5 of
+    * the trailing 3-word window hashes to 0 mod `div` (expected chunk
+    * length ≈ `div` words); the document end always closes the last
+    * chunk. Unlike fixed-stride chunking (q99), boundaries are a
+    * function of CONTENT alone, so an insertion or deletion re-chunks
+    * only the region around the edit — the property that keeps
+    * chunk-level dedup stable across document revisions. One narrow
+    * codegen'd pass (higher-order functions over the token array — no
+    * explode, no shuffle, no UDF); md5-derived buckets so any engine
+    * can replay the boundaries. Returns per-doc
+    * `(doc_id, n_tokens, n_chunks, max_chunk)`.
+    */
+  /** The chunk boundary positions (1-based, ascending, always ending at
+    * the token count) for a token-array column — see
+    * [[contentChunkStats]]. Exposed so tests can pin the
+    * revision-stability property on the raw boundaries.
+    */
+  private[graft] def contentChunkBounds(w: Column, div: Int): Column = {
+    val n = size(w)
+    // candidate cut positions 3..n-1 (a window needs 3 words; position n
+    // is always a boundary); the n<4 guard stops sequence() descending
+    val cand = filter(
+      when(n - 1 >= 3, sequence(lit(3), n - 1))
+        .otherwise(array().cast("array<int>")),
+      i => conv(substring(md5(array_join(slice(w, i - 2, lit(3)), " ")),
+        1, 8), 16, 10).cast("long") % div === 0)
+    concat(cand, array(n))
+  }
+
+  def contentChunkStats(docs: DataFrame, div: Int = 16): DataFrame = {
+    val w = toks(col("text"))
+    val bounds = contentChunkBounds(w, div)
+    val prevs = concat(array(lit(0)),
+      slice(bounds, lit(1), size(bounds) - 1))
+    val lens = zip_with(bounds, prevs, (b, p) => b - p)
+    docs.select(col("doc_id"), size(w).cast("long").as("n_tokens"),
+      size(bounds).cast("long").as("n_chunks"),
+      array_max(lens).cast("long").as("max_chunk"))
+  }
 
   def qs: Seq[Q] = Seq(
 
@@ -136,6 +240,85 @@ object CurationOps {
              |FROM grams JOIN eval_grams USING (g)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       "pipeline-op: eval-set n-gram decontamination (broadcast eval grams)"),
+
+    // ---- bloom-filter decontamination: the same leak question answered
+    // by a broadcast MEMBERSHIP STRUCTURE instead of a broadcast gram
+    // set — the form that survives eval suites with hundreds of millions
+    // of grams (a ~1 MB filter vs gigabytes of strings). The oracle
+    // can't rebuild Spark's bloom, so the query emits the exact-side
+    // numbers (DuckDB-checkable) plus two in-band VERDICTS the oracle
+    // pins true: no-false-negatives (bloom ⊇ exact — the bloom
+    // guarantee) and FP rate under 5% (sized for far less). Same
+    // verdict pattern as the q54/q66/q140 sketches. ----
+    Q("q145_bloom_decontaminate",
+      (s, d) => {
+        val words = Tables.documents(s, d)
+          .select(col("doc_id"), toks(col("text")).as("w"))
+        val evalSnips = words.filter(col("doc_id") % 40 === 0)
+          .select(col("doc_id"), slice(col("w"), 1, 24).as("w"))
+        bloomDecontaminate(words, evalSnips).agg(
+          count(lit(1)).as("n_probes"),
+          sum(when(col("exact_hit"), 1L).otherwise(0L)).as("exact_gram_hits"),
+          count_distinct(when(col("exact_hit"), col("doc_id")))
+            .as("n_docs_contaminated"),
+          coalesce(every(col("bloom_hit") || !col("exact_hit")), lit(true))
+            .as("no_false_negatives"),
+          (sum(when(col("bloom_hit") && !col("exact_hit"), 1L).otherwise(0L))
+            <= lit(0.05) * sum(when(!col("exact_hit"), 1L).otherwise(0L)))
+            .as("fp_rate_ok"))
+      },
+      Some("""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+             |  FROM documents),
+             |grams AS (SELECT DISTINCT doc_id,
+             |    array_to_string(w[i.range:i.range+4], ' ') AS g
+             |  FROM words, range(1, 128) i WHERE i.range <= len(w) - 4),
+             |eval_snips AS (SELECT doc_id, w[1:24] AS w FROM words
+             |  WHERE doc_id % 40 = 0),
+             |eval_grams AS (SELECT DISTINCT
+             |    array_to_string(w[i.range:i.range+4], ' ') AS g
+             |  FROM eval_snips, range(1, 128) i WHERE i.range <= len(w) - 4),
+             |probes AS (SELECT g2.doc_id, g2.g, eg.g IS NOT NULL AS exact_hit
+             |  FROM grams g2 LEFT JOIN eval_grams eg ON g2.g = eg.g)
+             |SELECT CAST(count(*) AS BIGINT) AS n_probes,
+             |  CAST(sum(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS exact_gram_hits,
+             |  CAST(count(DISTINCT CASE WHEN exact_hit THEN doc_id END)
+             |    AS BIGINT) AS n_docs_contaminated,
+             |  true AS no_false_negatives,
+             |  true AS fp_rate_ok
+             |FROM probes""".stripMargin),
+      "pipeline-op: bloom-filter decontamination (broadcast ~MB filter, no corpus join)"),
+
+    // ---- content-defined chunking: md5-gated boundaries on trailing
+    // 3-word windows (expected chunk ≈ 16 words), per-doc chunk stats.
+    // The whole computation is one codegen'd narrow map over the token
+    // array — the oracle rebuilds identical boundaries from the same
+    // md5 buckets. ----
+    Q("q146_content_chunking",
+      (s, d) => contentChunkStats(Tables.documents(s, d))
+        .orderBy("doc_id"),
+      Some("""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+             |  FROM documents),
+             |pos AS (SELECT doc_id, i.range AS i,
+             |    array_to_string(w[i.range-2:i.range], ' ') AS g3
+             |  FROM words, range(3, 1024) i WHERE i.range <= len(w) - 1),
+             |bounds AS (
+             |  SELECT doc_id, i FROM pos
+             |  WHERE CAST(('0x' || substr(md5(g3), 1, 8)) AS BIGINT) % 16 = 0
+             |  UNION ALL
+             |  SELECT doc_id, len(w) FROM words),
+             |chunks AS (SELECT doc_id, i,
+             |    i - coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i),
+             |      0) AS clen
+             |  FROM bounds),
+             |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+             |    CAST(max(clen) AS BIGINT) AS max_chunk
+             |  FROM chunks GROUP BY doc_id)
+             |SELECT words.doc_id, CAST(len(words.w) AS BIGINT) AS n_tokens,
+             |  n_chunks, max_chunk
+             |FROM words JOIN agg USING (doc_id)
+             |ORDER BY doc_id""".stripMargin),
+      "pipeline-op: content-defined chunking (revision-stable boundaries, narrow codegen pass)"),
 
     // ---- deterministic hash-stratified sampling: keep 20% of English,
     // 60% of everything else (the up-sample-the-tail shape of real

@@ -80,6 +80,69 @@ class RetrievalOpsSpec extends AnyFunSuite {
     assert(selfDup.getLong(2) > 0)
   }
 
+  test("bloom decontamination: superset of exact hits, planted leaks always flag, empty eval set flags nothing") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, split}
+    val leak = "alpha beta gamma delta epsilon"
+    val corpus = Seq(
+      (1L, s"intro words then $leak and a tail"), // planted 5-gram leak
+      (2L, "completely unrelated clean text here today"),
+      (3L, s"$leak"), // the eval snippet verbatim
+      (4L, "short one")) // < 5 tokens: no probes
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val eval = Seq((100L, leak)).toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val probes = CurationOps.bloomDecontaminate(corpus, eval).collect()
+    // the bloom NEVER misses a real leak (no false negatives)
+    assert(probes.filter(_.getAs[Boolean]("exact_hit"))
+      .forall(_.getAs[Boolean]("bloom_hit")))
+    // both planted docs flag on the exact side; the clean doc does not
+    val exactDocs = probes.filter(_.getAs[Boolean]("exact_hit"))
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(exactDocs === Set(1L, 3L))
+    assert(probes.count(_.getAs[Long]("doc_id") == 4L) === 0)
+    // generously-sized filter on 1 gram: no false positives either
+    assert(probes.filterNot(_.getAs[Boolean]("exact_hit"))
+      .forall(!_.getAs[Boolean]("bloom_hit")))
+    // empty eval set: probe column is constant false, nothing flags
+    val none = CurationOps.bloomDecontaminate(corpus,
+      eval.filter(col("doc_id") < 0L)).collect()
+    assert(none.nonEmpty && none.forall(!_.getAs[Boolean]("bloom_hit")))
+  }
+
+  test("content-defined chunking: boundaries are content-local — an insertion re-chunks only its neighborhood") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, split}
+    // deterministic 200-word doc; version B inserts one word at pos 100
+    val words = (1 to 200).map(i => s"w${i * 37 % 91}")
+    val a = words.mkString(" ")
+    val b = (words.take(100) :+ "INSERTED").++(words.drop(100)).mkString(" ")
+    val bounds = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        CurationOps.contentChunkBounds(split(col("text"), " "), 16)
+          .as("bounds"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getSeq[Int](1).toVector).toMap
+    val (ba, bb) = (bounds(1L), bounds(2L))
+    // boundaries strictly before the edit window are IDENTICAL — a
+    // stride chunker would shift every one of them
+    val editAt = 100
+    assert(ba.takeWhile(_ < editAt - 2) === bb.takeWhile(_ < editAt - 2))
+    assert(ba.takeWhile(_ < editAt - 2).nonEmpty)
+    // boundaries after the edit resync at +1 (same trailing content):
+    // compare the suffix sets relative to the document END
+    val tailA = ba.filter(_ > editAt + 3).map(200 - _)
+    val tailB = bb.filter(_ > editAt + 4).map(201 - _)
+    assert(tailA === tailB)
+    assert(tailA.nonEmpty)
+    // degenerate inputs: short docs are one whole chunk
+    val shortStats = CurationOps.contentChunkStats(
+      Seq((9L, "tiny doc")).toDF("doc_id", "text")).collect().head
+    assert(shortStats.getLong(1) === 2L && shortStats.getLong(2) === 1L &&
+      shortStats.getLong(3) === 2L)
+  }
+
   test("normalizeText golden: case, accents, control chars, punctuation, whitespace") {
     import spark.implicits._
     val out = Seq(

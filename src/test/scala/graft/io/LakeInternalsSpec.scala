@@ -27,6 +27,62 @@ class LakeInternalsSpec extends AnyFunSuite {
     assert(PartitionedLake.latestManifest(fs, path).exists(_.version == 7L))
   }
 
+  test("manifest round-trip fuzz: random escaped dirs, stats, txn, mor key, and delta sidecars survive serialization") {
+    val path = java.nio.file.Files.createTempDirectory("graft-fuzz").toString + "/lake"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rnd = new scala.util.Random(41)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    // adversarial raw names: separators, the parser's own line prefixes,
+    // spaces (NOT escaped by Spark), unicode — all must round-trip once
+    // escaped the way Spark escapes partition values
+    val nastyRaw = Seq("a/b", "x:y=z", "100%", "txn 7", "mor:k", "delta:x",
+      "tab\there", "sp ace", "naïve", "__HIVE_DEFAULT_PARTITION__", "..")
+    def esc(s: String) =
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(s)
+    for (round <- 1 to 30) {
+      val dirs = (0 until 1 + rnd.nextInt(4)).map { _ =>
+        val levels = 1 + rnd.nextInt(2)
+        (0 until levels).map { l =>
+          val v = if (rnd.nextBoolean()) nastyRaw(rnd.nextInt(nastyRaw.size))
+            else rnd.alphanumeric.take(1 + rnd.nextInt(6)).mkString
+          s"c$l=${esc(v)}"
+        }.mkString("/")
+      }.distinct
+      val files = dirs.map { d =>
+        d -> (0 until 1 + rnd.nextInt(3)).map { i =>
+          val stats = if (rnd.nextBoolean())
+            Map(s"s${rnd.nextInt(3)}" ->
+              (rnd.nextDouble() * -100, rnd.nextDouble() * 100))
+          else Map.empty[String, (Double, Double)]
+          PartitionedLake.FileEntry(s"c$round-$i.parquet", stats)
+        }
+      }.toMap
+      val deltas =
+        if (rnd.nextBoolean())
+          Map(dirs.head -> (0 until 1 + rnd.nextInt(2))
+            .map(i => s"delta-f$round-$i.parquet"))
+        else Map.empty[String, Seq[String]]
+      val m = PartitionedLake.Manifest(round.toLong, schema, files,
+        txn = if (rnd.nextBoolean()) Some(rnd.nextLong().abs) else None,
+        deltas = deltas,
+        mor = if (deltas.nonEmpty)
+          Some(nastyRaw(rnd.nextInt(nastyRaw.size))) else None)
+      PartitionedLake.publishManifest(fs, path, m)
+      val back = PartitionedLake.latestManifest(fs, path).get
+      assert(back.version === m.version)
+      assert(back.txn === m.txn, s"round $round txn")
+      assert(back.mor === m.mor, s"round $round mor")
+      assert(back.deltas.view.mapValues(_.sorted).toMap ===
+        m.deltas.view.mapValues(_.sorted).toMap, s"round $round deltas")
+      assert(back.files.view.mapValues(_.sortBy(_.name)).toMap ===
+        m.files.view.mapValues(_.sortBy(_.name)).toMap, s"round $round files")
+    }
+  }
+
   test("manifest round-trip preserves stats, txn, and escaped dir paths byte-exactly") {
     val path = java.nio.file.Files.createTempDirectory("graft-roundtrip").toString + "/lake"
     val fs = new org.apache.hadoop.fs.Path(path)
