@@ -87,13 +87,17 @@ object PartitionedLake {
   private val TxnLine = """^txn (\d+)$""".r
 
   /** One live data file: its name within the partition directory plus
-    * optional per-column (min, max) bounds harvested from its parquet
-    * FOOTER at commit time (free — no data read). Bounds are stored as
-    * conservatively-widened doubles; a column absent from the map means
-    * "unknown", which [[readRange]] treats as cannot-skip.
+    * optional per-column (min, max) bounds and the exact row count,
+    * both harvested from its parquet FOOTER at commit time (free — no
+    * data read). Bounds are stored as conservatively-widened doubles; a
+    * column absent from the map means "unknown", which [[readRange]]
+    * treats as cannot-skip. `rows` powers [[rowCount]]'s metadata-only
+    * COUNT(*); None (pre-rows manifests, adopted legacy files) degrades
+    * to scanning, never to a wrong answer.
     */
   private[io] case class FileEntry(name: String,
-      stats: Map[String, (Double, Double)] = Map.empty)
+      stats: Map[String, (Double, Double)] = Map.empty,
+      rows: Option[Long] = None)
 
   /** version + snapshot schema + live files per partition directory +
     * the highest streaming batch id folded in (Delta's `txn` idea): a
@@ -202,14 +206,20 @@ object PartitionedLake {
       // the last '/' splits dir/file)
       val fields = line.split('\t')
       val i = fields(0).lastIndexOf('/')
-      val stats = fields.drop(1).map { f =>
+      // a `rows:N` field (no '=') is the footer row count; every other
+      // field is col=lo..hi stats. A data COLUMN literally named
+      // "rows:..." still parses as stats — its field contains '='.
+      val (rowFields, statFields) = fields.drop(1)
+        .partition(f => f.startsWith("rows:") && !f.contains('='))
+      val stats = statFields.map { f =>
         val eq = f.indexOf('=')
         val dots = f.lastIndexOf("..")
         f.substring(0, eq) -> (f.substring(eq + 1, dots).toDouble,
           f.substring(dots + 2).toDouble)
       }.toMap
       (fields(0).substring(0, i),
-        FileEntry(fields(0).substring(i + 1), stats))
+        FileEntry(fields(0).substring(i + 1), stats,
+          rowFields.headOption.map(_.stripPrefix("rows:").toLong)))
     }.groupBy(_._1).map { case (d, fs0) => d -> fs0.map(_._2) }
     Manifest(version, schema, files, txn, deltas, mor)
   }
@@ -237,6 +247,7 @@ object PartitionedLake {
     m.files.toSeq.sortBy(_._1).foreach { case (d, entries) =>
       entries.sortBy(_.name).foreach { e =>
         body.append(d).append('/').append(e.name)
+        e.rows.foreach(r => body.append('\t').append("rows:").append(r))
         e.stats.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
           body.append('\t').append(c).append('=').append(lo)
             .append("..").append(hi)
@@ -264,20 +275,24 @@ object PartitionedLake {
 
   // ---- commit --------------------------------------------------------------
 
-  /** Per-column (min, max) bounds from one staged file's parquet footer —
-    * a metadata read, no data bytes. A column is reported only if EVERY
-    * row group has non-null numeric statistics for it; long bounds are
-    * widened through the double conversion (nextDown/nextUp) so the
-    * stored range is always conservative.
+  /** Exact row count plus per-column (min, max) bounds from one staged
+    * file's parquet footer — a metadata read, no data bytes. A column is
+    * reported only if EVERY row group has non-null numeric statistics
+    * for it; long bounds are widened through the double conversion
+    * (nextDown/nextUp) so the stored range is always conservative. The
+    * row count (free in the same footer) powers [[rowCount]]'s
+    * metadata-only COUNT(*).
     */
-  private def footerStats(conf: org.apache.hadoop.conf.Configuration,
-      file: Path, statsCols: Set[String]): Map[String, (Double, Double)] = {
+  private def footerInfo(conf: org.apache.hadoop.conf.Configuration,
+      file: Path,
+      statsCols: Set[String]): (Long, Map[String, (Double, Double)]) = {
     import scala.jdk.CollectionConverters._
     val meta = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
       conf, file,
       org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
     val blocks = meta.getBlocks.asScala.toSeq
-    statsCols.flatMap { c =>
+    val rows = blocks.map(_.getRowCount).sum
+    val stats = statsCols.flatMap { c =>
       val perBlock = blocks.map { b =>
         b.getColumns.asScala.find(_.getPath.toDotString == c)
           .map(_.getStatistics)
@@ -306,6 +321,7 @@ object PartitionedLake {
         Some(c -> (bs.map(_._1).min, bs.map(_._2).max))
       }
     }.toMap
+    (rows, stats)
   }
 
   /** Leaf partition directories (relative path -> absolute Path) `depth`
@@ -382,9 +398,8 @@ object PartitionedLake {
     val dirs = leafPartitionDirs(fs, staging, partitionCols.size)
       .map { case (rel, dirPath) =>
         val entries = dataFiles(fs, dirPath).map { f =>
-          val stats = if (statsCols.isEmpty) Map.empty[String, (Double, Double)]
-            else footerStats(conf, f, statsCols.toSet)
-          FileEntry(f.getName, stats)
+          val (rows, stats) = footerInfo(conf, f, statsCols.toSet)
+          FileEntry(f.getName, stats, Some(rows))
         }
         rel -> entries
       }.toMap
@@ -727,6 +742,34 @@ object PartitionedLake {
     }.sorted
   }
 
+  /** Exact COUNT(*) of the latest snapshot from manifest metadata alone
+    * — zero data files opened, zero Spark jobs (commits harvest each
+    * file's footer row count for free). Per partition directory via
+    * [[partitionRowCounts]]. Returns None — degrade to scanning, never
+    * to a wrong answer — when any live file predates row-count
+    * harvesting (adopted legacy lakes, pre-rows manifests) or when
+    * merge-on-read deltas are live (tombstones and post-images change
+    * the count at read; [[compact]] restores the metadata answer). At
+    * the design point this is the difference between answering a
+    * 100 TB `COUNT(*)` from a manifest read and scanning the table.
+    */
+  def rowCount(spark: SparkSession, path: String): Option[Long] =
+    partitionRowCounts(spark, path).map(_.values.sum)
+
+  /** Per-partition-directory exact row counts from manifest metadata —
+    * same contract as [[rowCount]].
+    */
+  def partitionRowCounts(spark: SparkSession,
+      path: String): Option[Map[String, Long]] = {
+    val fs = fsFor(spark, path)
+    latestManifest(fs, path).flatMap { m =>
+      if (m.deltas.nonEmpty ||
+          m.files.values.exists(_.exists(_.rows.isEmpty))) None
+      else Some(m.files.view
+        .mapValues(_.flatMap(_.rows).sum).toMap)
+    }
+  }
+
   /** Time travel: read the lake AS OF a published snapshot version (see
     * [[snapshots]]). Works because commits only ever ADD files and
     * de-reference old ones. Two reclamation events can invalidate an old
@@ -918,9 +961,14 @@ object PartitionedLake {
   }
 
   /** Delete files superseded by the latest snapshot and manifests older
-    * than it. Run with the same single-committer serialization as writes;
-    * readers pinned to pre-vacuum snapshots lose (standard retention
-    * tradeoff — schedule vacuum beyond the longest reader's lifetime).
+    * than it. Vacuum is the ONE operation that stays exclusive (unlike
+    * data commits, which rebase optimistically): it deletes files a
+    * mid-flight commit may be about to reference, so run it in the
+    * maintenance window, not concurrently with writers. Readers pinned
+    * to pre-vacuum snapshots lose (standard retention tradeoff —
+    * schedule vacuum beyond the longest reader's lifetime, and beyond
+    * the longest change-feed consumer downtime: [[changesBetween]]
+    * fails loudly on a vacuumed version, never silently skips).
     */
   def vacuum(spark: SparkSession, path: String): Unit = {
     val fs = fsFor(spark, path)

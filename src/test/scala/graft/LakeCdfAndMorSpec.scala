@@ -331,6 +331,40 @@ class LakeMorSpec extends AnyFunSuite {
     assert(got3 === got2)
   }
 
+  test("metadata-only COUNT(*): exact across upserts and CoW deletes, None with live deltas or legacy files, restored by compact") {
+    val path = java.nio.file.Files.createTempDirectory("graft-count").toString + "/lake"
+    def meta() = PartitionedLake.rowCount(spark, path)
+    def scanned() = PartitionedLake.read(spark, path).count()
+    PartitionedLake.write(Seq(
+      (1L, "p1", 10.0), (2L, "p1", 20.0), (3L, "p2", 30.0))
+      .toDF("k", "part", "bal"), path, "part")
+    assert(meta() === Some(3L) && scanned() === 3L)
+    PartitionedLake.upsert(spark, path, "part", "k",
+      Seq((1L, "p1", 11.0), (4L, "p2", 40.0)).toDF("k", "part", "bal"))
+    assert(meta() === Some(4L) && scanned() === 4L)
+    PartitionedLake.cdcSink(spark, path, "part", "k", "bal",
+      Seq((2L, "p1", 1L, "D", 0.0)).toDF("k", "part", "seq", "op", "val"))
+    assert(meta() === Some(3L) && scanned() === 3L)
+    assert(PartitionedLake.partitionRowCounts(spark, path) ===
+      Some(Map("part=p1" -> 1L, "part=p2" -> 2L)))
+    // live merge-on-read deltas change the count at READ time: the
+    // metadata answer must refuse, not lie
+    PartitionedLake.cdcSinkMergeOnRead(spark, path, "part", "k", "bal",
+      Seq((3L, "p2", 2L, "D", 0.0)).toDF("k", "part", "seq", "op", "val"))
+    assert(meta() === None && scanned() === 2L)
+    PartitionedLake.compact(spark, path)
+    assert(meta() === Some(2L) && scanned() === 2L)
+    // adopted legacy files carry no footer counts -> None until rewritten
+    val legacy = java.nio.file.Files.createTempDirectory("graft-count2")
+      .toString + "/lake"
+    Seq((1L, "p1", 1.0)).toDF("k", "part", "bal")
+      .write.partitionBy("part").parquet(legacy)
+    PartitionedLake.upsert(spark, legacy, "part", "k",
+      Seq((2L, "p2", 2.0)).toDF("k", "part", "bal"))
+    assert(PartitionedLake.rowCount(spark, legacy) === None)
+    assert(PartitionedLake.read(spark, legacy).count() === 2L)
+  }
+
   test("readRange on a MOR lake stays exact: residual filter covers delta post-images") {
     val path = java.nio.file.Files.createTempDirectory("graft-mor6").toString + "/lake"
     PartitionedLake.write(Seq(

@@ -11,7 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class LakeInternalsSpec extends AnyFunSuite {
   import graft.SparkTestSession._
 
-  test("publishing the same manifest version twice fails loudly (single-committer contract)") {
+  test("publishing the same manifest version twice fails loudly (the strict no-rebase path)") {
     val path = java.nio.file.Files.createTempDirectory("graft-race").toString + "/lake"
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -58,7 +58,8 @@ class LakeInternalsSpec extends AnyFunSuite {
             Map(s"s${rnd.nextInt(3)}" ->
               (rnd.nextDouble() * -100, rnd.nextDouble() * 100))
           else Map.empty[String, (Double, Double)]
-          PartitionedLake.FileEntry(s"c$round-$i.parquet", stats)
+          PartitionedLake.FileEntry(s"c$round-$i.parquet", stats,
+            if (rnd.nextBoolean()) Some(rnd.nextLong().abs) else None)
         }
       }.toMap
       val deltas =
