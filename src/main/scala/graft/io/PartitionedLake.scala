@@ -100,10 +100,13 @@ object PartitionedLake {
       rows: Option[Long] = None)
 
   /** version + snapshot schema + live files per partition directory +
-    * the highest streaming batch id folded in (Delta's `txn` idea): a
-    * redelivered micro-batch with `batchId <= txn` is skipped whole, so
-    * sinks are exactly-once at the TRANSACTION level, not just
-    * idempotent at the value level.
+    * PER-WRITER highest streaming batch ids folded in (Delta's
+    * app-keyed `txn` idea): a redelivered micro-batch with
+    * `batchId <= txns(writerId)` is skipped whole, so sinks are
+    * exactly-once at the TRANSACTION level, not just idempotent at the
+    * value level — and the slots are keyed by writer so one streaming
+    * query's watermark can never swallow another's batches under
+    * multi-writer concurrency.
     *
     * `deltas` lists the live merge-on-read delta sidecars per partition
     * directory (see [[cdcSinkMergeOnRead]]): row-level corrections
@@ -112,9 +115,15 @@ object PartitionedLake {
     * delta identities use; present iff any delta is live.
     */
   private[io] case class Manifest(version: Long, schema: StructType,
-      files: Map[String, Seq[FileEntry]], txn: Option[Long] = None,
+      files: Map[String, Seq[FileEntry]],
+      txns: Map[String, Long] = Map.empty,
       deltas: Map[String, Seq[String]] = Map.empty,
       mor: Option[String] = None)
+
+  /** The writer id [[upsert]]/[[cdcSink]]/[[cdcSinkMergeOnRead]] charge
+    * their replay guard to when the caller does not name one.
+    */
+  val DefaultWriter = "default"
 
   /** The op column carried inside delta sidecar files ('U' or 'D'). */
   private[io] val MorOpCol = "__graft_op"
@@ -128,7 +137,7 @@ object PartitionedLake {
     (m.files.getOrElse(d, Nil).map(_.name).toSet,
       m.deltas.getOrElse(d, Nil).toSet)
 
-  private def allDirs(m: Manifest): Set[String] =
+  private[io] def allDirs(m: Manifest): Set[String] =
     m.files.keySet ++ m.deltas.keySet
 
   /** Directories whose contents differ between two snapshots. */
@@ -181,15 +190,23 @@ object PartitionedLake {
       s"unrecognized manifest header in $p")
     val schema = DataType.fromJson(lines(1).stripPrefix("schema "))
       .asInstanceOf[StructType]
-    // the txn line is anchored (`^txn \d+$`), never prefix-matched: a
-    // partition COLUMN literally named `txn ...` produces file lines that
-    // start with "txn " but always contain '=' and '/', which the anchor
-    // rejects — escapePathName does NOT escape the space character.
-    // `mor:`/`delta:` prefixes are unambiguous for the same reason:
-    // escapePathName escapes ':' itself, so no path line can start with
-    // a raw-colon prefix.
-    val txn = lines.drop(2).headOption.collect { case TxnLine(t) => t.toLong }
-    val body = lines.drop(if (txn.isDefined) 3 else 2).filter(_.nonEmpty)
+    // `txn:`/`mor:`/`delta:` header prefixes are unambiguous against
+    // path lines: escapePathName escapes ':' itself, so no dir/file
+    // line can start with a raw-colon prefix. The LEGACY single-slot
+    // `txn <n>` line stays parseable (anchored `^txn \d+$`, never
+    // prefix-matched: a partition COLUMN literally named `txn ...`
+    // produces lines that always contain '=' and '/', which the anchor
+    // rejects — escapePathName does NOT escape the space character)
+    // and maps to the default writer slot.
+    val body = lines.drop(2).filter(_.nonEmpty)
+    val txns = body.collect {
+      case TxnLine(t) => DefaultWriter -> t.toLong
+      case l if l.startsWith("txn:") =>
+        val p = l.stripPrefix("txn:")
+        val sp = p.lastIndexOf(' ')
+        (ExternalCatalogUtils.unescapePathName(p.substring(0, sp)),
+          p.substring(sp + 1).toLong)
+    }.toMap
     val mor = body.find(_.startsWith("mor:"))
       .map(l => ExternalCatalogUtils.unescapePathName(l.stripPrefix("mor:")))
     val deltas = body.filter(_.startsWith("delta:")).map { l =>
@@ -198,7 +215,8 @@ object PartitionedLake {
       (p.substring(0, i), p.substring(i + 1))
     }.groupBy(_._1).map { case (d, ns) => d -> ns.map(_._2) }
     val files = body.filterNot(l => l.startsWith("mor:") ||
-        l.startsWith("delta:")).map { line =>
+        l.startsWith("delta:") || l.startsWith("txn:") ||
+        TxnLine.matches(l)).map { line =>
       // fields are tab-separated: the file path, then optional
       // col=min..max stats (escapePathName escapes '/' and control
       // chars including tab — space is NOT escaped but neither split
@@ -221,7 +239,7 @@ object PartitionedLake {
         FileEntry(fields(0).substring(i + 1), stats,
           rowFields.headOption.map(_.stripPrefix("rows:").toLong)))
     }.groupBy(_._1).map { case (d, fs0) => d -> fs0.map(_._2) }
-    Manifest(version, schema, files, txn, deltas, mor)
+    Manifest(version, schema, files, txns, deltas, mor)
   }
 
   /** Attempt to publish a manifest version: write to a hidden temp file,
@@ -236,7 +254,10 @@ object PartitionedLake {
     fs.mkdirs(dir)
     val body = new StringBuilder("graft-lake-manifest v1\n")
     body.append("schema ").append(m.schema.json).append('\n')
-    m.txn.foreach(t => body.append("txn ").append(t).append('\n'))
+    m.txns.toSeq.sortBy(_._1).foreach { case (w, t) =>
+      body.append("txn:").append(ExternalCatalogUtils.escapePathName(w))
+        .append(' ').append(t).append('\n')
+    }
     m.mor.foreach(k => body.append("mor:")
       .append(ExternalCatalogUtils.escapePathName(k)).append('\n'))
     m.deltas.toSeq.sortBy(_._1).foreach { case (d, names) =>
@@ -395,14 +416,31 @@ object PartitionedLake {
     df.write.mode("overwrite").partitionBy(partitionCols: _*)
       .parquet(staging.toString)
     val conf = spark.sparkContext.hadoopConfiguration
-    val dirs = leafPartitionDirs(fs, staging, partitionCols.size)
-      .map { case (rel, dirPath) =>
-        val entries = dataFiles(fs, dirPath).map { f =>
-          val (rows, stats) = footerInfo(conf, f, statsCols.toSet)
-          FileEntry(f.getName, stats, Some(rows))
-        }
-        rel -> entries
-      }.toMap
+    val pairs = leafPartitionDirs(fs, staging, partitionCols.size)
+      .flatMap { case (rel, dirPath) =>
+        dataFiles(fs, dirPath).map(rel -> _)
+      }
+    // footer harvesting (row counts + optional min/max bounds) is one
+    // independent metadata read per staged file — run them on a bounded
+    // pool, not serially on the driver thread: a many-partition commit
+    // would otherwise pay file-count x round-trip latency (the 2.5k-file
+    // day layout in LakeBench, or any object store at the design point)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(16, pairs.size)))
+    val dirs = try {
+      import scala.jdk.CollectionConverters._
+      val tasks: java.util.List[java.util.concurrent.Callable[(String, FileEntry)]] =
+        pairs.map { case (rel, f) =>
+          new java.util.concurrent.Callable[(String, FileEntry)] {
+            override def call(): (String, FileEntry) = {
+              val (rows, stats) = footerInfo(conf, f, statsCols.toSet)
+              rel -> FileEntry(f.getName, stats, Some(rows))
+            }
+          }
+        }.asJava
+      pool.invokeAll(tasks).asScala.map(_.get()).toSeq
+        .groupBy(_._1).map { case (rel, es) => rel -> es.map(_._2) }
+    } finally pool.shutdown()
     (staging, dirs)
   }
 
@@ -446,6 +484,12 @@ object PartitionedLake {
     * de-referenced here; the files stay on disk for pinned readers,
     * time travel, and [[changesBetween]] pre-images until [[vacuum]].
     *
+    * A FULL OVERWRITE (`fullOverwrite = true`) rebases differently: its
+    * contract is "supersede everything live at commit time", so on a
+    * lost race the replaced set GROWS to the new head's directories
+    * (serial-equivalent to the overwrite landing second) instead of
+    * conflict-checking.
+    *
     * `old` is the manifest the caller already resolved for this commit —
     * threaded through rather than re-read (at the class doc's stated
     * manifest ceiling a re-resolve is a ~100 MB driver read; the
@@ -457,13 +501,14 @@ object PartitionedLake {
       stagedDeltas: Map[String, Seq[FileEntry]] = Map.empty,
       deltaStaging: Option[Path] = None,
       morKey: Option[String] = None,
-      replacedDeltas: Option[Set[String]] = None): Unit = {
+      replacedDeltas: Option[Set[String]] = None,
+      writerId: String = DefaultWriter,
+      fullOverwrite: Boolean = false): Unit = {
     // a copy-on-write commit supersedes a touched partition's deltas
     // along with its data files; a merge-on-read commit supersedes ONLY
     // the deltas (base data carries over verbatim — that's the point)
-    val deltasReplaced = replacedDeltas.getOrElse(replaced)
     val unexpected = staged.keySet.diff(replaced) ++
-      stagedDeltas.keySet.diff(deltasReplaced)
+      stagedDeltas.keySet.diff(replacedDeltas.getOrElse(replaced))
     require(unexpected.isEmpty,
       "partition path encoding diverged from Spark's for: " +
         unexpected.mkString(", ") + " — refusing to commit")
@@ -498,40 +543,72 @@ object PartitionedLake {
     }
     val nullableSchema = StructType(schema.fields.map(_.copy(nullable = true)))
     var base = old
+    // the overwrite contract grows the replaced set per rebase; every
+    // other commit's stays fixed at what its data actually read
+    var replacedNow = replaced
     var attempts = 0
     while (true) {
-      val newFiles = base.map(_.files).getOrElse(Map.empty) -- replaced ++ moved
+      val deltasReplaced = replacedDeltas.getOrElse(replacedNow)
+      val newFiles = base.map(_.files).getOrElse(Map.empty) --
+        replacedNow ++ moved
       val newDeltas = (base.map(_.deltas).getOrElse(Map.empty)
         -- deltasReplaced) ++
         movedDeltas.view.mapValues(_.map(_.name)).toMap
+      // two merge-on-read lineages with DIFFERENT key columns cannot
+      // share a lake: if the head's live deltas are keyed differently
+      // from this commit's, the rebase would re-key someone's log
+      val baseMor = base.flatMap(_.mor)
+      if (morKey.isDefined && baseMor.isDefined && baseMor != morKey) {
+        unlinkMoved()
+        sys.error(s"concurrent commit conflict on $path: merge-on-read " +
+          s"deltas keyed by '${baseMor.get}' are live; cannot fold ops " +
+          s"keyed by '${morKey.get}'")
+      }
       val mor = if (newDeltas.isEmpty) None
-        else morKey.orElse(base.flatMap(_.mor))
-      val txn = (base.flatMap(_.txn) ++ batchId).reduceOption(_ max _)
+        else morKey.orElse(baseMor)
+      val baseTxns = base.map(_.txns).getOrElse(Map.empty)
+      val txns = baseTxns ++ batchId.map(b => writerId ->
+        (baseTxns.get(writerId).fold(b)(_ max b)))
       val snapshotSchema = base match {
         case Some(h) if !(h eq old.orNull) => mergeSchemas(h.schema, nullableSchema)
         case _ => nullableSchema
       }
       val ok = tryPublishManifest(fs, path, Manifest(
         base.map(_.version + 1).getOrElse(1L), snapshotSchema, newFiles,
-        txn, newDeltas, mor))
+        txns, newDeltas, mor))
       if (ok) return
       attempts += 1
       val head = latestManifest(fs, path).getOrElse(
         sys.error(s"manifest for $path vanished during commit"))
-      // a racing duplicate of the SAME streaming batch already landed:
+      // a racing duplicate of the SAME writer's batch already landed:
       // applying ours on top would double-apply — drop this commit whole
-      // (the transaction-level replay guard, re-checked post-race)
-      if (batchId.exists(b => head.txn.exists(_ >= b))) { unlinkMoved(); return }
-      val conflict = changedDirs(base, head)
-        .intersect(replaced ++ deltasReplaced)
-      if (conflict.nonEmpty || attempts > 5) {
+      // (the transaction-level replay guard, re-checked post-race; keyed
+      // by writer, so another stream's unrelated batch ids never
+      // swallow this one)
+      if (batchId.exists(b => head.txns.get(writerId).exists(_ >= b))) {
+        unlinkMoved(); return
+      }
+      if (fullOverwrite) {
+        // overwrite supersedes whatever is live NOW — serial-equivalent
+        // to the overwrite committing after the racer
+        replacedNow = replacedNow ++ allDirs(head)
+      } else {
+        val conflict = changedDirs(base, head)
+          .intersect(replacedNow ++ replacedDeltas.getOrElse(Set.empty))
+        if (conflict.nonEmpty || attempts > 5) {
+          unlinkMoved()
+          sys.error(s"concurrent commit conflict on $path: " +
+            (if (conflict.nonEmpty)
+              s"partitions ${conflict.mkString(", ")} were changed by a " +
+                "racing committer after this commit read them; re-run " +
+                "against the new snapshot"
+            else s"lost the publish race $attempts times; giving up"))
+        }
+      }
+      if (attempts > 8) { // overwrite path needs its own bound
         unlinkMoved()
-        sys.error(s"concurrent commit conflict on $path: " +
-          (if (conflict.nonEmpty)
-            s"partitions ${conflict.mkString(", ")} were changed by a " +
-              "racing committer after this commit read them; re-run " +
-              "against the new snapshot"
-          else s"lost the publish race $attempts times; giving up"))
+        sys.error(s"concurrent commit conflict on $path: lost the " +
+          s"publish race $attempts times; giving up")
       }
       base = Some(head)
     }
@@ -584,7 +661,8 @@ object PartitionedLake {
     val (staging, staged) = stage(spark, fs, path, df, partitionCols, statsCols)
     val oldDirs = old.map(allDirs).getOrElse(Set.empty)
     commitStaged(fs, path, staging, staged,
-      oldDirs ++ staged.keySet, df.schema, old, None)
+      oldDirs ++ staged.keySet, df.schema, old, None,
+      fullOverwrite = true)
   }
 
   /** Read the lake at its latest published snapshot. The manifest is
@@ -945,10 +1023,7 @@ object PartitionedLake {
       val todoDirs = m.files.filter(_._2.size > 1).keySet ++ m.deltas.keySet
       if (todoDirs.isEmpty) return
       val todo = m.files.view.filterKeys(todoDirs).toMap
-      // the partition columns are the dir-name prefixes Spark wrote,
-      // one per nesting level
-      val partitionCols = todoDirs.head.split('/').toSeq.map(level =>
-        ExternalCatalogUtils.unescapePathName(level.takeWhile(_ != '=')))
+      val partitionCols = partitionColsOf(m)
       // one task per partition tuple -> one output file per partition
       val slice = frameFor(spark, path, m.copy(files = todo,
           deltas = m.deltas.view.filterKeys(todoDirs).toMap))
@@ -976,19 +1051,21 @@ object PartitionedLake {
       // recursive sweep over the nested partition tree: a dir that IS a
       // manifest key keeps its live files; a dir that is a PREFIX of
       // live keys recurses; anything else is unreferenced and retires
+      val live = allDirs(m) // hoisted: sweep visits O(P) dirs, and a
+      // per-visit set rebuild would make the walk O(P^2)
       def sweep(dir: Path, rel: String): Unit =
         fs.listStatus(dir).foreach { st =>
           val name = st.getPath.getName
           val childRel = if (rel.isEmpty) name else s"$rel/$name"
           if (st.isDirectory && name.contains("=")) {
-            if (allDirs(m).contains(childRel)) {
+            if (live.contains(childRel)) {
               // live data files AND live merge-on-read delta sidecars
               val keep = m.files.getOrElse(childRel, Nil).map(_.name).toSet ++
                 m.deltas.getOrElse(childRel, Nil)
               fs.listStatus(st.getPath)
                 .filter(f => f.isFile && !keep(f.getPath.getName))
                 .foreach(f => fs.delete(f.getPath, false))
-            } else if (allDirs(m).exists(_.startsWith(childRel + "/"))) {
+            } else if (live.exists(_.startsWith(childRel + "/"))) {
               sweep(st.getPath, childRel)
             } else {
               fs.delete(st.getPath, true)
@@ -1090,13 +1167,19 @@ object PartitionedLake {
     */
   def upsert(spark: SparkSession, path: String, partitionCol: String,
       keyCol: String, delta: DataFrame, statsCols: Seq[String] = Nil,
-      batchId: Option[Long] = None): Unit =
-    upsert(spark, path, Seq(partitionCol), keyCol, delta, statsCols, batchId)
+      batchId: Option[Long] = None,
+      writerId: String = DefaultWriter): Unit =
+    upsert(spark, path, Seq(partitionCol), keyCol, delta, statsCols, batchId,
+      writerId)
 
-  /** Multi-level variant: row identity is `(partitionCols..., keyCol)`. */
+  /** Multi-level variant: row identity is `(partitionCols..., keyCol)`.
+    * `writerId` names the replay-guard slot the batch ids belong to —
+    * give each independent streaming query its own id so concurrent
+    * writers' guards never interfere.
+    */
   def upsert(spark: SparkSession, path: String, partitionCols: Seq[String],
       keyCol: String, delta: DataFrame, statsCols: Seq[String],
-      batchId: Option[Long]): Unit = {
+      batchId: Option[Long], writerId: String): Unit = {
     val fs = fsFor(spark, path)
     // bootstrap: an absent lake is just the delta (lets the same call
     // serve as a streaming foreachBatch sink from batch zero); an
@@ -1106,12 +1189,13 @@ object PartitionedLake {
       val (staging, staged) = stage(spark, fs, path, delta, partitionCols,
         statsCols)
       commitStaged(fs, path, staging, staged, staged.keySet, delta.schema,
-        None, batchId)
+        None, batchId, writerId = writerId)
       return
     }
     // transaction-level replay guard: a redelivered micro-batch whose id
-    // the manifest already records committed is skipped whole
-    if (batchId.exists(b => existing.flatMap(_.txn).exists(_ >= b))) return
+    // this writer's manifest slot already records committed skips whole
+    if (batchId.exists(b =>
+        existing.flatMap(_.txns.get(writerId)).exists(_ >= b))) return
     val parts = delta.select(partitionCols.map(col): _*).distinct()
       .collect().map(_.toSeq)
     if (parts.isEmpty) return
@@ -1151,10 +1235,28 @@ object PartitionedLake {
     val (staging, staged) = stage(spark, fs, path, merged, partitionCols,
       statsCols)
     // every touched tuple has >= 1 delta row and the merge keeps all
-    // delta rows, so the STAGED directory set IS the touched set, in
-    // Spark's own rendering — no re-derivation of path encoding at all
-    commitStaged(fs, path, staging, staged, staged.keySet, merged.schema,
-      existing, batchId)
+    // delta rows, so the staged directory set must equal the collected
+    // tuples' Spark-rendered names. The probe re-renders the COLLECTED
+    // tuples independently of the staged evaluation, which is the
+    // backstop for the deterministic-delta contract above: a delta that
+    // evaluated to different partitions between the collect and the
+    // staged write diverges here and the commit REFUSES — without this,
+    // such a delta would silently de-reference a partition it never
+    // merged (data loss), not just mis-merge.
+    val partSchema = StructType(
+      partitionCols.map(c => delta.schema(c)).toArray)
+    val replaced = sparkDirsFor(spark, fs, path, partitionCols, partSchema,
+      parts)
+    if (staged.keySet != replaced) {
+      fs.delete(staging, true)
+      sys.error("delta evaluated nondeterministically between the " +
+        s"partition collect and the staged write (collected: " +
+        s"${replaced.mkString(", ")}; staged: " +
+        s"${staged.keySet.mkString(", ")}) — materialize the delta " +
+        "first (see the upsert determinism contract); refusing to commit")
+    }
+    commitStaged(fs, path, staging, staged, replaced, merged.schema,
+      existing, batchId, writerId = writerId)
   }
 
   /** Exactly-once streaming CDC sink: fold one micro-batch of a CDC op
@@ -1187,8 +1289,10 @@ object PartitionedLake {
     */
   def cdcSink(spark: SparkSession, path: String, partitionCol: String,
       keyCol: String, valueCol: String, ops: DataFrame,
-      batchId: Option[Long] = None): Unit =
-    cdcSink(spark, path, Seq(partitionCol), keyCol, valueCol, ops, batchId)
+      batchId: Option[Long] = None,
+      writerId: String = DefaultWriter): Unit =
+    cdcSink(spark, path, Seq(partitionCol), keyCol, valueCol, ops, batchId,
+      writerId)
 
   /** Multi-level variant: ops declare every partition column; identity is
     * `(partitionCols..., k)`.
@@ -1208,6 +1312,24 @@ object PartitionedLake {
           .partitionBy((pAliases :+ "__cdc_k").map(col): _*)
           .orderBy(col("__cdc_seq").desc)))
       .filter(col("__cdc_rn") === 1).drop("__cdc_rn", "__cdc_seq")
+  }
+
+  /** The op frame's `val` column must carry EXACTLY the lake column's
+    * type: the fold's when(U, val).otherwise(col) would otherwise
+    * COERCE (long + double -> double) and the widened snapshot schema
+    * would fail against untouched partitions' old files at read time —
+    * the same lake-poisoning failure [[upsert]]'s type-change guard
+    * refuses, applied to both CDC sinks.
+    */
+  private def requireValType(m: Manifest, valueCol: String,
+      ops: DataFrame): Unit = {
+    val lakeType = m.schema(valueCol).dataType
+    val opType = ops.schema("val").dataType
+    require(opType == lakeType,
+      s"op 'val' type ${opType.simpleString} must equal lake column " +
+        s"'$valueCol' type ${lakeType.simpleString} — cast the op log " +
+        "before sinking (a coerced fold would widen the snapshot schema " +
+        "out from under untouched partitions' files)")
   }
 
   /** Apply a folded op set to the current rows: 'D' drops the identity's
@@ -1232,15 +1354,17 @@ object PartitionedLake {
 
   def cdcSink(spark: SparkSession, path: String, partitionCols: Seq[String],
       keyCol: String, valueCol: String, ops: DataFrame,
-      batchId: Option[Long]): Unit = {
+      batchId: Option[Long], writerId: String): Unit = {
     val fs = fsFor(spark, path)
     // absent lake: update/delete ops have nothing to apply to (cdcApply
     // is update/delete-on-existing; q131's SCD-2 merge covers inserts);
     // a pre-protocol lake is adopted with a v1 manifest first
     val existing = manifestOrMigrate(spark, fs, path, partitionCols.size)
     if (existing.isEmpty) return
-    // transaction-level replay guard (see [[upsert]])
-    if (batchId.exists(b => existing.flatMap(_.txn).exists(_ >= b))) return
+    // transaction-level replay guard (see [[upsert]]; keyed by writer)
+    if (batchId.exists(b =>
+        existing.flatMap(_.txns.get(writerId)).exists(_ >= b))) return
+    requireValType(existing.get, valueCol, ops)
     // partition values are collected under the LAKE's column types (not
     // the op frame's): the probe write below must render directory names
     // exactly as the base data did, and the isin/null-safe filter
@@ -1274,7 +1398,7 @@ object PartitionedLake {
     val replaced = sparkDirsFor(spark, fs, path, partitionCols, partSchema,
       parts)
     commitStaged(fs, path, staging, staged, replaced,
-      corrected.schema, existing, batchId)
+      corrected.schema, existing, batchId, writerId = writerId)
   }
 
   /** Merge-on-read CDC sink — the same fold semantics as [[cdcSink]]
@@ -1316,14 +1440,15 @@ object PartitionedLake {
     */
   def cdcSinkMergeOnRead(spark: SparkSession, path: String,
       partitionCol: String, keyCol: String, valueCol: String,
-      ops: DataFrame, batchId: Option[Long] = None): Unit =
+      ops: DataFrame, batchId: Option[Long] = None,
+      writerId: String = DefaultWriter): Unit =
     cdcSinkMergeOnRead(spark, path, Seq(partitionCol), keyCol, valueCol,
-      ops, batchId)
+      ops, batchId, writerId)
 
   /** Multi-level variant: ops declare every partition column. */
   def cdcSinkMergeOnRead(spark: SparkSession, path: String,
       partitionCols: Seq[String], keyCol: String, valueCol: String,
-      ops: DataFrame, batchId: Option[Long]): Unit = {
+      ops: DataFrame, batchId: Option[Long], writerId: String): Unit = {
     val fs = fsFor(spark, path)
     val existing = manifestOrMigrate(spark, fs, path, partitionCols.size)
     if (existing.isEmpty) return
@@ -1331,7 +1456,8 @@ object PartitionedLake {
     require(m.mor.forall(_ == keyCol),
       s"this lake's merge-on-read deltas are keyed by '${m.mor.get}'; " +
         s"cannot fold ops keyed by '$keyCol'")
-    if (batchId.exists(b => m.txn.exists(_ >= b))) return
+    if (batchId.exists(b => m.txns.get(writerId).exists(_ >= b))) return
+    requireValType(m, valueCol, ops)
     val partSchema = StructType(
       partitionCols.map(c => m.schema(c)).toArray)
     val parts = ops.select(partitionCols.map(c =>
@@ -1406,6 +1532,7 @@ object PartitionedLake {
     commitStaged(fs, path, logStaging, Map.empty, Set.empty,
       m.schema, existing, batchId,
       stagedDeltas = stagedLog, deltaStaging = Some(logStaging),
-      morKey = Some(keyCol), replacedDeltas = Some(replacedDeltas))
+      morKey = Some(keyCol), replacedDeltas = Some(replacedDeltas),
+      writerId = writerId)
   }
 }

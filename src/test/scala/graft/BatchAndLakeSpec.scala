@@ -195,7 +195,7 @@ class LakeModelMultiLevelSpec extends AnyFunSuite {
       }.distinctBy(r => (r._1, r._2, r._3))
       PartitionedLake.upsert(spark, path, Seq("day", "src"), "id",
         rows.map(r => (r._3, r._1, r._2, r._4)).toDF("id", "day", "src", "bal"),
-        Nil, None)
+        Nil, None, PartitionedLake.DefaultWriter)
       rows.foreach { case (d, s, k, v) => model += ((d, s, k) -> v) }
     }
 
@@ -211,10 +211,12 @@ class LakeModelMultiLevelSpec extends AnyFunSuite {
       }
       if (rnd.nextBoolean())
         PartitionedLake.cdcSink(spark, path, Seq("day", "src"), "id", "bal",
-          ops.toDF("k", "day", "src", "seq", "op", "val"), None)
+          ops.toDF("k", "day", "src", "seq", "op", "val"), None,
+          PartitionedLake.DefaultWriter)
       else
         PartitionedLake.cdcSinkMergeOnRead(spark, path, Seq("day", "src"),
-          "id", "bal", ops.toDF("k", "day", "src", "seq", "op", "val"), None)
+          "id", "bal", ops.toDF("k", "day", "src", "seq", "op", "val"), None,
+          PartitionedLake.DefaultWriter)
       ops.groupBy(o => (o._2, o._3, o._1)).foreach { case ((d, s, k), os) =>
         val last = os.maxBy(_._4)
         if (model.contains((d, s, k))) {
@@ -711,7 +713,8 @@ class PartitionedLakeSpec extends AnyFunSuite {
     // each upserts independently
     PartitionedLake.upsert(spark, path, Seq("day", "src"), "id",
       Seq((1L, "d1", "web", 11.0), (1L, "d1", "app", 99.0))
-        .toDF("id", "day", "src", "bal"), Nil, None)
+        .toDF("id", "day", "src", "bal"), Nil, None,
+      PartitionedLake.DefaultWriter)
     def state() = PartitionedLake.read(spark, path)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
         r.getDouble(3))).toSet
@@ -723,7 +726,8 @@ class PartitionedLakeSpec extends AnyFunSuite {
     // day survives; the physical leaf is vacuum's to reclaim
     PartitionedLake.cdcSink(spark, path, Seq("day", "src"), "id", "bal",
       Seq((3L, "d2", "web", 100L, "D", 0.0))
-        .toDF("k", "day", "src", "seq", "op", "val"), None)
+        .toDF("k", "day", "src", "seq", "op", "val"), None,
+      PartitionedLake.DefaultWriter)
     assert(new java.io.File(s"$path/day=d2/src=app").isDirectory)
     assert(state().size === 4)
     // maintenance walks the nested tree; vacuum retires the emptied leaf

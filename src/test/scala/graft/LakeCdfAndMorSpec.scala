@@ -331,6 +331,32 @@ class LakeMorSpec extends AnyFunSuite {
     assert(got3 === got2)
   }
 
+  test("op 'val' type must equal the lake column's type: both CDC sinks refuse a coercing fold before anything commits") {
+    val path = java.nio.file.Files.createTempDirectory("graft-valtype").toString + "/lake"
+    // lake value column is LONG; the op log carries DOUBLE vals (the
+    // Debezium-decodes-numerics-as-double reality) — a silent coercion
+    // would widen the snapshot schema out from under untouched files
+    PartitionedLake.write(Seq((1L, "p1", 10L), (2L, "p2", 20L))
+      .toDF("k", "part", "cnt"), path, "part")
+    val badOps = Seq((1L, "p1", 1L, "U", 11.5))
+      .toDF("k", "part", "seq", "op", "val")
+    val e1 = intercept[IllegalArgumentException] {
+      PartitionedLake.cdcSink(spark, path, "part", "k", "cnt", badOps)
+    }
+    assert(e1.getMessage.contains("must equal lake column"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      PartitionedLake.cdcSinkMergeOnRead(spark, path, "part", "k", "cnt",
+        badOps)
+    }
+    assert(e2.getMessage.contains("must equal lake column"), e2.getMessage)
+    // the lake is unharmed and a correctly-typed log applies
+    assert(PartitionedLake.snapshots(spark, path) === Seq(1L))
+    PartitionedLake.cdcSink(spark, path, "part", "k", "cnt",
+      Seq((1L, "p1", 1L, "U", 11L)).toDF("k", "part", "seq", "op", "val"))
+    assert(PartitionedLake.read(spark, path).orderBy("k").collect()
+      .map(_.getAs[Long]("cnt")).toSeq === Seq(11L, 20L))
+  }
+
   test("metadata-only COUNT(*): exact across upserts and CoW deletes, None with live deltas or legacy files, restored by compact") {
     val path = java.nio.file.Files.createTempDirectory("graft-count").toString + "/lake"
     def meta() = PartitionedLake.rowCount(spark, path)

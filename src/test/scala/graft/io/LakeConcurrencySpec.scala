@@ -117,6 +117,83 @@ class LakeConcurrencySpec extends AnyFunSuite {
     assert(PartitionedLake.snapshots(spark, path).size === 13)
   }
 
+  test("per-writer replay guards: one stream's batch ids never swallow another's") {
+    val path = java.nio.file.Files.createTempDirectory("graft-writers").toString + "/lake"
+    def delta(k: Long, v: String) = Seq((k, "p1", v)).toDF("k", "part", "v")
+    def state() = PartitionedLake.read(spark, path).orderBy("k").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toSeq
+    // stream A is far along (batch 37); stream B is brand new (batch 2).
+    // Under a single global txn slot B's batch would be discarded as a
+    // "replay" of A's history — the per-writer slots must not.
+    PartitionedLake.upsert(spark, path, "part", "k", delta(1L, "a37"),
+      batchId = Some(37L), writerId = "stream-A")
+    PartitionedLake.upsert(spark, path, "part", "k", delta(2L, "b2"),
+      batchId = Some(2L), writerId = "stream-B")
+    assert(state() === Seq(1L -> "a37", 2L -> "b2"))
+    // each writer's own replay is still dropped whole
+    PartitionedLake.upsert(spark, path, "part", "k", delta(1L, "poisonA"),
+      batchId = Some(37L), writerId = "stream-A")
+    PartitionedLake.upsert(spark, path, "part", "k", delta(2L, "poisonB"),
+      batchId = Some(2L), writerId = "stream-B")
+    assert(state() === Seq(1L -> "a37", 2L -> "b2"))
+    // and both watermarks advance independently
+    PartitionedLake.upsert(spark, path, "part", "k", delta(3L, "b3"),
+      batchId = Some(3L), writerId = "stream-B")
+    PartitionedLake.upsert(spark, path, "part", "k", delta(4L, "a38"),
+      batchId = Some(38L), writerId = "stream-A")
+    assert(state() === Seq(1L -> "a37", 2L -> "b2", 3L -> "b3", 4L -> "a38"))
+  }
+
+  test("a racing full overwrite stays serial-equivalent: it supersedes a partition created after its manifest read") {
+    val path = java.nio.file.Files.createTempDirectory("graft-ow").toString + "/lake"
+    val fs = fsOf(path)
+    PartitionedLake.write(Seq((1L, "p1", "old")).toDF("k", "part", "v"),
+      path, "part")
+    val base = PartitionedLake.latestManifest(fs, path).get
+    // the overwrite stages against `base`...
+    val ow = Seq((1L, "p1", "overwritten")).toDF("k", "part", "v")
+    val (st, sd) = PartitionedLake.stage(spark, fs, path, ow, Seq("part"), Nil)
+    // ...while a concurrent upsert creates a brand-new partition p9
+    PartitionedLake.upsert(spark, path, "part", "k",
+      Seq((9L, "p9", "sneaky")).toDF("k", "part", "v"))
+    // the overwrite loses the race; its contract is "the lake becomes
+    // exactly this snapshot", so the rebase must supersede p9 too —
+    // disjoint-rebase would leave sneaky rows the overwrite promised
+    // to wipe
+    PartitionedLake.commitStaged(fs, path, st, sd,
+      PartitionedLake.allDirs(base) ++ sd.keySet,
+      ow.schema, Some(base), None, fullOverwrite = true)
+    assert(state(path) === Map(("p1", 1L) -> "overwritten"))
+  }
+
+  test("racing merge-on-read lineages with different key columns conflict loudly") {
+    import org.apache.spark.sql.functions.lit
+    val path = java.nio.file.Files.createTempDirectory("graft-morkey").toString + "/lake"
+    val fs = fsOf(path)
+    PartitionedLake.write(Seq((1L, "p1", "a"), (2L, "p2", "b"))
+      .toDF("k", "part", "v"), path, "part")
+    val base = PartitionedLake.latestManifest(fs, path).get
+    // writer X lands a MOR batch keyed by 'k' (head now carries deltas)
+    PartitionedLake.cdcSinkMergeOnRead(spark, path, "part", "k", "v",
+      Seq((1L, "p1", 1L, "U", "a2")).toDF("k", "part", "seq", "op", "val"))
+    // writer Y computed a MOR log keyed by a DIFFERENT column against
+    // the stale base and loses the race on disjoint partition p2: a
+    // disjoint rebase would publish mor='k2' over X's 'k'-keyed log
+    val fakeLog = Seq((2L, "p2", "x", "U")).toDF("k2", "part", "v", "__graft_op")
+      .withColumn("ignore", lit(1)).drop("ignore")
+    val (st, sd) = PartitionedLake.stage(spark, fs, path, fakeLog,
+      Seq("part"), Nil)
+    val e = intercept[RuntimeException] {
+      PartitionedLake.commitStaged(fs, path, st, Map.empty, Set.empty,
+        base.schema, Some(base), None,
+        stagedDeltas = sd, deltaStaging = Some(st),
+        morKey = Some("k2"), replacedDeltas = Some(sd.keySet))
+    }
+    assert(e.getMessage.contains("keyed"), e.getMessage)
+    // X's log survives untouched
+    assert(state(path) === Map(("p1", 1L) -> "a2", ("p2", 2L) -> "b"))
+  }
+
   test("model check with interleaved committers: every raced disjoint pair lands; read == model throughout") {
     val path = java.nio.file.Files.createTempDirectory("graft-race5").toString + "/lake"
     val fs = fsOf(path)

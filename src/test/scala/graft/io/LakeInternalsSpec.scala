@@ -68,14 +68,17 @@ class LakeInternalsSpec extends AnyFunSuite {
             .map(i => s"delta-f$round-$i.parquet"))
         else Map.empty[String, Seq[String]]
       val m = PartitionedLake.Manifest(round.toLong, schema, files,
-        txn = if (rnd.nextBoolean()) Some(rnd.nextLong().abs) else None,
+        txns = if (rnd.nextBoolean())
+          Map(nastyRaw(rnd.nextInt(nastyRaw.size)) -> rnd.nextLong().abs,
+            "w2" -> rnd.nextLong().abs)
+        else Map.empty[String, Long],
         deltas = deltas,
         mor = if (deltas.nonEmpty)
           Some(nastyRaw(rnd.nextInt(nastyRaw.size))) else None)
       PartitionedLake.publishManifest(fs, path, m)
       val back = PartitionedLake.latestManifest(fs, path).get
       assert(back.version === m.version)
-      assert(back.txn === m.txn, s"round $round txn")
+      assert(back.txns === m.txns, s"round $round txns")
       assert(back.mor === m.mor, s"round $round mor")
       assert(back.deltas.view.mapValues(_.sorted).toMap ===
         m.deltas.view.mapValues(_.sorted).toMap, s"round $round deltas")
@@ -99,11 +102,11 @@ class LakeInternalsSpec extends AnyFunSuite {
           PartitionedLake.FileEntry("c1-part-1.parquet")),
         "day=2024-01-06/src=__HIVE_DEFAULT_PARTITION__" -> Seq(
           PartitionedLake.FileEntry("c2-part-0.parquet"))),
-      txn = Some(42L))
+      txns = Map("default" -> 42L))
     PartitionedLake.publishManifest(fs, path, m)
     val back = PartitionedLake.latestManifest(fs, path).get
     assert(back.version === 3L)
-    assert(back.txn === Some(42L))
+    assert(back.txns === Map("default" -> 42L))
     assert(back.schema === schema)
     assert(back.files.view.mapValues(_.sortBy(_.name)).toMap ===
       m.files.view.mapValues(_.sortBy(_.name)).toMap)
