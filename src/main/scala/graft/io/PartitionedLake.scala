@@ -230,10 +230,12 @@ object PartitionedLake {
       val (rowFields, statFields) = fields.drop(1)
         .partition(f => f.startsWith("rows:") && !f.contains('='))
       val stats = statFields.map { f =>
+        // the name is escaped on write, so the FIRST '=' ends it
         val eq = f.indexOf('=')
         val dots = f.lastIndexOf("..")
-        f.substring(0, eq) -> (f.substring(eq + 1, dots).toDouble,
-          f.substring(dots + 2).toDouble)
+        ExternalCatalogUtils.unescapePathName(f.substring(0, eq)) ->
+          (f.substring(eq + 1, dots).toDouble,
+            f.substring(dots + 2).toDouble)
       }.toMap
       (fields(0).substring(0, i),
         FileEntry(fields(0).substring(i + 1), stats,
@@ -269,9 +271,13 @@ object PartitionedLake {
       entries.sortBy(_.name).foreach { e =>
         body.append(d).append('/').append(e.name)
         e.rows.foreach(r => body.append('\t').append("rows:").append(r))
+        // stats column names are escaped like every other name in the
+        // manifest: a raw '=' would truncate the parsed name, a raw tab
+        // would break the field framing — one exotic-but-legal column
+        // name must not corrupt the manifest for all future readers
         e.stats.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
-          body.append('\t').append(c).append('=').append(lo)
-            .append("..").append(hi)
+          body.append('\t').append(ExternalCatalogUtils.escapePathName(c))
+            .append('=').append(lo).append("..").append(hi)
         }
         body.append('\n')
       }
@@ -280,7 +286,26 @@ object PartitionedLake {
     val out = fs.create(tmp, true)
     try out.write(body.toString.getBytes("UTF-8")) finally out.close()
     val dst = new Path(dir, f"v${m.version}%09d.txt")
-    if (fs.exists(dst) || !fs.rename(tmp, dst)) {
+    // the arbitration primitive must FAIL atomically on an existing
+    // target. HDFS rename does; POSIX rename(2) — what the local
+    // filesystem's rename delegates to — silently REPLACES, so an
+    // exists() pre-check alone leaves a window where two committers
+    // both "win" and one snapshot vanishes. On file:// use link(2)
+    // (hard-link create fails with EEXIST atomically), then unlink the
+    // temp; elsewhere fall back to exists+rename. Object stores without
+    // an atomic no-replace primitive need a conditional PUT (class doc).
+    if ("file" == Option(fs.getUri.getScheme).getOrElse("")) {
+      val ok = try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dst.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+      fs.delete(tmp, true)
+      ok
+    } else if (fs.exists(dst) || !fs.rename(tmp, dst)) {
       fs.delete(tmp, true)
       false
     } else true
@@ -708,6 +733,24 @@ object PartitionedLake {
     * small and AQE broadcasts it. Deletes never rewrite base files —
     * that is the merge-on-read contract ([[cdcSinkMergeOnRead]]).
     */
+  /** Project `df` onto `schema`'s columns in order, padding columns it
+    * lacks with typed nulls — the one null-padding alignment used by
+    * additive evolution everywhere (upsert's union sides, change-feed
+    * pre-images, the streaming source's fixed-at-start schema).
+    */
+  private[graft] def alignTo(df: DataFrame, schema: StructType): DataFrame =
+    df.select(schema.fieldNames.map { c =>
+      if (df.columns.contains(c)) col(c)
+      else lit(null).cast(schema(c).dataType).as(c)
+    }.toIndexedSeq: _*)
+
+  /** The latest snapshot's schema from manifest metadata alone (None
+    * for a manifest-less path) — what schema resolution should cost,
+    * instead of building a whole read plan to throw away.
+    */
+  def snapshotSchema(spark: SparkSession, path: String): Option[StructType] =
+    latestManifest(fsFor(spark, path), path).map(_.schema)
+
   /** Partition columns of a manifest, read off any directory key (the
     * dir-name prefixes Spark wrote, one per nesting level).
     */
@@ -925,11 +968,7 @@ object PartitionedLake {
         deltas = m.deltas.view.filterKeys(ds).toMap))
     // pre-image rows aligned to the TO schema (additive evolution:
     // columns the old snapshot lacked surface as null)
-    def align(df: DataFrame): DataFrame =
-      df.select(out.fieldNames.map { c =>
-        if (df.columns.contains(c)) col(c)
-        else lit(null).cast(out(c).dataType).as(c)
-      }.toIndexedSeq: _*)
+    def align(df: DataFrame): DataFrame = alignTo(df, out)
     val d1 = allDirs(m1)
     val d2 = allDirs(m2)
     val rewritten = (d1 & d2).filter(d => dirSig(m1, d) != dirSig(m2, d))
@@ -1223,15 +1262,14 @@ object PartitionedLake {
         conflicts.map(f => s"${f.name}: lake has " +
           s"${base.schema(f.name).dataType.simpleString}, delta has " +
           s"${f.dataType.simpleString}").mkString("; "))
-    val allCols = base.columns ++
-      delta.columns.filterNot(base.columns.contains(_))
-    def aligned(df: DataFrame, other: DataFrame): DataFrame =
-      df.select(allCols.map { c =>
-        if (df.columns.contains(c)) col(c)
-        else lit(null).cast(other.schema(c).dataType).as(c)
-      }.toIndexedSeq: _*)
-    val merged = aligned(base.join(dk, joinCond, "left_anti"), delta)
-      .unionByName(aligned(delta, base))
+    // the widened schema: base's columns (base types) then the delta's
+    // new columns (delta types) — the type-conflict require above makes
+    // the owning-side choice unambiguous
+    val unionSchema = StructType(
+      base.schema.fields ++
+        delta.schema.fields.filterNot(f => base.columns.contains(f.name)))
+    val merged = alignTo(base.join(dk, joinCond, "left_anti"), unionSchema)
+      .unionByName(alignTo(delta, unionSchema))
     val (staging, staged) = stage(spark, fs, path, merged, partitionCols,
       statsCols)
     // every touched tuple has >= 1 delta row and the merge keeps all

@@ -57,7 +57,10 @@ class LakeChangeFeedProvider extends StreamSourceProvider with DataSourceRegiste
       sys.error("graft-lake-cdf requires .option(\"path\", <lake root>)"))
 
   private def feedSchema(sqlContext: SQLContext, path: String): StructType = {
-    val snap = PartitionedLake.read(sqlContext.sparkSession, path).schema
+    // metadata-only: the latest manifest's schema, never a full read
+    // plan built just to throw its StructType away
+    val snap = PartitionedLake.snapshotSchema(sqlContext.sparkSession, path)
+      .getOrElse(sys.error(s"graft-lake-cdf: no lake manifest at $path"))
     StructType(snap.fields :+ StructField("_change_type", StringType))
   }
 
@@ -96,16 +99,28 @@ private[streaming] class LakeChangeFeedSource(sqlContext: SQLContext,
     case other => other.json.trim.toLong
   }
 
+  // NO startingVersion filter here, deliberately: the engine compares
+  // this against ITS committed offset and only triggers on change, so
+  // startingVersion must gate only the no-checkpoint getBatch(None, _)
+  // path. Filtering here would re-apply "latest" on every RESTART and
+  // silently withhold the commits published while the stream was down
+  // (the checkpointed offset, not the option, owns progress after the
+  // first batch — Delta CDF's startingVersion semantics).
   override def getOffset: Option[V1Offset] =
-    PartitionedLake.snapshots(spark, path).lastOption
-      .filter(_ > startVersion).map(LakeVersionOffset(_))
+    PartitionedLake.snapshots(spark, path).lastOption.map(LakeVersionOffset(_))
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val from = start.map(versionOf).getOrElse(startVersion)
     val to = versionOf(end)
+    // every branch aligns to the stream's fixed-at-start schema BEFORE
+    // any union: the lake may have evolved between the bootstrap
+    // snapshot and the head, and the two sides' raw column sets differ
+    // exactly then
+    def aligned(df: DataFrame): DataFrame = PartitionedLake.alignTo(df, schema)
     val changes =
-      if (from == to) {
-        // engine replay of an empty range (possible on recovery)
+      if (from >= to) {
+        // engine replay of an empty range (possible on recovery), or a
+        // startingVersion=latest first trigger with nothing new
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
           schema)
       } else if (from == 0L) {
@@ -113,27 +128,21 @@ private[streaming] class LakeChangeFeedSource(sqlContext: SQLContext,
         // then the diff forward to `to` (matches readChangesStream)
         val versions = PartitionedLake.snapshots(spark, path)
         val first = versions.head
-        val boot = PartitionedLake.readVersion(spark, path, first)
-          .withColumn("_change_type", lit("insert"))
+        val boot = aligned(PartitionedLake.readVersion(spark, path, first)
+          .withColumn("_change_type", lit("insert")))
         if (first >= to) boot
-        else boot.unionByName(
-          PartitionedLake.changesBetween(spark, path, first, to, keyCols))
+        else boot.unionByName(aligned(
+          PartitionedLake.changesBetween(spark, path, first, to, keyCols)))
       } else {
-        PartitionedLake.changesBetween(spark, path, from, to, keyCols)
+        aligned(PartitionedLake.changesBetween(spark, path, from, to, keyCols))
       }
-    // schema evolution: older batches may predate lake-wide columns —
-    // align to the stream's fixed schema (missing -> null)
-    val aligned = changes.select(schema.fieldNames.map { c =>
-      if (changes.columns.contains(c)) org.apache.spark.sql.functions.col(c)
-      else lit(null).cast(schema(c).dataType).as(c)
-    }.toIndexedSeq: _*)
     // a v1 Source must return a STREAMING DataFrame; the engine splices
     // its plan in place of the streaming relation. The diff is an
     // arbitrary derived plan (scoped scans + classify join), so hand
     // the engine its lazily-evaluated InternalRow RDD — the standard
     // derived-source form (internalCreateDataFrame is compile-time
     // private[sql]; bytecode-public, invoked reflectively)
-    val rdd = aligned.queryExecution.toRdd
+    val rdd = changes.queryExecution.toRdd
     val m = spark.getClass.getMethod("internalCreateDataFrame",
       classOf[org.apache.spark.rdd.RDD[_]], classOf[StructType],
       java.lang.Boolean.TYPE)

@@ -151,5 +151,54 @@ class LakeChangeFeedStreamSpec extends AnyFunSuite {
       q.processAllAvailable()
       assert(seen.toSeq === Seq(3L -> "insert"))
     } finally q.stop()
+    // commits while the stream is DOWN must be delivered on restart:
+    // startingVersion only gates the FIRST start — after a checkpoint
+    // exists, the committed offset owns progress (re-applying "latest"
+    // on restart would silently withhold the downtime commits)
+    PartitionedLake.upsert(spark, lake, "part", "k",
+      Seq((4L, "p1", 40.0)).toDF("k", "part", "bal"))
+    val q2 = spark.readStream.format("graft-lake-cdf")
+      .option("path", lake).option("keyCols", "part,k")
+      .option("startingVersion", "latest")
+      .load()
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r =>
+          seen += ((r.getAs[Long]("k"), r.getAs[String]("_change_type"))))
+      }
+      .start()
+    try {
+      q2.processAllAvailable()
+      assert(seen.toSeq === Seq(3L -> "insert", 4L -> "insert"))
+    } finally q2.stop()
+  }
+
+  test("bootstrap across an evolved lake: the v1-as-inserts union with the forward diff aligns to the stream schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdf-boot").toString
+    val lake = s"$dir/lake"
+    // v1 under the narrow schema; v2 widens with `note`
+    PartitionedLake.write(Seq((1L, "p1", 10.0)).toDF("k", "part", "bal"),
+      lake, "part")
+    PartitionedLake.upsert(spark, lake, "part", "k",
+      Seq((2L, "p1", 20.0, "n2")).toDF("k", "part", "bal", "note"))
+    // a FRESH stream bootstraps from version 0: the v1 snapshot (no
+    // `note`) unions with the v1->v2 diff (has `note`) — both must
+    // align to the stream's widened schema instead of crashing
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val q = spark.readStream.format("graft-lake-cdf")
+      .option("path", lake).option("keyCols", "part,k")
+      .load()
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r =>
+          rows += ((r.getAs[Long]("k"), r.getAs[String]("note"))))
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(rows.sortBy(_._1).toSeq === Seq(1L -> null, 2L -> "n2"))
+    } finally q.stop()
   }
 }
