@@ -99,6 +99,36 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("merge-on-read lake read broadcasts the delta side: no sort-merge shuffle of base data") {
+    import spark.implicits._
+    import graft.io.PartitionedLake
+    val path = java.nio.file.Files.createTempDirectory("graft-morplan").toString + "/lake"
+    PartitionedLake.write((1L to 2000L).map(k => (k, s"p${k % 4}", k * 1.0))
+      .toDF("k", "part", "bal"), path, "part")
+    PartitionedLake.cdcSinkMergeOnRead(spark, path, "part", "k", "bal",
+      (1L to 50L).map(k => (k * 8, s"p${(k * 8) % 4}", k, "U", 0.5))
+        .toDF("k", "part", "seq", "op", "val"))
+    val df = PartitionedLake.read(spark, path)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the anti-join against the (small, compact-routinely-bounded) delta
+    // identities must broadcast — a sort-merge form would shuffle every
+    // dirty partition's base rows on every read
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("bloom decontamination probes with a literal filter: no join on the corpus probe side") {
+    val df = QueryRegistry.queries("q145_bloom_decontaminate")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // might_contain over the plan-literal bloom is a narrow map; the
+    // only join is the exact-side verification join, which broadcasts
+    assert(p.contains("might_contain"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.toLowerCase.contains("scalaudf"), p)
+  }
+
   test("decontamination broadcasts the eval grams; corpus is never shuffled pre-join") {
     val df = QueryRegistry.queries("q90_decontaminate")(spark, sf)
     df.collect()
