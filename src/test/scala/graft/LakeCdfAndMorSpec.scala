@@ -107,6 +107,37 @@ class LakeCdfSpec extends AnyFunSuite {
     }
   }
 
+  test("changesBetween on a multi-level (day, src) lake: nested dirs classify correctly, untouched leaves unopened") {
+    val path = java.nio.file.Files.createTempDirectory("graft-cdf-ml").toString + "/lake"
+    PartitionedLake.write(Seq(
+      (1L, "d1", "web", 10.0), (2L, "d1", "app", 20.0),
+      (3L, "d2", "web", 30.0))
+      .toDF("k", "day", "src", "bal"), path, Seq("day", "src"), Nil)
+    // touch exactly the (d1, web) leaf: update k=1, insert k=4; delete
+    // empties (d2, web); (d1, app) untouched
+    PartitionedLake.upsert(spark, path, Seq("day", "src"), "k",
+      Seq((1L, "d1", "web", 11.0), (4L, "d1", "web", 40.0))
+        .toDF("k", "day", "src", "bal"), Nil, None,
+      PartitionedLake.DefaultWriter)
+    PartitionedLake.cdcSink(spark, path, Seq("day", "src"), "k", "bal",
+      Seq((3L, "d2", "web", 1L, "D", 0.0))
+        .toDF("k", "day", "src", "seq", "op", "val"), None,
+      PartitionedLake.DefaultWriter)
+    val ch = PartitionedLake.changesBetween(spark, path, 1L, 3L,
+      Seq("day", "src", "k"))
+    val got = ch.collect().map(r => (r.getAs[Long]("k"),
+      r.getAs[String]("day"), r.getAs[String]("src"),
+      r.getAs[Double]("bal"), r.getAs[String]("_change_type"))).toSet
+    assert(got === Set(
+      (1L, "d1", "web", 10.0, "update_preimage"),
+      (1L, "d1", "web", 11.0, "update_postimage"),
+      (4L, "d1", "web", 40.0, "insert"),
+      (3L, "d2", "web", 30.0, "delete")))
+    // the untouched (d1, app) leaf's files are never opened
+    assert(ch.inputFiles.forall(f => f.contains("/day=d1/src=web/") ||
+      f.contains("/day=d2/src=web/")), ch.inputFiles.toSeq)
+  }
+
   test("readChangesStream: replaying the feed onto the first snapshot reconstructs the latest; cursor advances") {
     val path = java.nio.file.Files.createTempDirectory("graft-cdf4").toString + "/lake"
     PartitionedLake.write(Seq((1L, "p1", 10.0), (2L, "p2", 20.0))
