@@ -113,12 +113,19 @@ object PartitionedLake {
     * (`__graft_op` = 'U' post-image / 'D' tombstone) merged at read and
     * materialized away by [[compact]]. `mor` names the key column the
     * delta identities use; present iff any delta is live.
+    *
+    * `leaves` names the SHARDED (format v2) leaf files this version
+    * references under `_manifest/` — empty for a single-file v1
+    * manifest. Only [[vacuum]] consumes it (retained versions' leaves
+    * must survive reclamation); the parsed `files`/`deltas` above are
+    * always the full picture regardless of format.
     */
   private[io] case class Manifest(version: Long, schema: StructType,
       files: Map[String, Seq[FileEntry]],
       txns: Map[String, Long] = Map.empty,
       deltas: Map[String, Seq[String]] = Map.empty,
-      mor: Option[String] = None)
+      mor: Option[String] = None,
+      leaves: Seq[String] = Nil)
 
   /** The writer id [[upsert]]/[[cdcSink]]/[[cdcSinkMergeOnRead]] charge
     * their replay guard to when the caller does not name one.
@@ -177,28 +184,68 @@ object PartitionedLake {
     if (versions.isEmpty) None else Some(readManifest(fs, path, versions.max))
   }
 
-  private def readManifest(fs: FileSystem, path: String, version: Long): Manifest = {
-    val p = new Path(manifestDir(path), f"v$version%09d.txt")
+  private def readFileText(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
-    val text = try {
+    try {
       val out = new java.io.ByteArrayOutputStream()
       org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
       new String(out.toByteArray, "UTF-8")
     } finally in.close()
-    val lines = text.split("\n").toSeq
-    require(lines.headOption.contains("graft-lake-manifest v1"),
+  }
+
+  /** Which leaf shard a partition directory belongs to under an
+    * `nShards`-way split. `String.hashCode` is pinned by the JLS, so
+    * the assignment is stable across JVMs/releases — a leaf written by
+    * one committer resolves identically for every later reader.
+    */
+  private def shardOf(dir: String, nShards: Int): Int =
+    (dir.hashCode & 0x7fffffff) % nShards
+
+  private def readManifest(fs: FileSystem, path: String, version: Long): Manifest = {
+    val p = new Path(manifestDir(path), f"v$version%09d.txt")
+    val lines = readFileText(fs, p).split("\n").toSeq
+    val header = lines.headOption.getOrElse("")
+    require(header == "graft-lake-manifest v1" ||
+      header == "graft-lake-manifest v2",
       s"unrecognized manifest header in $p")
     val schema = DataType.fromJson(lines(1).stripPrefix("schema "))
       .asInstanceOf[StructType]
-    // `txn:`/`mor:`/`delta:` header prefixes are unambiguous against
-    // path lines: escapePathName escapes ':' itself, so no dir/file
-    // line can start with a raw-colon prefix. The LEGACY single-slot
-    // `txn <n>` line stays parseable (anchored `^txn \d+$`, never
-    // prefix-matched: a partition COLUMN literally named `txn ...`
-    // produces lines that always contain '=' and '/', which the anchor
-    // rejects — escapePathName does NOT escape the space character)
-    // and maps to the default writer slot.
-    val body = lines.drop(2).filter(_.nonEmpty)
+    // `txn:`/`mor:`/`delta:`/`shard:` header prefixes are unambiguous
+    // against path lines: escapePathName escapes ':' itself, so no
+    // dir/file line can start with a raw-colon prefix. The LEGACY
+    // single-slot `txn <n>` line stays parseable (anchored `^txn \d+$`,
+    // never prefix-matched: a partition COLUMN literally named
+    // `txn ...` produces lines that always contain '=' and '/', which
+    // the anchor rejects — escapePathName does NOT escape the space
+    // character) and maps to the default writer slot.
+    val topBody = lines.drop(2).filter(_.nonEmpty)
+    // format v2 (sharded): the top file carries only the header lines
+    // plus `shard:<leaf>` references; the dir/file/delta lines live in
+    // content-addressed leaf files, read here (in parallel — at the
+    // sharded design point the leaves ARE the manifest bytes) and
+    // parsed through the same line grammar as v1
+    val leafNames = topBody.filter(_.startsWith("shard:"))
+      .map(_.stripPrefix("shard:"))
+    val leafBody: Seq[String] = if (leafNames.isEmpty) Nil else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(8, leafNames.size)))
+      try {
+        import scala.jdk.CollectionConverters._
+        val tasks: java.util.List[java.util.concurrent.Callable[Seq[String]]] =
+          leafNames.map { n =>
+            new java.util.concurrent.Callable[Seq[String]] {
+              override def call(): Seq[String] =
+                readFileText(fs, new Path(manifestDir(path), n))
+                  .split("\n").toSeq.filter(_.nonEmpty)
+            }
+          }.asJava
+        pool.invokeAll(tasks).asScala.toSeq.flatMap(_.get())
+      } catch {
+        case e: java.util.concurrent.ExecutionException =>
+          throw Option(e.getCause).getOrElse(e)
+      } finally pool.shutdown()
+    }
+    val body = topBody.filterNot(_.startsWith("shard:")) ++ leafBody
     val txns = body.collect {
       case TxnLine(t) => DefaultWriter -> t.toLong
       case l if l.startsWith("txn:") =>
@@ -241,7 +288,50 @@ object PartitionedLake {
         FileEntry(fields(0).substring(i + 1), stats,
           rowFields.headOption.map(_.stripPrefix("rows:").toLong)))
     }.groupBy(_._1).map { case (d, fs0) => d -> fs0.map(_._2) }
-    Manifest(version, schema, files, txns, deltas, mor)
+    Manifest(version, schema, files, txns, deltas, mor, leafNames)
+  }
+
+  /** The delta + data-file lines for one partition directory — the
+    * shared body grammar of both manifest formats.
+    */
+  private def appendDirLines(body: StringBuilder, m: Manifest,
+      d: String): Unit = {
+    m.deltas.getOrElse(d, Nil).sorted.foreach { n =>
+      body.append("delta:").append(d).append('/').append(n).append('\n')
+    }
+    m.files.getOrElse(d, Nil).sortBy(_.name).foreach { e =>
+      body.append(d).append('/').append(e.name)
+      e.rows.foreach(r => body.append('\t').append("rows:").append(r))
+      // stats column names are escaped like every other name in the
+      // manifest: a raw '=' would truncate the parsed name, a raw tab
+      // would break the field framing — one exotic-but-legal column
+      // name must not corrupt the manifest for all future readers
+      e.stats.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
+        body.append('\t').append(ExternalCatalogUtils.escapePathName(c))
+          .append('=').append(lo).append("..").append(hi)
+      }
+      body.append('\n')
+    }
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** How many leaf shards this snapshot should be written with: an
+    * explicit `graft.lake.manifest.shards` wins; otherwise single-file
+    * v1 below `graft.lake.manifest.shard.threshold` partition
+    * directories (default 8192 — the regime where one text file is
+    * still a cheap read) and ~2048 directories per leaf above it.
+    * 0 = v1.
+    */
+  private def shardCountFor(fs: FileSystem, nDirs: Int): Int = {
+    val conf = fs.getConf
+    val explicit = conf.getInt("graft.lake.manifest.shards", 0)
+    if (explicit > 0) explicit
+    else if (nDirs >= conf.getInt("graft.lake.manifest.shard.threshold", 8192))
+      math.max(2, math.ceil(nDirs / 2048.0).toInt)
+    else 0
   }
 
   /** Attempt to publish a manifest version: write to a hidden temp file,
@@ -249,12 +339,28 @@ object PartitionedLake {
     * target, so two racing committers cannot both win version N — the
     * loser gets `false` and either rebases ([[commitStaged]]'s
     * optimistic-concurrency loop) or fails loudly ([[publishManifest]]).
+    *
+    * Above the sharding threshold (or under an explicit
+    * `graft.lake.manifest.shards`) the version is written in FORMAT v2:
+    * the dir/file/delta lines are split by `hash(dir) % shards` into
+    * CONTENT-ADDRESSED leaf files (`leaf-<md5>.txt`) and the top file
+    * carries only header + `shard:` references. A shard whose content
+    * is unchanged since the previous version hashes to the SAME leaf
+    * name, which already exists on disk and is skipped — so commit
+    * write bytes scale with the CHANGED partition footprint, not the
+    * partition count (Iceberg's manifest-list design point). The top-
+    * file rename stays the single atomic commit point; leaf files are
+    * immutable and shared across versions until [[vacuum]] retires the
+    * unreferenced ones.
     */
   private[io] def tryPublishManifest(fs: FileSystem, path: String,
       m: Manifest): Boolean = {
     val dir = manifestDir(path)
     fs.mkdirs(dir)
-    val body = new StringBuilder("graft-lake-manifest v1\n")
+    val nShards = shardCountFor(fs, allDirs(m).size)
+    val body = new StringBuilder(
+      if (nShards == 0) "graft-lake-manifest v1\n"
+      else "graft-lake-manifest v2\n")
     body.append("schema ").append(m.schema.json).append('\n')
     m.txns.toSeq.sortBy(_._1).foreach { case (w, t) =>
       body.append("txn:").append(ExternalCatalogUtils.escapePathName(w))
@@ -262,25 +368,27 @@ object PartitionedLake {
     }
     m.mor.foreach(k => body.append("mor:")
       .append(ExternalCatalogUtils.escapePathName(k)).append('\n'))
-    m.deltas.toSeq.sortBy(_._1).foreach { case (d, names) =>
-      names.sorted.foreach { n =>
-        body.append("delta:").append(d).append('/').append(n).append('\n')
-      }
-    }
-    m.files.toSeq.sortBy(_._1).foreach { case (d, entries) =>
-      entries.sortBy(_.name).foreach { e =>
-        body.append(d).append('/').append(e.name)
-        e.rows.foreach(r => body.append('\t').append("rows:").append(r))
-        // stats column names are escaped like every other name in the
-        // manifest: a raw '=' would truncate the parsed name, a raw tab
-        // would break the field framing — one exotic-but-legal column
-        // name must not corrupt the manifest for all future readers
-        e.stats.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
-          body.append('\t').append(ExternalCatalogUtils.escapePathName(c))
-            .append('=').append(lo).append("..").append(hi)
+    if (nShards == 0) {
+      allDirs(m).toSeq.sorted.foreach(appendDirLines(body, m, _))
+    } else {
+      allDirs(m).toSeq.sorted.groupBy(shardOf(_, nShards))
+        .toSeq.sortBy(_._1).foreach { case (_, dirs) =>
+          val leafBody = new StringBuilder()
+          dirs.foreach(appendDirLines(leafBody, m, _))
+          val content = leafBody.toString
+          val leafName = s"leaf-${md5Hex(content)}.txt"
+          val leafPath = new Path(dir, leafName)
+          if (!fs.exists(leafPath)) {
+            // content-addressed: two committers racing the same leaf
+            // write identical bytes, so a lost rename is harmless
+            val tmp = new Path(dir,
+              s".tmp-${UUID.randomUUID().toString.take(8)}")
+            val out = fs.create(tmp, true)
+            try out.write(content.getBytes("UTF-8")) finally out.close()
+            if (!fs.rename(tmp, leafPath)) fs.delete(tmp, true)
+          }
+          body.append("shard:").append(leafName).append('\n')
         }
-        body.append('\n')
-      }
     }
     val tmp = new Path(dir, s".tmp-${UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, true)
@@ -292,9 +400,15 @@ object PartitionedLake {
     // exists() pre-check alone leaves a window where two committers
     // both "win" and one snapshot vanishes. On file:// use link(2)
     // (hard-link create fails with EEXIST atomically), then unlink the
-    // temp; elsewhere fall back to exists+rename. Object stores without
-    // an atomic no-replace primitive need a conditional PUT (class doc).
-    if ("file" == Option(fs.getUri.getScheme).getOrElse("")) {
+    // temp; HDFS rename refuses an existing target by contract. Any
+    // OTHER scheme only has the racy exists+rename fallback, which was
+    // an acceptable documented caveat under a single-committer contract
+    // — but the API now actively invites concurrent writers (optimistic
+    // rebase, per-writer txn slots), so those schemes must OPT IN
+    // explicitly rather than silently degrade (raw S3 needs a
+    // conditional-PUT manifest swap — class doc).
+    val scheme = Option(fs.getUri.getScheme).getOrElse("")
+    if ("file" == scheme) {
       val ok = try {
         java.nio.file.Files.createLink(
           java.nio.file.Paths.get(dst.toUri.getPath),
@@ -305,10 +419,23 @@ object PartitionedLake {
       }
       fs.delete(tmp, true)
       ok
-    } else if (fs.exists(dst) || !fs.rename(tmp, dst)) {
-      fs.delete(tmp, true)
-      false
-    } else true
+    } else {
+      if (scheme != "hdfs" &&
+          !fs.getConf.getBoolean("graft.lake.allow.nonatomic.commit", false)) {
+        fs.delete(tmp, true)
+        sys.error(s"commit arbitration on scheme '$scheme' would fall " +
+          "back to exists()+rename(), which is NOT atomic there: two " +
+          "racing committers can both believe they won and one snapshot " +
+          "silently vanishes. Commit on file:// or hdfs:// (verified " +
+          "atomic no-replace primitives), or — if this lake has exactly " +
+          "ONE writer — opt in with " +
+          "spark.hadoop.graft.lake.allow.nonatomic.commit=true")
+      }
+      if (fs.exists(dst) || !fs.rename(tmp, dst)) {
+        fs.delete(tmp, true)
+        false
+      } else true
+    }
   }
 
   /** Publish or fail loudly — for the paths that must not rebase (lake

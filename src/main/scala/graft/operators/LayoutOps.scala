@@ -102,28 +102,17 @@ object LayoutOps {
       "window is only bounded if the bucket count is cluster-sized; " +
       "cap shuffle partitions (or split the job) below 10000")
     val lead = orderCols.head
-    // Column.node is the sql-api tree; SortOrder there is package-private
-    // to org.apache.spark.sql at COMPILE time (bytecode-public), so the
-    // detection matches on the node class name and the direction/child
-    // are read reflectively. Both asc and desc leading columns are
-    // supported: bucket 0 holds the FIRST values of the requested order
-    // (smallest for asc, largest for desc), and the null bucket follows
-    // the SortOrder's null ordering (nulls-first -> bucket 0, nulls-last
-    // -> last bucket), so the global rank always equals the window form.
+    // the leading column may be a sql-api SortOrder (desc/asc_nulls_last
+    // …); its direction/null-ordering/child are private[sql], read
+    // through the repo's ONE private-API seam ([[graft.SparkShims]]).
+    // Both asc and desc leading columns are supported: bucket 0 holds
+    // the FIRST values of the requested order (smallest for asc, largest
+    // for desc), and the null bucket follows the SortOrder's null
+    // ordering (nulls-first -> bucket 0, nulls-last -> last bucket), so
+    // the global rank always equals the window form.
     val (orderKey, descending, nullsLast) =
-      if (lead.node.getClass.getSimpleName == "SortOrder") {
-        val node = lead.node
-        val child = node.getClass.getMethod("child").invoke(node)
-        val ctor = classOf[org.apache.spark.sql.Column].getConstructor(
-          Class.forName("org.apache.spark.sql.internal.ColumnNode"))
-        val childCol = ctor.newInstance(child)
-          .asInstanceOf[org.apache.spark.sql.Column]
-        val desc = node.getClass.getMethod("sortDirection").invoke(node)
-          .getClass.getSimpleName.startsWith("Descending")
-        val nLast = node.getClass.getMethod("nullOrdering").invoke(node)
-          .getClass.getSimpleName.startsWith("NullsLast")
-        (childCol, desc, nLast)
-      } else (lead, false, false) // bare column = asc nulls-first
+      graft.SparkShims.sortOrderInfo(lead)
+        .getOrElse((lead, false, false)) // bare column = asc nulls-first
     val leadType = df.select(orderKey).schema.head.dataType
     require(leadType.isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"globalNtile's quantile bucketing needs a numeric leading order " +
