@@ -1201,56 +1201,111 @@ object PartitionedLake {
     }
   }
 
-  /** Delete files superseded by the latest snapshot and manifests older
-    * than it. Vacuum is the ONE operation that stays exclusive (unlike
-    * data commits, which rebase optimistically): it deletes files a
-    * mid-flight commit may be about to reference, so run it in the
-    * maintenance window, not concurrently with writers. Readers pinned
-    * to pre-vacuum snapshots lose (standard retention tradeoff —
-    * schedule vacuum beyond the longest reader's lifetime, and beyond
-    * the longest change-feed consumer downtime: [[changesBetween]]
-    * fails loudly on a vacuumed version, never silently skips).
+  /** Delete files superseded by the RETAINED snapshots and manifests
+    * older than the retention window.
+    *
+    * `keepLast` is the retention window: the newest `keepLast` versions
+    * stay fully readable after vacuum — time travel, pinned readers,
+    * and a stopped `graft-lake-cdf` stream whose checkpointed offset is
+    * inside the window all survive maintenance (Delta/Iceberg ship
+    * retention for exactly this; `keepLast = 1` is the aggressive
+    * reclaim-everything-superseded mode). Out-of-window consumers fail
+    * LOUDLY ([[changesBetween]]/[[readVersion]] on a vacuumed version),
+    * never silently skip.
+    *
+    * `graceMs` shields RECENTLY-WRITTEN unreferenced files: an in-flight
+    * commit moves staged files into partition directories BEFORE it wins
+    * the manifest rename, so a vacuum racing that commit would otherwise
+    * delete files the about-to-publish snapshot references. Files,
+    * staging directories, manifest temp files, and v2 leaf shards
+    * younger than `graceMs` are left alone. Default 0 keeps the strict
+    * maintenance-window contract (run vacuum with no writers in flight);
+    * production lakes with concurrent writers should pass a grace
+    * comfortably above the longest commit's stage-to-publish latency
+    * (minutes, not milliseconds).
+    *
+    * Sharded (format v2) manifests: leaf files referenced by NO retained
+    * manifest are retired here too — content-addressed leaves are shared
+    * across versions, so the live set is the union over the window.
     */
-  def vacuum(spark: SparkSession, path: String): Unit = {
+  def vacuum(spark: SparkSession, path: String, keepLast: Int = 1,
+      graceMs: Long = 0L): Unit = {
     val fs = fsFor(spark, path)
-    latestManifest(fs, path).foreach { m =>
-      // recursive sweep over the nested partition tree: a dir that IS a
-      // manifest key keeps its live files; a dir that is a PREFIX of
-      // live keys recurses; anything else is unreferenced and retires
-      val live = allDirs(m) // hoisted: sweep visits O(P) dirs, and a
-      // per-visit set rebuild would make the walk O(P^2)
-      def sweep(dir: Path, rel: String): Unit =
-        fs.listStatus(dir).foreach { st =>
-          val name = st.getPath.getName
-          val childRel = if (rel.isEmpty) name else s"$rel/$name"
-          if (st.isDirectory && name.contains("=")) {
-            if (live.contains(childRel)) {
-              // live data files AND live merge-on-read delta sidecars
-              val keep = m.files.getOrElse(childRel, Nil).map(_.name).toSet ++
-                m.deltas.getOrElse(childRel, Nil)
-              fs.listStatus(st.getPath)
-                .filter(f => f.isFile && !keep(f.getPath.getName))
-                .foreach(f => fs.delete(f.getPath, false))
-            } else if (live.exists(_.startsWith(childRel + "/"))) {
-              sweep(st.getPath, childRel)
-            } else {
-              fs.delete(st.getPath, true)
-            }
-          } else if (rel.isEmpty && st.isDirectory && name == StagingDirName) {
-            fs.delete(st.getPath, true) // abandoned stagings
+    val versions = snapshots(spark, path)
+    if (versions.isEmpty) return
+    val retainedVersions = versions.takeRight(math.max(1, keepLast))
+    val retained = retainedVersions.map(readManifest(fs, path, _))
+    val now = System.currentTimeMillis()
+    def young(st: org.apache.hadoop.fs.FileStatus): Boolean =
+      graceMs > 0 && now - st.getModificationTime < graceMs
+    // recursive sweep over the nested partition tree: a dir that IS a
+    // key of some retained manifest keeps the union of the retained
+    // versions' live files; a dir that is a PREFIX of live keys
+    // recurses; anything else is unreferenced and retires (young files
+    // first survive the grace window)
+    val live = retained.map(allDirs).reduce(_ ++ _) // hoisted: sweep
+    // visits O(P) dirs, and a per-visit set rebuild would be O(P^2)
+    def keepIn(d: String): Set[String] = retained.flatMap(m =>
+      m.files.getOrElse(d, Nil).map(_.name) ++ m.deltas.getOrElse(d, Nil)
+    ).toSet
+    // unreferenced subtree: delete old files, keep young ones, drop
+    // directories that end up empty — a racing commit's just-moved
+    // files in a NEW partition directory must survive the sweep
+    def retire(dir: Path): Boolean = {
+      var empty = true
+      fs.listStatus(dir).foreach { st =>
+        if (st.isDirectory) {
+          if (retire(st.getPath)) fs.delete(st.getPath, false) else empty = false
+        } else if (!young(st)) fs.delete(st.getPath, false)
+        else empty = false
+      }
+      empty
+    }
+    def sweep(dir: Path, rel: String): Unit =
+      fs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        val childRel = if (rel.isEmpty) name else s"$rel/$name"
+        if (st.isDirectory && name.contains("=")) {
+          if (live.contains(childRel)) {
+            // live data files AND live merge-on-read delta sidecars,
+            // across every retained version
+            val keep = keepIn(childRel)
+            fs.listStatus(st.getPath)
+              .filter(f => f.isFile && !keep(f.getPath.getName) && !young(f))
+              .foreach(f => fs.delete(f.getPath, false))
+          } else if (live.exists(_.startsWith(childRel + "/"))) {
+            sweep(st.getPath, childRel)
+          } else if (retire(st.getPath)) {
+            fs.delete(st.getPath, false)
           }
+        } else if (rel.isEmpty && st.isDirectory && name == StagingDirName) {
+          // abandoned stagings — but an ACTIVE committer's staging dir
+          // is younger than the grace window and survives
+          fs.listStatus(st.getPath)
+            .filterNot(young)
+            .foreach(s => fs.delete(s.getPath, true))
         }
-      sweep(new Path(path), "")
-      fs.listStatus(manifestDir(path)).foreach { st =>
-        st.getPath.getName match {
-          case ManifestFile(n) if n.toLong < m.version =>
-            fs.delete(st.getPath, false)
-          // a committer that died between writing its temp manifest and
-          // the publish rename leaves a .tmp-* orphan — reclaim it here
-          case tmp if tmp.startsWith(".tmp-") =>
-            fs.delete(st.getPath, false)
-          case _ => ()
-        }
+      }
+    sweep(new Path(path), "")
+    val liveLeaves = retained.flatMap(_.leaves).toSet
+    val floor = retainedVersions.min
+    fs.listStatus(manifestDir(path)).foreach { st =>
+      st.getPath.getName match {
+        case ManifestFile(n) if n.toLong < floor =>
+          fs.delete(st.getPath, false)
+        // format v2 leaf shards are content-addressed and shared across
+        // versions — one referenced by no retained manifest is garbage,
+        // unless it is young (a racing committer writes its leaves just
+        // before the top-file rename)
+        case leaf if leaf.startsWith("leaf-") && !liveLeaves(leaf) &&
+            !young(st) =>
+          fs.delete(st.getPath, false)
+        // a committer that died between writing its temp manifest and
+        // the publish rename leaves a .tmp-* orphan — reclaim it here
+        // (same grace: a LIVE committer's temp is young)
+        case tmp if tmp.startsWith(".tmp-") && !young(st) =>
+          fs.delete(st.getPath, false)
+        case _ => ()
       }
     }
   }

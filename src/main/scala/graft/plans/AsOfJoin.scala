@@ -174,19 +174,7 @@ object AsOfJoin {
   }
 
   // Dataset.ofRows — public API through Spark 3, private[sql] since the 4.x
-  // classic/connect split. Scala access modifiers aren't JVM-enforced, so a
-  // contained reflective call keeps this the ONLY non-public touchpoint.
-  private lazy val ofRowsMethod = {
-    val cls = Class.forName("org.apache.spark.sql.classic.Dataset$")
-    val module = cls.getField("MODULE$").get(null)
-    val m = cls.getMethods.find(m =>
-      m.getName == "ofRows" && m.getParameterCount == 2).get
-    (module, m)
-  }
-
+  // classic/connect split; routed through the repo's one private-API seam.
   private def ofRows(spark: org.apache.spark.sql.SparkSession,
-      plan: LogicalPlan): DataFrame = {
-    val (module, m) = ofRowsMethod
-    m.invoke(module, spark, plan).asInstanceOf[DataFrame]
-  }
+      plan: LogicalPlan): DataFrame = graft.SparkShims.ofRows(spark, plan)
 }

@@ -140,14 +140,11 @@ private[streaming] class LakeChangeFeedSource(sqlContext: SQLContext,
     // its plan in place of the streaming relation. The diff is an
     // arbitrary derived plan (scoped scans + classify join), so hand
     // the engine its lazily-evaluated InternalRow RDD — the standard
-    // derived-source form (internalCreateDataFrame is compile-time
-    // private[sql]; bytecode-public, invoked reflectively)
+    // derived-source form, through the repo's one private-API seam
+    // ([[graft.SparkShims]])
     val rdd = changes.queryExecution.toRdd
-    val m = spark.getClass.getMethod("internalCreateDataFrame",
-      classOf[org.apache.spark.rdd.RDD[_]], classOf[StructType],
-      java.lang.Boolean.TYPE)
-    m.invoke(spark, rdd, schema, java.lang.Boolean.TRUE)
-      .asInstanceOf[DataFrame]
+    graft.SparkShims.internalCreateDataFrame(spark, rdd, schema,
+      isStreaming = true)
   }
 
   override def stop(): Unit = ()
