@@ -234,9 +234,20 @@ object PartitionedLake {
         val tasks: java.util.List[java.util.concurrent.Callable[Seq[String]]] =
           leafNames.map { n =>
             new java.util.concurrent.Callable[Seq[String]] {
-              override def call(): Seq[String] =
-                readFileText(fs, new Path(manifestDir(path), n))
-                  .split("\n").toSeq.filter(_.nonEmpty)
+              override def call(): Seq[String] = {
+                val text = readFileText(fs, new Path(manifestDir(path), n))
+                // leaves are content-addressed, hence SELF-VERIFYING:
+                // a truncated/corrupted leaf (crashed committer on a
+                // non-atomic scheme, bit rot) must fail the read loudly
+                // — silently parsing half a shard would drop its files
+                // from every derived snapshot
+                val expect = n.stripPrefix("leaf-").stripSuffix(".txt")
+                require(md5Hex(text) == expect,
+                  s"manifest leaf $n is corrupted (content hash " +
+                    s"${md5Hex(text)} != name); restore it from a " +
+                    "replica or roll back to an older snapshot")
+                text.split("\n").toSeq.filter(_.nonEmpty)
+              }
             }
           }.asJava
         pool.invokeAll(tasks).asScala.toSeq.flatMap(_.get())
@@ -325,8 +336,19 @@ object PartitionedLake {
     * still a cheap read) and ~2048 directories per leaf above it.
     * 0 = v1.
     */
+  /** The configuration lake knobs are read from. NOT `fs.getConf`: the
+    * Hadoop FileSystem CACHE pins whatever Configuration object first
+    * created this scheme's FS in the JVM — frequently a task-side
+    * CLONE of the session conf — so `fs.getConf` silently ignores
+    * later session-conf changes. The session's live hadoopConfiguration
+    * is the object callers actually set knobs on.
+    */
+  private def lakeConf(fs: FileSystem): org.apache.hadoop.conf.Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration).getOrElse(fs.getConf)
+
   private def shardCountFor(fs: FileSystem, nDirs: Int): Int = {
-    val conf = fs.getConf
+    val conf = lakeConf(fs)
     val explicit = conf.getInt("graft.lake.manifest.shards", 0)
     if (explicit > 0) explicit
     else if (nDirs >= conf.getInt("graft.lake.manifest.shard.threshold", 8192))
@@ -376,15 +398,27 @@ object PartitionedLake {
           val leafBody = new StringBuilder()
           dirs.foreach(appendDirLines(leafBody, m, _))
           val content = leafBody.toString
+          val contentBytes = content.getBytes("UTF-8")
           val leafName = s"leaf-${md5Hex(content)}.txt"
           val leafPath = new Path(dir, leafName)
-          if (!fs.exists(leafPath)) {
+          // reuse is validated by LENGTH, not bare existence: on an
+          // opted-in non-atomic scheme a crashed committer can leave a
+          // truncated file at the final leaf name, and trusting it
+          // would silently drop that shard's files from every later
+          // snapshot. A length mismatch rewrites the leaf (both
+          // writers of a name produce identical bytes, so repair races
+          // are harmless).
+          val intact = try
+            fs.getFileStatus(leafPath).getLen == contentBytes.length
+          catch { case _: java.io.FileNotFoundException => false }
+          if (!intact) {
             // content-addressed: two committers racing the same leaf
             // write identical bytes, so a lost rename is harmless
             val tmp = new Path(dir,
               s".tmp-${UUID.randomUUID().toString.take(8)}")
             val out = fs.create(tmp, true)
-            try out.write(content.getBytes("UTF-8")) finally out.close()
+            try out.write(contentBytes) finally out.close()
+            if (fs.exists(leafPath)) fs.delete(leafPath, false)
             if (!fs.rename(tmp, leafPath)) fs.delete(tmp, true)
           }
           body.append("shard:").append(leafName).append('\n')
@@ -421,7 +455,7 @@ object PartitionedLake {
       ok
     } else {
       if (scheme != "hdfs" &&
-          !fs.getConf.getBoolean("graft.lake.allow.nonatomic.commit", false)) {
+          !lakeConf(fs).getBoolean("graft.lake.allow.nonatomic.commit", false)) {
         fs.delete(tmp, true)
         sys.error(s"commit arbitration on scheme '$scheme' would fall " +
           "back to exists()+rename(), which is NOT atomic there: two " +
@@ -988,6 +1022,44 @@ object PartitionedLake {
         case _ => None
       }
     }.sorted
+  }
+
+  /** The latest published version, probing FORWARD from a last-known
+    * version instead of listing `_manifest/`. At the sharded design
+    * point that directory also holds every live leaf file, so a
+    * per-trigger full listing (the streaming source polls this every
+    * trigger) costs O(leaves + versions); the probe costs O(new
+    * versions) existence checks — normally ONE.
+    *
+    * Correct because published versions are CONTIGUOUS (optimistic
+    * concurrency arbitrates exactly version N+1) and [[vacuum]] retains
+    * a contiguous TOP window — so if `hint` still resolves, every
+    * version between it and the head exists and the probe cannot stop
+    * short. A vacuumed-away hint falls back to the full listing.
+    */
+  def latestVersion(spark: SparkSession, path: String,
+      hint: Option[Long] = None): Option[Long] =
+    latestVersionIn(fsFor(spark, path), path, hint)
+
+  private[io] def latestVersionIn(fs: FileSystem, path: String,
+      hint: Option[Long]): Option[Long] = {
+    def exists(v: Long): Boolean =
+      fs.exists(new Path(manifestDir(path), f"v$v%09d.txt"))
+    hint.filter(exists) match {
+      case Some(h) =>
+        var v = h
+        while (exists(v + 1)) v += 1
+        Some(v)
+      case None =>
+        val dir = manifestDir(path)
+        if (!fs.exists(dir)) None
+        else fs.listStatus(dir).toSeq.flatMap { st =>
+          st.getPath.getName match {
+            case ManifestFile(n) => Some(n.toLong)
+            case _ => None
+          }
+        }.maxOption
+    }
   }
 
   /** Exact COUNT(*) of the latest snapshot from manifest metadata alone

@@ -82,14 +82,20 @@ class LakeChangeFeedProvider extends StreamSourceProvider with DataSourceRegiste
         .snapshots(sqlContext.sparkSession, path).lastOption.getOrElse(0L)
       case n => n.toLong
     }
+    val maxVersions = parameters.get("maxVersionsPerTrigger").map(_.toLong)
+    maxVersions.foreach(m => require(m > 0,
+      s"maxVersionsPerTrigger must be positive, got $m"))
     new LakeChangeFeedSource(sqlContext, path, keyCols, start,
-      schema.getOrElse(feedSchema(sqlContext, path)))
+      schema.getOrElse(feedSchema(sqlContext, path)), maxVersions,
+      metadataPath)
   }
 }
 
 private[streaming] class LakeChangeFeedSource(sqlContext: SQLContext,
     path: String, keyCols: Seq[String], startVersion: Long,
-    override val schema: StructType) extends Source {
+    override val schema: StructType,
+    maxVersionsPerTrigger: Option[Long] = None,
+    metadataPath: String = "") extends Source {
   private val spark = sqlContext.sparkSession
 
   // after checkpoint recovery the engine hands back raw SerializedOffset
@@ -99,6 +105,45 @@ private[streaming] class LakeChangeFeedSource(sqlContext: SQLContext,
     case other => other.json.trim.toLong
   }
 
+  // ---- rate limiting + bounded polling state ------------------------------
+  // `lastSeen` is the probe hint for latestVersion — bounds each
+  // trigger's poll to O(new versions) existence checks instead of a
+  // full `_manifest/` listing (which, under sharded manifests, also
+  // holds every live leaf file).
+  private var lastSeen: Option[Long] = None
+  // `lastEnd` is the highest batch-end version handed to the engine —
+  // the base each rate-limited trigger advances from. PERSISTED under
+  // the source's checkpoint metadataPath so a restart after an outage
+  // resumes capping from where it left off instead of emitting the
+  // whole backlog as one catch-up batch (the v1-Source analog of
+  // FileStreamSource's maxFilesPerTrigger bookkeeping).
+  private val progressFile = if (metadataPath.isEmpty) None
+    else Some(new org.apache.hadoop.fs.Path(metadataPath, "graft-cdf-last-end"))
+  private lazy val progressFs = progressFile.map(
+    _.getFileSystem(spark.sparkContext.hadoopConfiguration))
+  private var lastEnd: Long = (for {
+    p <- progressFile; fs <- progressFs if fs.exists(p)
+  } yield {
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
+      new String(out.toByteArray, "UTF-8").trim.toLong
+    } finally in.close()
+  }).getOrElse(startVersion)
+
+  private def recordEnd(v: Long): Unit = if (v > lastEnd) {
+    lastEnd = v
+    // only needed when a cap is active: uncapped streams derive
+    // everything from the engine's own offset log
+    if (maxVersionsPerTrigger.isDefined) for {
+      p <- progressFile; fs <- progressFs
+    } {
+      val out = fs.create(p, true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   // NO startingVersion filter here, deliberately: the engine compares
   // this against ITS committed offset and only triggers on change, so
   // startingVersion must gate only the no-checkpoint getBatch(None, _)
@@ -106,12 +151,39 @@ private[streaming] class LakeChangeFeedSource(sqlContext: SQLContext,
   // silently withhold the commits published while the stream was down
   // (the checkpointed offset, not the option, owns progress after the
   // first batch — Delta CDF's startingVersion semantics).
-  override def getOffset: Option[V1Offset] =
-    PartitionedLake.snapshots(spark, path).lastOption.map(LakeVersionOffset(_))
+  //
+  // `maxVersionsPerTrigger` caps how far each trigger's batch END may
+  // advance past the last end this source handed out: a backlog of N
+  // commits drains over ceil(N / max) batches, each a correct NET diff
+  // of its sub-range, instead of one unbounded catch-up batch.
+  override def getOffset: Option[V1Offset] = {
+    val latest = PartitionedLake.latestVersion(spark, path, lastSeen)
+    latest.foreach(v => lastSeen = Some(v))
+    latest.map { v =>
+      val capped = maxVersionsPerTrigger match {
+        case Some(max) =>
+          val raw = math.min(v, math.max(lastEnd, startVersion) + max)
+          // a capped bootstrap must not land BELOW the first resolvable
+          // snapshot (a vacuumed prefix would leave later sub-ranges
+          // unresolvable) — clamp up to it; one listing, once
+          if (raw < v && lastEnd <= startVersion)
+            math.max(raw,
+              PartitionedLake.snapshots(spark, path).headOption.getOrElse(raw))
+          else raw
+        case None => v
+      }
+      recordEnd(capped)
+      LakeVersionOffset(capped)
+    }
+  }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val from = start.map(versionOf).getOrElse(startVersion)
     val to = versionOf(end)
+    // recovery replay of a checkpointed batch tells us the engine has
+    // already been handed ends up to `to` — advance the cap base so a
+    // restart never re-shrinks progress
+    recordEnd(to)
     // every branch aligns to the stream's fixed-at-start schema BEFORE
     // any union: the lake may have evolved between the bootstrap
     // snapshot and the head, and the two sides' raw column sets differ

@@ -74,6 +74,20 @@ class LakeModelSpec extends AnyFunSuite {
   import spark.implicits._
 
   test("random op sequences: read() == model after every op; pinned readers survive non-vacuum ops") {
+    LakeModelHarness.run()
+  }
+}
+
+/** The single-level random-op model run, shared so LakeManifestV2Spec
+  * can replay the exact same sequence under forced v2 sharded manifests
+  * (format must be invisible to semantics). Lives here next to the spec
+  * that owns its invariants.
+  */
+object LakeModelHarness extends org.scalatest.Assertions {
+  import SparkTestSession._
+  import spark.implicits._
+
+  def run(): Unit = {
     val rnd = new scala.util.Random(7)
     val path = java.nio.file.Files.createTempDirectory("graft-model").toString + "/lake"
     val partPool = Seq("p0", "p1", "p=2", null) // incl. escaped + null dirs
