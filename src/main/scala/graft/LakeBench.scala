@@ -181,6 +181,20 @@ object LakeBench {
       PartitionedLake.changesBetween(spark, lakeD,
         vsD(vsD.size - 2), vsD.last, Seq("day", "k")).count()
     }
+    // give compact REAL work (an upsert leaves one file per partition,
+    // so compacting right after it is a no-op): a merge-on-read CDC
+    // batch scatters delta sidecars across ~30 day-partitions, and
+    // day.compact then times materializing them away — the actual
+    // maintenance cost at the day-layout design point
+    val morDays = dayDf.select("day").distinct().orderBy("day")
+      .limit(30).collect().map(_.getString(0))
+    val morOps = dayDf.filter(col("day").isin(morDays.toIndexedSeq: _*))
+      .groupBy("day").agg(max("k").as("k"))
+      .select(col("k"), col("day"), lit(1L).as("seq"), lit("U").as("op"),
+        lit(999.0).as("val"))
+    time("day.cdc_mor_30_partitions")(
+      PartitionedLake.cdcSinkMergeOnRead(spark, lakeD, "day", "k",
+        "l_quantity", morOps))
     time("day.compact")(PartitionedLake.compact(spark, lakeD))
     time("day.vacuum")(PartitionedLake.vacuum(spark, lakeD))
 

@@ -1321,13 +1321,24 @@ object PartitionedLake {
       m.files.getOrElse(d, Nil).map(_.name) ++ m.deltas.getOrElse(d, Nil)
     ).toSet
     // unreferenced subtree: delete old files, keep young ones, drop
-    // directories that end up empty — a racing commit's just-moved
-    // files in a NEW partition directory must survive the sweep
+    // directories that end up empty — UNLESS the directory itself is
+    // young. A racing commit `mkdirs` a NEW partition directory and
+    // only then renames its staged files in; deleting the empty young
+    // dir inside that window fails the rename and aborts the commit,
+    // so a young dir is protected exactly like a young file.
+    // non-recursive dir delete that tolerates losing a race: a commit
+    // renaming a file in between our emptiness check and the rmdir
+    // makes the delete fail — correct outcome is "leave it", not a
+    // crashed vacuum
+    def deleteDirIfStillEmpty(p: Path): Unit =
+      try { fs.delete(p, false); () }
+      catch { case _: java.io.IOException => () }
     def retire(dir: Path): Boolean = {
       var empty = true
       fs.listStatus(dir).foreach { st =>
         if (st.isDirectory) {
-          if (retire(st.getPath)) fs.delete(st.getPath, false) else empty = false
+          if (retire(st.getPath) && !young(st)) deleteDirIfStillEmpty(st.getPath)
+          else empty = false
         } else if (!young(st)) fs.delete(st.getPath, false)
         else empty = false
       }
@@ -1347,8 +1358,8 @@ object PartitionedLake {
               .foreach(f => fs.delete(f.getPath, false))
           } else if (live.exists(_.startsWith(childRel + "/"))) {
             sweep(st.getPath, childRel)
-          } else if (retire(st.getPath)) {
-            fs.delete(st.getPath, false)
+          } else if (retire(st.getPath) && !young(st)) {
+            deleteDirIfStillEmpty(st.getPath)
           }
         } else if (rel.isEmpty && st.isDirectory && name == StagingDirName) {
           // abandoned stagings — but an ACTIVE committer's staging dir

@@ -219,5 +219,11 @@ private[streaming] class LakeChangeFeedSource(sqlContext: SQLContext,
       isStreaming = true)
   }
 
+  // the engine reports completed batches here (including the recovered
+  // committed offset during restart initialization) — fold them into
+  // the cap base so a restart can never hand out an offset BELOW what
+  // the checkpoint already committed
+  override def commit(end: V1Offset): Unit = recordEnd(versionOf(end))
+
   override def stop(): Unit = ()
 }

@@ -201,4 +201,118 @@ class LakeChangeFeedStreamSpec extends AnyFunSuite {
       assert(rows.sortBy(_._1).toSeq === Seq(1L -> null, 2L -> "n2"))
     } finally q.stop()
   }
+
+  test("maxVersionsPerTrigger drains a backlog across bounded batches with correct per-range net semantics") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdf-cap").toString
+    val lake = s"$dir/lake"
+    PartitionedLake.write(Seq((1L, "p1", 1.0)).toDF("k", "part", "bal"),
+      lake, "part")
+    // a 6-commit backlog BEFORE the stream starts, including churn that
+    // must collapse within a capped range but not across ranges
+    for (i <- 2 to 7)
+      PartitionedLake.upsert(spark, lake, "part", "k",
+        Seq((i.toLong, "p1", i * 1.0), (1L, "p1", i * 10.0))
+          .toDF("k", "part", "bal"))
+    val state = scala.collection.mutable.Map[(String, Long), Double]()
+    val batchSizes = scala.collection.mutable.ArrayBuffer[Int]()
+    val q = spark.readStream.format("graft-lake-cdf")
+      .option("path", lake).option("keyCols", "part,k")
+      .option("maxVersionsPerTrigger", "2")
+      .load()
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.collect()
+        batchSizes += rows.length
+        applyFeed(state, rows)
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      // the backlog (bootstrap v1 + diffs to v7) arrived over MULTIPLE
+      // capped batches, not one catch-up batch
+      assert(batchSizes.count(_ > 0) >= 3,
+        s"backlog was not split: batch sizes $batchSizes")
+      assert(state.toMap === PartitionedLake.read(spark, lake).collect()
+        .map(r => (r.getAs[String]("part"), r.getAs[Long]("k")) ->
+          r.getAs[Double]("bal")).toMap)
+    } finally q.stop()
+
+    // outage: 4 more commits while down; the capped RESTART drains them
+    // across batches too (the cap base survives via commit()/progress)
+    for (i <- 8 to 11)
+      PartitionedLake.upsert(spark, lake, "part", "k",
+        Seq((i.toLong, "p1", i * 1.0)).toDF("k", "part", "bal"))
+    val sizesBefore = batchSizes.size
+    val q2 = spark.readStream.format("graft-lake-cdf")
+      .option("path", lake).option("keyCols", "part,k")
+      .option("maxVersionsPerTrigger", "2")
+      .load()
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.collect()
+        batchSizes += rows.length
+        applyFeed(state, rows)
+      }
+      .start()
+    try {
+      q2.processAllAvailable()
+      assert(batchSizes.drop(sizesBefore).count(_ > 0) >= 2,
+        s"restart backlog was not split: ${batchSizes.drop(sizesBefore)}")
+      assert(state.toMap === PartitionedLake.read(spark, lake).collect()
+        .map(r => (r.getAs[String]("part"), r.getAs[Long]("k")) ->
+          r.getAs[Double]("bal")).toMap)
+    } finally q2.stop()
+  }
+
+  test("a stopped stream restarts cleanly across a retained-window vacuum; out-of-window fails loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdf-vac").toString
+    val lake = s"$dir/lake"
+    PartitionedLake.write(Seq((1L, "p1", 1.0)).toDF("k", "part", "bal"),
+      lake, "part")
+    val state = scala.collection.mutable.Map[(String, Long), Double]()
+    def start() = spark.readStream.format("graft-lake-cdf")
+      .option("path", lake).option("keyCols", "part,k")
+      .load()
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        applyFeed(state, df.collect())
+      }
+      .start()
+    val q = start()
+    try q.processAllAvailable() finally q.stop() // committed offset = v1
+
+    // two commits during downtime, then maintenance that RETAINS the
+    // stopped stream's committed version (v1) in the window
+    PartitionedLake.upsert(spark, lake, "part", "k",
+      Seq((2L, "p1", 2.0)).toDF("k", "part", "bal"))
+    PartitionedLake.upsert(spark, lake, "part", "k",
+      Seq((3L, "p1", 3.0)).toDF("k", "part", "bal"))
+    PartitionedLake.vacuum(spark, lake, keepLast = 3)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(state.toMap === Map(("p1", 1L) -> 1.0, ("p1", 2L) -> 2.0,
+        ("p1", 3L) -> 3.0))
+    } finally q2.stop() // committed offset = v3
+
+    // aggressive vacuum OUTSIDE the stream's window: committed v3 is
+    // the latest, so restart still works — push one more commit and
+    // vacuum it away from under the checkpoint to force the violation
+    PartitionedLake.upsert(spark, lake, "part", "k",
+      Seq((4L, "p1", 4.0)).toDF("k", "part", "bal"))
+    PartitionedLake.upsert(spark, lake, "part", "k",
+      Seq((5L, "p1", 5.0)).toDF("k", "part", "bal"))
+    PartitionedLake.vacuum(spark, lake, keepLast = 1) // only v5 survives
+    val q3 = start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q3.processAllAvailable() finally q3.stop()
+    }
+    // loud retention violation, never a silent skip
+    assert(e.getCause != null &&
+      String.valueOf(e.getCause.getMessage).contains("not resolvable"),
+      s"expected a loud retention failure, got: ${e.getCause}")
+  }
 }

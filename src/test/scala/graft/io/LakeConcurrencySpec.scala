@@ -227,4 +227,47 @@ class LakeConcurrencySpec extends AnyFunSuite {
       assert(state(path) === model, s"divergence after raced step $step")
     }
   }
+
+  test("grace-window vacuum interleaved with a live committer thread never breaks a published snapshot") {
+    val path = java.nio.file.Files.createTempDirectory("graft-vacrace").toString + "/lake"
+    val fs = fsOf(path)
+
+    PartitionedLake.write(Seq((0L, "p0", "s0")).toDF("k", "part", "v"),
+      path, "part")
+    // committer thread: a stream of single-partition upserts, each
+    // staging files into live + NEW partition dirs before its publish —
+    // exactly the moved-but-unpublished window vacuum races
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val committer = new Thread(() => {
+      try {
+        for (i <- 1 to 12) {
+          PartitionedLake.upsert(spark, path, "part", "k",
+            Seq((i.toLong, s"p${i % 4}", s"v$i")).toDF("k", "part", "v"))
+        }
+      } catch { case t: Throwable => errors.add(t) }
+      finally done.set(true)
+    })
+    committer.start()
+    // vacuum continuously during the commit stream, with a grace window
+    // far above any commit's stage-to-publish latency
+    while (!done.get()) {
+      PartitionedLake.vacuum(spark, path, keepLast = 1,
+        graceMs = 60 * 60 * 1000L)
+    }
+    committer.join(120000)
+    assert(errors.isEmpty, s"committer failed under vacuum: ${errors.peek()}")
+    // every file the final snapshot references exists, and the read is
+    // exactly the serial result of the 12 upserts
+    val m = PartitionedLake.latestManifest(fs, path).get
+    PartitionedLake.allDirs(m).foreach { d =>
+      m.files.getOrElse(d, Nil).foreach { e =>
+        assert(fs.exists(new org.apache.hadoop.fs.Path(path, s"$d/${e.name}")),
+          s"published snapshot references vacuumed file $d/${e.name}")
+      }
+    }
+    val expect = Map(("p0", 0L) -> "s0") ++
+      (1 to 12).map(i => (s"p${i % 4}", i.toLong) -> s"v$i")
+    assert(state(path) === expect)
+  }
 }

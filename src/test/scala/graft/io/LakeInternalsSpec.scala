@@ -111,4 +111,40 @@ class LakeInternalsSpec extends AnyFunSuite {
     assert(back.files.view.mapValues(_.sortBy(_.name)).toMap ===
       m.files.view.mapValues(_.sortBy(_.name)).toMap)
   }
+
+  test("latestVersion with a live hint probes forward without listing _manifest/; a vacuumed hint falls back") {
+    val path = java.nio.file.Files.createTempDirectory("graft-probe").toString + "/lake"
+    val raw = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    for (v <- 1L to 5L)
+      PartitionedLake.publishManifest(raw, path,
+        PartitionedLake.Manifest(v, schema, Map.empty))
+    // counting wrapper: the streaming source polls this every trigger,
+    // so the hinted path must cost existence checks, never a directory
+    // listing (which under sharded manifests also returns every leaf)
+    var lists = 0
+    val fs = new org.apache.hadoop.fs.FilterFileSystem(raw) {
+      override def listStatus(p: org.apache.hadoop.fs.Path):
+          Array[org.apache.hadoop.fs.FileStatus] = {
+        lists += 1; super.listStatus(p)
+      }
+    }
+    assert(PartitionedLake.latestVersionIn(fs, path, Some(3L)) === Some(5L))
+    assert(lists === 0, "hinted probe must not list the manifest dir")
+    assert(PartitionedLake.latestVersionIn(fs, path, Some(5L)) === Some(5L))
+    assert(lists === 0)
+    // no hint -> one listing
+    assert(PartitionedLake.latestVersionIn(fs, path, None) === Some(5L))
+    assert(lists === 1)
+    // a hint below a vacuumed-away floor cannot silently conclude
+    // "nothing new" — it must fall back to the listing and find the head
+    for (v <- 1L to 3L)
+      raw.delete(new org.apache.hadoop.fs.Path(path,
+        f"_manifest/v$v%09d.txt"), false)
+    assert(PartitionedLake.latestVersionIn(fs, path, Some(2L)) === Some(5L))
+    assert(lists === 2, "vacuumed hint must fall back to a full listing")
+  }
 }
