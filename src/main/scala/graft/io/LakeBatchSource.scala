@@ -1,7 +1,7 @@
 package graft.io
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SQLContext}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
@@ -33,19 +33,114 @@ import org.apache.spark.sql.types.StructType
   * `DataFrame.inputFiles` — superseded files sharing the partition
   * directories are invisible, same as the API read.
   */
-class LakeBatchProvider extends RelationProvider with DataSourceRegister {
+class LakeBatchProvider extends RelationProvider
+    with CreatableRelationProvider with StreamSinkProvider
+    with DataSourceRegister {
   override def shortName(): String = "graft-lake"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      sys.error("graft-lake requires .option(\"path\", <lake root>)"))
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
-    val path = parameters.getOrElse("path",
-      sys.error("graft-lake requires .option(\"path\", <lake root>)"))
+    val path = pathOf(parameters)
     val frame = parameters.get("versionAsOf") match {
       case Some(v) => PartitionedLake.readVersion(spark, path, v.toLong)
       case None => PartitionedLake.read(spark, path)
     }
     new LakeBatchRelation(sqlContext, frame)
+  }
+
+  /** `df.write.format("graft-lake")` — the registered batch WRITE:
+    *
+    *  - `partitionCols` (required): comma-separated partition columns
+    *    (the v1 source API does not forward `.partitionBy`, so the
+    *    layout is an explicit option — same contract as the streaming
+    *    sink's).
+    *  - `SaveMode.Overwrite` → [[PartitionedLake.write]] (full-snapshot
+    *    overwrite through the protocol: old files stay for time travel
+    *    until vacuum).
+    *  - `SaveMode.Append` → [[PartitionedLake.upsert]], which needs
+    *    `keyCol` (row identity within a partition). Append without a
+    *    key would be ambiguous under replay, so it is required loudly.
+    *  - `statsCols` (optional, comma-separated): min/max harvesting for
+    *    manifest file skipping.
+    */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val path = pathOf(parameters)
+    def csv(k: String): Seq[String] = parameters.getOrElse(k, "")
+      .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val partitionCols = csv("partitionCols")
+    require(partitionCols.nonEmpty,
+      "graft-lake write requires .option(\"partitionCols\", \"c1,c2\")")
+    val statsCols = csv("statsCols")
+    mode match {
+      case SaveMode.Overwrite =>
+        PartitionedLake.write(data, path, partitionCols, statsCols)
+      case SaveMode.Append =>
+        val key = parameters.getOrElse("keyCol", sys.error(
+          "graft-lake append is an upsert and requires " +
+            ".option(\"keyCol\", <row identity within a partition>)"))
+        PartitionedLake.upsert(spark, path, partitionCols, key, data,
+          statsCols, batchId = None, writerId = PartitionedLake.DefaultWriter)
+      case SaveMode.ErrorIfExists | SaveMode.Ignore =>
+        val exists = PartitionedLake.snapshotSchema(spark, path).isDefined
+        if (!exists) PartitionedLake.write(data, path, partitionCols, statsCols)
+        else if (mode == SaveMode.ErrorIfExists)
+          sys.error(s"graft-lake at $path already exists (SaveMode.ErrorIfExists)")
+    }
+    createRelation(sqlContext, parameters)
+  }
+
+  /** `writeStream.format("graft-lake")` — the registered STREAMING
+    * sink (one class serves all three surfaces: a second registered
+    * provider could not share the short name): each micro-batch
+    * upserts through the snapshot protocol with the batch id armed as
+    * the TRANSACTION-level replay guard, so a redelivered epoch is
+    * skipped whole (exactly-once at the transaction level, the same
+    * guarantee the hand-rolled `foreachBatch` +
+    * [[PartitionedLake.upsert]] pattern gives, now available to
+    * config-driven pipelines). Options: `path`, `partitionCols`,
+    * `keyCol` (all required), `statsCols`, and `writerId` (default
+    * "default") — name it per query when several streams share a lake
+    * so one stream's watermark never swallows another's batches.
+    */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode):
+      org.apache.spark.sql.execution.streaming.Sink = {
+    val path = parameters.getOrElse("path",
+      sys.error("graft-lake sink requires .option(\"path\", <lake root>)"))
+    val partitionCols = parameters.getOrElse("partitionCols", "")
+      .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    require(partitionCols.nonEmpty,
+      "graft-lake sink requires .option(\"partitionCols\", \"c1,c2\")")
+    val key = parameters.getOrElse("keyCol", sys.error(
+      "graft-lake sink requires .option(\"keyCol\", <row identity>)"))
+    val statsCols = parameters.getOrElse("statsCols", "")
+      .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val writerId = parameters.getOrElse("writerId",
+      PartitionedLake.DefaultWriter)
+    new org.apache.spark.sql.execution.streaming.Sink {
+      override def addBatch(batchId: Long, data: DataFrame): Unit = {
+        // the incoming frame carries the engine's streaming-tagged
+        // incremental plan, which refuses batch actions — re-wrap its
+        // InternalRow RDD as a BATCH frame (the derived-source seam,
+        // in reverse). The epoch's plan reads FIXED offsets, so the
+        // multiple evaluations upsert performs (partition collect,
+        // merge, stage) are deterministic — the upsert scaladoc's
+        // foreachBatch contract, satisfied by construction.
+        val spark = data.sparkSession
+        val batchDf = graft.SparkShims.internalCreateDataFrame(spark,
+          data.queryExecution.toRdd, data.schema, isStreaming = false)
+        PartitionedLake.upsert(spark, path, partitionCols, key, batchDf,
+          statsCols, batchId = Some(batchId), writerId = writerId)
+      }
+    }
   }
 }
 

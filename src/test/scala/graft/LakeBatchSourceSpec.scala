@@ -80,4 +80,88 @@ class LakeBatchSourceSpec extends AnyFunSuite {
       (r.getLong(0), r.getDouble(1))).toSet
     assert(narrow === Set((1L, 1.0), (3L, 30.0)))
   }
+
+  test("format write: Overwrite snapshots, Append upserts by key, ErrorIfExists refuses on a live lake") {
+    val lake = java.nio.file.Files.createTempDirectory("graft-batchw").toString + "/lake"
+    Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "part", "bal")
+      .write.format("graft-lake").option("path", lake)
+      .option("partitionCols", "part").mode("overwrite").save()
+    assert(rowsOf(PartitionedLake.read(spark, lake)) ===
+      Set(("a", 1L, 1.0), ("b", 2L, 2.0)))
+    // append == upsert: same (partition, key) replaces, new key lands
+    Seq((1L, "a", 9.0), (3L, "b", 3.0)).toDF("k", "part", "bal")
+      .write.format("graft-lake").option("path", lake)
+      .option("partitionCols", "part").option("keyCol", "k")
+      .mode("append").save()
+    assert(rowsOf(PartitionedLake.read(spark, lake)) ===
+      Set(("a", 1L, 9.0), ("b", 2L, 2.0), ("b", 3L, 3.0)))
+    // append without a key is ambiguous under replay — loud refusal
+    val e = intercept[RuntimeException] {
+      Seq((5L, "a", 5.0)).toDF("k", "part", "bal")
+        .write.format("graft-lake").option("path", lake)
+        .option("partitionCols", "part").mode("append").save()
+    }
+    assert(e.getMessage.contains("keyCol"), e.getMessage)
+    val e2 = intercept[RuntimeException] {
+      Seq((5L, "a", 5.0)).toDF("k", "part", "bal")
+        .write.format("graft-lake").option("path", lake)
+        .option("partitionCols", "part").mode("errorifexists").save()
+    }
+    assert(e2.getMessage.contains("already exists"), e2.getMessage)
+    // both commits went through the snapshot protocol: versions advanced
+    assert(PartitionedLake.snapshots(spark, lake) === Seq(1L, 2L))
+  }
+
+  test("SQL CREATE TABLE ... USING graft-lake reads the lake; time travel via OPTIONS") {
+    val lake = java.nio.file.Files.createTempDirectory("graft-batchsql").toString + "/lake"
+    PartitionedLake.write(Seq((1L, "a", 1.0)).toDF("k", "part", "bal"),
+      lake, "part")
+    PartitionedLake.upsert(spark, lake, "part", "k",
+      Seq((2L, "b", 2.0)).toDF("k", "part", "bal"))
+    spark.sql("DROP TABLE IF EXISTS lake_sql_t")
+    spark.sql("DROP TABLE IF EXISTS lake_sql_v1")
+    spark.sql(s"CREATE TABLE lake_sql_t USING `graft-lake` OPTIONS (path '$lake')")
+    spark.sql(s"CREATE TABLE lake_sql_v1 USING `graft-lake` " +
+      s"OPTIONS (path '$lake', versionAsOf '1')")
+    try {
+      assert(spark.sql("SELECT part, k, bal FROM lake_sql_t").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet ===
+        Set(("a", 1L, 1.0), ("b", 2L, 2.0)))
+      assert(spark.sql("SELECT count(*) FROM lake_sql_v1").head().getLong(0) === 1L)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS lake_sql_t")
+      spark.sql("DROP TABLE IF EXISTS lake_sql_v1")
+    }
+  }
+
+  test("writeStream.format(graft-lake): micro-batches upsert exactly-once through the txn replay guard") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sinkfmt").toString
+    val lake = s"$dir/lake"
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Double)]
+    val q = mem.toDF().toDF("k", "part", "bal")
+      .writeStream.format("graft-lake")
+      .option("path", lake).option("partitionCols", "part")
+      .option("keyCol", "k").option("writerId", "sink-spec")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      mem.addData((1L, "a", 1.0), (2L, "b", 2.0))
+      q.processAllAvailable()
+      assert(rowsOf(PartitionedLake.read(spark, lake)) ===
+        Set(("a", 1L, 1.0), ("b", 2L, 2.0)))
+      mem.addData((1L, "a", 9.0), (3L, "b", 3.0))
+      q.processAllAvailable()
+      assert(rowsOf(PartitionedLake.read(spark, lake)) ===
+        Set(("a", 1L, 9.0), ("b", 2L, 2.0), ("b", 3L, 3.0)))
+    } finally q.stop()
+    // the replay guard recorded the sink's writer slot: a redelivered
+    // batch id is skipped whole (exactly-once at the transaction level)
+    val before = rowsOf(PartitionedLake.read(spark, lake))
+    PartitionedLake.upsert(spark, lake, "part", "k",
+      Seq((1L, "a", 777.0)).toDF("k", "part", "bal"),
+      batchId = Some(1L), writerId = "sink-spec")
+    assert(rowsOf(PartitionedLake.read(spark, lake)) === before,
+      "replayed batch id must be dropped whole")
+  }
 }
