@@ -57,11 +57,14 @@ import org.apache.spark.sql.types.{DataType, StructType, TimestampNTZType, Times
   * an interleaved committer/vacuum race in LakeConcurrencySpec), and a
   * `keepLast` retention window keeps pinned readers, time travel, and
   * stopped change-feed checkpoints restartable across maintenance.
-  * On object stores without atomic rename (raw S3) this protocol needs
-  * a conditional-PUT manifest swap or a real table format — the
-  * reference's `s3.py:45-92` sidestepped this by always writing whole
-  * objects (object-store PUTs are atomic); a partitioned layout has to
-  * earn that property back, which is what the manifest does.
+  * On object stores without atomic no-replace rename (raw S3) the
+  * deployment plugs its compare-and-swap write into the
+  * [[CommitArbiter]] seam (`graft.lake.commit.arbiter` — S3
+  * conditional PUT `If-None-Match: *`, GCS generation-match) and runs
+  * the full multi-writer protocol; the reference's `s3.py:45-92`
+  * sidestepped the problem by always writing whole objects
+  * (object-store PUTs are atomic), and a partitioned layout has to
+  * earn that property back, which is what the manifest + arbiter do.
   *
   * Partition directory names are Spark's own, end to end: the staged
   * write's directory names ARE the touched set for an upsert, and a
@@ -458,7 +461,16 @@ object PartitionedLake {
     // explicitly rather than silently degrade (raw S3 needs a
     // conditional-PUT manifest swap — class doc).
     val scheme = Option(fs.getUri.getScheme).getOrElse("")
-    if ("file" == scheme) {
+    val arbiterClass = lakeConf(fs).get("graft.lake.commit.arbiter")
+    if (arbiterClass != null && arbiterClass.nonEmpty) {
+      // deployment-provided CAS primitive (object stores: S3
+      // conditional PUT, GCS generation-match, ... — [[CommitArbiter]])
+      val arbiter = Class.forName(arbiterClass)
+        .getDeclaredConstructor().newInstance().asInstanceOf[CommitArbiter]
+      val ok = arbiter.publishIfAbsent(fs, tmp, dst)
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      ok
+    } else if ("file" == scheme) {
       val ok = try {
         java.nio.file.Files.createLink(
           java.nio.file.Paths.get(dst.toUri.getPath),
@@ -477,8 +489,12 @@ object PartitionedLake {
           "back to exists()+rename(), which is NOT atomic there: two " +
           "racing committers can both believe they won and one snapshot " +
           "silently vanishes. Commit on file:// or hdfs:// (verified " +
-          "atomic no-replace primitives), or — if this lake has exactly " +
-          "ONE writer — opt in with " +
+          "atomic no-replace primitives), plug in the store's " +
+          "compare-and-swap write via " +
+          "spark.hadoop.graft.lake.commit.arbiter=<class implementing " +
+          "graft.io.CommitArbiter> (S3 conditional PUT, GCS " +
+          "generation-match), or — if this lake has exactly ONE " +
+          "writer — opt in with " +
           "spark.hadoop.graft.lake.allow.nonatomic.commit=true")
       }
       if (fs.exists(dst) || !fs.rename(tmp, dst)) {
