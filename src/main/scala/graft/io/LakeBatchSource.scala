@@ -88,7 +88,16 @@ class LakeBatchProvider extends RelationProvider
         PartitionedLake.upsert(spark, path, partitionCols, key, data,
           statsCols, batchId = None, writerId = PartitionedLake.DefaultWriter)
       case SaveMode.ErrorIfExists | SaveMode.Ignore =>
-        val exists = PartitionedLake.snapshotSchema(spark, path).isDefined
+        // existence must be ADOPTION-AWARE, not manifest-only: a
+        // pre-protocol Hive-layout parquet dir at this path is an
+        // existing lake to every other entry point (upsert adopts it),
+        // so ErrorIfExists writing a manifest over it would silently
+        // shadow all the old data — the exact outcome the mode exists
+        // to prevent
+        val root = new org.apache.hadoop.fs.Path(path)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val exists = PartitionedLake.snapshotSchema(spark, path).isDefined ||
+          (fs.exists(root) && fs.listStatus(root).nonEmpty)
         if (!exists) PartitionedLake.write(data, path, partitionCols, statsCols)
         else if (mode == SaveMode.ErrorIfExists)
           sys.error(s"graft-lake at $path already exists (SaveMode.ErrorIfExists)")
@@ -115,10 +124,22 @@ class LakeBatchProvider extends RelationProvider
       org.apache.spark.sql.execution.streaming.Sink = {
     val path = parameters.getOrElse("path",
       sys.error("graft-lake sink requires .option(\"path\", <lake root>)"))
-    val partitionCols = parameters.getOrElse("partitionCols", "")
+    // the engine forwards `.partitionBy(...)` here — honor it, and
+    // refuse a CONFLICTING explicit option loudly (silently preferring
+    // one would give the stream a different physical layout than it
+    // declared)
+    val optionCols = parameters.getOrElse("partitionCols", "")
       .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    require(optionCols.isEmpty || partitionColumns.isEmpty ||
+      optionCols == partitionColumns,
+      s"graft-lake sink: .partitionBy(${partitionColumns.mkString(",")}) " +
+        s"conflicts with .option(\"partitionCols\", " +
+        s"\"${optionCols.mkString(",")}\")")
+    val partitionCols =
+      if (optionCols.nonEmpty) optionCols else partitionColumns
     require(partitionCols.nonEmpty,
-      "graft-lake sink requires .option(\"partitionCols\", \"c1,c2\")")
+      "graft-lake sink requires .partitionBy(...) or " +
+        ".option(\"partitionCols\", \"c1,c2\")")
     val key = parameters.getOrElse("keyCol", sys.error(
       "graft-lake sink requires .option(\"keyCol\", <row identity>)"))
     val statsCols = parameters.getOrElse("statsCols", "")

@@ -16,7 +16,7 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType
   *  - commit BYTES WRITTEN for a 1-partition upsert on top (v1 rewrites
   *    the whole file; v2 rewrites one leaf + the top file)
   *
-  * Usage: sbt "runMain graft.ManifestScaleBench [nDirs]"   (default 50000)
+  * Usage: sbt "runMain graft.io.ManifestScaleBench [nDirs]"   (default 50000)
   * Results belong in SCALE.md ("Sharded manifests, measured").
   */
 object ManifestScaleBench {

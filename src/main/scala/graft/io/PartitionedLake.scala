@@ -191,19 +191,28 @@ object PartitionedLake {
 
   private def manifestDir(path: String) = new Path(path, ManifestDirName)
 
-  private[io] def latestManifest(fs: FileSystem, path: String): Option[Manifest] = {
+  /** Every published version at this path, unsorted — the ONE listing
+    * fold (the `v%%09d.txt` naming rule lives here and in the probe's
+    * existence check only).
+    */
+  private def listVersions(fs: FileSystem, path: String): Seq[Long] = {
     val dir = manifestDir(path)
-    if (!fs.exists(dir)) return None
-    val versions = fs.listStatus(dir).toSeq.flatMap { st =>
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.flatMap { st =>
       st.getPath.getName match {
         case ManifestFile(n) => Some(n.toLong)
         case _ => None
       }
     }
-    if (versions.isEmpty) None else Some(readManifest(fs, path, versions.max))
   }
 
-  private def readFileText(fs: FileSystem, p: Path): String = {
+  private[io] def latestManifest(fs: FileSystem, path: String): Option[Manifest] =
+    listVersions(fs, path).maxOption.map(readManifest(fs, path, _))
+
+  /** One small metadata file as a UTF-8 string — the single definition
+    * of "slurp a protocol file" (manifests, leaves, stream progress).
+    */
+  private[graft] def readSmallTextFile(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
     try {
       val out = new java.io.ByteArrayOutputStream()
@@ -220,9 +229,17 @@ object PartitionedLake {
   private def shardOf(dir: String, nShards: Int): Int =
     (dir.hashCode & 0x7fffffff) % nShards
 
-  private def readManifest(fs: FileSystem, path: String, version: Long): Manifest = {
+  /** `leafCache` (optional) shares parsed leaf bodies across a multi-
+    * version resolve — leaves are content-addressed and immutable, so
+    * caching by name is always sound, and consecutive versions share
+    * almost all leaves by construction ([[vacuum]]'s retained-window
+    * reads would otherwise pay keepLast-fold redundant leaf I/O).
+    */
+  private def readManifest(fs: FileSystem, path: String, version: Long,
+      leafCache: scala.collection.concurrent.Map[String, Seq[String]] = null):
+      Manifest = {
     val p = new Path(manifestDir(path), f"v$version%09d.txt")
-    val lines = readFileText(fs, p).split("\n").toSeq
+    val lines = readSmallTextFile(fs, p).split("\n").toSeq
     val header = lines.headOption.getOrElse("")
     require(header == "graft-lake-manifest v1" ||
       header == "graft-lake-manifest v2",
@@ -245,6 +262,20 @@ object PartitionedLake {
     // parsed through the same line grammar as v1
     val leafNames = topBody.filter(_.startsWith("shard:"))
       .map(_.stripPrefix("shard:"))
+    def fetchLeaf(n: String): Seq[String] = {
+      val text = readSmallTextFile(fs, new Path(manifestDir(path), n))
+      // leaves are content-addressed, hence SELF-VERIFYING:
+      // a truncated/corrupted leaf (crashed committer on a
+      // non-atomic scheme, bit rot) must fail the read loudly
+      // — silently parsing half a shard would drop its files
+      // from every derived snapshot
+      val expect = n.stripPrefix("leaf-").stripSuffix(".txt")
+      require(md5Hex(text) == expect,
+        s"manifest leaf $n is corrupted (content hash " +
+          s"${md5Hex(text)} != name); restore it from a " +
+          "replica or roll back to an older snapshot")
+      text.split("\n").toSeq.filter(_.nonEmpty)
+    }
     val leafBody: Seq[String] = if (leafNames.isEmpty) Nil else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.max(1, math.min(8, leafNames.size)))
@@ -253,20 +284,9 @@ object PartitionedLake {
         val tasks: java.util.List[java.util.concurrent.Callable[Seq[String]]] =
           leafNames.map { n =>
             new java.util.concurrent.Callable[Seq[String]] {
-              override def call(): Seq[String] = {
-                val text = readFileText(fs, new Path(manifestDir(path), n))
-                // leaves are content-addressed, hence SELF-VERIFYING:
-                // a truncated/corrupted leaf (crashed committer on a
-                // non-atomic scheme, bit rot) must fail the read loudly
-                // — silently parsing half a shard would drop its files
-                // from every derived snapshot
-                val expect = n.stripPrefix("leaf-").stripSuffix(".txt")
-                require(md5Hex(text) == expect,
-                  s"manifest leaf $n is corrupted (content hash " +
-                    s"${md5Hex(text)} != name); restore it from a " +
-                    "replica or roll back to an older snapshot")
-                text.split("\n").toSeq.filter(_.nonEmpty)
-              }
+              override def call(): Seq[String] =
+                if (leafCache == null) fetchLeaf(n)
+                else leafCache.getOrElseUpdate(n, fetchLeaf(n))
             }
           }.asJava
         pool.invokeAll(tasks).asScala.toSeq.flatMap(_.get())
@@ -427,7 +447,7 @@ object PartitionedLake {
           // snapshot. A length mismatch rewrites the leaf (both
           // writers of a name produce identical bytes, so repair races
           // are harmless).
-          val intact = try
+          def intact: Boolean = try
             fs.getFileStatus(leafPath).getLen == contentBytes.length
           catch { case _: java.io.FileNotFoundException => false }
           if (!intact) {
@@ -437,8 +457,20 @@ object PartitionedLake {
               s".tmp-${UUID.randomUUID().toString.take(8)}")
             val out = fs.create(tmp, true)
             try out.write(contentBytes) finally out.close()
-            if (fs.exists(leafPath)) fs.delete(leafPath, false)
-            if (!fs.rename(tmp, leafPath)) fs.delete(tmp, true)
+            if (!fs.rename(tmp, leafPath)) {
+              // target exists. Re-check BEFORE deleting anything: a
+              // racing repairer may have just landed the good bytes,
+              // and deleting a good published leaf would open a
+              // missing-file window for every reader of the versions
+              // sharing it. Only a still-truncated leaf — which
+              // readers already reject loudly via the hash check — is
+              // ever deleted here.
+              if (intact) fs.delete(tmp, true)
+              else {
+                fs.delete(leafPath, false)
+                if (!fs.rename(tmp, leafPath)) fs.delete(tmp, true)
+              }
+            }
           }
           body.append("shard:").append(leafName).append('\n')
         }
@@ -1044,17 +1076,8 @@ object PartitionedLake {
   /** Published snapshot versions still resolvable on this lake (ascending;
     * vacuumed versions are gone). Metadata-only: one directory listing.
     */
-  def snapshots(spark: SparkSession, path: String): Seq[Long] = {
-    val fs = fsFor(spark, path)
-    val dir = manifestDir(path)
-    if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).toSeq.flatMap { st =>
-      st.getPath.getName match {
-        case ManifestFile(n) => Some(n.toLong)
-        case _ => None
-      }
-    }.sorted
-  }
+  def snapshots(spark: SparkSession, path: String): Seq[Long] =
+    listVersions(fsFor(spark, path), path).sorted
 
   /** The latest published version, probing FORWARD from a last-known
     * version instead of listing `_manifest/`. At the sharded design
@@ -1082,15 +1105,7 @@ object PartitionedLake {
         var v = h
         while (exists(v + 1)) v += 1
         Some(v)
-      case None =>
-        val dir = manifestDir(path)
-        if (!fs.exists(dir)) None
-        else fs.listStatus(dir).toSeq.flatMap { st =>
-          st.getPath.getName match {
-            case ManifestFile(n) => Some(n.toLong)
-            case _ => None
-          }
-        }.maxOption
+      case None => listVersions(fs, path).maxOption
     }
   }
 
@@ -1338,7 +1353,11 @@ object PartitionedLake {
     val versions = snapshots(spark, path)
     if (versions.isEmpty) return
     val retainedVersions = versions.takeRight(math.max(1, keepLast))
-    val retained = retainedVersions.map(readManifest(fs, path, _))
+    // consecutive versions share almost all v2 leaves — resolve the
+    // window through one shared leaf cache instead of keepLast-fold
+    // redundant leaf reads
+    val leafCache = scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
+    val retained = retainedVersions.map(readManifest(fs, path, _, leafCache))
     val now = System.currentTimeMillis()
     def young(st: org.apache.hadoop.fs.FileStatus): Boolean =
       graceMs > 0 && now - st.getModificationTime < graceMs

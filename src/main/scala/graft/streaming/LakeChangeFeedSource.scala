@@ -123,24 +123,28 @@ private[streaming] class LakeChangeFeedSource(sqlContext: SQLContext,
     _.getFileSystem(spark.sparkContext.hadoopConfiguration))
   private var lastEnd: Long = (for {
     p <- progressFile; fs <- progressFs if fs.exists(p)
-  } yield {
-    val in = fs.open(p)
-    try {
-      val out = new java.io.ByteArrayOutputStream()
-      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 4096, false)
-      new String(out.toByteArray, "UTF-8").trim.toLong
-    } finally in.close()
-  }).getOrElse(startVersion)
+    // tolerate a torn/empty file (crash mid-write): the progress file
+    // is an optimization — falling back to startVersion only weakens
+    // the first post-restart cap, it must never wedge the stream
+    v <- PartitionedLake.readSmallTextFile(fs, p).trim
+      .toLongOption
+  } yield v).getOrElse(startVersion)
 
   private def recordEnd(v: Long): Unit = if (v > lastEnd) {
     lastEnd = v
     // only needed when a cap is active: uncapped streams derive
-    // everything from the engine's own offset log
+    // everything from the engine's own offset log. Written
+    // tmp-then-rename like every other metadata file in the protocol —
+    // a crash mid-write must not leave a torn file
     if (maxVersionsPerTrigger.isDefined) for {
       p <- progressFile; fs <- progressFs
     } {
-      val out = fs.create(p, true)
+      val tmp = new org.apache.hadoop.fs.Path(p.getParent,
+        s".${p.getName}.tmp")
+      val out = fs.create(tmp, true)
       try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+      if (fs.exists(p)) fs.delete(p, false)
+      if (!fs.rename(tmp, p)) fs.delete(tmp, false)
     }
   }
 

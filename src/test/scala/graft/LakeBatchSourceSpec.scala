@@ -112,6 +112,26 @@ class LakeBatchSourceSpec extends AnyFunSuite {
     assert(PartitionedLake.snapshots(spark, lake) === Seq(1L, 2L))
   }
 
+  test("ErrorIfExists/Ignore are adoption-aware: a pre-protocol parquet lake counts as existing") {
+    val lake = java.nio.file.Files.createTempDirectory("graft-batchpre").toString + "/lake"
+    // pre-protocol Hive-layout parquet, no manifest — an existing lake
+    // to every other entry point (upsert adopts it)
+    Seq((1L, "a", 1.0)).toDF("k", "part", "bal")
+      .write.partitionBy("part").parquet(lake)
+    val e = intercept[RuntimeException] {
+      Seq((9L, "z", 9.0)).toDF("k", "part", "bal")
+        .write.format("graft-lake").option("path", lake)
+        .option("partitionCols", "part").mode("errorifexists").save()
+    }
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+    Seq((9L, "z", 9.0)).toDF("k", "part", "bal")
+      .write.format("graft-lake").option("path", lake)
+      .option("partitionCols", "part").mode("ignore").save()
+    // Ignore left the pre-protocol data untouched and published nothing
+    assert(PartitionedLake.snapshots(spark, lake).isEmpty)
+    assert(rowsOf(PartitionedLake.read(spark, lake)) === Set(("a", 1L, 1.0)))
+  }
+
   test("SQL CREATE TABLE ... USING graft-lake reads the lake; time travel via OPTIONS") {
     val lake = java.nio.file.Files.createTempDirectory("graft-batchsql").toString + "/lake"
     PartitionedLake.write(Seq((1L, "a", 1.0)).toDF("k", "part", "bal"),
@@ -139,9 +159,11 @@ class LakeBatchSourceSpec extends AnyFunSuite {
     val lake = s"$dir/lake"
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Double)]
+    // layout declared via the ENGINE's partitionBy — the sink must
+    // honor the forwarded partitionColumns, no redundant option
     val q = mem.toDF().toDF("k", "part", "bal")
-      .writeStream.format("graft-lake")
-      .option("path", lake).option("partitionCols", "part")
+      .writeStream.format("graft-lake").partitionBy("part")
+      .option("path", lake)
       .option("keyCol", "k").option("writerId", "sink-spec")
       .option("checkpointLocation", s"$dir/ckpt")
       .start()

@@ -243,6 +243,12 @@ class LakeChangeFeedStreamSpec extends AnyFunSuite {
     for (i <- 8 to 11)
       PartitionedLake.upsert(spark, lake, "part", "k",
         Seq((i.toLong, "p1", i * 1.0)).toDF("k", "part", "bal"))
+    // tear the progress file (crash mid-write shape): restart must fall
+    // back to the commit()-recovered base, never wedge on parsing
+    val progress = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/ckpt"))
+      .filter(_.getFileName.toString == "graft-cdf-last-end")
+      .findFirst()
+    progress.ifPresent(p => java.nio.file.Files.write(p, Array.emptyByteArray))
     val sizesBefore = batchSizes.size
     val q2 = spark.readStream.format("graft-lake-cdf")
       .option("path", lake).option("keyCols", "part,k")

@@ -86,6 +86,17 @@ class CommitArbiterSpec extends AnyFunSuite {
     }
   }
 
+  test("composition: the full random-op model run under CAS arbitration AND forced v2 sharded manifests") {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("graft.lake.commit.arbiter", classOf[CasArbiterDouble].getName)
+    hc.setInt("graft.lake.manifest.shards", 3)
+    try graft.LakeModelHarness.run()
+    finally {
+      hc.unset("graft.lake.commit.arbiter")
+      hc.unset("graft.lake.manifest.shards")
+    }
+  }
+
   test("the arbiter seam bypasses the non-atomic-scheme gate (it IS the safe path for such schemes)") {
     // on file:// the gate never fires, so prove the precedence directly:
     // with an arbiter configured the publish path goes through it even
