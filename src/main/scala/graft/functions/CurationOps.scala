@@ -95,22 +95,18 @@ object CurationOps {
           .BloomFilterMightContain(exprs(0), exprs(1)), "scala_udf")
   }
 
-  /** Bloom-filter n-gram decontamination — the membership-structure form
-    * of [[decontaminate]] for eval suites too large to broadcast as an
-    * exact gram set (the Dolma-scale design): build ONE bloom over the
-    * eval set's distinct n-gram hashes (a mergeable aggregate, so the
-    * build is distributed with map-side partials), broadcast the ~MB
-    * filter, and probe every training gram with a codegen'd
-    * might_contain — a NARROW map over the corpus, no join and no
-    * shuffle of the corpus side at all. Bloom semantics: zero false
-    * negatives (every truly leaked gram flags), false positives bounded
-    * by the sizing (`numBits` for the expected item count).
-    *
-    * Returns one row per distinct (doc_id, gram) probe with BOTH the
-    * bloom verdict and the exact-join verdict, so callers can assert
-    * the contract (bloom ⊇ exact; FP rate under bound) in-band — q145
-    * pins exactly that against the DuckDB exact side. Production use
-    * drops the exact column (and with it the only corpus-side join).
+  /** Bloom-filter n-gram decontamination — the VERIFICATION harness for
+    * the membership-structure form of [[decontaminate]] (eval suites
+    * too large to broadcast as an exact gram set — the Dolma-scale
+    * design). Returns one row per distinct (doc_id, gram) probe with
+    * BOTH the bloom verdict and the exact-join verdict, so callers can
+    * assert the contract (bloom ⊇ exact: zero false negatives; FP rate
+    * under the `numBits` sizing bound) in-band — q145 pins exactly
+    * that against the DuckDB exact side. Stated honestly: this
+    * harness's per-(doc_id, gram) DISTINCT and its exact-join column
+    * both shuffle the corpus grams — that is the price of verifying,
+    * not of decontaminating. The production operator is [[bloomProbe]]
+    * below, whose corpus side is a genuinely narrow probe.
     */
   def bloomDecontaminate(corpus: DataFrame, evalDocs: DataFrame,
       n: Int = 5, expectedItems: Long = 1L << 20,
@@ -137,6 +133,36 @@ object CurationOps {
         Seq("g"), "left")
       .select(col("doc_id"), col("g"), probe.as("bloom_hit"),
         coalesce(col("ex"), lit(false)).as("exact_hit"))
+  }
+
+  /** PRODUCTION bloom decontamination: per-document leaked-gram counts
+    * with the plan shape the design point demands — the corpus side is
+    * a NARROW gram-explode + codegen'd `might_contain` probe (no
+    * distinct, no join, no corpus-gram shuffle; the only exchange is
+    * the final tiny doc-level count aggregate), and the bloom BUILD is
+    * a SCALAR SUBQUERY over the eval set's distinct gram hashes (a
+    * mergeable aggregate: distributed, map-side partials), so
+    * constructing this frame launches NO job — the build runs when the
+    * query runs, exactly like Spark's own InjectRuntimeFilter blooms.
+    * Bloom semantics: zero false negatives (a doc with
+    * `leaked_grams = 0` is certainly clean — the decontamination
+    * decision); positives are bounded-FP candidates for an exact
+    * recheck if the pipeline wants one.
+    *
+    * Returns `(doc_id, n_grams, leaked_grams)` per corpus document.
+    */
+  def bloomProbe(corpus: DataFrame, evalDocs: DataFrame, n: Int = 5,
+      expectedItems: Long = 1L << 20, numBits: Long = 1L << 23): DataFrame = {
+    val s = corpus.sparkSession
+    registerBloom(s)
+    val view = s"graft_eval_grams_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    ngrams(evalDocs, n).select("g").distinct().createOrReplaceTempView(view)
+    val hit = expr(s"graft_bloom_contains((SELECT graft_bloom_agg(" +
+      s"xxhash64(g), ${expectedItems}L, ${numBits}L) FROM $view), xxhash64(g))")
+    ngrams(corpus, n).select(col("doc_id"), hit.as("hit"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("leaked_grams"))
   }
 
   /** Highest multiplicity of any element of a string array, as
@@ -288,6 +314,57 @@ object CurationOps {
              |  true AS fp_rate_ok
              |FROM probes""".stripMargin),
       "pipeline-op: bloom-filter decontamination (broadcast ~MB filter, no corpus join)"),
+
+    // ---- the PRODUCTION bloom decontamination shape (q145 is its
+    // verification harness): scalar-subquery bloom build + narrow
+    // corpus probe + per-doc leak counts. The bloom's false positives
+    // are engine-state the oracle cannot replay, so the sketch-query
+    // pattern (q54/q66/q140) applies: output the exact aggregates plus
+    // in-band booleans asserting the bloom contract (per-doc counts
+    // never BELOW exact — no false negatives — and the FP mass under
+    // the sizing bound), which the oracle pins to true. ----
+    Q("q147_bloom_probe",
+      (s, d) => {
+        val words = Tables.documents(s, d)
+          .select(col("doc_id"), toks(col("text")).as("w"))
+        val evalSnips = words.filter(col("doc_id") % 40 === 0)
+          .select(col("doc_id"), slice(col("w"), 1, 24).as("w"))
+        val probed = bloomProbe(words, evalSnips)
+        val exact = ngrams(words, 5)
+          .join(broadcast(ngrams(evalSnips, 5).select("g").distinct()),
+            Seq("g"))
+          .groupBy("doc_id").agg(count(lit(1)).as("exact_leaked"))
+        probed.join(exact, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_grams"), col("leaked_grams"),
+            coalesce(col("exact_leaked"), lit(0L)).as("exact_leaked"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("n_grams").as("total_grams"),
+            sum("exact_leaked").as("exact_leaked_grams"),
+            coalesce(every(col("leaked_grams") >= col("exact_leaked")),
+              lit(true)).as("no_false_negatives"),
+            (sum(col("leaked_grams") - col("exact_leaked")) <=
+              lit(0.05) * sum(col("n_grams") - col("exact_leaked")))
+              .as("fp_rate_ok"))
+      },
+      Some("""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+             |  FROM documents),
+             |grams AS (SELECT doc_id,
+             |    array_to_string(w[i.range:i.range+4], ' ') AS g
+             |  FROM words, range(1, 128) i WHERE i.range <= len(w) - 4),
+             |eval_snips AS (SELECT doc_id, w[1:24] AS w FROM words
+             |  WHERE doc_id % 40 = 0),
+             |eval_grams AS (SELECT DISTINCT
+             |    array_to_string(w[i.range:i.range+4], ' ') AS g
+             |  FROM eval_snips, range(1, 128) i WHERE i.range <= len(w) - 4)
+             |SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             |  CAST(count(*) AS BIGINT) AS total_grams,
+             |  CAST(sum(CASE WHEN g IN (SELECT g FROM eval_grams)
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS exact_leaked_grams,
+             |  true AS no_false_negatives,
+             |  true AS fp_rate_ok
+             |FROM grams""".stripMargin),
+      "pipeline-op: production bloom probe (scalar-subquery build, narrow corpus side)"),
 
     // ---- content-defined chunking: md5-gated boundaries on trailing
     // 3-word windows (expected chunk ≈ 16 words), per-doc chunk stats.

@@ -47,16 +47,20 @@ object SimilarityOps {
     * parity is computable in SQL from `md5('t:b:i')`).
     */
   def signPlanes(nTables: Int, bitsPerTable: Int,
-      dims: Int = 64): Seq[Seq[Seq[Double]]] =
+      dims: Int = 64): Seq[Seq[Seq[Double]]] = {
+    // one digest instance for the whole grid (digest() resets state) —
+    // getInstance per (table, bit, dim) is ~20k provider lookups at the
+    // q44 defaults, re-paid per executor on the interpreted path
+    val md = java.security.MessageDigest.getInstance("MD5")
     (0 until nTables).map { t =>
       (0 until bitsPerTable).map { b =>
         (0 until dims).map { i =>
-          val hex = java.security.MessageDigest.getInstance("MD5")
-            .digest(s"$t:$b:$i".getBytes("UTF-8"))
+          val hex = md.digest(s"$t:$b:$i".getBytes("UTF-8"))
           if ((hex(0) & 1) == 0) 1.0 else -1.0
         }
       }
     }
+  }
 
   /** Explode `df` (with a `vec` column) into one row per hash table with
     * that table's bucket id, via the codegen'd [[SignLshBuckets]]
@@ -79,7 +83,7 @@ object SimilarityOps {
     * product, and recall is tuned by (nTables, bitsPerTable) instead of
     * scan size.
     */
-  def lshTopK(spark: SparkSession, queries: DataFrame, base: DataFrame,
+  def lshTopK(queries: DataFrame, base: DataFrame,
       k: Int, nTables: Int = 4, bitsPerTable: Int = 4): DataFrame = {
     val qb = withBuckets(queries, nTables, bitsPerTable)
       .select(col("vec_id").as("qid"), col("t"), col("bucket"))
@@ -148,9 +152,18 @@ object SimilarityOps {
     val b = base.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("embedding"))
     b.unionByName(b.select((col("vec_id") + idOffset).as("vec_id"),
-      transform(col("embedding"), (x, i) =>
-        x * when(i % 2 === 0, lit(1.1)).otherwise(lit(0.9))).as("embedding")))
+      perturbDup(col("embedding")).as("embedding")))
   }
+
+  /** THE planted-near-dup perturbation (1.1 on even 0-based dims, 0.9 on
+    * odd) — one definition shared by [[withPlantedDups]] and q129 so the
+    * cross-query guarantee (every planted copy sits at the same cosine
+    * ~0.995 from its source) cannot drift between call sites; the DuckDB
+    * oracles mirror the same CASE arithmetic.
+    */
+  private[graft] def perturbDup(emb: Column): Column =
+    transform(emb, (x, i) => x.cast("double") *
+      when(i % 2 === 0, lit(1.1)).otherwise(lit(0.9)))
 
   /** The surviving (id1 < id2) candidate pairs under the banded bucket
     * join — the pruning stage of [[neardupPairs]], exposed so the
@@ -310,9 +323,7 @@ object SimilarityOps {
         val ev = withNorm(raw
           .filter(col("vec_id") % 25 === 0 && col("vec_id") < 500)
           .select((col("vec_id") + 100000L).as("vec_id"),
-            transform(col("embedding"), (x, i) => x.cast("double") *
-              when(i % 2 === 0, lit(1.1)).otherwise(lit(0.9)))
-              .as("embedding")))
+            perturbDup(col("embedding")).as("embedding")))
           .select(col("vec_id").as("eval_id"), col("vec").as("evec"),
             col("norm").as("enorm"))
         val corpus = withNorm(graft.operators.Spread.byKey(raw, col("vec_id")))
@@ -356,7 +367,7 @@ object SimilarityOps {
       (s, d) => {
         val raw = Tables.embeddings(s, d)
         val corpus = withNorm(graft.operators.Spread.byKey(raw, col("vec_id")))
-        lshTopK(s, withNorm(raw.filter(col("vec_id") < 20)), corpus, 5)
+        lshTopK(withNorm(raw.filter(col("vec_id") < 20)), corpus, 5)
           .orderBy("qid", "rk")
       },
       Some(s"""WITH $normCte,

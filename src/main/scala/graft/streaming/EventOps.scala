@@ -254,8 +254,14 @@ object EventOps {
              |  FROM events WHERE user_id < 20),
              |spans AS (SELECT user_id, min(h) AS h0, max(h) AS h1
              |  FROM e GROUP BY user_id),
+             |-- oracle grid bound: DuckDB needs a constant range where
+             |-- Spark's sequence(h0, h1) is data-driven; 24*400 hours
+             |-- (400 days) must exceed any user's [min,max] event span
+             |-- (harness events span ~30 days; q112 would fail loudly
+             |-- with a row-count diff if a regenerated corpus ever
+             |-- exceeded it — widen the bound with the data)
              |grid AS (SELECT user_id, h0 + INTERVAL (i.range) HOUR AS hour
-             |  FROM spans, range(0, 24*40) i
+             |  FROM spans, range(0, 24*400) i
              |  WHERE h0 + INTERVAL (i.range) HOUR <= h1),
              |counts AS (SELECT user_id, h AS hour, count(*) AS n
              |  FROM e GROUP BY 1, 2),

@@ -109,6 +109,23 @@ class RetrievalOpsSpec extends AnyFunSuite {
     val none = CurationOps.bloomDecontaminate(corpus,
       eval.filter(col("doc_id") < 0L)).collect()
     assert(none.nonEmpty && none.forall(!_.getAs[Boolean]("bloom_hit")))
+
+    // the PRODUCTION form: per-doc leaked-gram counts, no false
+    // negatives (both planted docs flag, short doc absent), and the
+    // plan shape the design point demands — the bloom build is a
+    // SCALAR SUBQUERY (construction launches no job; the corpus side
+    // is a narrow probe, not a distinct/join)
+    val prod = CurationOps.bloomProbe(corpus, eval)
+    val plan = prod.queryExecution.executedPlan.toString()
+    assert(plan.toLowerCase.contains("subquery"),
+      s"bloom build must ride as a scalar subquery, not an eager literal:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"the production probe must not join the corpus side:\n$plan")
+    val byDoc = prod.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("leaked_grams")).toMap
+    assert(byDoc(1L) >= 1L && byDoc(3L) >= 1L, s"planted leaks missed: $byDoc")
+    assert(byDoc(2L) === 0L)
+    assert(!byDoc.contains(4L)) // < n tokens: no grams, no row
   }
 
   test("content-defined chunking: boundaries are content-local — an insertion re-chunks only its neighborhood") {

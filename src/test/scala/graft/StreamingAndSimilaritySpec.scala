@@ -514,7 +514,7 @@ class SimilaritySpec extends AnyFunSuite {
     val queries = e.filter(col("vec_id") < 20)
     val exact = SimilarityOps.cosineTopK(queries, e, 5).collect()
       .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
-    val approx = SimilarityOps.lshTopK(spark, queries, e, 5).collect()
+    val approx = SimilarityOps.lshTopK(queries, e, 5).collect()
       .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
     // every query at least finds itself (cos=1 in its own bucket)
     assert((0L until 20L).forall(q => approx.contains((q, q))))
