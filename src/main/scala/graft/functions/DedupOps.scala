@@ -75,7 +75,34 @@ object DedupOps {
       labels = updated.select("doc_id", "label")
       i += 1
     }
+    // min-labels move ONE hop per iteration: a component with diameter >
+    // maxIter exits this loop mid-propagation, silently splitting one
+    // real cluster across several canonical ids — fail loudly instead
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter iterations " +
+        s"($changed labels still moving) — a component's diameter exceeds " +
+        "maxIter; raise it (cost is one join + aggregate per extra hop)")
     labels.withColumnRenamed("label", "canonical")
+  }
+
+  /** Exact word-set Jaccard over all (doc1 < doc2) pairs, with the RAW
+    * (unrounded) score — ONE definition of the intersection join and the
+    * union denominator, shared by q41 (the pairwise baseline, which
+    * rounds then thresholds) and q65 (the component input, which
+    * thresholds raw) so the arithmetic cannot drift between them.
+    */
+  private def jaccardPairs(docs: DataFrame): DataFrame = {
+    val w = words(docs)
+    val sizes = w.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = w.withColumnRenamed("doc_id", "doc1")
+      .join(w.withColumnRenamed("doc_id", "doc2").withColumnRenamed("w", "w2"),
+        col("w") === col("w2") && col("doc1") < col("doc2"))
+      .groupBy("doc1", "doc2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc1"), col("n").as("n1")), Seq("doc1"))
+      .join(sizes.select(col("doc_id").as("doc2"), col("n").as("n2")), Seq("doc2"))
+      .withColumn("jaccard_raw", col("inter").cast("double") /
+        (col("n1") + col("n2") - col("inter")))
   }
 
   def qs: Seq[Q] = Seq(
@@ -84,16 +111,8 @@ object DedupOps {
     Q("q65_dedup_components",
       (s, d) => {
         val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
-        val w = words(docs)
-        val sizes = w.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val inter = w.withColumnRenamed("doc_id", "doc1")
-          .join(w.withColumnRenamed("doc_id", "doc2").withColumnRenamed("w", "w2"),
-            col("w") === col("w2") && col("doc1") < col("doc2"))
-          .groupBy("doc1", "doc2").agg(count(lit(1)).as("inter"))
-        val pairs = inter
-          .join(sizes.select(col("doc_id").as("doc1"), col("n").as("n1")), Seq("doc1"))
-          .join(sizes.select(col("doc_id").as("doc2"), col("n").as("n2")), Seq("doc2"))
-          .filter(col("inter").cast("double") / (col("n1") + col("n2") - col("inter")) >= 0.8)
+        val pairs = jaccardPairs(docs)
+          .filter(col("jaccard_raw") >= 0.8)
           .select("doc1", "doc2")
         connectedComponents(docs.select("doc_id"), pairs)
           .orderBy("doc_id")
@@ -145,18 +164,8 @@ object DedupOps {
     Q("q41_dedup_word_jaccard",
       (s, d) => {
         val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
-        val w = words(docs)
-        val sizes = w.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val inter = w.withColumnRenamed("doc_id", "doc1")
-          .join(w.withColumnRenamed("doc_id", "doc2")
-            .withColumnRenamed("w", "w2"),
-            col("w") === col("w2") && col("doc1") < col("doc2"))
-          .groupBy("doc1", "doc2").agg(count(lit(1)).as("inter"))
-        inter
-          .join(sizes.select(col("doc_id").as("doc1"), col("n").as("n1")), Seq("doc1"))
-          .join(sizes.select(col("doc_id").as("doc2"), col("n").as("n2")), Seq("doc2"))
-          .withColumn("jaccard", round(col("inter").cast("double") /
-            (col("n1") + col("n2") - col("inter")), 6))
+        jaccardPairs(docs)
+          .withColumn("jaccard", round(col("jaccard_raw"), 6))
           .filter(col("jaccard") >= 0.7)
           .select("doc1", "doc2", "jaccard")
           .orderBy("doc1", "doc2")
@@ -255,7 +264,9 @@ object DedupOps {
     // record-linkage shape the set-based dedups (MinHash q42, SimHash
     // q43) don't cover: near-identical STRINGS (typos, OCR noise, ID
     // transcription errors). Every 10th customer name is PLANTED with a
-    // one-character deletion under +100000; candidate pairs come from a
+    // one-character deletion under +1e8 (beyond any realistic custkey —
+    // +100000 collided with REAL custkeys from sf1 up, duplicating ids
+    // and making the final ORDER BY non-total); candidate pairs come from a
     // BLOCKING key (last 4 name chars — invariant under the planted
     // edit), then only within-block pairs pay the O(len^2) levenshtein,
     // which is a codegen'd built-in. At 100 TB the block join is a
@@ -275,7 +286,7 @@ object DedupOps {
         val base = Tables.customer(s, d)
           .select(col("c_custkey").as("id"), col("c_name").as("name"))
         val typos = base.filter(col("id") % 10 === 0)
-          .select((col("id") + 100000L).as("id"),
+          .select((col("id") + 100000000L).as("id"),
             concat(substring(col("name"), 1, 5),
               col("name").substr(lit(7), length(col("name")))).as("name"))
         val all = graft.operators.Spread.byKey(
@@ -293,7 +304,7 @@ object DedupOps {
       },
       Some("""WITH base AS (SELECT c_custkey AS id, c_name AS name
              |  FROM customer),
-             |typos AS (SELECT id + 100000, substr(name, 1, 5) || substr(name, 7)
+             |typos AS (SELECT id + 100000000, substr(name, 1, 5) || substr(name, 7)
              |  FROM base WHERE id % 10 = 0),
              |al AS (SELECT * FROM base UNION ALL SELECT * FROM typos),
              |pairs AS (SELECT a.id AS id1, b.id AS id2, a.name AS n1, b.name AS n2

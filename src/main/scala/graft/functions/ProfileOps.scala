@@ -133,8 +133,13 @@ object ProfileOps {
               .otherwise(2).as("half"),
             least(floor((col("value") - col("mn")) * 10
               / (col("mx") - col("mn"))).cast("int"), lit(9)).as("bin"))
-        val totals = b.groupBy("half").agg(count(lit(1)).as("n"))
-        val wide = b.groupBy("bin", "half").agg(count(lit(1)).as("c"))
+        // ONE event-scale aggregation: totals derive from the tiny
+        // (bin, half) grid instead of re-scanning + re-binning events
+        // (an uncached `b` feeding two groupBys planned as two
+        // independent full passes)
+        val grid = b.groupBy("bin", "half").agg(count(lit(1)).as("c"))
+        val totals = grid.groupBy("half").agg(sum("c").as("n"))
+        val wide = grid
           .join(broadcast(totals), Seq("half"))
           .groupBy("bin")
           .agg(
@@ -189,7 +194,7 @@ object ProfileOps {
             .select(lit("orders.o_custkey"), col("o_custkey")))
         val cnts = keyed.groupBy("tbl", "k").agg(count(lit(1)).as("cnt"))
         val tot = cnts.groupBy("tbl").agg(sum("cnt").as("total"),
-          count(lit(1)).as("n_keys"), max("cnt").as("max_cnt"))
+          count(lit(1)).as("n_keys"))
         val top = cnts.withColumn("rn", row_number().over(
           Window.partitionBy("tbl").orderBy(col("cnt").desc, col("k"))))
           .filter(col("rn") <= 10)
@@ -206,7 +211,7 @@ object ProfileOps {
         |  UNION ALL SELECT 'orders.o_custkey', o_custkey FROM orders),
         |cnts AS (SELECT tbl, k, count(*) AS cnt FROM pk GROUP BY 1, 2),
         |tot AS (SELECT tbl, CAST(sum(cnt) AS BIGINT) AS total,
-        |    count(*) AS n_keys, max(cnt) AS max_cnt FROM cnts GROUP BY 1),
+        |    count(*) AS n_keys FROM cnts GROUP BY 1),
         |top AS (SELECT tbl, k, cnt,
         |    row_number() OVER (PARTITION BY tbl ORDER BY cnt DESC, k) AS rn
         |  FROM cnts)

@@ -33,6 +33,25 @@ object RelationalOps {
   private def centsSum(c: Column): Column =
     sum(floor(c * 100 + 0.5).cast("long")).cast("double") / 100.0
   /** The DuckDB mirror of [[centsSum]]. */
+  /** Unique scratch dir under ONE per-JVM root that a shutdown hook
+    * deletes whole — queries that materialize side data (q124's nested
+    * parquet, q143/q144's lakes) previously leaked a fresh
+    * createTempDirectory copy per invocation, which a repeated
+    * bench/verify loop accumulates without bound. Per-invocation
+    * uniqueness is kept (suites run queries concurrently), growth is
+    * bounded by one JVM run, and exit reclaims everything.
+    */
+  private lazy val scratchRoot: java.io.File = {
+    val root = java.nio.file.Files.createTempDirectory("graft-scratch").toFile
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() => rm(root)))
+    root
+  }
+  private def scratchDir(name: String): String =
+    java.nio.file.Files.createTempDirectory(scratchRoot.toPath, name).toString
+
   private def centsSumSql(col: String): String =
     s"CAST(SUM(CAST(floor($col * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0"
   private val oDsum = (e: String) => s"CAST(SUM(CAST($e AS DECIMAL(28,6))) AS DOUBLE)"
@@ -64,6 +83,20 @@ object RelationalOps {
         when(col("__cdc_op") === "U", col("__cdc_val")).otherwise(col(valueCol)))
       .drop("__cdc_k", "__cdc_op", "__cdc_val")
   }
+
+  /** Per-user `event_type -> count` MAP column (`by_type`) over users
+    * < 30 — the build step both q123 (typed reads) and q125 (map
+    * transformations) consume; one definition so the deterministic
+    * sorted-entry construction cannot drift between them.
+    */
+  private def userTypeMap(s: SparkSession, d: String):
+      org.apache.spark.sql.DataFrame =
+    Tables.events(s, d).filter(col("user_id") < 30)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("user_id")
+      .agg(map_from_entries(array_sort(collect_list(
+        struct(col("event_type"), col("c"))))).as("by_type"))
 
   def qs: Seq[Q] = Seq(
 
@@ -728,13 +761,7 @@ object RelationalOps {
     // map's content exactly. ----
     Q("q123_map_type",
       (s, d) => {
-        val m = map_from_entries(array_sort(collect_list(
-          struct(col("event_type"), col("c")))))
-        Tables.events(s, d).filter(col("user_id") < 30)
-          .groupBy("user_id", "event_type")
-          .agg(count(lit(1)).as("c"))
-          .groupBy("user_id")
-          .agg(m.as("by_type"))
+        userTypeMap(s, d)
           .select(col("user_id"),
             coalesce(element_at(col("by_type"), "click"), lit(0L))
               .as("n_click"),
@@ -776,8 +803,7 @@ object RelationalOps {
           .withColumn("soa", struct(
             col("items.l_quantity").as("qtys"),
             col("items.l_extendedprice").as("prices")))
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft-nested").toString
+        val dir = scratchDir("q124-nested")
         nested.write.mode("overwrite").parquet(dir)
         s.read.parquet(dir).select(col("l_orderkey"),
             size(col("items")).cast("long").as("n_items"),
@@ -809,13 +835,7 @@ object RelationalOps {
     // pins the transformed map's content exactly. ----
     Q("q125_map_transform",
       (s, d) => {
-        val m = map_from_entries(array_sort(collect_list(
-          struct(col("event_type"), col("c")))))
-        Tables.events(s, d).filter(col("user_id") < 30)
-          .groupBy("user_id", "event_type")
-          .agg(count(lit(1)).as("c"))
-          .groupBy("user_id")
-          .agg(m.as("by_type"))
+        userTypeMap(s, d)
           .select(col("user_id"),
             size(map_keys(col("by_type"))).cast("long").as("n_types"),
             expr("size(map_filter(by_type, (k, v) -> v >= 5))")
@@ -1032,14 +1052,19 @@ object RelationalOps {
 
     // ---- frequent-items sketch: approx_top_k. The column's cardinality
     // (5) is far below maxItemsTracked, so the sketch is EXACT here and the
-    // DuckDB oracle is a plain count — the tie-broken ORDER BY makes the
-    // comparison deterministic either way. At high cardinality the same
-    // query degrades gracefully to approximate counts in bounded memory. ----
+    // DuckDB oracle is a plain count. SELECTION is made deterministic by
+    // asking the sketch for a SUPERSET (k=10) and re-ranking with the
+    // explicit (n DESC, event_type) tie-break before LIMIT 3 — the
+    // sketch's own pick among tied counts is unspecified, and the
+    // oracle's LIMIT is tie-broken, so the selection must be too. At
+    // high cardinality the same query degrades gracefully to approximate
+    // counts in bounded memory (ties inside the superset stay exact). ----
     Q("q78_approx_topk",
       (s, d) => Tables.events(s, d)
-        .select(expr("approx_top_k(event_type, 3)").as("top"))
+        .select(expr("approx_top_k(event_type, 10)").as("top"))
         .select(explode(col("top")).as("e"))
         .select(col("e.item").as("event_type"), col("e.count").as("n"))
+        .orderBy(col("n").desc, col("event_type")).limit(3)
         .orderBy(col("n").desc, col("event_type")),
       Some("""SELECT event_type, COUNT(*) AS n FROM events
              |GROUP BY event_type ORDER BY n DESC, event_type LIMIT 3""".stripMargin),
@@ -1281,8 +1306,7 @@ object RelationalOps {
     // build is part of the measured query, like q135's bucketed write. ----
     Q("q143_lake_change_feed",
       (s, d) => {
-        val dir = java.nio.file.Files.createTempDirectory("graft-cdf")
-          .toString + "/lake"
+        val dir = scratchDir("q143-cdf") + "/lake"
         val base = Tables.orders(s, d).select(col("o_orderkey"),
           col("o_orderpriority"), col("o_totalprice"))
         graft.io.PartitionedLake.write(base, dir, "o_orderpriority")
@@ -1322,8 +1346,7 @@ object RelationalOps {
     // that with the %97∧%101 carve-out). ----
     Q("q144_lake_merge_on_read",
       (s, d) => {
-        val dir = java.nio.file.Files.createTempDirectory("graft-mor")
-          .toString + "/lake"
+        val dir = scratchDir("q144-mor") + "/lake"
         val base = Tables.orders(s, d).select(col("o_orderkey"),
           col("o_orderpriority"), col("o_totalprice"))
         graft.io.PartitionedLake.write(base, dir, "o_orderpriority")
