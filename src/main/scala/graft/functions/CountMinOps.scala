@@ -25,10 +25,18 @@ object CountMinOps {
   val Depth = 3
   val Width = 64
 
+  // reduce() calls bucket() Depth times PER INPUT ROW — the map-side
+  // combine hot path — so the digest instance is thread-local and
+  // reused (digest() resets state); a getInstance per call is a
+  // provider lookup + allocation multiplied by every row that flows in
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** First 4 md5 hex nibbles of "d:v" mod width — portable across engines. */
   def bucket(d: Int, v: String, width: Int = Width): Int = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"$d:$v".getBytes("UTF-8"))
+    val hex = mdLocal.get().digest(s"$d:$v".getBytes("UTF-8"))
     val h16 = ((hex(0) & 0xff) << 8) | (hex(1) & 0xff)
     h16 % width
   }
@@ -63,18 +71,25 @@ object CountMinOps {
   def estimate(m: Seq[Long], v: String, depth: Int = Depth, width: Int = Width): Long =
     (0 until depth).map(d => m(d * width + bucket(d, v, width))).min
 
-  /** The same bucket function as a Catalyst expression over a string col. */
-  def bucketExpr(d: Int, v: Column): Column = {
+  /** The same bucket function as a Catalyst expression over a string
+    * col — `width` MUST match the sketch's build width (the JVM-side
+    * [[bucket]]/[[sketchAggOf]] are width-parameterized; a probe
+    * hard-coded to the default width would silently index the wrong
+    * cells of a custom-width sketch).
+    */
+  def bucketExpr(d: Int, v: Column, width: Int = Width): Column = {
     val hex = md5(concat(lit(s"$d:"), v))
     val nib = (i: Int) =>
       (instr(lit("0123456789abcdef"), substring(hex, i, 1)) - 1)
-    (nib(1) * 4096 + nib(2) * 256 + nib(3) * 16 + nib(4)) % Width
+    (nib(1) * 4096 + nib(2) * 256 + nib(3) * 16 + nib(4)) % width
   }
 
-  /** SQL text of [[bucketExpr]] (valid in DuckDB and Spark SQL). */
-  def bucketSql(d: Int, v: String): String = {
+  /** SQL text of [[bucketExpr]] (valid in DuckDB and Spark SQL); same
+    * width contract as [[bucketExpr]].
+    */
+  def bucketSql(d: Int, v: String, width: Int = Width): String = {
     def nib(i: Int) = s"(instr('0123456789abcdef', substr(md5('$d:' || $v), $i, 1)) - 1)"
-    s"((${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)}) % $Width)"
+    s"((${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)}) % $width)"
   }
 
   def qs: Seq[Q] = Seq(

@@ -67,11 +67,6 @@ object RetrievalOps {
         round(col("s").cast("double"), 6).as("score"), col("rk"))
   }
 
-  /** Per-document unigram-frequency quality signals over (doc_id, text):
-    * mean corpus frequency of the document's tokens and the fraction of
-    * tokens in the corpus top-`topV` vocabulary. Exact integer-sum
-    * ratios — see the q102 docstring.
-    */
   /** Per-doc token/common-hit counts of `toks` (doc_id, tok) against the
     * corpus vocabulary derived from `vocabToks` (tok): output
     * (doc_id, n_tokens, freq_sum, common_hits) where "common" means the
@@ -103,6 +98,11 @@ object RetrievalOps {
         sum(coalesce(col("is_common"), lit(0))).as("common_hits"))
   }
 
+  /** Per-document unigram-frequency quality signals over (doc_id, text):
+    * mean corpus frequency of the document's tokens and the fraction of
+    * tokens in the corpus top-`topV` vocabulary. Exact integer-sum
+    * ratios — see the q102 docstring.
+    */
   def unigramQuality(docs: org.apache.spark.sql.DataFrame, topV: Int = 10)
       : org.apache.spark.sql.DataFrame = {
     // vocabulary pass off the RAW scan (reduce-only — the Spread

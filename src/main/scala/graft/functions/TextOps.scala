@@ -42,6 +42,17 @@ object TextOps {
     trim(regexp_replace(
       translate(lower(c), foldFrom, foldTo), normPattern, " "))
 
+  /** THE exact-dedup fingerprint: md5 of the text lowercased, stripped
+    * to [a-z0-9 ], space-collapsed, trimmed — strip-to-EMPTY, a
+    * deliberately different normalization from [[normalizeText]]'s
+    * strip-to-space. One definition shared by q49 (the standalone
+    * fingerprint query) and q74 (the pipeline's dedup key) so the two
+    * cannot drift; the DuckDB mirrors replicate the same two regexes.
+    */
+  private def contentFingerprint(text: org.apache.spark.sql.Column) =
+    md5(trim(regexp_replace(regexp_replace(lower(text),
+      "[^a-z0-9 ]", ""), " +", " ")))
+
   def qs: Seq[Q] = Seq(
 
     // ---- bigram language-model table: conditional probabilities
@@ -191,8 +202,7 @@ object TextOps {
     Q("q49_text_fingerprint",
       (s, d) => Tables.documents(s, d).select(
         col("doc_id"),
-        md5(trim(regexp_replace(regexp_replace(lower(col("text")),
-          "[^a-z0-9 ]", ""), " +", " "))).as("fingerprint"))
+        contentFingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id,
              |  md5(trim(regexp_replace(regexp_replace(lower(text),
@@ -215,8 +225,7 @@ object TextOps {
           size(filter(words, w => w === "the" || w === "a" || w === "of"))
             .as("stop_hits"),
           size(filter(words, w => w === "the" || w === "a")).as("en_hits"),
-          md5(trim(regexp_replace(regexp_replace(lower(col("text")),
-            "[^a-z0-9 ]", ""), " +", " "))).as("fp"))
+          contentFingerprint(col("text")).as("fp"))
         // first-wins dedup as a hash aggregate (min_by), not a window
         // sort: map-side combine shrinks each fp group before the shuffle
         val kept = scored

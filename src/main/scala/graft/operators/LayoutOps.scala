@@ -69,14 +69,17 @@ object LayoutOps {
     * is defined by the total order alone, so any boundary snapshot
     * yields the same byte-equal result as the window form the oracle
     * runs. Ties with a boundary value all land in one bucket (strict
-    * `>` comparisons), and nulls land in bucket 0, matching null-first
-    * sort order. Contract (checked, not conventional): the leading
-    * order column must be a plain ascending NUMERIC column — a
-    * `desc(...)`/`asc(...)` SortOrder or a non-numeric type fails fast
-    * with the workaround in the message (the bucket comparison and the
-    * quantile sampling are both direction- and type-sensitive, and a
-    * silently wrong tile id is worse than an error). A leading column
-    * with few distinct values (even all-equal — spec-pinned) degrades
+    * comparisons in the sort's direction), and nulls land where the
+    * sort order puts them (bucket 0 under nulls-first, the last bucket
+    * under nulls-last). Contract: the leading order column must be
+    * NUMERIC (checked — the quantile sampling is type-sensitive and a
+    * silently wrong tile id is worse than an error), and may be a bare
+    * column OR any `desc(...)`/`asc_nulls_last(...)`-style SortOrder —
+    * the direction and null ordering are decoded off the sort
+    * expression ([[graft.SparkShims.sortOrderInfo]]) and drive both
+    * the bucket comparisons and the null placement (all four variants
+    * spec-pinned in LayoutAndGraphSpec). A leading column with few
+    * distinct values (even all-equal — spec-pinned) degrades
     * parallelism (buckets collapse), not correctness.
     *
     * Measured vs the RDD zipWithIndex form it replaced (Microbench
