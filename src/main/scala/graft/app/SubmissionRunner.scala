@@ -95,8 +95,17 @@ object SubmissionRunner {
     }
 
     val sheetErrors = perSheet.result()
-    val unioned = sheetErrors.reduceOption(_ unionByName _)
+    val unionedLazy = sheetErrors.reduceOption(_ unionByName _)
       .getOrElse(emptyErrors(spark))
+    // each reconciliation call .count()s a plan embedding the WHOLE
+    // rule pipeline, and the returned result executes it once more —
+    // materialize the (small) error set once instead of paying the
+    // full scan->parse->rule-explode cost up to three times. Only when
+    // a reconciliation will actually run; otherwise stay lazy.
+    val unioned =
+      if (cfg.declaredParticipants.isDefined || cfg.declaredBiospecimens.isDefined)
+        unionedLazy.localCheckpoint()
+      else unionedLazy
 
     val withRecon = {
       var acc = unioned

@@ -1,7 +1,6 @@
 package graft.dispatch
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Cross-sheet referential checks (File_Submission_Object.py:106-127,
@@ -168,24 +167,26 @@ object CrossSheet {
       seqBase: Long): DataFrame = {
     import org.apache.spark.sql.types._
     val spark = errors.sparkSession
-    val ids = owningSheets.flatMap(sheets.get).flatMap { df =>
-      if (df.columns.contains(checkField)) Some(df.select(col(checkField).as("id"))) else None
-    }
-    val erroredPerSheet = owningSheets.map { s =>
-      errors.filter(col("CSV_Sheet_Name") === s && col("Column_Name") === checkField &&
-        col("Row_Index") >= 0).select(col("Column_Value").as("id"))
+    // per-sheet (sheet ids ANTI-JOIN that sheet's errored values). The
+    // sheet side is RENDERED through the cell typing before comparing:
+    // errors carry Column_Value in rendered form ("123456" -> "123456.0"
+    // for a number-shaped cell), and the reference compares CONVERTED
+    // cells on both sides (get_passing_part_ids works on the converted
+    // Data_Table), so a raw-string sheet side would let every errored
+    // number/date-shaped ID slip through the anti-join and count as
+    // passing — and would count "5" and "5.0" as two distinct IDs.
+    val perSheet = owningSheets.flatMap { s =>
+      sheets.get(s).filter(_.columns.contains(checkField)).map { df =>
+        val errIds = errors.filter(col("CSV_Sheet_Name") === s &&
+          col("Column_Name") === checkField && col("Row_Index") >= 0)
+          .select(col("Column_Value").as("id"))
+        df.select(graft.types.CellType.render(col(checkField)).as("id"))
+          .join(errIds, Seq("id"), "left_anti")
+      }
     }
     val passCount =
-      if (ids.isEmpty) 0L
-      else {
-        // per-sheet anti-join (ids minus that sheet's errored values), then distinct
-        val perSheet = owningSheets.zip(erroredPerSheet).flatMap { case (s, errIds) =>
-          sheets.get(s).filter(_.columns.contains(checkField)).map { df =>
-            df.select(col(checkField).as("id")).join(errIds, Seq("id"), "left_anti")
-          }
-        }
-        perSheet.reduce(_ union _).distinct().count()
-      }
+      if (perSheet.isEmpty) 0L
+      else perSheet.reduce(_ union _).distinct().count()
     val (colLabel, noun) =
       if (checkField == "Research_Participant_ID") ("submit_Participant_IDs", "Participat")
       else ("submit_Biospecimen_IDs", "Biospecimen")

@@ -64,6 +64,14 @@ object GraphOps {
 
   /** Fixed-iteration PageRank (damping 0.85) over a directed edge list
     * `(src, dst)`. Returns `(node, pr)` with pr in micro-units.
+    *
+    * PRECONDITION (checked loudly): every node must have both in- and
+    * out-edges — i.e. the src and dst node sets coincide, which the
+    * undirected doublings this operator serves satisfy by construction.
+    * The kernel rebuilds the rank table from RECEIVED contributions
+    * only; on an asymmetric graph a pure source silently vanishes after
+    * one step and a pure sink leaks its mass, so such graphs are
+    * refused rather than answered wrongly.
     */
   def pageRank(edgesIn: DataFrame, iterations: Int,
       prePartition: Boolean = true): DataFrame = {
@@ -98,6 +106,18 @@ object GraphOps {
       .localCheckpoint()
     // one scalar to the driver (node count), as any engine's planner does
     val n = deg.count()
+    // the precondition check costs two node-sized set differences over
+    // the cached edge list — negligible against even one iteration
+    val dsts = edges.select(col("dst").as("node")).distinct()
+      .localCheckpoint()
+    val asym = dsts.except(deg.select("node")).count() +
+      deg.select("node").except(dsts).count()
+    require(asym == 0,
+      s"pageRank requires every node to have both in- and out-edges " +
+        s"($asym nodes violate this): the kernel rebuilds ranks from " +
+        "received contributions only, so sources vanish and sinks leak " +
+        "mass on asymmetric graphs — add reverse edges (undirected " +
+        "doubling) or model dangling mass before calling")
     // re-alias node so pr0 does not expose deg's attribute ids (the
     // first iteration joins pr back to deg — identical ids would trip
     // the ambiguous-self-join check now that no checkpoint re-ids them)

@@ -2,7 +2,6 @@ package graft.rules
 
 import graft.types.CellType
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Python-literal list values, because the reference renders rule parameters
@@ -389,14 +388,19 @@ object RuleEvaluator {
   }
 
   /** check_for_dup_ids (File_Submission_Object.py:181-188): value_counts on
-    * the converted value, count > 1 => one error at Row_Index -3.
+    * the converted value, count > 1 => one error at Row_Index -3. BLANK
+    * values never emit: any later same-column rule's `sort_and_drop`
+    * (keep_blank=False default, File_Submission_Object.py:152-157)
+    * sweeps Column_Value=='' rows for that column off the WHOLE
+    * Error_list, and every ID column carries such rules — so the
+    * reference's net output has no blank dup-ID row.
     */
   def dupIds(sheetName: String, sheet: DataFrame, column: String,
       seqBase: Long): DataFrame =
     graft.operators.Spread.byKey(sheet, col(column))
       .groupBy(CellType.render(col(column)).as("Column_Value"))
       .agg(count(lit(1)).as("n"))
-      .filter(col("n") > 1)
+      .filter(col("n") > 1 && col("Column_Value") =!= "")
       .select(
         lit("Error").as("Message_Type"),
         lit(sheetName).as("CSV_Sheet_Name"),

@@ -34,9 +34,23 @@ object CellType {
     */
   def underscoreGuard(c: Column): Column = c.rlike("^[^_].*_")
 
-  /** The cell's numeric value, or null if it isn't a number (guard applied). */
-  def asNumber(c: Column): Column =
-    when(!underscoreGuard(c), c.try_cast(DoubleType))
+  /** The cell's numeric value, or null if it isn't a number (guard applied).
+    *
+    * Spark's string->double cast is MORE permissive than the reference's
+    * Python `float()`: Java-style type suffixes ("1d", "2.5f") and
+    * hex-float literals ("0x1.8p1") parse here but raise there — both
+    * shapes are gated out. "inf"/"Infinity"/"nan" are accepted by BOTH
+    * engines (and by DuckDB's TRY_CAST), so the trailing-[df] guard
+    * only fires when the PREFIX is itself numeric ("inf" survives,
+    * "1e3f" does not).
+    */
+  def asNumber(c: Column): Column = {
+    val t = trim(c)
+    val javaOnly = t.rlike("(?i)^[+-]?0x") ||
+      (t.rlike("(?i)[df]$") &&
+        t.substr(lit(1), length(t) - 1).try_cast(DoubleType).isNotNull)
+    when(!underscoreGuard(c) && !javaOnly, c.try_cast(DoubleType))
+  }
 
   def isNumber(c: Column): Column = asNumber(c).isNotNull
 
@@ -97,10 +111,12 @@ object CellType {
       case (m, i) => m -> (i + 1)
     } ++ Seq("january", "february", "march", "april", "may", "june", "july",
       "august", "september", "october", "november", "december")
-      .zipWithIndex.map { case (m, i) => m -> (i + 1) }).distinct
+      .zipWithIndex.map { case (m, i) => m -> (i + 1) }
+      :+ ("sept" -> 9)).distinct
 
-  /** Lowercase month token -> 1..12, null otherwise (dateutil recognises
-    * exactly full English names and 3-letter abbreviations).
+  /** Lowercase month token -> 1..12, null otherwise (dateutil's
+    * parserinfo recognises full English names, 3-letter abbreviations,
+    * and the one 4-letter extra "Sept").
     */
   private def monthFromToken(tok: Column): Column =
     element_at(

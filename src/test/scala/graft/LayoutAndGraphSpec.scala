@@ -124,6 +124,15 @@ class LayoutAndGraphSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("pagerank refuses asymmetric graphs loudly (sources vanish, sinks leak mass)") {
+    import spark.implicits._
+    val directed = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst") // 1 is a source, 3 a sink
+    val e = intercept[IllegalArgumentException] {
+      GraphOps.pageRank(directed, 2)
+    }
+    assert(e.getMessage.contains("in- and out-edges"), e.getMessage)
+  }
+
   test("pagerank: center of a path ranks highest, mass is conserved") {
     import spark.implicits._
     val pairs = Seq("A" -> "B", "B" -> "C") // path A - B - C

@@ -39,8 +39,19 @@ class CellTypeSpec extends AnyFunSuite {
     assert(got("_5") == "string")
   }
 
+  test("Java-only float literals are strings (reference float() rejects them); inf/nan match both engines") {
+    val got = classify(Seq("1d", "2.5f", "1e3F", "0x1.8p1", "0X2", // Java-only -> string
+      "inf", "Infinity", "NaN",                                    // both engines accept
+      "grand", "leaf"))                                            // word endings unaffected
+    Seq("1d", "2.5f", "1e3F", "0x1.8p1", "0X2").foreach(v =>
+      assert(got(v) == "string", v))
+    Seq("inf", "Infinity", "NaN").foreach(v => assert(got(v) == "number", v))
+    Seq("grand", "leaf").foreach(v => assert(got(v) == "string", v))
+  }
+
   test("dateutil-permissive forms: month names, ordinals, 2-digit years") {
     val got = classify(Seq(
+      "Sept 3, 2021",  // the one 4-letter abbreviation in dateutil's parserinfo
       "Jan 3, 2021", "january 3 2021", "JAN. 3rd, 2021",  // month-first
       "3 Jan 2021", "3-Jan-21", "3rd january, 1999",       // day-first
       "1/3/21", "1/3/76", "1/3/75",                        // M/d/yy (pivot)
@@ -49,7 +60,7 @@ class CellTypeSpec extends AnyFunSuite {
       "Feb 31, 2021",  // illegal day-of-month
       "20210103"       // digit-only: float() wins in the reference too
     ))
-    Seq("Jan 3, 2021", "january 3 2021", "JAN. 3rd, 2021",
+    Seq("Sept 3, 2021", "Jan 3, 2021", "january 3 2021", "JAN. 3rd, 2021",
       "3 Jan 2021", "3-Jan-21", "3rd january, 1999",
       "1/3/21", "1/3/76", "1/3/75")
       .foreach(v => assert(got(v) == "datetime", v))
@@ -199,6 +210,36 @@ class ChecksSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(
       (-3L, "14_1", "Id is repeated 2 times, Multiple repeats are not allowed"),
       (-3L, "5.0", "Id is repeated 2 times, Multiple repeats are not allowed")))
+  }
+
+  test("dup ids: blank values never emit (the reference's sort_and_drop sweeps them)") {
+    val df = sheet("Aliquot_ID", "", "", "", "14_1", "14_1")
+    val got = RuleEvaluator.dupIds("t.csv", df, "Aliquot_ID", 0).collect()
+      .map(_.getAs[String]("Column_Value")).toSeq
+    assert(got == Seq("14_1"), s"blank dup-ID row must not emit: $got")
+  }
+
+  test("passing-ID reconciliation compares RENDERED values (errored number-shaped IDs are not counted passing)") {
+    import spark.implicits._
+    val demo = Seq("123456", "999999", "14_1").toDF("Research_Participant_ID")
+    val errors = Seq(("Error", "demographic.csv", 2L, "Research_Participant_ID",
+      "123456.0", "ID is Not Valid Format, Expecting XX_XXXXXX", 0L))
+      .toDF("Message_Type", "CSV_Sheet_Name", "Row_Index", "Column_Name",
+        "Column_Value", "Error_Message", "rule_seq")
+    // "123456" errored (stored rendered as 123456.0): only 999999 and
+    // 14_1 pass -> declared 3 mismatches and reports passCount 2
+    val out = graft.dispatch.CrossSheet.passingIdReconciliation(
+      "Research_Participant_ID", Seq("demographic.csv"),
+      Map("demographic.csv" -> demo), errors, declaredCount = 3L,
+      seqBase = 99L).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("Error_Message") ==
+      "After validation only 2 Participat IDS are valid")
+    // declared == the true pass count -> silent
+    assert(graft.dispatch.CrossSheet.passingIdReconciliation(
+      "Research_Participant_ID", Seq("demographic.csv"),
+      Map("demographic.csv" -> demo), errors, declaredCount = 2L,
+      seqBase = 99L).collect().isEmpty)
   }
 
   test("missing values: SARS-conditional severity") {
