@@ -43,7 +43,14 @@ object MergeTables {
       fallback: String => Option[DataFrame] = _ => None): Option[DataFrame] =
     mergeCols.get(name).filter(_.nonEmpty).flatMap { cols =>
       sheets.get(name) match {
-        case Some(df) => Some(df.select(cols.head, cols.tail: _*))
+        // a submitted context sheet MISSING one of its key columns (the
+        // malformed-input case the column-name check reports) must not
+        // crash every OTHER sheet's merge with UNRESOLVED_COLUMN — skip
+        // the context instead; the missing-column error still surfaces
+        // on the context sheet itself
+        case Some(df) if cols.forall(df.columns.contains) =>
+          Some(df.select(cols.head, cols.tail: _*))
+        case Some(_) => None
         case None => fallback(name)
       }
     }
@@ -59,7 +66,19 @@ object MergeTables {
     def join(df: DataFrame, ctxName: String, on: Seq[String]): DataFrame =
       slice(sheets, ctxName, fallback) match {
         case Some(ctx) if on.forall(df.columns.contains) =>
-          df.join(broadcast(ctx), on, "left")
+          // a submitter who denormalizes (ships a context column like
+          // Biospecimen_Type inside the data sheet too) must not crash
+          // rule evaluation with AMBIGUOUS_REFERENCE: the data sheet's
+          // OWN column wins and the context's copy is not borrowed.
+          // (pandas suffixes both copies _x/_y there, after which the
+          // reference's rules find NEITHER name — its net effect is
+          // also "the borrowed copy does not surface"; ours keeps the
+          // submitted cells validatable, strictly more useful.)
+          val dup = ctx.columns.toSet.intersect(df.columns.toSet) -- on
+          val pruned = dup.foldLeft(ctx)((c, d) => c.drop(d))
+          if (pruned.columns.length > on.length)
+            df.join(broadcast(pruned), on, "left")
+          else df
         case _ => df
       }
     val merged = fileName match {

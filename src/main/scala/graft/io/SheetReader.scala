@@ -27,6 +27,12 @@ object SheetReader {
       // RFC-4180 doubled-quote escaping (pandas default); Spark's default
       // escape is backslash, which mis-parses `"he said ""hi"""`
       .option("escape", "\"")
+      // pandas parses quoted cells with EMBEDDED NEWLINES by default;
+      // without multiLine Spark splits such a cell into extra malformed
+      // rows and shifts every later Row_Index. Cost: a multiLine CSV
+      // scan is not split across tasks — the right trade for
+      // submission-sized sheets (the corpus-scale paths read parquet)
+      .option("multiLine", "true")
       .csv(path)
 
   def read(spark: SparkSession, path: String): DataFrame =
@@ -50,19 +56,30 @@ object SheetReader {
       // job (zipWithIndex's partition-size pass — zero when the union has
       // <= 1 partition), same contract as every other builder here.
       val dfs = paths.map(p => clean(rawCsv(spark, p)))
-      val order = dfs.head.columns.toIndexedSeq
+      // schema drift across parts: pd.concat unions the columns and
+      // continues (missing cells become NaN floats in the reference —
+      // which its dynamic typing then treats as NUMBERS, a pathology).
+      // Fix-over-replicate: union by name in first-file column order
+      // plus later files' extras, missing cells as '' — the reader's
+      // uniform blank convention, so missing-value rules see them as
+      // missing instead of NaN numbers.
+      val order = dfs.foldLeft(Vector.empty[String]) { (acc, df) =>
+        acc ++ df.columns.filterNot(acc.contains)
+      }
       val aligned = dfs.map { df =>
-        require(df.columns.sorted.sameElements(order.sorted),
-          s"multi-file sheet schemas differ: ${order.mkString(",")} vs " +
-            df.columns.mkString(","))
-        df.select(order.map(col): _*)
+        df.select(order.map(c =>
+          if (df.columns.contains(c)) col(c) else lit("").as(c)): _*)
       }
       Some(indexRows(spark, aligned.map(_.rdd).reduce(_ union _),
         aligned.head.schema))
     }
 
   /** Drop pandas-style unnamed columns: blank headers surface as `_cN` in
-    * Spark and `Unnamed: N` in pandas.
+    * Spark and `Unnamed: N` in pandas. The PREFIX match is deliberate
+    * fidelity: the reference drops `columns.str.startswith('Unnamed')`
+    * (File_Submission_Object.py:44), so a user column literally named
+    * "Unnamed_Comments" is dropped THERE too — replicated quirk, not a
+    * bug.
     */
   def clean(df: DataFrame): DataFrame = {
     val kept = df.columns.filterNot(c =>
@@ -118,10 +135,16 @@ object ErrorWriter {
   def write(errors: DataFrame, outDir: String,
       gzip: Boolean = false): Seq[(String, Long)] = {
     import org.apache.spark.sql.functions.col
-    val sheets = errors.select("CSV_Sheet_Name").distinct()
+    // the incoming frame is usually the WHOLE lazy scan->parse->rule
+    // pipeline; materialize it once — the loop below otherwise
+    // re-executes it 2N+1 times (sheet listing, then count + write per
+    // sheet). Error sets are small (rule output), so the checkpoint is
+    // cheap and lineage-free.
+    val pinned = errors.localCheckpoint()
+    val sheets = pinned.select("CSV_Sheet_Name").distinct()
       .collect().map(_.getString(0)).sorted.toIndexedSeq
     sheets.map { name =>
-      val curr = errors.filter(col("CSV_Sheet_Name") === name)
+      val curr = pinned.filter(col("CSV_Sheet_Name") === name)
         .orderBy("Row_Index")
         .select(graft.core.ValidationError.columns.map(col): _*)
       val fileName = name.replace(".csv", "_Errors.csv")

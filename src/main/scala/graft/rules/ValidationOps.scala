@@ -19,8 +19,9 @@ import java.time.LocalDate
   */
 object ValidationOps {
 
-  private val errCols = Seq("Message_Type", "CSV_Sheet_Name", "Row_Index",
-    "Column_Name", "Column_Value", "Error_Message")
+  // the ONE error schema, shared with ErrorWriter — not a private copy
+  // that could silently drift
+  private val errCols = graft.core.ValidationError.columns
 
   /** Spread the RAW table before sheet construction: the harness tables are
     * single-row-group parquet (one scan split), so without this every

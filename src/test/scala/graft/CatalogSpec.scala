@@ -90,6 +90,63 @@ class CatalogSpec extends AnyFunSuite {
     assert(SheetReader.readMany(spark, Seq.empty).isEmpty)
   }
 
+  test("quoted cells with EMBEDDED NEWLINES stay one row; Row_Index does not shift") {
+    val dir = Files.createTempDirectory("graft-nl").toString
+    Files.writeString(Paths.get(dir, "nl.csv"),
+      "A,B\n\"From Medical\nRecord\",one\nplain,two\n")
+    val df = SheetReader.read(spark, s"$dir/nl.csv").orderBy("Row_Index")
+    val rows = df.collect().map(r => (r.getAs[Long]("Row_Index"),
+      r.getAs[String]("A"), r.getAs[String]("B")))
+    // pandas parses the quoted newline as one cell by default; the
+    // second data row must keep its correct index
+    assert(rows.toSeq == Seq((2L, "From Medical\nRecord", "one"),
+      (3L, "plain", "two")))
+  }
+
+  test("readMany unions drifted schemas with '' fill (pd.concat continues; a crash would abort the run)") {
+    val dir = Files.createTempDirectory("graft-drift").toString
+    Files.writeString(Paths.get(dir, "a.csv"), "X,Y\n1,y1\n")
+    Files.writeString(Paths.get(dir, "b.csv"), "X,Z\n2,z2\n")
+    val df = SheetReader.readMany(spark,
+      Seq(s"$dir/a.csv", s"$dir/b.csv")).get.orderBy("Row_Index")
+    assert(df.columns.toSeq == Seq("X", "Y", "Z", "Row_Index"))
+    val rows = df.collect().map(r => (r.getAs[String]("X"),
+      r.getAs[String]("Y"), r.getAs[String]("Z")))
+    // missing cells land as '' — the reader's blank convention, so
+    // missing-value rules treat them as missing (the reference's NaN
+    // floats would mis-classify as numbers; fix-over-replicate)
+    assert(rows.toSeq == Seq(("1", "y1", ""), ("2", "", "z2")))
+  }
+
+  test("merge survives malformed context sheets: missing key column skips the borrow; a denormalized duplicate keeps the data sheet's own column") {
+    import graft.dispatch.MergeTables
+    // biospecimen.csv missing its Biospecimen_Type key column: slicing
+    // it for aliquot's merge must skip, not crash with UNRESOLVED_COLUMN
+    val badBio = SheetReader.fromRows(spark,
+      Seq("Research_Participant_ID", "Biospecimen_ID"),
+      Seq(Seq("14_123456", "14_123456_001")))
+    val aliquot = SheetReader.fromRows(spark,
+      Seq("Aliquot_ID", "Biospecimen_ID"),
+      Seq(Seq("14_123456_001_01", "14_123456_001")))
+    val (m1, drop1) = MergeTables.merge("aliquot.csv", aliquot,
+      Map("biospecimen.csv" -> badBio))
+    assert(m1.columns.toSet == aliquot.columns.toSet && drop1.isEmpty)
+    assert(m1.count() == 1)
+    // equipment.csv shipping its OWN Biospecimen_Type column: the
+    // borrowed copy must not collide (AMBIGUOUS_REFERENCE) — the data
+    // sheet's own cells stay validatable under the plain name
+    val bio = SheetReader.fromRows(spark,
+      Seq("Research_Participant_ID", "Biospecimen_ID", "Biospecimen_Type"),
+      Seq(Seq("14_123456", "14_123456_001", "Serum")))
+    val equip = SheetReader.fromRows(spark,
+      Seq("Equipment_ID", "Biospecimen_ID", "Biospecimen_Type"),
+      Seq(Seq("E1", "14_123456_001", "Plasma")))
+    val (m2, _) = MergeTables.merge("equipment.csv", equip,
+      Map("biospecimen.csv" -> bio))
+    val got = m2.select("Biospecimen_Type").collect().map(_.getString(0))
+    assert(got.toSeq == Seq("Plasma"), "data sheet's own column must win")
+  }
+
   test("SheetReader handles quoted fields with embedded commas and quotes") {
     val dir = Files.createTempDirectory("graft-quote").toString
     Files.writeString(Paths.get(dir, "q.csv"),
