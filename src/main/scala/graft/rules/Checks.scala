@@ -396,11 +396,17 @@ object RuleEvaluator {
     * reference's net output has no blank dup-ID row.
     */
   def dupIds(sheetName: String, sheet: DataFrame, column: String,
-      seqBase: Long): DataFrame =
+      seqBase: Long): DataFrame = {
+    // blank exclusion runs on the RAW cell before the aggregate: only a
+    // raw '' renders to '' (numbers render as floats, dates as
+    // timestamps, strings as-is), and a post-aggregate predicate on the
+    // rendered KEY would be pushed below the groupBy by Catalyst,
+    // re-evaluating the whole render tree once more per input row
     graft.operators.Spread.byKey(sheet, col(column))
+      .filter(col(column) =!= "")
       .groupBy(CellType.render(col(column)).as("Column_Value"))
       .agg(count(lit(1)).as("n"))
-      .filter(col("n") > 1 && col("Column_Value") =!= "")
+      .filter(col("n") > 1)
       .select(
         lit("Error").as("Message_Type"),
         lit(sheetName).as("CSV_Sheet_Name"),
@@ -410,6 +416,7 @@ object RuleEvaluator {
         concat(lit("Id is repeated "), col("n").cast("string"),
           lit(" times, Multiple repeats are not allowed")).as("Error_Message"),
         lit(seqBase).as("rule_seq"))
+  }
 
   /** sort_and_drop's dedup (File_Submission_Object.py:153): keep the FIRST
     * emission per (Row_Index, Column_Name, Column_Value) across the whole

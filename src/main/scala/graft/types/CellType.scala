@@ -45,11 +45,22 @@ object CellType {
     * "1e3f" does not).
     */
   def asNumber(c: Column): Column = {
+    val v = c.try_cast(DoubleType)
     val t = trim(c)
-    val javaOnly = t.rlike("(?i)^[+-]?0x") ||
-      (t.rlike("(?i)[df]$") &&
+    // the guard stays regex-free: numeric columns hit this per CELL, and
+    // an all-number column (the common ID/measure shape) would pay two
+    // regex engines per row. Cheap char probes rule out the only two
+    // Java-only shapes — a [dDfF] SUFFIX ("1d", "2.5f"; "inf"/"NaN"
+    // survive because their prefix is not numeric) and a 0x/0X hex
+    // prefix — and the cast verdict short-circuits everything for
+    // non-numeric cells
+    val lastCh = upper(substring(t, -1, 1))
+    val javaOnly =
+      upper(substring(t, 1, 2)) === "0X" ||
+      upper(substring(t, 2, 2)) === "0X" ||
+      ((lastCh === "D" || lastCh === "F") &&
         t.substr(lit(1), length(t) - 1).try_cast(DoubleType).isNotNull)
-    when(!underscoreGuard(c) && !javaOnly, c.try_cast(DoubleType))
+    when(!underscoreGuard(c) && !javaOnly, v)
   }
 
   def isNumber(c: Column): Column = asNumber(c).isNotNull
