@@ -12,6 +12,13 @@ import org.apache.spark.sql.DataFrame
   * *Warning* count — always "(0)" for clean sheets — exactly like the
   * reference's populate_slack_string(query "Error == 0 and Warning == 0",
   * table_col "Warning").
+  *
+  * Replicated quirk 2: `isFailure` fires on WARNINGS too. The
+  * reference routes on `total_errors = len(Error_list)`
+  * (nci-seronet-data-validator.py:240) and Error_list holds every
+  * message regardless of Message_Type — so a warnings-only submission
+  * goes to the FAILURE channel. `counts.values.sum` reproduces that
+  * deliberately; do not "fix" it to Error-only counts.
   */
 object SummaryFormatter {
 

@@ -987,8 +987,8 @@ object PartitionedLake {
     * the snapshot column order plus [[MorOpCol]] (partition values come
     * from the directory structure via basePath, exactly like data files).
     */
-  private def deltaScan(spark: SparkSession, path: String, m: Manifest,
-      partitionCols: Seq[String]): DataFrame = {
+  private def deltaScan(spark: SparkSession, path: String,
+      m: Manifest): DataFrame = {
     val deltaFiles = m.deltas.toSeq.flatMap { case (d, names) =>
       names.map(n => s"$path/$d/$n")
     }
@@ -998,11 +998,14 @@ object PartitionedLake {
         org.apache.spark.sql.types.StringType))
     if (deltaFiles.isEmpty)
       return spark.createDataFrame(new java.util.ArrayList[Row](), fullSchema)
-    val fileSchema = StructType(
-      m.schema.fields.filterNot(f => partitionCols.contains(f.name)) :+
-        org.apache.spark.sql.types.StructField(MorOpCol,
-          org.apache.spark.sql.types.StringType))
-    spark.read.schema(fileSchema).option("basePath", path)
+    // the FULL schema (partition columns included), exactly like
+    // [[filesFrame]]: declared partition columns pin the directory
+    // values to the snapshot types. Omitting them would let Spark
+    // INFER types from dir names — a string partition value like
+    // '07' would surface as int 7, diverge from the base scan under
+    // frameFor's unionByName, and poison every MOR read and the next
+    // compact()'s partition-path round-trip.
+    spark.read.schema(fullSchema).option("basePath", path)
       .parquet(deltaFiles: _*)
       .select(outOrder.map(col).toIndexedSeq: _*)
   }
@@ -1018,7 +1021,7 @@ object PartitionedLake {
       m.files.view.filterKeys(d => !m.deltas.contains(d)).toMap)
     val dirty = filesFrame(spark, path, m.schema,
       m.files.view.filterKeys(m.deltas.contains).toMap)
-    val delta = deltaScan(spark, path, m, partitionCols)
+    val delta = deltaScan(spark, path, m)
     val ident = partitionCols :+ key
     val identCond = ident.map(c => dirty(c) <=> delta(c)).reduce(_ && _)
     val survivors = dirty.join(
@@ -1184,8 +1187,13 @@ object PartitionedLake {
     *    commit therefore yields ZERO changes.
     *
     * `keyCols` is the row identity within a partition — the same
-    * `(partition cols..., key)` contract as [[upsert]]; null-safe
-    * equality, must be unique per side or the join multiplies. Output
+    * `(partition cols..., key)` contract as [[upsert]]: partition
+    * columns are ALWAYS part of the match (added here if the caller
+    * left them out, exactly like upsert adds them), so a key value
+    * reused across two rewritten partitions can never cross-match
+    * into bogus update pairs claiming rows moved between partitions.
+    * Null-safe equality, must be unique per side or the join
+    * multiplies. Output
     * columns are `toVersion`'s schema (pre-images of since-dropped
     * columns surface as null) plus `_change_type`. Both versions must
     * still be resolvable (not vacuumed).
@@ -1222,13 +1230,20 @@ object PartitionedLake {
     val deletes = align(scoped(m1, d1 -- d2)).withColumn(ct, lit("delete"))
     val o = align(scoped(m1, rewritten))
     val n = scoped(m2, rewritten)
-    val valueCols = out.fieldNames.filterNot(keyCols.contains)
+    // partition columns are implicitly part of the row identity
+    // (dirs exist on at least one side whenever `rewritten` is
+    // non-empty; both empty -> no classify join happens anyway)
+    val idCols = ((d2 ++ d1).headOption.toSeq
+      .flatMap(_.split('/').toSeq.map(level =>
+        ExternalCatalogUtils.unescapePathName(level.takeWhile(_ != '='))))
+      ++ keyCols).distinct
+    val valueCols = out.fieldNames.filterNot(idCols.contains)
     val oKeyed = o.select(
-      (keyCols.map(c => col(c).as(s"__o_$c")) ++
+      (idCols.map(c => col(c).as(s"__o_$c")) ++
         valueCols.map(c => col(c).as(s"__o_$c")) :+
         lit(true).as("__o_present")).toIndexedSeq: _*)
     val nKeyed = n.withColumn("__n_present", lit(true))
-    val cond = keyCols.map(c => nKeyed(c) <=> oKeyed(s"__o_$c"))
+    val cond = idCols.map(c => nKeyed(c) <=> oKeyed(s"__o_$c"))
       .reduceOption(_ && _).getOrElse(lit(true))
     val j = nKeyed.join(oKeyed, cond, "full_outer")
     def rowStruct(side: String => Column, tag: String): Column =
@@ -1838,7 +1853,7 @@ object PartitionedLake {
     // (scoped to touched partitions) plus ops that APPLIED (identity
     // existed in the current view — 'U' on an absent key is ignored,
     // matching cdcApply)
-    val oldIds = deltaScan(spark, path, m, partitionCols)
+    val oldIds = deltaScan(spark, path, m)
       .filter(touched).select(ident.map(col).toIndexedSeq: _*)
     val pAliases = partitionCols.indices.map(i => s"__cdc_p$i")
     val opIds = latest.select((pAliases.zip(partitionCols).map {

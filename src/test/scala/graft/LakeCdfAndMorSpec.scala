@@ -254,6 +254,25 @@ class LakeMorSpec extends AnyFunSuite {
     assert(state(path) === Set((3L, "p2", 33.0)))
   }
 
+  test("MOR read pins partition-column types from the manifest schema, not dir-name inference") {
+    // partition values that Spark's partition-type inference would turn
+    // into int (and '07' -> 7 loses the leading zero): the delta scan
+    // must declare partition columns like the base scan does, or updated
+    // rows come back with a mutated partition value and the next
+    // compact() aborts on the diverged partition path
+    val path = java.nio.file.Files.createTempDirectory("graft-mor-ptype").toString + "/lake"
+    PartitionedLake.write(Seq((1L, "07", 10.0), (2L, "12", 20.0))
+      .toDF("k", "part", "bal"), path, "part")
+    PartitionedLake.cdcSinkMergeOnRead(spark, path, "part", "k", "bal",
+      Seq((1L, "07", 1L, "U", 11.0)).toDF("k", "part", "seq", "op", "val"))
+    val read = PartitionedLake.read(spark, path)
+    assert(read.schema("part").dataType ===
+      org.apache.spark.sql.types.StringType)
+    assert(state(path) === Set((1L, "07", 11.0), (2L, "12", 20.0)))
+    PartitionedLake.compact(spark, path)
+    assert(state(path) === Set((1L, "07", 11.0), (2L, "12", 20.0)))
+  }
+
   test("compact materializes deltas away; vacuum reclaims the superseded sidecars") {
     val path = java.nio.file.Files.createTempDirectory("graft-mor2").toString + "/lake"
     PartitionedLake.write(Seq((1L, "p1", 10.0), (2L, "p1", 20.0))
