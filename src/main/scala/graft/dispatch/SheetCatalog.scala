@@ -70,9 +70,24 @@ object SheetCatalog {
         rules ++= Checks.missing(h, required)
       }
     }
+    val assembled = rules.result()
+    val dupColumns = dupCols.result()
+    // Checks.dupIds suppresses BLANK-valued duplicates on the claim that
+    // a later same-column rule's sort_and_drop (keepBlank=false) sweeps
+    // Column_Value=='' rows for that column off the whole error list —
+    // a CROSS-RULE assumption about the assembled set, enforced here so
+    // a future rule-config change that leaves a dup-checked column
+    // without such a rule fails loudly instead of silently diverging
+    // from the reference (which emits the blank-dup error).
+    dupColumns.foreach { c =>
+      require(assembled.exists(r => r.column == c && !r.keepBlank),
+        s"dup-ID column '$c' has no same-column keepBlank=false rule: " +
+          "Checks.dupIds' blank suppression would diverge from the " +
+          "reference for this sheet (see the dupIds scaladoc)")
+    }
     SheetPlan(
-      rowRules = rules.result(),
-      dupIdColumns = dupCols.result(),
+      rowRules = assembled,
+      dupIdColumns = dupColumns,
       contributesPartList = columns.contains("Research_Participant_ID") &&
         !dropList.contains("Research_Participant_ID"),
       contributesBioList = columns.contains("Biospecimen_ID") &&

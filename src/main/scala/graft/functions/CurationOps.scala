@@ -157,12 +157,19 @@ object CurationOps {
     registerBloom(s)
     val view = s"graft_eval_grams_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     ngrams(evalDocs, n).select("g").distinct().createOrReplaceTempView(view)
-    val hit = expr(s"graft_bloom_contains((SELECT graft_bloom_agg(" +
-      s"xxhash64(g), ${expectedItems}L, ${numBits}L) FROM $view), xxhash64(g))")
-    ngrams(corpus, n).select(col("doc_id"), hit.as("hit"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("hit"), 1L).otherwise(0L)).as("leaked_grams"))
+    // Dataset construction analyzes eagerly, so the scalar subquery
+    // resolves the view into the plan right here — drop the view before
+    // returning (a long-lived session calling this in a loop would
+    // otherwise accumulate catalog entries without bound); the returned
+    // frame keeps its resolved subplan and never re-looks the name up
+    try {
+      val hit = expr(s"graft_bloom_contains((SELECT graft_bloom_agg(" +
+        s"xxhash64(g), ${expectedItems}L, ${numBits}L) FROM $view), xxhash64(g))")
+      ngrams(corpus, n).select(col("doc_id"), hit.as("hit"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("hit"), 1L).otherwise(0L)).as("leaked_grams"))
+    } finally s.catalog.dropTempView(view)
   }
 
   /** Highest multiplicity of any element of a string array, as

@@ -6,29 +6,92 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media payloads ride as opaque `binary`
   * columns with typed metadata extracted by a batch decode step.
   *
-  * The decode itself is a clearly-marked STUB (no image/audio codecs in
-  * this environment): [[MultimodalOps.decodeStub]] derives deterministic
-  * fake dimensions from the payload bytes. Everything AROUND the stub is
-  * the real production shape — binary column, typed Dataset, mapPartitions
-  * batch processing (the Scala analogue of mapInPandas: amortize per-batch
-  * codec setup across a partition), and a parquet-friendly metadata struct.
+  * The decode seam is REAL for images: [[decodeMedia]] routes payloads
+  * carrying a known image signature through the JDK's built-in codecs
+  * (`javax.imageio` — PNG, JPEG, GIF, BMP; no external dependency) and
+  * reads TRUE pixel dimensions from the image header without a full
+  * pixel decode. Payloads of any other format (video, audio, plain
+  * text standing in for media in the test tables) fall back to
+  * [[decodeStub]], which derives deterministic fake dimensions from
+  * the byte length — the clearly-marked stub for codecs this
+  * environment does not ship. Everything around the seam is the
+  * production shape — binary column, typed Dataset, mapPartitions
+  * batch processing (the Scala analogue of mapInPandas: amortize
+  * per-batch codec setup across a partition), and a parquet-friendly
+  * metadata struct.
   */
 object MultimodalOps {
 
   final case class Blob(doc_id: Long, payload: Array[Byte])
-  final case class MediaMeta(doc_id: Long, n_bytes: Long, fake_width: Long,
-      fake_height: Long, fingerprint: String)
 
-  /** STUB decode: stands in for an image/audio decoder. Deterministic on
-    * the payload bytes so results are oracle-checkable; swap the body for a
-    * real codec (e.g. javax.imageio) without touching the pipeline shape.
+  /** `width`/`height` are TRUE pixel dimensions when the payload decoded
+    * through a real codec ([[decodeImage]], `codec` = the ImageIO format
+    * name); deterministic byte-length-derived fakes under the stub
+    * (`codec` = "stub").
+    */
+  final case class MediaMeta(doc_id: Long, n_bytes: Long, width: Long,
+      height: Long, codec: String, fingerprint: String)
+
+  private def md5Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).map("%02x".format(_)).mkString
+
+  /** STUB decode: stands in for the codecs this environment lacks
+    * (video/audio). Deterministic on the payload bytes so results are
+    * oracle-checkable.
     */
   def decodeStub(b: Blob): MediaMeta = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(b.payload).map("%02x".format(_)).mkString
     val n = b.payload.length.toLong
-    MediaMeta(b.doc_id, n, n % 1024, (n * 7) % 768, hex)
+    MediaMeta(b.doc_id, n, n % 1024, (n * 7) % 768, "stub", md5Hex(b.payload))
   }
+
+  /** Cheap signature sniff so the per-row hot path never constructs an
+    * ImageIO stream for the overwhelmingly-common non-image payload:
+    * PNG (PNG), JPEG (FF D8 FF), GIF (GIF8), BMP (BM).
+    */
+  private def looksLikeImage(p: Array[Byte]): Boolean = p.length >= 4 && (
+    (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+    (p(0) == 0xFF.toByte && p(1) == 0xD8.toByte && p(2) == 0xFF.toByte) ||
+    (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') ||
+    (p(0) == 'B' && p(1) == 'M'))
+
+  /** REAL image decode through `javax.imageio` (JDK built-in — PNG,
+    * JPEG, GIF, BMP): true pixel dimensions read from the image HEADER
+    * (`ImageReader.getWidth/getHeight` parse metadata only — no pixel
+    * decode, so a 50 MB JPEG costs a header read, the right cost model
+    * for a 100 TB metadata-extraction pass). None when the payload is
+    * not a decodable image (wrong format, or a truncated/corrupt header)
+    * — the caller falls back to the stub rather than failing the batch.
+    */
+  def decodeImage(b: Blob): Option[MediaMeta] = {
+    if (!looksLikeImage(b.payload)) return None
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(b.payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(in)
+          Some(MediaMeta(b.doc_id, b.payload.length.toLong,
+            r.getWidth(0).toLong, r.getHeight(0).toLong,
+            r.getFormatName.toLowerCase, md5Hex(b.payload)))
+        } catch {
+          // a signature match with a corrupt header must not fail the
+          // whole partition — degrade to the stub path
+          case _: java.io.IOException => None
+        } finally r.dispose()
+      }
+    } finally in.close()
+  }
+
+  /** The production decode: real codec when the payload is an image,
+    * stub otherwise. This is the function pipelines map — swapping in
+    * further codecs (audio, video) means widening [[decodeImage]]'s
+    * dispatch, never touching the pipeline shape around it.
+    */
+  def decodeMedia(b: Blob): MediaMeta = decodeImage(b).getOrElse(decodeStub(b))
 
   final case class FrameMeta(doc_id: Long, frame_idx: Long, n_chars: Long,
       fingerprint: String)
@@ -47,11 +110,12 @@ object MultimodalOps {
     }
   }
 
-  /** STUB resize: target dims preserving aspect ratio under a max edge —
-    * the metadata contract of an image-resize stage, minus the codec.
+  /** Resize metadata: target dims preserving aspect ratio under a max
+    * edge — the metadata contract of an image-resize stage. Operates on
+    * whatever dimensions the decode produced (real or stub).
     */
   def resizeStub(m: MediaMeta, maxEdge: Long = 256): (Long, Long) = {
-    val (w, h) = (math.max(m.fake_width, 1L), math.max(m.fake_height, 1L))
+    val (w, h) = (math.max(m.width, 1L), math.max(m.height, 1L))
     val scale = maxEdge.toDouble / math.max(w, h)
     if (scale >= 1.0) (w, h)
     else (math.max((w * scale).toLong, 1L), math.max((h * scale).toLong, 1L))
@@ -88,16 +152,20 @@ object MultimodalOps {
           .select(col("doc_id"), col("text").cast("binary").as("payload"))
           .as[Blob]
         // mapPartitions = per-batch decode: one codec instance per partition,
-        // not per row (the expensive-setup pattern real decoders need)
-        blobs.mapPartitions(_.map(decodeStub)).toDF()
+        // not per row. decodeMedia is the REAL dispatch — text payloads carry
+        // no image signature, so this table exercises the stub arm; the
+        // javax.imageio arm is spec-pinned on planted PNG/JPEG bytes
+        // (MultimodalSpec)
+        blobs.mapPartitions(_.map(decodeMedia)).toDF()
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id,
              |  octet_length(encode(text)) AS n_bytes,
-             |  octet_length(encode(text)) % 1024 AS fake_width,
-             |  (octet_length(encode(text)) * 7) % 768 AS fake_height,
+             |  octet_length(encode(text)) % 1024 AS width,
+             |  (octet_length(encode(text)) * 7) % 768 AS height,
+             |  'stub' AS codec,
              |  md5(text) AS fingerprint
              |FROM documents ORDER BY doc_id""".stripMargin),
-      "pipeline-op: multimodal binary column + mapPartitions batch decode (stubbed codec)")
+      "pipeline-op: multimodal binary column + mapPartitions batch decode (javax.imageio for images, stub otherwise)")
   )
 }

@@ -1373,7 +1373,22 @@ object PartitionedLake {
     // redundant leaf reads
     val leafCache = scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
     val retained = retainedVersions.map(readManifest(fs, path, _, leafCache))
-    val now = System.currentTimeMillis()
+    // "now" comes from the STORE's clock, not the driver's: the grace
+    // check compares against getModificationTime, and driver/store clock
+    // skew would erode the window in the dangerous direction (young
+    // files judged old and reclaimed under a racing committer). Stat a
+    // probe file written at sweep start and use its mtime — any
+    // mtime-granularity rounding lands BEHIND true store time, which
+    // only makes files look younger (the conservative direction).
+    val now = if (graceMs <= 0) System.currentTimeMillis() else {
+      val probe = new Path(new Path(path, StagingDirName),
+        s".vacuum-probe-${UUID.randomUUID().toString.take(8)}")
+      fs.mkdirs(probe.getParent)
+      fs.create(probe, true).close()
+      val t = fs.getFileStatus(probe).getModificationTime
+      fs.delete(probe, false)
+      t
+    }
     def young(st: org.apache.hadoop.fs.FileStatus): Boolean =
       graceMs > 0 && now - st.getModificationTime < graceMs
     // recursive sweep over the nested partition tree: a dir that IS a

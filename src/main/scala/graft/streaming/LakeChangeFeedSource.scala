@@ -129,22 +129,36 @@ private[streaming] class LakeChangeFeedSource(sqlContext: SQLContext,
     v <- PartitionedLake.readSmallTextFile(fs, p).trim
       .toLongOption
   } yield v).getOrElse(startVersion)
+  private var lastPersisted: Long = lastEnd
 
-  private def recordEnd(v: Long): Unit = if (v > lastEnd) {
-    lastEnd = v
+  /** In-memory cap-base advance only — getOffset/getBatch call this.
+    * The DURABLE base is written from [[commit]] alone, AFTER the
+    * engine logs the offset: persisting from getOffset would let a
+    * crash in between leave the durable base ahead of the committed
+    * offset, and the first post-restart batch could then span up to
+    * ~2x maxVersionsPerTrigger (rate-limit weakening, found in review).
+    */
+  private def recordEnd(v: Long): Unit = if (v > lastEnd) lastEnd = v
+
+  private def persistEnd(v: Long): Unit = {
+    recordEnd(v)
     // only needed when a cap is active: uncapped streams derive
     // everything from the engine's own offset log. Written
-    // tmp-then-rename like every other metadata file in the protocol —
-    // a crash mid-write must not leave a torn file
-    if (maxVersionsPerTrigger.isDefined) for {
+    // tmp-then-ATOMIC-REPLACE (FileContext rename OVERWRITE — the
+    // delete-then-rename form briefly exposes a missing file to a
+    // concurrent restart), matching the snapshot protocol's
+    // atomic-publish discipline for every other metadata file
+    if (maxVersionsPerTrigger.isDefined && v > lastPersisted) for {
       p <- progressFile; fs <- progressFs
     } {
+      lastPersisted = v
       val tmp = new org.apache.hadoop.fs.Path(p.getParent,
         s".${p.getName}.tmp")
       val out = fs.create(tmp, true)
       try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-      if (fs.exists(p)) fs.delete(p, false)
-      if (!fs.rename(tmp, p)) fs.delete(tmp, false)
+      org.apache.hadoop.fs.FileContext.getFileContext(p.toUri,
+          spark.sparkContext.hadoopConfiguration)
+        .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     }
   }
 
@@ -226,8 +240,10 @@ private[streaming] class LakeChangeFeedSource(sqlContext: SQLContext,
   // the engine reports completed batches here (including the recovered
   // committed offset during restart initialization) — fold them into
   // the cap base so a restart can never hand out an offset BELOW what
-  // the checkpoint already committed
-  override def commit(end: V1Offset): Unit = recordEnd(versionOf(end))
+  // the checkpoint already committed. This is also the ONE place the
+  // durable base is written: by now the engine has logged the offset,
+  // so the persisted base can never run ahead of the offset log.
+  override def commit(end: V1Offset): Unit = persistEnd(versionOf(end))
 
   override def stop(): Unit = ()
 }

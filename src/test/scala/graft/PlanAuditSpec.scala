@@ -466,11 +466,68 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   test("resize preserves aspect ratio and never upscales") {
-    val meta = MultimodalOps.MediaMeta(1L, 0L, 1024L, 512L, "")
+    val meta = MultimodalOps.MediaMeta(1L, 0L, 1024L, 512L, "stub", "")
     val (w, h) = MultimodalOps.resizeStub(meta, 256L)
     assert(w === 256L && h === 128L)
-    val small = MultimodalOps.MediaMeta(1L, 0L, 100L, 50L, "")
+    val small = MultimodalOps.MediaMeta(1L, 0L, 100L, 50L, "stub", "")
     assert(MultimodalOps.resizeStub(small, 256L) === ((100L, 50L)))
+  }
+
+  /** Real image bytes through the JDK's own encoder — the decode side
+    * then reads them back through javax.imageio, so the test exercises
+    * the production codec path end to end, not a synthetic header.
+    */
+  private def imageBytes(w: Int, h: Int, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until w).foreach(x => (0 until h).foreach(y =>
+      img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff)))
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, format, out),
+      s"JDK has no $format writer")
+    out.toByteArray
+  }
+
+  test("decodeMedia reads TRUE dimensions from real PNG and JPEG bytes via javax.imageio") {
+    val png = MultimodalOps.decodeMedia(
+      MultimodalOps.Blob(1L, imageBytes(37, 23, "png")))
+    assert((png.width, png.height, png.codec) === ((37L, 23L, "png")))
+    val jpg = MultimodalOps.decodeMedia(
+      MultimodalOps.Blob(2L, imageBytes(64, 48, "jpg")))
+    assert((jpg.width, jpg.height) === ((64L, 48L)))
+    assert(jpg.codec.toLowerCase.startsWith("jp")) // "jpeg"/"jpg" per reader
+    // n_bytes and fingerprint still describe the raw payload
+    val raw = imageBytes(8, 8, "png")
+    val m = MultimodalOps.decodeMedia(MultimodalOps.Blob(3L, raw))
+    assert(m.n_bytes === raw.length.toLong)
+  }
+
+  test("decodeMedia falls back to the stub for non-image payloads and corrupt image headers") {
+    val text = "no image signature here".getBytes("UTF-8")
+    val t = MultimodalOps.decodeMedia(MultimodalOps.Blob(1L, text))
+    assert(t.codec === "stub")
+    assert((t.width, t.height) ===
+      ((text.length.toLong % 1024, text.length.toLong * 7 % 768)))
+    // PNG signature but garbage after it: signature sniff passes, the
+    // codec rejects, the stub answers — the batch never fails
+    val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10,
+      1, 2, 3, 4, 5, 6, 7, 8)
+    assert(MultimodalOps.decodeMedia(MultimodalOps.Blob(2L, corrupt))
+      .codec === "stub")
+  }
+
+  test("the distributed decode dispatches per row: images and non-images in one frame") {
+    import spark.implicits._
+    val rows = Seq(
+      MultimodalOps.Blob(1L, imageBytes(20, 10, "png")),
+      MultimodalOps.Blob(2L, "plain text".getBytes("UTF-8")),
+      MultimodalOps.Blob(3L, imageBytes(11, 44, "jpg")))
+    val got = spark.createDataset(rows)
+      .mapPartitions(_.map(MultimodalOps.decodeMedia))
+      .collect().sortBy(_.doc_id)
+    assert(got.map(m => (m.doc_id, m.width, m.height)).toSeq ===
+      Seq((1L, 20L, 10L), (2L, 10L % 1024, 10L * 7 % 768), (3L, 11L, 44L)))
+    assert(got.map(_.codec === "stub").toSeq === Seq(false, true, false))
   }
 
   test("q76 output agrees with a direct per-row recomputation") {
