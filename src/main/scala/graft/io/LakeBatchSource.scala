@@ -1,7 +1,7 @@
 package graft.io
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SQLContext}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SQLContext}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
@@ -177,35 +177,17 @@ private[io] class LakeBatchRelation(override val sqlContext: SQLContext,
 
   override def inputFiles: Array[String] = frame.inputFiles
 
+  /** Pushed filters reach the inner plan through the shared
+    * [[LakeFilters]] translator (one translator across the v1 and DSv2
+    * surfaces) — partition predicates here are what makes directory
+    * pruning reach the manifest-scoped scan. Untranslatable shapes are
+    * simply not pushed; the engine re-evaluates every filter on top.
+    */
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
     val pruned = frame.select(requiredColumns.map(col).toIndexedSeq: _*)
-    val filtered = filters.flatMap(toColumn)
+    val filtered = filters.flatMap(LakeFilters.toColumn)
       .reduceOption(_ && _).map(pruned.filter).getOrElse(pruned)
     filtered.queryExecution.toRdd.asInstanceOf[RDD[Row]]
-  }
-
-  /** The pushed-filter subset the inner plan can express as Columns —
-    * partition predicates here are what makes directory pruning reach
-    * the manifest-scoped scan. Unknown filter shapes return None and
-    * are evaluated by the engine on top (exactness is never at stake).
-    */
-  private def toColumn(f: Filter): Option[Column] = f match {
-    case EqualTo(a, v) => Some(col(a) === v)
-    case EqualNullSafe(a, v) => Some(col(a) <=> v)
-    case GreaterThan(a, v) => Some(col(a) > v)
-    case GreaterThanOrEqual(a, v) => Some(col(a) >= v)
-    case LessThan(a, v) => Some(col(a) < v)
-    case LessThanOrEqual(a, v) => Some(col(a) <= v)
-    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
-    case IsNull(a) => Some(col(a).isNull)
-    case IsNotNull(a) => Some(col(a).isNotNull)
-    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
-    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
-    case StringContains(a, v) => Some(col(a).contains(v))
-    case And(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
-    case Or(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
-    case Not(c) => toColumn(c).map(!_)
-    case _ => None
   }
 }

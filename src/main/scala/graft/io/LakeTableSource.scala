@@ -1,0 +1,317 @@
+package graft.io
+
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability, TableCatalog, TableProvider}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, LocalScan, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, TableScan}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The v1 `Filter` -> `Column` translation shared by the v1 relation
+  * ([[LakeBatchRelation]]) and the DSv2 scan ([[LakeV1FallbackScan]]) —
+  * one translator, so the two surfaces can never disagree on which
+  * predicates reach the delegated plan's partition pruning. Unknown
+  * filter shapes return None and are evaluated by the engine on top
+  * (both surfaces re-apply every filter, so exactness is never at
+  * stake).
+  */
+private[io] object LakeFilters {
+  import org.apache.spark.sql.sources._
+
+  def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === v)
+    case EqualNullSafe(a, v) => Some(col(a) <=> v)
+    case GreaterThan(a, v) => Some(col(a) > v)
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= v)
+    case LessThan(a, v) => Some(col(a) < v)
+    case LessThanOrEqual(a, v) => Some(col(a) <= v)
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case And(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+    case Or(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+    case Not(c) => toColumn(c).map(!_)
+    case _ => None
+  }
+}
+
+/** The DataSource V2 form of [[PartitionedLake]] — the surface that
+  * closes the one capability gap between the Scala API and SQL:
+  * `SELECT COUNT(*)` answers from manifest metadata (zero data files
+  * opened, zero Spark jobs — [[PartitionedLake.rowCount]]'s contract,
+  * now reachable from SQL/PySpark), and SQL time travel runs through
+  * real `VERSION AS OF` syntax via [[LakeCatalog]] instead of a
+  * format option.
+  *
+  * Three registered routes share this one table implementation:
+  *
+  *  - `spark.read.format("graft-lake-v2").option("path", lake)`
+  *    (+ optional `versionAsOf`) — [[LakeTableProvider]];
+  *  - `spark.sql.catalog.<name> = graft.io.LakeCatalog`, then
+  *    `SELECT ... FROM <name>.`/lake/path`` and
+  *    `... VERSION AS OF <v>` — [[LakeCatalog]];
+  *  - the v1 `graft-lake` format stays registered unchanged (its write
+  *    and streaming-sink surfaces are v1-API shapes by design).
+  *
+  * Scan strategy, per query:
+  *
+  *  - un-filtered, un-grouped COUNT(*) over a snapshot whose count is
+  *    exact in metadata (no live merge-on-read deltas, every file's
+  *    footer row count harvested) -> [[LakeCountScan]], a driver-local
+  *    one-row scan (`LocalScan` plans to a LocalTableScan — no data
+  *    files, no jobs). Degrades to a real scan in every other case,
+  *    never to a wrong answer — exactly [[PartitionedLake.rowCount]]'s
+  *    None contract.
+  *  - everything else -> [[LakeV1FallbackScan]], a `V1Scan` handing the
+  *    engine the SAME delegated DataFrame plan the Scala API and the v1
+  *    format build (manifest-scoped file list, merge-on-read merging,
+  *    pruned columns, pushed partition predicates) — DSv2 read == v1
+  *    read == API read by construction, not by parallel implementation
+  *    (the JDBC/Delta migration shim, used here for the same reason:
+  *    a derived DataFrame plan cannot be expressed as DSv2 file
+  *    partitions).
+  */
+private[io] class GraftLakeTable(path: String, version: Option[Long])
+    extends Table with SupportsRead {
+  private def spark: SparkSession = SparkSession.active
+
+  // resolved ONCE at table construction: the DSv2 relation pins this
+  // snapshot exactly like the API read pins its manifest
+  private[io] val manifest = PartitionedLake.manifestAt(spark, path, version)
+
+  override val schema: StructType = manifest.map(_.schema).getOrElse {
+    // pre-protocol (manifest-less) parquet lake: adopt its layout
+    spark.read.parquet(path).schema
+  }
+
+  override def partitioning(): Array[Transform] = manifest
+    .map(m => PartitionedLake.partitionColsOf(m)
+      .map(c => Expressions.identity(c)).toArray)
+    .getOrElse(Array.empty)
+
+  override def name(): String =
+    s"graft-lake $path" + version.map(v => s" VERSION AS OF $v").getOrElse("")
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new LakeScanBuilder(path, version, schema, manifest)
+}
+
+private[io] class LakeScanBuilder(path: String, version: Option[Long],
+    fullSchema: StructType, manifest: Option[PartitionedLake.Manifest])
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+
+  private var required: StructType = fullSchema
+  private var accepted: Array[Filter] = Array.empty
+  private var sawFilters = false
+  private var countStars = 0
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Accept the translatable subset (they reach the delegated plan's
+    * partition pruning) but report EVERY filter as needing post-scan
+    * evaluation — the engine re-applies them all, so an imperfectly
+    * translated predicate can cost performance, never correctness.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    sawFilters ||= filters.nonEmpty
+    accepted = filters.filter(f => LakeFilters.toColumn(f).isDefined)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  private def metadataCount: Option[Long] =
+    manifest.flatMap(PartitionedLake.metadataRowCount)
+
+  /** COUNT(*) completes from metadata iff nothing can change the
+    * answer: no grouping, no filters anywhere in the pushdown (a
+    * filtered count is not the snapshot count), every aggregate is
+    * CountStar, and the snapshot's count is exact in the manifest
+    * (no live deltas / legacy files — [[PartitionedLake.rowCount]]'s
+    * None contract). Anything else degrades to the real scan.
+    */
+  private def canComplete(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && !sawFilters &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(_.isInstanceOf[CountStar]) &&
+      metadataCount.isDefined
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    canComplete(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    canComplete(agg) && { countStars = agg.aggregateExpressions.length; true }
+
+  override def build(): Scan =
+    if (countStars > 0) new LakeCountScan(metadataCount.get, countStars)
+    else new LakeV1FallbackScan(path, version, required, accepted)
+}
+
+/** Metadata-only COUNT(*): one driver-local InternalRow, planned as a
+  * LocalTableScan — the physical proof is the ABSENCE of any file scan
+  * in the executed plan (spec-pinned).
+  */
+private[io] class LakeCountScan(count: Long, n: Int) extends LocalScan {
+  override def readSchema(): StructType =
+    StructType((0 until n).map(i =>
+      StructField(s"count$i", LongType, nullable = false)))
+  override def rows(): Array[InternalRow] =
+    Array(InternalRow.fromSeq(Seq.fill(n)(count)))
+  override def description(): String =
+    s"GraftLakeMetadataCount(path-level count=$count)"
+}
+
+/** Everything that actually reads data: delegate to the SAME plan the
+  * Scala API builds ([[PartitionedLake.read]]/[[PartitionedLake.readVersion]]),
+  * pruned and filtered, surfaced through the `V1Scan` migration shim.
+  */
+private[io] class LakeV1FallbackScan(path: String, version: Option[Long],
+    required: StructType, filters: Array[Filter]) extends V1Scan {
+
+  override def readSchema(): StructType = required
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T = {
+    val spark = context.sparkSession
+    val frame = version
+      .map(PartitionedLake.readVersion(spark, path, _))
+      .getOrElse(PartitionedLake.read(spark, path))
+    val pruned = frame.select(required.fieldNames.map(col).toIndexedSeq: _*)
+    val filtered = filters.flatMap(LakeFilters.toColumn)
+      .reduceOption(_ && _).map(pruned.filter).getOrElse(pruned)
+    new LakeV1ScanRelation(context, required, filtered).asInstanceOf[T]
+  }
+
+  override def description(): String =
+    s"GraftLakeScan($path${version.map(v => s"@v$v").getOrElse("")})"
+}
+
+private[io] class LakeV1ScanRelation(override val sqlContext: SQLContext,
+    override val schema: StructType, frame: DataFrame)
+    extends BaseRelation with TableScan {
+  // the delegated plan already produces InternalRows (same reasoning as
+  // LakeBatchRelation)
+  override def needConversion: Boolean = false
+  override def buildScan(): RDD[Row] =
+    frame.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+}
+
+/** `spark.read.format("graft-lake-v2")` — the registered DSv2 form.
+  * Options: `path` (required), `versionAsOf` (optional time travel).
+  * Read-only by design: writes keep routing through the v1 `graft-lake`
+  * format (snapshot overwrite / keyed upsert / exactly-once streaming
+  * sink), whose semantics are option-driven v1-API shapes.
+  */
+class LakeTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-lake-v2"
+
+  // CREATE TABLE ... USING graft-lake-v2 stores a schema; the lake's
+  // manifest stays authoritative at read (parquet by-name reads make
+  // the stored copy advisory), so external metadata is accepted
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def pathOf(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(
+      sys.error("graft-lake-v2 requires .option(\"path\", <lake root>)"))
+  private def versionOf(options: CaseInsensitiveStringMap): Option[Long] =
+    Option(options.get("versionAsOf")).map(_.toLong)
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    new GraftLakeTable(pathOf(options), versionOf(options)).schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    new GraftLakeTable(pathOf(options), versionOf(options))
+  }
+}
+
+/** A path catalog for SQL-first lake access:
+  *
+  * {{{
+  * SET spark.sql.catalog.lake = graft.io.LakeCatalog  // or session conf
+  * SELECT count(*) FROM lake.`/data/events`            -- metadata-only
+  * SELECT * FROM lake.`/data/events` VERSION AS OF 3   -- SQL time travel
+  * }}}
+  *
+  * The identifier IS the lake path (namespace parts, if any, join with
+  * '/'), so any lake is queryable without a CREATE TABLE step — the
+  * manifest is the table metadata. `VERSION AS OF` resolves through
+  * the [[TableCatalog]] versioned-load hook, which is what upgrades
+  * time travel from a format option to real SQL syntax. Read-only:
+  * writes go through the Scala API or the v1 format (documented
+  * loudly on each mutation method).
+  */
+class LakeCatalog extends TableCatalog {
+  private var catalogName: String = "graft-lake"
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = catalogName = name
+
+  override def name(): String = catalogName
+
+  private def pathOf(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString("/")
+
+  private def exists(path: String): Boolean = {
+    val spark = SparkSession.active
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    PartitionedLake.snapshotSchema(spark, path).isDefined ||
+      (fs.exists(root) && fs.listStatus(root).nonEmpty)
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val path = pathOf(ident)
+    if (!exists(path)) throw new NoSuchTableException(ident)
+    new GraftLakeTable(path, None)
+  }
+
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val path = pathOf(ident)
+    if (!exists(path)) throw new NoSuchTableException(ident)
+    new GraftLakeTable(path, Some(version.toLong))
+  }
+
+  override def tableExists(ident: Identifier): Boolean = exists(pathOf(ident))
+
+  // a path catalog has no enumerable namespace — tables are lakes on
+  // storage, addressed by path, not listed from a metastore
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Array.empty
+
+  private def readOnly(op: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"LakeCatalog is read-only: $op a lake through the write surfaces " +
+        "instead (PartitionedLake.write/upsert, " +
+        "df.write.format(\"graft-lake\"), writeStream.format(\"graft-lake\"))")
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = readOnly("create")
+
+  override def alterTable(ident: Identifier,
+      changes: org.apache.spark.sql.connector.catalog.TableChange*): Table =
+    readOnly("alter")
+
+  override def dropTable(ident: Identifier): Boolean = readOnly("drop")
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit = readOnly("rename")
+}

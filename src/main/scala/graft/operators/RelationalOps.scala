@@ -1367,6 +1367,39 @@ object RelationalOps {
         |FROM orders
         |WHERE NOT (o_orderkey % 97 = 0 AND o_orderkey % 101 <> 0)
         |ORDER BY o_orderkey""".stripMargin),
-      "lake op: merge-on-read CDC (delta sidecars; zero base-file rewrite)")
+      "lake op: merge-on-read CDC (delta sidecars; zero base-file rewrite)"),
+
+    // ---- DSv2 surface: SQL COUNT(*) answered from manifest metadata
+    // (zero data files opened — LocalTableScan, plan-verified IN-BAND
+    // via the metadata_only column so the oracle pins the claim, not
+    // just the value) plus real VERSION AS OF SQL time travel through
+    // LakeCatalog. At 100 TB this is the difference between a manifest
+    // read and scanning the table for every dashboard COUNT(*). ----
+    Q("q148_dsv2_metadata_count",
+      (s, d) => {
+        val dir = scratchDir("q148-dsv2") + "/lake"
+        val base = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderpriority"), col("o_totalprice"))
+        graft.io.PartitionedLake.write(base, dir, "o_orderpriority")
+        graft.io.PartitionedLake.upsert(s, dir, "o_orderpriority",
+          "o_orderkey", base.filter(col("o_orderkey") % 103 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + 1))
+        s.conf.set("spark.sql.catalog.graft_lake",
+          classOf[graft.io.LakeCatalog].getName)
+        val head = s.sql(s"SELECT count(*) AS n_rows FROM graft_lake.`$dir`")
+        val atV1 = s.sql(
+          s"SELECT count(*) AS n FROM graft_lake.`$dir` VERSION AS OF 1")
+        def metadataOnly(df: org.apache.spark.sql.DataFrame): Boolean = {
+          val plan = df.queryExecution.executedPlan.toString()
+          plan.contains("LocalTableScan") && !plan.contains("BatchScan") &&
+            !plan.contains("RowDataSourceScan") && !plan.contains("parquet")
+        }
+        head.withColumn("metadata_only",
+            lit(metadataOnly(head) && metadataOnly(atV1)))
+          .withColumn("v1_rows", lit(atV1.head().getLong(0)))
+      },
+      Some("""SELECT count(*) AS n_rows, true AS metadata_only,
+        |  count(*) AS v1_rows FROM orders""".stripMargin),
+      "lake op: DSv2 metadata-only COUNT(*) + VERSION AS OF SQL (LakeCatalog)")
   )
 }

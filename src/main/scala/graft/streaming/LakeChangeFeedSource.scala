@@ -37,10 +37,20 @@ private[streaming] case class LakeVersionOffset(version: Long) extends V1Offset 
   *    forward); `"latest"` starts from the head (only new commits);
   *    any number N streams changes AFTER version N.
   *
-  * Each micro-batch is `changesBetween(lastSeen, available)` — if the
-  * trigger lags several commits, the batch carries their NET change
-  * (intermediate churn collapses), which is the correct semantics for
-  * the keyed, idempotent consumers this feed targets. Schema is the
+  *  - `granularity` (default `"net"`): `"net"` batches carry the NET
+  *    diff of their version range (intermediate churn collapses — the
+  *    right semantics for keyed idempotent consumers); `"commit"`
+  *    batches carry EVERY version's changes tagged `_commit_version`
+  *    (Debezium-style audit/replication consumers that need per-commit
+  *    history).
+  *  - `maxVersionsPerTrigger` (optional): rate-limits how many commits
+  *    a single batch may span.
+  *
+  * Each micro-batch is `changesBetween(lastSeen, available)` — under
+  * the default net granularity, if the trigger lags several commits,
+  * the batch carries their NET change (intermediate churn collapses),
+  * which is the correct semantics for the keyed, idempotent consumers
+  * this feed targets. Schema is the
   * lake's latest snapshot schema plus `_change_type`, FIXED at stream
   * start (the Structured Streaming contract): rows flow across a
   * mid-stream additive evolution, but columns added after start only
@@ -56,19 +66,32 @@ class LakeChangeFeedProvider extends StreamSourceProvider with DataSourceRegiste
     parameters.getOrElse("path",
       sys.error("graft-lake-cdf requires .option(\"path\", <lake root>)"))
 
-  private def feedSchema(sqlContext: SQLContext, path: String): StructType = {
+  private def perCommitOf(parameters: Map[String, String]): Boolean =
+    parameters.getOrElse("granularity", "net") match {
+      case "net" => false
+      case "commit" => true
+      case other => sys.error(s"graft-lake-cdf: granularity must be " +
+        s"'net' (default — each batch is the net diff of its version " +
+        s"range) or 'commit' (per-version changes tagged " +
+        s"_commit_version), got '$other'")
+    }
+
+  private def feedSchema(sqlContext: SQLContext, path: String,
+      perCommit: Boolean): StructType = {
     // metadata-only: the latest manifest's schema, never a full read
     // plan built just to throw its StructType away
     val snap = PartitionedLake.snapshotSchema(sqlContext.sparkSession, path)
       .getOrElse(sys.error(s"graft-lake-cdf: no lake manifest at $path"))
-    StructType(snap.fields :+ StructField("_change_type", StringType))
+    val base = snap.fields :+ StructField("_change_type", StringType)
+    StructType(if (perCommit) base :+ StructField("_commit_version",
+      org.apache.spark.sql.types.LongType) else base)
   }
 
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) =
     (shortName(), schema.getOrElse(
-      feedSchema(sqlContext, pathOf(parameters))))
+      feedSchema(sqlContext, pathOf(parameters), perCommitOf(parameters))))
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
@@ -85,9 +108,10 @@ class LakeChangeFeedProvider extends StreamSourceProvider with DataSourceRegiste
     val maxVersions = parameters.get("maxVersionsPerTrigger").map(_.toLong)
     maxVersions.foreach(m => require(m > 0,
       s"maxVersionsPerTrigger must be positive, got $m"))
+    val perCommit = perCommitOf(parameters)
     new LakeChangeFeedSource(sqlContext, path, keyCols, start,
-      schema.getOrElse(feedSchema(sqlContext, path)), maxVersions,
-      metadataPath)
+      schema.getOrElse(feedSchema(sqlContext, path, perCommit)), maxVersions,
+      metadataPath, perCommit)
   }
 }
 
@@ -95,7 +119,8 @@ private[streaming] class LakeChangeFeedSource(sqlContext: SQLContext,
     path: String, keyCols: Seq[String], startVersion: Long,
     override val schema: StructType,
     maxVersionsPerTrigger: Option[Long] = None,
-    metadataPath: String = "") extends Source {
+    metadataPath: String = "",
+    perCommit: Boolean = false) extends Source {
   private val spark = sqlContext.sparkSession
 
   // after checkpoint recovery the engine hands back raw SerializedOffset
@@ -215,16 +240,22 @@ private[streaming] class LakeChangeFeedSource(sqlContext: SQLContext,
           schema)
       } else if (from == 0L) {
         // bootstrap: the first resolvable snapshot streams as inserts,
-        // then the diff forward to `to` (matches readChangesStream)
+        // then the diff forward to `to` (matches readChangesStream).
+        // Under commit granularity the bootstrap rows carry the first
+        // version as their _commit_version and the forward diff is
+        // per-commit.
         val versions = PartitionedLake.snapshots(spark, path)
         val first = versions.head
-        val boot = aligned(PartitionedLake.readVersion(spark, path, first)
-          .withColumn("_change_type", lit("insert")))
+        val bootRaw = PartitionedLake.readVersion(spark, path, first)
+          .withColumn("_change_type", lit("insert"))
+        val boot = aligned(if (perCommit)
+          bootRaw.withColumn("_commit_version", lit(first)) else bootRaw)
         if (first >= to) boot
-        else boot.unionByName(aligned(
-          PartitionedLake.changesBetween(spark, path, first, to, keyCols)))
+        else boot.unionByName(aligned(PartitionedLake.changesBetween(
+          spark, path, first, to, keyCols, perCommit)))
       } else {
-        aligned(PartitionedLake.changesBetween(spark, path, from, to, keyCols))
+        aligned(PartitionedLake.changesBetween(spark, path, from, to,
+          keyCols, perCommit))
       }
     // a v1 Source must return a STREAMING DataFrame; the engine splices
     // its plan in place of the streaming relation. The diff is an

@@ -189,6 +189,64 @@ class LakeCdfSpec extends AnyFunSuite {
       ("update_postimage", "a2", "note-1")))
   }
 
+  test("per-commit CDF: every version's changes surface tagged _commit_version; folding them in order reconstructs the net end state") {
+    val path = java.nio.file.Files.createTempDirectory("graft-cdfpc").toString + "/lake"
+    // a key with INTERMEDIATE churn: k=9 inserted in v2 then deleted in
+    // v3 — invisible to the net diff, visible per commit
+    PartitionedLake.write(Seq((1L, "p1", "a"), (2L, "p2", "b"))
+      .toDF("k", "part", "v"), path, "part")
+    PartitionedLake.upsert(spark, path, "part", "k",
+      Seq((1L, "p1", "a2"), (9L, "p1", "temp")).toDF("k", "part", "v"))
+    PartitionedLake.cdcSink(spark, path, "part", "k", "v",
+      Seq((9L, "p1", 1L, "D", ""), (2L, "p2", 2L, "U", "b2"))
+        .toDF("k", "part", "seq", "op", "val"))
+    val pc = PartitionedLake.changesBetween(spark, path, 1L, 3L,
+      Seq("part", "k"), perCommit = true)
+    val rows = pc.collect().map(r => (r.getAs[Long]("_commit_version"),
+      r.getAs[Long]("k"), r.getAs[String]("v"),
+      r.getAs[String]("_change_type"))).toSet
+    assert(rows === Set(
+      (2L, 1L, "a", "update_preimage"), (2L, 1L, "a2", "update_postimage"),
+      (2L, 9L, "temp", "insert"),
+      (3L, 9L, "temp", "delete"),
+      (3L, 2L, "b", "update_preimage"), (3L, 2L, "b2", "update_postimage")))
+    // each tagged slice equals the consecutive net diff of its pair
+    Seq(2L, 3L).foreach { v =>
+      val slice = pc.filter(col("_commit_version") === v)
+        .drop("_commit_version")
+      assert(collectChanges(slice) === collectChanges(
+        PartitionedLake.changesBetween(spark, path, v - 1, v,
+          Seq("part", "k"))), s"per-commit slice v$v != net(v${v - 1}, v$v)")
+    }
+    // folding the per-commit feed in commit order onto snapshot v1
+    // reconstructs snapshot v3 — the consumer-meaningful property
+    var state = PartitionedLake.readVersion(spark, path, 1L).collect()
+      .map(r => (r.getAs[String]("part"), r.getAs[Long]("k")) ->
+        r.getAs[String]("v")).to(scala.collection.mutable.Map)
+    pc.orderBy("_commit_version").collect().foreach { r =>
+      val id = (r.getAs[String]("part"), r.getAs[Long]("k"))
+      r.getAs[String]("_change_type") match {
+        case "insert" | "update_postimage" => state(id) = r.getAs[String]("v")
+        case "delete" => state.remove(id)
+        case "update_preimage" => ()
+      }
+    }
+    val end = PartitionedLake.readVersion(spark, path, 3L).collect()
+      .map(r => (r.getAs[String]("part"), r.getAs[Long]("k")) ->
+        r.getAs[String]("v")).toMap
+    assert(state.toMap === end)
+    // net == perCommit collapsed: the net diff misses the k=9 churn by
+    // design (documented), and per-commit's END STATE equals net's
+    val net = collectChanges(PartitionedLake.changesBetween(
+      spark, path, 1L, 3L, Seq("part", "k")))
+    assert(!net.exists(_._1 == 9L), "net diff must collapse the churn")
+    // empty range: typed empty frame, schema carries _commit_version
+    val empty = PartitionedLake.changesBetween(spark, path, 2L, 2L,
+      Seq("part", "k"), perCommit = true)
+    assert(empty.count() === 0L)
+    assert(empty.columns.contains("_commit_version"))
+  }
+
   test("changesBetween on a vacuumed version fails loudly") {
     val path = java.nio.file.Files.createTempDirectory("graft-cdf6").toString + "/lake"
     PartitionedLake.write(Seq((1L, "p1", "a")).toDF("k", "part", "v"),

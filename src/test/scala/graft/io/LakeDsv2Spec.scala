@@ -1,0 +1,196 @@
+package graft.io
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The DSv2 surface ([[GraftLakeTable]] via the `graft-lake-v2` format
+  * and [[LakeCatalog]]): metadata-only COUNT(*) reachable from SQL,
+  * real `VERSION AS OF` syntax, and read parity with the v1 format and
+  * the Scala API on copy-on-write, merge-on-read, and schema-evolved
+  * lakes.
+  */
+class LakeDsv2Spec extends AnyFunSuite {
+  import graft.SparkTestSession._
+  import spark.implicits._
+
+  private def v2(lake: String): DataFrame =
+    spark.read.format("graft-lake-v2").option("path", lake).load()
+  private def v1(lake: String): DataFrame =
+    spark.read.format("graft-lake").option("path", lake).load()
+
+  private def rowsOf(df: DataFrame): Set[(String, Long, Double)] =
+    df.select("part", "k", "bal").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+
+  /** True iff the executed plan answered WITHOUT opening data files:
+    * a LocalTableScan and no file/batch/row scan node anywhere.
+    */
+  private def isMetadataOnly(df: DataFrame): Boolean = {
+    val plan = df.queryExecution.executedPlan.toString()
+    plan.contains("LocalTableScan") &&
+      !plan.contains("BatchScan") && !plan.contains("FileScan") &&
+      !plan.contains("RowDataSourceScan") && !plan.contains("parquet")
+  }
+
+  private def freshLake(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-dsv2-$tag")
+      .toString + "/lake"
+
+  test("COUNT(*) on a copy-on-write lake is metadata-only: LocalTableScan, zero data-file reads, exact value") {
+    val lake = freshLake("count")
+    PartitionedLake.write(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "b", 3.0))
+      .toDF("k", "part", "bal"), lake, "part")
+    PartitionedLake.upsert(spark, lake, "part", "k",
+      Seq((4L, "c", 4.0)).toDF("k", "part", "bal"))
+    // the format route
+    val c = v2(lake).groupBy().count()
+    assert(isMetadataOnly(c), c.queryExecution.executedPlan.toString())
+    assert(c.head().getLong(0) === 4L)
+    assert(c.head().getLong(0) ===
+      PartitionedLake.rowCount(spark, lake).get)
+    // Dataset.count() takes the same metadata path
+    assert(v2(lake).count() === 4L)
+    // the SQL route through the catalog
+    spark.conf.set("spark.sql.catalog.graft_lake",
+      classOf[LakeCatalog].getName)
+    val sqlCount = spark.sql(s"SELECT count(*) FROM graft_lake.`$lake`")
+    assert(isMetadataOnly(sqlCount),
+      sqlCount.queryExecution.executedPlan.toString())
+    assert(sqlCount.head().getLong(0) === 4L)
+  }
+
+  test("COUNT(*) degrades to a real scan — never a wrong answer — with live merge-on-read deltas or adopted legacy files") {
+    // live MOR deltas: tombstones/post-images change the count at read
+    val mor = freshLake("cmor")
+    PartitionedLake.write(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "b", 3.0))
+      .toDF("k", "part", "bal"), mor, "part")
+    PartitionedLake.cdcSinkMergeOnRead(spark, mor, "part", "k", "bal",
+      Seq((2L, "b", 1L, "D", 0.0)).toDF("k", "part", "seq", "op", "val"))
+    assert(PartitionedLake.rowCount(spark, mor).isEmpty)
+    val cMor = v2(mor).groupBy().count()
+    assert(!isMetadataOnly(cMor))
+    assert(cMor.head().getLong(0) === 2L)
+    // adopted legacy lake: pre-protocol files carry no footer row counts
+    val legacy = freshLake("clegacy")
+    Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "part", "bal")
+      .write.partitionBy("part").parquet(legacy)
+    PartitionedLake.upsert(spark, legacy, "part", "k",
+      Seq((3L, "c", 3.0)).toDF("k", "part", "bal"))
+    assert(PartitionedLake.rowCount(spark, legacy).isEmpty)
+    val cLegacy = v2(legacy).groupBy().count()
+    assert(!isMetadataOnly(cLegacy))
+    assert(cLegacy.head().getLong(0) === 3L)
+    // compaction re-harvests footers and restores the metadata answer
+    PartitionedLake.compact(spark, mor)
+    val cAfter = v2(mor).groupBy().count()
+    assert(isMetadataOnly(cAfter))
+    assert(cAfter.head().getLong(0) === 2L)
+  }
+
+  test("a FILTERED count is never answered from metadata") {
+    val lake = freshLake("fcount")
+    PartitionedLake.write(Seq((1L, "a", 1.0), (2L, "b", 2.0))
+      .toDF("k", "part", "bal"), lake, "part")
+    val filtered = v2(lake).filter(col("part") === "a").groupBy().count()
+    assert(!isMetadataOnly(filtered))
+    assert(filtered.head().getLong(0) === 1L)
+  }
+
+  test("DSv2 read == v1 read == API read on CoW, MOR, and schema-evolved lakes") {
+    // copy-on-write with a superseded file
+    val cow = freshLake("pcow")
+    PartitionedLake.write(Seq((1L, "a", 1.0), (2L, "b", 2.0))
+      .toDF("k", "part", "bal"), cow, "part")
+    PartitionedLake.upsert(spark, cow, "part", "k",
+      Seq((1L, "a", 9.0)).toDF("k", "part", "bal"))
+    // merge-on-read with live tombstone + post-image
+    val mor = freshLake("pmor")
+    PartitionedLake.write(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "b", 3.0))
+      .toDF("k", "part", "bal"), mor, "part")
+    PartitionedLake.cdcSinkMergeOnRead(spark, mor, "part", "k", "bal",
+      Seq((2L, "b", 1L, "D", 0.0), (3L, "b", 2L, "U", 30.0))
+        .toDF("k", "part", "seq", "op", "val"))
+    // additive evolution: a later delta carries a new column
+    val evo = freshLake("pevo")
+    PartitionedLake.write(Seq((1L, "a", 1.0)).toDF("k", "part", "bal"),
+      evo, "part")
+    PartitionedLake.upsert(spark, evo, "part", "k",
+      Seq((2L, "b", 2.0, "x")).toDF("k", "part", "bal", "tag"))
+    Seq(cow, mor, evo).foreach { lake =>
+      val api = PartitionedLake.read(spark, lake)
+      assert(v2(lake).schema === api.schema, s"schema parity on $lake")
+      assert(rowsOf(v2(lake)) === rowsOf(api), s"v2 != API on $lake")
+      assert(rowsOf(v1(lake)) === rowsOf(api), s"v1 != API on $lake")
+    }
+    // the evolved column surfaces with nulls for old rows on all routes
+    val evoTags = v2(evo).select("k", "tag").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(evoTags === Map(1L -> None, 2L -> Some("x")))
+  }
+
+  test("time travel: versionAsOf option on the v2 format and real VERSION AS OF SQL through the catalog") {
+    val lake = freshLake("tt")
+    PartitionedLake.write(Seq((1L, "a", 1.0)).toDF("k", "part", "bal"),
+      lake, "part")
+    PartitionedLake.upsert(spark, lake, "part", "k",
+      Seq((1L, "a", 2.0), (2L, "b", 5.0)).toDF("k", "part", "bal"))
+    val atV1 = spark.read.format("graft-lake-v2").option("path", lake)
+      .option("versionAsOf", "1").load()
+    assert(rowsOf(atV1) === Set(("a", 1L, 1.0)))
+    assert(rowsOf(atV1) ===
+      rowsOf(PartitionedLake.readVersion(spark, lake, 1)))
+    spark.conf.set("spark.sql.catalog.graft_lake",
+      classOf[LakeCatalog].getName)
+    val sqlV1 = spark.sql(
+      s"SELECT part, k, bal FROM graft_lake.`$lake` VERSION AS OF 1")
+    assert(rowsOf(sqlV1) === Set(("a", 1L, 1.0)))
+    val sqlHead = spark.sql(
+      s"SELECT part, k, bal FROM graft_lake.`$lake`")
+    assert(rowsOf(sqlHead) === Set(("a", 1L, 2.0), ("b", 2L, 5.0)))
+    // COUNT(*) at an old version is ALSO metadata-only (per-version
+    // manifests carry their own row counts)
+    val cV1 = spark.sql(
+      s"SELECT count(*) FROM graft_lake.`$lake` VERSION AS OF 1")
+    assert(isMetadataOnly(cV1), cV1.queryExecution.executedPlan.toString())
+    assert(cV1.head().getLong(0) === 1L)
+    // an unresolvable version fails loudly, not silently-latest
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_lake.`$lake` VERSION AS OF 99")
+        .collect()
+    }
+    assert(e.getMessage.contains("not resolvable"), e.getMessage)
+  }
+
+  test("filters and column pruning flow through the v2 scan into the delegated plan") {
+    val lake = freshLake("filt")
+    PartitionedLake.write(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "b", 3.0))
+      .toDF("k", "part", "bal"), lake, "part")
+    val filtered = v2(lake).filter(col("part") === "b" && col("k") > 2L)
+    assert(rowsOf(filtered) === Set(("b", 3L, 3.0)))
+    val narrow = v2(lake).select("k").as[Long].collect().sorted
+    assert(narrow === Array(1L, 2L, 3L))
+    // MOR through v2 with a filter: merge still applied
+    PartitionedLake.cdcSinkMergeOnRead(spark, lake, "part", "k", "bal",
+      Seq((3L, "b", 1L, "U", 30.0)).toDF("k", "part", "seq", "op", "val"))
+    assert(rowsOf(v2(lake).filter(col("part") === "b")) ===
+      Set(("b", 2L, 2.0), ("b", 3L, 30.0)))
+  }
+
+  test("the catalog is read-only and reports missing lakes as missing tables") {
+    spark.conf.set("spark.sql.catalog.graft_lake",
+      classOf[LakeCatalog].getName)
+    val missing = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_lake.`/nonexistent/lake/path`")
+        .collect()
+    }
+    assert(missing.getMessage.toLowerCase.contains("table"),
+      missing.getMessage)
+    val ro = intercept[Exception] {
+      spark.sql("CREATE TABLE graft_lake.`/tmp/graft-dsv2-ro` (k LONG)")
+    }
+    assert(ro.getMessage.contains("read-only") ||
+      Option(ro.getCause).exists(_.getMessage.contains("read-only")),
+      ro.getMessage)
+  }
+}
