@@ -28,6 +28,15 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * Implementations need a public no-arg constructor (instantiated
   * reflectively from the conf) and should be stateless; one instance
   * may serve many commits concurrently.
+  *
+  * CERTIFY an implementation before trusting a lake to it:
+  * [[CommitArbiterContract.certify]] checks the primitive's safety
+  * properties (create-wins, no-replace, temp preserved, exactly one
+  * race winner, sequential composition) with no test-framework
+  * dependency — run it against a scratch path ON THE TARGET STORE.
+  * For the full three-layer certification (primitive + racing lake
+  * commits + the random-op model check), subclass the test-scope
+  * `CommitArbiterContractSpec`, the way the in-repo CAS double does.
   */
 trait CommitArbiter {
   /** True iff this call CREATED `dst` (won the race); false iff `dst`

@@ -1403,8 +1403,73 @@ object PartitionedLake {
     * used, or fewer — absent stats only cost skipping, never
     * correctness).
     */
+  /** Compaction WITH CLUSTERING: rewrite every partition's data
+    * z-ordered on `zorderBy` (two numeric columns interleave into a
+    * morton code — [[graft.operators.LayoutOps.zValue]]; one column is
+    * a plain range cluster), split into ~`filesPerPartition` files per
+    * partition, each covering a contiguous z-range — so each file is a
+    * small RECTANGLE in `zorderBy` space and a later [[readBox]] on
+    * those columns opens a handful of files instead of the partition
+    * (Delta/Iceberg `OPTIMIZE ZORDER BY`, as routine lake maintenance
+    * instead of a manual LayoutOps pre-sort before write). Footer
+    * bounds are harvested for `statsCols ++ zorderBy`, which is what
+    * arms the skipping. Rows, snapshots, and time travel are untouched:
+    * the rewrite commits through the snapshot protocol like any other
+    * compaction (pre-compact versions stay resolvable until vacuum),
+    * and merge-on-read deltas materialize away exactly as in the
+    * bin-pack form.
+    *
+    * The cluster pass is one `repartitionByRange` over
+    * `(partitionCols..., z)` + in-task sort — a single full-data range
+    * shuffle, the honest price of re-clustering (the same shuffle
+    * OPTIMIZE pays). Size `filesPerPartition` so each output file lands
+    * near the parquet sweet spot at your scale; more files = finer
+    * skipping rectangles, diminishing after ~raw-bytes/128 MB.
+    */
+  private def compactZorder(spark: SparkSession, path: String,
+      statsCols: Seq[String], zorderBy: Seq[String],
+      filesPerPartition: Int): Unit = {
+    require(zorderBy.size <= 2,
+      s"zorderBy interleaves at most 2 columns, got ${zorderBy.size} " +
+        "(higher dimensions dilute every column's locality; pick the two " +
+        "most selective filter columns)")
+    require(filesPerPartition >= 1, "filesPerPartition must be >= 1")
+    val fs = fsFor(spark, path)
+    latestManifest(fs, path).foreach { m =>
+      val partitionCols = partitionColsOf(m)
+      zorderBy.foreach { c =>
+        require(m.schema.fieldNames.contains(c) && !partitionCols.contains(c),
+          s"zorderBy column '$c' must be a non-partition data column of " +
+            s"the snapshot (${m.schema.fieldNames.mkString(", ")})")
+        require(m.schema(c).dataType
+            .isInstanceOf[org.apache.spark.sql.types.NumericType],
+          s"zorderBy column '$c' must be numeric (z-values interleave " +
+            s"integer bits); it is ${m.schema(c).dataType.simpleString}")
+      }
+      val zcol = if (zorderBy.size == 2)
+        graft.operators.LayoutOps.zValue(
+          col(zorderBy(0)).cast("long"), col(zorderBy(1)).cast("long"))
+      else col(zorderBy.head)
+      // the whole snapshot, merge-on-read deltas materialized — same
+      // read the bin-pack form uses, then clustered instead of packed
+      val slice = frameFor(spark, path, m)
+      val rangeCols = partitionCols.map(col) :+ zcol
+      val nOut = math.max(1, allDirs(m).size * filesPerPartition)
+      val clustered = slice.repartitionByRange(nOut, rangeCols: _*)
+        .sortWithinPartitions(rangeCols: _*)
+      val (staging, staged) = stage(spark, fs, path, clustered,
+        partitionCols, (statsCols ++ zorderBy).distinct)
+      commitStaged(fs, path, staging, staged, allDirs(m), slice.schema,
+        Some(m), None)
+    }
+  }
+
   def compact(spark: SparkSession, path: String,
-      statsCols: Seq[String] = Nil): Unit = {
+      statsCols: Seq[String] = Nil, zorderBy: Seq[String] = Nil,
+      filesPerPartition: Int = 16): Unit = {
+    if (zorderBy.nonEmpty)
+      return compactZorder(spark, path, statsCols, zorderBy,
+        filesPerPartition)
     val fs = fsFor(spark, path)
     latestManifest(fs, path).foreach { m =>
       // a partition needs compaction when it holds multiple files OR

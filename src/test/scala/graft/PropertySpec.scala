@@ -49,6 +49,125 @@ class PropertySpec extends AnyFunSuite {
     assert(df.count() == 0)
   }
 
+  // ---- float-domain corner fuzzing (round-12 corners, pinned) --------
+  // Each generator family carries its GOLDEN class — what the reference's
+  // convert_data_type does: underscore guard first, then Python float(),
+  // then the date cascade, else string. A future date-cascade or
+  // asNumber edit that shifts any boundary fails here with the exact
+  // offending strings.
+
+  private val digits: Gen[String] =
+    Gen.chooseNum(0L, 999999L).map(_.toString)
+
+  /** Java-only hex-float/hex-int literals: Python float() raises. */
+  private val hexGen: Gen[String] = for {
+    pre <- Gen.oneOf("0x", "0X")
+    body <- Gen.listOfN(3, Gen.oneOf("0123456789abcdefABCDEF".toSeq))
+      .map(_.mkString)
+    frac <- Gen.oneOf("", ".8", ".Fa")
+    exp <- Gen.oneOf("", "p1", "P3", "p-2")
+    sign <- Gen.oneOf("", "-", "+")
+  } yield s"$sign$pre$body$frac$exp"
+
+  /** Java-only [dDfF]-suffixed numerics: Python float() raises. */
+  private val suffixGen: Gen[String] = for {
+    n <- digits
+    frac <- Gen.oneOf("", ".5", ".25")
+    exp <- Gen.oneOf("", "e3", "E-2")
+    suf <- Gen.oneOf("d", "D", "f", "F")
+  } yield s"$n$frac$exp$suf"
+
+  /** inf/nan spellings both engines' float() accepts -> NUMBER. */
+  private val infNanGen: Gen[String] = Gen.oneOf(
+    "inf", "Inf", "INF", "-inf", "+inf", "infinity", "Infinity",
+    "-Infinity", "nan", "NaN", "NAN", "-nan")
+
+  /** '_' at position >= 1 fires the reference's guard -> STRING even for
+    * Python-parseable shapes like 1_000; a LEADING '_' skips the guard
+    * but float()/the cascade both reject -> STRING too.
+    */
+  private val underscoreGen: Gen[String] = Gen.oneOf(
+    for { a <- digits; b <- digits } yield s"${a}_$b",
+    digits.map(d => s"_$d"),
+    for { a <- digits; b <- digits; c <- digits } yield s"${a}_${b}_$c")
+
+  /** M/d/yy and d-MMM-yy two-digit-year dates -> DATE, with the pinned
+    * dateutil pivot (00-75 -> 20xx, 76-99 -> 19xx) checked via render.
+    */
+  private val y2Gen: Gen[(String, Int)] = for {
+    y <- Gen.chooseNum(0, 99)
+    m <- Gen.chooseNum(1, 12)
+    d <- Gen.chooseNum(1, 28)
+    form <- Gen.oneOf(0, 1)
+  } yield {
+    val mon = Seq("Jan", "Feb", "Mar", "Apr", "May", "Jun", "Jul", "Aug",
+      "Sep", "Oct", "Nov", "Dec")(m - 1)
+    val s = if (form == 0) f"$m/$d/$y%02d" else f"$d-$mon-$y%02d"
+    (s, if (y <= CellType.twoDigitYearPivot) 2000 + y else 1900 + y)
+  }
+
+  /** Python-valid float shapes -> NUMBER (leading dot, trailing dot,
+    * signs, scientific, padding).
+    */
+  private val plainNumGen: Gen[String] = for {
+    n <- digits
+    shape <- Gen.chooseNum(0, 8)
+  } yield shape match {
+    case 0 => n
+    case 1 => s"+$n"
+    case 2 => s"-$n"
+    case 3 => s".$n"
+    case 4 => s"$n."
+    case 5 => s"$n.25"
+    case 6 => s"${n}e2"
+    case 7 => s"${n}E-3"
+    case _ => s" $n "
+  }
+
+  private def classify(values: Seq[(String, String)]): Seq[(String, String, String)] = {
+    import spark.implicits._
+    values.toDF("v", "expect").select(
+      col("v"), col("expect"),
+      when(CellType.isNumber(col("v")), "number")
+        .when(CellType.isDateTime(col("v")), "date")
+        .otherwise("string").as("got"),
+      (CellType.isNumber(col("v")).cast("int") +
+        CellType.isDateTime(col("v")).cast("int") +
+        CellType.isString(col("v")).cast("int")).as("arms"))
+      .filter(col("got") =!= col("expect") || col("arms") =!= 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSeq
+  }
+
+  test("float-domain corners: >=1k generated cases per class, classification pinned to the reference model") {
+    val n = 1200
+    val stringCases =
+      sample(hexGen, n).map(_ -> "string") ++
+      sample(suffixGen, n).map(_ -> "string") ++
+      sample(underscoreGen, n).map(_ -> "string")
+    val numberCases =
+      sample(plainNumGen, n).map(_ -> "number") ++
+      (0 until n).map(i => sample(infNanGen, 1).head -> "number").take(n)
+    val dateCases = sample(y2Gen, n).map(_._1 -> "date")
+    assert(stringCases.size >= 1000 && numberCases.size >= 1000 &&
+      dateCases.size >= 1000)
+    val bad = classify(stringCases ++ numberCases ++ dateCases)
+    assert(bad.isEmpty, s"${bad.size} misclassified, first 20: " +
+      bad.take(20).mkString(", "))
+  }
+
+  test("two-digit-year pivot is pinned: render applies 00-75 -> 20xx, 76-99 -> 19xx") {
+    import spark.implicits._
+    val cases = sample(y2Gen, 1200)
+    val got = cases.map(_._1).toDF("v")
+      .select(col("v"), CellType.render(col("v")).as("r"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (s, expectYear) =>
+      assert(got(s).startsWith(expectYear.toString),
+        s"'$s' rendered '${got(s)}', expected year $expectYear")
+    }
+  }
+
   test("dedupFirst is idempotent") {
     val sheet = SheetReader.fromRows(spark, Seq("X"),
       sample(cellGen, 100).map(Seq(_)))
