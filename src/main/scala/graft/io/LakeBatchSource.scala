@@ -46,11 +46,16 @@ class LakeBatchProvider extends RelationProvider
       parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
     val path = pathOf(parameters)
-    val frame = parameters.get("versionAsOf") match {
-      case Some(v) => PartitionedLake.readVersion(spark, path, v.toLong)
+    val version = parameters.get("versionAsOf").map(_.toLong)
+    val frame = version match {
+      case Some(v) => PartitionedLake.readVersion(spark, path, v)
       case None => PartitionedLake.read(spark, path)
     }
-    new LakeBatchRelation(sqlContext, frame)
+    // exact snapshot size from the manifest (None = stay at the huge
+    // default): what lets a small dimension lake win a broadcast join
+    val size = PartitionedLake.manifestAt(spark, path, version)
+      .flatMap(PartitionedLake.metadataSizeBytes)
+    new LakeBatchRelation(sqlContext, frame, size)
   }
 
   /** `df.write.format("graft-lake")` — the registered batch WRITE:
@@ -166,10 +171,16 @@ class LakeBatchProvider extends RelationProvider
 }
 
 private[io] class LakeBatchRelation(override val sqlContext: SQLContext,
-    frame: DataFrame) extends BaseRelation with PrunedFilteredScan
+    frame: DataFrame, sizeHint: Option[Long] = None)
+    extends BaseRelation with PrunedFilteredScan
     with org.apache.spark.sql.execution.FileRelation {
 
   override def schema: StructType = frame.schema
+
+  /** Exact manifest byte size when known; the conservative "unknown =
+    * defaultSizeInBytes (huge)" otherwise — never an underestimate.
+    */
+  override def sizeInBytes: Long = sizeHint.getOrElse(super.sizeInBytes)
 
   // the delegated plan already produces InternalRows; re-wrapping them
   // as external Rows would pay a full conversion per row for nothing

@@ -160,19 +160,36 @@ private[io] class LakeScanBuilder(path: String, version: Option[Long],
 
   override def build(): Scan =
     if (countStars > 0) new LakeCountScan(metadataCount.get, countStars)
-    else new LakeV1FallbackScan(path, version, required, accepted)
+    else new LakeV1FallbackScan(path, version, required, accepted,
+      manifest.flatMap(PartitionedLake.metadataSizeBytes), metadataCount)
+}
+
+/** The DSv2 statistics report: exact manifest numbers when known, empty
+  * (engine falls back to its conservative default) otherwise — a size
+  * statistic must never underestimate, so "unknown" beats "guessed".
+  */
+private[io] class LakeStatistics(bytes: Option[Long], rows: Option[Long])
+    extends org.apache.spark.sql.connector.read.Statistics {
+  override def sizeInBytes(): java.util.OptionalLong =
+    bytes.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+  override def numRows(): java.util.OptionalLong =
+    rows.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
 }
 
 /** Metadata-only COUNT(*): one driver-local InternalRow, planned as a
   * LocalTableScan — the physical proof is the ABSENCE of any file scan
   * in the executed plan (spec-pinned).
   */
-private[io] class LakeCountScan(count: Long, n: Int) extends LocalScan {
+private[io] class LakeCountScan(count: Long, n: Int) extends LocalScan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType =
     StructType((0 until n).map(i =>
       StructField(s"count$i", LongType, nullable = false)))
   override def rows(): Array[InternalRow] =
     Array(InternalRow.fromSeq(Seq.fill(n)(count)))
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    new LakeStatistics(Some(8L * n), Some(1L))
   override def description(): String =
     s"GraftLakeMetadataCount(path-level count=$count)"
 }
@@ -182,9 +199,20 @@ private[io] class LakeCountScan(count: Long, n: Int) extends LocalScan {
   * pruned and filtered, surfaced through the `V1Scan` migration shim.
   */
 private[io] class LakeV1FallbackScan(path: String, version: Option[Long],
-    required: StructType, filters: Array[Filter]) extends V1Scan {
+    required: StructType, filters: Array[Filter],
+    snapshotBytes: Option[Long] = None, snapshotRows: Option[Long] = None)
+    extends V1Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  /** Whole-snapshot size/rows from the manifest (the conservative
+    * report: column pruning and pushed filters can only make the real
+    * scan SMALLER than this, so broadcast decisions err safe).
+    */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    new LakeStatistics(snapshotBytes, snapshotRows)
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T = {

@@ -112,11 +112,18 @@ object PartitionedLake {
     * column absent from the map means "unknown", which [[readRange]]
     * treats as cannot-skip. `rows` powers [[rowCount]]'s metadata-only
     * COUNT(*); None (pre-rows manifests, adopted legacy files) degrades
-    * to scanning, never to a wrong answer.
+    * to scanning, never to a wrong answer. `bytes` is the file's exact
+    * on-disk length (free from the commit's directory listing): it
+    * powers the size STATISTICS both registered read surfaces report to
+    * the optimizer, which is what lets a small dimension lake win a
+    * broadcast join instead of defaulting to "unknown = huge". Absent
+    * on pre-bytes manifests — statistics then stay at the conservative
+    * default, never an underestimate.
     */
   private[io] case class FileEntry(name: String,
       stats: Map[String, (Double, Double)] = Map.empty,
-      rows: Option[Long] = None)
+      rows: Option[Long] = None,
+      bytes: Option[Long] = None)
 
   /** version + snapshot schema + live files per partition directory +
     * PER-WRITER highest streaming batch ids folded in (Delta's
@@ -321,11 +328,14 @@ object PartitionedLake {
       // the last '/' splits dir/file)
       val fields = line.split('\t')
       val i = fields(0).lastIndexOf('/')
-      // a `rows:N` field (no '=') is the footer row count; every other
-      // field is col=lo..hi stats. A data COLUMN literally named
-      // "rows:..." still parses as stats — its field contains '='.
-      val (rowFields, statFields) = fields.drop(1)
+      // a `rows:N` field (no '=') is the footer row count and a
+      // `bytes:N` field the on-disk length; every other field is
+      // col=lo..hi stats. A data COLUMN literally named "rows:..." /
+      // "bytes:..." still parses as stats — its field contains '='.
+      val (rowFields, rest) = fields.drop(1)
         .partition(f => f.startsWith("rows:") && !f.contains('='))
+      val (byteFields, statFields) = rest
+        .partition(f => f.startsWith("bytes:") && !f.contains('='))
       val stats = statFields.map { f =>
         // the name is escaped on write, so the FIRST '=' ends it
         val eq = f.indexOf('=')
@@ -336,7 +346,8 @@ object PartitionedLake {
       }.toMap
       (fields(0).substring(0, i),
         FileEntry(fields(0).substring(i + 1), stats,
-          rowFields.headOption.map(_.stripPrefix("rows:").toLong)))
+          rowFields.headOption.map(_.stripPrefix("rows:").toLong),
+          byteFields.headOption.map(_.stripPrefix("bytes:").toLong)))
     }.groupBy(_._1).map { case (d, fs0) => d -> fs0.map(_._2) }
     Manifest(version, schema, files, txns, deltas, mor, leafNames)
   }
@@ -352,6 +363,7 @@ object PartitionedLake {
     m.files.getOrElse(d, Nil).sortBy(_.name).foreach { e =>
       body.append(d).append('/').append(e.name)
       e.rows.foreach(r => body.append('\t').append("rows:").append(r))
+      e.bytes.foreach(b => body.append('\t').append("bytes:").append(b))
       // stats column names are escaped like every other name in the
       // manifest: a raw '=' would truncate the parsed name, a raw tab
       // would break the field framing — one exotic-but-legal column
@@ -617,11 +629,11 @@ object PartitionedLake {
     * shared by staging and legacy-lake adoption so they can never
     * disagree).
     */
-  private def dataFiles(fs: FileSystem, dir: Path): Seq[Path] =
+  private def dataFiles(fs: FileSystem,
+      dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
     fs.listStatus(dir).toSeq
       .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
         !f.getPath.getName.startsWith("."))
-      .map(_.getPath)
 
   /** Spark-rendered partition directory names for a set of distinct
     * partition value tuples: a tiny probe write (one row per tuple —
@@ -674,17 +686,19 @@ object PartitionedLake {
     // independent metadata read per staged file — run them on a bounded
     // pool, not serially on the driver thread: a many-partition commit
     // would otherwise pay file-count x round-trip latency (the 2.5k-file
-    // day layout in LakeBench, or any object store at the design point)
+    // day layout in LakeBench, or any object store at the design point).
+    // Byte lengths come free from the listing above (no extra RPC).
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(1, math.min(16, pairs.size)))
     val dirs = try {
       import scala.jdk.CollectionConverters._
       val tasks: java.util.List[java.util.concurrent.Callable[(String, FileEntry)]] =
-        pairs.map { case (rel, f) =>
+        pairs.map { case (rel, st) =>
           new java.util.concurrent.Callable[(String, FileEntry)] {
             override def call(): (String, FileEntry) = {
-              val (rows, stats) = footerInfo(conf, f, statsCols.toSet)
-              rel -> FileEntry(f.getName, stats, Some(rows))
+              val (rows, stats) = footerInfo(conf, st.getPath, statsCols.toSet)
+              rel -> FileEntry(st.getPath.getName, stats, Some(rows),
+                Some(st.getLen))
             }
           }
         }.asJava
@@ -876,7 +890,11 @@ object PartitionedLake {
       else {
         val dirs = leafPartitionDirs(fs, new Path(path), depth)
           .map { case (rel, dirPath) =>
-            rel -> dataFiles(fs, dirPath).map(f => FileEntry(f.getName))
+            // adopted legacy files carry no footer row counts (rowCount
+            // stays None) but their byte lengths are free here, so size
+            // statistics work from adoption onward
+            rel -> dataFiles(fs, dirPath).map(st =>
+              FileEntry(st.getPath.getName, bytes = Some(st.getLen)))
           }.toMap
         if (dirs.isEmpty) None
         else {
@@ -1169,6 +1187,20 @@ object PartitionedLake {
     if (m.deltas.nonEmpty ||
         m.files.values.exists(_.exists(_.rows.isEmpty))) None
     else Some(m.files.values.map(_.flatMap(_.rows).sum).sum)
+
+  /** The snapshot's exact on-disk byte size from metadata alone — the
+    * size STATISTIC the registered read surfaces report so the
+    * optimizer can choose a broadcast join for a small lake. None —
+    * degrade to the conservative "unknown = huge" default, never an
+    * UNDERESTIMATE (a wrongly-broadcast big table is an OOM, the one
+    * direction a size statistic must never err) — when any live file
+    * predates byte harvesting or merge-on-read deltas are live (their
+    * sidecars' sizes are not tracked per entry).
+    */
+  private[io] def metadataSizeBytes(m: Manifest): Option[Long] =
+    if (m.deltas.nonEmpty ||
+        m.files.values.exists(_.exists(_.bytes.isEmpty))) None
+    else Some(m.files.values.map(_.flatMap(_.bytes).sum).sum)
 
   /** Time travel: read the lake AS OF a published snapshot version (see
     * [[snapshots]]). Works because commits only ever ADD files and

@@ -177,6 +177,39 @@ class LakeDsv2Spec extends AnyFunSuite {
       Set(("b", 2L, 2.0), ("b", 3L, 30.0)))
   }
 
+  test("size statistics from the manifest: a small lake wins a BROADCAST join through both registered formats") {
+    val lake = freshLake("stats")
+    PartitionedLake.write(Seq((1L, "a", 1.0), (2L, "b", 2.0))
+      .toDF("k", "part", "bal"), lake, "part")
+    val big = spark.range(200000L).withColumnRenamed("id", "k")
+    def broadcastChosen(dim: org.apache.spark.sql.DataFrame): Boolean =
+      big.join(dim, "k").queryExecution.executedPlan.toString()
+        .contains("BroadcastHashJoin")
+    // byte sizes ride in the manifest, so both surfaces report exact
+    // statistics instead of the huge unknown default
+    assert(broadcastChosen(v1(lake)), "v1 format read did not broadcast")
+    assert(broadcastChosen(v2(lake)), "DSv2 read did not broadcast")
+    // the raw numbers match the disk truth
+    val m = PartitionedLake.latestManifest(
+      new org.apache.hadoop.fs.Path(lake)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration), lake).get
+    val onDisk = PartitionedLake.read(spark, lake).inputFiles
+      .map(f => new java.io.File(new java.net.URI(f)).length()).sum
+    assert(PartitionedLake.metadataSizeBytes(m) === Some(onDisk))
+    // unknown stays unknown: a manifest entry without bytes (pre-bytes
+    // manifests) disables the size answer rather than underestimating
+    val stripped = m.copy(files = m.files.view.mapValues(
+      _.map(_.copy(bytes = None))).toMap)
+    assert(PartitionedLake.metadataSizeBytes(stripped).isEmpty)
+    // live MOR deltas also disable it (their sidecar sizes are untracked)
+    PartitionedLake.cdcSinkMergeOnRead(spark, lake, "part", "k", "bal",
+      Seq((1L, "a", 1L, "U", 9.0)).toDF("k", "part", "seq", "op", "val"))
+    val m2 = PartitionedLake.latestManifest(
+      new org.apache.hadoop.fs.Path(lake)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration), lake).get
+    assert(PartitionedLake.metadataSizeBytes(m2).isEmpty)
+  }
+
   test("the catalog is read-only and reports missing lakes as missing tables") {
     spark.conf.set("spark.sql.catalog.graft_lake",
       classOf[LakeCatalog].getName)
