@@ -120,6 +120,7 @@ private[io] class LakeScanBuilder(path: String, version: Option[Long],
   private var accepted: Array[Filter] = Array.empty
   private var sawFilters = false
   private var countStars = 0
+  private var groupCols: Seq[String] = Nil
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -139,27 +140,56 @@ private[io] class LakeScanBuilder(path: String, version: Option[Long],
   private def metadataCount: Option[Long] =
     manifest.flatMap(PartitionedLake.metadataRowCount)
 
+  /** The group-by columns iff EVERY grouping expression is a bare
+    * reference to a partition column — the only grouping a manifest can
+    * answer (each partition directory's row count is exact metadata;
+    * grouping by a PREFIX of the partition columns just sums leaves).
+    */
+  private def partitionGroupCols(agg: Aggregation): Option[Seq[String]] = {
+    if (agg.groupByExpressions.isEmpty) return Some(Nil)
+    val partCols = manifest
+      .filter(m => PartitionedLake.allDirs(m).nonEmpty)
+      .map(PartitionedLake.partitionColsOf).getOrElse(Nil)
+    val named = agg.groupByExpressions.toSeq.map {
+      case r: org.apache.spark.sql.connector.expressions.NamedReference
+          if r.fieldNames.length == 1 => Some(r.fieldNames.head)
+      case _ => None
+    }
+    if (named.forall(_.exists(partCols.contains)))
+      Some(named.map(_.get))
+    else None
+  }
+
   /** COUNT(*) completes from metadata iff nothing can change the
-    * answer: no grouping, no filters anywhere in the pushdown (a
-    * filtered count is not the snapshot count), every aggregate is
-    * CountStar, and the snapshot's count is exact in the manifest
-    * (no live deltas / legacy files — [[PartitionedLake.rowCount]]'s
-    * None contract). Anything else degrades to the real scan.
+    * answer: grouping (if any) is by partition columns alone, no
+    * filters anywhere in the pushdown (a filtered count is not the
+    * snapshot count), every aggregate is CountStar, and the snapshot's
+    * counts are exact in the manifest (no live deltas / legacy files —
+    * [[PartitionedLake.rowCount]]'s None contract). Anything else
+    * degrades to the real scan.
     */
   private def canComplete(agg: Aggregation): Boolean =
-    agg.groupByExpressions.isEmpty && !sawFilters &&
+    !sawFilters &&
       agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall(_.isInstanceOf[CountStar]) &&
+      partitionGroupCols(agg).isDefined &&
       metadataCount.isDefined
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     canComplete(agg)
 
   override def pushAggregation(agg: Aggregation): Boolean =
-    canComplete(agg) && { countStars = agg.aggregateExpressions.length; true }
+    canComplete(agg) && {
+      countStars = agg.aggregateExpressions.length
+      groupCols = partitionGroupCols(agg).get
+      true
+    }
 
   override def build(): Scan =
-    if (countStars > 0) new LakeCountScan(metadataCount.get, countStars)
+    if (countStars > 0 && groupCols.isEmpty)
+      new LakeCountScan(metadataCount.get, countStars)
+    else if (countStars > 0)
+      new LakeGroupCountScan(manifest.get, fullSchema, groupCols, countStars)
     else new LakeV1FallbackScan(path, version, required, accepted,
       manifest.flatMap(PartitionedLake.metadataSizeBytes), metadataCount)
 }
@@ -192,6 +222,60 @@ private[io] class LakeCountScan(count: Long, n: Int) extends LocalScan
     new LakeStatistics(Some(8L * n), Some(1L))
   override def description(): String =
     s"GraftLakeMetadataCount(path-level count=$count)"
+}
+
+/** Metadata-only `GROUP BY <partition cols> -> COUNT(*)` — the
+  * partition histogram every ops dashboard runs, answered from the
+  * manifest's per-directory row counts without opening a file.
+  * Grouping by a PREFIX of the partition columns sums the deeper
+  * leaves. Directory names parse back to typed values through
+  * Catalyst's own string cast (the same semantics Spark's partition
+  * inference applies), with `__HIVE_DEFAULT_PARTITION__` as null —
+  * and the scan builder only routes here for snapshots whose counts
+  * are exact (no live deltas / legacy files).
+  */
+private[io] class LakeGroupCountScan(m: PartitionedLake.Manifest,
+    schema: StructType, groupCols: Seq[String], nCounts: Int)
+    extends LocalScan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+
+  override def readSchema(): StructType = StructType(
+    groupCols.map(c => schema(c)) ++
+      (0 until nCounts).map(i =>
+        StructField(s"count$i", LongType, nullable = false)))
+
+  private lazy val grouped: Array[InternalRow] = {
+    val partCols = PartitionedLake.partitionColsOf(m)
+    def valueOf(dir: String, col: String): Any = {
+      val level = dir.split('/')(partCols.indexOf(col))
+      val raw = ExternalCatalogUtils.unescapePathName(
+        level.substring(level.indexOf('=') + 1))
+      if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+      else org.apache.spark.sql.catalyst.expressions.Cast(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(raw)),
+        schema(col).dataType, Some("UTC")).eval()
+    }
+    m.files.toSeq
+      .map { case (dir, entries) =>
+        groupCols.map(valueOf(dir, _)) -> entries.flatMap(_.rows).sum
+      }
+      .groupBy(_._1).toSeq
+      .map { case (key, rows) =>
+        val n = rows.map(_._2).sum
+        InternalRow.fromSeq(key ++ Seq.fill(nCounts)(n))
+      }.toArray
+  }
+
+  override def rows(): Array[InternalRow] = grouped
+
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    new LakeStatistics(None, Some(grouped.length.toLong))
+
+  override def description(): String =
+    s"GraftLakeMetadataGroupCount(${groupCols.mkString(", ")})"
 }
 
 /** Everything that actually reads data: delegate to the SAME plan the

@@ -177,6 +177,49 @@ class LakeDsv2Spec extends AnyFunSuite {
       Set(("b", 2L, 2.0), ("b", 3L, 30.0)))
   }
 
+  test("GROUP BY partition columns + COUNT(*) answers from metadata: per-partition, prefix grouping, typed and escaped values") {
+    val lake = freshLake("gcount")
+    PartitionedLake.write(Seq(
+      (1L, "d1", "web", 1.0), (2L, "d1", "web", 2.0), (3L, "d1", "app", 3.0),
+      (4L, "d=2", "web", 4.0), (5L, "d=2", "web", 5.0))
+      .toDF("k", "day", "src", "bal"), lake, Seq("day", "src"), Nil)
+    spark.conf.set("spark.sql.catalog.graft_lake",
+      classOf[LakeCatalog].getName)
+    // leaf-level histogram via SQL: metadata-only
+    val leaf = spark.sql(s"SELECT day, src, count(*) AS n " +
+      s"FROM graft_lake.`$lake` GROUP BY day, src")
+    assert(isMetadataOnly(leaf), leaf.queryExecution.executedPlan.toString())
+    assert(leaf.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2))).toSet ===
+      Set(("d1", "web", 2L), ("d1", "app", 1L), ("d=2", "web", 2L)))
+    // PREFIX grouping sums the deeper leaves, still metadata-only
+    val byDay = v2(lake).groupBy("day").count()
+    assert(isMetadataOnly(byDay), byDay.queryExecution.executedPlan.toString())
+    assert(byDay.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("d1" -> 3L, "d=2" -> 2L))
+    // grouping by a NON-partition column degrades to the real scan
+    val byBal = v2(lake).groupBy("bal").count()
+    assert(!isMetadataOnly(byBal))
+    assert(byBal.count() === 5L)
+    // typed partition values: a long-typed partition column round-trips
+    val typed = freshLake("gtyped")
+    PartitionedLake.write(Seq((1L, 7L, "a"), (2L, 7L, "b"), (3L, 8L, "c"))
+      .toDF("k", "bucket", "v"), typed, "bucket")
+    val byBucket = v2(typed).groupBy("bucket").count()
+    assert(isMetadataOnly(byBucket))
+    assert(byBucket.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(7L -> 2L, 8L -> 1L))
+    // the null partition surfaces as a null group
+    val withNull = freshLake("gnull")
+    PartitionedLake.write(Seq((1L, Some("p1"), "a"), (2L, None, "b"))
+      .toDF("k", "part", "v"), withNull, "part")
+    val byPart = v2(withNull).groupBy("part").count()
+    assert(isMetadataOnly(byPart))
+    assert(byPart.collect().map(r =>
+      Option(r.getString(0)) -> r.getLong(1)).toMap ===
+      Map(Some("p1") -> 1L, None -> 1L))
+  }
+
   test("size statistics from the manifest: a small lake wins a BROADCAST join through both registered formats") {
     val lake = freshLake("stats")
     PartitionedLake.write(Seq((1L, "a", 1.0), (2L, "b", 2.0))
