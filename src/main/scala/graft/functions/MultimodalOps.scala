@@ -93,6 +93,61 @@ object MultimodalOps {
     */
   def decodeMedia(b: Blob): MediaMeta = decodeImage(b).getOrElse(decodeStub(b))
 
+  /** Audio metadata: true values from the container header when the
+    * payload decoded ([[decodeAudio]]); `codec` = "stub" with
+    * byte-derived fakes otherwise.
+    */
+  final case class AudioMeta(doc_id: Long, n_bytes: Long,
+      sample_rate: Double, channels: Int, frames: Long, duration_ms: Long,
+      codec: String, fingerprint: String)
+
+  /** WAV (RIFF/WAVE), AIFF (FORM), AU (.snd) container signatures. */
+  private def looksLikeAudio(p: Array[Byte]): Boolean = p.length >= 12 && (
+    (p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E') ||
+    (p(0) == 'F' && p(1) == 'O' && p(2) == 'R' && p(3) == 'M') ||
+    (p(0) == '.' && p(1) == 's' && p(2) == 'n' && p(3) == 'd'))
+
+  /** REAL audio decode through `javax.sound.sampled` (JDK built-in —
+    * WAV, AIFF, AU): sample rate, channel count, and frame length read
+    * from the container HEADER (`AudioSystem.getAudioFileFormat` parses
+    * metadata only — no sample decode), duration derived exactly.
+    * None for non-audio payloads and corrupt headers — callers fall
+    * back to [[audioStub]] rather than failing the batch. Compressed
+    * formats the JDK lacks (MP3, AAC, Opus) stay behind the stub seam,
+    * same as video.
+    */
+  def decodeAudio(b: Blob): Option[AudioMeta] = {
+    if (!looksLikeAudio(b.payload)) return None
+    try {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(b.payload))
+      val fmt = aff.getFormat
+      val frames = aff.getFrameLength.toLong
+      val rate = fmt.getSampleRate.toDouble
+      Some(AudioMeta(b.doc_id, b.payload.length.toLong, rate,
+        fmt.getChannels, frames,
+        if (rate > 0 && frames >= 0) (frames * 1000.0 / rate).toLong else -1L,
+        aff.getType.toString.toLowerCase, md5Hex(b.payload)))
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+  }
+
+  /** Deterministic byte-derived fake for non-audio payloads — the same
+    * oracle-checkable stub contract as [[decodeStub]].
+    */
+  def audioStub(b: Blob): AudioMeta = {
+    val n = b.payload.length.toLong
+    AudioMeta(b.doc_id, n, 8000.0, 1 + (n % 2).toInt, n, n * 1000 / 8000,
+      "stub", md5Hex(b.payload))
+  }
+
+  /** The production audio dispatch, mirroring [[decodeMedia]]. */
+  def decodeAudioOrStub(b: Blob): AudioMeta =
+    decodeAudio(b).getOrElse(audioStub(b))
+
   final case class FrameMeta(doc_id: Long, frame_idx: Long, n_chars: Long,
       fingerprint: String)
 

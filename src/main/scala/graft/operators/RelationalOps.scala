@@ -1400,6 +1400,33 @@ object RelationalOps {
       },
       Some("""SELECT count(*) AS n_rows, true AS metadata_only,
         |  count(*) AS v1_rows FROM orders""".stripMargin),
-      "lake op: DSv2 metadata-only COUNT(*) + VERSION AS OF SQL (LakeCatalog)")
+      "lake op: DSv2 metadata-only COUNT(*) + VERSION AS OF SQL (LakeCatalog)"),
+
+    // ---- DSv2 surface, grouped: the partition histogram (GROUP BY the
+    // partition column + COUNT(*)) answered from per-directory manifest
+    // row counts — zero data files (plan-verified in-band, same pattern
+    // as q148). The ops-dashboard query every lake runs hourly, for the
+    // cost of a manifest read. ----
+    Q("q149_dsv2_partition_histogram",
+      (s, d) => {
+        val dir = scratchDir("q149-dsv2") + "/lake"
+        graft.io.PartitionedLake.write(Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice")), dir, "o_orderpriority")
+        s.conf.set("spark.sql.catalog.graft_lake",
+          classOf[graft.io.LakeCatalog].getName)
+        val hist = s.sql(s"SELECT o_orderpriority, count(*) AS n " +
+          s"FROM graft_lake.`$dir` GROUP BY o_orderpriority")
+        val plan = hist.queryExecution.executedPlan.toString()
+        val metadataOnly = plan.contains("LocalTableScan") &&
+          !plan.contains("BatchScan") && !plan.contains("RowDataSourceScan") &&
+          !plan.contains("parquet")
+        hist.withColumn("metadata_only", lit(metadataOnly))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n, true AS metadata_only
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin),
+      "lake op: DSv2 partition histogram from manifest metadata (grouped COUNT(*) pushdown)")
   )
 }

@@ -516,6 +516,49 @@ class MultimodalSpec extends AnyFunSuite {
       .codec === "stub")
   }
 
+  /** Real WAV bytes through the JDK's own encoder — the decode reads
+    * them back via javax.sound.sampled, production path end to end.
+    */
+  private def wavBytes(sampleRate: Float, channels: Int,
+      nFrames: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, channels,
+      true, false)
+    val pcm = Array.tabulate[Byte](nFrames * fmt.getFrameSize)(i =>
+      ((i * 31) % 127).toByte)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("decodeAudio reads TRUE sample rate/channels/frames from real WAV bytes via javax.sound.sampled") {
+    val wav = wavBytes(16000f, 2, 4800)
+    val m = MultimodalOps.decodeAudioOrStub(MultimodalOps.Blob(1L, wav))
+    assert(m.codec === "wave")
+    assert(m.sample_rate === 16000.0)
+    assert(m.channels === 2)
+    assert(m.frames === 4800L)
+    assert(m.duration_ms === 300L) // 4800 frames / 16 kHz
+    assert(m.n_bytes === wav.length.toLong)
+    // mono at a different rate
+    val mono = MultimodalOps.decodeAudioOrStub(
+      MultimodalOps.Blob(2L, wavBytes(8000f, 1, 8000)))
+    assert((mono.channels, mono.duration_ms) === ((1, 1000L)))
+  }
+
+  test("decodeAudio falls back to the stub for non-audio payloads and corrupt RIFF headers") {
+    val text = "just text".getBytes("UTF-8")
+    assert(MultimodalOps.decodeAudioOrStub(MultimodalOps.Blob(1L, text))
+      .codec === "stub")
+    // a RIFF/WAVE signature with garbage after it: sniff passes, the
+    // parser rejects, the stub answers
+    val corrupt = "RIFFWAVEgarbage".getBytes("ISO-8859-1")
+    assert(MultimodalOps.decodeAudioOrStub(MultimodalOps.Blob(2L, corrupt))
+      .codec === "stub")
+  }
+
   test("the distributed decode dispatches per row: images and non-images in one frame") {
     import spark.implicits._
     val rows = Seq(
