@@ -401,6 +401,21 @@ class LakeCatalog extends TableCatalog {
     new GraftLakeTable(path, Some(version.toLong))
   }
 
+  /** `TIMESTAMP AS OF` — the engine hands epoch MICROseconds; resolve
+    * to the newest version published at or before it (manifest mtime,
+    * Delta's semantics — [[PartitionedLake.versionAt]]) and pin that.
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val path = pathOf(ident)
+    if (!exists(path)) throw new NoSuchTableException(ident)
+    val v = PartitionedLake.versionAt(SparkSession.active, path,
+      Math.floorDiv(timestampMicros, 1000L)).getOrElse(sys.error(
+      s"no snapshot of $path was published at or before the requested " +
+        "timestamp (the lake is younger, or the in-window versions were " +
+        "vacuumed)"))
+    new GraftLakeTable(path, Some(v))
+  }
+
   override def tableExists(ident: Identifier): Boolean = exists(pathOf(ident))
 
   // a path catalog has no enumerable namespace — tables are lakes on

@@ -1202,6 +1202,25 @@ object PartitionedLake {
         m.files.values.exists(_.exists(_.bytes.isEmpty))) None
     else Some(m.files.values.map(_.flatMap(_.bytes).sum).sum)
 
+  /** The newest published version whose manifest was published at or
+    * before `tsMillis` (epoch millis) — TIMESTAMP AS OF resolution,
+    * Delta's semantics: publish time is the manifest file's mtime (the
+    * rename that IS the commit point), which is monotone across
+    * versions because optimistic concurrency publishes them in order.
+    * Store-clock granularity applies (same caveat as Delta); version
+    * pinning is the exact form. None when the lake predates `tsMillis`
+    * entirely or the in-window manifests were vacuumed — callers fail
+    * loudly, never silently-latest.
+    */
+  def versionAt(spark: SparkSession, path: String,
+      tsMillis: Long): Option[Long] = {
+    val fs = fsFor(spark, path)
+    listVersions(fs, path).filter { v =>
+      fs.getFileStatus(new Path(manifestDir(path), f"v$v%09d.txt"))
+        .getModificationTime <= tsMillis
+    }.maxOption
+  }
+
   /** Time travel: read the lake AS OF a published snapshot version (see
     * [[snapshots]]). Works because commits only ever ADD files and
     * de-reference old ones. Two reclamation events can invalidate an old
@@ -1314,8 +1333,16 @@ object PartitionedLake {
     val manifests = (fromVersion to toVersion).map(
       readManifest(fs, path, _, leafCache))
     val ct = "_commit_version"
+    // every per-pair diff is aligned to the FINAL schema before the
+    // union: a mid-range additive evolution gives earlier pairs fewer
+    // columns (each diff surfaces ITS toVersion's schema), and the
+    // union would otherwise refuse — rows before the evolution carry
+    // null for the later columns, same rule as everywhere else
+    val outSchema = StructType(manifests.last.schema.fields :+
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType))
     val diffs = manifests.zip(manifests.tail).map { case (a, b) =>
-      diffManifests(spark, path, a, b, keyCols)
+      alignTo(diffManifests(spark, path, a, b, keyCols), outSchema)
         .withColumn(ct, lit(b.version))
     }
     diffs.reduceOption(_ unionByName _).getOrElse {

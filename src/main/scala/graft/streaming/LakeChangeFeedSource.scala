@@ -176,7 +176,6 @@ private[streaming] class LakeChangeFeedSource(sqlContext: SQLContext,
     if (maxVersionsPerTrigger.isDefined && v > lastPersisted) for {
       p <- progressFile; fs <- progressFs
     } {
-      lastPersisted = v
       val tmp = new org.apache.hadoop.fs.Path(p.getParent,
         s".${p.getName}.tmp")
       val out = fs.create(tmp, true)
@@ -184,6 +183,10 @@ private[streaming] class LakeChangeFeedSource(sqlContext: SQLContext,
       org.apache.hadoop.fs.FileContext.getFileContext(p.toUri,
           spark.sparkContext.hadoopConfiguration)
         .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      // advanced only AFTER the replace lands: a throw above leaves the
+      // marker behind, so the next commit() retries the write instead
+      // of believing a base that never became durable
+      lastPersisted = v
     }
   }
 

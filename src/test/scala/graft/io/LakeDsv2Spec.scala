@@ -253,6 +253,56 @@ class LakeDsv2Spec extends AnyFunSuite {
     assert(PartitionedLake.metadataSizeBytes(m2).isEmpty)
   }
 
+  test("TIMESTAMP AS OF resolves to the newest version published at or before it (manifest-mtime semantics)") {
+    val lake = freshLake("tsof")
+    PartitionedLake.write(Seq((1L, "a", 1.0)).toDF("k", "part", "bal"),
+      lake, "part")
+    PartitionedLake.upsert(spark, lake, "part", "k",
+      Seq((2L, "b", 2.0)).toDF("k", "part", "bal"))
+    // pin the publish times deterministically instead of sleeping
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def manifestOf(v: Long) = new org.apache.hadoop.fs.Path(
+      s"$lake/_manifest", f"v$v%09d.txt")
+    val t1 = java.sql.Timestamp.valueOf("2030-01-01 00:00:00").getTime
+    val t2 = java.sql.Timestamp.valueOf("2030-01-02 00:00:00").getTime
+    fs.setTimes(manifestOf(1L), t1, -1)
+    fs.setTimes(manifestOf(2L), t2, -1)
+    assert(PartitionedLake.versionAt(spark, lake, t1) === Some(1L))
+    assert(PartitionedLake.versionAt(spark, lake, t2 + 1) === Some(2L))
+    assert(PartitionedLake.versionAt(spark, lake, t1 - 1) === None)
+    spark.conf.set("spark.sql.catalog.graft_lake",
+      classOf[LakeCatalog].getName)
+    val old = spark.sql(s"SELECT part, k, bal FROM graft_lake.`$lake` " +
+      "TIMESTAMP AS OF '2030-01-01 12:00:00'")
+    assert(rowsOf(old) === Set(("a", 1L, 1.0)))
+    val now = spark.sql(s"SELECT part, k, bal FROM graft_lake.`$lake` " +
+      "TIMESTAMP AS OF '2030-01-03 00:00:00'")
+    assert(rowsOf(now) === Set(("a", 1L, 1.0), ("b", 2L, 2.0)))
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_lake.`$lake` " +
+        "TIMESTAMP AS OF '2001-01-01 00:00:00'").collect()
+    }
+    assert(e.getMessage.contains("at or before"), e.getMessage)
+  }
+
+  test("SQL CREATE TABLE ... USING graft-lake-v2 resolves through the DSv2 table, metadata count included") {
+    val lake = freshLake("ctas")
+    PartitionedLake.write(Seq((1L, "a", 1.0), (2L, "b", 2.0))
+      .toDF("k", "part", "bal"), lake, "part")
+    spark.sql("DROP TABLE IF EXISTS lake_v2_t")
+    spark.sql(s"CREATE TABLE lake_v2_t USING `graft-lake-v2` " +
+      s"OPTIONS (path '$lake')")
+    try {
+      assert(spark.sql("SELECT part, k, bal FROM lake_v2_t").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet ===
+        Set(("a", 1L, 1.0), ("b", 2L, 2.0)))
+      val c = spark.sql("SELECT count(*) FROM lake_v2_t")
+      assert(isMetadataOnly(c), c.queryExecution.executedPlan.toString())
+      assert(c.head().getLong(0) === 2L)
+    } finally spark.sql("DROP TABLE IF EXISTS lake_v2_t")
+  }
+
   test("the catalog is read-only and reports missing lakes as missing tables") {
     spark.conf.set("spark.sql.catalog.graft_lake",
       classOf[LakeCatalog].getName)
