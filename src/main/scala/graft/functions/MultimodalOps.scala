@@ -79,8 +79,11 @@ object MultimodalOps {
             r.getFormatName.toLowerCase, md5Hex(b.payload)))
         } catch {
           // a signature match with a corrupt header must not fail the
-          // whole partition — degrade to the stub path
-          case _: java.io.IOException => None
+          // whole partition — degrade to the stub path. NonFatal, not
+          // just IOException: ImageIO readers throw unchecked exceptions
+          // (IllegalArgument, IndexOutOfBounds, NegativeArraySize) on
+          // malformed size fields behind a valid magic
+          case scala.util.control.NonFatal(_) => None
         } finally r.dispose()
       }
     } finally in.close()
@@ -130,8 +133,10 @@ object MultimodalOps {
         if (rate > 0 && frames >= 0) (frames * 1000.0 / rate).toLong else -1L,
         aff.getType.toString.toLowerCase, md5Hex(b.payload)))
     } catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException => None
-      case _: java.io.IOException => None
+      // same NonFatal discipline as decodeImage: container parsers can
+      // throw unchecked on malformed size/offset fields behind a valid
+      // magic, and a corrupt payload must never fail the batch
+      case scala.util.control.NonFatal(_) => None
     }
   }
 

@@ -47,14 +47,17 @@ class LakeBatchProvider extends RelationProvider
     val spark = sqlContext.sparkSession
     val path = pathOf(parameters)
     val version = parameters.get("versionAsOf").map(_.toLong)
-    val frame = version match {
-      case Some(v) => PartitionedLake.readVersion(spark, path, v)
-      case None => PartitionedLake.read(spark, path)
+    // ONE manifest resolve feeds both the pinned frame and the size
+    // statistic — resolving twice would pay the driver read again AND
+    // open a race where the size describes a different snapshot than
+    // the frame pinned (a racing small overwrite could then broadcast
+    // the older large scan — the underestimate direction)
+    val manifest = PartitionedLake.manifestAt(spark, path, version)
+    val frame = manifest match {
+      case Some(m) => PartitionedLake.frameFor(spark, path, m)
+      case None => spark.read.parquet(path) // pre-protocol lake
     }
-    // exact snapshot size from the manifest (None = stay at the huge
-    // default): what lets a small dimension lake win a broadcast join
-    val size = PartitionedLake.manifestAt(spark, path, version)
-      .flatMap(PartitionedLake.metadataSizeBytes)
+    val size = manifest.flatMap(PartitionedLake.metadataSizeBytes)
     new LakeBatchRelation(sqlContext, frame, size)
   }
 

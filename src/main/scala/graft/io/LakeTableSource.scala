@@ -97,6 +97,10 @@ private[io] class GraftLakeTable(path: String, version: Option[Long])
   }
 
   override def partitioning(): Array[Transform] = manifest
+    // a manifest can be legitimately EMPTY (every row of every partition
+    // deleted) — partitionColsOf reads names off a directory key, so it
+    // must not be consulted then (the v1 path reads such lakes fine)
+    .filter(m => PartitionedLake.allDirs(m).nonEmpty)
     .map(m => PartitionedLake.partitionColsOf(m)
       .map(c => Expressions.identity(c)).toArray)
     .getOrElse(Array.empty)
@@ -190,8 +194,7 @@ private[io] class LakeScanBuilder(path: String, version: Option[Long],
       new LakeCountScan(metadataCount.get, countStars)
     else if (countStars > 0)
       new LakeGroupCountScan(manifest.get, fullSchema, groupCols, countStars)
-    else new LakeV1FallbackScan(path, version, required, accepted,
-      manifest.flatMap(PartitionedLake.metadataSizeBytes), metadataCount)
+    else new LakeV1FallbackScan(path, version, required, accepted, manifest)
 }
 
 /** The DSv2 statistics report: exact manifest numbers when known, empty
@@ -279,31 +282,41 @@ private[io] class LakeGroupCountScan(m: PartitionedLake.Manifest,
 }
 
 /** Everything that actually reads data: delegate to the SAME plan the
-  * Scala API builds ([[PartitionedLake.read]]/[[PartitionedLake.readVersion]]),
-  * pruned and filtered, surfaced through the `V1Scan` migration shim.
+  * Scala API builds — scoped to the table's PINNED manifest, so the
+  * scan, the table schema, the statistics, and the metadata-count path
+  * all describe ONE snapshot. (An earlier form re-resolved the latest
+  * manifest at scan time; a commit racing the query could then make
+  * `df.count()` — answered from the pinned metadata — disagree with
+  * `df.collect()`, and let the pinned statistics under-describe the
+  * newer data, the underestimate→broadcast-OOM direction.)
+  * Pruned and filtered, surfaced through the `V1Scan` migration shim.
   */
 private[io] class LakeV1FallbackScan(path: String, version: Option[Long],
     required: StructType, filters: Array[Filter],
-    snapshotBytes: Option[Long] = None, snapshotRows: Option[Long] = None)
+    manifest: Option[PartitionedLake.Manifest])
     extends V1Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = required
 
-  /** Whole-snapshot size/rows from the manifest (the conservative
-    * report: column pruning and pushed filters can only make the real
-    * scan SMALLER than this, so broadcast decisions err safe).
+  /** Whole-snapshot size/rows from the pinned manifest (the
+    * conservative report: column pruning and pushed filters can only
+    * make the real scan SMALLER than this, so broadcast decisions err
+    * safe).
     */
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics =
-    new LakeStatistics(snapshotBytes, snapshotRows)
+    new LakeStatistics(
+      manifest.flatMap(PartitionedLake.metadataSizeBytes),
+      manifest.flatMap(PartitionedLake.metadataRowCount))
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T = {
     val spark = context.sparkSession
-    val frame = version
-      .map(PartitionedLake.readVersion(spark, path, _))
-      .getOrElse(PartitionedLake.read(spark, path))
+    val frame = manifest match {
+      case Some(m) => PartitionedLake.frameFor(spark, path, m)
+      case None => spark.read.parquet(path) // pre-protocol lake
+    }
     val pruned = frame.select(required.fieldNames.map(col).toIndexedSeq: _*)
     val filtered = filters.flatMap(LakeFilters.toColumn)
       .reduceOption(_ && _).map(pruned.filter).getOrElse(pruned)
@@ -344,13 +357,32 @@ class LakeTableProvider extends TableProvider with DataSourceRegister {
   private def versionOf(options: CaseInsensitiveStringMap): Option[Long] =
     Option(options.get("versionAsOf")).map(_.toLong)
 
+  // one load() calls inferSchema + inferPartitioning + getTable on the
+  // SAME freshly-instantiated provider — memoize the resolved table so
+  // a single load resolves the manifest once, not three times (at the
+  // manifest ceiling each resolve is a real driver read). Providers are
+  // instantiated per lookup, so the memo never outlives one load and
+  // cannot pin a stale snapshot across queries (spec-pinned: a commit
+  // between two load()s is visible to the second).
+  private var memo: Option[(String, Option[Long], GraftLakeTable)] = None
+  private def tableFor(path: String,
+      version: Option[Long]): GraftLakeTable = synchronized {
+    memo match {
+      case Some((p, v, t)) if p == path && v == version => t
+      case _ =>
+        val t = new GraftLakeTable(path, version)
+        memo = Some((path, version, t))
+        t
+    }
+  }
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    new GraftLakeTable(pathOf(options), versionOf(options)).schema
+    tableFor(pathOf(options), versionOf(options)).schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
-    new GraftLakeTable(pathOf(options), versionOf(options))
+    tableFor(pathOf(options), versionOf(options))
   }
 }
 
@@ -398,7 +430,15 @@ class LakeCatalog extends TableCatalog {
   override def loadTable(ident: Identifier, version: String): Table = {
     val path = pathOf(ident)
     if (!exists(path)) throw new NoSuchTableException(ident)
-    new GraftLakeTable(path, Some(version.toLong))
+    // string versions are legal SQL here (Iceberg accepts tags/branches)
+    // — refuse non-numeric ones with the catalog's vocabulary instead of
+    // a bare NumberFormatException
+    val v = version.toLongOption.getOrElse(sys.error(
+      s"VERSION AS OF '$version' is not a numeric snapshot version " +
+        s"(this catalog has no named tags); available versions on " +
+        s"$path: ${PartitionedLake.snapshots(SparkSession.active, path)
+          .mkString(", ")}"))
+    new GraftLakeTable(path, Some(v))
   }
 
   /** `TIMESTAMP AS OF` — the engine hands epoch MICROseconds; resolve

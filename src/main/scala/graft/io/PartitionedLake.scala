@@ -1151,9 +1151,7 @@ object PartitionedLake {
       path: String): Option[Map[String, Long]] = {
     val fs = fsFor(spark, path)
     latestManifest(fs, path).flatMap { m =>
-      if (m.deltas.nonEmpty ||
-          m.files.values.exists(_.exists(_.rows.isEmpty))) None
-      else Some(m.files.view
+      metadataRowCount(m).map(_ => m.files.view
         .mapValues(_.flatMap(_.rows).sum).toMap)
     }
   }
@@ -1183,10 +1181,21 @@ object PartitionedLake {
     * travel answers too): None whenever any live file predates row
     * harvesting or merge-on-read deltas are live.
     */
-  private[io] def metadataRowCount(m: Manifest): Option[Long] =
+  /** The ONE exactness gate for metadata answers (shared by rowCount,
+    * partitionRowCounts, and size statistics so they can never diverge):
+    * a per-file `field` sums to an exact snapshot total iff no
+    * merge-on-read deltas are live (their sidecars change the answer at
+    * read) and EVERY live file carries the field (pre-harvest manifests
+    * and adopted legacy files don't). None = degrade, never guess.
+    */
+  private def metadataSum(m: Manifest,
+      field: FileEntry => Option[Long]): Option[Long] =
     if (m.deltas.nonEmpty ||
-        m.files.values.exists(_.exists(_.rows.isEmpty))) None
-    else Some(m.files.values.map(_.flatMap(_.rows).sum).sum)
+        m.files.values.exists(_.exists(e => field(e).isEmpty))) None
+    else Some(m.files.values.map(_.flatMap(field(_)).sum).sum)
+
+  private[io] def metadataRowCount(m: Manifest): Option[Long] =
+    metadataSum(m, _.rows)
 
   /** The snapshot's exact on-disk byte size from metadata alone — the
     * size STATISTIC the registered read surfaces report so the
@@ -1198,9 +1207,7 @@ object PartitionedLake {
     * sidecars' sizes are not tracked per entry).
     */
   private[io] def metadataSizeBytes(m: Manifest): Option[Long] =
-    if (m.deltas.nonEmpty ||
-        m.files.values.exists(_.exists(_.bytes.isEmpty))) None
-    else Some(m.files.values.map(_.flatMap(_.bytes).sum).sum)
+    metadataSum(m, _.bytes)
 
   /** The newest published version whose manifest was published at or
     * before `tsMillis` (epoch millis) — TIMESTAMP AS OF resolution,
@@ -1214,10 +1221,18 @@ object PartitionedLake {
     */
   def versionAt(spark: SparkSession, path: String,
       tsMillis: Long): Option[Long] = {
+    // ONE directory listing carries both names and mtimes — a
+    // per-version getFileStatus would be N+1 round trips and could
+    // throw on a version vacuumed between the listing and the stat
     val fs = fsFor(spark, path)
-    listVersions(fs, path).filter { v =>
-      fs.getFileStatus(new Path(manifestDir(path), f"v$v%09d.txt"))
-        .getModificationTime <= tsMillis
+    val dir = manifestDir(path)
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case ManifestFile(n) if st.getModificationTime <= tsMillis =>
+          Some(n.toLong)
+        case _ => None
+      }
     }.maxOption
   }
 
@@ -1494,7 +1509,10 @@ object PartitionedLake {
         "most selective filter columns)")
     require(filesPerPartition >= 1, "filesPerPartition must be >= 1")
     val fs = fsFor(spark, path)
-    latestManifest(fs, path).foreach { m =>
+    // an EMPTY manifest (every row deleted) has nothing to cluster and
+    // no directory key to read partition columns off — no-op, like the
+    // bin-pack form on a nothing-to-do lake
+    latestManifest(fs, path).filter(m => allDirs(m).nonEmpty).foreach { m =>
       val partitionCols = partitionColsOf(m)
       zorderBy.foreach { c =>
         require(m.schema.fieldNames.contains(c) && !partitionCols.contains(c),

@@ -303,6 +303,43 @@ class LakeDsv2Spec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS lake_v2_t")
   }
 
+  test("snapshot consistency under a racing commit: a loaded v2 frame pins ONE snapshot for both count and collect; a new load sees the commit") {
+    val lake = freshLake("pin")
+    PartitionedLake.write(Seq((1L, "a", 1.0), (2L, "b", 2.0))
+      .toDF("k", "part", "bal"), lake, "part")
+    val pinned = v2(lake)
+    // a commit lands AFTER the load
+    PartitionedLake.upsert(spark, lake, "part", "k",
+      Seq((3L, "c", 3.0)).toDF("k", "part", "bal"))
+    // the pinned frame describes ONE snapshot: metadata count and the
+    // actual scan must agree (an earlier form re-resolved latest at
+    // scan time and could disagree with its own pinned count)
+    assert(pinned.count() === 2L)
+    assert(rowsOf(pinned) === Set(("a", 1L, 1.0), ("b", 2L, 2.0)))
+    // a FRESH load resolves the new head (the provider memo never
+    // outlives one load)
+    val fresh = v2(lake)
+    assert(fresh.count() === 3L)
+    assert(rowsOf(fresh) ===
+      Set(("a", 1L, 1.0), ("b", 2L, 2.0), ("c", 3L, 3.0)))
+  }
+
+  test("a fully-emptied lake (every row deleted) reads as empty through the v2 surface instead of crashing") {
+    val lake = freshLake("empty")
+    PartitionedLake.write(Seq((1L, "a", 1.0), (2L, "b", 2.0))
+      .toDF("k", "part", "bal"), lake, "part")
+    PartitionedLake.cdcSink(spark, lake, "part", "k", "bal",
+      Seq((1L, "a", 1L, "D", 0.0), (2L, "b", 2L, "D", 0.0))
+        .toDF("k", "part", "seq", "op", "val"))
+    val empty = v2(lake)
+    assert(empty.count() === 0L)
+    assert(empty.collect().isEmpty)
+    assert(empty.schema.fieldNames.toSet === Set("k", "part", "bal"))
+    // and the z-order compactor no-ops on it rather than crashing
+    PartitionedLake.compact(spark, lake, Nil, zorderBy = Seq("bal"))
+    assert(v2(lake).count() === 0L)
+  }
+
   test("the catalog is read-only and reports missing lakes as missing tables") {
     spark.conf.set("spark.sql.catalog.graft_lake",
       classOf[LakeCatalog].getName)
