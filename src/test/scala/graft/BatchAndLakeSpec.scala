@@ -158,7 +158,14 @@ object LakeModelHarness extends org.scalatest.Assertions {
       // overwrites and partition-emptying CDC folds) de-reference files
       // without deleting them, so every pre-vacuum snapshot stays whole
       val breaksPins = rnd.nextInt(12) match {
-        case 0 => graft.io.PartitionedLake.compact(spark, path); false
+        case 0 =>
+          // bin-pack and z-order compaction share the invariant under
+          // test: rows unchanged, snapshots append-only — interleave
+          // them so clustering runs against every op mix
+          if (rnd.nextBoolean()) graft.io.PartitionedLake.compact(spark, path)
+          else graft.io.PartitionedLake.compact(spark, path, Nil,
+            zorderBy = Seq("bal"), filesPerPartition = 2)
+          false
         case 1 => graft.io.PartitionedLake.vacuum(spark, path); true
         case 2 => // full-overwrite snapshot: the lake becomes exactly this
           val rows = Seq.fill(1 + rnd.nextInt(3))(

@@ -59,6 +59,7 @@ class LakeInternalsSpec extends AnyFunSuite {
               (rnd.nextDouble() * -100, rnd.nextDouble() * 100))
           else Map.empty[String, (Double, Double)]
           PartitionedLake.FileEntry(s"c$round-$i.parquet", stats,
+            if (rnd.nextBoolean()) Some(rnd.nextLong().abs) else None,
             if (rnd.nextBoolean()) Some(rnd.nextLong().abs) else None)
         }
       }.toMap
