@@ -1427,6 +1427,43 @@ object RelationalOps {
       Some("""SELECT o_orderpriority, count(*) AS n, true AS metadata_only
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin),
-      "lake op: DSv2 partition histogram from manifest metadata (grouped COUNT(*) pushdown)")
+      "lake op: DSv2 partition histogram from manifest metadata (grouped COUNT(*) pushdown)"),
+
+    // ---- z-order clustering as LAKE MAINTENANCE: compact(zorderBy)
+    // re-clusters every partition into z-range files with (x, y)
+    // footer bounds, then readBox answers a 2-D box from a strict
+    // subset of the files. The box result is oracle-exact; the
+    // skipping claim rides in-band as a boolean (file counts depend on
+    // range-sampling, so only the INVARIANT is pinned, not the count).
+    // This is q133's layout experiment productionized into the lake's
+    // own maintenance pass. ----
+    Q("q150_zorder_compact_skipping",
+      (s, d) => {
+        val dir = scratchDir("q150-zorder") + "/lake"
+        // uniform (x, y) derived from lineitem keys: spread holds at
+        // every SF, so the skipping invariant is scale-stable
+        val pts = Tables.lineitem(s, d).select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          (col("l_orderkey") % 64).as("x"), (col("l_partkey") % 64).as("y"))
+        graft.io.PartitionedLake.write(pts, dir, "l_returnflag")
+        graft.io.PartitionedLake.compact(s, dir, Nil,
+          zorderBy = Seq("x", "y"), filesPerPartition = 8)
+        val box = graft.io.PartitionedLake.readBox(s, dir,
+          Map("x" -> (10.0, 15.0), "y" -> (10.0, 15.0)))
+        val filesLive = graft.io.PartitionedLake.read(s, dir)
+          .inputFiles.length
+        val skipped = box.inputFiles.length < filesLive
+        box.agg(
+            count(lit(1)).as("rows_in_box"),
+            sum(col("l_orderkey")).as("okey_sum"))
+          .withColumn("box_strict_subset", lit(skipped))
+      },
+      Some("""SELECT count(*) AS rows_in_box,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS okey_sum,
+        |  true AS box_strict_subset
+        |FROM lineitem
+        |WHERE l_orderkey % 64 BETWEEN 10 AND 15
+        |  AND l_partkey % 64 BETWEEN 10 AND 15""".stripMargin),
+      "lake op: z-order clustering compaction -> box-predicate file skipping (readBox)")
   )
 }
