@@ -47,13 +47,26 @@ object MultimodalOps {
 
   /** Cheap signature sniff so the per-row hot path never constructs an
     * ImageIO stream for the overwhelmingly-common non-image payload:
-    * PNG (PNG), JPEG (FF D8 FF), GIF (GIF8), BMP (BM).
+    * PNG (PNG), JPEG (FF D8 FF), GIF (GIF8), BMP (BM + DIB check).
+    *
+    * BMP's 2-byte magic is the weak one — and the JDK's own
+    * `BMPImageReaderSpi.canDecodeInput` checks nothing more, so a text
+    * payload starting "BM" would sail through BOTH gates and reach
+    * `getWidth`, surfacing garbage "real" dimensions parsed from
+    * whatever bytes sit at the width/height offsets. Secondary check:
+    * the DIB header-size u32 at offset 14 must be one of the published
+    * header sizes.
     */
   private def looksLikeImage(p: Array[Byte]): Boolean = p.length >= 4 && (
     (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
     (p(0) == 0xFF.toByte && p(1) == 0xD8.toByte && p(2) == 0xFF.toByte) ||
     (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') ||
-    (p(0) == 'B' && p(1) == 'M'))
+    (p(0) == 'B' && p(1) == 'M' && p.length >= 18 && {
+      val dib = (p(14) & 0xFF) | ((p(15) & 0xFF) << 8) |
+        ((p(16) & 0xFF) << 16) | ((p(17) & 0xFF) << 24)
+      dib == 12 || dib == 16 || dib == 40 || dib == 52 || dib == 56 ||
+        dib == 64 || dib == 108 || dib == 124
+    }))
 
   /** REAL image decode through `javax.imageio` (JDK built-in — PNG,
     * JPEG, GIF, BMP): true pixel dimensions read from the image HEADER

@@ -24,6 +24,21 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * (both surfaces re-apply every filter, so exactness is never at
   * stake).
   */
+/** The ONE plan fingerprint for "this query was answered from manifest
+  * metadata, zero data files opened": a LocalTableScan and no
+  * file/batch/row scan node anywhere. Shared by the in-band gates in
+  * q148/q149 and LakeDsv2Spec so a Spark upgrade renaming a node is a
+  * one-place fix — three drifting copies was a review finding.
+  */
+object LakeScanCheck {
+  def isMetadataOnly(df: DataFrame): Boolean = {
+    val plan = df.queryExecution.executedPlan.toString()
+    plan.contains("LocalTableScan") && !plan.contains("BatchScan") &&
+      !plan.contains("FileScan") && !plan.contains("RowDataSourceScan") &&
+      !plan.contains("parquet")
+  }
+}
+
 private[io] object LakeFilters {
   import org.apache.spark.sql.sources._
 
@@ -417,7 +432,12 @@ class LakeCatalog extends TableCatalog {
     val spark = SparkSession.active
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    PartitionedLake.snapshotSchema(spark, path).isDefined ||
+    // listing-only: resolving (reading + parsing) the full manifest
+    // here would pay the driver read TWICE per catalog-routed query —
+    // once for this boolean, once when GraftLakeTable resolves its
+    // pinned snapshot. At the manifest ceiling the provider memo warns
+    // about (~100 MB), the duplicate read is real money.
+    PartitionedLake.latestVersion(spark, path).isDefined ||
       (fs.exists(root) && fs.listStatus(root).nonEmpty)
   }
 

@@ -248,8 +248,18 @@ object PartitionedLake {
     val p = new Path(manifestDir(path), f"v$version%09d.txt")
     val lines = readSmallTextFile(fs, p).split("\n").toSeq
     val header = lines.headOption.getOrElse("")
+    // the major digit is the LAYOUT (1 = flat, 2 = sharded leaves); a
+    // `.1` minor marks manifests carrying `bytes:` fields, which
+    // pre-bytes parsers cannot field-split — they reject the header
+    // loudly ("unrecognized manifest header") instead of crashing
+    // inside stats parsing on a mixed-version fleet. Future ADDITIVE
+    // fields ride the unknown-field tolerance below without a bump; a
+    // field whose IGNORING would corrupt reads (e.g. delete vectors)
+    // must bump the major.
     require(header == "graft-lake-manifest v1" ||
-      header == "graft-lake-manifest v2",
+      header == "graft-lake-manifest v2" ||
+      header == "graft-lake-manifest v1.1" ||
+      header == "graft-lake-manifest v2.1",
       s"unrecognized manifest header in $p")
     val schema = DataType.fromJson(lines(1).stripPrefix("schema "))
       .asInstanceOf[StructType]
@@ -334,8 +344,13 @@ object PartitionedLake {
       // "bytes:..." still parses as stats — its field contains '='.
       val (rowFields, rest) = fields.drop(1)
         .partition(f => f.startsWith("rows:") && !f.contains('='))
-      val (byteFields, statFields) = rest
+      val (byteFields, rest2) = rest
         .partition(f => f.startsWith("bytes:") && !f.contains('='))
+      // forward tolerance: any OTHER '='-free field is an additive
+      // future annotation this reader doesn't know — skipped, not a
+      // crash (stats fields always contain '='; escaping guarantees a
+      // real column name's field does too)
+      val statFields = rest2.filter(_.contains('='))
       val stats = statFields.map { f =>
         // the name is escaped on write, so the FIRST '=' ends it
         val eq = f.indexOf('=')
@@ -431,9 +446,15 @@ object PartitionedLake {
     val dir = manifestDir(path)
     fs.mkdirs(dir)
     val nShards = shardCountFor(fs, allDirs(m).size)
+    // `.1` minor iff any entry carries a bytes field — see the reader's
+    // header note: pre-bytes parsers must reject at the header gate,
+    // and a bytes-free manifest (all-adopted legacy entries) stays
+    // readable by them
+    val minor =
+      if (m.files.values.exists(_.exists(_.bytes.nonEmpty))) ".1" else ""
     val body = new StringBuilder(
-      if (nShards == 0) "graft-lake-manifest v1\n"
-      else "graft-lake-manifest v2\n")
+      if (nShards == 0) s"graft-lake-manifest v1$minor\n"
+      else s"graft-lake-manifest v2$minor\n")
     body.append("schema ").append(m.schema.json).append('\n')
     m.txns.toSeq.sortBy(_._1).foreach { case (w, t) =>
       body.append("txn:").append(ExternalCatalogUtils.escapePathName(w))
@@ -1168,13 +1189,33 @@ object PartitionedLake {
     version match {
       case None => latestManifest(fs, path)
       case Some(v) =>
-        require(fs.exists(new Path(manifestDir(path), f"v$v%09d.txt")),
-          s"snapshot v$v is not resolvable on $path (never published, " +
-            s"or reclaimed by vacuum); available: " +
-            snapshots(spark, path).mkString(", "))
-        Some(readManifest(fs, path, v))
+        requireResolvable(fs, spark, path, v)
+        val m = readManifest(fs, path, v)
+        // a resolvable manifest can still reference partition
+        // DIRECTORIES physically retired (vacuum racing the read, or
+        // external cleanup) — every explicit-version resolve pays one
+        // exists() per partition dir so the pinned read fails HERE
+        // loudly instead of mid-scan FileNotFound (or silent partial
+        // data under ignoreMissingFiles). Latest-version reads skip
+        // the check: the live snapshot's dirs are vacuum-protected.
+        val retired = allDirs(m).filterNot(d => fs.exists(new Path(path, d)))
+        require(retired.isEmpty,
+          s"snapshot v$v references partitions retired by vacuum or " +
+            s"external cleanup: ${retired.mkString(", ")}")
+        Some(m)
     }
   }
+
+  /** The ONE resolvability gate every explicit-version surface shares
+    * (time travel, both CDF granularities, the DSv2/batch sources) —
+    * one wording, one contract.
+    */
+  private def requireResolvable(fs: FileSystem, spark: SparkSession,
+      path: String, v: Long): Unit =
+    require(fs.exists(new Path(manifestDir(path), f"v$v%09d.txt")),
+      s"snapshot v$v is not resolvable on $path (never published, " +
+        s"or reclaimed by vacuum); available: " +
+        snapshots(spark, path).mkString(", "))
 
   /** COUNT(*) of one resolved snapshot from metadata alone — the
     * [[rowCount]] contract applied to an explicit manifest (so time
@@ -1248,18 +1289,8 @@ object PartitionedLake {
     * whole-directory, so directory existence is sufficient and costs
     * partition-count metadata, not file stats).
     */
-  def readVersion(spark: SparkSession, path: String, version: Long): DataFrame = {
-    val fs = fsFor(spark, path)
-    require(fs.exists(new Path(manifestDir(path), f"v$version%09d.txt")),
-      s"snapshot v$version is not resolvable on $path (never published, " +
-        s"or reclaimed by vacuum); available: ${snapshots(spark, path).mkString(", ")}")
-    val m = readManifest(fs, path, version)
-    val retired = allDirs(m).filterNot(d => fs.exists(new Path(path, d)))
-    require(retired.isEmpty,
-      s"snapshot v$version references partitions retired by vacuum or " +
-        s"external cleanup: ${retired.mkString(", ")}")
-    frameFor(spark, path, m)
-  }
+  def readVersion(spark: SparkSession, path: String, version: Long): DataFrame =
+    frameFor(spark, path, manifestAt(spark, path, Some(version)).get)
 
   /** Change-data-feed between two published snapshots — the read half of
     * the incremental story (Delta CDF / Iceberg incremental scan): rows
@@ -1299,12 +1330,7 @@ object PartitionedLake {
     require(fromVersion <= toVersion,
       s"changesBetween: fromVersion $fromVersion > toVersion $toVersion")
     val fs = fsFor(spark, path)
-    Seq(fromVersion, toVersion).foreach { v =>
-      require(fs.exists(new Path(manifestDir(path), f"v$v%09d.txt")),
-        s"snapshot v$v is not resolvable on $path (never published, or " +
-          s"reclaimed by vacuum); available: " +
-          snapshots(spark, path).mkString(", "))
-    }
+    Seq(fromVersion, toVersion).foreach(requireResolvable(fs, spark, path, _))
     val m1 = readManifest(fs, path, fromVersion)
     val m2 = readManifest(fs, path, toVersion)
     diffManifests(spark, path, m1, m2, keyCols)
@@ -1338,12 +1364,7 @@ object PartitionedLake {
     val fs = fsFor(spark, path)
     // published versions are contiguous; a vacuumed prefix inside the
     // range must fail loudly exactly like the net form
-    Seq(fromVersion, toVersion).foreach { v =>
-      require(fs.exists(new Path(manifestDir(path), f"v$v%09d.txt")),
-        s"snapshot v$v is not resolvable on $path (never published, or " +
-          s"reclaimed by vacuum); available: " +
-          snapshots(spark, path).mkString(", "))
-    }
+    Seq(fromVersion, toVersion).foreach(requireResolvable(fs, spark, path, _))
     val leafCache = scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
     val manifests = (fromVersion to toVersion).map(
       readManifest(fs, path, _, leafCache))

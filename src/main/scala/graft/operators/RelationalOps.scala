@@ -1389,13 +1389,9 @@ object RelationalOps {
         val head = s.sql(s"SELECT count(*) AS n_rows FROM graft_lake.`$dir`")
         val atV1 = s.sql(
           s"SELECT count(*) AS n FROM graft_lake.`$dir` VERSION AS OF 1")
-        def metadataOnly(df: org.apache.spark.sql.DataFrame): Boolean = {
-          val plan = df.queryExecution.executedPlan.toString()
-          plan.contains("LocalTableScan") && !plan.contains("BatchScan") &&
-            !plan.contains("RowDataSourceScan") && !plan.contains("parquet")
-        }
         head.withColumn("metadata_only",
-            lit(metadataOnly(head) && metadataOnly(atV1)))
+            lit(graft.io.LakeScanCheck.isMetadataOnly(head) &&
+              graft.io.LakeScanCheck.isMetadataOnly(atV1)))
           .withColumn("v1_rows", lit(atV1.head().getLong(0)))
       },
       Some("""SELECT count(*) AS n_rows, true AS metadata_only,
@@ -1417,11 +1413,8 @@ object RelationalOps {
           classOf[graft.io.LakeCatalog].getName)
         val hist = s.sql(s"SELECT o_orderpriority, count(*) AS n " +
           s"FROM graft_lake.`$dir` GROUP BY o_orderpriority")
-        val plan = hist.queryExecution.executedPlan.toString()
-        val metadataOnly = plan.contains("LocalTableScan") &&
-          !plan.contains("BatchScan") && !plan.contains("RowDataSourceScan") &&
-          !plan.contains("parquet")
-        hist.withColumn("metadata_only", lit(metadataOnly))
+        hist.withColumn("metadata_only",
+            lit(graft.io.LakeScanCheck.isMetadataOnly(hist)))
           .orderBy("o_orderpriority")
       },
       Some("""SELECT o_orderpriority, count(*) AS n, true AS metadata_only

@@ -175,18 +175,35 @@ private[streaming] class LakeChangeFeedSource(sqlContext: SQLContext,
     // atomic-publish discipline for every other metadata file
     if (maxVersionsPerTrigger.isDefined && v > lastPersisted) for {
       p <- progressFile; fs <- progressFs
-    } {
+    } try {
       val tmp = new org.apache.hadoop.fs.Path(p.getParent,
         s".${p.getName}.tmp")
       val out = fs.create(tmp, true)
       try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-      org.apache.hadoop.fs.FileContext.getFileContext(p.toUri,
+      try org.apache.hadoop.fs.FileContext.getFileContext(p.toUri,
           spark.sparkContext.hadoopConfiguration)
         .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-      // advanced only AFTER the replace lands: a throw above leaves the
+      catch {
+        // connectors shipping only a FileSystem (no AbstractFileSystem
+        // binding) can't give the atomic replace — fall back to
+        // delete-then-rename, whose brief exposure window only weakens
+        // the first post-restart cap (doc above)
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          fs.delete(p, false)
+          if (!fs.rename(tmp, p)) fs.delete(tmp, false)
+      }
+      // advanced only AFTER the replace lands: a failure leaves the
       // marker behind, so the next commit() retries the write instead
       // of believing a base that never became durable
       lastPersisted = v
+    } catch {
+      // the progress file is an OPTIMIZATION (first post-restart cap
+      // base); it must never wedge the stream — a transient store
+      // error here surfaces as at most one over-wide batch later
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"graft-lake-cdf: progress-file write failed " +
+            s"(cap base stays at $lastPersisted): $e")
     }
   }
 

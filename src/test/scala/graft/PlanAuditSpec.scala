@@ -559,6 +559,21 @@ class MultimodalSpec extends AnyFunSuite {
       .codec === "stub")
   }
 
+  test("BMP's weak 2-byte magic is backed by the DIB header check: 'BM'-prefixed text stubs, real BMP decodes") {
+    // the JDK's BMPImageReaderSpi.canDecodeInput checks ONLY the two
+    // magic bytes, so without the secondary DIB header-size check a
+    // text payload starting "BM" would reach getWidth and surface
+    // garbage "real" dimensions (review finding)
+    val text = "BMW annual report for shareholders, volume 7"
+      .getBytes("UTF-8")
+    val m = MultimodalOps.decodeMedia(MultimodalOps.Blob(1L, text))
+    assert(m.codec === "stub")
+    // a real BMP still decodes with true dimensions
+    val bmp = MultimodalOps.decodeMedia(
+      MultimodalOps.Blob(2L, imageBytes(19, 7, "bmp")))
+    assert((bmp.width, bmp.height, bmp.codec) === ((19L, 7L, "bmp")))
+  }
+
   test("the distributed decode dispatches per row: images and non-images in one frame") {
     import spark.implicits._
     val rows = Seq(

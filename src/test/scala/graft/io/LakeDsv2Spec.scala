@@ -26,12 +26,8 @@ class LakeDsv2Spec extends AnyFunSuite {
   /** True iff the executed plan answered WITHOUT opening data files:
     * a LocalTableScan and no file/batch/row scan node anywhere.
     */
-  private def isMetadataOnly(df: DataFrame): Boolean = {
-    val plan = df.queryExecution.executedPlan.toString()
-    plan.contains("LocalTableScan") &&
-      !plan.contains("BatchScan") && !plan.contains("FileScan") &&
-      !plan.contains("RowDataSourceScan") && !plan.contains("parquet")
-  }
+  private def isMetadataOnly(df: DataFrame): Boolean =
+    LakeScanCheck.isMetadataOnly(df)
 
   private def freshLake(tag: String): String =
     java.nio.file.Files.createTempDirectory(s"graft-dsv2-$tag")
@@ -160,6 +156,38 @@ class LakeDsv2Spec extends AnyFunSuite {
         .collect()
     }
     assert(e.getMessage.contains("not resolvable"), e.getMessage)
+  }
+
+  test("a pinned version whose partition directory was externally retired fails LOUDLY on every registered surface") {
+    val lake = freshLake("retired")
+    PartitionedLake.write(
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "part", "bal"),
+      lake, "part")
+    // full overwrite de-references part=b from the LATEST snapshot
+    PartitionedLake.write(Seq((1L, "a", 9.0)).toDF("k", "part", "bal"),
+      lake, "part")
+    // external cleanup removes the still-time-travel-referenced dir
+    val dir = new java.io.File(s"$lake/part=b")
+    dir.listFiles().foreach(_.delete()); assert(dir.delete())
+    // the latest read is untouched...
+    assert(rowsOf(v2(lake)) === Set(("a", 1L, 9.0)))
+    // ...but every explicit-version surface must fail at RESOLVE time
+    // with the retirement error — not a mid-scan FileNotFound, and
+    // never silent partial data under ignoreMissingFiles. The batch
+    // sources used to skip readVersion's directory guard (review
+    // finding); they now share manifestAt's.
+    def assertRetired(body: => Unit): Unit = {
+      val e = intercept[Exception](body)
+      assert(e.getMessage.contains("retired"), e.getMessage)
+    }
+    assertRetired(spark.read.format("graft-lake-v2").option("path", lake)
+      .option("versionAsOf", "1").load())
+    assertRetired(spark.read.format("graft-lake").option("path", lake)
+      .option("versionAsOf", "1").load().collect())
+    spark.conf.set("spark.sql.catalog.graft_lake",
+      classOf[LakeCatalog].getName)
+    assertRetired(spark.sql(
+      s"SELECT * FROM graft_lake.`$lake` VERSION AS OF 1").collect())
   }
 
   test("filters and column pruning flow through the v2 scan into the delegated plan") {

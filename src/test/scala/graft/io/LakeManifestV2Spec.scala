@@ -55,7 +55,8 @@ class LakeManifestV2Spec extends AnyFunSuite {
     val fs = fsOf(v2path)
     val top = new Path(v2path, "_manifest/v000000002.txt")
     val lines = scala.io.Source.fromInputStream(fs.open(top)).getLines().toSeq
-    assert(lines.head === "graft-lake-manifest v2")
+    // write harvests bytes, so the header carries the .1 minor
+    assert(lines.head === "graft-lake-manifest v2.1")
     val leaves = lines.filter(_.startsWith("shard:")).map(_.stripPrefix("shard:"))
     assert(leaves.nonEmpty)
     leaves.foreach(l => assert(fs.exists(new Path(v2path, s"_manifest/$l")),
@@ -76,8 +77,8 @@ class LakeManifestV2Spec extends AnyFunSuite {
     val fs = fsOf(path)
     def header(v: Int): String = scala.io.Source.fromInputStream(
       fs.open(new Path(path, f"_manifest/v$v%09d.txt"))).getLines().next()
-    assert(header(1) === "graft-lake-manifest v1")
-    assert(header(2) === "graft-lake-manifest v2")
+    assert(header(1) === "graft-lake-manifest v1.1")
+    assert(header(2) === "graft-lake-manifest v2.1")
     assert(PartitionedLake.readVersion(spark, path, 1).count() === 3)
     assert(PartitionedLake.readVersion(spark, path, 2).count() === 12)
   }
