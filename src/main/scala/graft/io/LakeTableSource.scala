@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
 import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability, TableCatalog, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, LocalScan, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, TableScan}
@@ -82,13 +82,14 @@ private[io] object LakeFilters {
   *
   * Scan strategy, per query:
   *
-  *  - un-filtered, un-grouped COUNT(*) over a snapshot whose count is
-  *    exact in metadata (no live merge-on-read deltas, every file's
-  *    footer row count harvested) -> [[LakeCountScan]], a driver-local
-  *    one-row scan (`LocalScan` plans to a LocalTableScan — no data
-  *    files, no jobs). Degrades to a real scan in every other case,
-  *    never to a wrong answer — exactly [[PartitionedLake.rowCount]]'s
-  *    None contract.
+  *  - un-filtered COUNT(*) / MIN / MAX of partition columns —
+  *    optionally GROUP BY partition columns — over a snapshot whose
+  *    count is exact in metadata (no live merge-on-read deltas, every
+  *    file's footer row count harvested) -> [[LakeMetadataAggScan]],
+  *    a driver-local scan (`LocalScan` plans to a LocalTableScan — no
+  *    data files, no jobs). Degrades to a real scan in every other
+  *    case, never to a wrong answer — exactly
+  *    [[PartitionedLake.rowCount]]'s None contract.
   *  - everything else -> [[LakeV1FallbackScan]], a `V1Scan` handing the
   *    engine the SAME delegated DataFrame plan the Scala API and the v1
   *    format build (manifest-scoped file list, merge-on-read merging,
@@ -138,7 +139,7 @@ private[io] class LakeScanBuilder(path: String, version: Option[Long],
   private var required: StructType = fullSchema
   private var accepted: Array[Filter] = Array.empty
   private var sawFilters = false
-  private var countStars = 0
+  private var pushedAggs: Seq[LakeMetaAgg] = Nil
   private var groupCols: Seq[String] = Nil
 
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -179,18 +180,52 @@ private[io] class LakeScanBuilder(path: String, version: Option[Long],
     else None
   }
 
-  /** COUNT(*) completes from metadata iff nothing can change the
+  /** The metadata-answerable aggregate list, in expression order —
+    * None when ANY aggregate needs data. COUNT(*) answers from
+    * per-directory row counts; MIN/MAX answer iff the argument is a
+    * bare PARTITION column reference, whose exact values are the
+    * directory names themselves (`SELECT max(day) FROM lake` — the
+    * freshness probe every orchestrator runs — costs a manifest read).
+    * MIN/MAX of DATA columns never route here: the manifest's column
+    * stats are deliberately ULP-WIDENED bounds (footerInfo widens long
+    * stats with nextDown/nextUp for skipping soundness), sound for
+    * file pruning but not exact values.
+    */
+  private def metaAggsOf(agg: Aggregation): Option[Seq[LakeMetaAgg]] = {
+    val partCols = manifest
+      .filter(m => PartitionedLake.allDirs(m).nonEmpty)
+      .map(PartitionedLake.partitionColsOf).getOrElse(Nil)
+    def partRef(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case r: org.apache.spark.sql.connector.expressions.NamedReference
+          if r.fieldNames.length == 1 && partCols.contains(r.fieldNames.head)
+        => Some(r.fieldNames.head)
+      case _ => None
+    }
+    val specs = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(LakeMetaAgg.Count)
+      case m: Min => partRef(m.column).map(LakeMetaAgg.MinOf)
+      case m: Max => partRef(m.column).map(LakeMetaAgg.MaxOf)
+      case _ => None
+    }
+    if (specs.nonEmpty && specs.forall(_.isDefined)) Some(specs.map(_.get))
+    else None
+  }
+
+  /** An aggregation completes from metadata iff nothing can change the
     * answer: grouping (if any) is by partition columns alone, no
-    * filters anywhere in the pushdown (a filtered count is not the
-    * snapshot count), every aggregate is CountStar, and the snapshot's
-    * counts are exact in the manifest (no live deltas / legacy files —
-    * [[PartitionedLake.rowCount]]'s None contract). Anything else
-    * degrades to the real scan.
+    * filters anywhere in the pushdown (a filtered aggregate is not the
+    * snapshot's), every aggregate is metadata-answerable
+    * ([[metaAggsOf]]), and the snapshot's counts are exact in the
+    * manifest (no live deltas / legacy files —
+    * [[PartitionedLake.rowCount]]'s None contract; MIN/MAX need the
+    * same gate: live deltas can empty a partition, and a 0-row or
+    * unknown-row directory must not contribute its value). Anything
+    * else degrades to the real scan.
     */
   private def canComplete(agg: Aggregation): Boolean =
     !sawFilters &&
-      agg.aggregateExpressions.nonEmpty &&
-      agg.aggregateExpressions.forall(_.isInstanceOf[CountStar]) &&
+      metaAggsOf(agg).isDefined &&
       partitionGroupCols(agg).isDefined &&
       metadataCount.isDefined
 
@@ -199,16 +234,14 @@ private[io] class LakeScanBuilder(path: String, version: Option[Long],
 
   override def pushAggregation(agg: Aggregation): Boolean =
     canComplete(agg) && {
-      countStars = agg.aggregateExpressions.length
+      pushedAggs = metaAggsOf(agg).get
       groupCols = partitionGroupCols(agg).get
       true
     }
 
   override def build(): Scan =
-    if (countStars > 0 && groupCols.isEmpty)
-      new LakeCountScan(metadataCount.get, countStars)
-    else if (countStars > 0)
-      new LakeGroupCountScan(manifest.get, fullSchema, groupCols, countStars)
+    if (pushedAggs.nonEmpty)
+      new LakeMetadataAggScan(manifest.get, fullSchema, groupCols, pushedAggs)
     else new LakeV1FallbackScan(path, version, required, accepted, manifest)
 }
 
@@ -224,46 +257,65 @@ private[io] class LakeStatistics(bytes: Option[Long], rows: Option[Long])
     rows.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
 }
 
-/** Metadata-only COUNT(*): one driver-local InternalRow, planned as a
-  * LocalTableScan — the physical proof is the ABSENCE of any file scan
-  * in the executed plan (spec-pinned).
+/** A metadata-answerable aggregate — see `metaAggsOf` for when each
+  * routes here.
   */
-private[io] class LakeCountScan(count: Long, n: Int) extends LocalScan
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
-  override def readSchema(): StructType =
-    StructType((0 until n).map(i =>
-      StructField(s"count$i", LongType, nullable = false)))
-  override def rows(): Array[InternalRow] =
-    Array(InternalRow.fromSeq(Seq.fill(n)(count)))
-  override def estimateStatistics()
-      : org.apache.spark.sql.connector.read.Statistics =
-    new LakeStatistics(Some(8L * n), Some(1L))
-  override def description(): String =
-    s"GraftLakeMetadataCount(path-level count=$count)"
+private[io] sealed trait LakeMetaAgg
+private[io] object LakeMetaAgg {
+  case object Count extends LakeMetaAgg
+  final case class MinOf(col: String) extends LakeMetaAgg
+  final case class MaxOf(col: String) extends LakeMetaAgg
 }
 
-/** Metadata-only `GROUP BY <partition cols> -> COUNT(*)` — the
-  * partition histogram every ops dashboard runs, answered from the
-  * manifest's per-directory row counts without opening a file.
-  * Grouping by a PREFIX of the partition columns sums the deeper
-  * leaves. Directory names parse back to typed values through
-  * Catalyst's own string cast (the same semantics Spark's partition
-  * inference applies), with `__HIVE_DEFAULT_PARTITION__` as null —
-  * and the scan builder only routes here for snapshots whose counts
-  * are exact (no live deltas / legacy files).
+/** Metadata-only aggregation: COUNT(*) from per-directory row counts,
+  * MIN/MAX of partition columns from the directory names themselves,
+  * optionally grouped by partition columns (grouping by a PREFIX of
+  * the partition columns sums/folds the deeper leaves). Driver-local
+  * InternalRows planned as a LocalTableScan — the physical proof is
+  * the ABSENCE of any file scan in the executed plan (spec-pinned
+  * through [[LakeScanCheck]]).
+  *
+  * Directory names parse back to typed values through Catalyst's own
+  * string cast (the same semantics Spark's partition inference
+  * applies), with `__HIVE_DEFAULT_PARTITION__` as null. MIN/MAX skip
+  * nulls (SQL semantics) and skip directories whose exact row count is
+  * ZERO (a value a no-row partition would otherwise contribute); the
+  * scan builder only routes here for snapshots whose counts are exact
+  * (no live deltas / legacy files).
   */
-private[io] class LakeGroupCountScan(m: PartitionedLake.Manifest,
-    schema: StructType, groupCols: Seq[String], nCounts: Int)
+private[io] class LakeMetadataAggScan(m: PartitionedLake.Manifest,
+    schema: StructType, groupCols: Seq[String], aggs: Seq[LakeMetaAgg])
     extends LocalScan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 
-  override def readSchema(): StructType = StructType(
-    groupCols.map(c => schema(c)) ++
-      (0 until nCounts).map(i =>
-        StructField(s"count$i", LongType, nullable = false)))
+  private def outField(a: LakeMetaAgg, i: Int): StructField = a match {
+    case LakeMetaAgg.Count =>
+      StructField(s"count$i", LongType, nullable = false)
+    case LakeMetaAgg.MinOf(c) =>
+      StructField(s"min$i", schema(c).dataType, nullable = true)
+    case LakeMetaAgg.MaxOf(c) =>
+      StructField(s"max$i", schema(c).dataType, nullable = true)
+  }
 
-  private lazy val grouped: Array[InternalRow] = {
+  override def readSchema(): StructType = StructType(
+    groupCols.map(c => schema(c)) ++ aggs.zipWithIndex.map {
+      case (a, i) => outField(a, i) })
+
+  // a fully-emptied snapshot has NO directories to derive partition
+  // columns from: a global aggregate still yields its one SQL-shaped
+  // row (count 0, min/max null), a grouped one yields zero groups
+  private lazy val grouped: Array[InternalRow] =
+    if (m.files.isEmpty) {
+      if (groupCols.isEmpty)
+        Array(InternalRow.fromSeq(aggs.map {
+          case LakeMetaAgg.Count => 0L
+          case _ => null
+        }))
+      else Array.empty
+    } else groupedNonEmpty
+
+  private def groupedNonEmpty: Array[InternalRow] = {
     val partCols = PartitionedLake.partitionColsOf(m)
     def valueOf(dir: String, col: String): Any = {
       val level = dir.split('/')(partCols.indexOf(col))
@@ -275,15 +327,35 @@ private[io] class LakeGroupCountScan(m: PartitionedLake.Manifest,
           org.apache.spark.unsafe.types.UTF8String.fromString(raw)),
         schema(col).dataType, Some("UTC")).eval()
     }
-    m.files.toSeq
-      .map { case (dir, entries) =>
-        groupCols.map(valueOf(dir, _)) -> entries.flatMap(_.rows).sum
+    def ordering(col: String): Ordering[Any] =
+      org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(schema(col).dataType)
+    val perDir = m.files.toSeq.map { case (dir, entries) =>
+      (groupCols.map(valueOf(dir, _)), dir, entries.flatMap(_.rows).sum)
+    }
+    val byKey = perDir.groupBy(_._1).toSeq
+    val rows = byKey.map { case (key, dirs) =>
+      val out = aggs.map {
+        case LakeMetaAgg.Count => dirs.map(_._3).sum
+        case LakeMetaAgg.MinOf(c) =>
+          val vs = dirs.filter(_._3 > 0).map(d => valueOf(d._2, c))
+            .filter(_ != null)
+          if (vs.isEmpty) null else vs.min(ordering(c))
+        case LakeMetaAgg.MaxOf(c) =>
+          val vs = dirs.filter(_._3 > 0).map(d => valueOf(d._2, c))
+            .filter(_ != null)
+          if (vs.isEmpty) null else vs.max(ordering(c))
       }
-      .groupBy(_._1).toSeq
-      .map { case (key, rows) =>
-        val n = rows.map(_._2).sum
-        InternalRow.fromSeq(key ++ Seq.fill(nCounts)(n))
-      }.toArray
+      InternalRow.fromSeq(key ++ out)
+    }
+    if (groupCols.isEmpty && rows.isEmpty)
+      // global aggregation over an empty snapshot still yields ONE row:
+      // count 0, min/max null — SQL semantics
+      Array(InternalRow.fromSeq(aggs.map {
+        case LakeMetaAgg.Count => 0L
+        case _ => null
+      }))
+    else rows.toArray
   }
 
   override def rows(): Array[InternalRow] = grouped
@@ -292,8 +364,15 @@ private[io] class LakeGroupCountScan(m: PartitionedLake.Manifest,
       : org.apache.spark.sql.connector.read.Statistics =
     new LakeStatistics(None, Some(grouped.length.toLong))
 
-  override def description(): String =
-    s"GraftLakeMetadataGroupCount(${groupCols.mkString(", ")})"
+  override def description(): String = {
+    val what = aggs.map {
+      case LakeMetaAgg.Count => "count(*)"
+      case LakeMetaAgg.MinOf(c) => s"min($c)"
+      case LakeMetaAgg.MaxOf(c) => s"max($c)"
+    }.mkString(", ")
+    val by = if (groupCols.isEmpty) "" else s" by ${groupCols.mkString(", ")}"
+    s"GraftLakeMetadataAgg($what$by)"
+  }
 }
 
 /** Everything that actually reads data: delegate to the SAME plan the

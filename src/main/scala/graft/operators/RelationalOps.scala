@@ -1386,7 +1386,11 @@ object RelationalOps {
             .withColumn("o_totalprice", col("o_totalprice") + 1))
         s.conf.set("spark.sql.catalog.graft_lake",
           classOf[graft.io.LakeCatalog].getName)
-        val head = s.sql(s"SELECT count(*) AS n_rows FROM graft_lake.`$dir`")
+        // count AND the partition-column freshness probe (min/max of
+        // the partition values, typed) in one metadata-only statement
+        val head = s.sql(
+          s"SELECT count(*) AS n_rows, min(o_orderpriority) AS lo_prio, " +
+            s"max(o_orderpriority) AS hi_prio FROM graft_lake.`$dir`")
         val atV1 = s.sql(
           s"SELECT count(*) AS n FROM graft_lake.`$dir` VERSION AS OF 1")
         head.withColumn("metadata_only",
@@ -1394,9 +1398,10 @@ object RelationalOps {
               graft.io.LakeScanCheck.isMetadataOnly(atV1)))
           .withColumn("v1_rows", lit(atV1.head().getLong(0)))
       },
-      Some("""SELECT count(*) AS n_rows, true AS metadata_only,
+      Some("""SELECT count(*) AS n_rows, min(o_orderpriority) AS lo_prio,
+        |  max(o_orderpriority) AS hi_prio, true AS metadata_only,
         |  count(*) AS v1_rows FROM orders""".stripMargin),
-      "lake op: DSv2 metadata-only COUNT(*) + VERSION AS OF SQL (LakeCatalog)"),
+      "lake op: DSv2 metadata-only COUNT(*)/MIN/MAX + VERSION AS OF SQL (LakeCatalog)"),
 
     // ---- DSv2 surface, grouped: the partition histogram (GROUP BY the
     // partition column + COUNT(*)) answered from per-directory manifest

@@ -248,6 +248,65 @@ class LakeDsv2Spec extends AnyFunSuite {
       Map(Some("p1") -> 1L, None -> 1L))
   }
 
+  test("MIN/MAX of partition columns answer from metadata: typed ordering, nulls skipped, grouped and mixed with COUNT(*)") {
+    val lake = freshLake("minmax")
+    // long-typed partition values where STRING ordering would lie:
+    // lexicographically '9' > '12', numerically 12 > 9
+    PartitionedLake.write(Seq(
+      (1L, 9L, "a", 1.0), (2L, 12L, "a", 2.0), (3L, 3L, "b", 3.0))
+      .toDF("k", "day", "src", "bal"), lake, Seq("day", "src"), Nil)
+    spark.conf.set("spark.sql.catalog.graft_lake",
+      classOf[LakeCatalog].getName)
+    // the freshness probe: metadata-only, TYPED comparison
+    val probe = spark.sql(
+      s"SELECT max(day) AS hi, min(day) AS lo, count(*) AS n " +
+        s"FROM graft_lake.`$lake`")
+    assert(isMetadataOnly(probe), probe.queryExecution.executedPlan.toString())
+    assert(probe.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((12L, 3L, 3L)))
+    // exact values, not string ordering: min over BOTH day partitions
+    val lo = spark.sql(s"SELECT min(day) FROM graft_lake.`$lake`")
+    assert(isMetadataOnly(lo))
+    assert(lo.head().getLong(0) === 3L)
+    // grouped: per-src day range, still metadata-only
+    val grouped = v2(lake).groupBy("src")
+      .agg(min("day").as("lo"), max("day").as("hi"), count("*").as("n"))
+    assert(isMetadataOnly(grouped),
+      grouped.queryExecution.executedPlan.toString())
+    assert(grouped.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet ===
+      Set(("a", 9L, 12L, 2L), ("b", 3L, 3L, 1L)))
+    // MIN/MAX of a DATA column must NEVER route to metadata: the
+    // manifest's stats are ULP-widened BOUNDS for file skipping, not
+    // exact values (footerInfo widens long stats with nextDown/nextUp)
+    val dataMin = v2(lake).agg(min("bal"))
+    assert(!isMetadataOnly(dataMin))
+    assert(dataMin.head().getDouble(0) === 1.0)
+    // a null partition is skipped by MIN/MAX (SQL semantics), counted
+    // by COUNT(*)
+    val withNull = freshLake("minmaxnull")
+    PartitionedLake.write(Seq((1L, Some("p1"), "a"), (2L, None, "b"))
+      .toDF("k", "part", "v"), withNull, "part")
+    val nn = v2(withNull).agg(min("part"), max("part"), count("*"))
+    assert(isMetadataOnly(nn))
+    assert(nn.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2))).toSeq ===
+      Seq(("p1", "p1", 2L)))
+    // live MOR deltas degrade MIN/MAX exactly like COUNT(*): a delta
+    // can empty a partition, so its dir value must not be trusted
+    val morLake = freshLake("minmaxmor")
+    PartitionedLake.write(Seq((1L, 5L, 1.0), (2L, 9L, 2.0))
+      .toDF("k", "day", "bal"), morLake, "day")
+    PartitionedLake.cdcSinkMergeOnRead(spark, morLake, "day", "k", "bal",
+      Seq((2L, 9L, 1L, "D", 0.0)).toDF("k", "day", "seq", "op", "val"))
+    val afterMor = v2(morLake).agg(max("day"))
+    assert(!isMetadataOnly(afterMor))
+    // the true max after the delete is 5 — a metadata answer would
+    // have said 9
+    assert(afterMor.head().getLong(0) === 5L)
+  }
+
   test("size statistics from the manifest: a small lake wins a BROADCAST join through both registered formats") {
     val lake = freshLake("stats")
     PartitionedLake.write(Seq((1L, "a", 1.0), (2L, "b", 2.0))
