@@ -1121,6 +1121,56 @@ object PartitionedLake {
   def snapshots(spark: SparkSession, path: String): Seq[Long] =
     listVersions(fsFor(spark, path), path).sorted
 
+  /** One row per RESOLVABLE snapshot, newest last — the
+    * `DESCRIBE HISTORY` analogue, answered from metadata alone:
+    * version, publish time (the manifest file's mtime — the rename
+    * that IS the commit point, same clock TIMESTAMP AS OF resolves
+    * against), partition/file/live-delta counts, exact row and byte
+    * totals where the manifest knows them (null under exactly
+    * [[rowCount]]'s degrade contract — never a guess), column count,
+    * and how many partitions CHANGED vs the predecessor (null for the
+    * oldest retained version: its predecessor may be vacuumed, and
+    * "changed vs nothing" would misreport a bootstrap). Driver-side by
+    * design — the audit table is versions x a few counters — and
+    * bounded by [[vacuum]]'s retention window; consecutive versions
+    * share almost all v2 leaves through one read cache.
+    */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val fs = fsFor(spark, path)
+    val versions = listVersions(fs, path).sorted
+    val leafCache =
+      scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
+    val ms = versions.map(readManifest(fs, path, _, leafCache))
+    val rows = ms.zipWithIndex.map { case (m, i) =>
+      val mtime = fs.getFileStatus(
+        new Path(manifestDir(path), f"v${m.version}%09d.txt"))
+        .getModificationTime
+      val changed: Any =
+        if (i == 0) null
+        else changedDirs(Some(ms(i - 1)), m).size
+      Row(m.version, new java.sql.Timestamp(mtime),
+        allDirs(m).size, m.files.valuesIterator.map(_.size).sum,
+        m.deltas.valuesIterator.map(_.size).sum,
+        metadataRowCount(m).map(Long.box).orNull,
+        metadataSizeBytes(m).map(Long.box).orNull,
+        m.schema.fields.length, changed)
+    }
+    val schema = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("committed_at", TimestampType, nullable = false),
+      StructField("n_partitions", IntegerType, nullable = false),
+      StructField("n_files", IntegerType, nullable = false),
+      StructField("n_live_deltas", IntegerType, nullable = false),
+      StructField("n_rows", LongType, nullable = true),
+      StructField("n_bytes", LongType, nullable = true),
+      StructField("n_columns", IntegerType, nullable = false),
+      StructField("changed_partitions", IntegerType, nullable = true)))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+  }
+
   /** The latest published version, probing FORWARD from a last-known
     * version instead of listing `_manifest/`. At the sharded design
     * point that directory also holds every live leaf file, so a

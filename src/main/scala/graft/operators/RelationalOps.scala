@@ -1462,6 +1462,43 @@ object RelationalOps {
         |FROM lineitem
         |WHERE l_orderkey % 64 BETWEEN 10 AND 15
         |  AND l_partkey % 64 BETWEEN 10 AND 15""".stripMargin),
-      "lake op: z-order clustering compaction -> box-predicate file skipping (readBox)")
+      "lake op: z-order clustering compaction -> box-predicate file skipping (readBox)"),
+
+    // ---- The DESCRIBE HISTORY analogue: one audit row per retained
+    // snapshot, answered from manifests alone. The oracle derives the
+    // same per-version counters from the source table, so the gate
+    // pins version ordering, exact row totals, and the changed-
+    // partition accounting (file counts and commit times are
+    // task-count / wall-clock dependent and stay out of the oracle —
+    // the spec covers them). ----
+    Q("q151_lake_history",
+      (s, d) => {
+        val dir = scratchDir("q151-history") + "/lake"
+        val base = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderpriority"), col("o_totalprice"))
+        graft.io.PartitionedLake.write(base, dir, "o_orderpriority")
+        // v2 touches only the partitions holding %103 keys
+        graft.io.PartitionedLake.upsert(s, dir, "o_orderpriority",
+          "o_orderkey", base.filter(col("o_orderkey") % 103 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + 1))
+        graft.io.PartitionedLake.history(s, dir).select(
+          col("version"),
+          col("n_partitions").cast("long").as("n_partitions"),
+          col("n_rows"),
+          col("n_columns").cast("long").as("n_columns"),
+          col("changed_partitions").cast("long").as("changed_partitions"))
+          .orderBy("version")
+      },
+      Some("""SELECT CAST(1 AS BIGINT) AS version,
+        |  count(DISTINCT o_orderpriority) AS n_partitions,
+        |  count(*) AS n_rows, CAST(3 AS BIGINT) AS n_columns,
+        |  CAST(NULL AS BIGINT) AS changed_partitions FROM orders
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT),
+        |  count(DISTINCT o_orderpriority), count(*), CAST(3 AS BIGINT),
+        |  (SELECT count(DISTINCT o_orderpriority) FROM orders
+        |   WHERE o_orderkey % 103 = 0) FROM orders
+        |ORDER BY version""".stripMargin),
+      "lake op: snapshot history audit table (DESCRIBE HISTORY analogue) from manifests alone")
   )
 }

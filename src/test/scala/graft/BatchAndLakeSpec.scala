@@ -606,6 +606,50 @@ class PartitionedLakeSpec extends AnyFunSuite {
     assert(got.toSeq === Seq(1L -> "a2", 2L -> "b"))
   }
 
+  test("history: one audit row per retained snapshot — counts, exact-or-null totals, changed partitions, vacuum window") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-history")
+      .toString + "/lake"
+    PartitionedLake.write(
+      Seq((1L, "p1", 1.0), (2L, "p2", 2.0)).toDF("k", "part", "bal"),
+      path, "part")
+    PartitionedLake.upsert(spark, path, "part", "k",
+      Seq((3L, "p1", 3.0)).toDF("k", "part", "bal"))
+    PartitionedLake.cdcSinkMergeOnRead(spark, path, "part", "k", "bal",
+      Seq((2L, "p2", 1L, "U", 20.0)).toDF("k", "part", "seq", "op", "val"))
+    val h = PartitionedLake.history(spark, path).collect()
+    assert(h.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    def row(v: Long) = h.find(_.getLong(0) == v).get
+    // v1: bootstrap — changed_partitions is null (no predecessor)
+    assert(row(1).getAs[Int]("n_partitions") === 2)
+    assert(row(1).getAs[Long]("n_rows") === 2L)
+    assert(row(1).isNullAt(row(1).fieldIndex("changed_partitions")))
+    assert(!row(1).isNullAt(row(1).fieldIndex("n_bytes")))
+    // v2: the upsert touched exactly one partition, rows grew to 3
+    assert(row(2).getAs[Long]("n_rows") === 3L)
+    assert(row(2).getAs[Int]("changed_partitions") === 1)
+    assert(row(2).getAs[Int]("n_live_deltas") === 0)
+    // v3: live MOR delta -> row/byte totals honestly unknown (null),
+    // the delta sidecar counted, its partition marked changed
+    assert(row(3).getAs[Int]("n_live_deltas") === 1)
+    assert(row(3).isNullAt(row(3).fieldIndex("n_rows")))
+    assert(row(3).isNullAt(row(3).fieldIndex("n_bytes")))
+    assert(row(3).getAs[Int]("changed_partitions") === 1)
+    // commit times are monotone (the mtime TIMESTAMP AS OF resolves on)
+    val ts = h.map(_.getTimestamp(1).getTime).toSeq
+    assert(ts === ts.sorted)
+    // vacuum narrows the window; the oldest RETAINED row goes null-
+    // changed (its predecessor is gone, not "everything changed")
+    PartitionedLake.compact(spark, path) // materialize the delta (v4)
+    PartitionedLake.vacuum(spark, path, keepLast = 2)
+    val afterVacuum = PartitionedLake.history(spark, path).collect()
+    assert(afterVacuum.map(_.getLong(0)).toSeq === Seq(3L, 4L))
+    assert(afterVacuum.head.isNullAt(
+      afterVacuum.head.fieldIndex("changed_partitions")))
+    // post-compact totals are exact again
+    assert(afterVacuum.last.getAs[Long]("n_rows") === 3L)
+  }
+
   test("pre-protocol lake (no manifest) is adopted on first incremental commit; untouched partitions survive") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft-legacy").toString + "/lake"
