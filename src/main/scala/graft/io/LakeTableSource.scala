@@ -16,14 +16,6 @@ import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, T
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-/** The v1 `Filter` -> `Column` translation shared by the v1 relation
-  * ([[LakeBatchRelation]]) and the DSv2 scan ([[LakeV1FallbackScan]]) —
-  * one translator, so the two surfaces can never disagree on which
-  * predicates reach the delegated plan's partition pruning. Unknown
-  * filter shapes return None and are evaluated by the engine on top
-  * (both surfaces re-apply every filter, so exactness is never at
-  * stake).
-  */
 /** The ONE plan fingerprint for "this query was answered from manifest
   * metadata, zero data files opened": a LocalTableScan and no
   * file/batch/row scan node anywhere. Shared by the in-band gates in
@@ -39,6 +31,14 @@ object LakeScanCheck {
   }
 }
 
+/** The v1 `Filter` -> `Column` translation shared by the v1 relation
+  * ([[LakeBatchRelation]]) and the DSv2 scan ([[LakeV1FallbackScan]]) —
+  * one translator, so the two surfaces can never disagree on which
+  * predicates reach the delegated plan's partition pruning. Unknown
+  * filter shapes return None and are evaluated by the engine on top
+  * (both surfaces re-apply every filter, so exactness is never at
+  * stake).
+  */
 private[io] object LakeFilters {
   import org.apache.spark.sql.sources._
 
@@ -480,6 +480,34 @@ class LakeTableProvider extends TableProvider with DataSourceRegister {
   }
 }
 
+/** Iceberg-style metadata table: `SELECT * FROM
+  * lake.`/data/events#history`` returns [[PartitionedLake.history]]'s
+  * audit rows (one per retained snapshot) through plain SQL — no Scala
+  * API needed for the ops question "what changed, when, how big". The
+  * `#history` suffix rides the identifier because `#` cannot appear in
+  * a manifest-bearing lake path this catalog would otherwise resolve
+  * (and a SQL-extension DESCRIBE HISTORY verb would buy the same four
+  * words for a parser fork). Driver-computed, bounded by vacuum's
+  * retention window — same cost model as the Scala call.
+  */
+private[io] class GraftLakeHistoryTable(path: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"$path#history"
+  override val schema: StructType = PartitionedLake.historySchema
+  override def capabilities(): util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = () => new V1Scan {
+    override def readSchema(): StructType = PartitionedLake.historySchema
+    override def toV1TableScan[T <: BaseRelation with TableScan](
+        context: SQLContext): T =
+      new LakeV1ScanRelation(context, PartitionedLake.historySchema,
+        PartitionedLake.history(context.sparkSession, path))
+        .asInstanceOf[T]
+    override def description(): String = s"GraftLakeHistory($path)"
+  }
+}
+
 /** A path catalog for SQL-first lake access:
   *
   * {{{
@@ -522,8 +550,14 @@ class LakeCatalog extends TableCatalog {
 
   override def loadTable(ident: Identifier): Table = {
     val path = pathOf(ident)
-    if (!exists(path)) throw new NoSuchTableException(ident)
-    new GraftLakeTable(path, None)
+    if (path.endsWith("#history")) {
+      val base = path.stripSuffix("#history")
+      if (!exists(base)) throw new NoSuchTableException(ident)
+      new GraftLakeHistoryTable(base)
+    } else {
+      if (!exists(path)) throw new NoSuchTableException(ident)
+      new GraftLakeTable(path, None)
+    }
   }
 
   override def loadTable(ident: Identifier, version: String): Table = {
@@ -555,7 +589,11 @@ class LakeCatalog extends TableCatalog {
     new GraftLakeTable(path, Some(v))
   }
 
-  override def tableExists(ident: Identifier): Boolean = exists(pathOf(ident))
+  override def tableExists(ident: Identifier): Boolean = {
+    val path = pathOf(ident)
+    exists(if (path.endsWith("#history")) path.stripSuffix("#history")
+      else path)
+  }
 
   // a path catalog has no enumerable namespace — tables are lakes on
   // storage, addressed by path, not listed from a metastore

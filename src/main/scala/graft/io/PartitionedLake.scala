@@ -1156,7 +1156,18 @@ object PartitionedLake {
         metadataSizeBytes(m).map(Long.box).orNull,
         m.schema.fields.length, changed)
     }
-    val schema = StructType(Seq(
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      historySchema)
+  }
+
+  /** [[history]]'s row shape — shared with the SQL metadata table
+    * ([[GraftLakeHistoryTable]]) so the two surfaces cannot drift.
+    */
+  private[io] val historySchema: StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
       StructField("version", LongType, nullable = false),
       StructField("committed_at", TimestampType, nullable = false),
       StructField("n_partitions", IntegerType, nullable = false),
@@ -1166,9 +1177,6 @@ object PartitionedLake {
       StructField("n_bytes", LongType, nullable = true),
       StructField("n_columns", IntegerType, nullable = false),
       StructField("changed_partitions", IntegerType, nullable = true)))
-    spark.createDataFrame(
-      new java.util.ArrayList[Row](
-        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
   }
 
   /** The latest published version, probing FORWARD from a last-known

@@ -427,6 +427,32 @@ class LakeDsv2Spec extends AnyFunSuite {
     assert(v2(lake).count() === 0L)
   }
 
+  test("SQL history metadata table: SELECT * FROM lake.`/path#history` returns the audit rows, missing lakes fail as missing tables") {
+    val lake = freshLake("sqlhist")
+    PartitionedLake.write(Seq((1L, "a", 1.0)).toDF("k", "part", "bal"),
+      lake, "part")
+    PartitionedLake.upsert(spark, lake, "part", "k",
+      Seq((2L, "b", 2.0)).toDF("k", "part", "bal"))
+    spark.conf.set("spark.sql.catalog.graft_lake",
+      classOf[LakeCatalog].getName)
+    val h = spark.sql(
+      s"SELECT version, n_partitions, n_rows, changed_partitions " +
+        s"FROM graft_lake.`$lake#history` ORDER BY version")
+    assert(h.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+      if (r.isNullAt(3)) -1 else r.getInt(3))).toSeq ===
+      Seq((1L, 1, 1L, -1), (2L, 2, 2L, 1)))
+    // parity with the Scala API, column for column
+    val api = PartitionedLake.history(spark, lake)
+    assert(api.columns.toSeq ===
+      spark.sql(s"SELECT * FROM graft_lake.`$lake#history`").columns.toSeq)
+    assert(api.count() === 2L)
+    // a #history over a missing lake is a missing table
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_lake.`$lake-nope#history`").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("table"), e.getMessage)
+  }
+
   test("the catalog is read-only and reports missing lakes as missing tables") {
     spark.conf.set("spark.sql.catalog.graft_lake",
       classOf[LakeCatalog].getName)
