@@ -160,6 +160,15 @@ private[io] class LakeScanBuilder(path: String, version: Option[Long],
   private def metadataCount: Option[Long] =
     manifest.flatMap(PartitionedLake.metadataRowCount)
 
+  /** The partition columns of the pinned snapshot (Nil when the
+    * manifest is absent or legitimately empty) — the ONE derivation
+    * both pushdown gates consult, so the grouping gate and the
+    * aggregate gate can never disagree on what a partition column is.
+    */
+  private lazy val partCols: Seq[String] = manifest
+    .filter(m => PartitionedLake.allDirs(m).nonEmpty)
+    .map(PartitionedLake.partitionColsOf).getOrElse(Nil)
+
   /** The group-by columns iff EVERY grouping expression is a bare
     * reference to a partition column — the only grouping a manifest can
     * answer (each partition directory's row count is exact metadata;
@@ -167,9 +176,6 @@ private[io] class LakeScanBuilder(path: String, version: Option[Long],
     */
   private def partitionGroupCols(agg: Aggregation): Option[Seq[String]] = {
     if (agg.groupByExpressions.isEmpty) return Some(Nil)
-    val partCols = manifest
-      .filter(m => PartitionedLake.allDirs(m).nonEmpty)
-      .map(PartitionedLake.partitionColsOf).getOrElse(Nil)
     val named = agg.groupByExpressions.toSeq.map {
       case r: org.apache.spark.sql.connector.expressions.NamedReference
           if r.fieldNames.length == 1 => Some(r.fieldNames.head)
@@ -192,9 +198,6 @@ private[io] class LakeScanBuilder(path: String, version: Option[Long],
     * file pruning but not exact values.
     */
   private def metaAggsOf(agg: Aggregation): Option[Seq[LakeMetaAgg]] = {
-    val partCols = manifest
-      .filter(m => PartitionedLake.allDirs(m).nonEmpty)
-      .map(PartitionedLake.partitionColsOf).getOrElse(Nil)
     def partRef(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case r: org.apache.spark.sql.connector.expressions.NamedReference
@@ -305,14 +308,22 @@ private[io] class LakeMetadataAggScan(m: PartitionedLake.Manifest,
   // a fully-emptied snapshot has NO directories to derive partition
   // columns from: a global aggregate still yields its one SQL-shaped
   // row (count 0, min/max null), a grouped one yields zero groups
+  /** The one global-empty answer (count 0, min/max null — SQL
+    * semantics for an aggregate over zero rows), shared by the
+    * empty-snapshot branch and the all-dirs-empty grouping fold.
+    */
+  private def emptyGlobalRow: Array[InternalRow] =
+    Array(InternalRow.fromSeq(aggs.map {
+      case LakeMetaAgg.Count => 0L
+      case _ => null
+    }))
+
   private lazy val grouped: Array[InternalRow] =
+    // a fully-emptied snapshot has NO directories to derive partition
+    // columns from: a global aggregate still yields its one SQL-shaped
+    // row, a grouped one yields zero groups
     if (m.files.isEmpty) {
-      if (groupCols.isEmpty)
-        Array(InternalRow.fromSeq(aggs.map {
-          case LakeMetaAgg.Count => 0L
-          case _ => null
-        }))
-      else Array.empty
+      if (groupCols.isEmpty) emptyGlobalRow else Array.empty
     } else groupedNonEmpty
 
   private def groupedNonEmpty: Array[InternalRow] = {
@@ -330,31 +341,30 @@ private[io] class LakeMetadataAggScan(m: PartitionedLake.Manifest,
     def ordering(col: String): Ordering[Any] =
       org.apache.spark.sql.catalyst.util.TypeUtils
         .getInterpretedOrdering(schema(col).dataType)
+    // 0-row directories (exact counts, all rows deleted but the dir
+    // retained) are dropped BEFORE grouping: a real scan produces no
+    // group for zero rows, so the metadata answer must not either —
+    // and their values must not reach MIN/MAX. Without this, GROUP BY
+    // part -> COUNT(*) could emit a (part, 0) row the degrade path
+    // would never return (found in review).
     val perDir = m.files.toSeq.map { case (dir, entries) =>
       (groupCols.map(valueOf(dir, _)), dir, entries.flatMap(_.rows).sum)
-    }
+    }.filter(_._3 > 0)
     val byKey = perDir.groupBy(_._1).toSeq
     val rows = byKey.map { case (key, dirs) =>
       val out = aggs.map {
         case LakeMetaAgg.Count => dirs.map(_._3).sum
         case LakeMetaAgg.MinOf(c) =>
-          val vs = dirs.filter(_._3 > 0).map(d => valueOf(d._2, c))
-            .filter(_ != null)
+          val vs = dirs.map(d => valueOf(d._2, c)).filter(_ != null)
           if (vs.isEmpty) null else vs.min(ordering(c))
         case LakeMetaAgg.MaxOf(c) =>
-          val vs = dirs.filter(_._3 > 0).map(d => valueOf(d._2, c))
-            .filter(_ != null)
+          val vs = dirs.map(d => valueOf(d._2, c)).filter(_ != null)
           if (vs.isEmpty) null else vs.max(ordering(c))
       }
       InternalRow.fromSeq(key ++ out)
     }
-    if (groupCols.isEmpty && rows.isEmpty)
-      // global aggregation over an empty snapshot still yields ONE row:
-      // count 0, min/max null — SQL semantics
-      Array(InternalRow.fromSeq(aggs.map {
-        case LakeMetaAgg.Count => 0L
-        case _ => null
-      }))
+    // every directory held zero rows: same shape as the empty snapshot
+    if (groupCols.isEmpty && rows.isEmpty) emptyGlobalRow
     else rows.toArray
   }
 
@@ -362,7 +372,14 @@ private[io] class LakeMetadataAggScan(m: PartitionedLake.Manifest,
 
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics =
-    new LakeStatistics(None, Some(grouped.length.toLong))
+    // a CONSERVATIVE per-row width (the table is driver-local and at
+    // most partition-count rows): without a size, Spark assumes
+    // defaultSizeInBytes and a join against the tiny metadata result
+    // silently loses its broadcast (the deleted LakeCountScan reported
+    // 8*n — found in review)
+    new LakeStatistics(
+      Some(grouped.length.toLong * 64L * (groupCols.size + aggs.size) + 64L),
+      Some(grouped.length.toLong))
 
   override def description(): String = {
     val what = aggs.map {

@@ -255,7 +255,12 @@ object PartitionedLake {
     // inside stats parsing on a mixed-version fleet. Future ADDITIVE
     // fields ride the unknown-field tolerance below without a bump; a
     // field whose IGNORING would corrupt reads (e.g. delete vectors)
-    // must bump the major.
+    // must bump the major — and per standard two-phase protocol
+    // evolution, ship READER acceptance of the new header one release
+    // before any WRITER emits it, so the immediately-previous release
+    // never loses read access mid-upgrade. (The bytes bump could not
+    // honor that retroactively: the only pre-bump releases are the
+    // pre-bytes parsers this gate exists to protect.)
     require(header == "graft-lake-manifest v1" ||
       header == "graft-lake-manifest v2" ||
       header == "graft-lake-manifest v1.1" ||
@@ -1136,19 +1141,35 @@ object PartitionedLake {
     * share almost all v2 leaves through one read cache.
     */
   def history(spark: SparkSession, path: String): DataFrame = {
-    import org.apache.spark.sql.types._
     val fs = fsFor(spark, path)
-    val versions = listVersions(fs, path).sorted
+    // ONE directory listing carries both names and mtimes (versionAt's
+    // pattern): a per-version getFileStatus would be N+1 round trips
+    // and could throw on a version vacuumed between listing and stat
+    val dir = manifestDir(path)
+    val listed: Seq[(Long, Long)] =
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).toSeq.flatMap { st =>
+        st.getPath.getName match {
+          case ManifestFile(n) => Some(n.toLong -> st.getModificationTime)
+          case _ => None
+        }
+      }.sortBy(_._1)
     val leafCache =
       scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
-    val ms = versions.map(readManifest(fs, path, _, leafCache))
-    val rows = ms.zipWithIndex.map { case (m, i) =>
-      val mtime = fs.getFileStatus(
-        new Path(manifestDir(path), f"v${m.version}%09d.txt"))
-        .getModificationTime
+    // a vacuum racing this call can reclaim a listed version before its
+    // read: skip it (the retention window moved) rather than failing
+    // the whole audit
+    val ms = listed.flatMap { case (v, mtime) =>
+      try Some(readManifest(fs, path, v, leafCache) -> mtime)
+      catch { case _: java.io.FileNotFoundException => None }
+    }
+    val rows = ms.zipWithIndex.map { case ((m, mtime), i) =>
+      // changed-vs-predecessor only when the IMMEDIATE predecessor was
+      // itself readable — a vacuumed-away gap reports null, same as
+      // the window edge
       val changed: Any =
-        if (i == 0) null
-        else changedDirs(Some(ms(i - 1)), m).size
+        if (i == 0 || ms(i - 1)._1.version != m.version - 1) null
+        else changedDirs(Some(ms(i - 1)._1), m).size
       Row(m.version, new java.sql.Timestamp(mtime),
         allDirs(m).size, m.files.valuesIterator.map(_.size).sum,
         m.deltas.valuesIterator.map(_.size).sum,
@@ -1251,15 +1272,26 @@ object PartitionedLake {
         val m = readManifest(fs, path, v)
         // a resolvable manifest can still reference partition
         // DIRECTORIES physically retired (vacuum racing the read, or
-        // external cleanup) — every explicit-version resolve pays one
-        // exists() per partition dir so the pinned read fails HERE
-        // loudly instead of mid-scan FileNotFound (or silent partial
-        // data under ignoreMissingFiles). Latest-version reads skip
-        // the check: the live snapshot's dirs are vacuum-protected.
-        val retired = allDirs(m).filterNot(d => fs.exists(new Path(path, d)))
-        require(retired.isEmpty,
-          s"snapshot v$v references partitions retired by vacuum or " +
-            s"external cleanup: ${retired.mkString(", ")}")
+        // external cleanup) — every explicit-version resolve checks
+        // them so the pinned read fails HERE loudly instead of
+        // mid-scan FileNotFound (or silent partial data under
+        // ignoreMissingFiles). Checked by LEVEL-WISE LISTING, not one
+        // exists() per dir: a 10k-partition lake would pay 10k
+        // sequential round trips per VERSION AS OF resolve on an
+        // object store; the walk costs one listing per internal tree
+        // node (one total for 1-level layouts). Latest-version reads
+        // skip the check: the live snapshot's dirs are
+        // vacuum-protected.
+        val dirs = allDirs(m)
+        if (dirs.nonEmpty) {
+          val depth = dirs.head.count(_ == '/') + 1
+          val existing =
+            leafPartitionDirs(fs, new Path(path), depth).map(_._1).toSet
+          val retired = dirs.filterNot(existing)
+          require(retired.isEmpty,
+            s"snapshot v$v references partitions retired by vacuum or " +
+              s"external cleanup: ${retired.mkString(", ")}")
+        }
         Some(m)
     }
   }

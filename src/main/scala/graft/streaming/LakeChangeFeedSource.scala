@@ -187,14 +187,22 @@ private[streaming] class LakeChangeFeedSource(sqlContext: SQLContext,
         // connectors shipping only a FileSystem (no AbstractFileSystem
         // binding) can't give the atomic replace — fall back to
         // delete-then-rename, whose brief exposure window only weakens
-        // the first post-restart cap (doc above)
+        // the first post-restart cap (doc above). FileSystem.rename
+        // signals most failures by returning FALSE, not throwing — a
+        // false here must surface as a failure too, or lastPersisted
+        // would advance past a marker that never landed and no later
+        // commit would rewrite it (found in review)
         case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
           fs.delete(p, false)
-          if (!fs.rename(tmp, p)) fs.delete(tmp, false)
+          if (!fs.rename(tmp, p)) {
+            fs.delete(tmp, false)
+            throw new java.io.IOException(
+              s"progress-file fallback rename $tmp -> $p returned false")
+          }
       }
       // advanced only AFTER the replace lands: a failure leaves the
-      // marker behind, so the next commit() retries the write instead
-      // of believing a base that never became durable
+      // marker behind (or throws above), so the next commit() retries
+      // the write instead of believing a base that never became durable
       lastPersisted = v
     } catch {
       // the progress file is an OPTIMIZATION (first post-restart cap
