@@ -60,6 +60,93 @@ private[io] object LakeFilters {
     case Not(c) => toColumn(c).map(!_)
     case _ => None
   }
+
+  /** Compile a v1 `Filter` into an EXACT three-valued (Kleene)
+    * evaluator over TYPED partition values — the engine-grade
+    * semantics that let [[LakeScanBuilder]] CLAIM a partition-column
+    * filter as fully handled (so `COUNT(*) WHERE day = X` can answer
+    * from metadata) instead of merely hinting it. None whenever the
+    * shape or a value conversion falls outside the exact set — the
+    * caller must then leave the filter to the engine.
+    *
+    * The evaluator maps a column->value lookup (Catalyst INTERNAL
+    * values, as [[LakeMetadataAggScan]] derives from directory names)
+    * to `Some(true)` (keep), `Some(false)` (drop), or `None` (SQL
+    * NULL — drops at the top, but must stay distinguishable from
+    * false underneath a `Not`/`Or`, where two-valued folding would
+    * flip unknown into keep).
+    */
+  def compile(f: Filter, dt: String => Option[org.apache.spark.sql.types.DataType])
+      : Option[(String => Any) => Option[Boolean]] = {
+    import org.apache.spark.sql.sources._
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    import org.apache.spark.sql.catalyst.util.TypeUtils
+    type Eval = (String => Any) => Option[Boolean]
+    // the filter value, converted to the column's internal form; None
+    // when the column is unknown, the conversion throws, or the cast
+    // produces null (e.g. a string that doesn't parse as the numeric
+    // partition type) — all "leave it to the engine"
+    def conv(a: String, x: Any): Option[Any] = dt(a).flatMap { t =>
+      try Option(Cast(Literal(x), t, Some("UTC")).eval())
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
+    def cmp(a: String, x: Any)(sign: Int => Boolean): Option[Eval] =
+      for (xv <- conv(a, x); t <- dt(a)) yield {
+        val ord = TypeUtils.getInterpretedOrdering(t)
+        v => { val va = v(a)
+          if (va == null) None else Some(sign(ord.compare(va, xv))) }
+      }
+    def str(a: String)(test: String => Boolean): Option[Eval] =
+      dt(a).filter(_ == org.apache.spark.sql.types.StringType).map { _ =>
+        v => { val va = v(a)
+          if (va == null) None else Some(test(va.toString)) }
+      }
+    f match {
+      case EqualTo(a, x) => cmp(a, x)(_ == 0)
+      case EqualNullSafe(a, null) =>
+        dt(a).map(_ => v => Some(v(a) == null))
+      case EqualNullSafe(a, x) =>
+        cmp(a, x)(_ == 0).map(e => v =>
+          if (v(a) == null) Some(false) else e(v))
+      case GreaterThan(a, x) => cmp(a, x)(_ > 0)
+      case GreaterThanOrEqual(a, x) => cmp(a, x)(_ >= 0)
+      case LessThan(a, x) => cmp(a, x)(_ < 0)
+      case LessThanOrEqual(a, x) => cmp(a, x)(_ <= 0)
+      case In(a, xs) =>
+        // SQL IN: a match wins; no match is FALSE unless the list held
+        // a null, which makes it NULL (visible under Not)
+        val hasNull = xs.contains(null)
+        val nonNull = xs.filter(_ != null).toSeq
+        val converted = nonNull.map(conv(a, _))
+        if (converted.exists(_.isEmpty)) None
+        else for (t <- dt(a)) yield {
+          val ord = TypeUtils.getInterpretedOrdering(t)
+          val vals = converted.flatten
+          (v: String => Any) => { val va = v(a)
+            if (va == null) None
+            else if (vals.exists(ord.compare(va, _) == 0)) Some(true)
+            else if (hasNull) None
+            else Some(false) }
+        }
+      case IsNull(a) => dt(a).map(_ => v => Some(v(a) == null))
+      case IsNotNull(a) => dt(a).map(_ => v => Some(v(a) != null))
+      case StringStartsWith(a, x) => str(a)(_.startsWith(x))
+      case StringEndsWith(a, x) => str(a)(_.endsWith(x))
+      case StringContains(a, x) => str(a)(_.contains(x))
+      case And(l, r) => for (le <- compile(l, dt); re <- compile(r, dt))
+        yield { v: (String => Any) => (le(v), re(v)) match {
+          case (Some(false), _) | (_, Some(false)) => Some(false)
+          case (Some(true), Some(true)) => Some(true)
+          case _ => None } }
+      case Or(l, r) => for (le <- compile(l, dt); re <- compile(r, dt))
+        yield { v: (String => Any) => (le(v), re(v)) match {
+          case (Some(true), _) | (_, Some(true)) => Some(true)
+          case (Some(false), Some(false)) => Some(false)
+          case _ => None } }
+      case Not(c) => compile(c, dt).map(e => (v: String => Any) => e(v).map(!_))
+      case _ => None
+    }
+  }
 }
 
 /** The DataSource V2 form of [[PartitionedLake]] — the surface that
@@ -138,22 +225,42 @@ private[io] class LakeScanBuilder(path: String, version: Option[Long],
 
   private var required: StructType = fullSchema
   private var accepted: Array[Filter] = Array.empty
-  private var sawFilters = false
+  private var claimed: Array[Filter] = Array.empty
+  private var residual: Array[Filter] = Array.empty
   private var pushedAggs: Seq[LakeMetaAgg] = Nil
   private var groupCols: Seq[String] = Nil
+
+  private def dtOf(c: String): Option[org.apache.spark.sql.types.DataType] =
+    fullSchema.fields.find(_.name == c).map(_.dataType)
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  /** Accept the translatable subset (they reach the delegated plan's
-    * partition pruning) but report EVERY filter as needing post-scan
-    * evaluation — the engine re-applies them all, so an imperfectly
-    * translated predicate can cost performance, never correctness.
+  /** Filters split three ways:
+    *
+    *  - CLAIMED (not returned — the engine drops its own copy): filters
+    *    that reference ONLY partition columns and compile through
+    *    [[LakeFilters.compile]]'s exact three-valued evaluator. Claiming
+    *    is what lets `COUNT(*) WHERE day = X` stay an aggregate-pushdown
+    *    candidate — Spark only pushes aggregates when no post-scan
+    *    filters remain — and every claimed filter is applied EXACTLY by
+    *    whichever scan is built (directory-level in the metadata scan,
+    *    frame-level in the fallback).
+    *  - residual translatable: reach the delegated plan's partition
+    *    pruning AND are returned for engine re-evaluation — imperfect
+    *    translation can cost performance, never correctness.
+    *  - residual opaque: engine-only.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    sawFilters ||= filters.nonEmpty
+    val (c, r) = filters.partition { f =>
+      LakeFilters.toColumn(f).isDefined &&
+        LakeFilters.compile(f, dtOf).isDefined &&
+        f.references.forall(partCols.contains)
+    }
+    claimed = c
+    residual = r
     accepted = filters.filter(f => LakeFilters.toColumn(f).isDefined)
-    filters
+    residual
   }
   override def pushedFilters(): Array[Filter] = accepted
 
@@ -216,18 +323,18 @@ private[io] class LakeScanBuilder(path: String, version: Option[Long],
   }
 
   /** An aggregation completes from metadata iff nothing can change the
-    * answer: grouping (if any) is by partition columns alone, no
-    * filters anywhere in the pushdown (a filtered aggregate is not the
-    * snapshot's), every aggregate is metadata-answerable
-    * ([[metaAggsOf]]), and the snapshot's counts are exact in the
-    * manifest (no live deltas / legacy files —
-    * [[PartitionedLake.rowCount]]'s None contract; MIN/MAX need the
-    * same gate: live deltas can empty a partition, and a 0-row or
-    * unknown-row directory must not contribute its value). Anything
-    * else degrades to the real scan.
+    * answer: grouping (if any) is by partition columns alone, every
+    * filter was CLAIMED (partition-column-only, exactly evaluated
+    * against directory values — a residual filter needs data), every
+    * aggregate is metadata-answerable ([[metaAggsOf]]), and the
+    * snapshot's counts are exact in the manifest (no live deltas /
+    * legacy files — [[PartitionedLake.rowCount]]'s None contract;
+    * MIN/MAX need the same gate: live deltas can empty a partition,
+    * and a 0-row or unknown-row directory must not contribute its
+    * value). Anything else degrades to the real scan.
     */
   private def canComplete(agg: Aggregation): Boolean =
-    !sawFilters &&
+    residual.isEmpty &&
       metaAggsOf(agg).isDefined &&
       partitionGroupCols(agg).isDefined &&
       metadataCount.isDefined
@@ -244,7 +351,8 @@ private[io] class LakeScanBuilder(path: String, version: Option[Long],
 
   override def build(): Scan =
     if (pushedAggs.nonEmpty)
-      new LakeMetadataAggScan(manifest.get, fullSchema, groupCols, pushedAggs)
+      new LakeMetadataAggScan(manifest.get, fullSchema, groupCols,
+        pushedAggs, claimed)
     else new LakeV1FallbackScan(path, version, required, accepted, manifest)
 }
 
@@ -287,7 +395,8 @@ private[io] object LakeMetaAgg {
   * (no live deltas / legacy files).
   */
 private[io] class LakeMetadataAggScan(m: PartitionedLake.Manifest,
-    schema: StructType, groupCols: Seq[String], aggs: Seq[LakeMetaAgg])
+    schema: StructType, groupCols: Seq[String], aggs: Seq[LakeMetaAgg],
+    claimed: Array[Filter] = Array.empty)
     extends LocalScan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
@@ -341,15 +450,25 @@ private[io] class LakeMetadataAggScan(m: PartitionedLake.Manifest,
     def ordering(col: String): Ordering[Any] =
       org.apache.spark.sql.catalyst.util.TypeUtils
         .getInterpretedOrdering(schema(col).dataType)
+    // CLAIMED partition filters evaluate per directory with the same
+    // exact three-valued semantics the engine would apply per row —
+    // a claimed `day = X` keeps exactly X's directories, so the
+    // filtered count is the filtered snapshot's count. (compile
+    // cannot fail here: the builder only claims what compiled.)
+    val preds = claimed.toSeq.map(f => LakeFilters.compile(f,
+      c => schema.fields.find(_.name == c).map(_.dataType)).get)
+    def keep(dir: String): Boolean =
+      preds.forall(p => p(c => valueOf(dir, c)).contains(true))
     // 0-row directories (exact counts, all rows deleted but the dir
     // retained) are dropped BEFORE grouping: a real scan produces no
     // group for zero rows, so the metadata answer must not either —
     // and their values must not reach MIN/MAX. Without this, GROUP BY
     // part -> COUNT(*) could emit a (part, 0) row the degrade path
     // would never return (found in review).
-    val perDir = m.files.toSeq.map { case (dir, entries) =>
-      (groupCols.map(valueOf(dir, _)), dir, entries.flatMap(_.rows).sum)
-    }.filter(_._3 > 0)
+    val perDir = m.files.toSeq.filter(e => keep(e._1))
+      .map { case (dir, entries) =>
+        (groupCols.map(valueOf(dir, _)), dir, entries.flatMap(_.rows).sum)
+      }.filter(_._3 > 0)
     val byKey = perDir.groupBy(_._1).toSeq
     val rows = byKey.map { case (key, dirs) =>
       val out = aggs.map {
@@ -388,7 +507,9 @@ private[io] class LakeMetadataAggScan(m: PartitionedLake.Manifest,
       case LakeMetaAgg.MaxOf(c) => s"max($c)"
     }.mkString(", ")
     val by = if (groupCols.isEmpty) "" else s" by ${groupCols.mkString(", ")}"
-    s"GraftLakeMetadataAgg($what$by)"
+    val where = if (claimed.isEmpty) ""
+      else s" where ${claimed.mkString(" AND ")}"
+    s"GraftLakeMetadataAgg($what$by$where)"
   }
 }
 
@@ -428,10 +549,14 @@ private[io] class LakeV1FallbackScan(path: String, version: Option[Long],
       case Some(m) => PartitionedLake.frameFor(spark, path, m)
       case None => spark.read.parquet(path) // pre-protocol lake
     }
-    val pruned = frame.select(required.fieldNames.map(col).toIndexedSeq: _*)
+    // filter BEFORE pruning: a CLAIMED filter's column may have been
+    // pruned out of `required` (the engine no longer needs it post-
+    // scan once we own the filter), and select-then-filter would fail
+    // to resolve it
     val filtered = filters.flatMap(LakeFilters.toColumn)
-      .reduceOption(_ && _).map(pruned.filter).getOrElse(pruned)
-    new LakeV1ScanRelation(context, required, filtered).asInstanceOf[T]
+      .reduceOption(_ && _).map(frame.filter).getOrElse(frame)
+    val pruned = filtered.select(required.fieldNames.map(col).toIndexedSeq: _*)
+    new LakeV1ScanRelation(context, required, pruned).asInstanceOf[T]
   }
 
   override def description(): String =

@@ -1393,15 +1393,24 @@ object RelationalOps {
             s"max(o_orderpriority) AS hi_prio FROM graft_lake.`$dir`")
         val atV1 = s.sql(
           s"SELECT count(*) AS n FROM graft_lake.`$dir` VERSION AS OF 1")
+        // the partition-FILTERED count: the claimed-filter path — still
+        // zero data files (Delta answers this from metadata; so do we)
+        val urgent = s.sql(s"SELECT count(*) AS n FROM graft_lake.`$dir` " +
+          s"WHERE o_orderpriority = '1-URGENT'")
         head.withColumn("metadata_only",
             lit(graft.io.LakeScanCheck.isMetadataOnly(head) &&
-              graft.io.LakeScanCheck.isMetadataOnly(atV1)))
+              graft.io.LakeScanCheck.isMetadataOnly(atV1) &&
+              graft.io.LakeScanCheck.isMetadataOnly(urgent)))
           .withColumn("v1_rows", lit(atV1.head().getLong(0)))
+          .withColumn("n_urgent", lit(urgent.head().getLong(0)))
       },
       Some("""SELECT count(*) AS n_rows, min(o_orderpriority) AS lo_prio,
         |  max(o_orderpriority) AS hi_prio, true AS metadata_only,
-        |  count(*) AS v1_rows FROM orders""".stripMargin),
-      "lake op: DSv2 metadata-only COUNT(*)/MIN/MAX + VERSION AS OF SQL (LakeCatalog)"),
+        |  count(*) AS v1_rows,
+        |  (SELECT count(*) FROM orders WHERE o_orderpriority = '1-URGENT')
+        |    AS n_urgent
+        |FROM orders""".stripMargin),
+      "lake op: DSv2 metadata-only COUNT(*)/MIN/MAX/filtered-count + VERSION AS OF SQL (LakeCatalog)"),
 
     // ---- DSv2 surface, grouped: the partition histogram (GROUP BY the
     // partition column + COUNT(*)) answered from per-directory manifest

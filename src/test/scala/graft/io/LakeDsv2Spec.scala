@@ -84,13 +84,77 @@ class LakeDsv2Spec extends AnyFunSuite {
     assert(cAfter.head().getLong(0) === 2L)
   }
 
-  test("a FILTERED count is never answered from metadata") {
+  test("a PARTITION-column-filtered count answers from metadata; any data-column filter degrades") {
     val lake = freshLake("fcount")
-    PartitionedLake.write(Seq((1L, "a", 1.0), (2L, "b", 2.0))
+    PartitionedLake.write(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "b", 3.0))
       .toDF("k", "part", "bal"), lake, "part")
-    val filtered = v2(lake).filter(col("part") === "a").groupBy().count()
-    assert(!isMetadataOnly(filtered))
-    assert(filtered.head().getLong(0) === 1L)
+    // the ops query: COUNT(*) WHERE part = X — claimed filter, zero
+    // data files (Delta answers this from metadata; so do we)
+    val filtered = v2(lake).filter(col("part") === "b").groupBy().count()
+    assert(isMetadataOnly(filtered),
+      filtered.queryExecution.executedPlan.toString())
+    assert(filtered.head().getLong(0) === 2L)
+    // a DATA-column filter (or any mixed residue) needs data: degrade
+    val dataF = v2(lake).filter(col("bal") > 1.5).groupBy().count()
+    assert(!isMetadataOnly(dataF))
+    assert(dataF.head().getLong(0) === 2L)
+    val mixed = v2(lake)
+      .filter(col("part") === "b" && col("bal") > 2.5).groupBy().count()
+    assert(!isMetadataOnly(mixed))
+    assert(mixed.head().getLong(0) === 1L)
+    // grouped + claimed filter + min/max, still metadata-only
+    val g = v2(lake).filter(col("part") =!= "a")
+      .groupBy("part").agg(count("*").as("n"))
+    assert(isMetadataOnly(g), g.queryExecution.executedPlan.toString())
+    assert(g.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("b" -> 2L))
+    // a claimed filter keeping NOTHING: global count is the one 0 row
+    val none = v2(lake).filter(col("part") === "zz").groupBy().count()
+    assert(isMetadataOnly(none))
+    assert(none.head().getLong(0) === 0L)
+  }
+
+  test("claimed partition filters keep engine semantics on plain SELECTs: three-valued NOT/IN over null partitions, pruned filter columns") {
+    val lake = freshLake("claimsel")
+    PartitionedLake.write(
+      Seq((1L, Some("a"), 1.0), (2L, Some("b"), 2.0), (3L, None, 3.0))
+        .toDF("k", "part", "bal"), lake, "part")
+    // NOT(part = 'a'): SQL three-valued — the null partition is
+    // DROPPED (NOT null = null), not kept; two-valued folding of the
+    // claimed filter would wrongly keep k=3
+    val notA = v2(lake).filter(!(col("part") === "a"))
+      .select("k").as[Long].collect().sorted
+    assert(notA.toSeq === Seq(2L))
+    // IN with a null list element: non-matching rows drop (NULL), the
+    // match still wins
+    val inNull = v2(lake)
+      .filter(col("part").isin("a", null))
+      .select("k").as[Long].collect().sorted
+    assert(inNull.toSeq === Seq(1L))
+    // IS NULL / IS NOT NULL on the partition column, claimed
+    assert(v2(lake).filter(col("part").isNull).select("k")
+      .as[Long].collect().toSeq === Seq(3L))
+    // the filter column is pruned from the output: the fallback must
+    // filter BEFORE pruning or the claimed predicate can't resolve
+    val pruned = v2(lake).filter(col("part") === "b").select("bal")
+      .as[Double].collect()
+    assert(pruned.toSeq === Seq(2.0))
+    // a filtered count over the null partition via metadata: IS NULL
+    // is exactly evaluable against __HIVE_DEFAULT_PARTITION__
+    val cNull = v2(lake).filter(col("part").isNull).groupBy().count()
+    assert(isMetadataOnly(cNull),
+      cNull.queryExecution.executedPlan.toString())
+    assert(cNull.head().getLong(0) === 1L)
+    // and parity: every claimed-filter read equals the v1 read (which
+    // never claims — the engine re-applies everything there)
+    def v1rows(c: org.apache.spark.sql.Column) =
+      v1(lake).filter(c).select("k").as[Long].collect().toSet
+    def v2rows(c: org.apache.spark.sql.Column) =
+      v2(lake).filter(c).select("k").as[Long].collect().toSet
+    for (c <- Seq(!(col("part") === "a"), col("part").isin("a", null),
+        col("part").isNull, col("part").isNotNull, col("part") >= "b",
+        col("part").startsWith("a")))
+      assert(v2rows(c) === v1rows(c), c.toString)
   }
 
   test("DSv2 read == v1 read == API read on CoW, MOR, and schema-evolved lakes") {
