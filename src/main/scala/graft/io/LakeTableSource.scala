@@ -414,9 +414,6 @@ private[io] class LakeMetadataAggScan(m: PartitionedLake.Manifest,
     groupCols.map(c => schema(c)) ++ aggs.zipWithIndex.map {
       case (a, i) => outField(a, i) })
 
-  // a fully-emptied snapshot has NO directories to derive partition
-  // columns from: a global aggregate still yields its one SQL-shaped
-  // row (count 0, min/max null), a grouped one yields zero groups
   /** The one global-empty answer (count 0, min/max null — SQL
     * semantics for an aggregate over zero rows), shared by the
     * empty-snapshot branch and the all-dirs-empty grouping fold.

@@ -202,12 +202,19 @@ object PartitionedLake {
     * fold (the `v%%09d.txt` naming rule lives here and in the probe's
     * existence check only).
     */
-  private def listVersions(fs: FileSystem, path: String): Seq[Long] = {
+  private def listVersions(fs: FileSystem, path: String): Seq[Long] =
+    listVersionsWithMtimes(fs, path).map(_._1)
+
+  /** The same fold carrying publish mtimes (one listing = names AND
+    * times) — [[versionAt]] and [[history]] consume both.
+    */
+  private def listVersionsWithMtimes(fs: FileSystem,
+      path: String): Seq[(Long, Long)] = {
     val dir = manifestDir(path)
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toSeq.flatMap { st =>
       st.getPath.getName match {
-        case ManifestFile(n) => Some(n.toLong)
+        case ManifestFile(n) => Some(n.toLong -> st.getModificationTime)
         case _ => None
       }
     }
@@ -1142,18 +1149,10 @@ object PartitionedLake {
     */
   def history(spark: SparkSession, path: String): DataFrame = {
     val fs = fsFor(spark, path)
-    // ONE directory listing carries both names and mtimes (versionAt's
-    // pattern): a per-version getFileStatus would be N+1 round trips
-    // and could throw on a version vacuumed between listing and stat
-    val dir = manifestDir(path)
-    val listed: Seq[(Long, Long)] =
-      if (!fs.exists(dir)) Seq.empty
-      else fs.listStatus(dir).toSeq.flatMap { st =>
-        st.getPath.getName match {
-          case ManifestFile(n) => Some(n.toLong -> st.getModificationTime)
-          case _ => None
-        }
-      }.sortBy(_._1)
+    // ONE directory listing carries both names and mtimes: a
+    // per-version getFileStatus would be N+1 round trips and could
+    // throw on a version vacuumed between listing and stat
+    val listed = listVersionsWithMtimes(fs, path).sortBy(_._1)
     val leafCache =
       scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
     // a vacuum racing this call can reclaim a listed version before its
@@ -1285,9 +1284,20 @@ object PartitionedLake {
         val dirs = allDirs(m)
         if (dirs.nonEmpty) {
           val depth = dirs.head.count(_ == '/') + 1
+          // a directory deleted between the walk's parent listing and
+          // its child listStatus (vacuum race on a multi-level layout)
+          // would surface as a raw FileNotFound — fall back to the
+          // per-dir existence probe, which cannot throw, so the error
+          // is always the loud retirement message below
           val existing =
-            leafPartitionDirs(fs, new Path(path), depth).map(_._1).toSet
-          val retired = dirs.filterNot(existing)
+            try Some(leafPartitionDirs(fs, new Path(path), depth)
+              .map(_._1).toSet)
+            catch { case _: java.io.FileNotFoundException => None }
+          val retired = existing match {
+            case Some(e) => dirs.filterNot(e)
+            case None =>
+              dirs.filterNot(d => fs.exists(new Path(path, d)))
+          }
           require(retired.isEmpty,
             s"snapshot v$v references partitions retired by vacuum or " +
               s"external cleanup: ${retired.mkString(", ")}")
@@ -1356,15 +1366,8 @@ object PartitionedLake {
     // per-version getFileStatus would be N+1 round trips and could
     // throw on a version vacuumed between the listing and the stat
     val fs = fsFor(spark, path)
-    val dir = manifestDir(path)
-    if (!fs.exists(dir)) None
-    else fs.listStatus(dir).toSeq.flatMap { st =>
-      st.getPath.getName match {
-        case ManifestFile(n) if st.getModificationTime <= tsMillis =>
-          Some(n.toLong)
-        case _ => None
-      }
-    }.maxOption
+    listVersionsWithMtimes(fs, path)
+      .collect { case (v, mt) if mt <= tsMillis => v }.maxOption
   }
 
   /** Time travel: read the lake AS OF a published snapshot version (see
