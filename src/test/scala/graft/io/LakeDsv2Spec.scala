@@ -517,6 +517,52 @@ class LakeDsv2Spec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("table"), e.getMessage)
   }
 
+  test("differential filter fuzz: 200 random partition predicates agree between the claiming v2 path and the engine-evaluated v1 path") {
+    val lake = freshLake("filterfuzz")
+    // partition values chosen to hit every evaluator edge: null
+    // (__HIVE_DEFAULT_PARTITION__), empty string, an escaped char, and
+    // a long column where string ordering lies ('9' vs '12')
+    PartitionedLake.write(Seq(
+      (1L, Some("a"), 3L, 1.0), (2L, Some("b"), 9L, 2.0),
+      (3L, None, 12L, 3.0), (4L, Some(""), 9L, 4.0),
+      (5L, Some("a=b"), 100L, 5.0), (6L, Some("zz"), 3L, 6.0))
+      .toDF("k", "part", "day", "bal"), lake, Seq("part", "day"), Nil)
+    val rnd = new scala.util.Random(42)
+    val strLits = Seq("a", "b", "zz", "a=b", "", "nope")
+    val longLits = Seq(3L, 9L, 12L, 100L, 7L)
+    def leaf(): org.apache.spark.sql.Column = rnd.nextInt(9) match {
+      case 0 => col("part") === strLits(rnd.nextInt(strLits.size))
+      case 1 => col("part") > strLits(rnd.nextInt(strLits.size))
+      case 2 => col("part").isNull
+      case 3 => col("part").isin(
+        Seq.fill(1 + rnd.nextInt(3))(strLits(rnd.nextInt(strLits.size))): _*)
+      case 4 => col("part").startsWith("a")
+      case 5 => col("day") === longLits(rnd.nextInt(longLits.size))
+      case 6 => col("day") >= longLits(rnd.nextInt(longLits.size))
+      case 7 => col("day") < longLits(rnd.nextInt(longLits.size))
+      case 8 => col("part") <=> strLits(rnd.nextInt(strLits.size))
+    }
+    def tree(depth: Int): org.apache.spark.sql.Column =
+      if (depth == 0) leaf()
+      else rnd.nextInt(4) match {
+        case 0 => tree(depth - 1) && tree(depth - 1)
+        case 1 => tree(depth - 1) || tree(depth - 1)
+        case 2 => !tree(depth - 1)
+        case _ => leaf()
+      }
+    val v1frame = v1(lake)
+    val v2frame = v2(lake)
+    for (i <- 0 until 200) {
+      val pred = tree(1 + rnd.nextInt(2))
+      val expect = v1frame.filter(pred).select("k").as[Long].collect().toSet
+      val got = v2frame.filter(pred).select("k").as[Long].collect().toSet
+      assert(got === expect, s"filter #$i: $pred")
+      // and the metadata-count path agrees with the engine's count
+      val n = v2frame.filter(pred).groupBy().count().head().getLong(0)
+      assert(n === expect.size.toLong, s"count #$i: $pred")
+    }
+  }
+
   test("the catalog is read-only and reports missing lakes as missing tables") {
     spark.conf.set("spark.sql.catalog.graft_lake",
       classOf[LakeCatalog].getName)
