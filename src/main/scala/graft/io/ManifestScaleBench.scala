@@ -121,12 +121,34 @@ object ManifestScaleBench {
           Seq("k")).count()
         val cdfS = (System.nanoTime() - t0) / 1e9
         require(nChanges > 0, s"diff produced $nChanges rows")
+        // DSv2 metadata aggregates at this partition count: the global
+        // COUNT(*) (per-dir row-count fold), a CLAIMED-filter count
+        // (one exact predicate evaluation per directory), and
+        // MAX(partition col) (one typed Cast per directory) — all
+        // driver-side over nDirs, zero data files
+        import org.apache.spark.sql.functions.{col => c, max => mx}
+        val v2df = spark.read.format("graft-lake-v2")
+          .option("path", path).load()
+        t0 = System.nanoTime()
+        val nAll = v2df.groupBy().count().head().getLong(0)
+        val metaCountS = (System.nanoTime() - t0) / 1e9
+        require(nAll == 1L + (nDirs - 1).toLong * 1000L, s"count $nAll")
+        t0 = System.nanoTime()
+        val nOne = v2df.filter(c("part") === "p7").groupBy().count()
+          .head().getLong(0)
+        val claimedS = (System.nanoTime() - t0) / 1e9
+        require(nOne == 1000L, s"claimed-filter count $nOne")
+        t0 = System.nanoTime()
+        val hi = v2df.agg(mx("part")).head().getString(0)
+        val maxS = (System.nanoTime() - t0) / 1e9
+        require(hi == s"p${nDirs - 1}" || hi.startsWith("p9"), s"max $hi")
         println(f"[manifest-scale] $tag%-4s dirs=$nDirs%6d " +
           f"publish=$publishS%7.3fs resolve=$resolveS%7.3fs " +
           f"snapshotBytes=$v1Bytes%12d 1-part-commitBytes=$commitBytes%10d " +
           f"commitLatency=$commitS%7.3fs leaves=${m.leaves.size}%4d " +
           f"probeLatest=${probeS * 1000}%8.1fms listLatest=${listS * 1000}%8.1fms " +
-          f"cdf1Part=$cdfS%7.3fs")
+          f"cdf1Part=$cdfS%7.3fs metaCount=${metaCountS * 1000}%8.1fms " +
+          f"claimedCount=${claimedS * 1000}%8.1fms maxPart=${maxS * 1000}%8.1fms")
       } finally conf.foreach { case (k, _) => hc.unset(k) }
     }
     // v1 forced (threshold above nDirs), then v2 auto (default threshold
