@@ -199,9 +199,14 @@ private[io] class LakeBatchRelation(override val sqlContext: SQLContext,
     */
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
-    val pruned = frame.select(requiredColumns.map(col).toIndexedSeq: _*)
+    // filter BEFORE pruning: today requiredColumns always includes
+    // filter references (unhandledFilters defaults to "all", so the
+    // engine keeps them post-scan), but a future unhandledFilters
+    // override would silently break select-then-filter — same ordering
+    // fix as the DSv2 fallback
     val filtered = filters.flatMap(LakeFilters.toColumn)
-      .reduceOption(_ && _).map(pruned.filter).getOrElse(pruned)
-    filtered.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+      .reduceOption(_ && _).map(frame.filter).getOrElse(frame)
+    val pruned = filtered.select(requiredColumns.map(col).toIndexedSeq: _*)
+    pruned.queryExecution.toRdd.asInstanceOf[RDD[Row]]
   }
 }
