@@ -15,6 +15,45 @@ import org.apache.spark.sql.functions._
   */
 object CurationOps {
 
+  /** DSIR — Data Selection with Importance Resampling (Xie et al.
+    * 2023, arXiv:2302.03169) over hashed unigram features: per-bucket
+    * log-ratio of add-one-smoothed target vs raw distributions
+    * (256 buckets = first two hex chars of md5(token)), per-doc weight
+    * = sum of bucket counts times bucket log-ratios, top-`k` by weight
+    * (doc_id tie-break). FP discipline per q101: ratios rounded to 6
+    * decimals, contributions summed as exact DECIMAL(28,12), ranking
+    * on the decimal. One explode feeds two partial-agg shuffles;
+    * weights broadcast back; top-k is TakeOrdered + a k-row rank
+    * window — no all-pairs, no data-sized global window.
+    */
+  def dsirTopK(docs: DataFrame, isTarget: Column, k: Int): DataFrame = {
+    val toks = graft.operators.Spread.byKey(docs, col("doc_id"))
+      .select(col("doc_id"), isTarget.as("is_tgt"),
+        explode(split(col("text"), " ")).as("tok"))
+      .withColumn("b", substring(md5(col("tok")), 1, 2))
+    val buckets = toks.groupBy("b").agg(
+      count(lit(1)).as("raw_n"),
+      sum(when(col("is_tgt"), 1L).otherwise(0L)).as("tgt_n"))
+    val totals = buckets.agg(sum("raw_n").as("raw_t"),
+      sum("tgt_n").as("tgt_t"))
+    val weights = buckets.crossJoin(broadcast(totals)).select(col("b"),
+      round(log((col("tgt_n") + 1.0) / (col("tgt_t") + 256.0))
+        - log((col("raw_n") + 1.0) / (col("raw_t") + 256.0)), 6)
+        .as("w"))
+    val perDocBucket = toks.groupBy("doc_id", "b")
+      .agg(count(lit(1)).as("c"))
+    val scored = perDocBucket.join(broadcast(weights), Seq("b"))
+      .withColumn("contrib",
+        round(col("c") * col("w"), 6).cast("decimal(28,12)"))
+      .groupBy("doc_id").agg(sum("contrib").as("s"))
+    val top = scored.orderBy(col("s").desc, col("doc_id")).limit(k)
+    top.withColumn("rk", row_number().over(
+        Window.orderBy(col("s").desc, col("doc_id"))))
+      .select(col("doc_id"),
+        round(col("s").cast("double"), 6).as("weight"), col("rk"))
+      .orderBy("rk")
+  }
+
   /** Whitespace token array. */
   def toks(c: Column): Column = split(c, " ")
 
@@ -595,6 +634,44 @@ object CurationOps {
              |  > ((cum - n_chars) // greatest(tot // 25, 1))
              |ORDER BY doc_id""".stripMargin),
       "pipeline-op: deterministic PPS corpus sampling (sharded prefix sum, no libm)"),
+
+    // ---- DSIR: Data Selection with Importance Resampling (Xie et
+    // al. 2023, arXiv:2302.03169) — rank the raw pool by importance
+    // weights from HASHED n-gram features: per-bucket log-ratio of
+    // add-one-smoothed target vs raw unigram distributions, per-doc
+    // weight = sum of its bucket counts times the bucket log-ratios.
+    // The 256 buckets are the first two hex chars of md5(token) — a
+    // hash both engines compute identically, so the oracle replays
+    // the method end to end. FP discipline is q101's: log-ratios
+    // rounded to 6 decimals, per-doc contributions summed as exact
+    // DECIMAL(28,12) (order-independent), ranking on the decimal.
+    // Scale shape: one explode feeding two partial-agg shuffles (256
+    // bucket rows; (doc,bucket) counts), weights broadcast back, one
+    // doc-keyed fold — no all-pairs, no global window over data (the
+    // top-k is TakeOrdered + a k-row rank window). ----
+    Q("q152_dsir_importance",
+      (s, d) => dsirTopK(Tables.documents(s, d),
+        col("doc_id") % 7 === 0, 25),
+      Some("""WITH toks AS (SELECT doc_id, doc_id % 7 = 0 AS is_tgt,
+             |    unnest(string_split(text,' ')) AS tok FROM documents),
+             |tb AS (SELECT doc_id, is_tgt, substr(md5(tok),1,2) AS b
+             |  FROM toks),
+             |buckets AS (SELECT b, count(*) AS raw_n,
+             |    SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS tgt_n
+             |  FROM tb GROUP BY b),
+             |tot AS (SELECT SUM(raw_n) AS raw_t, SUM(tgt_n) AS tgt_t
+             |  FROM buckets),
+             |wts AS (SELECT b, round(ln((tgt_n + 1.0)/(tgt_t + 256.0))
+             |    - ln((raw_n + 1.0)/(raw_t + 256.0)), 6) AS w
+             |  FROM buckets, tot),
+             |dbc AS (SELECT doc_id, b, count(*) AS c FROM tb GROUP BY 1,2),
+             |scored AS (SELECT doc_id,
+             |    SUM(CAST(round(c * w, 6) AS DECIMAL(28,12))) AS s
+             |  FROM dbc JOIN wts USING (b) GROUP BY doc_id)
+             |SELECT doc_id, round(CAST(s AS DOUBLE), 6) AS weight,
+             |  CAST(ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS INT) AS rk
+             |FROM scored QUALIFY rk <= 25 ORDER BY rk""".stripMargin),
+      "pipeline-op: DSIR hashed-ngram importance weighting (Xie et al. 2023), top-k selection"),
 
     // ---- incremental-ingest dedup: dedupe a NEW batch against the
     // standing corpus by normalized-text fingerprint — the daily-crawl

@@ -424,6 +424,40 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("DSIR importance weighting ranks target-vocabulary docs first; weights broadcast, no all-pairs") {
+    import spark.implicits._
+    // a distinctive target vocabulary: target docs (ids 0,7,14) speak
+    // 'quantum flux capacitor', the raw pool speaks common words. A
+    // raw doc USING the target vocabulary must outrank raw docs that
+    // don't — that is the method's whole point.
+    val docs = Seq(
+      (0L, "quantum flux capacitor quantum flux"),
+      (7L, "flux capacitor quantum quantum"),
+      (14L, "capacitor quantum flux flux"),
+      (1L, "the cat sat on the mat"),
+      (2L, "a dog ran in a park"),
+      (3L, "quantum flux capacitor in the park"), // raw, target-like
+      (4L, "the the the a a of of")).toDF("doc_id", "text")
+    val top = graft.functions.CurationOps
+      .dsirTopK(docs, org.apache.spark.sql.functions.col("doc_id") % 7 === 0, 7)
+      .collect()
+    val rankOf = top.map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // the target-like raw doc ranks above every plain raw doc
+    assert(rankOf(3L) < rankOf(1L), rankOf.toString)
+    assert(rankOf(3L) < rankOf(2L))
+    assert(rankOf(3L) < rankOf(4L))
+    // and weights order target-vocab docs at the top overall
+    assert(top.take(4).map(_.getLong(0)).toSet === Set(0L, 7L, 14L, 3L))
+    // plan shape: the bucket-weight join is a broadcast, and nothing
+    // in the plan is a cartesian over documents
+    val plan = graft.functions.CurationOps
+      .dsirTopK(docs, org.apache.spark.sql.functions.col("doc_id") % 7 === 0, 7)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("round-6 curation ops keep their scale shapes: narrow split, " +
       "broadcast eval, anti-join ingest dedup") {
     // q126: the split assignment is a pure narrow map — the only join-free
