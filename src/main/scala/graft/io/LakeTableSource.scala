@@ -185,6 +185,16 @@ private[io] object LakeFilters {
   *    (the JDBC/Delta migration shim, used here for the same reason:
   *    a derived DataFrame plan cannot be expressed as DSv2 file
   *    partitions).
+  *
+  * Known limitation, documented honestly: STATIC partition pruning is
+  * complete (claimed filters prune directories before the scan), but
+  * DYNAMIC partition pruning / runtime filters (a join-driven bloom on
+  * the partition key) do not reach the manifest-scoped file list — the
+  * V1Scan shim has no `SupportsRuntimeFiltering` seam. A selective
+  * dim-driven fact prune should filter the dimension FIRST and pass the
+  * resulting keys as a static `IN` predicate (which claims and prunes),
+  * or read through the bucketed-table path (io/Bucketing) where the
+  * engine's own DPP applies.
   */
 private[io] class GraftLakeTable(path: String, version: Option[Long])
     extends Table with SupportsRead {
