@@ -563,6 +563,34 @@ class LakeDsv2Spec extends AnyFunSuite {
     }
   }
 
+  test("claimed filters over a DATE-typed partition column: range prune, metadata count, parity with v1") {
+    val lake = freshLake("datepart")
+    val df = Seq(
+      (1L, java.sql.Date.valueOf("2026-01-01"), 1.0),
+      (2L, java.sql.Date.valueOf("2026-01-02"), 2.0),
+      (3L, java.sql.Date.valueOf("2026-02-01"), 3.0))
+      .toDF("k", "day", "bal")
+    PartitionedLake.write(df, lake, "day")
+    // date literals claim and evaluate against the dir-string cast
+    val jan = v2(lake)
+      .filter(col("day") < java.sql.Date.valueOf("2026-01-15"))
+    assert(jan.select("k").as[Long].collect().toSet === Set(1L, 2L))
+    val cJan = jan.groupBy().count()
+    assert(isMetadataOnly(cJan), cJan.queryExecution.executedPlan.toString())
+    assert(cJan.head().getLong(0) === 2L)
+    // min/max of the date partition column, typed
+    val range = v2(lake).agg(min("day"), max("day"))
+    assert(isMetadataOnly(range))
+    assert(range.head().getDate(0) === java.sql.Date.valueOf("2026-01-01"))
+    assert(range.head().getDate(1) === java.sql.Date.valueOf("2026-02-01"))
+    // parity with the engine-evaluated v1 path
+    for (c <- Seq(col("day") === java.sql.Date.valueOf("2026-01-02"),
+        col("day") >= java.sql.Date.valueOf("2026-01-02"))) {
+      assert(v2(lake).filter(c).select("k").as[Long].collect().toSet ===
+        v1(lake).filter(c).select("k").as[Long].collect().toSet, c.toString)
+    }
+  }
+
   test("the catalog is read-only and reports missing lakes as missing tables") {
     spark.conf.set("spark.sql.catalog.graft_lake",
       classOf[LakeCatalog].getName)
