@@ -342,6 +342,15 @@ object PartitionedLake {
     }.groupBy(_._1).map { case (d, ns) => d -> ns.map(_._2) }
     val files = body.filterNot(l => l.startsWith("mor:") ||
         l.startsWith("delta:") || l.startsWith("txn:") ||
+        // `meta:` is the RESERVED additive header-line namespace: this
+        // release writes none, but accepts-and-ignores them so a future
+        // release can persist table annotations (e.g. upsert key
+        // columns for a SQL CDF surface) without breaking THIS reader
+        // — the two-phase evolution discipline the header note demands
+        // (reader acceptance ships one release before any writer).
+        // Unambiguous against dir lines for the same reason as txn:/
+        // mor:/shard:: escapePathName escapes ':' itself.
+        l.startsWith("meta:") ||
         TxnLine.matches(l)).map { line =>
       // fields are tab-separated: the file path, then optional
       // col=min..max stats (escapePathName escapes '/' and control

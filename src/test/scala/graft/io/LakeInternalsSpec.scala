@@ -113,6 +113,38 @@ class LakeInternalsSpec extends AnyFunSuite {
       m.files.view.mapValues(_.sortBy(_.name)).toMap)
   }
 
+  test("a future writer's meta: header lines and unknown file fields are accepted-and-ignored (two-phase forward compat)") {
+    val path = java.nio.file.Files.createTempDirectory("graft-fwdcompat")
+      .toString + "/lake"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    // hand-plant what a FUTURE release might publish: a meta: header
+    // annotation (e.g. persisted upsert key columns) and an unknown
+    // '='-free per-file field — this reader must parse everything it
+    // understands and ignore the rest, per the header note's two-phase
+    // evolution rule
+    val body = "graft-lake-manifest v1.1\n" +
+      s"schema ${schema.json}\n" +
+      "meta:keyCols k\n" +
+      "part=p1/c1-part-0.parquet\trows:5\tbytes:123\tzstd:level3\n"
+    val dir = new org.apache.hadoop.fs.Path(path, "_manifest")
+    fs.mkdirs(dir)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(dir, "v000000001.txt"), false)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    val back = PartitionedLake.latestManifest(fs, path).get
+    assert(back.version === 1L)
+    assert(back.files.keySet === Set("part=p1"))
+    val e = back.files("part=p1").head
+    assert(e.name === "c1-part-0.parquet")
+    assert(e.rows === Some(5L))
+    assert(e.bytes === Some(123L))
+    assert(e.stats.isEmpty) // the unknown field is ignored, not stats
+  }
+
   test("latestVersion with a live hint probes forward without listing _manifest/; a vacuumed hint falls back") {
     val path = java.nio.file.Files.createTempDirectory("graft-probe").toString + "/lake"
     val raw = new org.apache.hadoop.fs.Path(path)
