@@ -182,6 +182,19 @@ object LakeModelHarness extends org.scalatest.Assertions {
       }
       if (breaksPins) pinned = None // vacuum reclaims old snapshots
       assert(readBack() === model, s"divergence after step $step")
+      // the history audit table holds after EVERY op: versions sorted,
+      // the newest row names the live version, and whenever its row
+      // total is exact (no live MOR deltas) it equals the model's size
+      val h = graft.io.PartitionedLake.history(spark, path).collect()
+      assert(h.map(_.getLong(0)).toSeq ===
+        h.map(_.getLong(0)).toSeq.sorted, s"history order at step $step")
+      assert(h.last.getLong(0) ===
+        graft.io.PartitionedLake.latestVersion(spark, path).get,
+        s"history head at step $step")
+      val nRowsIdx = h.last.fieldIndex("n_rows")
+      if (!h.last.isNullAt(nRowsIdx))
+        assert(h.last.getLong(nRowsIdx) === model.size.toLong,
+          s"history row total at step $step")
       pinned.foreach { case (df, expect) =>
         val got = df.collect().map(r => (r.getAs[String]("part"),
           r.getAs[Long]("k")) -> r.getAs[Double]("bal")).toMap
