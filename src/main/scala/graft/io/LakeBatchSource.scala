@@ -46,6 +46,28 @@ class LakeBatchProvider extends RelationProvider
       parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
     val path = pathOf(parameters)
+    // BATCH change-data-feed through the registered format — the
+    // surface that makes [[PartitionedLake.changesBetween]] reachable
+    // from PySpark/SQL (the Scala API and the streaming source each
+    // cover one consumer; an ad-hoc Python audit job covers neither):
+    //   .option("changesFrom", v1).option("changesTo", v2)
+    //   .option("keyCols", "k1,k2")            // row identity (required)
+    //   .option("granularity", "commit")       // optional, default net
+    if (parameters.contains("changesFrom") ||
+        parameters.contains("changesTo")) {
+      def need(k: String): String = parameters.getOrElse(k, sys.error(
+        s"graft-lake change feed requires .option(\"$k\", ...) " +
+          "alongside changesFrom/changesTo"))
+      val from = need("changesFrom").toLong
+      val to = need("changesTo").toLong
+      val keyCols = need("keyCols").split(',').map(_.trim)
+        .filter(_.nonEmpty).toSeq
+      val perCommit =
+        parameters.get("granularity").exists(_.equalsIgnoreCase("commit"))
+      return new LakeBatchRelation(sqlContext,
+        PartitionedLake.changesBetween(spark, path, from, to, keyCols,
+          perCommit))
+    }
     val version = parameters.get("versionAsOf").map(_.toLong)
     // ONE manifest resolve feeds both the pinned frame and the size
     // statistic — resolving twice would pay the driver read again AND

@@ -54,6 +54,42 @@ class LakeBatchSourceSpec extends AnyFunSuite {
     assert(rowsOf(latest) === Set(("a", 1L, 2.0), ("b", 2L, 5.0)))
   }
 
+  test("batch change feed via options: changesFrom/changesTo == changesBetween, both granularities, loud on missing keyCols") {
+    val lake = java.nio.file.Files.createTempDirectory("graft-batchcdf")
+      .toString + "/lake"
+    PartitionedLake.write(Seq((1L, "a", 1.0), (2L, "b", 2.0))
+      .toDF("k", "part", "bal"), lake, "part")
+    PartitionedLake.upsert(spark, lake, "part", "k",
+      Seq((1L, "a", 9.0), (3L, "b", 3.0)).toDF("k", "part", "bal"))
+    PartitionedLake.cdcSink(spark, lake, "part", "k", "bal",
+      Seq((2L, "b", 1L, "D", 0.0)).toDF("k", "part", "seq", "op", "val"))
+    def viaFormat(granularity: Option[String]) = {
+      val r = spark.read.format("graft-lake").option("path", lake)
+        .option("changesFrom", "1").option("changesTo", "3")
+        .option("keyCols", "k")
+      granularity.fold(r)(g => r.option("granularity", g)).load()
+    }
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getAs[Long]("k"), r.getAs[String]("_change_type"),
+        if (df.columns.contains("_commit_version"))
+          r.getAs[Long]("_commit_version") else -1L)
+    }.toSet
+    // net form == the Scala API's net diff
+    assert(key(viaFormat(None)) ===
+      key(PartitionedLake.changesBetween(spark, lake, 1L, 3L, Seq("k"))))
+    // commit granularity == the Scala API's per-commit form
+    assert(key(viaFormat(Some("commit"))) ===
+      key(PartitionedLake.changesBetween(spark, lake, 1L, 3L, Seq("k"),
+        perCommit = true)))
+    assert(viaFormat(Some("commit")).columns.contains("_commit_version"))
+    // missing keyCols fails loudly, not with a late analysis error
+    val e = intercept[Exception] {
+      spark.read.format("graft-lake").option("path", lake)
+        .option("changesFrom", "1").option("changesTo", "3").load()
+    }
+    assert(e.getMessage.contains("keyCols"), e.getMessage)
+  }
+
   test("filters are pushed into the delegated plan; a merge-on-read lake reads identically through the format") {
     val lake = java.nio.file.Files.createTempDirectory("graft-batchmor").toString + "/lake"
     PartitionedLake.write(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "b", 3.0))
