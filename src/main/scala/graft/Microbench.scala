@@ -135,7 +135,7 @@ object Microbench {
         val schema = sorted.schema.add("graft_rank",
           org.apache.spark.sql.types.LongType)
         val ranked = spark.createDataFrame(
-          sorted.rdd.zipWithIndex.map { case (r, i) =>
+          sorted.rdd.zipWithIndex().map { case (r, i) =>
             org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }, schema)
         val n = df.count()
         val q = n / tiles

@@ -102,7 +102,7 @@ object CrossSheet {
     val scoped = {
       // range-partitioned sort + zipWithIndex = global rank, distributed
       val schema = sorted.schema.add("Row_Index", org.apache.spark.sql.types.LongType)
-      val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 2L))
       }
       sorted.sparkSession.createDataFrame(rdd, schema)

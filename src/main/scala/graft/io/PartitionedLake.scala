@@ -612,9 +612,9 @@ object PartitionedLake {
       file: Path,
       statsCols: Set[String]): (Long, Map[String, (Double, Double)]) = {
     import scala.jdk.CollectionConverters._
-    val meta = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
-      conf, file,
-      org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+    val meta = try reader.getFooter finally reader.close()
     val blocks = meta.getBlocks.asScala.toSeq
     val rows = blocks.map(_.getRowCount).sum
     val stats = statsCols.flatMap { c =>
@@ -1843,9 +1843,10 @@ object PartitionedLake {
       // single-column fast path: one isin instead of an OR chain
       val values = parts.map(_.head)
       val (nullParts, realParts) = values.partition(_ == null)
-      if (nullParts.isEmpty) col(partitionCols.head).isin(realParts: _*)
+      if (nullParts.isEmpty)
+        col(partitionCols.head).isin(realParts.toIndexedSeq: _*)
       else if (realParts.isEmpty) col(partitionCols.head).isNull
-      else col(partitionCols.head).isin(realParts: _*) ||
+      else col(partitionCols.head).isin(realParts.toIndexedSeq: _*) ||
         col(partitionCols.head).isNull
     } else {
       // tuple membership as OR of null-safe conjunctions; the touched
