@@ -55,7 +55,8 @@ object SparkShims {
   }
 
   // -- seam 2: sql-api SortOrder node accessors
-  private lazy val sortOrderHandles = resolving(
+  private lazy val sortOrderHandles: (Class[_], java.lang.reflect.Method,
+      java.lang.reflect.Method, java.lang.reflect.Method) = resolving(
     "org.apache.spark.sql.internal.SortOrder accessors") {
     val cls = Class.forName("org.apache.spark.sql.internal.SortOrder")
     (cls, cls.getMethod("child"), cls.getMethod("sortDirection"),
@@ -92,7 +93,9 @@ object SparkShims {
     * column. The node type is matched by class, never by name-string.
     */
   def sortOrderInfo(c: Column): Option[(Column, Boolean, Boolean)] = {
-    val (cls, childM, dirM, nullsM) = sortOrderHandles
+    val handles = sortOrderHandles
+    val cls = handles._1
+    val (childM, dirM, nullsM) = (handles._2, handles._3, handles._4)
     if (!cls.isInstance(c.node)) None
     else {
       val node = c.node
