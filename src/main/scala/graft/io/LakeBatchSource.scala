@@ -62,8 +62,17 @@ class LakeBatchProvider extends RelationProvider
       val to = need("changesTo").toLong
       val keyCols = need("keyCols").split(',').map(_.trim)
         .filter(_.nonEmpty).toSeq
-      val perCommit =
-        parameters.get("granularity").exists(_.equalsIgnoreCase("commit"))
+      // same loud vocabulary as the streaming provider's perCommitOf: a
+      // typo ('commits', 'per-commit') must not silently flip change-feed
+      // semantics between the batch and stream surfaces
+      val perCommit = parameters.getOrElse("granularity", "net") match {
+        case "net" => false
+        case "commit" => true
+        case other => sys.error(s"graft-lake change feed: granularity " +
+          s"must be 'net' (default — one net diff of the version range) " +
+          s"or 'commit' (per-version changes tagged _commit_version), " +
+          s"got '$other'")
+      }
       return new LakeBatchRelation(sqlContext,
         PartitionedLake.changesBetween(spark, path, from, to, keyCols,
           perCommit))

@@ -23,11 +23,29 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * one-place fix — three drifting copies was a review finding.
   */
 object LakeScanCheck {
+  import org.apache.spark.sql.execution.{LocalTableScanExec, SparkPlan}
+  import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+  /** STRUCTURAL, not string-matched: the plan's leaves are walked and
+    * every one must be a `LocalTableScanExec`. The earlier form probed
+    * `plan.toString.contains("parquet")` etc. — centralized, but a Spark
+    * upgrade renaming a node string could break it silently in the TRUE
+    * direction (an unrelated name collision reading as "no scan"); a
+    * class-matched leaf walk can only break LOUDLY (a new leaf class
+    * fails the forall and q148's in-band gate goes false). AQE wrappers
+    * are unwrapped to whatever plan actually ran.
+    */
   def isMetadataOnly(df: DataFrame): Boolean = {
-    val plan = df.queryExecution.executedPlan.toString()
-    plan.contains("LocalTableScan") && !plan.contains("BatchScan") &&
-      !plan.contains("FileScan") && !plan.contains("RowDataSourceScan") &&
-      !plan.contains("parquet")
+    def leaves(p: SparkPlan): Seq[SparkPlan] = p match {
+      // subqueries are not children — a scalar subquery hiding a file
+      // scan must fail the check too
+      case a: AdaptiveSparkPlanExec =>
+        leaves(a.executedPlan) ++ a.subqueries.flatMap(leaves)
+      case l if l.children.isEmpty => Seq(l) ++ l.subqueries.flatMap(leaves)
+      case n => (n.children ++ n.subqueries).flatMap(leaves)
+    }
+    val ls = leaves(df.queryExecution.executedPlan)
+    ls.nonEmpty && ls.forall(_.isInstanceOf[LocalTableScanExec])
   }
 }
 
@@ -638,7 +656,26 @@ class LakeTableProvider extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
-    tableFor(pathOf(options), versionOf(options))
+    val table = tableFor(pathOf(options), versionOf(options))
+    // a user-declared schema (.schema(...) / CREATE TABLE columns) is
+    // accepted only when it MATCHES the manifest's (names + types,
+    // nullability ignored — the manifest stores everything nullable):
+    // silently replacing a mismatched declaration would surface as
+    // downstream analysis errors pointing nowhere near the cause
+    def normalized(s: StructType): Seq[(String, org.apache.spark.sql.types.DataType)] =
+      s.fields.toSeq.map(f => (f.name, f.dataType))
+    if (schema.fields.nonEmpty &&
+        normalized(schema) != normalized(table.schema)) {
+      val declared = schema.fields.map(f =>
+        s"${f.name}: ${f.dataType.simpleString}").mkString(", ")
+      val actual = table.schema.fields.map(f =>
+        s"${f.name}: ${f.dataType.simpleString}").mkString(", ")
+      sys.error("graft-lake-v2: the declared schema does not match the " +
+        s"lake's manifest schema.\n  declared: $declared\n  manifest: " +
+        s"$actual\nDrop the .schema(...) call (the manifest is " +
+        "authoritative) or re-declare the table to match.")
+    }
+    table
   }
 }
 
@@ -652,8 +689,8 @@ class LakeTableProvider extends TableProvider with DataSourceRegister {
   * words for a parser fork). Driver-computed, bounded by vacuum's
   * retention window — same cost model as the Scala call.
   */
-private[io] class GraftLakeHistoryTable(path: String)
-    extends Table with SupportsRead {
+private[io] class GraftLakeHistoryTable(path: String,
+    listing: Seq[(Long, Long)]) extends Table with SupportsRead {
   override def name(): String = s"$path#history"
   override val schema: StructType = PartitionedLake.historySchema
   override def capabilities(): util.Set[TableCapability] =
@@ -663,8 +700,11 @@ private[io] class GraftLakeHistoryTable(path: String)
     override def readSchema(): StructType = PartitionedLake.historySchema
     override def toV1TableScan[T <: BaseRelation with TableScan](
         context: SQLContext): T =
+      // the listing resolved at loadTable is REUSED here: one
+      // `_manifest/` listing per history query, not one for the
+      // existence probe and another for the scan
       new LakeV1ScanRelation(context, PartitionedLake.historySchema,
-        PartitionedLake.history(context.sparkSession, path))
+        PartitionedLake.historyFrom(context.sparkSession, path, listing))
         .asInstanceOf[T]
     override def description(): String = s"GraftLakeHistory($path)"
   }
@@ -714,16 +754,44 @@ class LakeCatalog extends TableCatalog {
     val path = pathOf(ident)
     if (path.endsWith("#history")) {
       val base = path.stripSuffix("#history")
-      if (!exists(base)) throw new NoSuchTableException(ident)
-      new GraftLakeHistoryTable(base)
+      // the history listing doubles as the existence probe (one
+      // listing per query); only the no-versions corner (manifest-less
+      // or absent path) pays the root-listing fallback
+      val listing = PartitionedLake.historyListing(
+        SparkSession.active, base)
+      if (listing.isEmpty && !exists(base))
+        throw new NoSuchTableException(ident)
+      new GraftLakeHistoryTable(base, listing)
     } else {
       if (!exists(path)) throw new NoSuchTableException(ident)
       new GraftLakeTable(path, None)
     }
   }
 
+  /** History tables cannot be time-traveled: the history IS the audit
+    * over all retained snapshots, so "history as of v" has no meaning —
+    * a targeted error beats the NoSuchTableException that a fall-through
+    * exists(path-with-#history) would report.
+    */
+  private def refuseVersionedMetaTable(path: String): Unit =
+    if (path.endsWith("#history")) sys.error(
+      "VERSION AS OF / TIMESTAMP AS OF on a #history table is not " +
+        "supported: the history table is derived from ALL retained " +
+        "snapshots and cannot be pinned to one — query it unversioned")
+
+  /** The few most recent versions, for error messages — rendering the
+    * FULL list would pay an unbounded listing-to-string on a lake with
+    * a huge retained window, inside an error path.
+    */
+  private def versionsForError(path: String): String = {
+    val vs = PartitionedLake.snapshots(SparkSession.active, path)
+    if (vs.size <= 10) vs.mkString(", ")
+    else s"... ${vs.takeRight(10).mkString(", ")} (${vs.size} retained)"
+  }
+
   override def loadTable(ident: Identifier, version: String): Table = {
     val path = pathOf(ident)
+    refuseVersionedMetaTable(path)
     if (!exists(path)) throw new NoSuchTableException(ident)
     // string versions are legal SQL here (Iceberg accepts tags/branches)
     // — refuse non-numeric ones with the catalog's vocabulary instead of
@@ -731,8 +799,7 @@ class LakeCatalog extends TableCatalog {
     val v = version.toLongOption.getOrElse(sys.error(
       s"VERSION AS OF '$version' is not a numeric snapshot version " +
         s"(this catalog has no named tags); available versions on " +
-        s"$path: ${PartitionedLake.snapshots(SparkSession.active, path)
-          .mkString(", ")}"))
+        s"$path: ${versionsForError(path)}"))
     new GraftLakeTable(path, Some(v))
   }
 
@@ -742,6 +809,7 @@ class LakeCatalog extends TableCatalog {
     */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     val path = pathOf(ident)
+    refuseVersionedMetaTable(path)
     if (!exists(path)) throw new NoSuchTableException(ident)
     val v = PartitionedLake.versionAt(SparkSession.active, path,
       Math.floorDiv(timestampMicros, 1000L)).getOrElse(sys.error(

@@ -1156,12 +1156,27 @@ object PartitionedLake {
     * bounded by [[vacuum]]'s retention window; consecutive versions
     * share almost all v2 leaves through one read cache.
     */
-  def history(spark: SparkSession, path: String): DataFrame = {
+  def history(spark: SparkSession, path: String): DataFrame =
+    historyFrom(spark, path, historyListing(spark, path))
+
+  /** The (version, publish mtime) listing [[historyFrom]] consumes —
+    * exposed so the SQL `#history` table can resolve it ONCE at load
+    * and reuse it at scan, instead of paying a second `_manifest/`
+    * listing per query (at the sharded design point that directory
+    * also holds every live leaf file).
+    */
+  private[io] def historyListing(spark: SparkSession,
+      path: String): Seq[(Long, Long)] =
+    listVersionsWithMtimes(fsFor(spark, path), path)
+
+  /** [[history]] body over an already-resolved listing. */
+  private[io] def historyFrom(spark: SparkSession, path: String,
+      listing: Seq[(Long, Long)]): DataFrame = {
     val fs = fsFor(spark, path)
     // ONE directory listing carries both names and mtimes: a
     // per-version getFileStatus would be N+1 round trips and could
     // throw on a version vacuumed between listing and stat
-    val listed = listVersionsWithMtimes(fs, path).sortBy(_._1)
+    val listed = listing.sortBy(_._1)
     val leafCache =
       scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
     // a vacuum racing this call can reclaim a listed version before its

@@ -88,6 +88,11 @@ class LakeBatchSourceSpec extends AnyFunSuite {
         .option("changesFrom", "1").option("changesTo", "3").load()
     }
     assert(e.getMessage.contains("keyCols"), e.getMessage)
+    // a granularity typo fails loudly instead of silently reading as
+    // net — the same vocabulary the streaming provider enforces
+    val g = intercept[Exception] { viaFormat(Some("per-commit")) }
+    assert(g.getMessage.contains("granularity") &&
+      g.getMessage.contains("per-commit"), g.getMessage)
   }
 
   test("filters are pushed into the delegated plan; a merge-on-read lake reads identically through the format") {

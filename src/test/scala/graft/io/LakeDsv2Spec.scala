@@ -591,6 +591,67 @@ class LakeDsv2Spec extends AnyFunSuite {
     }
   }
 
+  test("isMetadataOnly is structural: a real file scan fails it even under AQE wrappers, and a LocalTableScan passes") {
+    val lake = freshLake("structcheck")
+    PartitionedLake.write(Seq((1L, "a", 1.0), (2L, "b", 2.0))
+      .toDF("k", "part", "bal"), lake, "part")
+    // positive: the metadata count is a LocalTableScan-only plan
+    assert(isMetadataOnly(v2(lake).groupBy().count()))
+    // negative: a data-column aggregate reads files — the leaf walk
+    // must see the scan node regardless of what it is named
+    val real = v2(lake).agg(sum("bal"))
+    real.collect()
+    assert(!isMetadataOnly(real), real.queryExecution.executedPlan.toString())
+    // negative under AQE: a shuffling join wraps the plan in
+    // AdaptiveSparkPlanExec — unwrapped, the file scan still fails it
+    val joined = v2(lake).as("l")
+      .join(v2(lake).as("r"), Seq("part")).groupBy("part").count()
+    joined.collect()
+    assert(!isMetadataOnly(joined))
+    // negative via subquery: a scalar subquery hiding the file scan is
+    // not a child node — the walk must descend into subqueries
+    spark.conf.set("spark.sql.catalog.graft_lake",
+      classOf[LakeCatalog].getName)
+    val sub = spark.sql(
+      s"SELECT (SELECT sum(bal) FROM graft_lake.`$lake`) AS s")
+    sub.collect()
+    assert(!isMetadataOnly(sub), sub.queryExecution.executedPlan.toString())
+  }
+
+  test("a declared schema mismatching the manifest fails loudly at load; a matching declaration is accepted") {
+    val lake = freshLake("declschema")
+    PartitionedLake.write(Seq((1L, "a", 1.0)).toDF("k", "part", "bal"),
+      lake, "part")
+    // matching declaration (names + types): accepted
+    val ok = spark.read.format("graft-lake-v2").option("path", lake)
+      .schema("k LONG, part STRING, bal DOUBLE").load()
+    assert(ok.count() === 1L)
+    // mismatched type: loud, naming both schemas — not a downstream
+    // analysis error
+    val e = intercept[Exception] {
+      spark.read.format("graft-lake-v2").option("path", lake)
+        .schema("k INT, part STRING, bal DOUBLE").load()
+    }
+    assert(e.getMessage.contains("declared") &&
+      e.getMessage.contains("manifest"), e.getMessage)
+  }
+
+  test("VERSION AS OF / TIMESTAMP AS OF on #history raises the targeted unversioned-history error") {
+    val lake = freshLake("histver")
+    PartitionedLake.write(Seq((1L, "a", 1.0)).toDF("k", "part", "bal"),
+      lake, "part")
+    spark.conf.set("spark.sql.catalog.graft_lake",
+      classOf[LakeCatalog].getName)
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_lake.`$lake#history` VERSION AS OF 1")
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("#history") &&
+      m.contains("retained snapshots")), e.toString)
+  }
+
   test("the catalog is read-only and reports missing lakes as missing tables") {
     spark.conf.set("spark.sql.catalog.graft_lake",
       classOf[LakeCatalog].getName)
