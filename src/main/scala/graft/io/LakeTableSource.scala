@@ -47,6 +47,78 @@ object LakeScanCheck {
     val ls = leaves(df.queryExecution.executedPlan)
     ls.nonEmpty && ls.forall(_.isInstanceOf[LocalTableScanExec])
   }
+
+  /** Every [[LakeNativeBatchScan]] in the executed plan (AQE stages
+    * unwrapped) — the observability seam q153 and the runtime-filter
+    * specs read pruning evidence from AFTER an action has run the plan
+    * (runtime filters are delivered at execution).
+    */
+  private[io] def nativeScansOf(df: DataFrame): Seq[LakeNativeBatchScan] = {
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def walk(p: SparkPlan): Seq[LakeNativeBatchScan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case b: BatchScanExec => b.scan match {
+        case n: LakeNativeBatchScan => Seq(n)
+        case _ => Nil
+      }
+      case n => n.children.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  /** (files the scan will open, files surviving static pruning alone)
+    * per native lake scan in the executed plan — strictly-less pairs
+    * are RUNTIME (join-driven) pruning evidence. Public shape (plain
+    * counts) so registered queries outside this package can pin the
+    * claim in-band.
+    */
+  def nativePruning(df: DataFrame): Seq[(Int, Int)] =
+    nativeScansOf(df).map(n => (n.plannedFiles.size, n.staticFileCount))
+}
+
+/** Typed partition values parsed from manifest directory names — the
+  * ONE dirname->value derivation, shared by the metadata-agg scan's
+  * grouping/claim evaluation and the native batch's partition-value
+  * rows, so the two scans can never disagree on what a directory means.
+  * Semantics match Spark's own partition inference: Catalyst's string
+  * cast per level, `__HIVE_DEFAULT_PARTITION__` as null, Hive
+  * path-unescaping. ONE bound Cast per partition column against a
+  * reused one-slot row (constructing a fresh Cast(Literal) per
+  * directory dominated the fold at the 200k-dir design point —
+  * ManifestScaleBench). Driver-side, NOT thread-safe (the reused row).
+  */
+private[io] class LakeDirValues(partCols: Seq[String], schema: StructType) {
+  import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+  import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, GenericInternalRow}
+
+  private val casterRow = new GenericInternalRow(1)
+  private val casters: Map[String, Cast] = partCols.map { c =>
+    c -> Cast(BoundReference(0, org.apache.spark.sql.types.StringType,
+      nullable = true), schema(c).dataType, Some("UTC"))
+  }.toMap
+  private val levelOf: Map[String, Int] = partCols.zipWithIndex.toMap
+
+  /** The typed (Catalyst-internal) value of `col` in directory `dir`. */
+  def valueOf(dir: String, col: String): Any = {
+    val level = dir.split('/')(levelOf(col))
+    val raw = ExternalCatalogUtils.unescapePathName(
+      level.substring(level.indexOf('=') + 1))
+    if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+    else {
+      casterRow.update(0,
+        org.apache.spark.unsafe.types.UTF8String.fromString(raw))
+      casters(col).eval(casterRow)
+    }
+  }
+
+  /** `cols`' values in `dir` as one InternalRow (the partition-value
+    * row a [[org.apache.spark.sql.execution.datasources.PartitionedFile]]
+    * carries).
+    */
+  def rowOf(dir: String, cols: Seq[String]): InternalRow =
+    InternalRow.fromSeq(cols.map(valueOf(dir, _)))
 }
 
 /** The v1 `Filter` -> `Column` translation shared by the v1 relation
@@ -215,7 +287,8 @@ private[io] object LakeFilters {
   * engine's own DPP applies.
   */
 private[io] class GraftLakeTable(path: String, version: Option[Long])
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   private def spark: SparkSession = SparkSession.active
 
   // resolved ONCE at table construction: the DSv2 relation pins this
@@ -225,6 +298,31 @@ private[io] class GraftLakeTable(path: String, version: Option[Long])
   override val schema: StructType = manifest.map(_.schema).getOrElse {
     // pre-protocol (manifest-less) parquet lake: adopt its layout
     spark.read.parquet(path).schema
+  }
+
+  /** SQL writes: `INSERT INTO` appends through the snapshot protocol
+    * ([[PartitionedLake.append]] — racing inserts arbitrate through
+    * the same CommitArbiter seam as API writes and land as ordered
+    * versions); `INSERT OVERWRITE` is the full-snapshot overwrite
+    * ([[PartitionedLake.write]]). A `VERSION AS OF` table refuses
+    * writes (history is immutable), as does a pre-protocol lake
+    * (adopt it with an API write first so the layout is declared).
+    */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    if (version.isDefined) sys.error(
+      s"cannot write to $path VERSION AS OF ${version.get}: snapshots " +
+        "are immutable — INSERT into the unversioned table instead")
+    val m = manifest.getOrElse(sys.error(
+      s"cannot SQL-write to the pre-protocol lake at $path: adopt it " +
+        "first (any PartitionedLake.write/upsert/append publishes a " +
+        "manifest declaring the partition layout)"))
+    if (PartitionedLake.allDirs(m).isEmpty) sys.error(
+      s"cannot SQL-write to $path: the current snapshot is empty, so " +
+        "the partition layout cannot be derived — bootstrap through " +
+        "PartitionedLake.write/append, which declare it")
+    new LakeWriteBuilder(path, PartitionedLake.partitionColsOf(m))
   }
 
   override def partitioning(): Array[Transform] = manifest
@@ -240,10 +338,52 @@ private[io] class GraftLakeTable(path: String, version: Option[Long])
     s"graft-lake $path" + version.map(v => s" VERSION AS OF $v").getOrElse("")
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.BATCH_WRITE,
+      TableCapability.OVERWRITE_BY_FILTER, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeScanBuilder(path, version, schema, manifest)
+}
+
+/** `INSERT INTO` / `INSERT OVERWRITE` as a `V1Write` shim onto the
+  * existing commit protocol — no new transaction code: append rides
+  * [[PartitionedLake.append]] (merge-into-directories, conflict-free
+  * rebase), overwrite rides [[PartitionedLake.write]] (full-snapshot
+  * supersede). Only the FULL overwrite is expressible — the snapshot
+  * protocol has no partition-scoped truncate — so a filtered
+  * `INSERT OVERWRITE` refuses loudly rather than silently widening to
+  * the whole table.
+  */
+private[io] class LakeWriteBuilder(path: String, partitionCols: Seq[String])
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsOverwrite {
+  import org.apache.spark.sql.connector.write.{V1Write, WriteBuilder}
+
+  private var overwriteAll = false
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    val full = filters.isEmpty ||
+      filters.forall(_ == org.apache.spark.sql.sources.AlwaysTrue)
+    if (!full) sys.error("partition-scoped INSERT OVERWRITE is not " +
+      "supported (the snapshot protocol supersedes whole snapshots): " +
+      "use PartitionedLake.upsert/cdcSink for partition-scoped " +
+      s"rewrites; got filters ${filters.mkString(", ")}")
+    overwriteAll = true
+    this
+  }
+
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new V1Write {
+      override def toInsertableRelation
+          : org.apache.spark.sql.sources.InsertableRelation =
+        new org.apache.spark.sql.sources.InsertableRelation {
+          override def insert(data: DataFrame, overwrite: Boolean): Unit =
+            if (overwriteAll || overwrite)
+              PartitionedLake.write(data, path, partitionCols, Nil)
+            else PartitionedLake.append(data, path, partitionCols)
+        }
+    }
 }
 
 private[io] class LakeScanBuilder(path: String, version: Option[Long],
@@ -377,10 +517,25 @@ private[io] class LakeScanBuilder(path: String, version: Option[Long],
       true
     }
 
+  /** The native DSv2 batch ([[LakeNativeBatchScan]]) serves every
+    * snapshot it can express EXACTLY: manifest-backed, no live
+    * merge-on-read deltas (the MOR anti-join is a derived plan, not a
+    * file list), and byte lengths on every file (adopted legacy
+    * entries predate harvesting; the native planner sizes splits from
+    * them). Everything else falls back to the delegated V1 plan —
+    * routing, never degrading.
+    */
+  private def nativeEligible: Boolean = manifest.exists(m =>
+    m.deltas.isEmpty && m.files.nonEmpty &&
+      m.files.valuesIterator.forall(_.forall(_.bytes.isDefined)))
+
   override def build(): Scan =
     if (pushedAggs.nonEmpty)
       new LakeMetadataAggScan(manifest.get, fullSchema, groupCols,
         pushedAggs, claimed)
+    else if (nativeEligible)
+      new LakeNativeBatchScan(path, version, manifest.get, fullSchema,
+        required, claimed, residual)
     else new LakeV1FallbackScan(path, version, required, accepted, manifest)
 }
 
@@ -461,30 +616,12 @@ private[io] class LakeMetadataAggScan(m: PartitionedLake.Manifest,
     } else groupedNonEmpty
 
   private def groupedNonEmpty: Array[InternalRow] = {
-    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, GenericInternalRow}
     val partCols = PartitionedLake.partitionColsOf(m)
-    // ONE bound Cast per partition column, evaluated against a reused
-    // one-slot row — constructing a fresh Cast(Literal(...)) per
-    // directory per reference dominated the fold at the 200k-dir
-    // design point (ManifestScaleBench: the per-dir Cast construction
-    // was the measured bottleneck). Same semantics: Catalyst's own
-    // string cast either way.
-    val casterRow = new GenericInternalRow(1)
-    val casters: Map[String, Cast] = partCols.map { c =>
-      c -> Cast(BoundReference(0, org.apache.spark.sql.types.StringType,
-        nullable = true), schema(c).dataType, Some("UTC"))
-    }.toMap
-    def valueOf(dir: String, col: String): Any = {
-      val level = dir.split('/')(partCols.indexOf(col))
-      val raw = ExternalCatalogUtils.unescapePathName(
-        level.substring(level.indexOf('=') + 1))
-      if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
-      else {
-        casterRow.update(0,
-          org.apache.spark.unsafe.types.UTF8String.fromString(raw))
-        casters(col).eval(casterRow)
-      }
-    }
+    // the shared dirname->typed-value parser (one bound Cast per
+    // partition column — see [[LakeDirValues]] for the 200k-dir
+    // measurement that shaped it)
+    val parser = new LakeDirValues(partCols, schema)
+    def valueOf(dir: String, col: String): Any = parser.valueOf(dir, col)
     def ordering(col: String): Ordering[Any] =
       org.apache.spark.sql.catalyst.util.TypeUtils
         .getInterpretedOrdering(schema(col).dataType)
@@ -710,6 +847,45 @@ private[io] class GraftLakeHistoryTable(path: String,
   }
 }
 
+/** Iceberg-style changes metadata table:
+  *
+  * {{{
+  * SELECT * FROM lake.`/data/events#changes?from=1&to=3&keyCols=day,k`
+  * SELECT * FROM lake.`/data/events#changes?from=1&to=3&keyCols=day,k&granularity=commit`
+  * }}}
+  *
+  * [[PartitionedLake.changesBetween]] through plain SQL — the surface
+  * that lets a PySpark auditor diff snapshots without the v1 format's
+  * option syntax (`changesFrom`/`changesTo` on `graft-lake` remains for
+  * option-driven readers; this is the catalog-native spelling). The
+  * feed is resolved ONCE at load (same pinning as every other surface:
+  * the endpoints are explicit versions, immutable by construction);
+  * `granularity=commit` adds `_commit_version` exactly like the other
+  * two surfaces — one implementation underneath all three.
+  */
+private[io] class GraftLakeChangesTable(path: String, from: Long, to: Long,
+    keyCols: Seq[String], perCommit: Boolean)
+    extends Table with SupportsRead {
+  private val frame: DataFrame = PartitionedLake.changesBetween(
+    SparkSession.active, path, from, to, keyCols, perCommit)
+  override def name(): String =
+    s"$path#changes?from=$from&to=$to" +
+      (if (perCommit) "&granularity=commit" else "")
+  override val schema: StructType = frame.schema
+  override def capabilities(): util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = () => new V1Scan {
+    override def readSchema(): StructType = frame.schema
+    override def toV1TableScan[T <: BaseRelation with TableScan](
+        context: SQLContext): T =
+      new LakeV1ScanRelation(context, frame.schema, frame)
+        .asInstanceOf[T]
+    override def description(): String =
+      s"GraftLakeChanges($path, v$from..v$to)"
+  }
+}
+
 /** A path catalog for SQL-first lake access:
   *
   * {{{
@@ -722,8 +898,10 @@ private[io] class GraftLakeHistoryTable(path: String,
   * '/'), so any lake is queryable without a CREATE TABLE step — the
   * manifest is the table metadata. `VERSION AS OF` resolves through
   * the [[TableCatalog]] versioned-load hook, which is what upgrades
-  * time travel from a format option to real SQL syntax. Read-only:
-  * writes go through the Scala API or the v1 format (documented
+  * time travel from a format option to real SQL syntax.
+  * `INSERT INTO` / `INSERT OVERWRITE` write through the commit
+  * protocol ([[LakeWriteBuilder]]); CREATE/DROP/RENAME have no meaning
+  * for path-addressed lakes and refuse with directions (documented
   * loudly on each mutation method).
   */
 class LakeCatalog extends TableCatalog {
@@ -750,9 +928,50 @@ class LakeCatalog extends TableCatalog {
       (fs.exists(root) && fs.listStatus(root).nonEmpty)
   }
 
+  /** Parse `<base>#changes?from=F&to=T&keyCols=a,b[&granularity=...]`
+    * — every parameter validated loudly (an unknown or misspelled key
+    * must not silently change feed semantics; same rule as the batch
+    * format's granularity validation).
+    */
+  private def changesTable(ident: Identifier, path: String): Table = {
+    val idx = path.indexOf("#changes")
+    val base = path.substring(0, idx)
+    val rest = path.substring(idx + "#changes".length)
+    if (!exists(base)) throw new NoSuchTableException(ident)
+    val usage = "expected `<lake>#changes?from=<v>&to=<v>&keyCols=" +
+      "<c1,c2>[&granularity=net|commit]`"
+    if (!rest.startsWith("?")) sys.error(s"malformed #changes table: $usage")
+    val params = rest.drop(1).split('&').filter(_.nonEmpty).map { kv =>
+      val i = kv.indexOf('=')
+      if (i <= 0) sys.error(s"malformed #changes parameter '$kv': $usage")
+      kv.take(i) -> kv.drop(i + 1)
+    }.toMap
+    val unknown = params.keySet -- Set("from", "to", "keyCols", "granularity")
+    if (unknown.nonEmpty) sys.error(
+      s"unknown #changes parameter(s) ${unknown.mkString(", ")}: $usage")
+    def need(k: String): String =
+      params.getOrElse(k, sys.error(s"#changes requires '$k': $usage"))
+    def version(k: String): Long = need(k).toLongOption.getOrElse(
+      sys.error(s"#changes '$k' must be a snapshot version, got " +
+        s"'${need(k)}': $usage"))
+    val keyCols = need("keyCols").split(',').map(_.trim)
+      .filter(_.nonEmpty).toSeq
+    if (keyCols.isEmpty) sys.error(s"#changes keyCols is empty: $usage")
+    val perCommit = params.getOrElse("granularity", "net") match {
+      case "net" => false
+      case "commit" => true
+      case other => sys.error(s"#changes granularity must be 'net' or " +
+        s"'commit', got '$other': $usage")
+    }
+    new GraftLakeChangesTable(base, version("from"), version("to"),
+      keyCols, perCommit)
+  }
+
   override def loadTable(ident: Identifier): Table = {
     val path = pathOf(ident)
-    if (path.endsWith("#history")) {
+    if (path.contains("#changes")) {
+      changesTable(ident, path)
+    } else if (path.endsWith("#history")) {
       val base = path.stripSuffix("#history")
       // the history listing doubles as the existence probe (one
       // listing per query); only the no-versions corner (manifest-less
@@ -773,11 +992,16 @@ class LakeCatalog extends TableCatalog {
     * a targeted error beats the NoSuchTableException that a fall-through
     * exists(path-with-#history) would report.
     */
-  private def refuseVersionedMetaTable(path: String): Unit =
+  private def refuseVersionedMetaTable(path: String): Unit = {
     if (path.endsWith("#history")) sys.error(
       "VERSION AS OF / TIMESTAMP AS OF on a #history table is not " +
         "supported: the history table is derived from ALL retained " +
         "snapshots and cannot be pinned to one — query it unversioned")
+    if (path.contains("#changes")) sys.error(
+      "VERSION AS OF / TIMESTAMP AS OF on a #changes table is not " +
+        "supported: the feed's endpoints are already explicit versions " +
+        "(its from=/to= parameters) — query it unversioned")
+  }
 
   /** The few most recent versions, for error messages — rendering the
     * FULL list would pay an unbounded listing-to-string on a lake with
@@ -821,8 +1045,11 @@ class LakeCatalog extends TableCatalog {
 
   override def tableExists(ident: Identifier): Boolean = {
     val path = pathOf(ident)
-    exists(if (path.endsWith("#history")) path.stripSuffix("#history")
-      else path)
+    val base =
+      if (path.endsWith("#history")) path.stripSuffix("#history")
+      else if (path.contains("#changes")) path.take(path.indexOf("#changes"))
+      else path
+    exists(base)
   }
 
   // a path catalog has no enumerable namespace — tables are lakes on
@@ -832,8 +1059,11 @@ class LakeCatalog extends TableCatalog {
 
   private def readOnly(op: String): Nothing =
     throw new UnsupportedOperationException(
-      s"LakeCatalog is read-only: $op a lake through the write surfaces " +
-        "instead (PartitionedLake.write/upsert, " +
+      s"LakeCatalog does not support $op: tables ARE lakes addressed by " +
+        "path (the manifest is the table metadata), so there is nothing " +
+        "to create/drop/rename here — INSERT INTO / INSERT OVERWRITE an " +
+        "existing lake works; bootstrap or retire a lake through the " +
+        "write surfaces (PartitionedLake.write/upsert/append, " +
         "df.write.format(\"graft-lake\"), writeStream.format(\"graft-lake\"))")
 
   override def createTable(ident: Identifier, schema: StructType,

@@ -809,12 +809,21 @@ object PartitionedLake {
       morKey: Option[String] = None,
       replacedDeltas: Option[Set[String]] = None,
       writerId: String = DefaultWriter,
-      fullOverwrite: Boolean = false): Unit = {
+      fullOverwrite: Boolean = false,
+      appendOnly: Boolean = false): Unit = {
     // a copy-on-write commit supersedes a touched partition's deltas
     // along with its data files; a merge-on-read commit supersedes ONLY
-    // the deltas (base data carries over verbatim — that's the point)
-    val unexpected = staged.keySet.diff(replaced) ++
-      stagedDeltas.keySet.diff(replacedDeltas.getOrElse(replaced))
+    // the deltas (base data carries over verbatim — that's the point).
+    // An APPEND-ONLY commit supersedes nothing: staged files MERGE into
+    // their directories' live lists, so there is no replaced set to
+    // cross-check the staged names against (they come straight from
+    // Spark's own staged write, not from a collected-tuple probe) and
+    // no conflict surface — racing appends always rebase cleanly into
+    // consecutive versions.
+    val unexpected =
+      if (appendOnly) Set.empty[String]
+      else staged.keySet.diff(replaced) ++
+        stagedDeltas.keySet.diff(replacedDeltas.getOrElse(replaced))
     require(unexpected.isEmpty,
       "partition path encoding diverged from Spark's for: " +
         unexpected.mkString(", ") + " — refusing to commit")
@@ -855,8 +864,15 @@ object PartitionedLake {
     var attempts = 0
     while (true) {
       val deltasReplaced = replacedDeltas.getOrElse(replacedNow)
-      val newFiles = base.map(_.files).getOrElse(Map.empty) --
-        replacedNow ++ moved
+      val baseFiles = base.map(_.files).getOrElse(Map.empty)
+      val newFiles =
+        if (appendOnly)
+          // merge, don't replace: each staged directory's files join the
+          // live list (fresh commit-prefixed names can never collide)
+          moved.foldLeft(baseFiles) { case (acc, (d, es)) =>
+            acc + (d -> (acc.getOrElse(d, Seq.empty) ++ es))
+          }
+        else baseFiles -- replacedNow ++ moved
       val newDeltas = (base.map(_.deltas).getOrElse(Map.empty)
         -- deltasReplaced) ++
         movedDeltas.view.mapValues(_.map(_.name)).toMap
@@ -973,6 +989,52 @@ object PartitionedLake {
     commitStaged(fs, path, staging, staged,
       oldDirs ++ staged.keySet, df.schema, old, None,
       fullOverwrite = true)
+  }
+
+  /** Append-only commit: stage `df` and publish a snapshot whose
+    * directories carry the old files PLUS the staged ones — nothing is
+    * superseded, so racing appends never conflict (each rebase merges
+    * into the new head; N racing appends land as N consecutive
+    * versions — the `INSERT INTO` semantics the SQL surface rides).
+    * Contrast [[upsert]] (key-merge, needs a row identity) and
+    * [[write]] (full-snapshot overwrite). Duplicate-row semantics are
+    * the caller's: append twice, read twice the rows — exactly SQL
+    * INSERT. Bootstraps an absent lake; adopts a pre-protocol one.
+    * Schema evolution is additive under [[upsert]]'s exact rule (new
+    * columns widen the snapshot schema; a column present in both sides
+    * must keep its type).
+    */
+  def append(df: DataFrame, path: String, partitionCols: Seq[String],
+      statsCols: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    val fs = fsFor(spark, path)
+    val old = manifestOrMigrate(spark, fs, path, partitionCols.size)
+    old.filter(m => allDirs(m).nonEmpty).foreach { m =>
+      val existing = partitionColsOf(m)
+      require(existing == partitionCols,
+        s"append partition layout (${partitionCols.mkString(", ")}) does " +
+          s"not match the lake's (${existing.mkString(", ")})")
+    }
+    // same additive-evolution type gate as upsert: union-by-name at
+    // read never coerces, so a type change must refuse HERE
+    val schema = old match {
+      case Some(m) =>
+        val conflicts = df.schema.filter(f =>
+          m.schema.fieldNames.contains(f.name) &&
+            m.schema(f.name).dataType != f.dataType)
+        require(conflicts.isEmpty,
+          "type change is not supported (only additive evolution): " +
+            conflicts.map(f => s"${f.name}: lake has " +
+              s"${m.schema(f.name).dataType.simpleString}, append has " +
+              s"${f.dataType.simpleString}").mkString("; "))
+        StructType(m.schema.fields ++ df.schema.fields.filterNot(f =>
+          m.schema.fieldNames.contains(f.name)))
+      case None => df.schema
+    }
+    val (staging, staged) = stage(spark, fs, path, df, partitionCols,
+      statsCols)
+    commitStaged(fs, path, staging, staged, Set.empty, schema, old, None,
+      appendOnly = true)
   }
 
   /** Read the lake at its latest published snapshot. The manifest is

@@ -1508,6 +1508,124 @@ object RelationalOps {
         |  (SELECT count(DISTINCT o_orderpriority) FROM orders
         |   WHERE o_orderkey % 103 = 0) FROM orders
         |ORDER BY version""".stripMargin),
-      "lake op: snapshot history audit table (DESCRIBE HISTORY analogue) from manifests alone")
+      "lake op: snapshot history audit table (DESCRIBE HISTORY analogue) from manifests alone"),
+
+    // ---- Dynamic partition pruning through the native DSv2 batch: the
+    // classic star shape (fact JOIN dim WHERE dim.<selective>) delivers
+    // the join's runtime keys into the lake scan via
+    // SupportsRuntimeFiltering, which re-scopes the manifest directory
+    // list — only the matching partitions' files are opened. The claim
+    // rides IN-BAND (runtime_pruned: planned files a strict non-zero
+    // subset of the statically-planned files), so the oracle pins the
+    // pruning, not just the join result. At 100 TB this is the
+    // difference between scanning every fact partition through the old
+    // V1 shim and opening exactly the dim-selected ones. ----
+    Q("q153_dsv2_runtime_prune",
+      (s, d) => {
+        val dir = scratchDir("q153-dpp") + "/lake"
+        val fact = Tables.orders(s, d).select(
+          (col("o_custkey") % 25).as("bucket"),
+          col("o_orderkey"), col("o_totalprice"))
+        graft.io.PartitionedLake.write(fact, dir, "bucket")
+        // nation is parquet-backed, so the selective predicate survives
+        // optimization (a constant-folded local dim never arms DPP)
+        val dim = Tables.nation(s, d).filter(col("n_regionkey") === 2)
+          .select(col("n_nationkey").as("bucket"))
+        val joined = s.read.format("graft-lake-v2").option("path", dir)
+          .load()
+          .join(broadcast(dim), Seq("bucket"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_totalprice").cast("decimal(28,6)")).cast("double")
+              .as("price_sum"))
+        joined.collect() // execute: runtime filters land at execution
+        val pruning = graft.io.LakeScanCheck.nativePruning(joined)
+        val pruned = pruning.nonEmpty &&
+          pruning.forall { case (p, st) => p > 0 && p < st }
+        joined.withColumn("runtime_pruned", lit(pruned))
+      },
+      Some("""SELECT count(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+        |    AS price_sum,
+        |  true AS runtime_pruned
+        |FROM orders JOIN nation ON o_custkey % 25 = n_nationkey
+        |WHERE n_regionkey = 2""".stripMargin),
+      "lake op: dynamic partition pruning via SupportsRuntimeFiltering (star join opens only dim-selected partitions)"),
+
+    // ---- The SQL write surface: INSERT INTO appends through the
+    // snapshot protocol (a V1Write shim onto the same commit path API
+    // writes take — racing inserts arbitrate and land as ordered
+    // versions), INSERT the odd half into a lake bootstrapped with the
+    // even half, and read the union back through SQL. The pre-insert
+    // snapshot stays time-travelable: v1_rows pins it in-band. ----
+    Q("q154_sql_lake_insert",
+      (s, d) => {
+        val dir = scratchDir("q154-insert") + "/lake"
+        val base = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderpriority"), col("o_totalprice"))
+        graft.io.PartitionedLake.write(
+          base.filter(col("o_orderkey") % 2 === 0), dir, "o_orderpriority")
+        s.conf.set("spark.sql.catalog.graft_lake",
+          classOf[graft.io.LakeCatalog].getName)
+        base.filter(col("o_orderkey") % 2 =!= 0)
+          .createOrReplaceTempView("q154_delta")
+        s.sql(s"INSERT INTO graft_lake.`$dir` " +
+          "SELECT o_orderkey, o_orderpriority, o_totalprice FROM q154_delta")
+        val out = s.sql(
+          s"SELECT o_orderpriority, count(*) AS n, " +
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) " +
+            s"AS price_sum FROM graft_lake.`$dir` " +
+            "GROUP BY o_orderpriority")
+        val v1n = s.sql(
+          s"SELECT count(*) FROM graft_lake.`$dir` VERSION AS OF 1")
+          .collect()(0).getLong(0)
+        out.withColumn("v1_rows", lit(v1n)).orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+        |    AS price_sum,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0)
+        |    AS v1_rows
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin),
+      "lake op: SQL INSERT INTO/OVERWRITE via V1Write shim on the commit protocol (append = new ordered version)"),
+
+    // ---- Batch CDF through the SQL catalog: the `#changes` metadata
+    // table (Iceberg-style path suffix) diffs two snapshots with plain
+    // SQL — same fixture and oracle as q143 (the Scala-API net diff),
+    // so the gate pins SQL == API == the true change set. PySpark
+    // auditors diff snapshots with one SELECT, no options syntax. ----
+    Q("q155_sql_changes_table",
+      (s, d) => {
+        val dir = scratchDir("q155-changes") + "/lake"
+        val base = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderpriority"), col("o_totalprice"))
+        graft.io.PartitionedLake.write(base, dir, "o_orderpriority")
+        val delta = base.filter(col("o_orderkey") % 97 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1)
+          .unionByName(base.filter(col("o_orderkey") % 101 === 0 &&
+              col("o_orderkey") =!= 0)
+            .withColumn("o_orderkey", -col("o_orderkey")))
+        graft.io.PartitionedLake.upsert(s, dir, "o_orderpriority",
+          "o_orderkey", delta)
+        s.conf.set("spark.sql.catalog.graft_lake",
+          classOf[graft.io.LakeCatalog].getName)
+        s.sql(s"SELECT * FROM graft_lake.`$dir#changes?from=1&to=2&" +
+            "keyCols=o_orderpriority,o_orderkey`")
+          .orderBy("_change_type", "o_orderkey")
+      },
+      Some("""WITH base AS (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders)
+        |SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |    'update_preimage' AS _change_type
+        |  FROM base WHERE o_orderkey % 97 = 0
+        |UNION ALL
+        |SELECT o_orderkey, o_orderpriority, o_totalprice + 1,
+        |    'update_postimage'
+        |  FROM base WHERE o_orderkey % 97 = 0
+        |UNION ALL
+        |SELECT -o_orderkey, o_orderpriority, o_totalprice, 'insert'
+        |  FROM base WHERE o_orderkey % 101 = 0 AND o_orderkey <> 0
+        |ORDER BY _change_type, o_orderkey""".stripMargin),
+      "lake op: SQL #changes metadata table (batch CDF through the catalog, net and per-commit)")
   )
 }

@@ -652,7 +652,56 @@ class LakeDsv2Spec extends AnyFunSuite {
       m.contains("retained snapshots")), e.toString)
   }
 
-  test("the catalog is read-only and reports missing lakes as missing tables") {
+  test("SQL #changes table == API changesBetween on both granularities; malformed parameters fail loudly") {
+    val lake = freshLake("sqlchanges")
+    PartitionedLake.write(Seq((1L, "a", 1.0), (2L, "b", 2.0))
+      .toDF("k", "part", "bal"), lake, "part")
+    PartitionedLake.upsert(spark, lake, "part", "k",
+      Seq((1L, "a", 9.0), (3L, "b", 3.0)).toDF("k", "part", "bal"))
+    PartitionedLake.cdcSink(spark, lake, "part", "k", "bal",
+      Seq((2L, "b", 1L, "D", 0.0)).toDF("k", "part", "seq", "op", "val"))
+    spark.conf.set("spark.sql.catalog.graft_lake",
+      classOf[LakeCatalog].getName)
+    def key(df: DataFrame): Set[(Long, String, Long)] =
+      df.collect().map { r =>
+        (r.getAs[Long]("k"), r.getAs[String]("_change_type"),
+          if (df.columns.contains("_commit_version"))
+            r.getAs[Long]("_commit_version") else -1L)
+      }.toSet
+    // net form
+    assert(key(spark.sql(
+      s"SELECT * FROM graft_lake.`$lake#changes?from=1&to=3&keyCols=k`")) ===
+      key(PartitionedLake.changesBetween(spark, lake, 1L, 3L, Seq("k"))))
+    // per-commit form carries _commit_version
+    val pc = spark.sql(s"SELECT * FROM graft_lake.`$lake#changes?" +
+      "from=1&to=3&keyCols=k&granularity=commit`")
+    assert(pc.columns.contains("_commit_version"))
+    assert(key(pc) === key(PartitionedLake.changesBetween(
+      spark, lake, 1L, 3L, Seq("k"), perCommit = true)))
+    // malformed/unknown parameters and a granularity typo fail loudly
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    def refuses(suffix: String, needle: String): Unit = {
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT * FROM graft_lake.`$lake$suffix`").collect()
+      }
+      assert(messages(e).exists(_.contains(needle)), s"$suffix -> $e")
+    }
+    refuses("#changes?from=1&to=3", "keyCols")
+    refuses("#changes?from=1&to=3&keyCols=k&granularity=per-commit",
+      "granularity")
+    refuses("#changes?from=1&to=3&keyCols=k&keyCol=typo", "unknown")
+    refuses("#changes", "expected")
+    // a versioned read of the feed is refused with directions
+    val v = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_lake.`$lake#changes?from=1&to=3&" +
+        "keyCols=k` VERSION AS OF 1").collect()
+    }
+    assert(messages(v).exists(_.contains("already explicit")), v.toString)
+  }
+
+  test("the catalog refuses CREATE/DROP with directions and reports missing lakes as missing tables") {
     spark.conf.set("spark.sql.catalog.graft_lake",
       classOf[LakeCatalog].getName)
     val missing = intercept[Exception] {
@@ -661,11 +710,15 @@ class LakeDsv2Spec extends AnyFunSuite {
     }
     assert(missing.getMessage.toLowerCase.contains("table"),
       missing.getMessage)
+    // CREATE/DROP have no meaning for path-addressed lakes — the error
+    // points at the write surfaces that do (INSERT works; see
+    // LakeSqlWriteSpec for the write surface)
+    def says(t: Throwable, what: String): Boolean =
+      Option(t.getMessage).exists(_.contains(what)) ||
+        Option(t.getCause).exists(says(_, what))
     val ro = intercept[Exception] {
       spark.sql("CREATE TABLE graft_lake.`/tmp/graft-dsv2-ro` (k LONG)")
     }
-    assert(ro.getMessage.contains("read-only") ||
-      Option(ro.getCause).exists(_.getMessage.contains("read-only")),
-      ro.getMessage)
+    assert(says(ro, "does not support create"), ro.getMessage)
   }
 }

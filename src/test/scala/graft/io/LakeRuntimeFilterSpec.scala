@@ -1,0 +1,196 @@
+package graft.io
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native DSv2 batch ([[LakeNativeBatchScan]]): dynamic partition
+  * pruning through `SupportsRuntimeFiltering`, split planning, exact
+  * post-claim statistics, and the routing gate that keeps MOR/legacy
+  * snapshots on the delegated V1 plan.
+  */
+class LakeRuntimeFilterSpec extends AnyFunSuite {
+  import graft.SparkTestSession._
+  import spark.implicits._
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-rtf-$tag").toString
+
+  private def v2(lake: String): DataFrame =
+    spark.read.format("graft-lake-v2").option("path", lake).load()
+
+  /** A 20-partition fact lake (4 files per partition at local[4]) and
+    * a PARQUET-backed dim whose filter survives optimization (a local
+    * Seq constant-folds to a LocalRelation, which the DPP rule does
+    * not treat as a selective filter — real dims are table-backed).
+    */
+  private def starFixture(tag: String): (String, DataFrame) = {
+    val dir = freshDir(tag)
+    val lake = s"$dir/lake"
+    val fact = spark.range(2000L).select(
+      (col("id") % 20).as("day"), col("id").as("k"), (col("id") * 2).as("v"))
+    PartitionedLake.write(fact, lake, "day")
+    val dimPath = s"$dir/dim"
+    Seq((3L, "hot"), (7L, "hot"), (11L, "cold")).toDF("day", "temp")
+      .write.parquet(dimPath)
+    (lake, spark.read.parquet(dimPath))
+  }
+
+  test("a star join with a selective dim delivers a runtime filter: only the matching partitions' files are opened") {
+    val (lake, dim) = starFixture("star")
+    val joined = v2(lake)
+      .join(broadcast(dim.filter(col("temp") === "hot")), Seq("day"))
+      .agg(sum("v").as("s"))
+    // collect() (not head(): head plans a separate limited
+    // queryExecution, so the inspected scan would never have executed)
+    val result = joined.collect()(0).getLong(0)
+    // ground truth: days 3 and 7 -> sum of v = 2*id over id%20 in {3,7}
+    val expect = (0L until 2000L).filter(i => i % 20 == 3 || i % 20 == 7)
+      .map(_ * 2).sum
+    assert(result === expect)
+    // the scan opened a STRICT SUBSET: 2 of 20 partitions' files
+    val Seq((planned, static)) = LakeScanCheck.nativePruning(joined)
+    assert(planned < static, s"runtime filter did not prune ($planned of $static)")
+    assert(planned === static / 10, s"expected 2 of 20 dirs' files, got $planned of $static")
+    // and the runtime filter really was a DPP expression, not chance
+    assert(joined.queryExecution.executedPlan.toString
+      .contains("dynamicpruning"))
+  }
+
+  test("static claimed filters and runtime filters compose; an all-pruning runtime filter yields the empty result") {
+    val (lake, dim) = starFixture("compose")
+    // static claim keeps day >= 5; runtime keeps {3, 7} -> only day=7
+    val joined = v2(lake).filter(col("day") >= 5L)
+      .join(broadcast(dim.filter(col("temp") === "hot")), Seq("day"))
+      .agg(count(lit(1)).as("n"))
+    assert(joined.collect()(0).getLong(0) === 100L)
+    val Seq((planned, static)) = LakeScanCheck.nativePruning(joined)
+    // static already cut 20 dirs to 15; runtime cut those to day=7 only
+    assert(planned === static / 15, s"($planned, $static)")
+    // a dim filter matching nothing prunes everything — zero files, not
+    // a crash, and the join result is empty
+    val none = v2(lake)
+      .join(broadcast(dim.filter(col("temp") === "boiling")), Seq("day"))
+      .agg(count(lit(1)).as("n"))
+    assert(none.collect()(0).getLong(0) === 0L)
+    // either the runtime filter pruned to zero files, or AQE's
+    // empty-relation propagation eliminated the scan subtree outright
+    // (broadcast side empty -> inner join empty) — both read zero
+    val p2 = LakeScanCheck.nativePruning(none).map(_._1).sum
+    assert(p2 === 0, s"expected zero planned files, got $p2")
+  }
+
+  test("native == v1 == API on the same star predicate, and aggregate answers match with DPP on or off") {
+    val (lake, dim) = starFixture("parity")
+    val hot = dim.filter(col("temp") === "hot")
+    def total(fact: DataFrame): Long =
+      fact.join(hot, Seq("day")).agg(sum("v")).head().getLong(0)
+    val native = total(v2(lake))
+    val v1 = total(spark.read.format("graft-lake").option("path", lake).load())
+    val api = total(PartitionedLake.read(spark, lake))
+    assert(native === v1)
+    assert(native === api)
+    val dppOff = spark.conf.get(
+      "spark.sql.optimizer.dynamicPartitionPruning.enabled")
+    try {
+      spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
+      assert(total(v2(lake)) === native)
+    } finally spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.enabled", dppOff)
+  }
+
+  test("files larger than maxPartitionBytes split into multiple input partitions; results stay exact") {
+    val dir = freshDir("split")
+    val lake = s"$dir/lake"
+    // one partition, one file (coalesce(1)), a few hundred KB
+    val fact = spark.range(200000L).coalesce(1).select(
+      lit("a").as("part"), col("id").as("k"))
+    PartitionedLake.write(fact, lake, "part")
+    assert(PartitionedLake.read(spark, lake).inputFiles.length === 1)
+    val before = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+      val df = v2(lake)
+      // >1 planned input partitions out of ONE file = the split path
+      assert(df.rdd.getNumPartitions > 1, s"got ${df.rdd.getNumPartitions}")
+      assert(df.agg(sum("k")).head().getLong(0) ===
+        (0L until 200000L).sum)
+      assert(df.count() === 200000L)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", before)
+  }
+
+  test("statistics shrink to the claimed slice: a selective partition filter reports the pruned size, not the whole snapshot") {
+    val (lake, _) = starFixture("stats")
+    def sizeOf(df: DataFrame): Long = {
+      df.collect()
+      val scans = LakeScanCheck.nativeScansOf(df)
+      assert(scans.size === 1)
+      scans.head.estimateStatistics().sizeInBytes().getAsLong
+    }
+    val whole = sizeOf(v2(lake).select("k", "v"))
+    val slice = sizeOf(v2(lake).filter(col("day") === 3L).select("k", "v"))
+    assert(slice < whole / 10,
+      s"claimed-filter stats did not shrink: $slice vs $whole")
+    // rows shrink too (exact per-directory counts)
+    val pruned = v2(lake).filter(col("day") === 3L)
+    pruned.collect()
+    assert(LakeScanCheck.nativeScansOf(pruned).head
+      .estimateStatistics().numRows().getAsLong === 100L)
+  }
+
+  test("routing: MOR, adopted-legacy, and pre-protocol lakes stay on the V1 fallback; CoW snapshots go native") {
+    // CoW -> native
+    val cow = freshDir("route") + "/cow"
+    PartitionedLake.write(Seq((1L, "a", 1.0)).toDF("k", "part", "bal"),
+      cow, "part")
+    val cowDf = v2(cow); cowDf.collect()
+    assert(LakeScanCheck.nativeScansOf(cowDf).size === 1)
+    // live MOR deltas -> V1 (the merge is a derived plan)
+    val mor = freshDir("route") + "/mor"
+    PartitionedLake.write(Seq((1L, "a", 1.0), (2L, "b", 2.0))
+      .toDF("k", "part", "bal"), mor, "part")
+    PartitionedLake.cdcSinkMergeOnRead(spark, mor, "part", "k", "bal",
+      Seq((2L, "b", 1L, "D", 0.0)).toDF("k", "part", "seq", "op", "val"))
+    val morDf = v2(mor); morDf.collect()
+    assert(LakeScanCheck.nativeScansOf(morDf).isEmpty)
+    assert(morDf.count() === 1L)
+    // adopted legacy (entries without footer row counts STILL carry
+    // bytes, so adoption alone does not block the native path; but a
+    // pre-protocol path with NO manifest must fall back)
+    val legacy = freshDir("route") + "/legacy"
+    Seq((1L, "a", 1.0)).toDF("k", "part", "bal")
+      .write.partitionBy("part").parquet(legacy)
+    val legDf = v2(legacy); legDf.collect()
+    assert(LakeScanCheck.nativeScansOf(legDf).isEmpty)
+    assert(legDf.count() === 1L)
+    // compaction of the MOR lake restores the native route
+    PartitionedLake.compact(spark, mor)
+    val compDf = v2(mor); compDf.collect()
+    assert(LakeScanCheck.nativeScansOf(compDf).size === 1)
+  }
+
+  test("native reads of schema-evolved and null-partition lakes: old files surface typed nulls, __HIVE_DEFAULT_PARTITION__ round-trips") {
+    val lake = freshDir("evo") + "/lake"
+    PartitionedLake.write(Seq((1L, Some("a"), 1.0), (2L, None, 2.0))
+      .toDF("k", "part", "bal"), lake, "part")
+    PartitionedLake.upsert(spark, lake, "part", "k",
+      Seq((3L, "b", 3.0, "x")).toDF("k", "part", "bal", "tag"))
+    val df = v2(lake)
+    df.collect()
+    assert(LakeScanCheck.nativeScansOf(df).size === 1, "not native")
+    val rows = df.select("k", "part", "tag").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), Option(r.getString(2))))
+      .toSet
+    assert(rows === Set((1L, Some("a"), None), (2L, None, None),
+      (3L, Some("b"), Some("x"))))
+    // runtime filtering over the null partition: IS NOT NULL via join
+    // semantics — a dim without nulls prunes the null directory
+    val dimPath = freshDir("evo") + "/dim"
+    Seq(("a", 1)).toDF("part", "w").write.parquet(dimPath)
+    val j = df.join(broadcast(spark.read.parquet(dimPath)
+      .filter(col("w") === 1)), Seq("part"))
+      .agg(count(lit(1)).as("n"))
+    assert(j.collect()(0).getLong(0) === 1L)
+  }
+}

@@ -1,0 +1,145 @@
+package graft.io
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL write surface ([[LakeWriteBuilder]] — `INSERT INTO` /
+  * `INSERT OVERWRITE` as a V1Write shim onto the commit protocol) and
+  * the [[PartitionedLake.append]] primitive underneath it.
+  */
+class LakeSqlWriteSpec extends AnyFunSuite {
+  import graft.SparkTestSession._
+  import spark.implicits._
+
+  private def freshLake(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-sqlw-$tag")
+      .toString + "/lake"
+
+  private def useCatalog(): Unit =
+    spark.conf.set("spark.sql.catalog.graft_lake",
+      classOf[LakeCatalog].getName)
+
+  private def rowsOf(lake: String): Set[(String, Long, Double)] =
+    PartitionedLake.read(spark, lake).select("part", "k", "bal").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("INSERT INTO appends through the snapshot protocol: SQL insert visible to API read and vice versa, old version intact") {
+    val lake = freshLake("insert")
+    PartitionedLake.write(Seq((1L, "a", 1.0)).toDF("k", "part", "bal"),
+      lake, "part")
+    useCatalog()
+    spark.sql(s"INSERT INTO graft_lake.`$lake` VALUES (2, 'a', 2.0), (3, 'b', 3.0)")
+    // SQL insert visible to the API read
+    assert(rowsOf(lake) ===
+      Set(("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 3L, 3.0)))
+    // the pre-insert snapshot is intact (a new version was published,
+    // nothing superseded)
+    assert(PartitionedLake.snapshots(spark, lake) === Seq(1L, 2L))
+    assert(PartitionedLake.readVersion(spark, lake, 1L).count() === 1L)
+    // an API append is visible to the SQL read
+    PartitionedLake.append(Seq((4L, "b", 4.0)).toDF("k", "part", "bal"),
+      lake, Seq("part"))
+    assert(spark.sql(s"SELECT count(*) FROM graft_lake.`$lake`")
+      .collect()(0).getLong(0) === 4L)
+    // metadata count still exact after appends (footers harvested)
+    assert(PartitionedLake.rowCount(spark, lake) === Some(4L))
+  }
+
+  test("INSERT OVERWRITE is the full-snapshot overwrite; the old snapshot stays time-travelable") {
+    val lake = freshLake("overwrite")
+    PartitionedLake.write(Seq((1L, "a", 1.0), (2L, "b", 2.0))
+      .toDF("k", "part", "bal"), lake, "part")
+    useCatalog()
+    spark.sql(s"INSERT OVERWRITE graft_lake.`$lake` VALUES (9, 'c', 9.0)")
+    assert(rowsOf(lake) === Set(("c", 9L, 9.0)))
+    assert(PartitionedLake.readVersion(spark, lake, 1L).count() === 2L)
+    // INSERT INTO ... SELECT shape (the common pipeline form)
+    spark.sql(s"INSERT INTO graft_lake.`$lake` " +
+      s"SELECT k + 1, part, bal + 0.5 FROM graft_lake.`$lake`")
+    assert(rowsOf(lake) === Set(("c", 9L, 9.0), ("c", 10L, 9.5)))
+  }
+
+  test("racing SQL-equivalent appends land as two ordered versions with both rows (CommitArbiter seam honored)") {
+    val lake = freshLake("race")
+    PartitionedLake.write(Seq((1L, "a", 1.0)).toDF("k", "part", "bal"),
+      lake, "part")
+    // two appends into the SAME partition from racing threads: appends
+    // supersede nothing, so both must rebase cleanly — never conflict
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = (10L to 11L).map { i =>
+      new Thread(() => {
+        try PartitionedLake.append(
+          Seq((i, "a", i.toDouble)).toDF("k", "part", "bal"),
+          lake, Seq("part"))
+        catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(errs.isEmpty, errs.toString)
+    assert(rowsOf(lake) ===
+      Set(("a", 1L, 1.0), ("a", 10L, 10.0), ("a", 11L, 11.0)))
+    assert(PartitionedLake.snapshots(spark, lake) === Seq(1L, 2L, 3L))
+  }
+
+  test("refusals: partition-scoped INSERT OVERWRITE, writes to VERSION AS OF, pre-protocol lakes, layout mismatch, type change") {
+    val lake = freshLake("refuse")
+    PartitionedLake.write(Seq((1L, "a", 1.0)).toDF("k", "part", "bal"),
+      lake, "part")
+    useCatalog()
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    // partition-scoped overwrite: loud, names the alternative
+    val ps = intercept[Exception] {
+      spark.sql(s"INSERT OVERWRITE graft_lake.`$lake` " +
+        "PARTITION (part = 'a') VALUES (5, 5.0)")
+    }
+    assert(messages(ps).exists(_.contains("partition-scoped")), ps.toString)
+    // a pre-protocol lake refuses SQL writes with adoption directions
+    val legacy = freshLake("refuse-legacy")
+    Seq((1L, "a", 1.0)).toDF("k", "part", "bal")
+      .write.partitionBy("part").parquet(legacy)
+    // (pre-protocol schemas surface partition columns LAST: k, bal, part)
+    val pp = intercept[Exception] {
+      spark.sql(s"INSERT INTO graft_lake.`$legacy` VALUES (2, 2.0, 'b')")
+    }
+    assert(messages(pp).exists(_.contains("pre-protocol")), pp.toString)
+    // append with a different partition layout refuses
+    val lm = intercept[Exception] {
+      PartitionedLake.append(Seq((2L, "b", 2.0)).toDF("k", "part", "bal"),
+        lake, Seq("bal"))
+    }
+    assert(lm.getMessage.contains("layout"), lm.getMessage)
+    // append with a type change on an existing column refuses
+    val tc = intercept[Exception] {
+      PartitionedLake.append(
+        Seq(("2", "b", 2.0)).toDF("k", "part", "bal"), lake, Seq("part"))
+    }
+    assert(tc.getMessage.contains("additive"), tc.getMessage)
+  }
+
+  test("append evolves additively: new columns widen the snapshot; old rows surface typed nulls on every read route") {
+    val lake = freshLake("evolve")
+    PartitionedLake.write(Seq((1L, "a", 1.0)).toDF("k", "part", "bal"),
+      lake, "part")
+    PartitionedLake.append(
+      Seq((2L, "b", 2.0, "x")).toDF("k", "part", "bal", "tag"),
+      lake, Seq("part"))
+    val api = PartitionedLake.read(spark, lake)
+    assert(api.columns.toSeq === Seq("k", "part", "bal", "tag"))
+    assert(api.collect().map(r =>
+      (r.getLong(0), Option(r.getString(3)))).toSet ===
+      Set((1L, None), (2L, Some("x"))))
+    useCatalog()
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft_lake.`$lake` WHERE tag IS NULL")
+      .collect()(0).getLong(0) === 1L)
+    // append BOOTSTRAPS an absent lake too (same call shape from zero)
+    val fresh = freshLake("bootstrap")
+    PartitionedLake.append(Seq((1L, "a", 1.0)).toDF("k", "part", "bal"),
+      fresh, Seq("part"))
+    assert(rowsOf(fresh) === Set(("a", 1L, 1.0)))
+    assert(PartitionedLake.snapshots(spark, fresh) === Seq(1L))
+  }
+}
