@@ -750,6 +750,43 @@ object PartitionedLake {
     (staging, dirs)
   }
 
+  /** Refuse a write that LOOKS like a column rename: the incoming frame
+    * omits an existing column and carries a new one of the same type.
+    * Without column-ID mapping (Delta column mapping / Iceberg field
+    * IDs) a rename reaching an incremental commit silently becomes
+    * drop+add across snapshots — the old column nulls out for new rows,
+    * the change feed classifies the "renamed" column's history as
+    * unrelated drop/add, and time travel reads two half-schemas nobody
+    * declared. Detection is a HEURISTIC, so the error names the escape
+    * hatch for the legitimate omit+add case: carry the omitted column
+    * explicitly (`lit(null).cast(<type>).as("<name>")`), which states
+    * "same column, no values" in the one place the ambiguity lives.
+    * The real fix is name->id indirection in the manifest header (the
+    * reserved `meta:` namespace is the vehicle — see the manifest
+    * format note); until a writer emits ids, renames REFUSE rather
+    * than corrupt.
+    */
+  private def refuseSuspectedRename(base: StructType, incoming: StructType,
+      what: String): Unit = {
+    val missing = base.fields.filter(f =>
+      !incoming.fieldNames.contains(f.name))
+    val added = incoming.fields.filter(f =>
+      !base.fieldNames.contains(f.name))
+    val suspects = for {
+      m <- missing; a <- added if m.dataType == a.dataType
+    } yield (m.name, a.name, m.dataType)
+    if (suspects.nonEmpty) sys.error(
+      s"suspected column rename in the $what (refusing: a rename would " +
+        "silently become drop+add across snapshots, corrupting the " +
+        "change feed and time travel): " +
+        suspects.map { case (o, n, t) =>
+          s"'$o' -> '$n' (${t.simpleString})" }.mkString(", ") +
+        s". If these are genuinely a new column plus an intentionally " +
+        s"omitted one, carry the omitted column explicitly — " +
+        s"lit(null).cast(\"${suspects.head._3.simpleString}\")" +
+        s".as(\"${suspects.head._1}\") — to state the intent.")
+  }
+
   /** Additive schema merge for a rebase: `head`'s fields first, then the
     * commit's NEW fields. A field present in both must keep its type —
     * same rule as [[upsert]]'s evolution check, re-applied here because
@@ -1027,6 +1064,7 @@ object PartitionedLake {
             conflicts.map(f => s"${f.name}: lake has " +
               s"${m.schema(f.name).dataType.simpleString}, append has " +
               s"${f.dataType.simpleString}").mkString("; "))
+        refuseSuspectedRename(m.schema, df.schema, "append")
         StructType(m.schema.fields ++ df.schema.fields.filterNot(f =>
           m.schema.fieldNames.contains(f.name)))
       case None => df.schema
@@ -1982,7 +2020,10 @@ object PartitionedLake {
     * whole lake surfaces them, nulls for untouched rows — parquet's
     * by-name reads make old files null there for free) or omit base
     * columns (nulls); a column present in both sides must keep its
-    * type. Old snapshots time-travel under their own schema.
+    * type. Old snapshots time-travel under their own schema. A delta
+    * that LOOKS like a rename (omits a column AND adds one of the same
+    * type) refuses loudly — see [[refuseSuspectedRename]] for why and
+    * for the explicit-null escape hatch.
     */
   def upsert(spark: SparkSession, path: String, partitionCol: String,
       keyCol: String, delta: DataFrame, statsCols: Seq[String] = Nil,
@@ -2042,6 +2083,7 @@ object PartitionedLake {
         conflicts.map(f => s"${f.name}: lake has " +
           s"${base.schema(f.name).dataType.simpleString}, delta has " +
           s"${f.dataType.simpleString}").mkString("; "))
+    refuseSuspectedRename(base.schema, delta.schema, "delta")
     // the widened schema: base's columns (base types) then the delta's
     // new columns (delta types) — the type-conflict require above makes
     // the owning-side choice unambiguous

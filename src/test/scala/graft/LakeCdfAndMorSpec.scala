@@ -189,6 +189,47 @@ class LakeCdfSpec extends AnyFunSuite {
       ("update_postimage", "a2", "note-1")))
   }
 
+  test("a suspected column RENAME refuses loudly; the explicit-null escape hatch and plain additive evolution still pass") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val path = java.nio.file.Files.createTempDirectory("graft-rename")
+      .toString + "/lake"
+    PartitionedLake.write(Seq((1L, "p1", "a")).toDF("k", "part", "v"),
+      path, "part")
+    // a delta that renamed v -> val_renamed (omits v, adds a same-typed
+    // column): without column-ID mapping this would silently become
+    // drop+add across snapshots — it must throw, naming both columns
+    val e = intercept[Exception] {
+      PartitionedLake.upsert(spark, path, "part", "k",
+        Seq((1L, "p1", "a2")).toDF("k", "part", "val_renamed"))
+    }
+    assert(e.getMessage.contains("rename") &&
+      e.getMessage.contains("'v' -> 'val_renamed'"), e.getMessage)
+    // nothing committed: the lake is still at version 1, data intact
+    assert(PartitionedLake.snapshots(spark, path) === Seq(1L))
+    assert(PartitionedLake.read(spark, path).count() === 1L)
+    // the escape hatch: carrying the omitted column as explicit typed
+    // nulls states "same column, no values" and commits fine
+    PartitionedLake.upsert(spark, path, "part", "k",
+      Seq((2L, "p1", "b")).toDF("k", "part", "val_renamed")
+        .withColumn("v", lit(null).cast("string")))
+    assert(PartitionedLake.read(spark, path).columns.toSet ===
+      Set("k", "part", "v", "val_renamed"))
+    // plain additive evolution (add WITHOUT omitting) is unchanged
+    PartitionedLake.upsert(spark, path, "part", "k",
+      Seq((3L, "p1", "c", "x", "w"))
+        .toDF("k", "part", "v", "val_renamed", "extra"))
+    assert(PartitionedLake.read(spark, path)
+      .filter(col("k") === 3L).select("extra").collect()
+      .map(_.getString(0)).toSeq === Seq("w"))
+    // and append applies the same heuristic
+    val ea = intercept[Exception] {
+      PartitionedLake.append(
+        Seq((9L, "p1", "z")).toDF("k", "part", "v_renamed_again"),
+        path, Seq("part"))
+    }
+    assert(ea.getMessage.contains("rename"), ea.getMessage)
+  }
+
   test("per-commit CDF: every version's changes surface tagged _commit_version; folding them in order reconstructs the net end state") {
     val path = java.nio.file.Files.createTempDirectory("graft-cdfpc").toString + "/lake"
     // a key with INTERMEDIATE churn: k=9 inserted in v2 then deleted in

@@ -622,6 +622,100 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.map(_.codec === "stub").toSeq === Seq(false, true, false))
   }
 
+  /** Minimal ISO-BMFF bytes built box by box — ftyp + moov(mvhd,
+    * trak(tkhd)...) — so the parser is exercised on the real layout
+    * (mvhd v0/v1, 16.16 track dims, optional 64-bit largesize moov).
+    */
+  private def mp4Bytes(timescale: Long, duration: Long,
+      tracks: Seq[(Long, Long)], v1: Boolean = false,
+      largesizeMoov: Boolean = false): Array[Byte] = {
+    import java.nio.ByteBuffer
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length).put(typ.getBytes("ISO-8859-1"))
+        .put(payload)
+      b.array()
+    }
+    val ftyp = box("ftyp", "isommp42".getBytes("ISO-8859-1"))
+    val mvhd = {
+      val size = if (v1) 112 else 100
+      val b = ByteBuffer.allocate(size)
+      if (v1) b.put(1.toByte).put(Array[Byte](0, 0, 0))
+        .putLong(0L).putLong(0L).putInt(timescale.toInt).putLong(duration)
+      else b.put(0.toByte).put(Array[Byte](0, 0, 0))
+        .putInt(0).putInt(0).putInt(timescale.toInt).putInt(duration.toInt)
+      box("mvhd", b.array()) // trailing rate/volume/matrix stay zero
+    }
+    val traks = tracks.map { case (w, h) =>
+      val b = ByteBuffer.allocate(84)
+      b.position(76) // ver/flags/times/id/duration/reserved/matrix zeroed
+      b.putInt((w << 16).toInt).putInt((h << 16).toInt)
+      box("trak", box("tkhd", b.array()))
+    }
+    val moovPayload = mvhd ++ traks.flatten
+    val moov =
+      if (!largesizeMoov) box("moov", moovPayload)
+      else {
+        // size == 1 -> 64-bit largesize at offset 8 (payload at 16)
+        val b = ByteBuffer.allocate(16 + moovPayload.length)
+        b.putInt(1).put("moov".getBytes("ISO-8859-1"))
+          .putLong(16L + moovPayload.length).put(moovPayload)
+        b.array()
+      }
+    ftyp ++ moov
+  }
+
+  test("decodeVideo parses mvhd duration/timescale and 16.16 tkhd dimensions from planted ISO-BMFF bytes (v0, v1, largesize)") {
+    // v0: 90 s at timescale 600, one audio-shaped 0x0 track plus the
+    // video track — max-over-tracks picks the video dimensions
+    val v0 = MultimodalOps.decodeVideoOrStub(MultimodalOps.Blob(1L,
+      mp4Bytes(600L, 54000L, Seq((0L, 0L), (1280L, 720L)))))
+    assert(v0.codec === "mp4")
+    assert(v0.major_brand === "isom")
+    assert(v0.timescale === 600L)
+    assert(v0.duration_ms === 90000L)
+    assert((v0.width, v0.height) === ((1280L, 720L)))
+    // v1 (64-bit times) wrapped in a largesize moov
+    val v1 = MultimodalOps.decodeVideoOrStub(MultimodalOps.Blob(2L,
+      mp4Bytes(90000L, 13500000L, Seq((1920L, 1080L)), v1 = true,
+        largesizeMoov = true)))
+    assert(v1.codec === "mp4")
+    assert(v1.duration_ms === 150000L)
+    assert((v1.width, v1.height) === ((1920L, 1080L)))
+    // zero tracks: metadata still parses, dims are 0x0
+    val noTrack = MultimodalOps.decodeVideoOrStub(MultimodalOps.Blob(3L,
+      mp4Bytes(1000L, 2500L, Nil)))
+    assert((noTrack.duration_ms, noTrack.width) === ((2500L, 0L)))
+  }
+
+  test("decodeVideo falls back to the stub for non-video payloads, truncated boxes, and an ftyp without moov") {
+    val text = "not a video at all".getBytes("UTF-8")
+    assert(MultimodalOps.decodeVideoOrStub(MultimodalOps.Blob(1L, text))
+      .codec === "stub")
+    // a valid ftyp signature followed by garbage: sniff passes, the
+    // walk finds no moov, the stub answers — the batch never fails
+    val noMoov = java.nio.ByteBuffer.allocate(24).putInt(16)
+      .put("ftypisom".getBytes("ISO-8859-1")).putInt(0)
+      .putInt(0x6a756e6b).putInt(0) // an 0-sized junk trailer box
+      .array()
+    assert(MultimodalOps.decodeVideoOrStub(MultimodalOps.Blob(2L, noMoov))
+      .codec === "stub")
+    // truncation mid-box: the planted v0 file cut to 40 bytes
+    val cut = mp4Bytes(600L, 600L, Seq((64L, 48L))).take(40)
+    assert(MultimodalOps.decodeVideoOrStub(MultimodalOps.Blob(3L, cut))
+      .codec === "stub")
+    // and the distributed dispatch shape: one frame, mixed payloads
+    import spark.implicits._
+    val rows = Seq(
+      MultimodalOps.Blob(1L, mp4Bytes(600L, 1200L, Seq((320L, 240L)))),
+      MultimodalOps.Blob(2L, text))
+    val got = spark.createDataset(rows)
+      .mapPartitions(_.map(MultimodalOps.decodeVideoOrStub))
+      .collect().sortBy(_.doc_id)
+    assert(got.map(_.codec).toSeq === Seq("mp4", "stub"))
+    assert(got.head.duration_ms === 2000L)
+  }
+
   test("q76 output agrees with a direct per-row recomputation") {
     val got = QueryRegistry.queries("q76_frame_sample")(spark, sf).collect()
     val docs = Tables.documents(spark, sf)
