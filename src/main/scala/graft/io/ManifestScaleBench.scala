@@ -81,7 +81,10 @@ object ManifestScaleBench {
           s"part=p$i" -> Seq(PartitionedLake.FileEntry(
             if (i == 0) "c0-real.parquet" else f"c0-part-$i%05d.parquet",
             Map("bal" -> (i.toDouble, i + 1.0)),
-            Some(if (i == 0) 1L else 1000L)))
+            Some(if (i == 0) 1L else 1000L),
+            // byte lengths make the snapshot NATIVE-scan eligible, so
+            // the DSv2 planner measurements below see the real path
+            Some(if (i == 0) 1000L else 128L * 1024 * 1024)))
         }.toMap
         var t0 = System.nanoTime()
         PartitionedLake.publishManifest(fs, path,
@@ -99,7 +102,7 @@ object ManifestScaleBench {
           version = 2L,
           files = m.files.updated("part=p0",
             Seq(PartitionedLake.FileEntry("c1-real.parquet",
-              Map("bal" -> (0.0, 1.0)), Some(1L))))))
+              Map("bal" -> (0.0, 1.0)), Some(1L), Some(1000L))))))
         val commitS = (System.nanoTime() - t0) / 1e9
         val commitBytes = du(mdir) - before
         // per-trigger poll: probe from a hint (the streaming source's
@@ -142,6 +145,32 @@ object ManifestScaleBench {
         val hi = v2df.agg(mx("part")).head().getString(0)
         val maxS = (System.nanoTime() - t0) / 1e9
         require(hi == s"p${nDirs - 1}" || hi.startsWith("p9"), s"max $hi")
+        // native DSv2 batch PLANNING at this dir count, driver-side only
+        // (no data read — the point is the planner's cost curve):
+        // unpruned full plan, a claimed static filter, and a simulated
+        // runtime (DPP-delivered) IN filter re-scoping the dir list —
+        // the pruned-vs-unpruned evidence for SCALE.md
+        val m2 = PartitionedLake.latestManifest(fs, path).get
+        def planOf(claimedF: Array[org.apache.spark.sql.sources.Filter],
+            runtimeF: Option[org.apache.spark.sql.sources.Filter])
+            : (Int, Int, Double) = {
+          val scan = new LakeNativeBatchScan(path, None, m2, schema,
+            schema, claimedF, Array.empty)
+          runtimeF.foreach(f => scan.filter(Array(f)))
+          val t = System.nanoTime()
+          val parts = scan.planInputPartitions()
+          (scan.plannedFiles.size, parts.length,
+            (System.nanoTime() - t) / 1e9)
+        }
+        import org.apache.spark.sql.sources.{EqualTo, In => SrcIn}
+        val (fFull, pFull, planFullS) = planOf(Array.empty, None)
+        require(fFull == nDirs, s"full plan saw $fFull files")
+        val (fClaim, _, planClaimS) =
+          planOf(Array(EqualTo("part", "p7")), None)
+        require(fClaim == 1, s"claimed plan saw $fClaim files")
+        val (fRt, _, planRtS) = planOf(Array.empty,
+          Some(SrcIn("part", Array[Any]("p7", "p9", "p11"))))
+        require(fRt == 3, s"runtime-pruned plan saw $fRt files")
         println(f"[manifest-scale] $tag%-4s dirs=$nDirs%6d " +
           f"publish=$publishS%7.3fs resolve=$resolveS%7.3fs " +
           f"snapshotBytes=$v1Bytes%12d 1-part-commitBytes=$commitBytes%10d " +
@@ -149,6 +178,10 @@ object ManifestScaleBench {
           f"probeLatest=${probeS * 1000}%8.1fms listLatest=${listS * 1000}%8.1fms " +
           f"cdf1Part=$cdfS%7.3fs metaCount=${metaCountS * 1000}%8.1fms " +
           f"claimedCount=${claimedS * 1000}%8.1fms maxPart=${maxS * 1000}%8.1fms")
+        println(f"[manifest-scale] $tag%-4s nativePlan: " +
+          f"full=$fFull%6d files/$pFull%5d parts ${planFullS * 1000}%8.1fms  " +
+          f"claimed(1 dir)=$fClaim%2d file ${planClaimS * 1000}%7.1fms  " +
+          f"runtimeIn(3 dirs)=$fRt%2d files ${planRtS * 1000}%7.1fms")
       } finally conf.foreach { case (k, _) => hc.unset(k) }
     }
     // v1 forced (threshold above nDirs), then v2 auto (default threshold
