@@ -318,20 +318,20 @@ private[io] class GraftLakeTable(path: String, version: Option[Long])
       s"cannot SQL-write to the pre-protocol lake at $path: adopt it " +
         "first (any PartitionedLake.write/upsert/append publishes a " +
         "manifest declaring the partition layout)"))
-    if (PartitionedLake.allDirs(m).isEmpty) sys.error(
-      s"cannot SQL-write to $path: the current snapshot is empty, so " +
-        "the partition layout cannot be derived — bootstrap through " +
-        "PartitionedLake.write/append, which declare it")
-    new LakeWriteBuilder(path, PartitionedLake.partitionColsOf(m))
+    val layout = PartitionedLake.layoutOf(m).getOrElse(sys.error(
+      s"cannot SQL-write to $path: the current snapshot is empty and " +
+        "pre-dates layout declarations, so the partition layout cannot " +
+        "be derived — bootstrap through PartitionedLake.write/append " +
+        "(or CREATE TABLE ... PARTITIONED BY), which declare it"))
+    new LakeWriteBuilder(path, layout)
   }
 
   override def partitioning(): Array[Transform] = manifest
-    // a manifest can be legitimately EMPTY (every row of every partition
-    // deleted) — partitionColsOf reads names off a directory key, so it
-    // must not be consulted then (the v1 path reads such lakes fine)
-    .filter(m => PartitionedLake.allDirs(m).nonEmpty)
-    .map(m => PartitionedLake.partitionColsOf(m)
-      .map(c => Expressions.identity(c)).toArray)
+    // layoutOf: directory names when any exist, the declared
+    // meta:partition-cols for empty snapshots (created tables,
+    // fully-emptied lakes), empty for a pre-layout empty manifest
+    .flatMap(PartitionedLake.layoutOf)
+    .map(_.map(c => Expressions.identity(c)).toArray)
     .getOrElse(Array.empty)
 
   override def name(): String =
@@ -440,9 +440,8 @@ private[io] class LakeScanBuilder(path: String, version: Option[Long],
     * both pushdown gates consult, so the grouping gate and the
     * aggregate gate can never disagree on what a partition column is.
     */
-  private lazy val partCols: Seq[String] = manifest
-    .filter(m => PartitionedLake.allDirs(m).nonEmpty)
-    .map(PartitionedLake.partitionColsOf).getOrElse(Nil)
+  private lazy val partCols: Seq[String] =
+    manifest.flatMap(PartitionedLake.layoutOf).getOrElse(Nil)
 
   /** The group-by columns iff EVERY grouping expression is a bare
     * reference to a partition column — the only grouping a manifest can
@@ -1059,23 +1058,68 @@ class LakeCatalog extends TableCatalog {
 
   private def readOnly(op: String): Nothing =
     throw new UnsupportedOperationException(
-      s"LakeCatalog does not support $op: tables ARE lakes addressed by " +
-        "path (the manifest is the table metadata), so there is nothing " +
-        "to create/drop/rename here — INSERT INTO / INSERT OVERWRITE an " +
-        "existing lake works; bootstrap or retire a lake through the " +
-        "write surfaces (PartitionedLake.write/upsert/append, " +
-        "df.write.format(\"graft-lake\"), writeStream.format(\"graft-lake\"))")
+      s"LakeCatalog does not support $op: evolve a lake's schema through " +
+        "additive writes (upsert/append with new columns), and move one " +
+        "by moving its directory — the path IS the table identity")
 
+  /** `CREATE TABLE lake.`/path`` (col, ...) PARTITIONED BY (col, ...)`
+    * — and CTAS, which the engine runs as create + append: publish an
+    * EMPTY version-1 manifest with the declared schema and a
+    * `meta:partition-cols=` layout, making the table immediately
+    * insertable. Only identity partition transforms are meaningful
+    * here (the lake's physical layout is Hive directories); bucket/
+    * days/hours transforms refuse with that explanation.
+    */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: util.Map[String, String]): Table = readOnly("create")
+      properties: util.Map[String, String]): Table = {
+    val path = pathOf(ident)
+    if (path.endsWith("#history") || path.contains("#changes"))
+      sys.error(s"cannot CREATE a metadata table ($path): #history and " +
+        "#changes are derived views over a lake's snapshots")
+    val cols = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 &&
+          t.references.head.fieldNames.length == 1 =>
+        t.references.head.fieldNames.head
+      case t => sys.error(s"only identity PARTITIONED BY columns are " +
+        s"supported (the physical layout is Hive directories), got: $t — " +
+        "pre-compute a derived column (e.g. a date bucket) and partition " +
+        "by it")
+    }
+    if (cols.isEmpty) sys.error(
+      "a graft lake is partitioned by construction: CREATE TABLE needs " +
+        "PARTITIONED BY (<col>, ...)")
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    PartitionedLake.createEmpty(SparkSession.active, path, schema, cols)
+    new GraftLakeTable(path, None)
+  }
 
   override def alterTable(ident: Identifier,
       changes: org.apache.spark.sql.connector.catalog.TableChange*): Table =
-    readOnly("alter")
+    readOnly("ALTER TABLE")
 
-  override def dropTable(ident: Identifier): Boolean = readOnly("drop")
+  /** `DROP TABLE lake.`/path`` — standard lake-catalog semantics (what
+    * Delta/Iceberg path catalogs do): the lake directory, data and
+    * manifests, is removed. Metadata-table suffixes refuse (they are
+    * views, not tables); a missing lake returns false per the
+    * [[TableCatalog]] contract.
+    */
+  override def dropTable(ident: Identifier): Boolean = {
+    val path = pathOf(ident)
+    if (path.endsWith("#history") || path.contains("#changes"))
+      sys.error(s"cannot DROP a metadata table ($path): #history and " +
+        "#changes are derived views — drop the lake itself")
+    if (!exists(path)) false
+    else {
+      val spark = SparkSession.active
+      val root = new Path(path)
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(root, true)
+    }
+  }
 
   override def renameTable(oldIdent: Identifier,
-      newIdent: Identifier): Unit = readOnly("rename")
+      newIdent: Identifier): Unit = readOnly("RENAME TABLE")
 }

@@ -145,13 +145,26 @@ object PartitionedLake {
     * manifest. Only [[vacuum]] consumes it (retained versions' leaves
     * must survive reclamation); the parsed `files`/`deltas` above are
     * always the full picture regardless of format.
+    *
+    * `layout` is the DECLARED partition-column list, persisted as a
+    * `meta:partition-cols=` header line (the reserved `meta:`
+    * namespace — reader acceptance shipped one release before this
+    * writer, per the two-phase rule). Directory names remain the
+    * authoritative derivation when any exist ([[partitionColsOf]]);
+    * the declared layout is what lets an EMPTY snapshot — a
+    * CREATE TABLE bootstrap, or a lake whose every row was deleted —
+    * keep an insertable, partition-aware identity. Ignoring it cannot
+    * corrupt a read (pre-round-14 readers fall back to dir-derivation
+    * or the empty-layout behavior they always had), which is what
+    * keeps it minor-version-free per the header note's rule.
     */
   private[io] case class Manifest(version: Long, schema: StructType,
       files: Map[String, Seq[FileEntry]],
       txns: Map[String, Long] = Map.empty,
       deltas: Map[String, Seq[String]] = Map.empty,
       mor: Option[String] = None,
-      leaves: Seq[String] = Nil)
+      leaves: Seq[String] = Nil,
+      layout: Option[Seq[String]] = None)
 
   /** The writer id [[upsert]]/[[cdcSink]]/[[cdcSinkMergeOnRead]] charge
     * their replay guard to when the caller does not name one.
@@ -335,6 +348,12 @@ object PartitionedLake {
     }.toMap
     val mor = body.find(_.startsWith("mor:"))
       .map(l => ExternalCatalogUtils.unescapePathName(l.stripPrefix("mor:")))
+    // the one `meta:` key THIS release understands (see Manifest.layout);
+    // every other meta: line stays accepted-and-ignored per the reserved
+    // namespace's contract
+    val layout = body.find(_.startsWith("meta:partition-cols="))
+      .map(_.stripPrefix("meta:partition-cols=").split('/').toSeq
+        .map(ExternalCatalogUtils.unescapePathName))
     val deltas = body.filter(_.startsWith("delta:")).map { l =>
       val p = l.stripPrefix("delta:")
       val i = p.lastIndexOf('/')
@@ -385,7 +404,7 @@ object PartitionedLake {
           rowFields.headOption.map(_.stripPrefix("rows:").toLong),
           byteFields.headOption.map(_.stripPrefix("bytes:").toLong)))
     }.groupBy(_._1).map { case (d, fs0) => d -> fs0.map(_._2) }
-    Manifest(version, schema, files, txns, deltas, mor, leafNames)
+    Manifest(version, schema, files, txns, deltas, mor, leafNames, layout)
   }
 
   /** The delta + data-file lines for one partition directory — the
@@ -483,6 +502,11 @@ object PartitionedLake {
     }
     m.mor.foreach(k => body.append("mor:")
       .append(ExternalCatalogUtils.escapePathName(k)).append('\n'))
+    // escapePathName escapes '/' and '=', so the joined form parses
+    // back unambiguously whatever the column names
+    m.layout.foreach(cols => body.append("meta:partition-cols=")
+      .append(cols.map(ExternalCatalogUtils.escapePathName).mkString("/"))
+      .append('\n'))
     if (nShards == 0) {
       allDirs(m).toSeq.sorted.foreach(appendDirLines(body, m, _))
     } else {
@@ -932,9 +956,17 @@ object PartitionedLake {
         case Some(h) if !(h eq old.orNull) => mergeSchemas(h.schema, nullableSchema)
         case _ => nullableSchema
       }
+      // the layout persists across commits: derived from the new live
+      // directories when any exist, carried from the predecessor when
+      // this commit empties the lake — so an emptied lake stays
+      // SQL-insertable instead of losing its partition identity
+      val newDirs = newFiles.keySet ++ newDeltas.keySet
+      val layout =
+        if (newDirs.nonEmpty) Some(colsOfDir(newDirs.head))
+        else base.flatMap(layoutOf) // predecessor's dirs or ITS declaration
       val ok = tryPublishManifest(fs, path, Manifest(
         base.map(_.version + 1).getOrElse(1L), snapshotSchema, newFiles,
-        txns, newDeltas, mor))
+        txns, newDeltas, mor, layout = layout))
       if (ok) return
       attempts += 1
       val head = latestManifest(fs, path).getOrElse(
@@ -1028,6 +1060,39 @@ object PartitionedLake {
       fullOverwrite = true)
   }
 
+  /** Bootstrap an EMPTY lake with a declared schema and partition
+    * layout — the `CREATE TABLE` primitive: publishes version 1 with
+    * no files and a `meta:partition-cols=` layout declaration, so the
+    * table is immediately SQL-insertable ([[append]]/INSERT INTO reads
+    * the layout from the manifest). Fails loudly if anything already
+    * lives at the path (a racing CREATE loses the version-1 publish
+    * race and reports the same).
+    */
+  def createEmpty(spark: SparkSession, path: String, schema: StructType,
+      partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty,
+      "createEmpty needs at least one partition column (a lake is " +
+        "partitioned by construction)")
+    val missing = partitionCols.filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"partition column(s) ${missing.mkString(", ")} not in the schema")
+    partitionCols.foreach { c =>
+      val dt = schema(c).dataType
+      require(dt != TimestampType && dt != TimestampNTZType,
+        s"timestamp-typed partition column '$c' is not supported: " +
+          "its directory form is timezone/format dependent; partition " +
+          "on a string or date derivation instead")
+    }
+    val fs = fsFor(spark, path)
+    val root = new Path(path)
+    if (latestManifest(fs, path).isDefined ||
+        (fs.exists(root) && fs.listStatus(root).nonEmpty))
+      sys.error(s"a lake (or other data) already exists at $path")
+    publishManifest(fs, path, Manifest(1L,
+      StructType(schema.fields.map(_.copy(nullable = true))), Map.empty,
+      layout = Some(partitionCols)))
+  }
+
   /** Append-only commit: stage `df` and publish a snapshot whose
     * directories carry the old files PLUS the staged ones — nothing is
     * superseded, so racing appends never conflict (each rebase merges
@@ -1046,8 +1111,7 @@ object PartitionedLake {
     val spark = df.sparkSession
     val fs = fsFor(spark, path)
     val old = manifestOrMigrate(spark, fs, path, partitionCols.size)
-    old.filter(m => allDirs(m).nonEmpty).foreach { m =>
-      val existing = partitionColsOf(m)
+    old.flatMap(layoutOf).foreach { existing =>
       require(existing == partitionCols,
         s"append partition layout (${partitionCols.mkString(", ")}) does " +
           s"not match the lake's (${existing.mkString(", ")})")
@@ -1140,8 +1204,20 @@ object PartitionedLake {
     * dir-name prefixes Spark wrote, one per nesting level).
     */
   private[io] def partitionColsOf(m: Manifest): Seq[String] =
-    allDirs(m).head.split('/').toSeq.map(level =>
+    colsOfDir(allDirs(m).head)
+
+  private def colsOfDir(dir: String): Seq[String] =
+    dir.split('/').toSeq.map(level =>
       ExternalCatalogUtils.unescapePathName(level.takeWhile(_ != '=')))
+
+  /** The partition-column layout however the snapshot knows it:
+    * directory names when any exist (authoritative — they ARE the
+    * physical layout), the declared `meta:partition-cols=` header for
+    * empty snapshots (CREATE TABLE bootstraps, fully-emptied lakes),
+    * None for an empty pre-round-14 manifest.
+    */
+  private[io] def layoutOf(m: Manifest): Option[Seq[String]] =
+    if (allDirs(m).nonEmpty) Some(partitionColsOf(m)) else m.layout
 
   /** Scan of a manifest's merge-on-read delta sidecars, normalized to
     * the snapshot column order plus [[MorOpCol]] (partition values come

@@ -1626,6 +1626,38 @@ object RelationalOps {
         |SELECT -o_orderkey, o_orderpriority, o_totalprice, 'insert'
         |  FROM base WHERE o_orderkey % 101 = 0 AND o_orderkey <> 0
         |ORDER BY _change_type, o_orderkey""".stripMargin),
-      "lake op: SQL #changes metadata table (batch CDF through the catalog, net and per-commit)")
+      "lake op: SQL #changes metadata table (batch CDF through the catalog, net and per-commit)"),
+
+    // ---- CREATE TABLE AS SELECT through the catalog: create + fill in
+    // one statement (the engine runs it as createTable + append over
+    // the commit protocol), with the declared partition layout
+    // persisted as a meta:partition-cols manifest header — so the
+    // created lake is a full citizen (metadata counts, time travel,
+    // inserts) from version 1. The metadata_only flag pins in-band
+    // that the created lake's partition histogram answers from the
+    // manifest, proving the CTAS wrote real footer-harvested
+    // partition directories, not just rows. ----
+    Q("q156_sql_ctas",
+      (s, d) => {
+        val dir = scratchDir("q156-ctas") + "/lake"
+        s.conf.set("spark.sql.catalog.graft_lake",
+          classOf[graft.io.LakeCatalog].getName)
+        Tables.orders(s, d).select(col("o_orderkey"),
+            col("o_totalprice"), col("o_orderpriority"))
+          .createOrReplaceTempView("q156_src")
+        s.sql(s"CREATE TABLE graft_lake.`$dir` " +
+          "PARTITIONED BY (o_orderpriority) " +
+          "AS SELECT o_orderkey, o_totalprice, o_orderpriority " +
+          "FROM q156_src")
+        val hist = s.sql(s"SELECT o_orderpriority, count(*) AS n " +
+          s"FROM graft_lake.`$dir` GROUP BY o_orderpriority")
+        hist.withColumn("metadata_only",
+            lit(graft.io.LakeScanCheck.isMetadataOnly(hist)))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n, true AS metadata_only
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin),
+      "lake op: SQL CREATE TABLE / CTAS through the catalog (declared layout persisted; created lake fully metadata-capable)")
   )
 }

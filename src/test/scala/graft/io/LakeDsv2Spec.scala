@@ -701,7 +701,7 @@ class LakeDsv2Spec extends AnyFunSuite {
     assert(messages(v).exists(_.contains("already explicit")), v.toString)
   }
 
-  test("the catalog refuses CREATE/DROP with directions and reports missing lakes as missing tables") {
+  test("catalog guardrails: unpartitioned CREATE and ALTER refuse with directions; missing lakes are missing tables") {
     spark.conf.set("spark.sql.catalog.graft_lake",
       classOf[LakeCatalog].getName)
     val missing = intercept[Exception] {
@@ -710,15 +710,23 @@ class LakeDsv2Spec extends AnyFunSuite {
     }
     assert(missing.getMessage.toLowerCase.contains("table"),
       missing.getMessage)
-    // CREATE/DROP have no meaning for path-addressed lakes — the error
-    // points at the write surfaces that do (INSERT works; see
-    // LakeSqlWriteSpec for the write surface)
+    // CREATE without PARTITIONED BY refuses with the requirement (a
+    // lake is partitioned by construction); ALTER refuses with the
+    // evolution directions (see LakeSqlWriteSpec for the full
+    // CREATE/CTAS/DROP surface)
     def says(t: Throwable, what: String): Boolean =
       Option(t.getMessage).exists(_.contains(what)) ||
         Option(t.getCause).exists(says(_, what))
-    val ro = intercept[Exception] {
+    val noPart = intercept[Exception] {
       spark.sql("CREATE TABLE graft_lake.`/tmp/graft-dsv2-ro` (k LONG)")
     }
-    assert(says(ro, "does not support create"), ro.getMessage)
+    assert(says(noPart, "PARTITIONED BY"), noPart.getMessage)
+    val alter = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_lake.`/tmp/graft-dsv2-ro` " +
+        "ADD COLUMN extra STRING")
+    }
+    assert(says(alter, "ALTER TABLE") || says(alter, "TABLE_OPERATION") ||
+      says(alter, "not found") || says(alter, "NoSuchTable"),
+      alter.getMessage)
   }
 }

@@ -61,9 +61,11 @@ class LakeManifestV2Spec extends AnyFunSuite {
     assert(leaves.nonEmpty)
     leaves.foreach(l => assert(fs.exists(new Path(v2path, s"_manifest/$l")),
       s"referenced leaf $l missing"))
-    // no dir/file body line leaks into a v2 top file
+    // no dir/file body line leaks into a v2 top file (meta: is a
+    // header annotation — round 14's persisted partition layout)
     assert(lines.drop(2).forall(l => l.isEmpty || l.startsWith("shard:") ||
-      l.startsWith("txn:") || l.startsWith("mor:")))
+      l.startsWith("txn:") || l.startsWith("mor:") ||
+      l.startsWith("meta:")))
   }
 
   test("v1 -> v2 growth transition at the shard threshold; both formats stay time-travelable") {

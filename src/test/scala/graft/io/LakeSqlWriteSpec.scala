@@ -119,6 +119,81 @@ class LakeSqlWriteSpec extends AnyFunSuite {
     assert(tc.getMessage.contains("additive"), tc.getMessage)
   }
 
+  test("CREATE TABLE bootstraps an empty insertable lake: declared layout persists in the manifest, reads/inserts/metadata all work from zero") {
+    val lake = freshLake("create")
+    useCatalog()
+    spark.sql(s"CREATE TABLE graft_lake.`$lake` " +
+      "(k BIGINT, part STRING, bal DOUBLE) PARTITIONED BY (part)")
+    // the created table reads as empty with the declared schema
+    val empty = spark.sql(s"SELECT * FROM graft_lake.`$lake`")
+    assert(empty.columns.toSeq === Seq("k", "part", "bal"))
+    assert(empty.count() === 0L)
+    assert(PartitionedLake.snapshots(spark, lake) === Seq(1L))
+    // immediately insertable: the layout came from meta:partition-cols
+    spark.sql(s"INSERT INTO graft_lake.`$lake` VALUES (1, 'a', 1.0)")
+    assert(rowsOf(lake) === Set(("a", 1L, 1.0)))
+    // partition-aware from the declaration onward: metadata count +
+    // claimed filter work
+    val c = spark.sql(
+      s"SELECT count(*) FROM graft_lake.`$lake` WHERE part = 'a'")
+    assert(LakeScanCheck.isMetadataOnly(c),
+      c.queryExecution.executedPlan.toString())
+    assert(c.collect()(0).getLong(0) === 1L)
+    // creating over an existing lake refuses as already-exists
+    val dup = intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft_lake.`$lake` " +
+        "(k BIGINT, part STRING) PARTITIONED BY (part)")
+    }
+    assert(dup.getMessage.toUpperCase.contains("ALREADY EXISTS"),
+      dup.getMessage)
+    // IF NOT EXISTS is honored quietly
+    spark.sql(s"CREATE TABLE IF NOT EXISTS graft_lake.`$lake` " +
+      "(k BIGINT, part STRING, bal DOUBLE) PARTITIONED BY (part)")
+  }
+
+  test("CTAS creates and fills in one statement; DROP TABLE removes the lake; non-identity transforms refuse") {
+    val lake = freshLake("ctas")
+    useCatalog()
+    Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "part", "bal")
+      .createOrReplaceTempView("ctas_src")
+    spark.sql(s"CREATE TABLE graft_lake.`$lake` PARTITIONED BY (part) " +
+      "AS SELECT k, part, bal FROM ctas_src")
+    assert(rowsOf(lake) === Set(("a", 1L, 1.0), ("b", 2L, 2.0)))
+    // the CTAS result is a full lake: time travel + history exist
+    assert(PartitionedLake.snapshots(spark, lake).nonEmpty)
+    // DROP TABLE removes it; the identifier stops resolving
+    spark.sql(s"DROP TABLE graft_lake.`$lake`")
+    assert(!new java.io.File(lake).exists())
+    val gone = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_lake.`$lake`").collect()
+    }
+    assert(gone.getMessage.toLowerCase.contains("table"), gone.getMessage)
+    // a bucket transform refuses with the Hive-layout explanation
+    val bucketed = intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft_lake.`$lake-b` " +
+        "(k BIGINT, part STRING) PARTITIONED BY (bucket(4, k))")
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(bucketed).exists(_.contains("identity")),
+      bucketed.toString)
+  }
+
+  test("a fully-emptied lake keeps its declared layout: still SQL-insertable after every row is deleted") {
+    val lake = freshLake("emptyins")
+    PartitionedLake.write(Seq((1L, "a", 1.0)).toDF("k", "part", "bal"),
+      lake, "part")
+    PartitionedLake.cdcSink(spark, lake, "part", "k", "bal",
+      Seq((1L, "a", 1L, "D", 0.0)).toDF("k", "part", "seq", "op", "val"))
+    assert(PartitionedLake.read(spark, lake).count() === 0L)
+    // pre-round-14 this lost the layout (no dirs to derive from); the
+    // commit-persisted meta:partition-cols keeps the table insertable
+    useCatalog()
+    spark.sql(s"INSERT INTO graft_lake.`$lake` VALUES (2, 'b', 2.0)")
+    assert(rowsOf(lake) === Set(("b", 2L, 2.0)))
+  }
+
   test("append evolves additively: new columns widen the snapshot; old rows surface typed nulls on every read route") {
     val lake = freshLake("evolve")
     PartitionedLake.write(Seq((1L, "a", 1.0)).toDF("k", "part", "bal"),
