@@ -215,13 +215,19 @@ object MultimodalOps {
         def next(): (String, Int, Int) = {
           val size = u32(at)
           val typ = new String(p, at + 4, 4, "ISO-8859-1")
-          val (payload, boxEnd) =
+          val (payload, rawEnd) =
             if (size == 1L && at + 16 <= end) {
               val ls = u64(at + 8)
               (at + 16, at + math.min(ls, (end - at).toLong).toInt)
             }
             else if (size == 0L) (at + 8, end)
             else (at + 8, at + math.min(size max 8L, (end - at).toLong).toInt)
+          // PROGRESS GUARANTEE: a malformed size (largesize < 16,
+          // negative, truncated) must not stall the walk — a hung
+          // executor task is worse than the degrade the NonFatal
+          // catch provides, and a catch cannot save a non-throwing
+          // loop. Clamp past the header we just consumed.
+          val boxEnd = math.max(rawEnd, payload)
           at = boxEnd
           (typ, payload, boxEnd)
         }

@@ -62,10 +62,12 @@ class LakeBatchProvider extends RelationProvider
       val to = need("changesTo").toLong
       val keyCols = need("keyCols").split(',').map(_.trim)
         .filter(_.nonEmpty).toSeq
-      // same loud vocabulary as the streaming provider's perCommitOf: a
-      // typo ('commits', 'per-commit') must not silently flip change-feed
-      // semantics between the batch and stream surfaces
-      val perCommit = parameters.getOrElse("granularity", "net") match {
+      // same loud vocabulary as the streaming provider's perCommitOf —
+      // a typo ('commits', 'per-commit') must not silently flip feed
+      // semantics between surfaces; case-insensitive (the
+      // pre-validation behavior accepted 'Commit')
+      val perCommit = parameters.getOrElse("granularity", "net")
+          .toLowerCase match {
         case "net" => false
         case "commit" => true
         case other => sys.error(s"graft-lake change feed: granularity " +

@@ -865,12 +865,30 @@ private[io] class GraftLakeHistoryTable(path: String,
 private[io] class GraftLakeChangesTable(path: String, from: Long, to: Long,
     keyCols: Seq[String], perCommit: Boolean)
     extends Table with SupportsRead {
-  private val frame: DataFrame = PartitionedLake.changesBetween(
+  // LAZY: analysis may re-resolve the identifier several times, and
+  // each loadTable constructs a fresh table — building the full diff
+  // plan per resolution would pay both endpoints' manifest reads each
+  // time. The scan forces it once.
+  private lazy val frame: DataFrame = PartitionedLake.changesBetween(
     SparkSession.active, path, from, to, keyCols, perCommit)
   override def name(): String =
     s"$path#changes?from=$from&to=$to" +
       (if (perCommit) "&granularity=commit" else "")
-  override val schema: StructType = frame.schema
+  /** The feed's schema from the TO manifest alone (one metadata read):
+    * the to-version's columns + `_change_type` (+ `_commit_version`
+    * per-commit) — exactly `changesBetween`'s column set (every diff
+    * aligns to the final schema; spec-pinned against the API's actual
+    * output so the two derivations cannot drift silently). Everything
+    * nullable: pre-images of since-added columns carry null.
+    */
+  override val schema: StructType = {
+    val m = PartitionedLake.manifestAt(SparkSession.active, path, Some(to))
+      .getOrElse(sys.error(s"no manifest at $path"))
+    StructType(m.schema.fields.map(_.copy(nullable = true)) ++
+      (StructField("_change_type", org.apache.spark.sql.types.StringType)
+        +: (if (perCommit) Seq(StructField("_commit_version", LongType))
+            else Nil)))
+  }
   override def capabilities(): util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
@@ -956,7 +974,7 @@ class LakeCatalog extends TableCatalog {
     val keyCols = need("keyCols").split(',').map(_.trim)
       .filter(_.nonEmpty).toSeq
     if (keyCols.isEmpty) sys.error(s"#changes keyCols is empty: $usage")
-    val perCommit = params.getOrElse("granularity", "net") match {
+    val perCommit = params.getOrElse("granularity", "net").toLowerCase match {
       case "net" => false
       case "commit" => true
       case other => sys.error(s"#changes granularity must be 'net' or " +

@@ -361,14 +361,14 @@ object PartitionedLake {
     }.groupBy(_._1).map { case (d, ns) => d -> ns.map(_._2) }
     val files = body.filterNot(l => l.startsWith("mor:") ||
         l.startsWith("delta:") || l.startsWith("txn:") ||
-        // `meta:` is the RESERVED additive header-line namespace: this
-        // release writes none, but accepts-and-ignores them so a future
-        // release can persist table annotations (e.g. upsert key
-        // columns for a SQL CDF surface) without breaking THIS reader
-        // — the two-phase evolution discipline the header note demands
-        // (reader acceptance ships one release before any writer).
-        // Unambiguous against dir lines for the same reason as txn:/
-        // mor:/shard:: escapePathName escapes ':' itself.
+        // `meta:` is the RESERVED additive header-line namespace. This
+        // release understands exactly ONE key (`meta:partition-cols=`,
+        // parsed above into Manifest.layout — the writer emits it per
+        // the two-phase rule: reader acceptance shipped one release
+        // earlier) and accepts-and-ignores every other meta: line so
+        // future releases can add annotations without breaking this
+        // reader. Unambiguous against dir lines for the same reason as
+        // txn:/mor:/shard:: escapePathName escapes ':' itself.
         l.startsWith("meta:") ||
         TxnLine.matches(l)).map { line =>
       // fields are tab-separated: the file path, then optional
@@ -1023,6 +1023,16 @@ object PartitionedLake {
             rel -> dataFiles(fs, dirPath).map(st =>
               FileEntry(st.getPath.getName, bytes = Some(st.getLen)))
           }.toMap
+        // a TOO-SHALLOW depth walks to internal tree nodes: directories
+        // resolve but hold sub-directories, not data files. Publishing
+        // that adoption would hide every existing row from manifest
+        // reads (and let vacuum later destroy them) while the caller's
+        // layout "matches" — the one shape that must refuse, not adopt
+        if (dirs.nonEmpty && dirs.valuesIterator.forall(_.isEmpty))
+          sys.error(s"cannot adopt the pre-protocol lake at $path: " +
+            s"no data files at partition depth $depth (the layout is " +
+            "nested deeper) — pass the lake's full partition-column " +
+            "list")
         if (dirs.isEmpty) None
         else {
           val schema = spark.read.parquet(path).schema
@@ -1033,6 +1043,26 @@ object PartitionedLake {
         }
       }
     }
+
+  /** Bootstrap guard for incremental writers ([[append]]/[[upsert]]):
+    * when adoption resolves NOTHING but the path holds real content, a
+    * bootstrap commit would publish a manifest that silently hides it
+    * (the TOO-DEEP depth mismatch: the walk finds no leaf directories
+    * at the claimed depth, so the path looks absent). Refuse loudly;
+    * protocol scratch dirs (`_staging`, `_manifest`) don't count as
+    * content.
+    */
+  private def requireBootstrapSafe(fs: FileSystem, path: String,
+      partitionCols: Seq[String]): Unit = {
+    val root = new Path(path)
+    if (fs.exists(root) && fs.listStatus(root).exists(st =>
+        !st.getPath.getName.startsWith("_")))
+      sys.error(s"refusing to bootstrap a lake over existing data at " +
+        s"$path: nothing adoptable at partition depth " +
+        s"${partitionCols.size} (${partitionCols.mkString(", ")}) but " +
+        "the directory is not empty — is the partition-column list " +
+        "shallower than the physical layout?")
+  }
 
   /** Full-snapshot write (overwrite semantics): every previously-live file
     * is superseded; directories the new snapshot no longer uses are
@@ -1111,6 +1141,7 @@ object PartitionedLake {
     val spark = df.sparkSession
     val fs = fsFor(spark, path)
     val old = manifestOrMigrate(spark, fs, path, partitionCols.size)
+    if (old.isEmpty) requireBootstrapSafe(fs, path, partitionCols)
     old.flatMap(layoutOf).foreach { existing =>
       require(existing == partitionCols,
         s"append partition layout (${partitionCols.mkString(", ")}) does " +
@@ -2122,6 +2153,7 @@ object PartitionedLake {
     // existing pre-protocol lake is adopted with a v1 manifest first
     val existing = manifestOrMigrate(spark, fs, path, partitionCols.size)
     if (existing.isEmpty) {
+      requireBootstrapSafe(fs, path, partitionCols)
       val (staging, staged) = stage(spark, fs, path, delta, partitionCols,
         statsCols)
       commitStaged(fs, path, staging, staged, staged.keySet, delta.schema,

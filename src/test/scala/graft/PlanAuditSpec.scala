@@ -704,6 +704,19 @@ class MultimodalSpec extends AnyFunSuite {
     val cut = mp4Bytes(600L, 600L, Seq((64L, 48L))).take(40)
     assert(MultimodalOps.decodeVideoOrStub(MultimodalOps.Blob(3L, cut))
       .codec === "stub")
+    // a malformed 64-bit largesize (size==1, largesize==0) must make
+    // PROGRESS and degrade — not spin the box walk forever (a hung
+    // executor task is worse than any wrong answer; review finding)
+    val zeroLargesize = java.nio.ByteBuffer.allocate(16)
+      .putInt(1).put("ftyp".getBytes("ISO-8859-1")).putLong(0L).array()
+    assert(MultimodalOps.decodeVideoOrStub(
+      MultimodalOps.Blob(4L, zeroLargesize)).codec === "stub")
+    // same with a huge/negative largesize whose clamp would go backward
+    val negLargesize = java.nio.ByteBuffer.allocate(24)
+      .putInt(1).put("ftyp".getBytes("ISO-8859-1"))
+      .putLong(Long.MinValue).putLong(0L).array()
+    assert(MultimodalOps.decodeVideoOrStub(
+      MultimodalOps.Blob(5L, negLargesize)).codec === "stub")
     // and the distributed dispatch shape: one frame, mixed payloads
     import spark.implicits._
     val rows = Seq(

@@ -672,12 +672,22 @@ class LakeDsv2Spec extends AnyFunSuite {
     assert(key(spark.sql(
       s"SELECT * FROM graft_lake.`$lake#changes?from=1&to=3&keyCols=k`")) ===
       key(PartitionedLake.changesBetween(spark, lake, 1L, 3L, Seq("k"))))
-    // per-commit form carries _commit_version
+    // per-commit form carries _commit_version; granularity is
+    // case-insensitive (pre-validation behavior accepted 'Commit')
     val pc = spark.sql(s"SELECT * FROM graft_lake.`$lake#changes?" +
-      "from=1&to=3&keyCols=k&granularity=commit`")
+      "from=1&to=3&keyCols=k&granularity=Commit`")
     assert(pc.columns.contains("_commit_version"))
-    assert(key(pc) === key(PartitionedLake.changesBetween(
-      spark, lake, 1L, 3L, Seq("k"), perCommit = true)))
+    val apiPc = PartitionedLake.changesBetween(
+      spark, lake, 1L, 3L, Seq("k"), perCommit = true)
+    assert(key(pc) === key(apiPc))
+    // the table's cheap schema derivation cannot drift from the API's
+    // actual output columns (the frame is lazy; schema comes from the
+    // TO manifest alone)
+    assert(pc.schema.fieldNames.toSeq === apiPc.schema.fieldNames.toSeq)
+    assert(spark.sql(s"SELECT * FROM graft_lake.`$lake#changes?" +
+        "from=1&to=3&keyCols=k`").schema.fieldNames.toSeq ===
+      PartitionedLake.changesBetween(spark, lake, 1L, 3L, Seq("k"))
+        .schema.fieldNames.toSeq)
     // malformed/unknown parameters and a granularity typo fail loudly
     def messages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x =>

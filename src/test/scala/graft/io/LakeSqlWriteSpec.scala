@@ -194,6 +194,48 @@ class LakeSqlWriteSpec extends AnyFunSuite {
     assert(rowsOf(lake) === Set(("b", 2L, 2.0)))
   }
 
+  test("adoption-depth mismatches refuse instead of hiding data: too-shallow errors at adoption, too-deep at bootstrap") {
+    // physical layout: (day, src) — two levels
+    def plant(tag: String): String = {
+      val lake = freshLake(tag)
+      Seq((1L, "d1", "web", 1.0)).toDF("k", "day", "src", "bal")
+        .write.partitionBy("day", "src").parquet(lake)
+      lake
+    }
+    // TOO SHALLOW (depth 1 on a depth-2 layout): the walk reaches
+    // day= dirs holding SUBDIRS, not files — publishing that adoption
+    // would hide every row from manifest reads and let vacuum destroy
+    // them later
+    val shallow = intercept[Exception] {
+      PartitionedLake.append(Seq((2L, "d2", 2.0)).toDF("k", "day", "bal"),
+        plant("shallow"), Seq("day"))
+    }
+    assert(shallow.getMessage.contains("nested deeper"),
+      shallow.getMessage)
+    // TOO DEEP (depth 3): nothing adoptable at that depth, but the
+    // path holds real data — the bootstrap must refuse, not shadow it
+    val deep = intercept[Exception] {
+      PartitionedLake.append(
+        Seq((2L, "d2", "web", "x", 2.0)).toDF("k", "day", "src", "z", "bal"),
+        plant("deep"), Seq("day", "src", "z"))
+    }
+    assert(deep.getMessage.contains("refusing to bootstrap"),
+      deep.getMessage)
+    // upsert shares both guards
+    val upShallow = intercept[Exception] {
+      PartitionedLake.upsert(spark, plant("upshallow"), "day", "k",
+        Seq((2L, "d2", 2.0)).toDF("k", "day", "bal"))
+    }
+    assert(upShallow.getMessage.contains("nested deeper"),
+      upShallow.getMessage)
+    // the CORRECT depth still adopts and appends fine
+    val ok = plant("okdepth")
+    PartitionedLake.append(
+      Seq((2L, "d2", "app", 2.0)).toDF("k", "day", "src", "bal"),
+      ok, Seq("day", "src"))
+    assert(PartitionedLake.read(spark, ok).count() === 2L)
+  }
+
   test("append evolves additively: new columns widen the snapshot; old rows surface typed nulls on every read route") {
     val lake = freshLake("evolve")
     PartitionedLake.write(Seq((1L, "a", 1.0)).toDF("k", "part", "bal"),
