@@ -102,8 +102,12 @@ private[io] class LakeNativeBatchScan(
   @volatile private var runtimePreds
       : Seq[(String => Any) => Option[Boolean]] = Nil
 
+  // only the partition columns PRESENT IN THE SCAN OUTPUT: the engine
+  // resolves these against the relation's (pruned) attributes, and a
+  // pruned-out column would fail analysis ("Unable to resolve ...") —
+  // no DPP opportunity is lost, because a join key is always read
   override def filterAttributes(): Array[NamedReference] =
-    partCols.map(c => Expressions.column(c)).toArray
+    readPartCols.map(c => Expressions.column(c)).toArray
 
   override def filter(filters: Array[Filter]): Unit = {
     runtimePreds = filters.toSeq

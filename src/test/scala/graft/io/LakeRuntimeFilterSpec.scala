@@ -170,6 +170,47 @@ class LakeRuntimeFilterSpec extends AnyFunSuite {
     assert(LakeScanCheck.nativeScansOf(compDf).size === 1)
   }
 
+  test("runtime pruning on a multi-level (day, src) layout prunes at the joined level; the other level's dirs survive per tuple") {
+    val dir = freshDir("multi")
+    val lake = s"$dir/lake"
+    val fact = spark.range(1200L).select(
+      (col("id") % 6).as("day"), (col("id") % 2).cast("string").as("src"),
+      col("id").as("k"))
+    PartitionedLake.write(fact, lake, Seq("day", "src"), Nil)
+    val dimPath = s"$dir/dim"
+    Seq((2L, "keep"), (5L, "keep"), (1L, "drop")).toDF("day", "tag")
+      .write.parquet(dimPath)
+    val joined = v2(lake)
+      .join(broadcast(spark.read.parquet(dimPath)
+        .filter(col("tag") === "keep")), Seq("day"))
+      .agg(count(lit(1)).as("n"))
+    assert(joined.collect()(0).getLong(0) === 400L) // 2 of 6 days
+    val Seq((planned, static)) = LakeScanCheck.nativePruning(joined)
+    // 12 leaf dirs (6 days x 2 srcs) -> 4 survive (2 days x 2 srcs)
+    assert(planned === static / 3, s"($planned, $static)")
+  }
+
+  test("runtime pruning over a DATE-typed partition column: DPP-delivered date keys compile and prune exactly") {
+    val dir = freshDir("datedpp")
+    val lake = s"$dir/lake"
+    val fact = spark.range(800L).select(
+      date_add(lit(java.sql.Date.valueOf("2026-01-01")),
+        (col("id") % 8).cast("int")).as("day"),
+      col("id").as("k"))
+    PartitionedLake.write(fact, lake, "day")
+    val dimPath = s"$dir/dim"
+    Seq((java.sql.Date.valueOf("2026-01-03"), "y"),
+        (java.sql.Date.valueOf("2026-01-06"), "n"))
+      .toDF("day", "flag").write.parquet(dimPath)
+    val joined = v2(lake)
+      .join(broadcast(spark.read.parquet(dimPath)
+        .filter(col("flag") === "y")), Seq("day"))
+      .agg(count(lit(1)).as("n"))
+    assert(joined.collect()(0).getLong(0) === 100L) // 1 of 8 days
+    val Seq((planned, static)) = LakeScanCheck.nativePruning(joined)
+    assert(planned === static / 8, s"($planned, $static)")
+  }
+
   test("native reads of schema-evolved and null-partition lakes: old files surface typed nulls, __HIVE_DEFAULT_PARTITION__ round-trips") {
     val lake = freshDir("evo") + "/lake"
     PartitionedLake.write(Seq((1L, Some("a"), 1.0), (2L, None, 2.0))
