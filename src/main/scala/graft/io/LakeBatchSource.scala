@@ -67,7 +67,7 @@ class LakeBatchProvider extends RelationProvider
       // semantics between surfaces; case-insensitive (the
       // pre-validation behavior accepted 'Commit')
       val perCommit = parameters.getOrElse("granularity", "net")
-          .toLowerCase match {
+          .toLowerCase(java.util.Locale.ROOT) match {
         case "net" => false
         case "commit" => true
         case other => sys.error(s"graft-lake change feed: granularity " +

@@ -882,9 +882,12 @@ private[io] class GraftLakeChangesTable(path: String, from: Long, to: Long,
     * nullable: pre-images of since-added columns carry null.
     */
   override val schema: StructType = {
-    val m = PartitionedLake.manifestAt(SparkSession.active, path, Some(to))
-      .getOrElse(sys.error(s"no manifest at $path"))
-    StructType(m.schema.fields.map(_.copy(nullable = true)) ++
+    // schemaAt: version-existence check + manifest header only — NOT
+    // manifestAt, whose retired-directory walk lists the partition
+    // tree (a schema read opens no partition directories, so paying
+    // that walk per analysis re-resolution would be waste)
+    val base = PartitionedLake.schemaAt(SparkSession.active, path, to)
+    StructType(base.fields.map(_.copy(nullable = true)) ++
       (StructField("_change_type", org.apache.spark.sql.types.StringType)
         +: (if (perCommit) Seq(StructField("_commit_version", LongType))
             else Nil)))
@@ -974,7 +977,8 @@ class LakeCatalog extends TableCatalog {
     val keyCols = need("keyCols").split(',').map(_.trim)
       .filter(_.nonEmpty).toSeq
     if (keyCols.isEmpty) sys.error(s"#changes keyCols is empty: $usage")
-    val perCommit = params.getOrElse("granularity", "net").toLowerCase match {
+    val perCommit = params.getOrElse("granularity", "net")
+        .toLowerCase(java.util.Locale.ROOT) match {
       case "net" => false
       case "commit" => true
       case other => sys.error(s"#changes granularity must be 'net' or " +
@@ -1107,10 +1111,35 @@ class LakeCatalog extends TableCatalog {
     if (cols.isEmpty) sys.error(
       "a graft lake is partitioned by construction: CREATE TABLE needs " +
         "PARTITIONED BY (<col>, ...)")
+    // properties this catalog cannot honor REFUSE rather than silently
+    // drop (the repo-wide rule: an option must never silently change —
+    // or lose — semantics). The engine itself injects provider/owner
+    // and option.* copies; LOCATION conflicts with the path identity,
+    // COMMENT/TBLPROPERTIES have nowhere to persist.
+    val ignorable = Set("provider", "owner")
+    val unsupported = {
+      import scala.jdk.CollectionConverters._
+      properties.keySet.asScala.filterNot(k =>
+        ignorable.contains(k) || k.startsWith("option."))
+    }
+    if (unsupported.nonEmpty) sys.error(
+      s"CREATE TABLE propert${if (unsupported.size == 1) "y" else "ies"} " +
+        s"not supported by LakeCatalog: ${unsupported.mkString(", ")} — " +
+        "the path is the location, and the manifest stores no free-form " +
+        "table properties")
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident)
-    PartitionedLake.createEmpty(SparkSession.active, path, schema, cols)
+    // a racing CREATE can land between the check and the publish; the
+    // lost race must surface as ALREADY-EXISTS so IF NOT EXISTS stays
+    // quiet instead of erroring on the internal publish conflict
+    try PartitionedLake.createEmpty(SparkSession.active, path, schema, cols)
+    catch {
+      case e: Exception if Option(e.getMessage).exists(m =>
+          m.contains("already exists") || m.contains("already published")) =>
+        throw new org.apache.spark.sql.catalyst.analysis
+          .TableAlreadyExistsException(ident)
+    }
     new GraftLakeTable(path, None)
   }
 
@@ -1129,12 +1158,26 @@ class LakeCatalog extends TableCatalog {
     if (path.endsWith("#history") || path.contains("#changes"))
       sys.error(s"cannot DROP a metadata table ($path): #history and " +
         "#changes are derived views — drop the lake itself")
+    val spark = SparkSession.active
     if (!exists(path)) false
+    // only a MANIFEST-BEARING lake may be dropped: the read-side
+    // pre-protocol fallback (any non-empty directory resolves as a
+    // table) must not extend to recursive deletion — a typo'd path to
+    // arbitrary files would be irreversibly destroyed by a catalog
+    // that could never have COMMITTED to it
+    else if (PartitionedLake.latestVersion(spark, path).isEmpty)
+      sys.error(s"refusing to DROP $path: it resolves as a table only " +
+        "through the pre-protocol read fallback (no graft manifest) — " +
+        "this catalog never wrote it, so it will not delete it; remove " +
+        "the directory manually if that is really intended")
     else {
-      val spark = SparkSession.active
       val root = new Path(path)
-      root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val ok = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(root, true)
+      // a failed delete must be LOUD: returning false reads as "table
+      // did not exist" while the data still does
+      if (!ok) sys.error(s"DROP TABLE failed to delete $path")
+      true
     }
   }
 

@@ -871,7 +871,8 @@ object PartitionedLake {
       replacedDeltas: Option[Set[String]] = None,
       writerId: String = DefaultWriter,
       fullOverwrite: Boolean = false,
-      appendOnly: Boolean = false): Unit = {
+      appendOnly: Boolean = false,
+      bootstrapLayout: Option[Seq[String]] = None): Unit = {
     // a copy-on-write commit supersedes a touched partition's deltas
     // along with its data files; a merge-on-read commit supersedes ONLY
     // the deltas (base data carries over verbatim — that's the point).
@@ -963,7 +964,10 @@ object PartitionedLake {
       val newDirs = newFiles.keySet ++ newDeltas.keySet
       val layout =
         if (newDirs.nonEmpty) Some(colsOfDir(newDirs.head))
-        else base.flatMap(layoutOf) // predecessor's dirs or ITS declaration
+        // predecessor's dirs or ITS declaration; an EMPTY bootstrap
+        // (zero-row first write/append) still records the caller's
+        // declared columns, so the lake is insertable from version 1
+        else base.flatMap(layoutOf).orElse(bootstrapLayout)
       val ok = tryPublishManifest(fs, path, Manifest(
         base.map(_.version + 1).getOrElse(1L), snapshotSchema, newFiles,
         txns, newDeltas, mor, layout = layout))
@@ -1055,8 +1059,10 @@ object PartitionedLake {
   private def requireBootstrapSafe(fs: FileSystem, path: String,
       partitionCols: Seq[String]): Unit = {
     val root = new Path(path)
-    if (fs.exists(root) && fs.listStatus(root).exists(st =>
-        !st.getPath.getName.startsWith("_")))
+    if (fs.exists(root) && fs.listStatus(root).exists { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      })
       sys.error(s"refusing to bootstrap a lake over existing data at " +
         s"$path: nothing adoptable at partition depth " +
         s"${partitionCols.size} (${partitionCols.mkString(", ")}) but " +
@@ -1087,7 +1093,7 @@ object PartitionedLake {
     val oldDirs = old.map(allDirs).getOrElse(Set.empty)
     commitStaged(fs, path, staging, staged,
       oldDirs ++ staged.keySet, df.schema, old, None,
-      fullOverwrite = true)
+      fullOverwrite = true, bootstrapLayout = Some(partitionCols))
   }
 
   /** Bootstrap an EMPTY lake with a declared schema and partition
@@ -1142,11 +1148,7 @@ object PartitionedLake {
     val fs = fsFor(spark, path)
     val old = manifestOrMigrate(spark, fs, path, partitionCols.size)
     if (old.isEmpty) requireBootstrapSafe(fs, path, partitionCols)
-    old.flatMap(layoutOf).foreach { existing =>
-      require(existing == partitionCols,
-        s"append partition layout (${partitionCols.mkString(", ")}) does " +
-          s"not match the lake's (${existing.mkString(", ")})")
-    }
+    requireLayoutMatch(old, partitionCols, "append")
     // same additive-evolution type gate as upsert: union-by-name at
     // read never coerces, so a type change must refuse HERE
     val schema = old match {
@@ -1167,7 +1169,7 @@ object PartitionedLake {
     val (staging, staged) = stage(spark, fs, path, df, partitionCols,
       statsCols)
     commitStaged(fs, path, staging, staged, Set.empty, schema, old, None,
-      appendOnly = true)
+      appendOnly = true, bootstrapLayout = Some(partitionCols))
   }
 
   /** Read the lake at its latest published snapshot. The manifest is
@@ -1249,6 +1251,19 @@ object PartitionedLake {
     */
   private[io] def layoutOf(m: Manifest): Option[Seq[String]] =
     if (allDirs(m).nonEmpty) Some(partitionColsOf(m)) else m.layout
+
+  /** Every incremental writer (append/upsert/CDC sinks) declares its
+    * partition columns per call — they must MATCH the lake's layout,
+    * or the commit would mix two physical layouts in one manifest
+    * (directory-value parsing and pruning both assume one).
+    */
+  private def requireLayoutMatch(m: Option[Manifest],
+      partitionCols: Seq[String], what: String): Unit =
+    m.flatMap(layoutOf).foreach { existing =>
+      require(existing == partitionCols,
+        s"$what partition layout (${partitionCols.mkString(", ")}) does " +
+          s"not match the lake's (${existing.mkString(", ")})")
+    }
 
   /** Scan of a manifest's merge-on-read delta sidecars, normalized to
     * the snapshot column order plus [[MorOpCol]] (partition values come
@@ -1484,6 +1499,19 @@ object PartitionedLake {
       metadataRowCount(m).map(_ => m.files.view
         .mapValues(_.flatMap(_.rows).sum).toMap)
     }
+  }
+
+  /** One version's SCHEMA from its manifest header alone — the light
+    * resolve for metadata-table schema derivation: version-file
+    * existence is checked (loud on vacuumed/never-published), but the
+    * retired-directory walk [[manifestAt]] performs for pinned DATA
+    * reads is skipped (a schema read opens no partition directories).
+    */
+  private[io] def schemaAt(spark: SparkSession, path: String,
+      version: Long): StructType = {
+    val fs = fsFor(spark, path)
+    requireResolvable(fs, spark, path, version)
+    readManifest(fs, path, version).schema
   }
 
   /** The resolved manifest of `version` (or the latest when None) —
@@ -1743,9 +1771,7 @@ object PartitionedLake {
     // partition columns are implicitly part of the row identity
     // (dirs exist on at least one side whenever `rewritten` is
     // non-empty; both empty -> no classify join happens anyway)
-    val idCols = ((d2 ++ d1).headOption.toSeq
-      .flatMap(_.split('/').toSeq.map(level =>
-        ExternalCatalogUtils.unescapePathName(level.takeWhile(_ != '='))))
+    val idCols = ((d2 ++ d1).headOption.toSeq.flatMap(colsOfDir)
       ++ keyCols).distinct
     val valueCols = out.fieldNames.filterNot(idCols.contains)
     val oKeyed = o.select(
@@ -2157,13 +2183,15 @@ object PartitionedLake {
       val (staging, staged) = stage(spark, fs, path, delta, partitionCols,
         statsCols)
       commitStaged(fs, path, staging, staged, staged.keySet, delta.schema,
-        None, batchId, writerId = writerId)
+        None, batchId, writerId = writerId,
+        bootstrapLayout = Some(partitionCols))
       return
     }
     // transaction-level replay guard: a redelivered micro-batch whose id
     // this writer's manifest slot already records committed skips whole
     if (batchId.exists(b =>
         existing.flatMap(_.txns.get(writerId)).exists(_ >= b))) return
+    requireLayoutMatch(existing, partitionCols, "upsert")
     val parts = delta.select(partitionCols.map(col): _*).distinct()
       .collect().map(_.toSeq)
     if (parts.isEmpty) return
@@ -2332,6 +2360,7 @@ object PartitionedLake {
     // transaction-level replay guard (see [[upsert]]; keyed by writer)
     if (batchId.exists(b =>
         existing.flatMap(_.txns.get(writerId)).exists(_ >= b))) return
+    requireLayoutMatch(existing, partitionCols, "cdcSink")
     requireValType(existing.get, valueCol, ops)
     // partition values are collected under the LAKE's column types (not
     // the op frame's): the probe write below must render directory names
@@ -2425,6 +2454,7 @@ object PartitionedLake {
       s"this lake's merge-on-read deltas are keyed by '${m.mor.get}'; " +
         s"cannot fold ops keyed by '$keyCol'")
     if (batchId.exists(b => m.txns.get(writerId).exists(_ >= b))) return
+    requireLayoutMatch(existing, partitionCols, "cdcSinkMergeOnRead")
     requireValType(m, valueCol, ops)
     val partSchema = StructType(
       partitionCols.map(c => m.schema(c)).toArray)

@@ -67,7 +67,8 @@ class LakeChangeFeedProvider extends StreamSourceProvider with DataSourceRegiste
       sys.error("graft-lake-cdf requires .option(\"path\", <lake root>)"))
 
   private def perCommitOf(parameters: Map[String, String]): Boolean =
-    parameters.getOrElse("granularity", "net").toLowerCase match {
+    parameters.getOrElse("granularity", "net")
+        .toLowerCase(java.util.Locale.ROOT) match {
       case "net" => false
       case "commit" => true
       case other => sys.error(s"graft-lake-cdf: granularity must be " +

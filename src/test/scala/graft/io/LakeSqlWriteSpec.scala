@@ -194,6 +194,52 @@ class LakeSqlWriteSpec extends AnyFunSuite {
     assert(rowsOf(lake) === Set(("b", 2L, 2.0)))
   }
 
+  test("guardrails: DROP refuses non-manifest dirs, CREATE refuses unsupported properties, layout mismatches refuse on every writer, empty bootstraps stay insertable") {
+    useCatalog()
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    // DROP on a directory this catalog never committed to (pre-protocol
+    // read fallback) refuses — a typo'd path must never be recursively
+    // deleted by a catalog that could not even have written it
+    val plainDir = freshLake("dropplain")
+    Seq((1L, "a", 1.0)).toDF("k", "part", "bal")
+      .write.partitionBy("part").parquet(plainDir)
+    val dp = intercept[Exception] {
+      spark.sql(s"DROP TABLE graft_lake.`$plainDir`")
+    }
+    assert(messages(dp).exists(_.contains("refusing to DROP")), dp.toString)
+    assert(new java.io.File(plainDir).exists())
+    // CREATE with properties the manifest cannot persist refuses loudly
+    val propLake = freshLake("props")
+    val tp = intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft_lake.`$propLake` " +
+        "(k BIGINT, part STRING) PARTITIONED BY (part) " +
+        "TBLPROPERTIES ('retention'='30d')")
+    }
+    assert(messages(tp).exists(_.contains("not supported by LakeCatalog")),
+      tp.toString)
+    // a mismatched partition layout refuses on UPSERT too (not just
+    // append): mixing layouts in one manifest breaks pruning
+    val created = freshLake("upsertlayout")
+    spark.sql(s"CREATE TABLE graft_lake.`$created` " +
+      "(k BIGINT, part STRING, bal DOUBLE) PARTITIONED BY (part)")
+    val ul = intercept[Exception] {
+      PartitionedLake.upsert(spark, created, "bal", "k",
+        Seq((1L, "a", 1.0)).toDF("k", "part", "bal"))
+    }
+    assert(ul.getMessage.contains("layout"), ul.getMessage)
+    // a ZERO-ROW bootstrap still records the declared layout: the
+    // manifest's meta:partition-cols comes from the writer's columns,
+    // so the lake is insertable from version 1
+    val emptyBoot = freshLake("emptyboot")
+    PartitionedLake.append(
+      Seq.empty[(Long, String, Double)].toDF("k", "part", "bal"),
+      emptyBoot, Seq("part"))
+    spark.sql(s"INSERT INTO graft_lake.`$emptyBoot` VALUES (1, 'a', 1.0)")
+    assert(rowsOf(emptyBoot) === Set(("a", 1L, 1.0)))
+  }
+
   test("adoption-depth mismatches refuse instead of hiding data: too-shallow errors at adoption, too-deep at bootstrap") {
     // physical layout: (day, src) — two levels
     def plant(tag: String): String = {
