@@ -749,9 +749,11 @@ private[io] class LakeV1ScanRelation(override val sqlContext: SQLContext,
 
 /** `spark.read.format("graft-lake-v2")` — the registered DSv2 form.
   * Options: `path` (required), `versionAsOf` (optional time travel).
-  * Read-only by design: writes keep routing through the v1 `graft-lake`
-  * format (snapshot overwrite / keyed upsert / exactly-once streaming
-  * sink), whose semantics are option-driven v1-API shapes.
+  * SQL INSERT INTO / INSERT OVERWRITE work on tables resolved through
+  * this provider too (the table is [[GraftLakeTable]], same as the
+  * catalog route); KEYED upserts and the exactly-once streaming sink
+  * remain v1 `graft-lake` format surfaces, whose semantics are
+  * option-driven v1-API shapes.
   */
 class LakeTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-lake-v2"
