@@ -71,7 +71,7 @@ private[io] class LakeNativeBatchScan(
 
   // required's data columns in THEIR order, partition columns in
   // LAYOUT order appended — the readDataSchema ++ partitionSchema shape
-  // Spark's own file sources emit (the engine re-projects by name)
+  // Spark's own parquet reader factory physically emits
   private val readDataSchema: StructType = StructType(
     required.fields.filterNot(f => partCols.contains(f.name)))
   private val readPartCols: Seq[String] =
@@ -79,8 +79,25 @@ private[io] class LakeNativeBatchScan(
   private val readPartSchema: StructType =
     StructType(readPartCols.map(c => fullSchema(c)))
 
-  override def readSchema(): StructType =
-    StructType(readDataSchema.fields ++ readPartSchema.fields)
+  /** The ENGINE's pruned order, preserved exactly — not the physical
+    * data++partition emission order. An earlier form returned the
+    * physical order and let the engine re-project by name, which was
+    * harmless under SELECT but fatal under SQL DELETE: the optimizer
+    * restores the requested order with a Project over the pushed-down
+    * relation, and the DELETE planning rules
+    * (OptimizeMetadataOnlyDeleteFromTable, the DeleteFromTable
+    * strategy) match only a BARE scan relation — the gratuitous
+    * Project made every `DELETE FROM lake` an internal error.
+    * [[createReaderFactory]] remaps the physical order to this one.
+    */
+  override def readSchema(): StructType = required
+
+  // physical emission order -> required order; identity when the
+  // required order already is data-then-partition
+  private val innerOrder: Seq[String] =
+    readDataSchema.fieldNames.toSeq ++ readPartCols
+  private val reorder: Array[Int] =
+    required.fieldNames.map(innerOrder.indexOf(_))
 
   override def toBatch: Batch = this
 
@@ -91,10 +108,35 @@ private[io] class LakeNativeBatchScan(
     * its own copy of the predicate for.
     */
   private val staticDirs: Seq[String] = {
-    val preds = claimed.toSeq.map(f => LakeFilters.compile(f, dtOf).get)
+    // "claimed => compiles" is the builder's invariant
+    // ([[LakeScanBuilder.pushFilters]] only claims filters the exact
+    // evaluator accepted); assert it HERE with a pointer at the seam,
+    // because the two halves live in different files and a builder
+    // drift would otherwise surface as a bare NoSuchElementException
+    val preds = claimed.toSeq.map(f => LakeFilters.compile(f, dtOf)
+      .getOrElse(throw new IllegalStateException(
+        s"claimed filter $f does not compile against the snapshot " +
+          "schema — LakeScanBuilder.pushFilters must only claim filters " +
+          "LakeFilters.compile accepts (builder/scan invariant drift)")))
     m.files.keys.toSeq.sorted
       .filter(d => preds.forall(_(c => parser.valueOf(d, c)).contains(true)))
   }
+
+  /** A kept directory's files, minus the ones whose committed footer
+    * bounds PROVE no residual-filter match ([[LakeFilters.mayMatchStats]])
+    * — the SQL-route analogue of the API's `readRange`/`readBox` file
+    * skipping (PartitionedLake.scala footer-harvest notes). On a
+    * z-order-compacted lake each file is a small rectangle in the
+    * clustered columns' space, so a SQL range predicate plans a strict
+    * subset of the kept directories' files; the engine re-evaluates
+    * every residual filter row-by-row on top, so the skip is pure
+    * performance. At 100 TB this is the same class of win as DPP: the
+    * bytes are never opened, and the decision costs zero footer reads
+    * at query time (the bounds were harvested once, at commit).
+    */
+  private def liveEntries(d: String): Seq[PartitionedLake.FileEntry] =
+    m.files(d).filter(e =>
+      residual.forall(f => LakeFilters.mayMatchStats(f, e.stats)))
 
   // runtime (join-driven) predicates land here; pruning-only, so a
   // shape the evaluator cannot compile is simply ignored (the join
@@ -121,17 +163,28 @@ private[io] class LakeNativeBatchScan(
       runtimePreds.forall(_(c => parser.valueOf(d, c)).contains(true)))
 
   /** The file paths this scan would open right now (post static AND
-    * runtime pruning) — the observable q153/spec assertions pin.
+    * runtime pruning AND stats skipping) — the observable q153/q157 and
+    * the spec assertions pin.
     */
   private[io] def plannedFiles: Seq[String] = keptDirs.flatMap(d =>
-    m.files(d).map(e => s"$path/$d/${e.name}"))
+    liveEntries(d).map(e => s"$path/$d/${e.name}"))
   private[io] def staticFileCount: Int =
-    staticDirs.map(m.files(_).size).sum
+    staticDirs.map(liveEntries(_).size).sum
+
+  /** (post-skip, pre-skip) file counts over the directories the scan
+    * keeps right now — strictly-less pairs are FILE-LEVEL data-skipping
+    * evidence (bounds-pruned files inside surviving directories),
+    * orthogonal to [[staticFileCount]]'s directory-level view.
+    */
+  private[io] def statsSkipping: (Int, Int) = {
+    val dirs = keptDirs
+    (dirs.map(liveEntries(_).size).sum, dirs.map(m.files(_).size).sum)
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val perDir = keptDirs.map { d =>
-      (parser.rowOf(d, readPartCols), d, m.files(d))
+      (parser.rowOf(d, readPartCols), d, liveEntries(d))
     }
     val totalBytes = perDir.iterator
       .flatMap(_._3.iterator.map(_.bytes.get)).sum
@@ -194,10 +247,15 @@ private[io] class LakeNativeBatchScan(
     // pure performance
     val pushable = residual.filter(
       _.references.forall(r => dataSchema.fieldNames.contains(r)))
-    ParquetPartitionReaderFactory(spark.sessionState.conf, bc, dataSchema,
-      readDataSchema, readPartSchema, pushable, None,
+    val inner = ParquetPartitionReaderFactory(spark.sessionState.conf, bc,
+      dataSchema, readDataSchema, readPartSchema, pushable, None,
       new ParquetOptions(CaseInsensitiveMap(Map.empty[String, String]),
         spark.sessionState.conf))
+    // remap the physical data++partition emission order to the engine's
+    // requested order (see readSchema) — identity-elided, and on the
+    // columnar path a zero-copy column-reference shuffle
+    if (reorder.sameElements(reorder.indices)) inner
+    else new LakeReorderingReaderFactory(inner, required, reorder)
   }
 
   /** EXACT post-claim manifest sums — after a selective partition
@@ -208,7 +266,9 @@ private[io] class LakeNativeBatchScan(
     */
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
-    val entries = staticDirs.flatMap(m.files(_))
+    // post-claim AND post-stats-skip: both prunes are known at planning
+    // time (unlike runtime filters, which land after stats are consumed)
+    val entries = staticDirs.flatMap(liveEntries(_))
     val rows = if (entries.forall(_.rows.isDefined))
       Some(entries.iterator.map(_.rows.get).sum) else None
     new LakeStatistics(Some(entries.iterator.map(_.bytes.get).sum), rows)
@@ -219,5 +279,60 @@ private[io] class LakeNativeBatchScan(
     val c = if (claimed.isEmpty) ""
       else s" claimed: ${claimed.mkString(" AND ")}"
     s"GraftLakeNativeScan($path$v, ${staticDirs.size} dirs$c)"
+  }
+}
+
+/** Remaps a delegate reader's column order to the scan's declared
+  * [[LakeNativeBatchScan.readSchema]] order. The parquet reader factory
+  * physically emits data columns then appended partition columns; the
+  * scan contract is "whatever order pruneColumns requested". Columnar
+  * batches remap by COLUMN REFERENCE (one array shuffle per batch
+  * object, zero data movement — the vectors are shared, and the
+  * delegate reader reuses its batch across next() calls so the wrapper
+  * rebuilds only when the delegate's batch identity changes); the row
+  * path wraps each row in one reused [[ProjectingInternalRow]].
+  */
+private[io] class LakeReorderingReaderFactory(
+    inner: PartitionReaderFactory,
+    out: StructType, idx: Array[Int]) extends PartitionReaderFactory {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.ProjectingInternalRow
+  import org.apache.spark.sql.connector.read.PartitionReader
+  import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
+
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    inner.supportColumnarReads(p)
+
+  override def createReader(p: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val r = inner.createReader(p)
+    val proj = ProjectingInternalRow(out, idx.toIndexedSeq)
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = r.next()
+      override def get(): InternalRow = { proj.project(r.get()); proj }
+      override def close(): Unit = r.close()
+    }
+  }
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[ColumnarBatch] = {
+    val r = inner.createColumnarReader(p)
+    new PartitionReader[ColumnarBatch] {
+      private var innerBatch: ColumnarBatch = _
+      private var wrapped: ColumnarBatch = _
+      override def next(): Boolean = r.next()
+      override def get(): ColumnarBatch = {
+        val b = r.get()
+        if (b ne innerBatch) {
+          innerBatch = b
+          wrapped = new ColumnarBatch(
+            idx.map(b.column(_): ColumnVector), b.numRows())
+        } else wrapped.setNumRows(b.numRows())
+        wrapped
+      }
+      // closing the DELEGATE also releases the shared vectors; the
+      // wrapper batch holds references only
+      override def close(): Unit = r.close()
+    }
   }
 }

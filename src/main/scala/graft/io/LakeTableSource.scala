@@ -76,6 +76,15 @@ object LakeScanCheck {
     */
   def nativePruning(df: DataFrame): Seq[(Int, Int)] =
     nativeScansOf(df).map(n => (n.plannedFiles.size, n.staticFileCount))
+
+  /** (post-skip, pre-skip) file counts within each native scan's KEPT
+    * directories — strictly-less pairs are FILE-LEVEL data-skipping
+    * evidence (footer-bounds pruning inside surviving directories, the
+    * q157 in-band claim), orthogonal to [[nativePruning]]'s
+    * directory-level view.
+    */
+  def nativeStatsSkipping(df: DataFrame): Seq[(Int, Int)] =
+    nativeScansOf(df).map(_.statsSkipping)
 }
 
 /** Typed partition values parsed from manifest directory names — the
@@ -192,6 +201,10 @@ private[io] object LakeFilters {
           if (va == null) None else Some(test(va.toString)) }
       }
     f match {
+      // DELETE FROM without a WHERE arrives as AlwaysTrue; the constant
+      // shapes are trivially exact
+      case _: AlwaysTrue => Some(_ => Some(true))
+      case _: AlwaysFalse => Some(_ => Some(false))
       case EqualTo(a, x) => cmp(a, x)(_ == 0)
       case EqualNullSafe(a, null) =>
         dt(a).map(_ => v => Some(v(a) == null))
@@ -235,6 +248,72 @@ private[io] object LakeFilters {
           case _ => None } }
       case Not(c) => compile(c, dt).map(e => (v: String => Any) => e(v).map(!_))
       case _ => None
+    }
+  }
+
+  /** Can a file whose committed per-column bounds are `stats` possibly
+    * hold a row matching `f`? `false` ONLY when the bounds PROVE no row
+    * can match — the file-skipping decision the native scan applies to
+    * each kept directory's file list. Everything conservative:
+    *
+    *  - a column absent from `stats` (never harvested, non-numeric,
+    *    non-finite values at commit) keeps the file;
+    *  - bounds are the ULP-WIDENED doubles [[PartitionedLake]] harvests
+    *    (widened specifically so this comparison is sound for exact
+    *    long/int values rendered as doubles);
+    *  - parquet min/max ignore NULLs, so a file of all-null values may
+    *    carry no bounds (kept) — and the shapes evaluated here
+    *    (comparisons, IN) are never satisfied BY a null row, so
+    *    skipping on non-null bounds never drops a null-matching row;
+    *  - `Not`, null tests, and unknown shapes keep the file (proving
+    *    "every row matches the inner predicate" needs more than
+    *    bounds);
+    *  - the filters arrive from `pushFilters`' RESIDUAL set, which the
+    *    engine re-evaluates row-by-row on top — the skip is pure
+    *    performance, exactness never rides on it.
+    */
+  def mayMatchStats(f: Filter,
+      stats: Map[String, (Double, Double)]): Boolean = {
+    import org.apache.spark.sql.sources._
+    def num(x: Any): Option[Double] = x match {
+      case n: java.lang.Number => Some(n.doubleValue)
+      case _ => None // non-numeric literal: bounds are numeric-only
+    }
+    def bounds(a: String): Option[(Double, Double)] = stats.get(a)
+    f match {
+      case EqualTo(a, x) => (bounds(a), num(x)) match {
+        case (Some((lo, hi)), Some(v)) => lo <= v && v <= hi
+        case _ => true
+      }
+      case EqualNullSafe(a, x) if x != null => (bounds(a), num(x)) match {
+        case (Some((lo, hi)), Some(v)) => lo <= v && v <= hi
+        case _ => true
+      }
+      case GreaterThan(a, x) => (bounds(a), num(x)) match {
+        case (Some((_, hi)), Some(v)) => hi > v
+        case _ => true
+      }
+      case GreaterThanOrEqual(a, x) => (bounds(a), num(x)) match {
+        case (Some((_, hi)), Some(v)) => hi >= v
+        case _ => true
+      }
+      case LessThan(a, x) => (bounds(a), num(x)) match {
+        case (Some((lo, _)), Some(v)) => lo < v
+        case _ => true
+      }
+      case LessThanOrEqual(a, x) => (bounds(a), num(x)) match {
+        case (Some((lo, _)), Some(v)) => lo <= v
+        case _ => true
+      }
+      case In(a, xs) => bounds(a) match {
+        case Some((lo, hi)) =>
+          xs.isEmpty || xs.exists(x =>
+            num(x).forall(v => lo <= v && v <= hi))
+        case None => true
+      }
+      case And(l, r) => mayMatchStats(l, stats) && mayMatchStats(r, stats)
+      case Or(l, r) => mayMatchStats(l, stats) || mayMatchStats(r, stats)
+      case _ => true
     }
   }
 }
@@ -288,12 +367,67 @@ private[io] object LakeFilters {
   */
 private[io] class GraftLakeTable(path: String, version: Option[Long])
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   private def spark: SparkSession = SparkSession.active
 
   // resolved ONCE at table construction: the DSv2 relation pins this
   // snapshot exactly like the API read pins its manifest
   private[io] val manifest = PartitionedLake.manifestAt(spark, path, version)
+
+  /** SQL `DELETE FROM lake WHERE <partition predicate>`: every filter
+    * must reference ONLY partition columns and compile through the
+    * exact three-valued evaluator — then each partition directory is
+    * uniformly true/false/null for the whole conjunction (its rows
+    * share the partition values), so retiring the Some(true)
+    * directories IS row-exact DELETE semantics, for the cost of one
+    * manifest commit and zero data jobs. HONESTLY declared: a
+    * sub-partition predicate returns false here and the statement fails
+    * at ANALYSIS ("Cannot delete from table ... where ..."), the same
+    * capability-honesty rule that keeps OVERWRITE_BY_FILTER
+    * un-advertised — row-level deletes go through
+    * [[PartitionedLake.cdcSink]]/[[PartitionedLake.cdcSinkMergeOnRead]].
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean = {
+    version.isEmpty && manifest.exists { m =>
+      val partCols = PartitionedLake.layoutOf(m).getOrElse(Nil)
+      partCols.nonEmpty && filters.forall(f =>
+        f.references.forall(partCols.contains) &&
+          LakeFilters.compile(f, dtOf).isDefined)
+    }
+  }
+
+  private def dtOf(c: String): Option[org.apache.spark.sql.types.DataType] =
+    schema.fields.find(_.name == c).map(_.dataType)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    if (version.isDefined) sys.error(
+      s"cannot DELETE from $path VERSION AS OF ${version.get}: snapshots " +
+        "are immutable — DELETE from the unversioned table instead")
+    // the deletion set is derived from the LATEST head, not the pinned
+    // read snapshot: DELETE is a write, and the commit's conflict check
+    // must run against what it actually supersedes
+    val head = PartitionedLake.manifestAt(spark, path, None).getOrElse(
+      sys.error(s"cannot SQL-DELETE from the pre-protocol lake at $path: " +
+        "adopt it first (any PartitionedLake write publishes a manifest)"))
+    val partCols = PartitionedLake.layoutOf(head).getOrElse(Nil)
+    // defense in depth behind canDeleteWhere (and the seam for direct
+    // API callers): refuse loudly, naming the row-level alternative
+    val unclaimable = filters.filterNot(f =>
+      f.references.forall(partCols.contains) &&
+        LakeFilters.compile(f, dtOf).isDefined)
+    if (partCols.isEmpty || unclaimable.nonEmpty) sys.error(
+      s"DELETE FROM $path requires a predicate over the partition " +
+        s"column(s) ${partCols.mkString(", ")} that the exact evaluator " +
+        s"can claim; got: ${unclaimable.mkString(", ")} — for row-level " +
+        "deletes use PartitionedLake.cdcSink / cdcSinkMergeOnRead " +
+        "(keyed 'D' ops), then compact()")
+    val parser = new LakeDirValues(partCols, head.schema)
+    val preds = filters.toSeq.map(f => LakeFilters.compile(f, dtOf).get)
+    val matched = PartitionedLake.allDirs(head).filter(d =>
+      preds.forall(_(c => parser.valueOf(d, c)).contains(true)))
+    PartitionedLake.retireDirectories(spark, path, matched, head)
+  }
 
   override val schema: StructType = manifest.map(_.schema).getOrElse {
     // pre-protocol (manifest-less) parquet lake: adopt its layout
@@ -337,10 +471,17 @@ private[io] class GraftLakeTable(path: String, version: Option[Long])
   override def name(): String =
     s"graft-lake $path" + version.map(v => s" VERSION AS OF $v").getOrElse("")
 
+  // TRUNCATE but NOT OVERWRITE_BY_FILTER: the write builder can only
+  // express the FULL overwrite (the snapshot protocol has no partition-
+  // scoped truncate), and advertising the filter capability would trade
+  // the analysis-time "table does not support overwrite by filter" for
+  // a later runtime refusal — capability honesty keeps the error early.
+  // Partition-scoped deletes go through SQL DELETE FROM (SupportsDelete
+  // below); partition-scoped rewrites through upsert/cdcSink.
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.BATCH_WRITE,
-      TableCapability.OVERWRITE_BY_FILTER, TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeScanBuilder(path, version, schema, manifest)
@@ -1133,12 +1274,12 @@ class LakeCatalog extends TableCatalog {
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident)
     // a racing CREATE can land between the check and the publish; the
-    // lost race must surface as ALREADY-EXISTS so IF NOT EXISTS stays
-    // quiet instead of erroring on the internal publish conflict
+    // lost race surfaces from createEmpty as the DEDICATED already-exists
+    // type (matched here by TYPE, not message text, so an unrelated
+    // publish failure can never be swallowed by IF NOT EXISTS)
     try PartitionedLake.createEmpty(SparkSession.active, path, schema, cols)
     catch {
-      case e: Exception if Option(e.getMessage).exists(m =>
-          m.contains("already exists") || m.contains("already published")) =>
+      case _: PartitionedLake.LakeAlreadyExistsException =>
         throw new org.apache.spark.sql.catalyst.analysis
           .TableAlreadyExistsException(ident)
     }

@@ -96,6 +96,17 @@ import org.apache.spark.sql.types.{DataType, StructType, TimestampNTZType, Times
   */
 object PartitionedLake {
 
+  /** A CREATE-style bootstrap found something already living at the
+    * path — a pre-existing lake, foreign files, or a racing CREATE that
+    * published version 1 first. A dedicated TYPE so SQL
+    * `CREATE TABLE IF NOT EXISTS` can swallow exactly this and nothing
+    * else (an earlier form classified by message substring, which would
+    * mislabel any publish failure whose message happened to contain
+    * "already exists" — a real failure then read as quiet success).
+    */
+  final class LakeAlreadyExistsException(msg: String)
+      extends RuntimeException(msg)
+
   private val ManifestDirName = "_manifest"
   private val StagingDirName = "_staging"
   // %09d pads for sortable names but is MINIMUM width: version 10^9
@@ -157,6 +168,20 @@ object PartitionedLake {
     * corrupt a read (pre-round-14 readers fall back to dir-derivation
     * or the empty-layout behavior they always had), which is what
     * keeps it minor-version-free per the header note's rule.
+    *
+    * `columnIds` is the name -> STABLE-ID mapping that makes column
+    * renames possible, persisted as a `meta:column-ids=` header line.
+    * This release ships the READER half of the two-phase evolution
+    * (parse, preserve through round-trips, expose) — no writer assigns
+    * ids yet, and column matching stays by-name everywhere. Once every
+    * reader in a fleet accepts the line, a later release's writer can
+    * assign ids at bootstrap and rename by REBINDING a name to an
+    * existing id (parquet field-id resolution then reads old files
+    * under the new name) — the forward path
+    * [[refuseSuspectedRename]]'s error message points at. A mapping
+    * must cover every schema field or it is rejected at parse (a
+    * partial mapping could mis-resolve precisely the columns it
+    * omits).
     */
   private[io] case class Manifest(version: Long, schema: StructType,
       files: Map[String, Seq[FileEntry]],
@@ -164,7 +189,8 @@ object PartitionedLake {
       deltas: Map[String, Seq[String]] = Map.empty,
       mor: Option[String] = None,
       leaves: Seq[String] = Nil,
-      layout: Option[Seq[String]] = None)
+      layout: Option[Seq[String]] = None,
+      columnIds: Option[Map[String, Int]] = None)
 
   /** The writer id [[upsert]]/[[cdcSink]]/[[cdcSinkMergeOnRead]] charge
     * their replay guard to when the caller does not name one.
@@ -354,6 +380,29 @@ object PartitionedLake {
     val layout = body.find(_.startsWith("meta:partition-cols="))
       .map(_.stripPrefix("meta:partition-cols=").split('/').toSeq
         .map(ExternalCatalogUtils.unescapePathName))
+    // meta:column-ids= — the name -> stable-id mapping the rename fix
+    // rides (see the Manifest doc). READER acceptance ships this
+    // release, one ahead of any writer, per the two-phase rule. A
+    // mapping that does not cover EVERY schema field is rejected
+    // loudly: ids exist to resolve columns, and a partial mapping
+    // would mis-resolve exactly the fields it omits.
+    val columnIds = body.find(_.startsWith("meta:column-ids="))
+      .map { l =>
+        val ids = l.stripPrefix("meta:column-ids=").split('/')
+          .filter(_.nonEmpty).toSeq.map { f =>
+            val i = f.lastIndexOf(':')
+            require(i > 0, s"malformed meta:column-ids entry '$f' in $p")
+            ExternalCatalogUtils.unescapePathName(f.substring(0, i)) ->
+              f.substring(i + 1).toInt
+          }.toMap
+        val unmapped = schema.fieldNames.filterNot(ids.contains)
+        require(unmapped.isEmpty,
+          s"manifest $p carries meta:column-ids but leaves column(s) " +
+            s"${unmapped.mkString(", ")} unmapped — a partial id mapping " +
+            "cannot resolve the schema; restore the manifest or drop the " +
+            "line")
+        ids
+      }
     val deltas = body.filter(_.startsWith("delta:")).map { l =>
       val p = l.stripPrefix("delta:")
       val i = p.lastIndexOf('/')
@@ -404,7 +453,8 @@ object PartitionedLake {
           rowFields.headOption.map(_.stripPrefix("rows:").toLong),
           byteFields.headOption.map(_.stripPrefix("bytes:").toLong)))
     }.groupBy(_._1).map { case (d, fs0) => d -> fs0.map(_._2) }
-    Manifest(version, schema, files, txns, deltas, mor, leafNames, layout)
+    Manifest(version, schema, files, txns, deltas, mor, leafNames, layout,
+      columnIds)
   }
 
   /** The delta + data-file lines for one partition directory — the
@@ -506,6 +556,14 @@ object PartitionedLake {
     // back unambiguously whatever the column names
     m.layout.foreach(cols => body.append("meta:partition-cols=")
       .append(cols.map(ExternalCatalogUtils.escapePathName).mkString("/"))
+      .append('\n'))
+    // round-trip the column-id mapping when present (a future writer's
+    // manifest republished by this release — e.g. a rebase — must not
+    // silently strip it; escapePathName escapes ':' and '/', so the
+    // joined form parses back unambiguously)
+    m.columnIds.foreach(ids => body.append("meta:column-ids=")
+      .append(ids.toSeq.sortBy(_._2).map { case (n, i) =>
+        s"${ExternalCatalogUtils.escapePathName(n)}:$i" }.mkString("/"))
       .append('\n'))
     if (nShards == 0) {
       allDirs(m).toSeq.sorted.foreach(appendDirLines(body, m, _))
@@ -808,7 +866,11 @@ object PartitionedLake {
         s". If these are genuinely a new column plus an intentionally " +
         s"omitted one, carry the omitted column explicitly — " +
         s"lit(null).cast(\"${suspects.head._3.simpleString}\")" +
-        s".as(\"${suspects.head._1}\") — to state the intent.")
+        s".as(\"${suspects.head._1}\") — to state the intent. " +
+        "True renames arrive via the manifest's meta:column-ids " +
+        "name->stable-id mapping: readers already accept and round-trip " +
+        "it (this release); a later release's writer assigns ids and " +
+        "renames by rebinding a name to its id.")
   }
 
   /** Additive schema merge for a rebase: `head`'s fields first, then the
@@ -927,6 +989,30 @@ object PartitionedLake {
     while (true) {
       val deltasReplaced = replacedDeltas.getOrElse(replacedNow)
       val baseFiles = base.map(_.files).getOrElse(Map.empty)
+      // an APPEND into a directory with live merge-on-read deltas would
+      // SILENTLY LOSE ROWS: the append carries base.deltas forward
+      // unsuperseded, and frameFor's MOR merge anti-joins ALL files of a
+      // dirty directory (post-delta appends included) against the delta
+      // identity keys — an inserted row whose (partition, key) matches
+      // any live delta row (re-inserting a CDC-deleted key, a key with a
+      // pending 'U' post-image) disappears from every read until
+      // compact(). Refuse loudly instead — checked INSIDE the rebase
+      // loop, because a racing cdcSinkMergeOnRead can add deltas to a
+      // directory between this commit's manifest read and its publish.
+      if (appendOnly) {
+        val dirty = moved.keySet
+          .intersect(base.map(_.deltas.keySet).getOrElse(Set.empty))
+        if (dirty.nonEmpty) {
+          unlinkMoved()
+          sys.error(s"cannot append into $path: live merge-on-read " +
+            s"deltas cover the target partition(s) " +
+            s"${dirty.toSeq.sorted.mkString(", ")} — appended rows whose " +
+            "key matches a live delta would silently vanish from reads; " +
+            "run PartitionedLake.compact(...) first (materializes the " +
+            "deltas away), or use upsert (which supersedes the touched " +
+            "partitions' deltas)")
+        }
+      }
       val newFiles =
         if (appendOnly)
           // merge, don't replace: each staged directory's files join the
@@ -968,9 +1054,17 @@ object PartitionedLake {
         // (zero-row first write/append) still records the caller's
         // declared columns, so the lake is insertable from version 1
         else base.flatMap(layoutOf).orElse(bootstrapLayout)
+      // the column-id mapping carries through commits only while it
+      // still covers every snapshot field: an additive evolution by a
+      // THIS-release writer (which cannot assign a fresh id) drops the
+      // mapping instead of publishing a partial one readers rightly
+      // reject — by-name resolution (today's behavior everywhere) is
+      // the documented degradation
+      val carriedIds = base.flatMap(_.columnIds)
+        .filter(ids => snapshotSchema.fieldNames.forall(ids.contains))
       val ok = tryPublishManifest(fs, path, Manifest(
         base.map(_.version + 1).getOrElse(1L), snapshotSchema, newFiles,
-        txns, newDeltas, mor, layout = layout))
+        txns, newDeltas, mor, layout = layout, columnIds = carriedIds))
       if (ok) return
       attempts += 1
       val head = latestManifest(fs, path).getOrElse(
@@ -1123,10 +1217,19 @@ object PartitionedLake {
     val root = new Path(path)
     if (latestManifest(fs, path).isDefined ||
         (fs.exists(root) && fs.listStatus(root).nonEmpty))
-      sys.error(s"a lake (or other data) already exists at $path")
-    publishManifest(fs, path, Manifest(1L,
-      StructType(schema.fields.map(_.copy(nullable = true))), Map.empty,
-      layout = Some(partitionCols)))
+      throw new LakeAlreadyExistsException(
+        s"a lake (or other data) already exists at $path")
+    // a racing CREATE can land between the check above and this publish:
+    // the lost version-1 race IS "already exists", signaled with the
+    // same dedicated type (SQL CREATE TABLE IF NOT EXISTS matches on the
+    // TYPE — an earlier form classified by message substring, which
+    // mislabeled unrelated publish failures as already-exists)
+    if (!tryPublishManifest(fs, path, Manifest(1L,
+        StructType(schema.fields.map(_.copy(nullable = true))), Map.empty,
+        layout = Some(partitionCols))))
+      throw new LakeAlreadyExistsException(
+        s"a lake already exists at $path (a racing CREATE published " +
+          "version 1 first)")
   }
 
   /** Append-only commit: stage `df` and publish a snapshot whose
@@ -1170,6 +1273,40 @@ object PartitionedLake {
       statsCols)
     commitStaged(fs, path, staging, staged, Set.empty, schema, old, None,
       appendOnly = true, bootstrapLayout = Some(partitionCols))
+  }
+
+  /** Retire whole partition directories through the snapshot protocol —
+    * the primitive under SQL `DELETE FROM lake WHERE <partition
+    * predicate>` ([[GraftLakeTable]]'s `SupportsDelete`): publish a new
+    * version whose manifest no longer references `dirs`' files OR their
+    * merge-on-read deltas (a retired partition's every row is gone,
+    * deltas included). Nothing is deleted from disk — the old snapshot
+    * stays time-travelable and the files live until [[vacuum]], exactly
+    * like [[cdcSink]]'s emptied-partition retirement. The declared
+    * layout carries through [[commitStaged]]'s empty-snapshot rule, so
+    * a fully-emptied lake remains insertable.
+    *
+    * `old` is the head manifest the caller derived `dirs` from; racing
+    * commits that touch a retired directory conflict loudly through the
+    * standard rebase check (the retired set IS the replaced set), while
+    * disjoint commits rebase cleanly. A no-match delete publishes
+    * NOTHING (no empty version churn — SQL DELETE matching zero rows is
+    * a read-only statement here).
+    */
+  private[io] def retireDirectories(spark: SparkSession, path: String,
+      dirs: Set[String], old: Manifest): Unit = {
+    if (dirs.isEmpty) return
+    val unknown = dirs.diff(allDirs(old))
+    require(unknown.isEmpty,
+      s"cannot retire directories not in manifest v${old.version}: " +
+        unknown.mkString(", "))
+    val fs = fsFor(spark, path)
+    // no staged files: the commit only de-references. The staging path
+    // is never created (move over an empty map is a no-op; the delete
+    // of a nonexistent staging dir is too).
+    val staging = new Path(path, s"$StagingDirName/${UUID.randomUUID()}")
+    commitStaged(fs, path, staging, Map.empty, dirs, old.schema, Some(old),
+      None)
   }
 
   /** Read the lake at its latest published snapshot. The manifest is

@@ -1658,6 +1658,93 @@ object RelationalOps {
       Some("""SELECT o_orderpriority, count(*) AS n, true AS metadata_only
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin),
-      "lake op: SQL CREATE TABLE / CTAS through the catalog (declared layout persisted; created lake fully metadata-capable)")
+      "lake op: SQL CREATE TABLE / CTAS through the catalog (declared layout persisted; created lake fully metadata-capable)"),
+
+    // ---- File-level data skipping through the NATIVE DSv2 scan: a SQL
+    // range predicate on a z-order-compacted lake plans only the files
+    // whose committed footer bounds intersect the box — the SQL-route
+    // twin of q150's API readBox, riding the same harvested
+    // FileEntry.stats. The claim is IN-BAND twice over:
+    // stats_skipped pins that the scan planned a strict non-zero subset
+    // of the kept directories' files (file-level, inside surviving
+    // dirs — orthogonal to q153's directory-level DPP), and
+    // routes_agree pins DSv2 == API readBox == v1 format row counts, so
+    // the skip provably dropped only files the bounds prove empty of
+    // matches. At 100 TB this is the scan shape that makes SQL range
+    // queries on clustered lakes open a handful of files instead of
+    // every file of every kept partition. ----
+    Q("q157_dsv2_stats_skipping",
+      (s, d) => {
+        val dir = scratchDir("q157-skip") + "/lake"
+        val pts = Tables.lineitem(s, d).select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          (col("l_orderkey") % 64).as("x"), (col("l_partkey") % 64).as("y"))
+        graft.io.PartitionedLake.write(pts, dir, "l_returnflag")
+        graft.io.PartitionedLake.compact(s, dir, Nil,
+          zorderBy = Seq("x", "y"), filesPerPartition = 8)
+        s.conf.set("spark.sql.catalog.graft_lake",
+          classOf[graft.io.LakeCatalog].getName)
+        val out = s.sql(
+          s"SELECT count(*) AS rows_in_box, sum(l_orderkey) AS okey_sum " +
+            s"FROM graft_lake.`$dir` " +
+            "WHERE x BETWEEN 10 AND 15 AND y BETWEEN 10 AND 15")
+        val n = out.collect()(0).getLong(0)
+        val skip = graft.io.LakeScanCheck.nativeStatsSkipping(out)
+        val skipped = skip.nonEmpty &&
+          skip.forall { case (post, pre) => post > 0 && post < pre }
+        // route parity: the API's box read and the v1 format see the
+        // same rows the skipping scan kept
+        val apiN = graft.io.PartitionedLake.readBox(s, dir,
+          Map("x" -> (10.0, 15.0), "y" -> (10.0, 15.0))).count()
+        val v1N = s.read.format("graft-lake").option("path", dir).load()
+          .filter(col("x").between(10, 15) && col("y").between(10, 15))
+          .count()
+        out.withColumn("stats_skipped", lit(skipped))
+          .withColumn("routes_agree", lit(apiN == n && v1N == n))
+      },
+      Some("""SELECT count(*) AS rows_in_box,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS okey_sum,
+        |  true AS stats_skipped, true AS routes_agree
+        |FROM lineitem
+        |WHERE l_orderkey % 64 BETWEEN 10 AND 15
+        |  AND l_partkey % 64 BETWEEN 10 AND 15""".stripMargin),
+      "lake op: file-level data skipping in the native DSv2 scan (SQL range predicate opens only bounds-intersecting files)"),
+
+    // ---- SQL DELETE FROM through the catalog: a partition predicate
+    // retires wholly-matched directories through the snapshot protocol
+    // (one manifest commit, ZERO data jobs — the directory names are
+    // uniformly true/false for a claimed predicate, so dir retirement
+    // IS row-exact DELETE). The pre-delete snapshot stays
+    // time-travelable (v1_rows pins it in-band); sub-partition
+    // predicates refuse at analysis (capability honesty —
+    // LakeSqlWriteSpec pins the refusal matrix). ----
+    Q("q158_sql_lake_delete",
+      (s, d) => {
+        val dir = scratchDir("q158-delete") + "/lake"
+        val base = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderpriority"), col("o_totalprice"))
+        graft.io.PartitionedLake.write(base, dir, "o_orderpriority")
+        s.conf.set("spark.sql.catalog.graft_lake",
+          classOf[graft.io.LakeCatalog].getName)
+        s.sql(s"DELETE FROM graft_lake.`$dir` " +
+          "WHERE o_orderpriority = '1-URGENT'")
+        val out = s.sql(
+          s"SELECT o_orderpriority, count(*) AS n, " +
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) " +
+            s"AS price_sum FROM graft_lake.`$dir` " +
+            "GROUP BY o_orderpriority")
+        val v1n = s.sql(
+          s"SELECT count(*) FROM graft_lake.`$dir` VERSION AS OF 1")
+          .collect()(0).getLong(0)
+        out.withColumn("v1_rows", lit(v1n)).orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+        |    AS price_sum,
+        |  (SELECT count(*) FROM orders) AS v1_rows
+        |FROM orders WHERE o_orderpriority <> '1-URGENT'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin),
+      "lake op: SQL DELETE FROM via SupportsDelete (partition retirement through the snapshot protocol, zero data jobs)")
   )
 }

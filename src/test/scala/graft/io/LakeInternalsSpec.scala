@@ -145,6 +145,78 @@ class LakeInternalsSpec extends AnyFunSuite {
     assert(e.stats.isEmpty) // the unknown field is ignored, not stats
   }
 
+  test("meta:column-ids: the rename mapping's READER half — parse, full-coverage gate, round-trip, carry-through-commit rules") {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField}
+    import graft.SparkTestSession.spark.implicits._
+    def esc(s: String) =
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(s)
+    def plant(body: String): (org.apache.hadoop.fs.FileSystem, String) = {
+      val path = java.nio.file.Files.createTempDirectory("graft-colids")
+        .toString + "/lake"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val dir = new org.apache.hadoop.fs.Path(path, "_manifest")
+      fs.mkdirs(dir)
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(dir, "v000000001.txt"), false)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      (fs, path)
+    }
+    // a FUTURE writer's manifest: ids for every column, one name
+    // containing the separator characters themselves
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("part", StringType), StructField("we:ird/x", DoubleType)))
+    val (fs, path) = plant("graft-lake-manifest v1\n" +
+      s"schema ${schema.json}\n" +
+      "meta:partition-cols=part\n" +
+      s"meta:column-ids=k:1/part:2/${esc("we:ird/x")}:3\n")
+    val m = PartitionedLake.latestManifest(fs, path).get
+    assert(m.columnIds ===
+      Some(Map("k" -> 1, "part" -> 2, "we:ird/x" -> 3)))
+    // round-trip: THIS release republishing the manifest (a rebase on a
+    // mixed fleet) must not strip the future writer's mapping
+    PartitionedLake.publishManifest(fs, path, m.copy(version = 2L))
+    assert(PartitionedLake.latestManifest(fs, path).get.columnIds ===
+      m.columnIds)
+    // a PARTIAL mapping is rejected loudly at parse — it would
+    // mis-resolve exactly the columns it omits
+    val (fs2, partial) = plant("graft-lake-manifest v1\n" +
+      s"schema ${schema.json}\n" +
+      "meta:column-ids=k:1\n")
+    val e = intercept[Exception] {
+      PartitionedLake.latestManifest(fs2, partial)
+    }
+    assert(e.getMessage.contains("unmapped"), e.getMessage)
+    // carry-through-commit rules on a REAL lake: same-schema commits
+    // carry the mapping; an additive evolution (this release cannot
+    // assign the new column an id) drops it rather than publish a
+    // partial mapping
+    val lake = java.nio.file.Files.createTempDirectory("graft-colids2")
+      .toString + "/lake"
+    val lfs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    PartitionedLake.write(Seq((1L, "a")).toDF("k", "part"), lake, "part")
+    val head = PartitionedLake.latestManifest(lfs, lake).get
+    PartitionedLake.publishManifest(lfs, lake, head.copy(
+      version = head.version + 1,
+      columnIds = Some(Map("k" -> 1, "part" -> 2))))
+    PartitionedLake.append(Seq((2L, "a")).toDF("k", "part"), lake,
+      Seq("part"))
+    assert(PartitionedLake.latestManifest(lfs, lake).get.columnIds ===
+      Some(Map("k" -> 1, "part" -> 2)), "same-schema append must carry ids")
+    PartitionedLake.append(Seq((3L, "a", 9.0)).toDF("k", "part", "extra"),
+      lake, Seq("part"))
+    assert(PartitionedLake.latestManifest(lfs, lake).get.columnIds === None,
+      "additive evolution must drop (not truncate) the mapping")
+    // and the rename refusal points at the id-mapping forward path
+    val rn = intercept[Exception] {
+      PartitionedLake.append(
+        Seq((4L, "a", 8.0)).toDF("k", "part", "renamed"), lake, Seq("part"))
+    }
+    assert(rn.getMessage.contains("meta:column-ids"), rn.getMessage)
+  }
+
   test("latestVersion with a live hint probes forward without listing _manifest/; a vacuumed hint falls back") {
     val path = java.nio.file.Files.createTempDirectory("graft-probe").toString + "/lake"
     val raw = new org.apache.hadoop.fs.Path(path)

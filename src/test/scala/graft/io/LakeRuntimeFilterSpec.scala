@@ -170,6 +170,40 @@ class LakeRuntimeFilterSpec extends AnyFunSuite {
     assert(LakeScanCheck.nativeScansOf(compDf).size === 1)
   }
 
+  test("quantified MOR gap: a star join over a live-delta snapshot reads every file (the V1 fallback has no runtime-filter seam); compact() restores DPP") {
+    val (lake, dim) = starFixture("morgap")
+    // one partition gains a live merge-on-read delta: the WHOLE lake
+    // routes to the V1 fallback (the MOR merge is a derived plan), so
+    // even a maximally selective dim cannot prune the other 19 dirs
+    PartitionedLake.cdcSinkMergeOnRead(spark, lake, "day", "k", "v",
+      Seq((3L, 3L, 1L, "U", 999L)).toDF("day", "k", "seq", "op", "val"))
+    val hot = dim.filter(col("temp") === "hot")
+    val morJoin = v2(lake).join(broadcast(hot), Seq("day"))
+      .agg(sum("v").as("s"))
+    morJoin.collect()
+    assert(LakeScanCheck.nativeScansOf(morJoin).isEmpty,
+      "a deltas-bearing snapshot must route to the V1 fallback")
+    // quantify the gap: the fallback's delegated plan enumerates every
+    // live base file + delta sidecar regardless of the dim — this is
+    // the number a 100 TB user pays between CDC batches and compaction
+    val allFiles = PartitionedLake.read(spark, lake).inputFiles.length
+    assert(allFiles > 20, s"fixture should hold >1 file/dir, got $allFiles")
+    // compaction materializes the deltas away; the SAME join then goes
+    // native and runtime-prunes to the two hot days' files
+    PartitionedLake.compact(spark, lake)
+    val nativeJoin = v2(lake).join(broadcast(hot), Seq("day"))
+      .agg(sum("v").as("s"))
+    nativeJoin.collect()
+    val Seq((planned, static)) = LakeScanCheck.nativePruning(nativeJoin)
+    // 2 of 20 dirs survive the runtime filter, whatever compaction's
+    // files-per-dir came out to
+    assert(planned > 0 && planned * 10 === static, s"($planned, $static)")
+    // and the answers agree before/after (the delta's +999-ish update
+    // rides both routes)
+    assert(morJoin.collect()(0).getLong(0) ===
+      nativeJoin.collect()(0).getLong(0))
+  }
+
   test("runtime pruning on a multi-level (day, src) layout prunes at the joined level; the other level's dirs survive per tuple") {
     val dir = freshDir("multi")
     val lake = s"$dir/lake"
@@ -209,6 +243,89 @@ class LakeRuntimeFilterSpec extends AnyFunSuite {
     assert(joined.collect()(0).getLong(0) === 100L) // 1 of 8 days
     val Seq((planned, static)) = LakeScanCheck.nativePruning(joined)
     assert(planned === static / 8, s"($planned, $static)")
+  }
+
+  test("file-level stats skipping: a residual range predicate plans only bounds-intersecting files; claim + runtime + stats compose; all routes agree") {
+    val dir = freshDir("skip")
+    val lake = s"$dir/lake"
+    // 4 day-partitions; z-order compaction on the single column v =
+    // per-partition range clustering into 4 files with disjoint
+    // committed v-bounds
+    val fact = spark.range(4000L).select((col("id") % 4).as("day"),
+      col("id").as("k"), (col("id") % 1000).as("v"))
+    PartitionedLake.write(fact, lake, "day")
+    PartitionedLake.compact(spark, lake, Nil, zorderBy = Seq("v"),
+      filesPerPartition = 4)
+    // stats skip alone: v < 100 keeps ~1 of 4 files per directory
+    val df = v2(lake).filter(col("v") < 100L).agg(count(lit(1)).as("n"))
+    assert(df.collect()(0).getLong(0) === 400L)
+    val Seq((post, pre)) = LakeScanCheck.nativeStatsSkipping(df)
+    assert(post > 0 && post < pre, s"stats skip did not engage ($post, $pre)")
+    // all three routes return the SAME rows on the skipping predicate
+    def keySet(d: DataFrame): Set[Long] = d.filter(col("v") < 100L)
+      .select("k").collect().map(_.getLong(0)).toSet
+    val nativeKeys = keySet(v2(lake))
+    assert(nativeKeys === keySet(PartitionedLake.read(spark, lake)))
+    assert(nativeKeys === keySet(
+      spark.read.format("graft-lake").option("path", lake).load()))
+    assert(nativeKeys.size === 400)
+    // COMPOSED: static claim (day >= 1) + runtime (dim keeps day=1) +
+    // stats (v < 100) — each prune visible in its own observable
+    val dimPath = s"$dir/dim"
+    Seq((1L, "keep"), (0L, "drop")).toDF("day", "tag").write.parquet(dimPath)
+    val j = v2(lake).filter(col("day") >= 1L && col("v") < 100L)
+      .join(broadcast(spark.read.parquet(dimPath)
+        .filter(col("tag") === "keep")), Seq("day"))
+      .agg(count(lit(1)).as("n"))
+    assert(j.collect()(0).getLong(0) === 100L)
+    val Seq((planned, static)) = LakeScanCheck.nativePruning(j)
+    assert(planned > 0 && planned < static,
+      s"runtime prune did not engage ($planned, $static)")
+    val Seq((post2, pre2)) = LakeScanCheck.nativeStatsSkipping(j)
+    assert(post2 > 0 && post2 < pre2,
+      s"stats skip did not engage under runtime pruning ($post2, $pre2)")
+  }
+
+  test("stats skipping is conservative: files without bounds are kept, non-range shapes keep everything, results never change") {
+    val lake = freshDir("conskip") + "/lake"
+    // NO statsCols and no z-order: committed entries carry no bounds
+    PartitionedLake.write(spark.range(100L)
+      .select(lit("a").as("part"), col("id").as("v")), lake, "part")
+    val noStats = v2(lake).filter(col("v") < 10L)
+    assert(noStats.count() === 10L)
+    val Seq((p1, p2)) = { noStats.collect(); LakeScanCheck.nativeStatsSkipping(noStats) }
+    assert(p1 === p2, s"skipped files without committed bounds ($p1, $p2)")
+    // an all-excluding range prunes to ZERO files once bounds exist —
+    // and the result is exact-empty, not a crash
+    PartitionedLake.compact(spark, lake, statsCols = Seq("v"))
+    val none = v2(lake).filter(col("v") > 1000000L)
+    assert(none.count() === 0L)
+    none.collect()
+    val Seq((z, zp)) = LakeScanCheck.nativeStatsSkipping(none)
+    assert(z === 0 && zp > 0, s"($z, $zp)")
+    // a non-range residual shape (Not/inequality) keeps every file:
+    // bounds cannot prove "no row differs from 5", so the evaluator
+    // must not over-skip — the engine's row-level filter does the work
+    val ne = v2(lake).filter(col("v") =!= 5L)
+    assert(ne.count() === 99L)
+    ne.collect()
+    val Seq((k1, k2)) = LakeScanCheck.nativeStatsSkipping(ne)
+    assert(k1 === k2, s"Not(EqualTo) must keep all files ($k1, $k2)")
+  }
+
+  test("the claimed=>compiles invariant is asserted at scan construction with a pointer at the builder seam") {
+    val lake = freshDir("invariant") + "/lake"
+    PartitionedLake.write(spark.range(10L)
+      .select(lit("a").as("part"), col("id").as("v")), lake, "part")
+    val m = PartitionedLake.manifestAt(spark, lake, None).get
+    val schema = m.schema
+    val bad = intercept[IllegalStateException] {
+      new LakeNativeBatchScan(lake, None, m, schema, schema,
+        claimed = Array(org.apache.spark.sql.sources.EqualTo("no_such", 1)),
+        residual = Array.empty)
+    }
+    assert(bad.getMessage.contains("LakeScanBuilder.pushFilters"),
+      bad.getMessage)
   }
 
   test("native reads of schema-evolved and null-partition lakes: old files surface typed nulls, __HIVE_DEFAULT_PARTITION__ round-trips") {

@@ -90,12 +90,18 @@ class LakeSqlWriteSpec extends AnyFunSuite {
     def messages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x =>
         Option(x.getMessage).toSeq ++ messages(x.getCause))
-    // partition-scoped overwrite: loud, names the alternative
+    // partition-scoped overwrite: refused at ANALYSIS time — the table
+    // deliberately does not advertise OVERWRITE_BY_FILTER (capability
+    // honesty: the write builder can only express the full overwrite),
+    // so the engine rejects the statement before any job runs
     val ps = intercept[Exception] {
       spark.sql(s"INSERT OVERWRITE graft_lake.`$lake` " +
         "PARTITION (part = 'a') VALUES (5, 5.0)")
     }
-    assert(messages(ps).exists(_.contains("partition-scoped")), ps.toString)
+    assert(messages(ps).exists(_.toLowerCase.contains("overwrite by filter")),
+      ps.toString)
+    // and nothing changed on disk
+    assert(rowsOf(lake) === Set(("a", 1L, 1.0)))
     // a pre-protocol lake refuses SQL writes with adoption directions
     val legacy = freshLake("refuse-legacy")
     Seq((1L, "a", 1.0)).toDF("k", "part", "bal")
@@ -280,6 +286,110 @@ class LakeSqlWriteSpec extends AnyFunSuite {
       Seq((2L, "d2", "app", 2.0)).toDF("k", "day", "src", "bal"),
       ok, Seq("day", "src"))
     assert(PartitionedLake.read(spark, ok).count() === 2L)
+  }
+
+  test("DELETE FROM retires wholly-matched partitions through the snapshot protocol; old version stays time-travelable; emptied lake stays insertable") {
+    val lake = freshLake("delete")
+    PartitionedLake.write(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0))
+      .toDF("k", "part", "bal"), lake, "part")
+    useCatalog()
+    spark.sql(s"DELETE FROM graft_lake.`$lake` WHERE part = 'a'")
+    // SQL delete == the API-built expectation; ONE manifest commit
+    assert(rowsOf(lake) === Set(("b", 2L, 2.0)))
+    assert(PartitionedLake.snapshots(spark, lake) === Seq(1L, 2L))
+    assert(PartitionedLake.readVersion(spark, lake, 1L).count() === 3L)
+    // the retirement is metadata-only: files stay on disk for the
+    // pinned version until vacuum
+    assert(spark.sql(s"SELECT count(*) FROM graft_lake.`$lake` " +
+      "VERSION AS OF 1").collect()(0).getLong(0) === 3L)
+    // compound claimed predicates (IN over partition values) work; a
+    // listed-but-absent value is just unmatched
+    spark.sql(s"DELETE FROM graft_lake.`$lake` WHERE part IN ('b', 'zzz')")
+    assert(PartitionedLake.read(spark, lake).count() === 0L)
+    // a fully-emptied lake keeps its declared layout: still insertable
+    spark.sql(s"INSERT INTO graft_lake.`$lake` VALUES (9, 'c', 9.0)")
+    assert(rowsOf(lake) === Set(("c", 9L, 9.0)))
+    // a zero-match DELETE publishes NOTHING (no empty version churn)
+    val before = PartitionedLake.snapshots(spark, lake)
+    spark.sql(s"DELETE FROM graft_lake.`$lake` WHERE part = 'nope'")
+    assert(PartitionedLake.snapshots(spark, lake) === before)
+    // DELETE FROM without WHERE (AlwaysTrue) retires every partition
+    spark.sql(s"DELETE FROM graft_lake.`$lake`")
+    assert(PartitionedLake.read(spark, lake).count() === 0L)
+  }
+
+  test("DELETE FROM retires a partition's merge-on-read deltas along with its files; sub-partition predicates refuse at analysis") {
+    val lake = freshLake("delmor")
+    PartitionedLake.write(Seq((1L, "a", 1.0), (2L, "b", 2.0))
+      .toDF("k", "part", "bal"), lake, "part")
+    PartitionedLake.cdcSinkMergeOnRead(spark, lake, "part", "k", "bal",
+      Seq((1L, "a", 1L, "U", 7.0)).toDF("k", "part", "seq", "op", "val"))
+    useCatalog()
+    spark.sql(s"DELETE FROM graft_lake.`$lake` WHERE part = 'a'")
+    assert(rowsOf(lake) === Set(("b", 2L, 2.0)))
+    // the delta log went with the partition: the snapshot is clean
+    // again (exact metadata count proves no live deltas remain)
+    assert(PartitionedLake.rowCount(spark, lake) === Some(1L))
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    // a data-column predicate refuses at ANALYSIS (canDeleteWhere is
+    // honest — same rule as the OVERWRITE_BY_FILTER drop), and nothing
+    // changes on disk
+    val sub = intercept[Exception] {
+      spark.sql(s"DELETE FROM graft_lake.`$lake` WHERE k = 2")
+    }
+    assert(messages(sub).exists(_.toLowerCase.contains("delete")),
+      sub.toString)
+    assert(rowsOf(lake) === Set(("b", 2L, 2.0)))
+    // mixed partition+data conjunction refuses too (it is NOT silently
+    // widened to the partition half — that would delete too much)
+    intercept[Exception] {
+      spark.sql(s"DELETE FROM graft_lake.`$lake` WHERE part = 'b' AND k = 2")
+    }
+    assert(rowsOf(lake) === Set(("b", 2L, 2.0)))
+    // the direct-API seam refuses loudly, naming the row-level
+    // alternative (defense in depth behind canDeleteWhere)
+    val api = intercept[Exception] {
+      new GraftLakeTable(lake, None).deleteWhere(Array(
+        org.apache.spark.sql.sources.EqualTo("k", 2L): org.apache.spark.sql.sources.Filter))
+    }
+    assert(api.getMessage.contains("cdcSink"), api.getMessage)
+  }
+
+  test("INSERT INTO / append refuse when live merge-on-read deltas cover a target partition (appended rows would silently vanish)") {
+    val lake = freshLake("morins")
+    PartitionedLake.write(Seq((1L, "a", 1.0), (2L, "b", 2.0))
+      .toDF("k", "part", "bal"), lake, "part")
+    PartitionedLake.cdcSinkMergeOnRead(spark, lake, "part", "k", "bal",
+      Seq((1L, "a", 1L, "D", 0.0)).toDF("k", "part", "seq", "op", "val"))
+    assert(PartitionedLake.read(spark, lake).count() === 1L)
+    useCatalog()
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    // the dangerous shape: re-inserting the CDC-deleted key — without
+    // the guard this row is anti-joined away by the MOR merge and
+    // vanishes from every read until compact()
+    val ins = intercept[Exception] {
+      spark.sql(s"INSERT INTO graft_lake.`$lake` VALUES (1, 'a', 5.0)")
+    }
+    assert(messages(ins).exists(_.contains("merge-on-read")), ins.toString)
+    // the refused append unlinked its moved files: the lake is intact
+    assert(PartitionedLake.read(spark, lake).count() === 1L)
+    // appending into a CLEAN partition of the same lake is fine (only
+    // delta-bearing directories are dangerous)
+    PartitionedLake.append(Seq((3L, "b", 3.0)).toDF("k", "part", "bal"),
+      lake, Seq("part"))
+    assert(PartitionedLake.read(spark, lake).select("k").collect()
+      .map(_.getLong(0)).toSet === Set(2L, 3L))
+    // compact() materializes the deltas away; the insert then lands and
+    // the re-inserted key is VISIBLE (the exact row loss the guard
+    // prevents)
+    PartitionedLake.compact(spark, lake)
+    spark.sql(s"INSERT INTO graft_lake.`$lake` VALUES (1, 'a', 5.0)")
+    assert(PartitionedLake.read(spark, lake).select("k").collect()
+      .map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
   }
 
   test("append evolves additively: new columns widen the snapshot; old rows surface typed nulls on every read route") {
