@@ -2,12 +2,16 @@ package graft.io
 
 import org.apache.spark.paths.SparkPath
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.CaseInsensitiveMap
-import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.expressions.Expressions
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReaderFactory, Scan, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetOptions
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetPartitionReaderFactory
+import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.util.SerializableConfiguration
@@ -63,7 +67,7 @@ private[io] class LakeNativeBatchScan(
     claimed: Array[Filter],
     residual: Array[Filter])
   extends Scan with Batch with SupportsRuntimeFiltering
-  with SupportsReportStatistics {
+  with SupportsReportStatistics with SupportsReportPartitioning {
 
   private val partCols: Seq[String] = PartitionedLake.partitionColsOf(m)
   private def dtOf(c: String): Option[org.apache.spark.sql.types.DataType] =
@@ -181,6 +185,31 @@ private[io] class LakeNativeBatchScan(
     (dirs.map(liveEntries(_).size).sum, dirs.map(m.files(_).size).sum)
   }
 
+  /** Storage-partitioned joins: when the session opts into DSv2
+    * bucketing (`spark.sql.sources.v2.bucketing.enabled`) and the scan
+    * output carries EVERY partition column (the engine resolves the
+    * clustering expressions against the pruned output, and join keys
+    * are always read), the scan reports its manifest layout as a
+    * [[KeyGroupedPartitioning]] and plans KEY-PURE input partitions —
+    * each holds one directory's files, tagged [[HasPartitionKey]].
+    * Two lakes laid out on the same key then equi-join with ZERO
+    * Exchange: at 100 TB this deletes the largest shuffle a fact-fact
+    * join has (both sides' full width over the wire), the DSv2
+    * analogue of what io/Bucketing proves for the warehouse path.
+    * Ungated, the per-directory packing would cost task-count fanout
+    * at the 50k-dir design point for queries that never join — hence
+    * the conf gate, mirroring Spark's own contract (the engine ignores
+    * reported key grouping unless the same conf is on).
+    */
+  private def spjKeyed: Boolean =
+    SQLConf.get.v2BucketingEnabled && readPartCols == partCols
+
+  override def outputPartitioning(): Partitioning =
+    if (spjKeyed)
+      new KeyGroupedPartitioning(
+        partCols.map(c => Expressions.identity(c)).toArray, keptDirs.size)
+    else new UnknownPartitioning(0)
+
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val perDir = keptDirs.map { d =>
@@ -189,7 +218,8 @@ private[io] class LakeNativeBatchScan(
     val totalBytes = perDir.iterator
       .flatMap(_._3.iterator.map(_.bytes.get)).sum
     val maxSplit = FilePartition.maxSplitBytes(spark, totalBytes)
-    val slices = perDir.flatMap { case (values, d, entries) =>
+    def slicesOf(values: InternalRow, d: String,
+        entries: Seq[PartitionedLake.FileEntry]): Seq[PartitionedFile] =
       entries.flatMap { e =>
         val len = e.bytes.get
         val sp = SparkPath.fromPathString(s"$path/$d/${e.name}")
@@ -198,9 +228,23 @@ private[io] class LakeNativeBatchScan(
             math.min(maxSplit, len - start), Array.empty, 0L, len, Map.empty)
         }
       }
+    if (spjKeyed) {
+      // KEY-PURE partitions: bin-pack within each directory only, and
+      // tag each with its partition-value row. Multiple partitions per
+      // key are fine — the engine groups same-key partitions into one
+      // task when key-grouped execution is actually chosen.
+      perDir.flatMap { case (values, d, entries) =>
+        FilePartition.getFilePartitions(spark,
+          slicesOf(values, d, entries).sortBy(-_.length), maxSplit)
+          .map(fp => new LakeKeyedFilePartition(fp, values))
+      }.toArray
+    } else {
+      val slices = perDir.flatMap { case (values, d, entries) =>
+        slicesOf(values, d, entries)
+      }
+      FilePartition.getFilePartitions(spark,
+        slices.sortBy(-_.length), maxSplit).toArray
     }
-    FilePartition.getFilePartitions(spark,
-      slices.sortBy(-_.length), maxSplit).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -254,8 +298,12 @@ private[io] class LakeNativeBatchScan(
     // remap the physical data++partition emission order to the engine's
     // requested order (see readSchema) — identity-elided, and on the
     // columnar path a zero-copy column-reference shuffle
-    if (reorder.sameElements(reorder.indices)) inner
-    else new LakeReorderingReaderFactory(inner, required, reorder)
+    val ordered =
+      if (reorder.sameElements(reorder.indices)) inner
+      else new LakeReorderingReaderFactory(inner, required, reorder)
+    // always unwrap-tolerant: whether planInputPartitions emitted keyed
+    // (SPJ) or plain partitions, the delegate sees a bare FilePartition
+    new LakeKeyUnwrappingFactory(ordered)
   }
 
   /** EXACT post-claim manifest sums — after a selective partition
@@ -280,6 +328,41 @@ private[io] class LakeNativeBatchScan(
       else s" claimed: ${claimed.mkString(" AND ")}"
     s"GraftLakeNativeScan($path$v, ${staticDirs.size} dirs$c)"
   }
+}
+
+/** A [[FilePartition]] carrying its partition-value row — the
+  * [[HasPartitionKey]] tag storage-partitioned joins group on. Emitted
+  * only when the scan reports [[KeyGroupedPartitioning]], and each
+  * instance holds ONE directory's file slices (key purity is what
+  * makes the grouping sound). [[LakeKeyUnwrappingFactory]] strips the
+  * wrapper before the parquet factory's `FilePartition` pattern match.
+  */
+private[io] class LakeKeyedFilePartition(val delegate: FilePartition,
+    key: InternalRow) extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+  override def preferredLocations(): Array[String] =
+    delegate.preferredLocations()
+}
+
+/** Strips [[LakeKeyedFilePartition]] down to its [[FilePartition]] for
+  * a delegate factory that pattern-matches the concrete class; plain
+  * partitions pass through untouched.
+  */
+private[io] class LakeKeyUnwrappingFactory(inner: PartitionReaderFactory)
+    extends PartitionReaderFactory {
+  private def unwrap(p: InputPartition): InputPartition = p match {
+    case k: LakeKeyedFilePartition => k.delegate
+    case other => other
+  }
+  override def createReader(p: InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] =
+    inner.createReader(unwrap(p))
+  override def createColumnarReader(p: InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.vectorized.ColumnarBatch] =
+    inner.createColumnarReader(unwrap(p))
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    inner.supportColumnarReads(unwrap(p))
 }
 
 /** Remaps a delegate reader's column order to the scan's declared

@@ -85,6 +85,23 @@ object LakeScanCheck {
     */
   def nativeStatsSkipping(df: DataFrame): Seq[(Int, Int)] =
     nativeScansOf(df).map(_.statsSkipping)
+
+  /** Shuffle exchanges in the EXECUTED plan (AQE stages unwrapped) —
+    * zero over a lake-lake equi-join is the storage-partitioned-join
+    * claim q159 pins in-band.
+    */
+  def shuffleExchanges(df: DataFrame): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def walk(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case s => (if (s.isInstanceOf[ShuffleExchangeLike]) 1 else 0) +
+        s.children.map(walk).sum
+    }
+    walk(df.queryExecution.executedPlan)
+  }
 }
 
 /** Typed partition values parsed from manifest directory names — the

@@ -1745,6 +1745,57 @@ object RelationalOps {
         |FROM orders WHERE o_orderpriority <> '1-URGENT'
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin),
-      "lake op: SQL DELETE FROM via SupportsDelete (partition retirement through the snapshot protocol, zero data jobs)")
+      "lake op: SQL DELETE FROM via SupportsDelete (partition retirement through the snapshot protocol, zero data jobs)"),
+
+    // ---- Storage-partitioned join: two lakes laid out on the same
+    // key equi-join with ZERO shuffle under
+    // spark.sql.sources.v2.bucketing.enabled — the native scan reports
+    // its manifest layout as a KeyGroupedPartitioning and plans
+    // key-pure input partitions (SupportsReportPartitioning +
+    // HasPartitionKey), so the engine elides BOTH Exchanges and the
+    // grouped aggregate rides the same partitioning. The claim is
+    // IN-BAND: spj_zero_exchange counts ShuffleExchange nodes in the
+    // executed join+agg plan. At 100 TB this deletes the largest
+    // shuffle a fact-fact join has — both sides' full width over the
+    // wire — the DSv2 analogue of the q135 bucketed-warehouse join. ----
+    Q("q159_lake_spj_join",
+      (s, d) => {
+        val dir = scratchDir("q159-spj")
+        val factLake = s"$dir/orders"; val dimLake = s"$dir/cust"
+        graft.io.PartitionedLake.write(Tables.orders(s, d).select(
+          (col("o_custkey") % 16).as("bucket"),
+          col("o_orderkey"), col("o_totalprice")), factLake, "bucket")
+        graft.io.PartitionedLake.write(Tables.customer(s, d)
+          .groupBy((col("c_custkey") % 16).as("bucket"))
+          .agg(count(lit(1)).as("n_cust")), dimLake, "bucket")
+        val key = "spark.sql.sources.v2.bucketing.enabled"
+        val before = s.conf.get(key)
+        try {
+          s.conf.set(key, "true")
+          def lake(p: String) =
+            s.read.format("graft-lake-v2").option("path", p).load()
+          val j = lake(factLake).hint("merge")
+            .join(lake(dimLake), Seq("bucket"))
+            .groupBy("bucket")
+            .agg(count(lit(1)).as("n_orders"),
+              sum(col("o_totalprice").cast("decimal(28,6)")).cast("double")
+                .as("price_sum"),
+              max(col("n_cust")).as("n_cust"))
+          j.collect() // execute under the conf: the plan proof is below
+          val zeroExchange = graft.io.LakeScanCheck.shuffleExchanges(j) == 0
+          j.withColumn("spj_zero_exchange", lit(zeroExchange))
+            .orderBy("bucket")
+        } finally s.conf.set(key, before)
+      },
+      Some("""WITH c AS (
+        |  SELECT c_custkey % 16 AS bucket, count(*) AS n_cust
+        |  FROM customer GROUP BY 1)
+        |SELECT o_custkey % 16 AS bucket, count(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+        |    AS price_sum,
+        |  max(c.n_cust) AS n_cust, true AS spj_zero_exchange
+        |FROM orders JOIN c ON o_custkey % 16 = c.bucket
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+      "lake op: storage-partitioned join (SupportsReportPartitioning + HasPartitionKey: zero-Exchange lake-lake equi-join)")
   )
 }
