@@ -162,7 +162,20 @@ object Bench {
       spark.range(50000000L).selectExpr("sum(id * 2 + 1)").collect()
       (System.nanoTime() - t0) / 1e9
     }
-    val sentinelStart = sentinel()
+    // bounded IDLE-WAIT: a transiently contended box at recording time
+    // is the one failure mode min-of-2 + per-query escapes cannot fix
+    // (they clip spikes, not a sustained tint across the whole sweep).
+    // If the pre-sweep sentinel is out of band, sleep and re-probe — at
+    // most 3 × 15 s, then proceed and record honestly (the contended
+    // flag still computes from what was actually measured). An idle box
+    // pays nothing: the first probe is in-band and no wait happens.
+    var sentinelStart = sentinel()
+    var waitedSec = 0
+    while (sentinelStart > 0.55 && waitedSec < 45) {
+      Thread.sleep(15000L)
+      waitedSec += 15
+      sentinelStart = sentinel()
+    }
     val penaltySec = 60.0 // documented flat cost per failed query
     val history = loadHistory(SparkEntry.queries.keySet, sfDir)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -185,7 +198,7 @@ object Bench {
     val total = timings.map(_._2).sum
     val sentinelEnd = sentinel()
     val sentinelJson = s"""{"start":${f"$sentinelStart%.3f"},""" +
-      s""""end":${f"$sentinelEnd%.3f"}}"""
+      s""""end":${f"$sentinelEnd%.3f"},"waitedSec":$waitedSec}"""
     // the artifact SELF-DESCRIBES contention so round-over-round
     // comparison never needs forensics: thresholds sit just above the
     // observed idle bands (end ~0.13-0.31 s; start regularly up to

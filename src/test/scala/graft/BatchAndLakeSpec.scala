@@ -139,6 +139,22 @@ object LakeModelHarness extends org.scalatest.Assertions {
       }
     }
 
+    /** SQL DELETE of one partition value (null included): partition
+      * retirement through the snapshot protocol must drop exactly that
+      * partition's rows from the model — even when the partition holds
+      * live merge-on-read deltas (retired with it) or doesn't exist
+      * (no-op, no version churn).
+      */
+    def deleteOp(): Unit = {
+      spark.conf.set("spark.sql.catalog.graft_model_lake",
+        classOf[graft.io.LakeCatalog].getName)
+      val p = partPool(rnd.nextInt(partPool.size))
+      val where = if (p == null) "part IS NULL"
+        else s"part = '${p.replace("'", "''")}'"
+      spark.sql(s"DELETE FROM graft_model_lake.`$path` WHERE $where")
+      model = model.filter { case ((mp, _), _) => mp != p }
+    }
+
     def readBack(): Map[(String, Long), Double] =
       graft.io.PartitionedLake.read(spark, path).collect()
         .map(r => (r.getAs[String]("part"), r.getAs[Long]("k")) ->
@@ -177,6 +193,7 @@ object LakeModelHarness extends org.scalatest.Assertions {
             path, "part")
           model = rows.map(r => (r._1, r._2) -> r._3).toMap
           false
+        case 3 => deleteOp(); false // commits de-reference, pins survive
         case n if n < 8 => upsertOp(); false
         case _ => cdcOp(); false
       }
@@ -270,10 +287,31 @@ class LakeModelMultiLevelSpec extends AnyFunSuite {
         .toDF("id", "day", "src", "bal"), path, Seq("day", "src"), Nil)
     model = Map(("d1", "web", 0L) -> 1.0, ("d2", "a/b", 1L) -> 2.0)
 
+    /** SQL DELETE on the nested layout: a day-only predicate retires
+      * EVERY (day, *) leaf (prefix semantics), a (day, src) conjunction
+      * retires exactly one leaf — both must match the model.
+      */
+    def deleteOp(): Unit = {
+      spark.conf.set("spark.sql.catalog.graft_model_lake2",
+        classOf[graft.io.LakeCatalog].getName)
+      val (d, s) = cell()
+      def eq(c: String, v: String) =
+        if (v == null) s"$c IS NULL" else s"$c = '${v.replace("'", "''")}'"
+      if (rnd.nextBoolean()) {
+        spark.sql(s"DELETE FROM graft_model_lake2.`$path` WHERE ${eq("day", d)}")
+        model = model.filter { case ((md, _, _), _) => md != d }
+      } else {
+        spark.sql(s"DELETE FROM graft_model_lake2.`$path` " +
+          s"WHERE ${eq("day", d)} AND ${eq("src", s)}")
+        model = model.filter { case ((md, ms, _), _) => md != d || ms != s }
+      }
+    }
+
     for (step <- 1 to 18) {
       rnd.nextInt(10) match {
         case 0 => PartitionedLake.compact(spark, path)
         case 1 => PartitionedLake.vacuum(spark, path)
+        case 2 => deleteOp()
         case n if n < 6 => upsertOp()
         case _ => cdcOp()
       }

@@ -316,6 +316,14 @@ class LakeSqlWriteSpec extends AnyFunSuite {
     // DELETE FROM without WHERE (AlwaysTrue) retires every partition
     spark.sql(s"DELETE FROM graft_lake.`$lake`")
     assert(PartitionedLake.read(spark, lake).count() === 0L)
+    // TRUNCATE TABLE rides the same seam (TruncatableTable's default
+    // delegates to deleteWhere(AlwaysTrue)) — and the truncated lake
+    // keeps its layout, so it stays insertable
+    spark.sql(s"INSERT INTO graft_lake.`$lake` VALUES (1, 'a', 1.0)")
+    spark.sql(s"TRUNCATE TABLE graft_lake.`$lake`")
+    assert(PartitionedLake.read(spark, lake).count() === 0L)
+    spark.sql(s"INSERT INTO graft_lake.`$lake` VALUES (2, 'b', 2.0)")
+    assert(rowsOf(lake) === Set(("b", 2L, 2.0)))
   }
 
   test("DELETE FROM retires a partition's merge-on-read deltas along with its files; sub-partition predicates refuse at analysis") {
