@@ -69,7 +69,12 @@ private[io] class LakeNativeBatchScan(
   extends Scan with Batch with SupportsRuntimeFiltering
   with SupportsReportStatistics with SupportsReportPartitioning {
 
-  private val partCols: Seq[String] = PartitionedLake.partitionColsOf(m)
+  // layoutOf, not partitionColsOf: an EMPTY snapshot (created table, a
+  // row-level rewrite's target before any insert) has no directories to
+  // derive from, but its declared meta:partition-cols layout still
+  // names the columns
+  private val partCols: Seq[String] =
+    PartitionedLake.layoutOf(m).getOrElse(Nil)
   private def dtOf(c: String): Option[org.apache.spark.sql.types.DataType] =
     fullSchema.fields.find(_.name == c).map(_.dataType)
 
@@ -155,16 +160,42 @@ private[io] class LakeNativeBatchScan(
   override def filterAttributes(): Array[NamedReference] =
     readPartCols.map(c => Expressions.column(c)).toArray
 
+  /** NULL-SAFE widening for runtime IN-filters: a delivered value list
+    * containing null is rewritten to `In(non-nulls) OR IsNull` before
+    * compiling. Runtime filters are PRUNING-ONLY, so for join-driven
+    * DPP this is merely conservative (a null join key never matches,
+    * but keeping the null directory costs only its scan); for
+    * row-level GROUP filtering it is REQUIRED for correctness-of-
+    * pruning: the engine's matching-groups subquery announces the null
+    * partition as a null key (plain InSubquery — no null-safe form),
+    * and three-valued IN would silently prune the very group an
+    * `UPDATE ... WHERE part IS NULL` must rewrite.
+    */
+  private def nullSafeRuntime(f: Filter): Filter = f match {
+    case org.apache.spark.sql.sources.In(a, vs) if vs.contains(null) =>
+      org.apache.spark.sql.sources.Or(
+        org.apache.spark.sql.sources.In(a, vs.filter(_ != null)),
+        org.apache.spark.sql.sources.IsNull(a))
+    case other => other
+  }
+
   override def filter(filters: Array[Filter]): Unit = {
     runtimePreds = filters.toSeq
       .filter(_.references.forall(partCols.contains))
-      .flatMap(f => LakeFilters.compile(f, dtOf))
+      .flatMap(f => LakeFilters.compile(nullSafeRuntime(f), dtOf))
   }
 
   private def keptDirs: Seq[String] =
     if (runtimePreds.isEmpty) staticDirs
     else staticDirs.filter(d =>
       runtimePreds.forall(_(c => parser.valueOf(d, c)).contains(true)))
+
+  /** The directories the scan reads AS OF NOW (post static claim and
+    * any delivered runtime filters) — the ReplaceData write resolves
+    * its replaced-group set from this at commit time
+    * ([[LakeRowLevelOperation.replacedDirs]]).
+    */
+  private[io] def currentKeptDirs: Seq[String] = keptDirs
 
   /** The file paths this scan would open right now (post static AND
     * runtime pruning AND stats skipping) — the observable q153/q157 and
@@ -185,8 +216,7 @@ private[io] class LakeNativeBatchScan(
     (dirs.map(liveEntries(_).size).sum, dirs.map(m.files(_).size).sum)
   }
 
-  /** Storage-partitioned joins: when the session opts into DSv2
-    * bucketing (`spark.sql.sources.v2.bucketing.enabled`) and the scan
+  /** Storage-partitioned joins: when the session opts in AND the scan
     * output carries EVERY partition column (the engine resolves the
     * clustering expressions against the pruned output, and join keys
     * are always read), the scan reports its manifest layout as a
@@ -196,13 +226,22 @@ private[io] class LakeNativeBatchScan(
     * Exchange: at 100 TB this deletes the largest shuffle a fact-fact
     * join has (both sides' full width over the wire), the DSv2
     * analogue of what io/Bucketing proves for the warehouse path.
-    * Ungated, the per-directory packing would cost task-count fanout
-    * at the 50k-dir design point for queries that never join — hence
-    * the conf gate, mirroring Spark's own contract (the engine ignores
-    * reported key grouping unless the same conf is on).
+    *
+    * Opt-in is [[LakeNativeBatchScan.PreserveGroupingKey]] on TOP of
+    * Spark's own `spark.sql.sources.v2.bucketing.enabled` (default ON
+    * in Spark 4): once key grouping is reported, the engine groups
+    * same-key splits into ONE task for EVERY query — a 10 GB single
+    * partition becomes one task whether or not any join benefits. The
+    * same trade is why Iceberg gates its grouping report behind a
+    * default-off preserve-data-grouping flag; co-located join plans
+    * are worth single-task-per-key reads only when the query actually
+    * joins on the layout.
     */
   private def spjKeyed: Boolean =
-    SQLConf.get.v2BucketingEnabled && readPartCols == partCols
+    SQLConf.get.v2BucketingEnabled &&
+      SQLConf.get.getConfString(
+        LakeNativeBatchScan.PreserveGroupingKey, "false").toBoolean &&
+      readPartCols == partCols
 
   override def outputPartitioning(): Partitioning =
     if (spjKeyed)
@@ -328,6 +367,25 @@ private[io] class LakeNativeBatchScan(
       else s" claimed: ${claimed.mkString(" AND ")}"
     s"GraftLakeNativeScan($path$v, ${staticDirs.size} dirs$c)"
   }
+}
+
+private[io] object LakeNativeBatchScan {
+  /** Session conf opting scans into reporting their layout as a
+    * [[KeyGroupedPartitioning]] (storage-partitioned joins) — see
+    * `spjKeyed` for why this is NOT on by default.
+    */
+  val PreserveGroupingKey = "spark.graft.lake.preserveDataGrouping"
+
+  /** The ONE routing gate for the native batch (shared by the read
+    * builder and the row-level operation): a manifest-backed snapshot
+    * with NO live merge-on-read deltas (the MOR merge is a derived
+    * plan, not a file list) and byte lengths on every file (the native
+    * planner sizes splits from them; adopted legacy entries predate
+    * harvesting). Everything else routes to the delegated V1 plan.
+    */
+  def eligible(m: PartitionedLake.Manifest): Boolean =
+    m.deltas.isEmpty && m.files.nonEmpty &&
+      m.files.valuesIterator.forall(_.forall(_.bytes.isDefined))
 }
 
 /** A [[FilePartition]] carrying its partition-value row — the

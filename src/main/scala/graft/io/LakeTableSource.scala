@@ -86,6 +86,13 @@ object LakeScanCheck {
   def nativeStatsSkipping(df: DataFrame): Seq[(Int, Int)] =
     nativeScansOf(df).map(_.statsSkipping)
 
+  /** The session conf opting lake scans into storage-partitioned-join
+    * key grouping (public alias of the io-private key, for registered
+    * queries outside this package).
+    */
+  val preserveDataGroupingConf: String =
+    LakeNativeBatchScan.PreserveGroupingKey
+
   /** Shuffle exchanges in the EXECUTED plan (AQE stages unwrapped) —
     * zero over a lake-lake equi-join is the storage-partitioned-join
     * claim q159 pins in-band.
@@ -385,8 +392,35 @@ private[io] object LakeFilters {
 private[io] class GraftLakeTable(path: String, version: Option[Long])
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   private def spark: SparkSession = SparkSession.active
+
+  /** SQL UPDATE / MERGE INTO / row-level DELETE — the group-based
+    * copy-on-write rewrite ([[LakeRowLevelOperation]]). Partition-only
+    * DELETEs never reach it: the engine's metadata-delete optimization
+    * routes them back through [[deleteWhere]] (the honest
+    * `canDeleteWhere` is exactly what makes that optimization fire).
+    * Versioned and pre-protocol tables refuse at analysis with
+    * directions, matching every other write surface.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    if (version.isDefined) sys.error(
+      s"cannot ${info.command} $path VERSION AS OF ${version.get}: " +
+        "snapshots are immutable — run the statement against the " +
+        "unversioned table instead")
+    val m = manifest.getOrElse(sys.error(
+      s"cannot SQL-${info.command} the pre-protocol lake at $path: " +
+        "adopt it first (any PartitionedLake write publishes a manifest " +
+        "declaring the partition layout)"))
+    if (PartitionedLake.layoutOf(m).isEmpty) sys.error(
+      s"cannot SQL-${info.command} $path: the current snapshot is empty " +
+        "and pre-dates layout declarations — bootstrap through " +
+        "PartitionedLake.write/append or CREATE TABLE, which declare it")
+    () => new LakeRowLevelOperation(path, m, info.command)
+  }
 
   // resolved ONCE at table construction: the DSv2 relation pins this
   // snapshot exactly like the API read pins its manifest
@@ -674,17 +708,13 @@ private[io] class LakeScanBuilder(path: String, version: Option[Long],
       true
     }
 
-  /** The native DSv2 batch ([[LakeNativeBatchScan]]) serves every
-    * snapshot it can express EXACTLY: manifest-backed, no live
-    * merge-on-read deltas (the MOR anti-join is a derived plan, not a
-    * file list), and byte lengths on every file (adopted legacy
-    * entries predate harvesting; the native planner sizes splits from
-    * them). Everything else falls back to the delegated V1 plan —
-    * routing, never degrading.
+  /** The native DSv2 batch serves every snapshot it can express
+    * EXACTLY ([[LakeNativeBatchScan.eligible]] — the gate shared with
+    * the row-level operation); everything else falls back to the
+    * delegated V1 plan — routing, never degrading.
     */
-  private def nativeEligible: Boolean = manifest.exists(m =>
-    m.deltas.isEmpty && m.files.nonEmpty &&
-      m.files.valuesIterator.forall(_.forall(_.bytes.isDefined)))
+  private def nativeEligible: Boolean =
+    manifest.exists(LakeNativeBatchScan.eligible)
 
   override def build(): Scan =
     if (pushedAggs.nonEmpty)

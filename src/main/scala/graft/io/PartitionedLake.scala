@@ -934,7 +934,8 @@ object PartitionedLake {
       writerId: String = DefaultWriter,
       fullOverwrite: Boolean = false,
       appendOnly: Boolean = false,
-      bootstrapLayout: Option[Seq[String]] = None): Unit = {
+      bootstrapLayout: Option[Seq[String]] = None,
+      replaceAndAdd: Boolean = false): Unit = {
     // a copy-on-write commit supersedes a touched partition's deltas
     // along with its data files; a merge-on-read commit supersedes ONLY
     // the deltas (base data carries over verbatim — that's the point).
@@ -944,8 +945,12 @@ object PartitionedLake {
     // Spark's own staged write, not from a collected-tuple probe) and
     // no conflict surface — racing appends always rebase cleanly into
     // consecutive versions.
+    // a REPLACE-AND-ADD commit (SQL row-level ops — ReplaceData) may
+    // stage directories beyond the replaced set: a MERGE's NOT MATCHED
+    // INSERT can target partitions the scan never read, which merge
+    // into their live lists exactly like an append
     val unexpected =
-      if (appendOnly) Set.empty[String]
+      if (appendOnly || replaceAndAdd) Set.empty[String]
       else staged.keySet.diff(replaced) ++
         stagedDeltas.keySet.diff(replacedDeltas.getOrElse(replaced))
     require(unexpected.isEmpty,
@@ -999,8 +1004,13 @@ object PartitionedLake {
       // compact(). Refuse loudly instead — checked INSIDE the rebase
       // loop, because a racing cdcSinkMergeOnRead can add deltas to a
       // directory between this commit's manifest read and its publish.
-      if (appendOnly) {
-        val dirty = moved.keySet
+      if (appendOnly || replaceAndAdd) {
+        // for replace-and-add, only the ADDED directories append into
+        // live lists (replaced ones supersede their deltas wholesale —
+        // the carried rows are the post-merge snapshot)
+        val appendedInto =
+          if (appendOnly) moved.keySet else moved.keySet.diff(replacedNow)
+        val dirty = appendedInto
           .intersect(base.map(_.deltas.keySet).getOrElse(Set.empty))
         if (dirty.nonEmpty) {
           unlinkMoved()
@@ -1019,6 +1029,15 @@ object PartitionedLake {
           // live list (fresh commit-prefixed names can never collide)
           moved.foldLeft(baseFiles) { case (acc, (d, es)) =>
             acc + (d -> (acc.getOrElse(d, Seq.empty) ++ es))
+          }
+        else if (replaceAndAdd)
+          // ReplaceData semantics: scanned (replaced) directories become
+          // exactly their staged rewrite — including vanishing when the
+          // rewrite emptied them — while un-scanned staged directories
+          // (NOT MATCHED inserts) merge into their live lists
+          moved.foldLeft(baseFiles -- replacedNow) { case (acc, (d, es)) =>
+            if (replacedNow.contains(d)) acc + (d -> es)
+            else acc + (d -> (acc.getOrElse(d, Seq.empty) ++ es))
           }
         else baseFiles -- replacedNow ++ moved
       val newDeltas = (base.map(_.deltas).getOrElse(Map.empty)
@@ -1307,6 +1326,24 @@ object PartitionedLake {
     val staging = new Path(path, s"$StagingDirName/${UUID.randomUUID()}")
     commitStaged(fs, path, staging, Map.empty, dirs, old.schema, Some(old),
       None)
+  }
+
+  /** The ReplaceData commit (SQL UPDATE / MERGE INTO / row-level
+    * DELETE — [[LakeRowLevelOperation]]): scanned directories become
+    * exactly their staged rewrite, staged directories the scan never
+    * read (a MERGE's NOT MATCHED inserts) merge into their live lists,
+    * and everything else carries over. One snapshot commit on the same
+    * optimistic-rebase protocol as every other writer.
+    */
+  private[io] def commitReplaceData(spark: SparkSession, path: String,
+      staging: Path, staged: Map[String, Seq[FileEntry]],
+      replaced: Set[String], old: Manifest): Unit = {
+    // a statement that matched nothing (runtime group filtering pruned
+    // every directory, nothing staged) publishes NOTHING — same rule as
+    // the zero-match metadata DELETE: no empty version churn
+    if (staged.isEmpty && replaced.isEmpty) return
+    commitStaged(fsFor(spark, path), path, staging, staged, replaced,
+      old.schema, Some(old), None, replaceAndAdd = true)
   }
 
   /** Read the lake at its latest published snapshot. The manifest is

@@ -1768,8 +1768,12 @@ object RelationalOps {
         graft.io.PartitionedLake.write(Tables.customer(s, d)
           .groupBy((col("c_custkey") % 16).as("bucket"))
           .agg(count(lit(1)).as("n_cust")), dimLake, "bucket")
-        val key = "spark.sql.sources.v2.bucketing.enabled"
-        val before = s.conf.get(key)
+        // the lake's own opt-in (Spark's v2-bucketing conf is already on
+        // by default in Spark 4; the lake gates additionally because a
+        // reported key grouping collapses EVERY read to one task per
+        // partition value — worth it only for layout-aligned joins)
+        val key = graft.io.LakeScanCheck.preserveDataGroupingConf
+        val before = s.conf.getOption(key)
         try {
           s.conf.set(key, "true")
           def lake(p: String) =
@@ -1785,7 +1789,10 @@ object RelationalOps {
           val zeroExchange = graft.io.LakeScanCheck.shuffleExchanges(j) == 0
           j.withColumn("spj_zero_exchange", lit(zeroExchange))
             .orderBy("bucket")
-        } finally s.conf.set(key, before)
+        } finally before match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
       },
       Some("""WITH c AS (
         |  SELECT c_custkey % 16 AS bucket, count(*) AS n_cust
@@ -1796,6 +1803,88 @@ object RelationalOps {
         |  max(c.n_cust) AS n_cust, true AS spj_zero_exchange
         |FROM orders JOIN c ON o_custkey % 16 = c.bucket
         |GROUP BY 1 ORDER BY 1""".stripMargin),
-      "lake op: storage-partitioned join (SupportsReportPartitioning + HasPartitionKey: zero-Exchange lake-lake equi-join)")
+      "lake op: storage-partitioned join (SupportsReportPartitioning + HasPartitionKey: zero-Exchange lake-lake equi-join)"),
+
+    // ---- SQL UPDATE through the group-based copy-on-write rewrite
+    // (SupportsRowLevelOperations): the engine reads the affected
+    // partition directories (runtime group filtering prunes the rest —
+    // the same seam as q153's DPP), computes carried + modified rows,
+    // and the write commits ONE new snapshot superseding exactly the
+    // scanned directories. The pre-update snapshot stays
+    // time-travelable (v1_sum pins it in-band). ----
+    Q("q160_sql_lake_update",
+      (s, d) => {
+        val dir = scratchDir("q160-update") + "/lake"
+        val base = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderpriority"), col("o_totalprice"))
+        graft.io.PartitionedLake.write(base, dir, "o_orderpriority")
+        s.conf.set("spark.sql.catalog.graft_lake",
+          classOf[graft.io.LakeCatalog].getName)
+        s.sql(s"UPDATE graft_lake.`$dir` " +
+          "SET o_totalprice = o_totalprice + 1 WHERE o_orderkey % 97 = 0")
+        val out = s.sql(
+          s"SELECT o_orderpriority, count(*) AS n, " +
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) " +
+            s"AS price_sum FROM graft_lake.`$dir` " +
+            "GROUP BY o_orderpriority")
+        val v1sum = s.sql(
+          "SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS " +
+            s"DOUBLE) FROM graft_lake.`$dir` VERSION AS OF 1")
+          .collect()(0).getDouble(0)
+        out.withColumn("v1_sum", lit(v1sum)).orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))
+        |    + CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    AS price_sum,
+        |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+        |   FROM orders) AS v1_sum
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin),
+      "lake op: SQL UPDATE via SupportsRowLevelOperations (group-based copy-on-write rewrite, runtime group pruning)"),
+
+    // ---- SQL MERGE INTO: one statement updates matched keys and
+    // inserts unmatched ones — the upsert every warehouse pipeline
+    // types, now a single group-based commit (matched groups rewritten,
+    // inserts into unscanned partitions merge-append). Bootstrapped
+    // with the even keys; the source updates every key divisible by 6
+    // (price += 1) and inserts the odd keys. ----
+    Q("q161_sql_lake_merge",
+      (s, d) => {
+        val dir = scratchDir("q161-merge") + "/lake"
+        val base = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderpriority"), col("o_totalprice"))
+        graft.io.PartitionedLake.write(
+          base.filter(col("o_orderkey") % 2 === 0), dir, "o_orderpriority")
+        s.conf.set("spark.sql.catalog.graft_lake",
+          classOf[graft.io.LakeCatalog].getName)
+        base.filter(col("o_orderkey") % 6 === 0 ||
+            col("o_orderkey") % 2 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 6 === 0, col("o_totalprice") + 1)
+              .otherwise(col("o_totalprice")))
+          .createOrReplaceTempView("q161_src")
+        s.sql(
+          s"""MERGE INTO graft_lake.`$dir` t
+             |USING q161_src s
+             |ON t.o_orderkey = s.o_orderkey
+             |WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice
+             |WHEN NOT MATCHED THEN INSERT
+             |  (o_orderkey, o_orderpriority, o_totalprice)
+             |  VALUES (s.o_orderkey, s.o_orderpriority, s.o_totalprice)
+             |""".stripMargin)
+        s.sql(
+          s"SELECT o_orderpriority, count(*) AS n, " +
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) " +
+            s"AS price_sum FROM graft_lake.`$dir` " +
+            "GROUP BY o_orderpriority ORDER BY o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))
+        |    + CASE WHEN o_orderkey % 6 = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    AS price_sum
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin),
+      "lake op: SQL MERGE INTO via SupportsRowLevelOperations (matched update + not-matched insert, one snapshot commit)")
   )
 }

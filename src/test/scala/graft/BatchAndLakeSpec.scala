@@ -139,6 +139,23 @@ object LakeModelHarness extends org.scalatest.Assertions {
       }
     }
 
+    /** SQL UPDATE of one key across every partition (the group-based
+      * row-level rewrite): compact() first — the documented workflow,
+      * since row-level statements refuse over live MOR deltas — then
+      * bump the key's balance everywhere it exists; a key that exists
+      * nowhere must publish nothing and change nothing.
+      */
+    def sqlUpdateOp(): Unit = {
+      spark.conf.set("spark.sql.catalog.graft_model_lake",
+        classOf[graft.io.LakeCatalog].getName)
+      graft.io.PartitionedLake.compact(spark, path)
+      val kk = rnd.nextInt(10).toLong // 8-9 usually absent: no-op path
+      spark.sql(s"UPDATE graft_model_lake.`$path` SET bal = bal + 1 " +
+        s"WHERE k = $kk")
+      model = model.map { case ((p, k), v) =>
+        ((p, k), if (k == kk) v + 1 else v) }
+    }
+
     /** SQL DELETE of one partition value (null included): partition
       * retirement through the snapshot protocol must drop exactly that
       * partition's rows from the model — even when the partition holds
@@ -194,6 +211,7 @@ object LakeModelHarness extends org.scalatest.Assertions {
           model = rows.map(r => (r._1, r._2) -> r._3).toMap
           false
         case 3 => deleteOp(); false // commits de-reference, pins survive
+        case 4 => sqlUpdateOp(); false
         case n if n < 8 => upsertOp(); false
         case _ => cdcOp(); false
       }

@@ -1,0 +1,204 @@
+package graft.io
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL UPDATE / MERGE INTO / row-level DELETE through the group-based
+  * copy-on-write rewrite ([[LakeRowLevelOperation]] +
+  * [[LakeReplaceDataWrite]]).
+  */
+class LakeRowLevelSpec extends AnyFunSuite {
+  import graft.SparkTestSession._
+  import spark.implicits._
+
+  private def freshLake(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-rlo-$tag")
+      .toString + "/lake"
+
+  private def useCatalog(): Unit =
+    spark.conf.set("spark.sql.catalog.graft_lake",
+      classOf[LakeCatalog].getName)
+
+  private def rowsOf(lake: String): Set[(String, Long, Double)] =
+    PartitionedLake.read(spark, lake).select("part", "k", "bal").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("UPDATE rewrites only the groups containing matches; other partitions' files stay byte-identical; old version time-travels") {
+    val lake = freshLake("update")
+    PartitionedLake.write(Seq((1L, "a", 1.0), (2L, "a", 2.0),
+      (3L, "b", 3.0), (4L, "c", 4.0)).toDF("k", "part", "bal"),
+      lake, "part")
+    useCatalog()
+    def files(p: String): Set[String] =
+      new java.io.File(s"$lake/part=$p").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val bBefore = files("b"); val cBefore = files("c")
+    spark.sql(s"UPDATE graft_lake.`$lake` SET bal = bal + 10 WHERE k = 2")
+    assert(rowsOf(lake) === Set(("a", 1L, 1.0), ("a", 2L, 12.0),
+      ("b", 3L, 3.0), ("c", 4L, 4.0)))
+    // untouched partitions were not rewritten (runtime group filtering:
+    // only part=a contains a k=2 row)
+    assert(files("b") === bBefore, "part=b was rewritten")
+    assert(files("c") === cBefore, "part=c was rewritten")
+    // the pre-update snapshot is one time travel away
+    assert(PartitionedLake.snapshots(spark, lake) === Seq(1L, 2L))
+    assert(PartitionedLake.readVersion(spark, lake, 1L)
+      .filter(col("k") === 2L).select("bal").head().getDouble(0) === 2.0)
+  }
+
+  test("row-level DELETE (sub-partition predicate) rewrites matched groups; partition DELETE stays a metadata-only retirement") {
+    val lake = freshLake("rldelete")
+    PartitionedLake.write(Seq((1L, "a", 1.0), (2L, "a", 2.0),
+      (3L, "b", 3.0)).toDF("k", "part", "bal"), lake, "part")
+    useCatalog()
+    // sub-partition: previously refused, now a group rewrite
+    spark.sql(s"DELETE FROM graft_lake.`$lake` WHERE k = 1")
+    assert(rowsOf(lake) === Set(("a", 2L, 2.0), ("b", 3L, 3.0)))
+    // partition predicate: METADATA retirement — no new data files may
+    // appear anywhere (the new manifest references a subset)
+    val filesBefore = PartitionedLake.read(spark, lake).inputFiles.toSet
+    spark.sql(s"DELETE FROM graft_lake.`$lake` WHERE part = 'b'")
+    assert(rowsOf(lake) === Set(("a", 2L, 2.0)))
+    val filesAfter = PartitionedLake.read(spark, lake).inputFiles.toSet
+    assert(filesAfter.subsetOf(filesBefore),
+      "partition DELETE must not write data files")
+  }
+
+  test("MERGE INTO: matched update + not-matched insert into an unscanned existing partition AND a brand-new partition") {
+    val lake = freshLake("merge")
+    PartitionedLake.write(Seq((1L, "a", 1.0), (2L, "b", 2.0))
+      .toDF("k", "part", "bal"), lake, "part")
+    useCatalog()
+    Seq((1L, "a", 100.0),  // matches k=1 -> update
+        (5L, "b", 5.0),    // no match; lands in existing part=b
+        (9L, "z", 9.0))    // no match; brand-new partition z
+      .toDF("k", "part", "bal").createOrReplaceTempView("merge_src")
+    spark.sql(
+      s"""MERGE INTO graft_lake.`$lake` t
+         |USING merge_src s
+         |ON t.k = s.k AND t.part = s.part
+         |WHEN MATCHED THEN UPDATE SET bal = s.bal
+         |WHEN NOT MATCHED THEN INSERT (k, part, bal) VALUES (s.k, s.part, s.bal)
+         |""".stripMargin)
+    assert(rowsOf(lake) === Set(("a", 1L, 100.0), ("b", 2L, 2.0),
+      ("b", 5L, 5.0), ("z", 9L, 9.0)))
+    // one commit; the pre-merge snapshot survives
+    assert(PartitionedLake.snapshots(spark, lake) === Seq(1L, 2L))
+    assert(PartitionedLake.readVersion(spark, lake, 1L).count() === 2L)
+  }
+
+  test("MERGE with NOT MATCHED BY SOURCE DELETE; deleting every row of a group retires the group; layout survives an emptied lake") {
+    val lake = freshLake("mergenmbs")
+    PartitionedLake.write(Seq((1L, "a", 1.0), (2L, "b", 2.0))
+      .toDF("k", "part", "bal"), lake, "part")
+    useCatalog()
+    Seq((1L, "a", 50.0)).toDF("k", "part", "bal")
+      .createOrReplaceTempView("nmbs_src")
+    // rows absent from the source are deleted: part=b empties entirely
+    spark.sql(
+      s"""MERGE INTO graft_lake.`$lake` t
+         |USING nmbs_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET bal = s.bal
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE
+         |""".stripMargin)
+    assert(rowsOf(lake) === Set(("a", 1L, 50.0)))
+    // the emptied group is GONE from the manifest (not a zero-row husk)
+    assert(PartitionedLake.partitionRowCounts(spark, lake)
+      === Some(Map("part=a" -> 1L)))
+    // row-level DELETE of everything keeps the lake insertable
+    spark.sql(s"DELETE FROM graft_lake.`$lake` WHERE k >= 0")
+    assert(PartitionedLake.read(spark, lake).count() === 0L)
+    spark.sql(s"INSERT INTO graft_lake.`$lake` VALUES (7, 'n', 7.0)")
+    assert(rowsOf(lake) === Set(("n", 7L, 7.0)))
+  }
+
+  test("row-level statements on a MOR snapshot refuse with compact() directions; after compact() the same statement lands; partition DELETE works regardless") {
+    val lake = freshLake("morupd")
+    PartitionedLake.write(Seq((1L, "a", 1.0), (2L, "b", 2.0),
+      (9L, "b", 0.5)).toDF("k", "part", "bal"), lake, "part")
+    // live deltas: k=1 updated to 10.0, k=9 updated to 9.0, and a
+    // delete-delta for k=2
+    PartitionedLake.cdcSinkMergeOnRead(spark, lake, "part", "k", "bal",
+      Seq((1L, "a", 1L, "U", 10.0), (9L, "b", 2L, "U", 9.0),
+        (2L, "b", 3L, "D", 0.0)).toDF("k", "part", "seq", "op", "val"))
+    useCatalog()
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    // UPDATE refuses loudly (the MOR merge plan has no group form) and
+    // names the fix; the lake is untouched
+    val up = intercept[Exception] {
+      spark.sql(s"UPDATE graft_lake.`$lake` SET bal = bal + 100 " +
+        "WHERE bal >= 9")
+    }
+    assert(messages(up).exists(_.contains("compact")), up.toString)
+    assert(rowsOf(lake) === Set(("a", 1L, 10.0), ("b", 9L, 9.0)))
+    // MERGE inserting the CDC-deleted key shares the refusal — without
+    // it the inserted row would be anti-joined away by the live delta
+    // (the same silent-row-loss INSERT INTO guards against)
+    Seq((2L, "b", 5.0)).toDF("k", "part", "bal")
+      .createOrReplaceTempView("mergemor_src")
+    val mg = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO graft_lake.`$lake` t
+           |USING mergemor_src s
+           |ON t.k = s.k AND t.part = s.part
+           |WHEN NOT MATCHED THEN INSERT (k, part, bal) VALUES (s.k, s.part, s.bal)
+           |""".stripMargin)
+    }
+    assert(messages(mg).exists(_.contains("compact")), mg.toString)
+    // partition-scoped DELETE stays a metadata retirement — live deltas
+    // or not (the refusal sits at SCAN build, which that path never hits)
+    spark.sql(s"DELETE FROM graft_lake.`$lake` WHERE part = 'a'")
+    assert(rowsOf(lake) === Set(("b", 9L, 9.0)))
+    // compact() materializes the remaining deltas; the refused UPDATE
+    // now lands (post-merge semantics: k=9 was 9.0 -> 109.0)
+    PartitionedLake.compact(spark, lake)
+    spark.sql(s"UPDATE graft_lake.`$lake` SET bal = bal + 100 " +
+      "WHERE bal >= 9")
+    assert(rowsOf(lake) === Set(("b", 9L, 109.0)))
+    assert(PartitionedLake.rowCount(spark, lake) === Some(1L))
+  }
+
+  test("UPDATE with a partition-only predicate prunes groups statically; null partitions and multi-level layouts rewrite exactly") {
+    // single-level with a null partition value
+    val lake = freshLake("nullpart")
+    PartitionedLake.write(Seq((1L, Some("a"), 1.0), (2L, None, 2.0))
+      .toDF("k", "part", "bal"), lake, "part")
+    useCatalog()
+    spark.sql(s"UPDATE graft_lake.`$lake` SET bal = 20 WHERE part IS NULL")
+    val got = PartitionedLake.read(spark, lake).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getDouble(2))).toSet
+    assert(got === Set((1L, Some("a"), 1.0), (2L, None, 20.0)))
+    // multi-level (day, src): leaf-exact rewrite
+    val lake2 = freshLake("multilevel")
+    PartitionedLake.write(
+      Seq((1L, "d1", "web", 1.0), (2L, "d1", "app", 2.0),
+        (3L, "d2", "web", 3.0)).toDF("k", "day", "src", "bal"),
+      lake2, Seq("day", "src"), Nil)
+    spark.sql(s"UPDATE graft_lake.`$lake2` SET bal = bal * 2 " +
+      "WHERE day = 'd1' AND src = 'app'")
+    val got2 = PartitionedLake.read(spark, lake2)
+      .select("k", "bal").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got2 === Set((1L, 1.0), (2L, 4.0), (3L, 3.0)))
+  }
+
+  test("refusals: row-level statements against VERSION AS OF and pre-protocol lakes fail at analysis with directions") {
+    val lake = freshLake("refuse")
+    PartitionedLake.write(Seq((1L, "a", 1.0)).toDF("k", "part", "bal"),
+      lake, "part")
+    useCatalog()
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    // a pre-protocol lake refuses with adoption directions
+    val legacy = freshLake("refuse-legacy")
+    Seq((1L, "a", 1.0)).toDF("k", "part", "bal")
+      .write.partitionBy("part").parquet(legacy)
+    val pp = intercept[Exception] {
+      spark.sql(s"UPDATE graft_lake.`$legacy` SET bal = 2.0 WHERE k = 1")
+    }
+    assert(messages(pp).exists(_.contains("pre-protocol")), pp.toString)
+  }
+}

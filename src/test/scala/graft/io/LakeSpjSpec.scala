@@ -39,11 +39,19 @@ class LakeSpjSpec extends AnyFunSuite {
   private def hasSmj(df: DataFrame): Boolean = nodes(df).exists(
     _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec])
 
+  /** Toggles the lake's own opt-in ([[LakeNativeBatchScan
+    * .PreserveGroupingKey]]); Spark's v2-bucketing conf is ON by
+    * default in Spark 4, which is exactly why the lake needs its own
+    * default-off gate — see the spjKeyed scaladoc.
+    */
   private def withBucketing[A](on: Boolean)(f: => A): A = {
-    val key = "spark.sql.sources.v2.bucketing.enabled"
-    val before = spark.conf.get(key)
+    val key = LakeNativeBatchScan.PreserveGroupingKey
+    val before = spark.conf.getOption(key)
     try { spark.conf.set(key, on.toString); f }
-    finally spark.conf.set(key, before)
+    finally before match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   private def fixture(tag: String): (String, String, Long, Long) = {

@@ -326,38 +326,30 @@ class LakeSqlWriteSpec extends AnyFunSuite {
     assert(rowsOf(lake) === Set(("b", 2L, 2.0)))
   }
 
-  test("DELETE FROM retires a partition's merge-on-read deltas along with its files; sub-partition predicates refuse at analysis") {
+  test("DELETE FROM retires a partition's merge-on-read deltas along with its files; sub-partition predicates route to the row-level rewrite") {
     val lake = freshLake("delmor")
-    PartitionedLake.write(Seq((1L, "a", 1.0), (2L, "b", 2.0))
-      .toDF("k", "part", "bal"), lake, "part")
+    PartitionedLake.write(Seq((1L, "a", 1.0), (2L, "b", 2.0),
+      (3L, "b", 3.0)).toDF("k", "part", "bal"), lake, "part")
     PartitionedLake.cdcSinkMergeOnRead(spark, lake, "part", "k", "bal",
       Seq((1L, "a", 1L, "U", 7.0)).toDF("k", "part", "seq", "op", "val"))
     useCatalog()
     spark.sql(s"DELETE FROM graft_lake.`$lake` WHERE part = 'a'")
-    assert(rowsOf(lake) === Set(("b", 2L, 2.0)))
+    assert(rowsOf(lake) === Set(("b", 2L, 2.0), ("b", 3L, 3.0)))
     // the delta log went with the partition: the snapshot is clean
     // again (exact metadata count proves no live deltas remain)
-    assert(PartitionedLake.rowCount(spark, lake) === Some(1L))
-    def messages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x =>
-        Option(x.getMessage).toSeq ++ messages(x.getCause))
-    // a data-column predicate refuses at ANALYSIS (canDeleteWhere is
-    // honest — same rule as the OVERWRITE_BY_FILTER drop), and nothing
-    // changes on disk
-    val sub = intercept[Exception] {
-      spark.sql(s"DELETE FROM graft_lake.`$lake` WHERE k = 2")
-    }
-    assert(messages(sub).exists(_.toLowerCase.contains("delete")),
-      sub.toString)
-    assert(rowsOf(lake) === Set(("b", 2L, 2.0)))
-    // mixed partition+data conjunction refuses too (it is NOT silently
-    // widened to the partition half — that would delete too much)
-    intercept[Exception] {
-      spark.sql(s"DELETE FROM graft_lake.`$lake` WHERE part = 'b' AND k = 2")
-    }
-    assert(rowsOf(lake) === Set(("b", 2L, 2.0)))
-    // the direct-API seam refuses loudly, naming the row-level
-    // alternative (defense in depth behind canDeleteWhere)
+    assert(PartitionedLake.rowCount(spark, lake) === Some(2L))
+    // a data-column predicate is NOT claimable by the metadata path
+    // (canDeleteWhere stays honest) — it routes through the group-based
+    // row-level rewrite instead (LakeRowLevelSpec owns that surface)
+    spark.sql(s"DELETE FROM graft_lake.`$lake` WHERE k = 2")
+    assert(rowsOf(lake) === Set(("b", 3L, 3.0)))
+    // mixed partition+data conjunctions ride the same rewrite, with the
+    // partition half pruning groups
+    spark.sql(s"DELETE FROM graft_lake.`$lake` WHERE part = 'b' AND k = 3")
+    assert(rowsOf(lake) === Set.empty)
+    // the direct-API seam (partition retirement) still refuses loudly
+    // on sub-partition predicates, naming the row-level alternative —
+    // API callers without SQL go through cdcSink
     val api = intercept[Exception] {
       new GraftLakeTable(lake, None).deleteWhere(Array(
         org.apache.spark.sql.sources.EqualTo("k", 2L): org.apache.spark.sql.sources.Filter))
