@@ -184,6 +184,37 @@ class LakeRowLevelSpec extends AnyFunSuite {
     assert(got2 === Set((1L, 1.0), (2L, 4.0), (3L, 3.0)))
   }
 
+  test("UPDATE of a partition COLUMN migrates rows between directories: source group rewritten, destination merge-appended, nulls included") {
+    val lake = freshLake("migrate")
+    PartitionedLake.write(Seq((1L, "a", 1.0), (2L, "a", 2.0),
+      (3L, "b", 3.0)).toDF("k", "part", "bal"), lake, "part")
+    useCatalog()
+    // k=1 moves a -> b: part=a is scanned (match) and rewritten to its
+    // remaining row; the migrated row lands in part=b, which the scan
+    // never read — the merge-append half of the ReplaceData commit
+    spark.sql(s"UPDATE graft_lake.`$lake` SET part = 'b' WHERE k = 1")
+    assert(rowsOf(lake) === Set(("b", 1L, 1.0), ("a", 2L, 2.0),
+      ("b", 3L, 3.0)))
+    // exact per-directory accounting after the migration
+    assert(PartitionedLake.partitionRowCounts(spark, lake) ===
+      Some(Map("part=a" -> 1L, "part=b" -> 2L)))
+    // migrating INTO the null partition round-trips through
+    // __HIVE_DEFAULT_PARTITION__
+    spark.sql(s"UPDATE graft_lake.`$lake` SET part = NULL WHERE k = 2")
+    val got = PartitionedLake.read(spark, lake).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(got === Set((1L, Some("b")), (2L, None), (3L, Some("b"))))
+    // and back out of it (the null GROUP is scanned via the null-safe
+    // runtime filter and emptied by the migration)
+    spark.sql(s"UPDATE graft_lake.`$lake` SET part = 'a' " +
+      "WHERE part IS NULL")
+    assert(rowsOf(lake) === Set(("b", 1L, 1.0), ("a", 2L, 2.0),
+      ("b", 3L, 3.0)))
+    assert(PartitionedLake.partitionRowCounts(spark, lake) ===
+      Some(Map("part=a" -> 1L, "part=b" -> 2L)),
+      "the emptied null directory must be retired, not left as a husk")
+  }
+
   test("refusals: row-level statements against VERSION AS OF and pre-protocol lakes fail at analysis with directions") {
     val lake = freshLake("refuse")
     PartitionedLake.write(Seq((1L, "a", 1.0)).toDF("k", "part", "bal"),
