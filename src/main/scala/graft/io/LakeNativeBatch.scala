@@ -127,8 +127,7 @@ private[io] class LakeNativeBatchScan(
         s"claimed filter $f does not compile against the snapshot " +
           "schema — LakeScanBuilder.pushFilters must only claim filters " +
           "LakeFilters.compile accepts (builder/scan invariant drift)")))
-    m.files.keys.toSeq.sorted
-      .filter(d => preds.forall(_(c => parser.valueOf(d, c)).contains(true)))
+    m.files.keys.toSeq.sorted.filter(LakeFilters.dirMatches(preds, parser))
   }
 
   /** A kept directory's files, minus the ones whose committed footer
@@ -150,8 +149,7 @@ private[io] class LakeNativeBatchScan(
   // runtime (join-driven) predicates land here; pruning-only, so a
   // shape the evaluator cannot compile is simply ignored (the join
   // itself enforces the semantics — DPP never carries correctness)
-  @volatile private var runtimePreds
-      : Seq[(String => Any) => Option[Boolean]] = Nil
+  @volatile private var runtimePreds: Seq[LakeFilters.DirEval] = Nil
 
   // only the partition columns PRESENT IN THE SCAN OUTPUT: the engine
   // resolves these against the relation's (pruned) attributes, and a
@@ -187,8 +185,7 @@ private[io] class LakeNativeBatchScan(
 
   private def keptDirs: Seq[String] =
     if (runtimePreds.isEmpty) staticDirs
-    else staticDirs.filter(d =>
-      runtimePreds.forall(_(c => parser.valueOf(d, c)).contains(true)))
+    else staticDirs.filter(LakeFilters.dirMatches(runtimePreds, parser))
 
   /** The directories the scan reads AS OF NOW (post static claim and
     * any delivered runtime filters) — the ReplaceData write resolves
@@ -237,7 +234,13 @@ private[io] class LakeNativeBatchScan(
     * are worth single-task-per-key reads only when the query actually
     * joins on the layout.
     */
-  private def spjKeyed: Boolean =
+  // SNAPSHOTTED at scan construction, not re-read per call:
+  // outputPartitioning() (planning) and planInputPartitions()
+  // (execution, and the runtime-filter re-plan) must agree — a conf
+  // flip between them would report key grouping while planning
+  // non-key-pure partitions, or vice versa (Iceberg snapshots this
+  // decision at scan construction for the same reason)
+  private val spjKeyed: Boolean =
     SQLConf.get.v2BucketingEnabled &&
       SQLConf.get.getConfString(
         LakeNativeBatchScan.PreserveGroupingKey, "false").toBoolean &&

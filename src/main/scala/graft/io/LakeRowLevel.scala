@@ -59,14 +59,17 @@ import org.apache.spark.util.SerializableConfiguration
   *    directories' deltas are superseded wholesale — the carried rows
   *    are the post-merge snapshot).
   *
-  * Routing: copy-on-write snapshots use the native batch (runtime
-  * group filtering, exact statistics); MOR/legacy snapshots use the V1
-  * fallback scan — their rewrite reads post-merge rows and the commit
-  * materializes the affected directories' deltas away, so a MERGE on a
-  * delta-bearing lake doubles as targeted compaction. Partition-only
-  * DELETEs never reach this class: the engine's metadata-delete
-  * optimization converts them back to [[GraftLakeTable.deleteWhere]]'s
-  * zero-data-job retirement (`canDeleteWhere` stays the honest gate).
+  * Routing: ALWAYS the native batch. MOR (live-delta) and pre-bytes
+  * legacy snapshots REFUSE at scan build with compact() directions —
+  * the V1 fallback cannot serve a row-level scan (no batch form), and
+  * the MOR merge is a derived plan the group rewrite cannot replace by
+  * directory (LakeRowLevelSpec pins the refusal matrix and the
+  * post-compact success). Partition-only DELETEs never reach this
+  * class either: the engine's metadata-delete optimization converts
+  * them back to [[GraftLakeTable.deleteWhere]]'s zero-data-job
+  * retirement (`canDeleteWhere` stays the honest gate), which is also
+  * why the refusal must NOT sit in `newRowLevelOperationBuilder` — the
+  * analyzer constructs the operation before that optimization runs.
   */
 private[io] class LakeRowLevelOperation(path: String,
     pinned: PartitionedLake.Manifest,
@@ -144,18 +147,18 @@ private[io] class LakeRowLevelOperation(path: String,
 
   /** The directories this operation REPLACES: the native scan's kept
     * set (static claim + runtime group filters — resolved at commit,
-    * after execution); for the V1 fallback, the pinned manifest's
-    * directories surviving the static group filters (no runtime seam
-    * there — the fallback rewrite reads, and therefore must replace,
-    * every statically-surviving directory).
+    * AFTER execution). The scan is always native (see the routing
+    * doc), so a missing/foreign scan here is a broken handshake —
+    * refuse loudly rather than guess a replaced set (replacing
+    * directories the write staged nothing for would silently erase
+    * them).
     */
   private[io] def replacedDirs: Set[String] = builtScan match {
     case Some(n: LakeNativeBatchScan) => n.currentKeptDirs.toSet
-    case _ =>
-      val preds = groupFilters.toSeq.flatMap(f => LakeFilters.compile(f, dtOf))
-      val parser = new LakeDirValues(partCols, pinned.schema)
-      PartitionedLake.allDirs(pinned).filter(d =>
-        preds.forall(_(c => parser.valueOf(d, c)).contains(true)))
+    case other => throw new IllegalStateException(
+      s"row-level write committing without its native scan (got $other) " +
+        "— the LakeRowLevelOperation scan/write handshake broke; " +
+        "refusing to derive a replaced-directory set")
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -269,9 +272,16 @@ private[io] class LakeReplaceDataWriter(staging: String,
   private var dataProj: UnsafeProjection = _
   private def bind(row: InternalRow): Unit = {
     fieldOffset = row.numFields - writeSchema.length
-    require(fieldOffset >= 0,
+    // loud on ANY unexpected layout: today's engine prepends exactly
+    // one bookkeeping column (__row_operation) or none — a wider (or
+    // negative) offset means the suffix-alignment assumption broke
+    // (trailing/reordered extras in a future engine), and a misaligned
+    // binding would write WRONG column values into parquet silently
+    require(fieldOffset == 0 || fieldOffset == 1,
       s"ReplaceData row has ${row.numFields} fields for a " +
-        s"${writeSchema.length}-column write schema")
+        s"${writeSchema.length}-column write schema — the one-prepended-" +
+        "bookkeeping-column layout this writer aligns against has " +
+        "changed; refusing rather than bind columns by guesswork")
     // Spark-identical partition path rendering: session-tz string cast
     // per column + getPartitionPathString (escaping + the
     // __HIVE_DEFAULT_PARTITION__ null form)

@@ -100,10 +100,15 @@ object LakeScanCheck {
   def shuffleExchanges(df: DataFrame): Int = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.QueryStageExec
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
     def walk(p: SparkPlan): Int = p match {
       case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
       case q: QueryStageExec => walk(q.plan)
+      // a reused shuffle is still a shuffle: AQE wraps it as a leaf
+      // referencing the original exchange, so without this case a plan
+      // whose only shuffle is behind a reuse would claim zero
+      case r: ReusedExchangeExec =>
+        if (r.child.isInstanceOf[ShuffleExchangeLike]) 1 else 0
       case s => (if (s.isInstanceOf[ShuffleExchangeLike]) 1 else 0) +
         s.children.map(walk).sum
     }
@@ -274,6 +279,21 @@ private[io] object LakeFilters {
       case _ => None
     }
   }
+
+  /** A compiled three-valued directory predicate ([[compile]]'s shape). */
+  type DirEval = (String => Any) => Option[Boolean]
+
+  /** The ONE keep-on-Some(true) evaluation of compiled predicates over
+    * a directory's parsed partition values — shared by the native
+    * scan's static and runtime pruning, the metadata-agg scan's
+    * claimed filters, and SQL DELETE's retirement matching, so the
+    * four sites can never drift on what "this directory matches"
+    * means (three-valued: false AND unknown both keep the directory
+    * OUT of the matched set).
+    */
+  def dirMatches(preds: Seq[DirEval], parser: LakeDirValues)(
+      dir: String): Boolean =
+    preds.forall(_(c => parser.valueOf(dir, c)).contains(true))
 
   /** Can a file whose committed per-column bounds are `stats` possibly
     * hold a row matching `f`? `false` ONLY when the bounds PROVE no row
@@ -475,8 +495,8 @@ private[io] class GraftLakeTable(path: String, version: Option[Long])
         "(keyed 'D' ops), then compact()")
     val parser = new LakeDirValues(partCols, head.schema)
     val preds = filters.toSeq.map(f => LakeFilters.compile(f, dtOf).get)
-    val matched = PartitionedLake.allDirs(head).filter(d =>
-      preds.forall(_(c => parser.valueOf(d, c)).contains(true)))
+    val matched = PartitionedLake.allDirs(head)
+      .filter(LakeFilters.dirMatches(preds, parser))
     PartitionedLake.retireDirectories(spark, path, matched, head)
   }
 
@@ -820,7 +840,7 @@ private[io] class LakeMetadataAggScan(m: PartitionedLake.Manifest,
     val preds = claimed.toSeq.map(f => LakeFilters.compile(f,
       c => schema.fields.find(_.name == c).map(_.dataType)).get)
     def keep(dir: String): Boolean =
-      preds.forall(p => p(c => valueOf(dir, c)).contains(true))
+      LakeFilters.dirMatches(preds, parser)(dir)
     // 0-row directories (exact counts, all rows deleted but the dir
     // retained) are dropped BEFORE grouping: a real scan produces no
     // group for zero rows, so the metadata answer must not either —

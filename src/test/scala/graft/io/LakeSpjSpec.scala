@@ -33,8 +33,9 @@ class LakeSpjSpec extends AnyFunSuite {
     walk(df.queryExecution.executedPlan)
   }
 
-  private def shuffleCount(df: DataFrame): Int = nodes(df).count(
-    _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+  // the ONE shuffle counter (shared with q159's in-band claim)
+  private def shuffleCount(df: DataFrame): Int =
+    LakeScanCheck.shuffleExchanges(df)
 
   private def hasSmj(df: DataFrame): Boolean = nodes(df).exists(
     _.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec])
