@@ -215,6 +215,37 @@ class LakeRowLevelSpec extends AnyFunSuite {
       "the emptied null directory must be retired, not left as a husk")
   }
 
+  test("ReplaceData commits race like every other writer: disjoint commits rebase onto the new head, overlapping ones conflict loudly") {
+    val lake = freshLake("race")
+    PartitionedLake.write(Seq((1L, "a", 1.0), (2L, "b", 2.0))
+      .toDF("k", "part", "bal"), lake, "part")
+    val v1 = PartitionedLake.manifestAt(spark, lake, None).get
+    // a racing append lands on part=b AFTER this rewrite resolved v1;
+    // the rewrite replaces only part=a (staged empty = "delete the
+    // group"), disjoint from the change — it must rebase onto the new
+    // head, keeping BOTH of b's rows
+    PartitionedLake.append(Seq((3L, "b", 3.0)).toDF("k", "part", "bal"),
+      lake, Seq("part"))
+    PartitionedLake.commitReplaceData(spark, lake,
+      new org.apache.hadoop.fs.Path(lake, "_staging/race-a"),
+      Map.empty, Set("part=a"), v1)
+    assert(rowsOf(lake) === Set(("b", 2L, 2.0), ("b", 3L, 3.0)))
+    // overlapping: a racing upsert touches part=b after THIS manifest
+    // was resolved; a rewrite that read (and would replace) part=b must
+    // conflict loudly, leaving the winner's snapshot intact
+    val head = PartitionedLake.manifestAt(spark, lake, None).get
+    PartitionedLake.upsert(spark, lake, "part", "k",
+      Seq((2L, "b", 20.0)).toDF("k", "part", "bal"))
+    val e = intercept[Exception] {
+      PartitionedLake.commitReplaceData(spark, lake,
+        new org.apache.hadoop.fs.Path(lake, "_staging/race-b"),
+        Map.empty, Set("part=b"), head)
+    }
+    assert(e.getMessage.contains("concurrent commit conflict"),
+      e.getMessage)
+    assert(rowsOf(lake) === Set(("b", 2L, 20.0), ("b", 3L, 3.0)))
+  }
+
   test("refusals: row-level statements against VERSION AS OF and pre-protocol lakes fail at analysis with directions") {
     val lake = freshLake("refuse")
     PartitionedLake.write(Seq((1L, "a", 1.0)).toDF("k", "part", "bal"),
