@@ -1749,7 +1749,7 @@ object RelationalOps {
 
     // ---- Storage-partitioned join: two lakes laid out on the same
     // key equi-join with ZERO shuffle under
-    // spark.sql.sources.v2.bucketing.enabled — the native scan reports
+    // spark.graft.lake.preserveDataGrouping — the native scan reports
     // its manifest layout as a KeyGroupedPartitioning and plans
     // key-pure input partitions (SupportsReportPartitioning +
     // HasPartitionKey), so the engine elides BOTH Exchanges and the

@@ -7,8 +7,10 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Storage-partitioned joins through the native DSv2 batch
   * ([[LakeNativeBatchScan.outputPartitioning]]): two lakes laid out on
   * the same partition key equi-join with ZERO Exchange once the
-  * session opts into `spark.sql.sources.v2.bucketing.enabled` — the
-  * DSv2 analogue of what io/Bucketing proves for the warehouse path.
+  * session opts into `spark.graft.lake.preserveDataGrouping` (the
+  * lake's own default-off gate on top of Spark's default-on
+  * v2-bucketing conf) — the DSv2 analogue of what io/Bucketing proves
+  * for the warehouse path.
   */
 class LakeSpjSpec extends AnyFunSuite {
   import graft.SparkTestSession._
