@@ -211,10 +211,20 @@ private[io] class LakeReplaceDataWrite(path: String,
     // and shipped as a serializable factory — not a reimplementation
     val owf = new ParquetFileFormat()
       .prepareWrite(spark, job, Map.empty, dataSchema)
+    // re-harvest footer bounds for every column that carried stats in
+    // the pre-rewrite snapshot: without this, an UPDATE/MERGE on a
+    // z-ordered lake would silently strip the rewritten partitions'
+    // bounds from the manifest and file skipping (q157 / readBox)
+    // would degrade to full directory reads there until a
+    // compact(statsCols). The footer read happens task-side on the
+    // just-written (page-cached) file — one metadata read per file.
+    val statsCols = old.files.valuesIterator.flatten
+      .flatMap(_.stats.keysIterator).toSet
+      .intersect(dataSchema.fieldNames.toSet)
     new LakeReplaceDataWriterFactory(stagingRoot.toString, writeSchema,
       dataSchema, partCols, owf,
       new SerializableConfiguration(job.getConfiguration),
-      spark.sessionState.conf.sessionLocalTimeZone)
+      spark.sessionState.conf.sessionLocalTimeZone, statsCols)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -222,8 +232,7 @@ private[io] class LakeReplaceDataWrite(path: String,
     val staged = messages.iterator
       .flatMap { case m: LakeReplaceTaskResult => m.entries }
       .toSeq.groupBy(_._1)
-      .map { case (d, es) => d -> es.map(e =>
-        PartitionedLake.FileEntry(e._2, Map.empty, Some(e._3), Some(e._4))) }
+      .map { case (d, es) => d -> es.map(_._2) }
     PartitionedLake.commitReplaceData(spark, path, stagingRoot, staged,
       replacedDirs(), old)
   }
@@ -235,29 +244,31 @@ private[io] class LakeReplaceDataWrite(path: String,
   }
 }
 
-/** One task's staged files: (directory, file name, rows, bytes). Row
+/** One task's staged files as (directory, manifest entry) pairs. Row
   * and byte counts ride the message so the driver commit needs zero
-  * footer reads; column stats are deliberately not harvested here
-  * (absent stats only cost file skipping, never correctness — run
-  * compact(statsCols) to restore them).
+  * footer reads; column bounds are harvested task-side for exactly the
+  * columns the replaced snapshot already carried stats for (see
+  * [[LakeReplaceDataWrite.createBatchWriterFactory]]).
   */
 private[io] case class LakeReplaceTaskResult(
-    entries: Seq[(String, String, Long, Long)]) extends WriterCommitMessage
+    entries: Seq[(String, PartitionedLake.FileEntry)])
+  extends WriterCommitMessage
 
 private[io] class LakeReplaceDataWriterFactory(staging: String,
     writeSchema: StructType, dataSchema: StructType, partCols: Seq[String],
-    owf: OutputWriterFactory, conf: SerializableConfiguration, tz: String)
-    extends DataWriterFactory {
+    owf: OutputWriterFactory, conf: SerializableConfiguration, tz: String,
+    statsCols: Set[String]) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     new LakeReplaceDataWriter(staging, writeSchema, dataSchema, partCols,
-      owf, conf, tz, partitionId, taskId)
+      owf, conf, tz, partitionId, taskId, statsCols)
 }
 
 private[io] class LakeReplaceDataWriter(staging: String,
     writeSchema: StructType, dataSchema: StructType, partCols: Seq[String],
     owf: OutputWriterFactory, conf: SerializableConfiguration, tz: String,
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+    partitionId: Int, taskId: Long,
+    statsCols: Set[String]) extends DataWriter[InternalRow] {
 
   // Bound lazily against the FIRST row: a group-based rewrite's query
   // output PREPENDS bookkeeping columns (`__row_operation` from the
@@ -282,6 +293,26 @@ private[io] class LakeReplaceDataWriter(staging: String,
         s"${writeSchema.length}-column write schema — the one-prepended-" +
         "bookkeeping-column layout this writer aligns against has " +
         "changed; refusing rather than bind columns by guesswork")
+    // same-arity layout tripwire: a future engine that APPENDS its one
+    // bookkeeping column passes the arity check above but misaligns
+    // every binding by one. Under the prepend contract field 0 IS the
+    // engine's __row_operation — a non-null int holding one of the
+    // RowDeltaUtils operation constants — so verify exactly that
+    // before trusting the offset (an appended layout would put the
+    // first DATA column at field 0, which fails the null check or the
+    // constant-set check instead of silently writing shifted values)
+    if (fieldOffset == 1) {
+      import org.apache.spark.sql.catalyst.util.RowDeltaUtils._
+      val ops = Set(WRITE_OPERATION, WRITE_WITH_METADATA_OPERATION,
+        REINSERT_OPERATION, INSERT_OPERATION, UPDATE_OPERATION,
+        DELETE_OPERATION)
+      require(!row.isNullAt(0) && ops.contains(row.getInt(0)),
+        "ReplaceData row carries one extra field but field 0 is not a " +
+          "RowDeltaUtils operation constant — the engine no longer " +
+          "PREPENDS its bookkeeping column, so the suffix alignment " +
+          "this writer binds with would write misaligned values; " +
+          "refusing")
+    }
     // Spark-identical partition path rendering: session-tz string cast
     // per column + getPartitionPathString (escaping + the
     // __HIVE_DEFAULT_PARTITION__ null form)
@@ -314,13 +345,22 @@ private[io] class LakeReplaceDataWriter(staging: String,
   private var writer: OutputWriter = _
   private var rowsInFile = 0L
   private var fileSeq = 0
-  private val results = ArrayBuffer.empty[(String, String, Long, Long)]
+  private val results =
+    ArrayBuffer.empty[(String, PartitionedLake.FileEntry)]
 
   private def closeCurrent(): Unit = if (writer != null) {
     writer.close()
     val p = new Path(writer.path())
     val len = p.getFileSystem(conf.value).getFileStatus(p).getLen
-    results += ((currentDir, p.getName, rowsInFile, len))
+    // bounds for the columns the replaced snapshot carried stats for —
+    // the file was just written by this task, so the footer read is a
+    // page-cache hit, and the rewritten partitions keep their q157/
+    // readBox skipping instead of degrading until the next compact
+    val stats = if (statsCols.isEmpty) Map.empty[String, (Double, Double)]
+      else PartitionedLake.footerInfo(conf.value, p, statsCols)._2
+    results += ((currentDir,
+      PartitionedLake.FileEntry(p.getName, stats, Some(rowsInFile),
+        Some(len))))
     writer = null
   }
 

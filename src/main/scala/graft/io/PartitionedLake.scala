@@ -690,7 +690,7 @@ object PartitionedLake {
     * row count (free in the same footer) powers [[rowCount]]'s
     * metadata-only COUNT(*).
     */
-  private def footerInfo(conf: org.apache.hadoop.conf.Configuration,
+  private[io] def footerInfo(conf: org.apache.hadoop.conf.Configuration,
       file: Path,
       statsCols: Set[String]): (Long, Map[String, (Double, Double)]) = {
     import scala.jdk.CollectionConverters._

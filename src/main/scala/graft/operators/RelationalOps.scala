@@ -1716,8 +1716,9 @@ object RelationalOps {
     // uniformly true/false for a claimed predicate, so dir retirement
     // IS row-exact DELETE). The pre-delete snapshot stays
     // time-travelable (v1_rows pins it in-band); sub-partition
-    // predicates refuse at analysis (capability honesty —
-    // LakeSqlWriteSpec pins the refusal matrix). ----
+    // predicates fall through canDeleteWhere to the group-based
+    // row-level rewrite (q160's engine — LakeRowLevelSpec pins the
+    // routing both ways). ----
     Q("q158_sql_lake_delete",
       (s, d) => {
         val dir = scratchDir("q158-delete") + "/lake"

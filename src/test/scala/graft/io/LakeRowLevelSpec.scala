@@ -263,4 +263,33 @@ class LakeRowLevelSpec extends AnyFunSuite {
     }
     assert(messages(pp).exists(_.contains("pre-protocol")), pp.toString)
   }
+
+  test("UPDATE re-harvests footer bounds for the columns the replaced snapshot carried stats for (file skipping survives the rewrite)") {
+    val lake = freshLake("statskeep")
+    PartitionedLake.write(Seq((1L, "a", 1.0), (2L, "a", 2.0),
+      (3L, "b", 30.0)).toDF("k", "part", "bal"), lake, "part",
+      statsCols = Seq("bal"))
+    useCatalog()
+    spark.sql(s"UPDATE graft_lake.`$lake` SET bal = bal + 100 WHERE k = 2")
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = PartitionedLake.latestManifest(fs, lake).get
+    // the rewritten partition's fresh entries carry bal bounds covering
+    // the post-update values — NOT stats = empty (which would silently
+    // degrade q157/readBox skipping there until a compact)
+    val a = m.files("part=a")
+    assert(a.nonEmpty && a.forall(_.stats.contains("bal")),
+      s"rewritten entries lost their bal bounds: $a")
+    // the UNION of the fresh per-file bounds covers the post-update
+    // values (the rewrite may emit several files per partition)
+    val bounds = a.map(_.stats("bal"))
+    assert(bounds.map(_._1).min <= 1.0 && bounds.map(_._2).max >= 102.0,
+      s"bounds do not cover the rewritten values: $a")
+    // and skipping still works: a box query over the untouched range
+    // must not open the rewritten partition's files
+    val hit = PartitionedLake.readBox(spark, lake, Map("bal" -> (25.0, 35.0)))
+    assert(hit.select("k").collect().map(_.getLong(0)).toSet === Set(3L))
+    assert(hit.inputFiles.forall(_.contains("part=b")),
+      "readBox opened files the bounds should have skipped")
+  }
 }
