@@ -382,13 +382,17 @@ private[io] object LakeNativeBatchScan {
   /** The ONE routing gate for the native batch (shared by the read
     * builder and the row-level operation): a manifest-backed snapshot
     * with NO live merge-on-read deltas (the MOR merge is a derived
-    * plan, not a file list) and byte lengths on every file (the native
+    * plan, not a file list), byte lengths on every file (the native
     * planner sizes splits from them; adopted legacy entries predate
-    * harvesting). Everything else routes to the delegated V1 plan.
+    * harvesting), and NO physical-name pins (a renamed column's old
+    * files need the per-pin-group projection only the V1 path speaks;
+    * compact() rewrites the pins away and restores this batch).
+    * Everything else routes to the delegated V1 plan.
     */
   def eligible(m: PartitionedLake.Manifest): Boolean =
     m.deltas.isEmpty && m.files.nonEmpty &&
-      m.files.valuesIterator.forall(_.forall(_.bytes.isDefined))
+      m.files.valuesIterator.forall(_.forall(e =>
+        e.bytes.isDefined && e.physNames.isEmpty))
 }
 
 /** A [[FilePartition]] carrying its partition-value row — the

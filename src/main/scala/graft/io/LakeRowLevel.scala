@@ -134,6 +134,14 @@ private[io] class LakeRowLevelOperation(path: String,
         sys.error(s"row-level SQL writes on $path need a post-adoption " +
           "snapshot (per-file byte lengths in the manifest) — run " +
           "PartitionedLake.compact(spark, path) once to modernize it")
+      if (pinned.files.valuesIterator.exists(_.exists(_.physNames.nonEmpty)))
+        sys.error(s"row-level SQL writes on $path are not supported " +
+          "while renamed columns' physical-name pins are live (old " +
+          "files need the per-pin-group projection only the V1 read " +
+          "path speaks) — run PartitionedLake.compact(spark, path) " +
+          "first (rewrites files under the current names); " +
+          "partition-scoped DELETE works regardless (metadata " +
+          "retirement)")
       // ALWAYS the native batch (an empty created lake included — its
       // declared layout names the partition columns); residual = empty
       // disables parquet pushdown AND stats skipping: a group rewrite

@@ -1353,9 +1353,63 @@ class LakeCatalog extends TableCatalog {
     new GraftLakeTable(path, None)
   }
 
+  /** `ALTER TABLE` — exactly the two schema evolutions the snapshot
+    * protocol expresses as manifest-only commits:
+    *
+    *  - `RENAME COLUMN` routes to [[PartitionedLake.renameColumn]]
+    *    (stable-id rebind + per-file physical-name pins; old files
+    *    stay readable, zero data jobs);
+    *  - `ADD COLUMNS` (top-level, nullable, appended) routes to
+    *    [[PartitionedLake.addColumns]] (widened schema with fresh ids;
+    *    old files read typed nulls — the additive evolution the API
+    *    write paths already practice).
+    *
+    * Everything else — type changes, drops, nested edits, positioned
+    * adds, NOT NULL, defaults, comments, properties — refuses loudly:
+    * the manifest stores none of it, and a silent partial apply would
+    * be worse than the error.
+    */
   override def alterTable(ident: Identifier,
-      changes: org.apache.spark.sql.connector.catalog.TableChange*): Table =
-    readOnly("ALTER TABLE")
+      changes: org.apache.spark.sql.connector.catalog.TableChange*): Table = {
+    import org.apache.spark.sql.connector.catalog.TableChange
+    val path = pathOf(ident)
+    if (path.contains("#")) sys.error(
+      s"cannot ALTER a metadata table ($path): #history and #changes " +
+        "are derived views")
+    if (!exists(path)) throw new NoSuchTableException(ident)
+    val spark = SparkSession.active
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        if (r.fieldNames().length != 1) sys.error(
+          "ALTER TABLE ... RENAME COLUMN supports top-level columns " +
+            s"only, got nested field ${r.fieldNames().mkString(".")}")
+        PartitionedLake.renameColumn(spark, path,
+          r.fieldNames().head, r.newName())
+      case a: TableChange.AddColumn =>
+        if (a.fieldNames().length != 1) sys.error(
+          "ALTER TABLE ... ADD COLUMNS supports top-level columns " +
+            s"only, got nested field ${a.fieldNames().mkString(".")}")
+        if (a.position() != null) sys.error(
+          "ALTER TABLE ... ADD COLUMNS supports appending only (column " +
+            "order is storage order; FIRST/AFTER would imply a rewrite)")
+        if (a.defaultValue() != null) sys.error(
+          "ALTER TABLE ... ADD COLUMNS does not support DEFAULT values " +
+            "(old files surface typed nulls; a default would silently " +
+            "differ between old and new rows)")
+        if (!a.isNullable) sys.error(
+          "ALTER TABLE ... ADD COLUMNS requires nullable columns: " +
+            "every pre-existing row reads NULL for the new column")
+        PartitionedLake.addColumns(spark, path, Seq(
+          org.apache.spark.sql.types.StructField(
+            a.fieldNames().head, a.dataType())))
+      case other => sys.error(
+        s"ALTER TABLE change not supported by LakeCatalog: $other — " +
+          "supported: RENAME COLUMN (stable-id rebind), ADD COLUMNS " +
+          "(nullable, appended); type changes and drops would corrupt " +
+          "old snapshots and refuse by design")
+    }
+    new GraftLakeTable(path, None)
+  }
 
   /** `DROP TABLE lake.`/path`` — standard lake-catalog semantics (what
     * Delta/Iceberg path catalogs do): the lake directory, data and

@@ -6,7 +6,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions.{array, broadcast, col, explode, lit, struct, when}
-import org.apache.spark.sql.types.{DataType, StructType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType, TimestampNTZType, TimestampType}
 
 /** Partitioned-lake layout helpers: Hive-style partition directories give
   * partition *pruning* — a predicate on a partition column never touches
@@ -131,10 +131,22 @@ object PartitionedLake {
     * on pre-bytes manifests — statistics then stay at the conservative
     * default, never an underestimate.
     */
+  /** One live data file. `stats` are ULP-widened footer BOUNDS keyed by
+    * the column's PHYSICAL (write-time) name; `physNames` pins, per
+    * stable column id, the physical column name this file was written
+    * under when it differs from the snapshot's CURRENT name — the
+    * per-file half of column renames ([[renameColumn]]): a rename is a
+    * manifest-only commit that rebinds the schema name and stamps
+    * `pn:<id>:<old-name>` onto every live entry, so readers resolve
+    * old files exactly (no heuristics) and the annotation dies with
+    * the file at the next rewrite (compact/overwrite/upsert restore
+    * the physical name automatically).
+    */
   private[io] case class FileEntry(name: String,
       stats: Map[String, (Double, Double)] = Map.empty,
       rows: Option[Long] = None,
-      bytes: Option[Long] = None)
+      bytes: Option[Long] = None,
+      physNames: Map[Int, String] = Map.empty)
 
   /** version + snapshot schema + live files per partition directory +
     * PER-WRITER highest streaming batch ids folded in (Delta's
@@ -310,7 +322,12 @@ object PartitionedLake {
     require(header == "graft-lake-manifest v1" ||
       header == "graft-lake-manifest v2" ||
       header == "graft-lake-manifest v1.1" ||
-      header == "graft-lake-manifest v2.1",
+      header == "graft-lake-manifest v2.1" ||
+      // `.2` = physical-name pins present (column renames) — this
+      // release resolves them; earlier by-name parsers reject here
+      // instead of reading a renamed column as nulls off old files
+      header == "graft-lake-manifest v1.2" ||
+      header == "graft-lake-manifest v2.2",
       s"unrecognized manifest header in $p")
     val schema = DataType.fromJson(lines(1).stripPrefix("schema "))
       .asInstanceOf[StructType]
@@ -435,11 +452,28 @@ object PartitionedLake {
         .partition(f => f.startsWith("rows:") && !f.contains('='))
       val (byteFields, rest2) = rest
         .partition(f => f.startsWith("bytes:") && !f.contains('='))
+      // `pn:<id>:<escaped-name>` — the per-file physical-name pin a
+      // column rename stamps onto pre-rename entries (see FileEntry).
+      // '='-free by construction (escapePathName escapes '='), so
+      // pre-rename parsers skipped it as an unknown annotation — which
+      // is exactly why a pn-bearing manifest bumps the header minor to
+      // `.2`: ignoring the pin means reading a renamed column as NULLS
+      // off old files, and by-name readers must refuse at the header
+      // gate instead.
+      val (pnFields, rest3) = rest2
+        .partition(f => f.startsWith("pn:") && !f.contains('='))
+      val physNames = pnFields.map { f =>
+        val body0 = f.stripPrefix("pn:")
+        val sep = body0.indexOf(':')
+        require(sep > 0, s"malformed pn field '$f' in $p")
+        body0.substring(0, sep).toInt ->
+          ExternalCatalogUtils.unescapePathName(body0.substring(sep + 1))
+      }.toMap
       // forward tolerance: any OTHER '='-free field is an additive
       // future annotation this reader doesn't know — skipped, not a
       // crash (stats fields always contain '='; escaping guarantees a
       // real column name's field does too)
-      val statFields = rest2.filter(_.contains('='))
+      val statFields = rest3.filter(_.contains('='))
       val stats = statFields.map { f =>
         // the name is escaped on write, so the FIRST '=' ends it
         val eq = f.indexOf('=')
@@ -451,7 +485,8 @@ object PartitionedLake {
       (fields(0).substring(0, i),
         FileEntry(fields(0).substring(i + 1), stats,
           rowFields.headOption.map(_.stripPrefix("rows:").toLong),
-          byteFields.headOption.map(_.stripPrefix("bytes:").toLong)))
+          byteFields.headOption.map(_.stripPrefix("bytes:").toLong),
+          physNames))
     }.groupBy(_._1).map { case (d, fs0) => d -> fs0.map(_._2) }
     Manifest(version, schema, files, txns, deltas, mor, leafNames, layout,
       columnIds)
@@ -469,6 +504,11 @@ object PartitionedLake {
       body.append(d).append('/').append(e.name)
       e.rows.foreach(r => body.append('\t').append("rows:").append(r))
       e.bytes.foreach(b => body.append('\t').append("bytes:").append(b))
+      // physical-name pins, sorted by id for deterministic leaf hashing
+      e.physNames.toSeq.sortBy(_._1).foreach { case (id, n) =>
+        body.append('\t').append("pn:").append(id).append(':')
+          .append(ExternalCatalogUtils.escapePathName(n))
+      }
       // stats column names are escaped like every other name in the
       // manifest: a raw '=' would truncate the parsed name, a raw tab
       // would break the field framing — one exotic-but-legal column
@@ -536,12 +576,17 @@ object PartitionedLake {
     val dir = manifestDir(path)
     fs.mkdirs(dir)
     val nShards = shardCountFor(fs, allDirs(m).size)
-    // `.1` minor iff any entry carries a bytes field — see the reader's
-    // header note: pre-bytes parsers must reject at the header gate,
-    // and a bytes-free manifest (all-adopted legacy entries) stays
-    // readable by them
+    // minor version = the newest LOAD-BEARING per-file field present:
+    // `.2` iff any entry carries a physical-name pin (a rename
+    // happened and by-name resolution reads WRONG data — pre-rename
+    // parsers must reject at the header gate rather than surface
+    // nulls), `.1` iff any entry carries a bytes field (pre-bytes
+    // parsers cannot field-split), bare otherwise — so untouched lakes
+    // stay readable by every parser that ever could
     val minor =
-      if (m.files.values.exists(_.exists(_.bytes.nonEmpty))) ".1" else ""
+      if (m.files.values.exists(_.exists(_.physNames.nonEmpty))) ".2"
+      else if (m.files.values.exists(_.exists(_.bytes.nonEmpty))) ".1"
+      else ""
     val body = new StringBuilder(
       if (nShards == 0) s"graft-lake-manifest v1$minor\n"
       else s"graft-lake-manifest v2$minor\n")
@@ -867,10 +912,25 @@ object PartitionedLake {
         s"omitted one, carry the omitted column explicitly — " +
         s"lit(null).cast(\"${suspects.head._3.simpleString}\")" +
         s".as(\"${suspects.head._1}\") — to state the intent. " +
-        "True renames arrive via the manifest's meta:column-ids " +
-        "name->stable-id mapping: readers already accept and round-trip " +
-        "it (this release); a later release's writer assigns ids and " +
-        "renames by rebinding a name to its id.")
+        "True renames go through PartitionedLake.renameColumn (SQL: " +
+        "ALTER TABLE ... RENAME COLUMN), which rebinds the name to its " +
+        "stable column id in one manifest commit — old files stay " +
+        "readable and the change feed stays consistent.")
+  }
+
+  /** Extend (or create) the stable column-id mapping so it covers every
+    * field of `schema`: existing entries keep their ids (including any
+    * entries for names outside the schema — a FUTURE writer's extras
+    * round-trip untouched), unmapped fields get fresh ids above the
+    * current max, assigned in schema field order (deterministic).
+    */
+  private[io] def assignColumnIds(prev: Option[Map[String, Int]],
+      schema: StructType): Map[String, Int] = {
+    val p = prev.getOrElse(Map.empty)
+    var next = if (p.isEmpty) 1 else p.values.max + 1
+    p ++ schema.fieldNames.filterNot(p.contains).map { n =>
+      val id = next; next += 1; n -> id
+    }
   }
 
   /** Additive schema merge for a rebase: `head`'s fields first, then the
@@ -1059,7 +1119,28 @@ object PartitionedLake {
       val txns = baseTxns ++ batchId.map(b => writerId ->
         (baseTxns.get(writerId).fold(b)(_ max b)))
       val snapshotSchema = base match {
-        case Some(h) if !(h eq old.orNull) => mergeSchemas(h.schema, nullableSchema)
+        case Some(h) if !(h eq old.orNull) =>
+          // a RENAME landed between this commit's manifest read and its
+          // publish: our staged files were written under the OLD name,
+          // and the additive merge below would silently resurrect that
+          // name as a second column next to the renamed one. Loud
+          // conflict — the caller re-runs against the renamed snapshot
+          // (rare: renames are maintenance commits).
+          val oldIds = old.flatMap(_.columnIds).getOrElse(Map.empty)
+          val renamedUnderUs = nullableSchema.fields
+            .filterNot(f => h.schema.fieldNames.contains(f.name))
+            .flatMap(f => oldIds.get(f.name).flatMap(i =>
+              h.columnIds.getOrElse(Map.empty)
+                .find { case (n2, i2) => i2 == i && n2 != f.name }
+                .map { case (n2, _) => s"'${f.name}' -> '$n2'" }))
+          if (renamedUnderUs.nonEmpty) {
+            unlinkMoved()
+            sys.error(s"concurrent commit conflict on $path: column(s) " +
+              s"${renamedUnderUs.mkString(", ")} were renamed by a racing " +
+              "committer after this commit read the schema; re-run " +
+              "against the new snapshot")
+          }
+          mergeSchemas(h.schema, nullableSchema)
         case _ => nullableSchema
       }
       // the layout persists across commits: derived from the new live
@@ -1073,14 +1154,14 @@ object PartitionedLake {
         // (zero-row first write/append) still records the caller's
         // declared columns, so the lake is insertable from version 1
         else base.flatMap(layoutOf).orElse(bootstrapLayout)
-      // the column-id mapping carries through commits only while it
-      // still covers every snapshot field: an additive evolution by a
-      // THIS-release writer (which cannot assign a fresh id) drops the
-      // mapping instead of publishing a partial one readers rightly
-      // reject — by-name resolution (today's behavior everywhere) is
-      // the documented degradation
-      val carriedIds = base.flatMap(_.columnIds)
-        .filter(ids => snapshotSchema.fieldNames.forall(ids.contains))
+      // the writer half of column ids (the reader shipped one release
+      // earlier, per the two-phase rule): every commit publishes a
+      // FULL mapping — base entries keep their ids, fields the base
+      // never mapped get fresh ids above the max, so additive
+      // evolution extends the mapping instead of dropping it and
+      // renames ([[renameColumn]]) always have ids to rebind
+      val carriedIds = Some(assignColumnIds(
+        base.flatMap(_.columnIds), snapshotSchema))
       val ok = tryPublishManifest(fs, path, Manifest(
         base.map(_.version + 1).getOrElse(1L), snapshotSchema, newFiles,
         txns, newDeltas, mor, layout = layout, columnIds = carriedIds))
@@ -1243,9 +1324,10 @@ object PartitionedLake {
     // same dedicated type (SQL CREATE TABLE IF NOT EXISTS matches on the
     // TYPE — an earlier form classified by message substring, which
     // mislabeled unrelated publish failures as already-exists)
-    if (!tryPublishManifest(fs, path, Manifest(1L,
-        StructType(schema.fields.map(_.copy(nullable = true))), Map.empty,
-        layout = Some(partitionCols))))
+    val nullable = StructType(schema.fields.map(_.copy(nullable = true)))
+    if (!tryPublishManifest(fs, path, Manifest(1L, nullable, Map.empty,
+        layout = Some(partitionCols),
+        columnIds = Some(assignColumnIds(None, nullable)))))
       throw new LakeAlreadyExistsException(
         s"a lake already exists at $path (a racing CREATE published " +
           "version 1 first)")
@@ -1292,6 +1374,117 @@ object PartitionedLake {
       statsCols)
     commitStaged(fs, path, staging, staged, Set.empty, schema, old, None,
       appendOnly = true, bootstrapLayout = Some(partitionCols))
+  }
+
+  /** Rename a column — a MANIFEST-ONLY commit, zero data jobs at any
+    * scale: the schema field is rebound to its STABLE ID under the new
+    * name (the `meta:column-ids=` writer half; the reader shipped one
+    * release earlier) and every live file entry is stamped with a
+    * physical-name pin (`pn:<id>:<oldName>`) recording the column name
+    * its parquet footers actually carry. Reads then resolve old files
+    * EXACTLY — never by heuristic — through [[filesFrame]]'s per-pin
+    * projection, new writes use the new name with no pin, and the pins
+    * die with the files at the next rewrite ([[compact]] restores the
+    * fully-native read path). Old snapshots are untouched: time travel
+    * before the rename shows the old name, and [[changesBetween]]
+    * aligns across it by id.
+    *
+    * Pin-stamping skips an entry when the old name is already pinned
+    * to a DIFFERENT id there — that file was written while another
+    * column owned the name (rename a->b, add a, rename a->c), so it
+    * cannot contain THIS column at all and pinning would alias two ids
+    * to one physical column. The same ownership logic shadows reads:
+    * see [[filesFrame]].
+    *
+    * Refuses loudly: unknown/duplicate names, partition columns (their
+    * name is baked into every directory path), live merge-on-read
+    * deltas (sidecar files are name-only in the manifest, so their
+    * physical names cannot be pinned — compact() first).
+    *
+    * The published manifest bumps the header minor to `.2`: a
+    * pin-ignorant (by-name) reader would silently surface NULLS for
+    * the renamed column off old files, so it must refuse at the header
+    * gate instead. Lakes never renamed stay at their old header.
+    */
+  def renameColumn(spark: SparkSession, path: String,
+      oldName: String, newName: String): Unit = {
+    val fs = fsFor(spark, path)
+    var attempts = 0
+    while (true) {
+      val m = latestManifest(fs, path).getOrElse(sys.error(
+        s"cannot rename a column of the pre-protocol lake at $path: " +
+          "adopt it first (any PartitionedLake write publishes a " +
+          "manifest)"))
+      require(m.schema.fieldNames.contains(oldName),
+        s"cannot rename '$oldName' on $path: no such column " +
+          s"(schema: ${m.schema.fieldNames.mkString(", ")})")
+      val ids = m.columnIds.getOrElse(
+        assignColumnIds(None, m.schema))
+      require(!ids.contains(newName),
+        s"cannot rename '$oldName' -> '$newName' on $path: the name is " +
+          "already taken")
+      require(!layoutOf(m).exists(_.contains(oldName)),
+        s"cannot rename partition column '$oldName' on $path: its name " +
+          "is baked into every partition directory path; rewrite into a " +
+          "new layout instead")
+      require(m.deltas.isEmpty,
+        s"cannot rename '$oldName' on $path while merge-on-read deltas " +
+          "are live: delta sidecars are name-only in the manifest, so " +
+          "their physical columns cannot be pinned — run " +
+          "PartitionedLake.compact(spark, path) first")
+      val id = ids(oldName)
+      val schema = StructType(m.schema.fields.map(f =>
+        if (f.name == oldName) f.copy(name = newName) else f))
+      val files = m.files.view.mapValues(_.map { e =>
+        if (e.physNames.contains(id) ||
+            e.physNames.exists { case (j, n) => j != id && n == oldName })
+          e
+        else e.copy(physNames = e.physNames + (id -> oldName))
+      }).toMap
+      val ok = tryPublishManifest(fs, path, m.copy(
+        version = m.version + 1, schema = schema, files = files,
+        columnIds = Some(ids - oldName + (newName -> id))))
+      if (ok) return
+      attempts += 1
+      if (attempts > 5) sys.error(s"rename on $path lost the publish " +
+        s"race $attempts times; giving up")
+    }
+  }
+
+  /** Add nullable columns — a MANIFEST-ONLY commit publishing the
+    * widened schema with fresh stable ids; files are untouched and old
+    * ones read typed nulls for the new columns (the same additive
+    * evolution [[upsert]]/[[append]] already do implicitly — this is
+    * the explicit `ALTER TABLE ... ADD COLUMNS` form, usable before
+    * any write carries the column).
+    */
+  def addColumns(spark: SparkSession, path: String,
+      newFields: Seq[StructField]): Unit = {
+    require(newFields.nonEmpty, "addColumns needs at least one column")
+    val fs = fsFor(spark, path)
+    var attempts = 0
+    while (true) {
+      val m = latestManifest(fs, path).getOrElse(sys.error(
+        s"cannot add columns to the pre-protocol lake at $path: adopt " +
+          "it first (any PartitionedLake write publishes a manifest)"))
+      val ids = m.columnIds.getOrElse(assignColumnIds(None, m.schema))
+      val taken = newFields.map(_.name)
+        .filter(n => m.schema.fieldNames.contains(n) || ids.contains(n))
+      require(taken.isEmpty,
+        s"cannot add column(s) ${taken.mkString(", ")} to $path: " +
+          "already present")
+      val dup = newFields.groupBy(_.name).filter(_._2.size > 1).keys
+      require(dup.isEmpty, s"duplicate new column(s): ${dup.mkString(", ")}")
+      val schema = StructType(m.schema.fields ++
+        newFields.map(_.copy(nullable = true)))
+      val ok = tryPublishManifest(fs, path, m.copy(
+        version = m.version + 1, schema = schema,
+        columnIds = Some(assignColumnIds(Some(ids), schema))))
+      if (ok) return
+      attempts += 1
+      if (attempts > 5) sys.error(s"addColumns on $path lost the " +
+        s"publish race $attempts times; giving up")
+    }
   }
 
   /** Retire whole partition directories through the snapshot protocol —
@@ -1368,16 +1561,56 @@ object PartitionedLake {
     * so restore the snapshot's column order.
     */
   private def filesFrame(spark: SparkSession, path: String,
-      schema: StructType, files: Map[String, Seq[FileEntry]]): DataFrame = {
-    val names = files.toSeq.flatMap { case (d, entries) =>
-      entries.map(e => s"$path/$d/${e.name}")
+      schema: StructType, files: Map[String, Seq[FileEntry]],
+      ids: Map[String, Int] = Map.empty): DataFrame = {
+    val all = files.toSeq.flatMap { case (d, entries) =>
+      entries.map(e => (d, e))
     }
-    if (names.isEmpty)
-      spark.createDataFrame(new java.util.ArrayList[Row](), schema)
-    else
-      spark.read.schema(schema).option("basePath", path)
-        .parquet(names: _*)
+    if (all.isEmpty)
+      return spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+    if (all.forall(_._2.physNames.isEmpty))
+      // the one-scan fast path every never-renamed lake takes
+      return spark.read.schema(schema).option("basePath", path)
+        .parquet(all.map { case (d, e) => s"$path/$d/${e.name}" }: _*)
         .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    // PIN-SIGNATURE GROUPS (column renames — see [[renameColumn]]):
+    // files sharing a physical-name pin map scan together, each group
+    // requesting its PINNED physical columns and projecting them back
+    // to the current names. A field with no pin whose current name is
+    // physically OWNED by another id's pin in this group (rename a->b
+    // then add a: the old file's 'a' bytes belong to b) reads a typed
+    // null — the file provably predates the field. Group count is
+    // bounded by renames-since-last-rewrite, so this stays a handful
+    // of scans unioned; compact() clears every pin and restores the
+    // fast path above.
+    val missing = schema.fieldNames.filterNot(ids.contains)
+    require(missing.isEmpty,
+      s"lake at $path has physical-name pins but no column id for " +
+        s"${missing.mkString(", ")} — the manifest is inconsistent " +
+        "(renames always publish a full meta:column-ids mapping)")
+    val groups = all.groupBy(_._2.physNames)
+    groups.toSeq.map { case (pins, pairs) =>
+      val partSet = colsOfDir(pairs.head._1).toSet
+      val owned = pins.map { case (i, n) => n -> i }
+      val resolved = schema.fields.toSeq.map { f =>
+        if (partSet.contains(f.name)) (f, Some(f.name))
+        else pins.get(ids(f.name)) match {
+          case Some(phys) => (f, Some(phys))
+          case None if owned.contains(f.name) => (f, None) // shadowed
+          case None => (f, Some(f.name))
+        }
+      }
+      val readSchema = StructType(resolved.collect {
+        case (f, Some(phys)) if !partSet.contains(f.name) =>
+          StructField(phys, f.dataType)
+      } ++ schema.fields.filter(f => partSet.contains(f.name)))
+      spark.read.schema(readSchema).option("basePath", path)
+        .parquet(pairs.map { case (d, e) => s"$path/$d/${e.name}" }: _*)
+        .select(resolved.map {
+          case (f, Some(phys)) => col(phys).as(f.name)
+          case (f, None) => lit(null).cast(f.dataType).as(f.name)
+        }.toIndexedSeq: _*)
+    }.reduce(_.unionByName(_))
   }
 
   /** The snapshot a manifest describes, with merge-on-read deltas
@@ -1469,14 +1702,16 @@ object PartitionedLake {
   private[io] def frameFor(spark: SparkSession, path: String,
       m: Manifest): DataFrame = {
     if (m.deltas.isEmpty)
-      return filesFrame(spark, path, m.schema, m.files)
+      return filesFrame(spark, path, m.schema, m.files,
+        m.columnIds.getOrElse(Map.empty))
     val key = m.mor.getOrElse(sys.error(
       s"manifest v${m.version} lists deltas but no mor key"))
     val partitionCols = partitionColsOf(m)
+    val mids = m.columnIds.getOrElse(Map.empty)
     val clean = filesFrame(spark, path, m.schema,
-      m.files.view.filterKeys(d => !m.deltas.contains(d)).toMap)
+      m.files.view.filterKeys(d => !m.deltas.contains(d)).toMap, mids)
     val dirty = filesFrame(spark, path, m.schema,
-      m.files.view.filterKeys(m.deltas.contains).toMap)
+      m.files.view.filterKeys(m.deltas.contains).toMap, mids)
     val delta = deltaScan(spark, path, m)
     val ident = partitionCols :+ key
     val identCond = ident.map(c => dirty(c) <=> delta(c)).reduce(_ && _)
@@ -1523,9 +1758,23 @@ object PartitionedLake {
     latestManifest(fs, path) match {
       case None => spark.read.parquet(path).filter(residual)
       case Some(m) =>
+        // bounds live under the PHYSICAL (write-time) column name: a
+        // pinned entry's stats for current column c sit under its pin;
+        // an entry where c's bytes are owned by ANOTHER id's pin (the
+        // rename-then-reuse-the-name shape) has no usable bounds for c
+        // — conservatively read it (the residual keeps exactness)
+        val mids = m.columnIds.getOrElse(Map.empty)
+        def boundsOf(e: FileEntry, c: String): Option[(Double, Double)] = {
+          val id = mids.get(c)
+          id.flatMap(e.physNames.get) match {
+            case Some(phys) => e.stats.get(phys)
+            case None if e.physNames.values.exists(_ == c) => None
+            case None => e.stats.get(c)
+          }
+        }
         val pruned = m.files.map { case (d, entries) =>
           d -> entries.filter(e => bounds.forall { case (c, (lo, hi)) =>
-            e.stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi }
+            boundsOf(e, c).forall { case (mn, mx) => mx >= lo && mn <= hi }
           })
         }.filter(_._2.nonEmpty)
         frameFor(spark, path, m.copy(files = pruned)).filter(residual)
@@ -1932,9 +2181,28 @@ object PartitionedLake {
       frameFor(spark, path, m.copy(
         files = m.files.view.filterKeys(ds).toMap,
         deltas = m.deltas.view.filterKeys(ds).toMap))
+    // id-aware rename bridge: a column renamed between the endpoints
+    // keeps its IDENTITY in the change feed — the from-side frame is
+    // projected onto the to-side names by shared stable id before the
+    // by-name alignment, so a rename classifies as "same column"
+    // instead of a drop+add that nulls every pre-image. One
+    // simultaneous select (not chained withColumnRenamed): a pair of
+    // renames that SWAP names between the endpoints stays correct.
+    val toNameOfId = m2.columnIds.getOrElse(Map.empty)
+      .map { case (n, i) => i -> n }
+    val renameMap: Map[String, String] =
+      m1.columnIds.getOrElse(Map.empty).flatMap { case (n1, i) =>
+        toNameOfId.get(i).filter(n2 =>
+          n2 != n1 && m1.schema.fieldNames.contains(n1) &&
+            out.fieldNames.contains(n2)).map(n1 -> _)
+      }
+    def bridge(df: DataFrame): DataFrame =
+      if (renameMap.isEmpty) df
+      else df.select(df.columns.map(c =>
+        col(c).as(renameMap.getOrElse(c, c))).toIndexedSeq: _*)
     // pre-image rows aligned to the TO schema (additive evolution:
     // columns the old snapshot lacked surface as null)
-    def align(df: DataFrame): DataFrame = alignTo(df, out)
+    def align(df: DataFrame): DataFrame = alignTo(bridge(df), out)
     val d1 = allDirs(m1)
     val d2 = allDirs(m2)
     val rewritten = (d1 & d2).filter(d => dirSig(m1, d) != dirSig(m2, d))
@@ -2094,11 +2362,16 @@ object PartitionedLake {
         filesPerPartition)
     val fs = fsFor(spark, path)
     latestManifest(fs, path).foreach { m =>
-      // a partition needs compaction when it holds multiple files OR
+      // a partition needs compaction when it holds multiple files,
       // carries merge-on-read deltas (materialized away by the rewrite:
       // the slice below reads THROUGH frameFor, so the merged view is
-      // what gets written back and the deltas drop from the manifest)
-      val todoDirs = m.files.filter(_._2.size > 1).keySet ++ m.deltas.keySet
+      // what gets written back and the deltas drop from the manifest),
+      // OR holds files pinned to pre-rename physical column names (the
+      // rewrite re-physicalizes them under the current names, and once
+      // no pin is live the native DSv2 batch serves the lake again)
+      val todoDirs = m.files.filter(_._2.size > 1).keySet ++
+        m.deltas.keySet ++
+        m.files.filter(_._2.exists(_.physNames.nonEmpty)).keySet
       if (todoDirs.isEmpty) return
       val todo = m.files.view.filterKeys(todoDirs).toMap
       val partitionCols = partitionColsOf(m)

@@ -1886,6 +1886,90 @@ object RelationalOps {
         |    AS price_sum
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin),
-      "lake op: SQL MERGE INTO via SupportsRowLevelOperations (matched update + not-matched insert, one snapshot commit)")
+      "lake op: SQL MERGE INTO via SupportsRowLevelOperations (matched update + not-matched insert, one snapshot commit)"),
+
+    // ---- ALTER TABLE ... RENAME COLUMN: a MANIFEST-ONLY commit (the
+    // meta:column-ids writer half) — the schema name rebinds to its
+    // stable id and every live file entry gets a physical-name pin, so
+    // the old files keep serving their bytes under the new name with
+    // ZERO data jobs (rename_zero_files pins that in-band: the live
+    // file set is identical across the rename). Post-rename inserts
+    // write the new name physically; the read resolves each pin group
+    // exactly. At 100 TB a rename costs one manifest write, like
+    // DELETE's retirement. ----
+    Q("q162_sql_lake_rename",
+      (s, d) => {
+        val dir = scratchDir("q162-rename") + "/lake"
+        val base = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderpriority"), col("o_totalprice"))
+        graft.io.PartitionedLake.write(
+          base.filter(col("o_orderkey") % 2 === 0), dir, "o_orderpriority")
+        s.conf.set("spark.sql.catalog.graft_lake",
+          classOf[graft.io.LakeCatalog].getName)
+        val before = graft.io.PartitionedLake.read(s, dir).inputFiles.toSet
+        s.sql(s"ALTER TABLE graft_lake.`$dir` " +
+          "RENAME COLUMN o_totalprice TO price")
+        val after = graft.io.PartitionedLake.read(s, dir).inputFiles.toSet
+        base.filter(col("o_orderkey") % 2 =!= 0)
+          .withColumnRenamed("o_totalprice", "price")
+          .createOrReplaceTempView("q162_src")
+        s.sql(s"INSERT INTO graft_lake.`$dir` " +
+          "SELECT o_orderkey, o_orderpriority, price FROM q162_src")
+        s.sql(
+          s"SELECT o_orderpriority, count(*) AS n, " +
+            "CAST(SUM(CAST(price AS DECIMAL(28,6))) AS DOUBLE) " +
+            s"AS price_sum FROM graft_lake.`$dir` " +
+            "GROUP BY o_orderpriority")
+          .withColumn("rename_zero_files", lit(before == after))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+        |    AS price_sum,
+        |  true AS rename_zero_files
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin),
+      "lake op: ALTER TABLE RENAME COLUMN as a manifest-only stable-id rebind (old files readable by id, zero data jobs)"),
+
+    // ---- ALTER TABLE ... ADD COLUMNS: the widened schema publishes as
+    // one manifest commit with a fresh stable id; files written before
+    // the ALTER surface typed NULLs for the new column (additive
+    // evolution), rows inserted after it carry real values — the same
+    // statement-then-backfill shape every warehouse migration uses. ----
+    Q("q163_sql_lake_add_columns",
+      (s, d) => {
+        val dir = scratchDir("q163-addcols") + "/lake"
+        val base = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderpriority"), col("o_totalprice"))
+        graft.io.PartitionedLake.write(
+          base.filter(col("o_orderkey") % 2 === 0), dir, "o_orderpriority")
+        s.conf.set("spark.sql.catalog.graft_lake",
+          classOf[graft.io.LakeCatalog].getName)
+        s.sql(s"ALTER TABLE graft_lake.`$dir` " +
+          "ADD COLUMNS (discount DOUBLE)")
+        base.filter(col("o_orderkey") % 2 =!= 0)
+          .withColumn("discount", col("o_totalprice") / lit(100.0))
+          .createOrReplaceTempView("q163_src")
+        s.sql(s"INSERT INTO graft_lake.`$dir` " +
+          "SELECT o_orderkey, o_orderpriority, o_totalprice, discount " +
+          "FROM q163_src")
+        s.sql(
+          s"SELECT o_orderpriority, count(*) AS n, " +
+            "count(discount) AS n_discounted, " +
+            "CAST(SUM(CAST(coalesce(discount, 0) AS DECIMAL(28,6))) " +
+            "AS DOUBLE) AS discount_sum " +
+            s"FROM graft_lake.`$dir` " +
+            "GROUP BY o_orderpriority ORDER BY o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+        |  count(CASE WHEN o_orderkey % 2 <> 0 THEN 1 END)
+        |    AS n_discounted,
+        |  CAST(SUM(CASE WHEN o_orderkey % 2 <> 0 THEN
+        |    CAST(o_totalprice / 100.0 AS DECIMAL(28,6))
+        |    ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+        |    AS discount_sum
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin),
+      "lake op: ALTER TABLE ADD COLUMNS as a manifest-only additive evolution (old files read typed nulls, fresh stable id)")
   )
 }

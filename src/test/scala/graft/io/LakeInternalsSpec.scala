@@ -188,33 +188,33 @@ class LakeInternalsSpec extends AnyFunSuite {
       PartitionedLake.latestManifest(fs2, partial)
     }
     assert(e.getMessage.contains("unmapped"), e.getMessage)
-    // carry-through-commit rules on a REAL lake: same-schema commits
-    // carry the mapping; an additive evolution (this release cannot
-    // assign the new column an id) drops it rather than publish a
-    // partial mapping
+    // WRITER-half rules on a REAL lake (this release): the first
+    // commit assigns ids in schema order, same-schema commits carry
+    // them, and an additive evolution EXTENDS the mapping with a fresh
+    // id above the max instead of dropping it
     val lake = java.nio.file.Files.createTempDirectory("graft-colids2")
       .toString + "/lake"
     val lfs = new org.apache.hadoop.fs.Path(lake)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     PartitionedLake.write(Seq((1L, "a")).toDF("k", "part"), lake, "part")
-    val head = PartitionedLake.latestManifest(lfs, lake).get
-    PartitionedLake.publishManifest(lfs, lake, head.copy(
-      version = head.version + 1,
-      columnIds = Some(Map("k" -> 1, "part" -> 2))))
+    assert(PartitionedLake.latestManifest(lfs, lake).get.columnIds ===
+      Some(Map("k" -> 1, "part" -> 2)),
+      "the writer half: bootstrap assigns ids in schema order")
     PartitionedLake.append(Seq((2L, "a")).toDF("k", "part"), lake,
       Seq("part"))
     assert(PartitionedLake.latestManifest(lfs, lake).get.columnIds ===
       Some(Map("k" -> 1, "part" -> 2)), "same-schema append must carry ids")
     PartitionedLake.append(Seq((3L, "a", 9.0)).toDF("k", "part", "extra"),
       lake, Seq("part"))
-    assert(PartitionedLake.latestManifest(lfs, lake).get.columnIds === None,
-      "additive evolution must drop (not truncate) the mapping")
-    // and the rename refusal points at the id-mapping forward path
+    assert(PartitionedLake.latestManifest(lfs, lake).get.columnIds ===
+      Some(Map("k" -> 1, "part" -> 2, "extra" -> 3)),
+      "additive evolution must extend the mapping with a fresh id")
+    // and the rename refusal points at the real rename API
     val rn = intercept[Exception] {
       PartitionedLake.append(
         Seq((4L, "a", 8.0)).toDF("k", "part", "renamed"), lake, Seq("part"))
     }
-    assert(rn.getMessage.contains("meta:column-ids"), rn.getMessage)
+    assert(rn.getMessage.contains("renameColumn"), rn.getMessage)
   }
 
   test("latestVersion with a live hint probes forward without listing _manifest/; a vacuumed hint falls back") {
