@@ -252,6 +252,79 @@ private[io] class LakeReplaceDataWrite(path: String,
   }
 }
 
+/** Dynamic partition overwrite (`INSERT OVERWRITE` under
+  * `spark.sql.sources.partitionOverwriteMode=dynamic`, or
+  * `DataFrameWriterV2.overwritePartitions()`): a REAL DSv2 batch write
+  * — the engine has no V1 fallback exec for dynamic overwrite — that
+  * stages partitioned parquet through the same task pipeline as the
+  * row-level rewrite ([[LakeReplaceDataWriterFactory]]: one open
+  * writer per task via the required partition-column ordering,
+  * task-side stats re-harvest) and commits ONE snapshot replacing
+  * EXACTLY the partitions the data touched. An empty source overwrites
+  * nothing and publishes nothing (no version churn). The head manifest
+  * is resolved at commit; racing commits into a replaced partition
+  * conflict through the standard rebase check.
+  */
+private[io] class LakeDynamicOverwriteWrite(path: String,
+    partCols: Seq[String], writeSchema: StructType)
+    extends Write with BatchWrite with RequiresDistributionAndOrdering {
+
+  override def toBatch: BatchWrite = this
+  override def description(): String = s"GraftLakeDynamicOverwrite($path)"
+
+  override def requiredDistribution(): Distribution =
+    Distributions.unspecified()
+  override def requiredNumPartitions(): Int = 0
+  override def requiredOrdering(): Array[SortOrder] = partCols.map(c =>
+    Expressions.sort(Expressions.column(c), SortDirection.ASCENDING,
+      NullOrdering.NULLS_FIRST)).toArray
+
+  private val stagingRoot =
+    new Path(path, s"_staging/${UUID.randomUUID()}")
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    val spark = SparkSession.active
+    val job = Job.getInstance(spark.sessionState.newHadoopConf())
+    val dataSchema = StructType(
+      writeSchema.fields.filterNot(f => partCols.contains(f.name)))
+    val owf = new ParquetFileFormat()
+      .prepareWrite(spark, job, Map.empty, dataSchema)
+    // inherit the snapshot's stats harvest (same rule as ReplaceData):
+    // a backfill into a z-order-maintained lake keeps its file skipping
+    val statsCols = PartitionedLake.statsColsOf(
+      PartitionedLake.manifestAt(spark, path, None)).toSet
+      .intersect(dataSchema.fieldNames.toSet)
+    new LakeReplaceDataWriterFactory(stagingRoot.toString, writeSchema,
+      dataSchema, partCols, owf,
+      new SerializableConfiguration(job.getConfiguration),
+      spark.sessionState.conf.sessionLocalTimeZone, statsCols)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val staged = messages.iterator
+      .flatMap { case m: LakeReplaceTaskResult => m.entries }
+      .toSeq.groupBy(_._1)
+      .map { case (d, es) => d -> es.map(_._2) }
+    if (staged.isEmpty) { abort(messages); return } // empty source: no-op
+    val old = PartitionedLake.manifestAt(spark, path, None).getOrElse(
+      sys.error(s"cannot dynamic-overwrite the pre-protocol lake at " +
+        s"$path: adopt it first (any PartitionedLake write publishes a " +
+        "manifest)"))
+    PartitionedLake.commitStaged(
+      stagingRoot.getFileSystem(
+        spark.sparkContext.hadoopConfiguration), path, stagingRoot,
+      staged, staged.keySet, writeSchema, Some(old), None)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = stagingRoot.getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    fs.delete(stagingRoot, true)
+  }
+}
+
 /** One task's staged files as (directory, manifest entry) pairs. Row
   * and byte counts ride the message so the driver commit needs zero
   * footer reads; column bounds are harvested task-side for exactly the

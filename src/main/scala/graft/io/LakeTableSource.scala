@@ -528,7 +528,7 @@ private[io] class GraftLakeTable(path: String, version: Option[Long])
         "pre-dates layout declarations, so the partition layout cannot " +
         "be derived — bootstrap through PartitionedLake.write/append " +
         "(or CREATE TABLE ... PARTITIONED BY), which declare it"))
-    new LakeWriteBuilder(path, layout)
+    new LakeWriteBuilder(path, layout, info.schema())
   }
 
   override def partitioning(): Array[Transform] = manifest
@@ -542,58 +542,92 @@ private[io] class GraftLakeTable(path: String, version: Option[Long])
   override def name(): String =
     s"graft-lake $path" + version.map(v => s" VERSION AS OF $v").getOrElse("")
 
-  // TRUNCATE but NOT OVERWRITE_BY_FILTER: the write builder can only
-  // express the FULL overwrite (the snapshot protocol has no partition-
-  // scoped truncate), and advertising the filter capability would trade
-  // the analysis-time "table does not support overwrite by filter" for
-  // a later runtime refusal — capability honesty keeps the error early.
-  // Partition-scoped deletes go through SQL DELETE FROM (SupportsDelete
-  // below); partition-scoped rewrites through upsert/cdcSink.
+  // OVERWRITE_BY_FILTER is back (round 15 dropped it as dishonest;
+  // commitStaged's replace-scoped-dirs shape now makes it real): the
+  // write builder accepts partition-exact predicates — the standard
+  // `INSERT OVERWRITE ... PARTITION (k='v')` backfill — through the
+  // same exact-evaluator gate as canDeleteWhere, and refuses
+  // sub-partition conditions at write planning with directions to
+  // MERGE/upsert. OVERWRITE_DYNAMIC is the matching dynamic-mode
+  // write (replace exactly the partitions the data touches), a real
+  // DSv2 batch write since the engine has no V1 dynamic exec.
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeScanBuilder(path, version, schema, manifest)
 }
 
-/** `INSERT INTO` / `INSERT OVERWRITE` as a `V1Write` shim onto the
-  * existing commit protocol — no new transaction code: append rides
-  * [[PartitionedLake.append]] (merge-into-directories, conflict-free
-  * rebase), overwrite rides [[PartitionedLake.write]] (full-snapshot
-  * supersede). Only the FULL overwrite is expressible — the snapshot
-  * protocol has no partition-scoped truncate — so a filtered
-  * `INSERT OVERWRITE` refuses loudly rather than silently widening to
-  * the whole table.
+/** `INSERT INTO` / `INSERT OVERWRITE` onto the existing commit
+  * protocol — no new transaction code:
+  *
+  *  - append rides [[PartitionedLake.append]] (merge-into-directories,
+  *    conflict-free rebase);
+  *  - full overwrite rides [[PartitionedLake.write]] (full-snapshot
+  *    supersede);
+  *  - `PARTITION (k='v')`-scoped overwrite rides
+  *    [[PartitionedLake.overwritePartitions]] (replace exactly the
+  *    matched directories, one commit; sub-partition predicates refuse
+  *    at write planning with MERGE/upsert directions);
+  *  - dynamic mode is the one REAL batch write here
+  *    ([[LakeDynamicOverwriteWrite]] — the engine has no V1 exec for
+  *    `OverwritePartitionsDynamic`).
+  *
+  * Every route inherits the snapshot's stats harvest
+  * ([[PartitionedLake.statsColsOf]]) so SQL writes keep a z-order-
+  * maintained lake's file-skipping bounds alive.
   */
-private[io] class LakeWriteBuilder(path: String, partitionCols: Seq[String])
+private[io] class LakeWriteBuilder(path: String, partitionCols: Seq[String],
+    writeSchema: StructType)
     extends org.apache.spark.sql.connector.write.WriteBuilder
-    with org.apache.spark.sql.connector.write.SupportsOverwrite {
+    with org.apache.spark.sql.connector.write.SupportsOverwrite
+    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
   import org.apache.spark.sql.connector.write.{V1Write, WriteBuilder}
 
   private var overwriteAll = false
+  private var overwriteFilters: Option[Array[Filter]] = None
+  private var dynamic = false
 
   override def overwrite(filters: Array[Filter]): WriteBuilder = {
     val full = filters.isEmpty ||
       filters.forall(_ == org.apache.spark.sql.sources.AlwaysTrue)
-    if (!full) sys.error("partition-scoped INSERT OVERWRITE is not " +
-      "supported (the snapshot protocol supersedes whole snapshots): " +
-      "use PartitionedLake.upsert/cdcSink for partition-scoped " +
-      s"rewrites; got filters ${filters.mkString(", ")}")
-    overwriteAll = true
+    if (full) overwriteAll = true
+    else overwriteFilters = Some(filters)
     this
   }
 
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    dynamic = true
+    this
+  }
+
+  private def inheritedStats(data: DataFrame): Seq[String] =
+    (PartitionedLake.statsColsOf(
+      PartitionedLake.manifestAt(data.sparkSession, path, None))
+      intersect data.schema.fieldNames.toSeq).distinct
+
   override def build(): org.apache.spark.sql.connector.write.Write =
-    new V1Write {
+    if (dynamic) new LakeDynamicOverwriteWrite(path, partitionCols,
+      writeSchema)
+    else new V1Write {
       override def toInsertableRelation
           : org.apache.spark.sql.sources.InsertableRelation =
         new org.apache.spark.sql.sources.InsertableRelation {
           override def insert(data: DataFrame, overwrite: Boolean): Unit =
-            if (overwriteAll || overwrite)
-              PartitionedLake.write(data, path, partitionCols, Nil)
-            else PartitionedLake.append(data, path, partitionCols)
+            overwriteFilters match {
+              case Some(fs) =>
+                PartitionedLake.overwritePartitions(data, path,
+                  partitionCols, fs.toIndexedSeq)
+              case None if overwriteAll || overwrite =>
+                PartitionedLake.write(data, path, partitionCols,
+                  inheritedStats(data))
+              case None =>
+                PartitionedLake.append(data, path, partitionCols,
+                  inheritedStats(data))
+            }
         }
     }
 }

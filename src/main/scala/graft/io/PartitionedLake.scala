@@ -1290,6 +1290,78 @@ object PartitionedLake {
       fullOverwrite = true, bootstrapLayout = Some(partitionCols))
   }
 
+  /** The columns any live entry of a snapshot carries footer bounds
+    * for — what SQL-route writes (INSERT INTO/OVERWRITE, ReplaceData)
+    * inherit as their stats harvest so a z-order-maintained lake never
+    * silently loses file skipping to a statement that had no statsCols
+    * knob to pass.
+    */
+  private[io] def statsColsOf(m: Option[Manifest]): Seq[String] =
+    m.map(_.files.valuesIterator.flatten.flatMap(_.stats.keysIterator)
+      .toSeq.distinct.sorted).getOrElse(Nil)
+
+  /** Partition-scoped overwrite — SQL `INSERT OVERWRITE ... PARTITION
+    * (k='v')` / `DataFrameWriterV2.overwrite(cond)`: directories
+    * matching the partition-exact predicate are superseded, the staged
+    * rows merge in, everything else carries over — ONE snapshot commit,
+    * the standard backfill idiom. The predicate must compile through
+    * the same exact three-valued evaluator `canDeleteWhere` uses (a
+    * directory is uniformly true/false/null for it), and every staged
+    * row must itself SATISFY the predicate — an overwrite must not
+    * write outside the region it deletes (refused loudly before any
+    * manifest change). Racing commits touching a superseded directory
+    * conflict via the standard rebase check; a racing insert of a NEW
+    * matching directory serializes as if it landed after this
+    * overwrite.
+    */
+  private[io] def overwritePartitions(df: DataFrame, path: String,
+      partitionCols: Seq[String],
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Unit = {
+    val spark = df.sparkSession
+    val fs = fsFor(spark, path)
+    val old = latestManifest(fs, path).getOrElse(sys.error(
+      s"cannot partition-overwrite the pre-protocol lake at $path: " +
+        "adopt it first (any PartitionedLake write publishes a manifest)"))
+    requireLayoutMatch(Some(old), partitionCols, "INSERT OVERWRITE")
+    def dtOf(c: String) = old.schema.fields.find(_.name == c).map(_.dataType)
+    val unclaimable = filters.filterNot(f =>
+      f.references.forall(partitionCols.contains) &&
+        LakeFilters.compile(f, dtOf).isDefined)
+    if (unclaimable.nonEmpty) sys.error(
+      s"partition-scoped INSERT OVERWRITE on $path requires a predicate " +
+        s"over the partition column(s) ${partitionCols.mkString(", ")} " +
+        s"that the exact evaluator can claim; got: " +
+        s"${unclaimable.mkString(", ")} — for row-scoped rewrites use " +
+        "MERGE INTO / UPDATE (the group-based rewrite) or the API upsert")
+    // same additive-evolution gate as append
+    val conflicts = df.schema.filter(f =>
+      old.schema.fieldNames.contains(f.name) &&
+        old.schema(f.name).dataType != f.dataType)
+    require(conflicts.isEmpty,
+      "type change is not supported (only additive evolution): " +
+        conflicts.map(_.name).mkString(", "))
+    refuseSuspectedRename(old.schema, df.schema, "INSERT OVERWRITE")
+    val schema = StructType(old.schema.fields ++ df.schema.fields
+      .filterNot(f => old.schema.fieldNames.contains(f.name)))
+    val preds = filters.map(f => LakeFilters.compile(f, dtOf).get)
+    val parser = new LakeDirValues(partitionCols, old.schema)
+    val matched = allDirs(old).filter(LakeFilters.dirMatches(preds, parser))
+    val (staging, staged) = stage(spark, fs, path, df, partitionCols,
+      (statsColsOf(Some(old)) intersect
+        df.schema.fieldNames.toSeq).distinct)
+    val offside = staged.keySet
+      .filterNot(LakeFilters.dirMatches(preds, parser))
+    if (offside.nonEmpty) {
+      fs.delete(staging, true)
+      sys.error(s"INSERT OVERWRITE on $path staged rows OUTSIDE the " +
+        s"overwritten region (${offside.toSeq.sorted.mkString(", ")} do " +
+        s"not satisfy ${filters.mkString(" AND ")}) — refusing: an " +
+        "overwrite must not write where it does not delete")
+    }
+    commitStaged(fs, path, staging, staged, matched ++ staged.keySet,
+      schema, Some(old), None)
+  }
+
   /** Bootstrap an EMPTY lake with a declared schema and partition
     * layout — the `CREATE TABLE` primitive: publishes version 1 with
     * no files and a `meta:partition-cols=` layout declaration, so the

@@ -1970,6 +1970,99 @@ object RelationalOps {
         |    AS discount_sum
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin),
-      "lake op: ALTER TABLE ADD COLUMNS as a manifest-only additive evolution (old files read typed nulls, fresh stable id)")
+      "lake op: ALTER TABLE ADD COLUMNS as a manifest-only additive evolution (old files read typed nulls, fresh stable id)"),
+
+    // ---- INSERT OVERWRITE ... PARTITION (k='v'): the backfill idiom —
+    // ONE snapshot commit supersedes exactly the named partition's
+    // directory and lands the replacement rows; every other partition
+    // carries over untouched (others_untouched pins that in-band: the
+    // non-overwritten partitions' live file sets are identical across
+    // the statement). The predicate gate is the same exact evaluator
+    // as DELETE's canDeleteWhere — capability honesty with the
+    // sub-partition shapes routed to MERGE/UPDATE. ----
+    Q("q164_sql_lake_overwrite_partition",
+      (s, d) => {
+        val dir = scratchDir("q164-owp") + "/lake"
+        val base = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderpriority"), col("o_totalprice"))
+        graft.io.PartitionedLake.write(base, dir, "o_orderpriority")
+        s.conf.set("spark.sql.catalog.graft_lake",
+          classOf[graft.io.LakeCatalog].getName)
+        def fileset(p: String => Boolean): Set[String] =
+          graft.io.PartitionedLake.read(s, dir).inputFiles.toSet.filter(p)
+        val othersBefore = fileset(!_.contains("1-URGENT"))
+        base.filter(col("o_orderpriority") === "1-URGENT")
+          .createOrReplaceTempView("q164_src")
+        s.sql(s"INSERT OVERWRITE graft_lake.`$dir` " +
+          "PARTITION (o_orderpriority = '1-URGENT') " +
+          "SELECT o_orderkey, o_totalprice + 1 FROM q164_src")
+        val othersUntouched =
+          fileset(!_.contains("1-URGENT")) == othersBefore
+        s.sql(
+          s"SELECT o_orderpriority, count(*) AS n, " +
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) " +
+            s"AS price_sum FROM graft_lake.`$dir` " +
+            "GROUP BY o_orderpriority")
+          .withColumn("others_untouched", lit(othersUntouched))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))
+        |    + CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+        |    AS DOUBLE) AS price_sum,
+        |  true AS others_untouched
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin),
+      "lake op: partition-scoped INSERT OVERWRITE (one-commit backfill; exact-evaluator capability gate, other partitions untouched)"),
+
+    // ---- Dynamic partition overwrite: INSERT OVERWRITE with
+    // partitionOverwriteMode=dynamic replaces EXACTLY the partitions
+    // the source rows touch — a real DSv2 batch write (the engine has
+    // no V1 exec for OverwritePartitionsDynamic) on the same
+    // partition-ordered one-open-writer task pipeline as the row-level
+    // rewrite. The untouched partitions' file sets pin the "exactly"
+    // in-band. ----
+    Q("q165_sql_lake_dynamic_overwrite",
+      (s, d) => {
+        val dir = scratchDir("q165-dyn") + "/lake"
+        val base = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderpriority"), col("o_totalprice"))
+        graft.io.PartitionedLake.write(base, dir, "o_orderpriority")
+        s.conf.set("spark.sql.catalog.graft_lake",
+          classOf[graft.io.LakeCatalog].getName)
+        val touched = Seq("1-URGENT", "2-HIGH")
+        def others: Set[String] = graft.io.PartitionedLake.read(s, dir)
+          .inputFiles.toSet.filter(f => !touched.exists(f.contains))
+        val othersBefore = others
+        base.filter(col("o_orderpriority").isin(touched: _*))
+          .withColumn("o_totalprice", col("o_totalprice") + 1)
+          .createOrReplaceTempView("q165_src")
+        val modeKey = "spark.sql.sources.partitionOverwriteMode"
+        val prior = s.conf.getOption(modeKey)
+        try {
+          s.conf.set(modeKey, "dynamic")
+          s.sql(s"INSERT OVERWRITE graft_lake.`$dir` " +
+            "SELECT o_orderkey, o_orderpriority, o_totalprice " +
+            "FROM q165_src")
+        } finally prior match {
+          case Some(v) => s.conf.set(modeKey, v)
+          case None => s.conf.unset(modeKey)
+        }
+        s.sql(
+          s"SELECT o_orderpriority, count(*) AS n, " +
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) " +
+            s"AS price_sum FROM graft_lake.`$dir` " +
+            "GROUP BY o_orderpriority")
+          .withColumn("others_untouched", lit(others == othersBefore))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))
+        |    + CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS DOUBLE) AS price_sum,
+        |  true AS others_untouched
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin),
+      "lake op: dynamic partition overwrite (replace exactly the touched partitions; real DSv2 batch write)")
   )
 }

@@ -90,18 +90,20 @@ class LakeSqlWriteSpec extends AnyFunSuite {
     def messages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x =>
         Option(x.getMessage).toSeq ++ messages(x.getCause))
-    // partition-scoped overwrite: refused at ANALYSIS time — the table
-    // deliberately does not advertise OVERWRITE_BY_FILTER (capability
-    // honesty: the write builder can only express the full overwrite),
-    // so the engine rejects the statement before any job runs
+    // partition-scoped overwrite is a FEATURE since round 16
+    // (OVERWRITE_BY_FILTER through the exact-evaluator gate —
+    // LakeOverwriteSpec owns the matrix); only the sub-partition
+    // predicate shape still refuses, at write planning, with
+    // MERGE/upsert directions
+    spark.sql(s"INSERT OVERWRITE graft_lake.`$lake` " +
+      "PARTITION (part = 'a') VALUES (5, 5.0)")
+    assert(rowsOf(lake) === Set(("a", 5L, 5.0)))
     val ps = intercept[Exception] {
-      spark.sql(s"INSERT OVERWRITE graft_lake.`$lake` " +
-        "PARTITION (part = 'a') VALUES (5, 5.0)")
+      Seq((6L, "a", 6.0)).toDF("k", "part", "bal")
+        .writeTo(s"graft_lake.`$lake`").overwrite(col("bal") > 0)
     }
-    assert(messages(ps).exists(_.toLowerCase.contains("overwrite by filter")),
-      ps.toString)
-    // and nothing changed on disk
-    assert(rowsOf(lake) === Set(("a", 1L, 1.0)))
+    assert(messages(ps).exists(_.contains("exact evaluator")), ps.toString)
+    assert(rowsOf(lake) === Set(("a", 5L, 5.0)))
     // a pre-protocol lake refuses SQL writes with adoption directions
     val legacy = freshLake("refuse-legacy")
     Seq((1L, "a", 1.0)).toDF("k", "part", "bal")
