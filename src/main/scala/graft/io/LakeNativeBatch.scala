@@ -144,7 +144,8 @@ private[io] class LakeNativeBatchScan(
     */
   private def liveEntries(d: String): Seq[PartitionedLake.FileEntry] =
     m.files(d).filter(e =>
-      residual.forall(f => LakeFilters.mayMatchStats(f, e.stats)))
+      residual.forall(f =>
+        LakeFilters.mayMatchStats(f, e.stats, e.strStats)))
 
   // runtime (join-driven) predicates land here; pruning-only, so a
   // shape the evaluator cannot compile is simply ignored (the join

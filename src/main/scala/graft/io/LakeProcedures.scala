@@ -1,0 +1,123 @@
+package graft.io
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL `CALL` surface for the lake's maintenance operations — the two
+  * APIs that gate real costs but were JVM-only (invisible to PySpark
+  * users): `CALL <catalog>.system.compact(...)` materializes
+  * merge-on-read deltas, re-physicalizes renamed columns, bin-packs or
+  * z-orders, and re-harvests stats; `CALL <catalog>.system.vacuum(...)`
+  * reclaims files superseded outside the retention window. Each call
+  * returns one summary row (versions before/after) through a
+  * driver-local scan — no jobs beyond what the operation itself runs.
+  *
+  * Spark's own stored-procedure seam ([[UnboundProcedure]] /
+  * [[BoundProcedure]], SPARK-44167): named and positional arguments,
+  * SQL-expression defaults, analysis-time type coercion all come from
+  * the engine — nothing re-implemented here.
+  */
+private[io] object LakeProcedures {
+  def load(name: String): Option[UnboundProcedure] = name match {
+    case "compact" => Some(new LakeCompactProcedure)
+    case "vacuum" => Some(new LakeVacuumProcedure)
+    case _ => None
+  }
+  val names: Seq[String] = Seq("compact", "vacuum")
+}
+
+private[io] abstract class LakeProcedureBase(procName: String)
+    extends UnboundProcedure with BoundProcedure {
+  override def name(): String = procName
+  override def bind(inputType: StructType): BoundProcedure = this
+  // maintenance mutates the lake — never cacheable
+  override def isDeterministic: Boolean = false
+
+  protected def spark: SparkSession = SparkSession.active
+
+  protected def versionOf(path: String): Long =
+    PartitionedLake.latestVersion(spark, path).getOrElse(sys.error(
+      s"CALL $procName: no graft lake at $path (no manifest found)"))
+
+  protected def summary(path: String, before: Long,
+      after: Long): java.util.Iterator[Scan] = {
+    val schema = StructType(Seq(
+      StructField("table", StringType),
+      StructField("version_before", LongType),
+      StructField("version_after", LongType)))
+    val row: InternalRow = new GenericInternalRow(
+      Array[Any](UTF8String.fromString(path), before, after))
+    val scan: Scan = new LocalScan {
+      override def rows(): Array[InternalRow] = Array(row)
+      override def readSchema(): StructType = schema
+      override def description(): String = s"GraftLake$procName($path)"
+    }
+    java.util.Collections.singletonList(scan).iterator()
+  }
+
+  protected def str(row: InternalRow, i: Int): String =
+    if (row.isNullAt(i)) sys.error(
+      s"CALL $procName: argument ${parameters()(i).name()} must not be " +
+        "NULL")
+    else row.getUTF8String(i).toString
+}
+
+/** `CALL <cat>.system.compact(table, stats_cols, zorder_by,
+  * files_per_partition)` — [[PartitionedLake.compact]], the ONE
+  * maintenance rewrite: materializes merge-on-read deltas away,
+  * rewrites multi-file and rename-pinned partitions (restoring the
+  * native DSv2 batch), optionally z-orders, and harvests the named
+  * columns' footer bounds for file skipping.
+  */
+private[io] class LakeCompactProcedure extends LakeProcedureBase("compact") {
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("lake path").build(),
+    ProcedureParameter.in("stats_cols", StringType).defaultValue("''")
+      .comment("comma-separated columns to harvest min/max bounds for")
+      .build(),
+    ProcedureParameter.in("zorder_by", StringType).defaultValue("''")
+      .comment("up to 2 numeric columns to z-order cluster by").build(),
+    ProcedureParameter.in("files_per_partition", IntegerType)
+      .defaultValue("16").comment("z-order output files per partition")
+      .build())
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val path = str(input, 0)
+    def csv(i: Int): Seq[String] =
+      str(input, i).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val before = versionOf(path)
+    PartitionedLake.compact(spark, path, csv(1), csv(2),
+      if (input.isNullAt(3)) 16 else input.getInt(3))
+    summary(path, before, versionOf(path))
+  }
+}
+
+/** `CALL <cat>.system.vacuum(table, keep_last, grace_ms)` —
+  * [[PartitionedLake.vacuum]]: files superseded by every retained
+  * snapshot and manifests outside the window are deleted; recently
+  * written files survive `grace_ms` (in-flight commit shield).
+  */
+private[io] class LakeVacuumProcedure extends LakeProcedureBase("vacuum") {
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("lake path").build(),
+    ProcedureParameter.in("keep_last", IntegerType).defaultValue("1")
+      .comment("newest versions kept fully readable").build(),
+    ProcedureParameter.in("grace_ms", LongType).defaultValue("0")
+      .comment("age shield for recently written files").build())
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val path = str(input, 0)
+    val before = versionOf(path)
+    PartitionedLake.vacuum(spark, path,
+      if (input.isNullAt(1)) 1 else input.getInt(1),
+      if (input.isNullAt(2)) 0L else input.getLong(2))
+    summary(path, before, versionOf(path))
+  }
+}

@@ -437,11 +437,17 @@ private[io] class LakeReplaceDataWriter(staging: String,
     // the file was just written by this task, so the footer read is a
     // page-cache hit, and the rewritten partitions keep their q157/
     // readBox skipping instead of degrading until the next compact
-    val stats = if (statsCols.isEmpty) Map.empty[String, (Double, Double)]
-      else PartitionedLake.footerInfo(conf.value, p, statsCols)._2
+    val (stats, strStats) =
+      if (statsCols.isEmpty)
+        (Map.empty[String, (Double, Double)],
+          Map.empty[String, (String, String)])
+      else {
+        val (_, n, st) = PartitionedLake.footerInfo(conf.value, p, statsCols)
+        (n, st)
+      }
     results += ((currentDir,
       PartitionedLake.FileEntry(p.getName, stats, Some(rowsInFile),
-        Some(len))))
+        Some(len), strStats = strStats)))
     writer = null
   }
 

@@ -317,47 +317,101 @@ private[io] object LakeFilters {
     *    performance, exactness never rides on it.
     */
   def mayMatchStats(f: Filter,
-      stats: Map[String, (Double, Double)]): Boolean = {
+      stats: Map[String, (Double, Double)],
+      strStats: Map[String, (String, String)] = Map.empty): Boolean = {
     import org.apache.spark.sql.sources._
     def num(x: Any): Option[Double] = x match {
       case n: java.lang.Number => Some(n.doubleValue)
-      case _ => None // non-numeric literal: bounds are numeric-only
+      case _ => None
     }
-    def bounds(a: String): Option[(Double, Double)] = stats.get(a)
+    def str(x: Any): Option[String] = x match {
+      case s: String => Some(s)
+      case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
+      case _ => None
+    }
+    // one literal-vs-bounds evaluator per type; a (column, literal)
+    // pair with no matching bounds keeps the file. `cmp` returns the
+    // literal's position against a bound in THE BOUND'S order — UTF-8
+    // unsigned bytes for strings (parquet's binary order; Java UTF-16
+    // compareTo diverges on supplementary-plane code points).
+    def eval(a: String, x: Any)(
+        decide: (Int, Int) => Boolean): Boolean = {
+      val numeric = for ((lo, hi) <- stats.get(a); v <- num(x))
+        yield decide(java.lang.Double.compare(v, lo),
+          java.lang.Double.compare(v, hi))
+      val string = for ((lo, hi) <- strStats.get(a); v <- str(x))
+        yield decide(cmpUtf8(v, lo), cmpUtf8(v, hi))
+      numeric.orElse(string).getOrElse(true)
+    }
     f match {
-      case EqualTo(a, x) => (bounds(a), num(x)) match {
-        case (Some((lo, hi)), Some(v)) => lo <= v && v <= hi
-        case _ => true
-      }
-      case EqualNullSafe(a, x) if x != null => (bounds(a), num(x)) match {
-        case (Some((lo, hi)), Some(v)) => lo <= v && v <= hi
-        case _ => true
-      }
-      case GreaterThan(a, x) => (bounds(a), num(x)) match {
-        case (Some((_, hi)), Some(v)) => hi > v
-        case _ => true
-      }
-      case GreaterThanOrEqual(a, x) => (bounds(a), num(x)) match {
-        case (Some((_, hi)), Some(v)) => hi >= v
-        case _ => true
-      }
-      case LessThan(a, x) => (bounds(a), num(x)) match {
-        case (Some((lo, _)), Some(v)) => lo < v
-        case _ => true
-      }
-      case LessThanOrEqual(a, x) => (bounds(a), num(x)) match {
-        case (Some((lo, _)), Some(v)) => lo <= v
-        case _ => true
-      }
-      case In(a, xs) => bounds(a) match {
+      case EqualTo(a, x) =>
+        eval(a, x)((vsLo, vsHi) => vsLo >= 0 && vsHi <= 0)
+      case EqualNullSafe(a, x) if x != null =>
+        eval(a, x)((vsLo, vsHi) => vsLo >= 0 && vsHi <= 0)
+      case GreaterThan(a, x) => eval(a, x)((_, vsHi) => vsHi < 0)
+      case GreaterThanOrEqual(a, x) => eval(a, x)((_, vsHi) => vsHi <= 0)
+      case LessThan(a, x) => eval(a, x)((vsLo, _) => vsLo > 0)
+      case LessThanOrEqual(a, x) => eval(a, x)((vsLo, _) => vsLo >= 0)
+      case In(a, xs) =>
+        xs.isEmpty || xs.exists(x =>
+          eval(a, x)((vsLo, vsHi) => vsLo >= 0 && vsHi <= 0))
+      case StringStartsWith(a, p) => strStats.get(a) match {
+        // a string with prefix p lies in [p, increment(p)): the file
+        // may hold one iff that half-open interval intersects [lo, hi].
+        // An unincrementable prefix degrades to the hi-side test only.
         case Some((lo, hi)) =>
-          xs.isEmpty || xs.exists(x =>
-            num(x).forall(v => lo <= v && v <= hi))
+          cmpUtf8(hi, p) >= 0 &&
+            incrementUtf8(p).forall(p1 => cmpUtf8(lo, p1) < 0)
         case None => true
       }
-      case And(l, r) => mayMatchStats(l, stats) && mayMatchStats(r, stats)
-      case Or(l, r) => mayMatchStats(l, stats) || mayMatchStats(r, stats)
+      case And(l, r) => mayMatchStats(l, stats, strStats) &&
+        mayMatchStats(r, stats, strStats)
+      case Or(l, r) => mayMatchStats(l, stats, strStats) ||
+        mayMatchStats(r, stats, strStats)
       case _ => true
+    }
+  }
+
+  /** UTF-8 unsigned byte order — the order parquet binary statistics
+    * are computed in. Equals code-POINT order; Java String.compareTo
+    * (UTF-16 code units) disagrees wherever supplementary-plane code
+    * points meet [U+E000, U+FFFF].
+    */
+  private[io] def cmpUtf8(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private[io] val utf8Ordering: Ordering[String] =
+    (a: String, b: String) => cmpUtf8(a, b)
+
+  /** First `n` code points (never splits a surrogate pair — a split
+    * pair re-encodes as replacement bytes and breaks the order
+    * argument truncation soundness rests on).
+    */
+  private[io] def truncateCodePoints(s: String, n: Int): String =
+    if (s.codePointCount(0, s.length) <= n) s
+    else s.substring(0, s.offsetByCodePoints(0, n))
+
+  /** The smallest valid string strictly greater (UTF-8 order) than
+    * EVERY string prefixed by `s`: increment the last incrementable
+    * code point and drop what follows, skipping the surrogate gap
+    * (U+D7FF + 1 -> U+E000). None when every code point is U+10FFFF —
+    * callers degrade conservatively.
+    */
+  private[io] def incrementUtf8(s: String): Option[String] = {
+    val cps = s.codePoints().toArray
+    var i = cps.length - 1
+    while (i >= 0 && cps(i) >= Character.MAX_CODE_POINT) i -= 1
+    if (i < 0) None
+    else {
+      val next0 = cps(i) + 1
+      val next = if (next0 >= Character.MIN_SURROGATE.toInt &&
+        next0 <= Character.MAX_SURROGATE.toInt) 0xE000 else next0
+      val out = new java.lang.StringBuilder
+      (0 until i).foreach(j => out.appendCodePoint(cps(j)))
+      out.appendCodePoint(next)
+      Some(out.toString)
     }
   }
 }
@@ -1168,8 +1222,32 @@ private[io] class GraftLakeChangesTable(path: String, from: Long, to: Long,
   * for path-addressed lakes and refuse with directions (documented
   * loudly on each mutation method).
   */
-class LakeCatalog extends TableCatalog {
+class LakeCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catalogName: String = "graft-lake"
+
+  /** `CALL <catalog>.system.compact(...)` / `vacuum(...)` — the
+    * maintenance surface ([[LakeProcedures]]). The bare name (no
+    * `system` namespace) resolves too: path-shaped namespaces are
+    * table identifiers in this catalog, never procedure homes.
+    */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    val nsOk = ident.namespace().isEmpty ||
+      ident.namespace().sameElements(Array("system"))
+    if (!nsOk) sys.error(
+      s"unknown procedure namespace ${ident.namespace().mkString(".")}: " +
+        "lake procedures live under `system`")
+    LakeProcedures.load(ident.name()).getOrElse(sys.error(
+      s"unknown procedure ${ident.name()} — available: " +
+        LakeProcedures.names.map(n => s"system.$n").mkString(", ")))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      LakeProcedures.names
+        .map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = catalogName = name

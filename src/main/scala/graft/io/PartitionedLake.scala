@@ -146,7 +146,8 @@ object PartitionedLake {
       stats: Map[String, (Double, Double)] = Map.empty,
       rows: Option[Long] = None,
       bytes: Option[Long] = None,
-      physNames: Map[Int, String] = Map.empty)
+      physNames: Map[Int, String] = Map.empty,
+      strStats: Map[String, (String, String)] = Map.empty)
 
   /** version + snapshot schema + live files per partition directory +
     * PER-WRITER highest streaming batch ids folded in (Delta's
@@ -460,7 +461,7 @@ object PartitionedLake {
       // `.2`: ignoring the pin means reading a renamed column as NULLS
       // off old files, and by-name readers must refuse at the header
       // gate instead.
-      val (pnFields, rest3) = rest2
+      val (pnFields, rest2b) = rest2
         .partition(f => f.startsWith("pn:") && !f.contains('='))
       val physNames = pnFields.map { f =>
         val body0 = f.stripPrefix("pn:")
@@ -468,6 +469,23 @@ object PartitionedLake {
         require(sep > 0, s"malformed pn field '$f' in $p")
         body0.substring(0, sep).toInt ->
           ExternalCatalogUtils.unescapePathName(body0.substring(sep + 1))
+      }.toMap
+      // `strs:<col>:<lo>:<hi>` — STRING column bounds (UTF-8 byte
+      // order, upper bound prefix-widened at harvest). '='-free by
+      // escaping, so pre-strs parsers skip the field: ignoring string
+      // bounds only costs file skipping, never correctness — no
+      // header bump needed (unlike pn:).
+      val (strFields, rest3) = rest2b
+        .partition(f => f.startsWith("strs:") && !f.contains('='))
+      val strStats = strFields.map { f =>
+        val body0 = f.stripPrefix("strs:")
+        val i1 = body0.indexOf(':')
+        val i2 = body0.indexOf(':', i1 + 1)
+        require(i1 > 0 && i2 > i1, s"malformed strs field '$f' in $p")
+        ExternalCatalogUtils.unescapePathName(body0.substring(0, i1)) ->
+          (ExternalCatalogUtils.unescapePathName(
+            body0.substring(i1 + 1, i2)),
+            ExternalCatalogUtils.unescapePathName(body0.substring(i2 + 1)))
       }.toMap
       // forward tolerance: any OTHER '='-free field is an additive
       // future annotation this reader doesn't know — skipped, not a
@@ -486,7 +504,7 @@ object PartitionedLake {
         FileEntry(fields(0).substring(i + 1), stats,
           rowFields.headOption.map(_.stripPrefix("rows:").toLong),
           byteFields.headOption.map(_.stripPrefix("bytes:").toLong),
-          physNames))
+          physNames, strStats))
     }.groupBy(_._1).map { case (d, fs0) => d -> fs0.map(_._2) }
     Manifest(version, schema, files, txns, deltas, mor, leafNames, layout,
       columnIds)
@@ -508,6 +526,14 @@ object PartitionedLake {
       e.physNames.toSeq.sortBy(_._1).foreach { case (id, n) =>
         body.append('\t').append("pn:").append(id).append(':')
           .append(ExternalCatalogUtils.escapePathName(n))
+      }
+      // string bounds (escaping keeps the field '='-free and the ':'
+      // framing unambiguous whatever the values contain)
+      e.strStats.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
+        body.append('\t').append("strs:")
+          .append(ExternalCatalogUtils.escapePathName(c)).append(':')
+          .append(ExternalCatalogUtils.escapePathName(lo)).append(':')
+          .append(ExternalCatalogUtils.escapePathName(hi))
       }
       // stats column names are escaped like every other name in the
       // manifest: a raw '=' would truncate the parsed name, a raw tab
@@ -729,51 +755,80 @@ object PartitionedLake {
 
   /** Exact row count plus per-column (min, max) bounds from one staged
     * file's parquet footer — a metadata read, no data bytes. A column is
-    * reported only if EVERY row group has non-null numeric statistics
-    * for it; long bounds are widened through the double conversion
+    * reported only if EVERY row group has non-null statistics for it;
+    * long bounds are widened through the double conversion
     * (nextDown/nextUp) so the stored range is always conservative. The
     * row count (free in the same footer) powers [[rowCount]]'s
     * metadata-only COUNT(*).
+    *
+    * STRING (UTF8-annotated binary) columns harvest into the third
+    * slot: bounds in UTF-8 unsigned byte order — parquet's own binary
+    * comparison, NOT Java's UTF-16 `compareTo` (they diverge for
+    * supplementary-plane code points). Long values are bounded at 64
+    * code points in the manifest: the lower bound TRUNCATES (a prefix
+    * sorts <= the value), the upper bound truncates-and-INCREMENTS
+    * (the successor prefix sorts > every string it prefixes —
+    * [[LakeFilters.incrementUtf8]]); an unincrementable prefix drops
+    * the column's bounds for the file (conservative, not wrong).
     */
   private[io] def footerInfo(conf: org.apache.hadoop.conf.Configuration,
-      file: Path,
-      statsCols: Set[String]): (Long, Map[String, (Double, Double)]) = {
+      file: Path, statsCols: Set[String]): (Long,
+      Map[String, (Double, Double)], Map[String, (String, String)]) = {
     import scala.jdk.CollectionConverters._
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
     val meta = try reader.getFooter finally reader.close()
     val blocks = meta.getBlocks.asScala.toSeq
     val rows = blocks.map(_.getRowCount).sum
-    val stats = statsCols.flatMap { c =>
+    def harvest[T](c: String)(
+        one: org.apache.parquet.column.statistics.Statistics[_]
+          => Option[(T, T)]): Option[Seq[(T, T)]] = {
       val perBlock = blocks.map { b =>
         b.getColumns.asScala.find(_.getPath.toDotString == c)
           .map(_.getStatistics)
           .filter(s => s != null && !s.isEmpty && s.hasNonNullValue)
-          .flatMap { s =>
-            (s.genericGetMin, s.genericGetMax) match {
-              case (lo: java.lang.Long, hi: java.lang.Long) =>
-                Some((Math.nextDown(lo.toDouble), Math.nextUp(hi.toDouble)))
-              case (lo: Number, hi: Number) =>
-                Some((lo.doubleValue, hi.doubleValue))
-              case _ => None // non-numeric column: no range skipping
-            }
-          }
-          // parquet-mr seeds double stats from the FIRST value, so a row
-          // group whose first value is NaN reports NaN bounds; readBox's
-          // `mx >= lo && mn <= hi` is then false and the file would be
-          // silently SKIPPED despite possibly holding in-range rows.
-          // Non-finite bounds (NaN, ±Inf) degrade to "no stats = cannot
-          // skip" — the conservative direction.
-          .filter { case (lo, hi) =>
-            java.lang.Double.isFinite(lo) && java.lang.Double.isFinite(hi) }
+          .flatMap(one)
       }
-      if (perBlock.exists(_.isEmpty)) None
-      else {
-        val bs = perBlock.flatten
-        Some(c -> (bs.map(_._1).min, bs.map(_._2).max))
+      if (perBlock.exists(_.isEmpty)) None else Some(perBlock.flatten)
+    }
+    val stats = statsCols.flatMap { c =>
+      harvest(c) { s =>
+        // parquet-mr seeds double stats from the FIRST value, so a row
+        // group whose first value is NaN reports NaN bounds; readBox's
+        // `mx >= lo && mn <= hi` is then false and the file would be
+        // silently SKIPPED despite possibly holding in-range rows.
+        // Non-finite bounds (NaN, ±Inf) degrade to "no stats = cannot
+        // skip" — the conservative direction.
+        ((s.genericGetMin, s.genericGetMax) match {
+          case (lo: java.lang.Long, hi: java.lang.Long) =>
+            Some((Math.nextDown(lo.toDouble), Math.nextUp(hi.toDouble)))
+          case (lo: Number, hi: Number) =>
+            Some((lo.doubleValue, hi.doubleValue))
+          case _ => None // non-numeric column: handled by strStats below
+        }).filter { case (lo, hi) =>
+          java.lang.Double.isFinite(lo) && java.lang.Double.isFinite(hi) }
+      }.map(bs => c -> (bs.map(_._1).min, bs.map(_._2).max))
+    }.toMap
+    val strStats = statsCols.flatMap { c =>
+      harvest(c) { s =>
+        (s.genericGetMin, s.genericGetMax) match {
+          case (lo: org.apache.parquet.io.api.Binary,
+              hi: org.apache.parquet.io.api.Binary)
+            if s.`type`().getLogicalTypeAnnotation ==
+              org.apache.parquet.schema.LogicalTypeAnnotation.stringType() =>
+            Some((lo.toStringUsingUTF8, hi.toStringUsingUTF8))
+          case _ => None
+        }
+      }.flatMap { bs =>
+        val lo = bs.map(_._1).min(LakeFilters.utf8Ordering)
+        val hi = bs.map(_._2).max(LakeFilters.utf8Ordering)
+        val loT = LakeFilters.truncateCodePoints(lo, 64)
+        if (hi.codePointCount(0, hi.length) <= 64) Some(c -> (loT, hi))
+        else LakeFilters.incrementUtf8(
+          LakeFilters.truncateCodePoints(hi, 64)).map(w => c -> (loT, w))
       }
     }.toMap
-    (rows, stats)
+    (rows, stats, strStats)
   }
 
   /** Leaf partition directories (relative path -> absolute Path) `depth`
@@ -865,9 +920,10 @@ object PartitionedLake {
         pairs.map { case (rel, st) =>
           new java.util.concurrent.Callable[(String, FileEntry)] {
             override def call(): (String, FileEntry) = {
-              val (rows, stats) = footerInfo(conf, st.getPath, statsCols.toSet)
+              val (rows, stats, strStats) =
+                footerInfo(conf, st.getPath, statsCols.toSet)
               rel -> FileEntry(st.getPath.getName, stats, Some(rows),
-                Some(st.getLen))
+                Some(st.getLen), strStats = strStats)
             }
           }
         }.asJava

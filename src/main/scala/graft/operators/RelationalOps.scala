@@ -2063,6 +2063,98 @@ object RelationalOps {
         |  true AS others_untouched
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin),
-      "lake op: dynamic partition overwrite (replace exactly the touched partitions; real DSv2 batch write)")
+      "lake op: dynamic partition overwrite (replace exactly the touched partitions; real DSv2 batch write)"),
+
+    // ---- STRING-typed file skipping: date-as-string is the most
+    // common warehouse clustering column, and its bounds are binary —
+    // harvested in UTF-8 byte order into `strs:` manifest fields
+    // (upper bounds truncate-and-increment, so a long value can never
+    // unskip soundness). A BETWEEN over the clustered string plans a
+    // strict subset of each kept directory's files (stats_skipped pins
+    // post < pre in-band, q157's shape); the engine re-evaluates the
+    // residual row-by-row, so the skip is pure performance. ----
+    Q("q166_sql_lake_string_skipping",
+      (s, d) => {
+        val dir = scratchDir("q166-strskip") + "/lake"
+        val src = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderstatus"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("day_str"),
+          col("o_totalprice"))
+          .repartitionByRange(24, col("o_orderstatus"), col("day_str"))
+          .sortWithinPartitions("o_orderstatus", "day_str")
+        graft.io.PartitionedLake.write(src, dir, "o_orderstatus",
+          statsCols = Seq("day_str"))
+        val scan = s.read.format("graft-lake-v2").option("path", dir)
+          .load()
+          .filter(col("day_str") >= "1994-01-01" &&
+            col("day_str") <= "1994-12-31")
+        val out = scan.groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(28,6)")).cast("double")
+              .as("price_sum"))
+        out.collect() // execute so the skip state below is the real one
+        val skips = graft.io.LakeScanCheck.nativeStatsSkipping(out)
+        val skipped = skips.nonEmpty &&
+          skips.forall { case (post, pre) => post > 0 && post < pre }
+        out.withColumn("stats_skipped", lit(skipped))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+        |    AS price_sum,
+        |  true AS stats_skipped
+        |FROM orders
+        |WHERE strftime(o_orderdate, '%Y-%m-%d') >= '1994-01-01'
+        |  AND strftime(o_orderdate, '%Y-%m-%d') <= '1994-12-31'
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin),
+      "lake op: string-typed file-skipping bounds (UTF-8-ordered strs: manifest stats; date-as-string BETWEEN plans a strict file subset)"),
+
+    // ---- SQL CALL maintenance: merge-on-read CDC corrections pile up
+    // as delta sidecars (write amplification ~0 per correction);
+    // `CALL system.compact` materializes them away in one rewrite and
+    // the read returns to the pure file-list plan. The CALL's summary
+    // row pins the one-version cost in-band; deltas_cleared pins the
+    // materialization; the aggregate proves the fold applied. ----
+    Q("q167_sql_lake_call_compact",
+      (s, d) => {
+        val dir = scratchDir("q167-call") + "/lake"
+        val base = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderpriority"), col("o_totalprice"))
+        graft.io.PartitionedLake.write(base, dir, "o_orderpriority")
+        // row-level corrections: +10 on every 50th key, as 'U' ops
+        // (the ops contract names its columns k/seq/op/val)
+        val ops = base.filter(col("o_orderkey") % 50 === 0)
+          .select(col("o_orderkey").as("k"), col("o_orderpriority"),
+            lit(1L).as("seq"), lit("U").as("op"),
+            (col("o_totalprice") + 10).as("val"))
+        graft.io.PartitionedLake.cdcSinkMergeOnRead(s, dir,
+          "o_orderpriority", "o_orderkey", "o_totalprice", ops)
+        s.conf.set("spark.sql.catalog.graft_lake",
+          classOf[graft.io.LakeCatalog].getName)
+        val call = s.sql(
+          s"CALL graft_lake.system.compact(table => '$dir')").collect()(0)
+        val oneVersion = call.getLong(2) == call.getLong(1) + 1
+        val cleared = graft.io.PartitionedLake
+          .partitionRowCounts(s, dir).isDefined // exact metadata counts
+          // are only possible with zero live deltas — in-band proof the
+          // CALL materialized them
+        s.sql(
+          s"SELECT o_orderpriority, count(*) AS n, " +
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) " +
+            s"AS price_sum FROM graft_lake.`$dir` " +
+            "GROUP BY o_orderpriority")
+          .withColumn("one_version", lit(oneVersion))
+          .withColumn("deltas_cleared", lit(cleared))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))
+        |    + CASE WHEN o_orderkey % 50 = 0 THEN 10 ELSE 0 END)
+        |    AS DOUBLE) AS price_sum,
+        |  true AS one_version, true AS deltas_cleared
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin),
+      "lake op: SQL CALL system.compact (merge-on-read materialization as a stored procedure; summary row pins the one-commit cost)")
   )
 }
