@@ -13,7 +13,7 @@ import org.apache.spark.sql.execution.datasources.parquet.ParquetOptions
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetPartitionReaderFactory
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.sources.Filter
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.util.SerializableConfiguration
 
 /** The NATIVE DataSource-V2 batch for a copy-on-write lake snapshot —
@@ -65,7 +65,8 @@ private[io] class LakeNativeBatchScan(
     fullSchema: StructType,
     required: StructType,
     claimed: Array[Filter],
-    residual: Array[Filter])
+    residual: Array[Filter],
+    deltaInfo: Map[String, Seq[(String, Long)]] = Map.empty)
   extends Scan with Batch with SupportsRuntimeFiltering
   with SupportsReportStatistics with SupportsReportPartitioning {
 
@@ -78,11 +79,36 @@ private[io] class LakeNativeBatchScan(
   private def dtOf(c: String): Option[org.apache.spark.sql.types.DataType] =
     fullSchema.fields.find(_.name == c).map(_.dataType)
 
+  /** MERGE-ON-READ, natively ([[LakeScanBuilder]] routes here when
+    * [[LakeNativeBatchScan.morDeltaInfo]] accepts the snapshot): each
+    * DIRTY directory plans its base-file slices behind a per-task
+    * anti-join against the directory's delta identity keys (the key
+    * set is read task-side from the sidecars — driver-capped at
+    * [[LakeNativeBatchScan.MorMaxDeltaBytesPerDir]], so it always fits
+    * a task hash set; bigger delta loads keep the V1 fallback's
+    * distributed anti-join), plus ONE extra input partition emitting
+    * the sidecars' 'U' post-images. Clean directories are untouched —
+    * so DPP, claimed pruning, and stats skipping now prune dirty
+    * directories too, instead of the whole lake dropping to the
+    * delegated V1 plan between compactions.
+    */
+  private val morKey: Option[String] =
+    if (deltaInfo.nonEmpty) m.mor else None
+
   // required's data columns in THEIR order, partition columns in
   // LAYOUT order appended — the readDataSchema ++ partitionSchema shape
-  // Spark's own parquet reader factory physically emits
-  private val readDataSchema: StructType = StructType(
-    required.fields.filterNot(f => partCols.contains(f.name)))
+  // Spark's own parquet reader factory physically emits. A MOR merge
+  // force-reads the identity key (appended last, dropped by the
+  // required-order remap) when the query pruned it out.
+  private val readDataSchema: StructType = {
+    val base = StructType(
+      required.fields.filterNot(f => partCols.contains(f.name)))
+    morKey match {
+      case Some(k) if !base.fieldNames.contains(k) =>
+        StructType(base.fields :+ fullSchema(k))
+      case _ => base
+    }
+  }
   private val readPartCols: Seq[String] =
     partCols.filter(c => required.fieldNames.contains(c))
   private val readPartSchema: StructType =
@@ -127,7 +153,10 @@ private[io] class LakeNativeBatchScan(
         s"claimed filter $f does not compile against the snapshot " +
           "schema — LakeScanBuilder.pushFilters must only claim filters " +
           "LakeFilters.compile accepts (builder/scan invariant drift)")))
-    m.files.keys.toSeq.sorted.filter(LakeFilters.dirMatches(preds, parser))
+    // allDirs, not files.keys: a directory can live entirely in delta
+    // sidecars (CDC inserts into a fresh partition — no base files yet)
+    PartitionedLake.allDirs(m).toSeq.sorted
+      .filter(LakeFilters.dirMatches(preds, parser))
   }
 
   /** A kept directory's files, minus the ones whose committed footer
@@ -143,7 +172,7 @@ private[io] class LakeNativeBatchScan(
     * at query time (the bounds were harvested once, at commit).
     */
   private def liveEntries(d: String): Seq[PartitionedLake.FileEntry] =
-    m.files(d).filter(e =>
+    m.files.getOrElse(d, Nil).filter(e =>
       residual.forall(f =>
         LakeFilters.mayMatchStats(f, e.stats, e.strStats)))
 
@@ -200,9 +229,11 @@ private[io] class LakeNativeBatchScan(
     * the spec assertions pin.
     */
   private[io] def plannedFiles: Seq[String] = keptDirs.flatMap(d =>
-    liveEntries(d).map(e => s"$path/$d/${e.name}"))
+    liveEntries(d).map(e => s"$path/$d/${e.name}") ++
+      deltaInfo.getOrElse(d, Nil).map { case (n, _) => s"$path/$d/$n" })
   private[io] def staticFileCount: Int =
-    staticDirs.map(liveEntries(_).size).sum
+    staticDirs.map(d =>
+      liveEntries(d).size + deltaInfo.getOrElse(d, Nil).size).sum
 
   /** (post-skip, pre-skip) file counts over the directories the scan
     * keeps right now — strictly-less pairs are FILE-LEVEL data-skipping
@@ -211,7 +242,8 @@ private[io] class LakeNativeBatchScan(
     */
   private[io] def statsSkipping: (Int, Int) = {
     val dirs = keptDirs
-    (dirs.map(liveEntries(_).size).sum, dirs.map(m.files(_).size).sum)
+    (dirs.map(liveEntries(_).size).sum,
+      dirs.map(m.files.getOrElse(_, Nil).size).sum)
   }
 
   /** Storage-partitioned joins: when the session opts in AND the scan
@@ -245,7 +277,8 @@ private[io] class LakeNativeBatchScan(
     SQLConf.get.v2BucketingEnabled &&
       SQLConf.get.getConfString(
         LakeNativeBatchScan.PreserveGroupingKey, "false").toBoolean &&
-      readPartCols == partCols
+      readPartCols == partCols &&
+      deltaInfo.isEmpty // MOR partitions are not FilePartition-keyed
 
   override def outputPartitioning(): Partitioning =
     if (spjKeyed)
@@ -259,7 +292,9 @@ private[io] class LakeNativeBatchScan(
       (parser.rowOf(d, readPartCols), d, liveEntries(d))
     }
     val totalBytes = perDir.iterator
-      .flatMap(_._3.iterator.map(_.bytes.get)).sum
+      .flatMap(_._3.iterator.map(_.bytes.get)).sum +
+      keptDirs.iterator
+        .flatMap(deltaInfo.getOrElse(_, Nil).iterator.map(_._2)).sum
     val maxSplit = FilePartition.maxSplitBytes(spark, totalBytes)
     def slicesOf(values: InternalRow, d: String,
         entries: Seq[PartitionedLake.FileEntry]): Seq[PartitionedFile] =
@@ -271,6 +306,13 @@ private[io] class LakeNativeBatchScan(
             math.min(maxSplit, len - start), Array.empty, 0L, len, Map.empty)
         }
       }
+    // the sidecars of one dirty directory, as ONE whole-file partition
+    // (they are byte-capped by the routing gate — never worth slicing)
+    def deltaFp(values: InternalRow, d: String): FilePartition =
+      FilePartition(0, deltaInfo(d).map { case (n, len) =>
+        PartitionedFile(values, SparkPath.fromPathString(s"$path/$d/$n"),
+          0L, len, Array.empty, 0L, len, Map.empty)
+      }.toArray)
     if (spjKeyed) {
       // KEY-PURE partitions: bin-pack within each directory only, and
       // tag each with its partition-value row. Multiple partitions per
@@ -282,30 +324,47 @@ private[io] class LakeNativeBatchScan(
           .map(fp => new LakeKeyedFilePartition(fp, values))
       }.toArray
     } else {
-      val slices = perDir.flatMap { case (values, d, entries) =>
-        slicesOf(values, d, entries)
+      // clean directories bin-pack globally (as before); a DIRTY
+      // directory's base slices pack only among themselves — every
+      // base task of the directory re-reads its (byte-capped) sidecar
+      // key set, and packing them with other directories' files would
+      // spread that cost over unrelated reads — plus one post-image
+      // partition per dirty directory
+      val (dirty, clean) = perDir.partition(p => deltaInfo.contains(p._2))
+      val packed = FilePartition.getFilePartitions(spark,
+        clean.flatMap { case (values, d, entries) =>
+          slicesOf(values, d, entries)
+        }.sortBy(-_.length), maxSplit)
+      val morParts = dirty.flatMap { case (values, d, entries) =>
+        val sidecars = deltaFp(values, d)
+        FilePartition.getFilePartitions(spark,
+          slicesOf(values, d, entries).sortBy(-_.length), maxSplit)
+          .map(fp => new LakeMorBasePartition(fp, sidecars)) :+
+          new LakeMorDeltaPartition(sidecars)
       }
-      FilePartition.getFilePartitions(spark,
-        slices.sortBy(-_.length), maxSplit).toArray
+      (packed ++ morParts).toArray
     }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val spark = SparkSession.active
-    // the SESSION-derived Hadoop conf (carries every SQL conf the
-    // readers honor — session timezone, case sensitivity, parquet
-    // flags), plus the parquet read-support wiring Spark's own
-    // ParquetScan sets before broadcasting: the reader class and the
-    // requested/row Catalyst schemas (without these the record reader
-    // NPEs resolving its ReadSupport)
+  /** One configured [[ParquetPartitionReaderFactory]] for a requested
+    * (data, partition) schema pair: the SESSION-derived Hadoop conf
+    * (carries every SQL conf the readers honor — session timezone,
+    * case sensitivity, parquet flags), plus the parquet read-support
+    * wiring Spark's own ParquetScan sets before broadcasting: the
+    * reader class and the requested/row Catalyst schemas (without
+    * these the record reader NPEs resolving its ReadSupport).
+    */
+  private def parquetFactory(spark: SparkSession,
+      requestedData: StructType, requestedPart: StructType,
+      pushed: Array[Filter]): ParquetPartitionReaderFactory = {
     val conf = spark.sessionState.newHadoopConf()
     conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
       classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport].getName)
     conf.set(
       org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport
-        .SPARK_ROW_REQUESTED_SCHEMA, readDataSchema.json)
+        .SPARK_ROW_REQUESTED_SCHEMA, requestedData.json)
     org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
-      .setSchema(readDataSchema, conf)
+      .setSchema(requestedData, conf)
     // the parquet flag set ParquetScan pins as EXPLICIT booleans (the
     // schema converter reads them back with .toBoolean, so they cannot
     // be left to SQL-conf passthrough defaults)
@@ -328,21 +387,52 @@ private[io] class LakeNativeBatchScan(
     val bc = spark.sparkContext.broadcast(new SerializableConfiguration(conf))
     val dataSchema = StructType(
       fullSchema.fields.filterNot(f => partCols.contains(f.name)))
+    ParquetPartitionReaderFactory(spark.sessionState.conf, bc,
+      dataSchema, requestedData, requestedPart, pushed, None,
+      new ParquetOptions(CaseInsensitiveMap(Map.empty[String, String]),
+        spark.sessionState.conf))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = SparkSession.active
+    val dataSchema = StructType(
+      fullSchema.fields.filterNot(f => partCols.contains(f.name)))
     // residual data-column filters reach the parquet reader for
     // row-group/page skipping; the engine re-evaluates them on top
     // regardless (they were returned from pushFilters), so the skip is
     // pure performance
     val pushable = residual.filter(
       _.references.forall(r => dataSchema.fieldNames.contains(r)))
-    val inner = ParquetPartitionReaderFactory(spark.sessionState.conf, bc,
-      dataSchema, readDataSchema, readPartSchema, pushable, None,
-      new ParquetOptions(CaseInsensitiveMap(Map.empty[String, String]),
-        spark.sessionState.conf))
+    val base = parquetFactory(spark, readDataSchema, readPartSchema,
+      pushable)
+    val inner = morKey match {
+      case None => base: PartitionReaderFactory
+      case Some(k) =>
+        val kt = fullSchema(k).dataType
+        // sidecar readers: identity keys only (the anti-join set) and
+        // full rows + op column (the post-image emitter). NO pushed
+        // filters on either — a residual-skipped delta row must still
+        // supersede its base row, and post-images are filtered by the
+        // engine's own re-evaluation above this scan.
+        val keysF = parquetFactory(spark,
+          StructType(Seq(fullSchema(k))), new StructType(), Array.empty)
+        val rowsF = parquetFactory(spark,
+          StructType(readDataSchema.fields :+
+            StructField(PartitionedLake.MorOpCol, StringType)),
+          readPartSchema, Array.empty)
+        new LakeMorDispatchFactory(base, keysF, rowsF,
+          readDataSchema.fieldIndex(k), kt,
+          StructType(readDataSchema.fields ++ readPartSchema.fields),
+          readDataSchema.length)
+    }
     // remap the physical data++partition emission order to the engine's
     // requested order (see readSchema) — identity-elided, and on the
     // columnar path a zero-copy column-reference shuffle
+    // NOT identity when a force-read MOR key trails the required
+    // columns: the projection must also DROP it, not just reorder
     val ordered =
-      if (reorder.sameElements(reorder.indices)) inner
+      if (reorder.sameElements(reorder.indices) &&
+          innerOrder.length == required.length) inner
       else new LakeReorderingReaderFactory(inner, required, reorder)
     // always unwrap-tolerant: whether planInputPartitions emitted keyed
     // (SPJ) or plain partitions, the delegate sees a bare FilePartition
@@ -360,16 +450,127 @@ private[io] class LakeNativeBatchScan(
     // post-claim AND post-stats-skip: both prunes are known at planning
     // time (unlike runtime filters, which land after stats are consumed)
     val entries = staticDirs.flatMap(liveEntries(_))
-    val rows = if (entries.forall(_.rows.isDefined))
-      Some(entries.iterator.map(_.rows.get).sum) else None
-    new LakeStatistics(Some(entries.iterator.map(_.bytes.get).sum), rows)
+    val deltaBytes = staticDirs.iterator
+      .flatMap(deltaInfo.getOrElse(_, Nil).iterator.map(_._2)).sum
+    // a dirty snapshot's post-merge row count is unknowable from
+    // metadata (deltas both delete and insert) — unknown beats guessed
+    val rows = if (deltaInfo.nonEmpty) None
+      else if (entries.forall(_.rows.isDefined))
+        Some(entries.iterator.map(_.rows.get).sum)
+      else None
+    new LakeStatistics(
+      Some(entries.iterator.map(_.bytes.get).sum + deltaBytes), rows)
   }
 
   override def description(): String = {
     val v = version.map(v => s"@v$v").getOrElse("")
     val c = if (claimed.isEmpty) ""
       else s" claimed: ${claimed.mkString(" AND ")}"
-    s"GraftLakeNativeScan($path$v, ${staticDirs.size} dirs$c)"
+    val mor = if (deltaInfo.isEmpty) ""
+      else s", ${deltaInfo.size} merge-on-read dirs"
+    s"GraftLakeNativeScan($path$v, ${staticDirs.size} dirs$mor$c)"
+  }
+}
+
+/** A dirty directory's base-file slices, carrying the directory's
+  * sidecar partition: the reader anti-joins each row's identity key
+  * against the sidecars' key set ([[LakeMorDispatchFactory]]).
+  */
+private[io] class LakeMorBasePartition(val delegate: FilePartition,
+    val sidecars: FilePartition) extends InputPartition {
+  override def preferredLocations(): Array[String] =
+    delegate.preferredLocations()
+}
+
+/** One dirty directory's sidecar files — the reader emits their 'U'
+  * post-images projected to the scan's inner column order.
+  */
+private[io] class LakeMorDeltaPartition(val sidecars: FilePartition)
+  extends InputPartition
+
+/** Routes MOR partitions to merge-aware ROW readers and everything
+  * else straight to the base parquet factory (columnar stays columnar
+  * for clean directories — the merge costs only the dirty ones).
+  *
+  * The anti-join set is built task-side by reading the partition's
+  * sidecars through a key-only parquet reader into a hash set —
+  * bounded by the [[LakeNativeBatchScan.MorMaxDeltaBytesPerDir]]
+  * routing cap, and identity semantics match [[PartitionedLake
+  * .frameFor]]'s null-safe join: keys normalize through a Catalyst
+  * converter (stable JVM values), null keys included.
+  */
+private[io] class LakeMorDispatchFactory(
+    base: ParquetPartitionReaderFactory,
+    keysF: ParquetPartitionReaderFactory,
+    rowsF: ParquetPartitionReaderFactory,
+    keyIdx: Int, keyType: org.apache.spark.sql.types.DataType,
+    innerSchema: StructType, opIdx: Int) extends PartitionReaderFactory {
+  import org.apache.spark.sql.catalyst.{CatalystTypeConverters, ProjectingInternalRow}
+  import org.apache.spark.sql.connector.read.PartitionReader
+
+  // UNIFORMLY row-based: the engine refuses a scan mixing columnar and
+  // row partitions ("Cannot mix row-based and columnar input
+  // partitions"), so a dirty snapshot reads its clean directories
+  // row-based too — still strictly better than the V1 fallback this
+  // replaces (also row-based, and unprunable); compact() restores the
+  // vectorized path with everything else.
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    throw new UnsupportedOperationException(
+      "MOR scans are row-based") // unreachable: supportColumnarReads=false
+
+  private def keySet(sidecars: FilePartition): java.util.HashSet[Any] = {
+    val conv = CatalystTypeConverters.createToScalaConverter(keyType)
+    val s = new java.util.HashSet[Any]()
+    val r = keysF.createReader(sidecars)
+    try while (r.next()) s.add(conv(r.get().get(0, keyType)))
+    finally r.close()
+    s
+  }
+
+  override def createReader(p: InputPartition)
+      : PartitionReader[InternalRow] = p match {
+    case mb: LakeMorBasePartition =>
+      val keys = keySet(mb.sidecars)
+      val conv = CatalystTypeConverters.createToScalaConverter(keyType)
+      val r = base.createReader(mb.delegate)
+      new PartitionReader[InternalRow] {
+        private var cur: InternalRow = _
+        override def next(): Boolean = {
+          var found = false
+          while (!found && r.next()) {
+            cur = r.get()
+            found = !keys.contains(conv(cur.get(keyIdx, keyType)))
+          }
+          found
+        }
+        override def get(): InternalRow = cur
+        override def close(): Unit = r.close()
+      }
+    case md: LakeMorDeltaPartition =>
+      val r = rowsF.createReader(md.sidecars)
+      // physical emission: inner data columns, the op column, then the
+      // partition columns — project the op column OUT to inner order
+      val mapping = (0 until opIdx) ++
+        ((opIdx + 1) to innerSchema.length)
+      val proj = ProjectingInternalRow(innerSchema, mapping.toIndexedSeq)
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString("U")
+      new PartitionReader[InternalRow] {
+        private var cur: InternalRow = _
+        override def next(): Boolean = {
+          var found = false
+          while (!found && r.next()) {
+            cur = r.get()
+            found = !cur.isNullAt(opIdx) && cur.getUTF8String(opIdx) == u
+          }
+          found
+        }
+        override def get(): InternalRow = { proj.project(cur); proj }
+        override def close(): Unit = r.close()
+      }
+    case other => base.createReader(other)
   }
 }
 
@@ -382,18 +583,69 @@ private[io] object LakeNativeBatchScan {
 
   /** The ONE routing gate for the native batch (shared by the read
     * builder and the row-level operation): a manifest-backed snapshot
-    * with NO live merge-on-read deltas (the MOR merge is a derived
-    * plan, not a file list), byte lengths on every file (the native
-    * planner sizes splits from them; adopted legacy entries predate
-    * harvesting), and NO physical-name pins (a renamed column's old
-    * files need the per-pin-group projection only the V1 path speaks;
-    * compact() rewrites the pins away and restores this batch).
-    * Everything else routes to the delegated V1 plan.
+    * with NO live merge-on-read deltas (the ROW-LEVEL path requires
+    * this; plain reads may still go native through [[morDeltaInfo]]'s
+    * gate below), byte lengths on every file (the native planner sizes
+    * splits from them; adopted legacy entries predate harvesting), and
+    * NO physical-name pins (a renamed column's old files need the
+    * per-pin-group projection only the V1 path speaks; compact()
+    * rewrites the pins away and restores this batch). Everything else
+    * routes to the delegated V1 plan.
     */
   def eligible(m: PartitionedLake.Manifest): Boolean =
     m.deltas.isEmpty && m.files.nonEmpty &&
       m.files.valuesIterator.forall(_.forall(e =>
         e.bytes.isDefined && e.physNames.isEmpty))
+
+  /** Per-directory sidecar bytes above which a dirty directory routes
+    * to the V1 fallback's DISTRIBUTED anti-join instead of the native
+    * task-side hash set — the bound that keeps the merge's memory
+    * footprint a task-local constant however far compaction lags.
+    */
+  val MorMaxDeltaBytesPerDir = "spark.graft.lake.mor.nativeMaxDeltaBytesPerDir"
+
+  /** The merge-on-read routing gate: Some(per-dir sidecar (name, len))
+    * when the native batch can serve this dirty snapshot — CoW-eligible
+    * apart from the deltas, a hash-safe non-partition identity key,
+    * every sidecar present, and every directory's sidecar load under
+    * [[MorMaxDeltaBytesPerDir]] (default 64 MB). None routes to V1,
+    * which handles every remaining shape; the listing costs one
+    * driver RPC per sidecar file, paid once per scan while deltas are
+    * live at all (compaction's steady state is zero).
+    */
+  def morDeltaInfo(spark: SparkSession, path: String,
+      m: PartitionedLake.Manifest)
+      : Option[Map[String, Seq[(String, Long)]]] = {
+    import org.apache.spark.sql.types._
+    val cowOk = m.deltas.nonEmpty &&
+      m.files.valuesIterator.forall(_.forall(e =>
+        e.bytes.isDefined && e.physNames.isEmpty))
+    val keyOk = m.mor.exists { k =>
+      !PartitionedLake.layoutOf(m).exists(_.contains(k)) &&
+        m.schema.fields.find(_.name == k).map(_.dataType).exists {
+          case _: NumericType | StringType | BooleanType | DateType |
+              TimestampType | TimestampNTZType => true
+          case _ => false // binary/nested: no stable hash identity
+        }
+    }
+    if (!cowOk || !keyOk) return None
+    val cap = SQLConf.get.getConfString(MorMaxDeltaBytesPerDir,
+      (64L * 1024 * 1024).toString).toLong
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val info = m.deltas.map { case (d, names) =>
+        d -> names.map { n =>
+          n -> fs.getFileStatus(
+            new org.apache.hadoop.fs.Path(path, s"$d/$n")).getLen
+        }
+      }
+      if (info.valuesIterator.exists(_.iterator.map(_._2).sum > cap)) None
+      else Some(info)
+    } catch {
+      case _: java.io.FileNotFoundException => None
+    }
+  }
 }
 
 /** A [[FilePartition]] carrying its partition-value row — the

@@ -831,7 +831,16 @@ private[io] class LakeScanBuilder(path: String, version: Option[Long],
     else if (nativeEligible)
       new LakeNativeBatchScan(path, version, manifest.get, fullSchema,
         required, claimed, residual)
-    else new LakeV1FallbackScan(path, version, required, accepted, manifest)
+    else manifest.flatMap(m =>
+      // dirty (merge-on-read) snapshots go native too when the sidecar
+      // load fits the task-side merge — DPP/claims/stats-skipping then
+      // prune dirty directories instead of the read dropping to V1
+      // between compactions
+      LakeNativeBatchScan.morDeltaInfo(SparkSession.active, path, m)
+        .map(info => new LakeNativeBatchScan(path, version, m,
+          fullSchema, required, claimed, residual, info): Scan)
+    ).getOrElse(
+      new LakeV1FallbackScan(path, version, required, accepted, manifest))
 }
 
 /** The DSv2 statistics report: exact manifest numbers when known, empty

@@ -139,22 +139,34 @@ class LakeRuntimeFilterSpec extends AnyFunSuite {
       .estimateStatistics().numRows().getAsLong === 100L)
   }
 
-  test("routing: MOR, adopted-legacy, and pre-protocol lakes stay on the V1 fallback; CoW snapshots go native") {
+  test("routing: CoW AND capped-delta MOR snapshots go native; oversized sidecars and pre-protocol lakes keep the V1 fallback") {
     // CoW -> native
     val cow = freshDir("route") + "/cow"
     PartitionedLake.write(Seq((1L, "a", 1.0)).toDF("k", "part", "bal"),
       cow, "part")
     val cowDf = v2(cow); cowDf.collect()
     assert(LakeScanCheck.nativeScansOf(cowDf).size === 1)
-    // live MOR deltas -> V1 (the merge is a derived plan)
+    // live MOR deltas under the per-dir byte cap -> NATIVE (round 16:
+    // the task-side sidecar merge), with the tombstone applied
     val mor = freshDir("route") + "/mor"
     PartitionedLake.write(Seq((1L, "a", 1.0), (2L, "b", 2.0))
       .toDF("k", "part", "bal"), mor, "part")
     PartitionedLake.cdcSinkMergeOnRead(spark, mor, "part", "k", "bal",
       Seq((2L, "b", 1L, "D", 0.0)).toDF("k", "part", "seq", "op", "val"))
     val morDf = v2(mor); morDf.collect()
-    assert(LakeScanCheck.nativeScansOf(morDf).isEmpty)
+    assert(LakeScanCheck.nativeScansOf(morDf).size === 1,
+      "a capped-delta snapshot must go native")
     assert(morDf.count() === 1L)
+    // ...but a sidecar load above the cap keeps the V1 fallback's
+    // DISTRIBUTED anti-join (the task hash set must stay bounded)
+    val capKey = LakeNativeBatchScan.MorMaxDeltaBytesPerDir
+    try {
+      spark.conf.set(capKey, "1")
+      val capped = v2(mor); capped.collect()
+      assert(LakeScanCheck.nativeScansOf(capped).isEmpty,
+        "over-cap sidecars must route to V1")
+      assert(capped.count() === 1L, "both routes agree")
+    } finally spark.conf.unset(capKey)
     // adopted legacy (entries without footer row counts STILL carry
     // bytes, so adoption alone does not block the native path; but a
     // pre-protocol path with NO manifest must fall back)
@@ -164,44 +176,80 @@ class LakeRuntimeFilterSpec extends AnyFunSuite {
     val legDf = v2(legacy); legDf.collect()
     assert(LakeScanCheck.nativeScansOf(legDf).isEmpty)
     assert(legDf.count() === 1L)
-    // compaction of the MOR lake restores the native route
+    // compaction of the MOR lake keeps the native route (now pure CoW)
     PartitionedLake.compact(spark, mor)
     val compDf = v2(mor); compDf.collect()
     assert(LakeScanCheck.nativeScansOf(compDf).size === 1)
   }
 
-  test("quantified MOR gap: a star join over a live-delta snapshot reads every file (the V1 fallback has no runtime-filter seam); compact() restores DPP") {
+  test("the MOR gap is closed: a star join over a live-delta snapshot runtime-prunes dirty directories NATIVELY, with the delta applied") {
     val (lake, dim) = starFixture("morgap")
-    // one partition gains a live merge-on-read delta: the WHOLE lake
-    // routes to the V1 fallback (the MOR merge is a derived plan), so
-    // even a maximally selective dim cannot prune the other 19 dirs
+    // one HOT partition gains a live merge-on-read delta: round 15
+    // quantified this as the whole lake dropping to the V1 fallback
+    // (every file read, no runtime-filter seam); the native sidecar
+    // merge closes it — the join plans ONLY the two hot days' files
+    // plus the dirty day's sidecar
     PartitionedLake.cdcSinkMergeOnRead(spark, lake, "day", "k", "v",
       Seq((3L, 3L, 1L, "U", 999L)).toDF("day", "k", "seq", "op", "val"))
     val hot = dim.filter(col("temp") === "hot")
     val morJoin = v2(lake).join(broadcast(hot), Seq("day"))
       .agg(sum("v").as("s"))
-    morJoin.collect()
-    assert(LakeScanCheck.nativeScansOf(morJoin).isEmpty,
-      "a deltas-bearing snapshot must route to the V1 fallback")
-    // quantify the gap: the fallback's delegated plan enumerates every
-    // live base file + delta sidecar regardless of the dim — this is
-    // the number a 100 TB user pays between CDC batches and compaction
-    val allFiles = PartitionedLake.read(spark, lake).inputFiles.length
-    assert(allFiles > 20, s"fixture should hold >1 file/dir, got $allFiles")
-    // compaction materializes the deltas away; the SAME join then goes
-    // native and runtime-prunes to the two hot days' files
+    val morResult = morJoin.collect()(0).getLong(0)
+    assert(LakeScanCheck.nativeScansOf(morJoin).size === 1,
+      "a capped-delta snapshot must serve the join natively")
+    val Seq((planned, static)) = LakeScanCheck.nativePruning(morJoin)
+    // (20 dirs x files-per-dir) + 1 sidecar statically; the 2 hot
+    // dirs' files + the dirty day's sidecar planned
+    val basePerDir = (static - 1) / 20
+    assert(basePerDir > 0 && planned === 2 * basePerDir + 1,
+      s"($planned, $static)")
+    // the delta rides the native route: ground truth has k=3's v
+    // replaced by 999 (id%20 in {3,7} -> sum 2*id, minus 2*3 plus 999)
+    val expected = (0L until 2000L)
+      .filter(id => id % 20 == 3 || id % 20 == 7)
+      .map(id => if (id == 3L) 999L else 2 * id).sum
+    assert(morResult === expected)
+    // compaction materializes the deltas away; the SAME join stays
+    // native, now sidecar-free, and the answers agree
     PartitionedLake.compact(spark, lake)
     val nativeJoin = v2(lake).join(broadcast(hot), Seq("day"))
       .agg(sum("v").as("s"))
-    nativeJoin.collect()
-    val Seq((planned, static)) = LakeScanCheck.nativePruning(nativeJoin)
-    // 2 of 20 dirs survive the runtime filter, whatever compaction's
-    // files-per-dir came out to
-    assert(planned > 0 && planned * 10 === static, s"($planned, $static)")
-    // and the answers agree before/after (the delta's +999-ish update
-    // rides both routes)
-    assert(morJoin.collect()(0).getLong(0) ===
-      nativeJoin.collect()(0).getLong(0))
+    assert(nativeJoin.collect()(0).getLong(0) === morResult)
+    val Seq((p2, s2)) = LakeScanCheck.nativePruning(nativeJoin)
+    assert(p2 > 0 && p2 * 10 === s2, s"($p2, $s2)")
+  }
+
+  test("native MOR merge semantics match frameFor exactly: tombstones, post-images, pruned-out key, honest count") {
+    val dir = freshDir("mor-sem")
+    val lake = s"$dir/lake"
+    PartitionedLake.write(Seq((1L, "a", 10L), (2L, "a", 20L),
+      (3L, "b", 30L)).toDF("k", "part", "v"), lake, "part")
+    // one batch: update k=1, delete k=2 ('U' on an absent key is
+    // ignored by the CDC fold — upserts go through upsert(), so
+    // delta-only directories never arise from this writer)
+    PartitionedLake.cdcSinkMergeOnRead(spark, lake, "part", "k", "v",
+      Seq((1L, "a", 1L, "U", 11L), (2L, "a", 1L, "D", 0L))
+        .toDF("k", "part", "seq", "op", "val"))
+    val df = v2(lake)
+    df.collect()
+    assert(LakeScanCheck.nativeScansOf(df).size === 1, "native route")
+    val got = df.select("part", "k", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val viaApi = PartitionedLake.read(spark, lake)
+      .select("part", "k", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set(("a", 1L, 11L), ("b", 3L, 30L)))
+    assert(got === viaApi, "native == frameFor")
+    // a projection that prunes the identity key out still merges (the
+    // scan force-reads the key and the remap drops it)
+    val sums = v2(lake).groupBy("part").agg(sum("v").as("s"))
+    sums.collect()
+    assert(LakeScanCheck.nativeScansOf(sums).size === 1)
+    assert(sums.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      === Set(("a", 11L), ("b", 30L)))
+    // count(*) does not lie: metadata counts are impossible on a dirty
+    // snapshot, so the count runs through the merge
+    assert(v2(lake).count() === 2L)
   }
 
   test("runtime pruning on a multi-level (day, src) layout prunes at the joined level; the other level's dirs survive per tuple") {
