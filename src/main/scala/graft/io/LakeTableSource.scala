@@ -1483,12 +1483,16 @@ class LakeCatalog extends TableCatalog
     *  - `ADD COLUMNS` (top-level, nullable, appended) routes to
     *    [[PartitionedLake.addColumns]] (widened schema with fresh ids;
     *    old files read typed nulls — the additive evolution the API
-    *    write paths already practice).
+    *    write paths already practice);
+    *  - `DROP COLUMN` (top-level) routes to
+    *    [[PartitionedLake.dropColumn]] (manifest-only: the id
+    *    tombstones so it is never reused, dead bytes are pinned so a
+    *    re-added name reads typed nulls, compact() rewrites them away).
     *
-    * Everything else — type changes, drops, nested edits, positioned
-    * adds, NOT NULL, defaults, comments, properties — refuses loudly:
-    * the manifest stores none of it, and a silent partial apply would
-    * be worse than the error.
+    * Everything else — type changes, nested edits, positioned adds,
+    * NOT NULL, defaults, comments, properties — refuses loudly: the
+    * manifest stores none of it, and a silent partial apply would be
+    * worse than the error.
     */
   override def alterTable(ident: Identifier,
       changes: org.apache.spark.sql.connector.catalog.TableChange*): Table = {
@@ -1523,11 +1527,17 @@ class LakeCatalog extends TableCatalog
         PartitionedLake.addColumns(spark, path, Seq(
           org.apache.spark.sql.types.StructField(
             a.fieldNames().head, a.dataType())))
+      case d: TableChange.DeleteColumn =>
+        if (d.fieldNames().length != 1) sys.error(
+          "ALTER TABLE ... DROP COLUMN supports top-level columns " +
+            s"only, got nested field ${d.fieldNames().mkString(".")}")
+        PartitionedLake.dropColumn(spark, path, d.fieldNames().head)
       case other => sys.error(
         s"ALTER TABLE change not supported by LakeCatalog: $other — " +
           "supported: RENAME COLUMN (stable-id rebind), ADD COLUMNS " +
-          "(nullable, appended); type changes and drops would corrupt " +
-          "old snapshots and refuse by design")
+          "(nullable, appended), DROP COLUMN (manifest-only, id " +
+          "tombstoned); type changes would corrupt old snapshots and " +
+          "refuse by design")
     }
     new GraftLakeTable(path, None)
   }

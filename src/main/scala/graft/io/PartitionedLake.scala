@@ -982,6 +982,13 @@ object PartitionedLake {
     */
   private[io] def assignColumnIds(prev: Option[Map[String, Int]],
       schema: StructType): Map[String, Int] = {
+    // the tombstone namespace is reserved (see [[DroppedIdPrefix]]): a
+    // real column there would collide with a dropped id's floor entry
+    // and un-pin the max-monotone invariant that prevents id reuse
+    val reserved = schema.fieldNames.filter(_.startsWith(DroppedIdPrefix))
+    require(reserved.isEmpty,
+      s"column name(s) ${reserved.mkString(", ")} use the reserved " +
+        s"'$DroppedIdPrefix' prefix (column-id tombstones); rename them")
     val p = prev.getOrElse(Map.empty)
     var next = if (p.isEmpty) 1 else p.values.max + 1
     p ++ schema.fieldNames.filterNot(p.contains).map { n =>
@@ -1187,12 +1194,30 @@ object PartitionedLake {
             .filterNot(f => h.schema.fieldNames.contains(f.name))
             .flatMap(f => oldIds.get(f.name).flatMap(i =>
               h.columnIds.getOrElse(Map.empty)
-                .find { case (n2, i2) => i2 == i && n2 != f.name }
+                .find { case (n2, i2) => i2 == i && n2 != f.name &&
+                  // a tombstone holding the id is a DROP, not a rename
+                  !n2.startsWith(DroppedIdPrefix) }
                 .map { case (n2, _) => s"'${f.name}' -> '$n2'" }))
           if (renamedUnderUs.nonEmpty) {
             unlinkMoved()
             sys.error(s"concurrent commit conflict on $path: column(s) " +
               s"${renamedUnderUs.mkString(", ")} were renamed by a racing " +
+              "committer after this commit read the schema; re-run " +
+              "against the new snapshot")
+          }
+          // same hazard for a racing DROP: our staged files carry real
+          // bytes for the dropped column, and the additive merge would
+          // silently resurrect it as a fresh-id column whose old rows
+          // all read null. The tombstone entry identifies the drop.
+          val droppedUnderUs = nullableSchema.fields
+            .filterNot(f => h.schema.fieldNames.contains(f.name))
+            .flatMap(f => oldIds.get(f.name).filter(i =>
+              h.columnIds.getOrElse(Map.empty)
+                .get(droppedKey(i)).contains(i)).map(_ => f.name))
+          if (droppedUnderUs.nonEmpty) {
+            unlinkMoved()
+            sys.error(s"concurrent commit conflict on $path: column(s) " +
+              s"${droppedUnderUs.mkString(", ")} were dropped by a racing " +
               "committer after this commit read the schema; re-run " +
               "against the new snapshot")
           }
@@ -1548,6 +1573,9 @@ object PartitionedLake {
           s"(schema: ${m.schema.fieldNames.mkString(", ")})")
       val ids = m.columnIds.getOrElse(
         assignColumnIds(None, m.schema))
+      require(!newName.startsWith(DroppedIdPrefix),
+        s"cannot rename '$oldName' -> '$newName' on $path: the " +
+          s"'$DroppedIdPrefix' prefix is reserved (column-id tombstones)")
       require(!ids.contains(newName),
         s"cannot rename '$oldName' -> '$newName' on $path: the name is " +
           "already taken")
@@ -1576,6 +1604,78 @@ object PartitionedLake {
       attempts += 1
       if (attempts > 5) sys.error(s"rename on $path lost the publish " +
         s"race $attempts times; giving up")
+    }
+  }
+
+  /** Reserved prefix for column-id TOMBSTONES: dropping a column keeps
+    * its id in `columnIds` under `#dropped-<id>` so the mapping's max
+    * NEVER decreases — [[assignColumnIds]] allocates fresh ids above
+    * the max, and a re-assigned dead id would make old files' pins
+    * (`physNames`: dead-id -> physical name) resolve a NEW column to
+    * the DEAD column's bytes. The reader shipped in round 15 carries
+    * unknown entries untouched, so tombstones round-trip through every
+    * commit; [[assignColumnIds]] and [[renameColumn]] refuse real
+    * columns in this namespace (the two chokepoints where mapping
+    * entries are born).
+    */
+  private[io] val DroppedIdPrefix = "#dropped-"
+  private def droppedKey(id: Int): String = s"$DroppedIdPrefix$id"
+
+  /** Drop a top-level column — a MANIFEST-ONLY commit: the field leaves
+    * the snapshot schema, its id tombstones (see [[DroppedIdPrefix]]),
+    * and every live file that may carry the column's bytes gets a
+    * physical-name pin for the dead id, so a LATER column re-using the
+    * name reads typed nulls from those files instead of the dead bytes
+    * (the same shadow rule renames rely on — [[filesFrame]]'s
+    * pin-signature groups). Zero data jobs; the pre-drop snapshot stays
+    * time-travelable; [[compact]] rewrites the bytes away and clears
+    * the pins. `ALTER TABLE ... DROP COLUMN` routes here.
+    */
+  def dropColumn(spark: SparkSession, path: String, name: String): Unit = {
+    val fs = fsFor(spark, path)
+    var attempts = 0
+    while (true) {
+      val m = latestManifest(fs, path).getOrElse(sys.error(
+        s"cannot drop a column of the pre-protocol lake at $path: " +
+          "adopt it first (any PartitionedLake write publishes a " +
+          "manifest)"))
+      require(m.schema.fieldNames.contains(name),
+        s"cannot drop '$name' on $path: no such column " +
+          s"(schema: ${m.schema.fieldNames.mkString(", ")})")
+      require(!layoutOf(m).exists(_.contains(name)),
+        s"cannot drop partition column '$name' on $path: its name is " +
+          "baked into every partition directory path; rewrite into a " +
+          "new layout instead")
+      val partCols = layoutOf(m).getOrElse(Seq.empty).toSet
+      require(m.schema.fieldNames.exists(f =>
+          f != name && !partCols.contains(f)),
+        s"cannot drop '$name' on $path: it is the last data column " +
+          "(a lake of only partition values has no file contents)")
+      require(m.deltas.isEmpty,
+        s"cannot drop '$name' on $path while merge-on-read deltas are " +
+          "live: delta sidecars are name-only in the manifest, so " +
+          "their physical columns cannot be pinned — run " +
+          "PartitionedLake.compact(spark, path) first")
+      val ids = m.columnIds.getOrElse(assignColumnIds(None, m.schema))
+      val id = ids(name)
+      val schema = StructType(m.schema.fields.filterNot(_.name == name))
+      // pin condition mirrors renameColumn: skip entries already
+      // pinned for this id, and entries where the physical name is
+      // OWNED by another id's pin (the file provably predates this
+      // column entirely — the existing shadow rule already nulls it)
+      val files = m.files.view.mapValues(_.map { e =>
+        if (e.physNames.contains(id) ||
+            e.physNames.exists { case (j, n) => j != id && n == name })
+          e
+        else e.copy(physNames = e.physNames + (id -> name))
+      }).toMap
+      val ok = tryPublishManifest(fs, path, m.copy(
+        version = m.version + 1, schema = schema, files = files,
+        columnIds = Some(ids - name + (droppedKey(id) -> id))))
+      if (ok) return
+      attempts += 1
+      if (attempts > 5) sys.error(s"dropColumn on $path lost the " +
+        s"publish race $attempts times; giving up")
     }
   }
 

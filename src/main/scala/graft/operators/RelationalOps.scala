@@ -2086,8 +2086,8 @@ object RelationalOps {
           statsCols = Seq("day_str"))
         val scan = s.read.format("graft-lake-v2").option("path", dir)
           .load()
-          .filter(col("day_str") >= "1994-01-01" &&
-            col("day_str") <= "1994-12-31")
+          .filter(col("day_str") >= "1997-01-01" &&
+            col("day_str") <= "1997-12-31")
         val out = scan.groupBy("o_orderstatus")
           .agg(count(lit(1)).as("n"),
             sum(col("o_totalprice").cast("decimal(28,6)")).cast("double")
@@ -2104,8 +2104,8 @@ object RelationalOps {
         |    AS price_sum,
         |  true AS stats_skipped
         |FROM orders
-        |WHERE strftime(o_orderdate, '%Y-%m-%d') >= '1994-01-01'
-        |  AND strftime(o_orderdate, '%Y-%m-%d') <= '1994-12-31'
+        |WHERE strftime(o_orderdate, '%Y-%m-%d') >= '1997-01-01'
+        |  AND strftime(o_orderdate, '%Y-%m-%d') <= '1997-12-31'
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin),
       "lake op: string-typed file-skipping bounds (UTF-8-ordered strs: manifest stats; date-as-string BETWEEN plans a strict file subset)"),
@@ -2155,6 +2155,119 @@ object RelationalOps {
         |  true AS one_version, true AS deltas_cleared
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin),
-      "lake op: SQL CALL system.compact (merge-on-read materialization as a stored procedure; summary row pins the one-commit cost)")
+      "lake op: SQL CALL system.compact (merge-on-read materialization as a stored procedure; summary row pins the one-commit cost)"),
+
+    // ---- Native merge-on-read read: a DIRTY snapshot (live CDC delta
+    // sidecars, pre-compaction) served by the NATIVE DSv2 batch — each
+    // dirty directory's base files anti-join the sidecar identity keys
+    // task-side, post-images union in, and the partition claim still
+    // prunes directories. Before round 16 ONE live delta dropped the
+    // whole lake to the delegated V1 plan (no pruning seam at all). The
+    // claim is IN-BAND three ways: native_dirty pins that the executed
+    // plan carries a LakeNativeBatchScan (the V1 fallback has none),
+    // claim_pruned pins that the partition claim planned strictly fewer
+    // static files than the unclaimed scan of the same dirty lake, and
+    // routes_agree pins row parity with the v1 format's battle-tested
+    // frameFor merge. At 100 TB this keeps star joins and range scans
+    // pruning normally BETWEEN CDC batches and compaction — the window
+    // where steady-state ingest lives. ----
+    Q("q168_native_mor_read",
+      (s, d) => {
+        val dir = scratchDir("q168-mor") + "/lake"
+        val base = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderpriority"), col("o_totalprice"))
+        graft.io.PartitionedLake.write(base, dir, "o_orderpriority")
+        // live deltas on the urgent partition: +1000 on keys %10==3,
+        // tombstones for keys %10==7 — deterministic at every SF
+        val urgent = base.filter(col("o_orderpriority") === "1-URGENT")
+        val ops = urgent.filter(col("o_orderkey") % 10 === 3)
+          .select(col("o_orderkey").as("k"), col("o_orderpriority"),
+            lit(1L).as("seq"), lit("U").as("op"),
+            (col("o_totalprice") + 1000).as("val"))
+          .unionByName(urgent.filter(col("o_orderkey") % 10 === 7)
+            .select(col("o_orderkey").as("k"), col("o_orderpriority"),
+              lit(1L).as("seq"), lit("D").as("op"),
+              col("o_totalprice").as("val")))
+        graft.io.PartitionedLake.cdcSinkMergeOnRead(s, dir,
+          "o_orderpriority", "o_orderkey", "o_totalprice", ops)
+        s.conf.set("spark.sql.catalog.graft_lake",
+          classOf[graft.io.LakeCatalog].getName)
+        val out = s.sql(
+          s"SELECT count(*) AS n, " +
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) " +
+            s"AS price_sum FROM graft_lake.`$dir` " +
+            "WHERE o_orderpriority = '1-URGENT'")
+        val row = out.collect()(0)
+        val claimed = graft.io.LakeScanCheck.nativePruning(out)
+        // the unclaimed scan of the SAME dirty snapshot: its static file
+        // count is the full-lake denominator the claim pruned against
+        val full = s.sql(s"SELECT count(*) FROM graft_lake.`$dir`")
+        full.collect()
+        val fullScan = graft.io.LakeScanCheck.nativePruning(full)
+        val nativeDirty = claimed.nonEmpty && fullScan.nonEmpty
+        val claimPruned = nativeDirty && claimed.head._2 < fullScan.head._2
+        // route parity: the v1 format path runs frameFor's distributed
+        // MOR merge — the native task-side merge must see the same rows
+        val v1 = s.read.format("graft-lake").option("path", dir).load()
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(28,6)"))
+              .cast("double").as("p"))
+          .collect()(0)
+        out.withColumn("native_dirty", lit(nativeDirty))
+          .withColumn("claim_pruned", lit(claimPruned))
+          .withColumn("routes_agree",
+            lit(v1.getLong(0) == row.getLong(0) &&
+              v1.getDouble(1) == row.getDouble(1)))
+      },
+      Some("""SELECT count(*) AS n,
+        |  CAST(SUM(CAST(CASE WHEN o_orderkey % 10 = 3
+        |    THEN o_totalprice + 1000 ELSE o_totalprice END
+        |    AS DECIMAL(28,6))) AS DOUBLE) AS price_sum,
+        |  true AS native_dirty, true AS claim_pruned,
+        |  true AS routes_agree
+        |FROM orders
+        |WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 10 <> 7""".stripMargin),
+      "lake op: native merge-on-read read (dirty snapshot served by the DSv2 batch; claims prune, parity with the v1 merge path)"),
+
+    // ---- SQL DROP COLUMN as a manifest-only commit: the column leaves
+    // the schema with zero data jobs, its stable id TOMBSTONES in
+    // meta:column-ids (the mapping's max is monotone, so the id is
+    // never reassigned), and the dead bytes are pinned per file — a
+    // LATER column re-using the name reads typed nulls from pre-drop
+    // files instead of the dead bytes (n_status pins this: exactly the
+    // one post-re-add insert carries a value). The pre-drop snapshot
+    // stays time-travelable (v1_has_status). At 100 TB dropping a
+    // column costs one manifest write; compact() reclaims the bytes
+    // lazily. ----
+    Q("q169_sql_lake_drop_column",
+      (s, d) => {
+        val dir = scratchDir("q169-drop") + "/lake"
+        val base = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderpriority"), col("o_totalprice"),
+          col("o_orderstatus"))
+        graft.io.PartitionedLake.write(base, dir, "o_orderpriority")
+        s.conf.set("spark.sql.catalog.graft_lake",
+          classOf[graft.io.LakeCatalog].getName)
+        s.sql(s"ALTER TABLE graft_lake.`$dir` DROP COLUMN o_orderstatus")
+        s.sql(s"ALTER TABLE graft_lake.`$dir` " +
+          "ADD COLUMNS (o_orderstatus STRING)")
+        s.sql(s"INSERT INTO graft_lake.`$dir` " +
+          "VALUES (-1, '1-URGENT', CAST(0.0 AS DOUBLE), 'ZZ')")
+        val v1HasStatus = s.sql(
+          s"SELECT count(o_orderstatus) FROM graft_lake.`$dir` " +
+            "VERSION AS OF 1").collect()(0).getLong(0) > 0
+        s.sql(
+          s"SELECT count(*) AS n, count(o_orderstatus) AS n_status, " +
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) " +
+            s"AS price_sum FROM graft_lake.`$dir`")
+          .withColumn("v1_has_status", lit(v1HasStatus))
+      },
+      Some("""SELECT count(*) + 1 AS n, CAST(1 AS BIGINT) AS n_status,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+        |    AS price_sum,
+        |  true AS v1_has_status
+        |FROM orders""".stripMargin),
+      "lake op: SQL ALTER TABLE DROP COLUMN (manifest-only; id tombstoned against reuse, dead bytes pinned, re-added name reads typed nulls)")
   )
 }

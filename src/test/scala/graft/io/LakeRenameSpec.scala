@@ -197,10 +197,16 @@ class LakeRenameSpec extends AnyFunSuite {
           Option(x.getMessage).toSeq ++ messages(x.getCause))
       messages(intercept[Exception](spark.sql(q))).mkString(" | ")
     }
-    assert(sqlErr(s"ALTER TABLE graft_lake.`$lake` DROP COLUMN note")
-      .contains("not supported"))
     assert(sqlErr(s"ALTER TABLE graft_lake.`$lake` " +
       "ALTER COLUMN balance TYPE STRING").contains("not supported"))
+    // DROP COLUMN is supported since round 16 (LakeDropColumnSpec);
+    // dropping down to the last data column still refuses through SQL
+    spark.sql(s"ALTER TABLE graft_lake.`$lake` DROP COLUMN note")
+    spark.sql(s"ALTER TABLE graft_lake.`$lake` DROP COLUMN balance")
+    assert(spark.sql(s"SELECT * FROM graft_lake.`$lake`")
+      .columns.toSeq === Seq("k", "part"))
+    assert(sqlErr(s"ALTER TABLE graft_lake.`$lake` DROP COLUMN k")
+      .contains("last data column"))
     assert(sqlErr(s"ALTER TABLE graft_lake.`$lake` " +
       "ADD COLUMNS (early STRING FIRST)").contains("appending only"))
     assert(sqlErr(s"ALTER TABLE graft_lake.`$lake` " +

@@ -246,6 +246,63 @@ class LakeRowLevelSpec extends AnyFunSuite {
     assert(rowsOf(lake) === Set(("b", 2L, 20.0), ("b", 3L, 3.0)))
   }
 
+  test("ReplaceData racing a cdcSinkMergeOnRead: deltas landing on a NOT-MATCHED insert target refuse (the insert would be anti-joined away); deltas on a replaced group conflict loudly") {
+    val lake = freshLake("race-mor")
+    PartitionedLake.write(Seq((1L, "a", 1.0), (2L, "b", 2.0))
+      .toDF("k", "part", "bal"), lake, "part")
+    val v1 = PartitionedLake.manifestAt(spark, lake, None).get
+    // stage what a MERGE would: a rewrite of part=a (the matched group)
+    // plus a NOT-MATCHED insert into part=b, both resolved against v1
+    def stage(tag: String, dir: String, df: org.apache.spark.sql.DataFrame)
+        : (org.apache.hadoop.fs.Path, Map[String, Seq[PartitionedLake.FileEntry]]) = {
+      val tmp = java.nio.file.Files.createTempDirectory("rlo-stage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val f = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val destDir = new java.io.File(s"$lake/_staging/$tag/$dir")
+      destDir.mkdirs()
+      assert(f.renameTo(new java.io.File(destDir, f.getName)))
+      (new org.apache.hadoop.fs.Path(lake, s"_staging/$tag"),
+        Map(dir -> Seq(PartitionedLake.FileEntry(f.getName))))
+    }
+    val (stg1a, a1) = stage("race-mor-1", "part=a",
+      Seq((1L, 11.0)).toDF("k", "bal"))
+    val (_, b1) = stage("race-mor-1", "part=b",
+      Seq((7L, 7.0)).toDF("k", "bal"))
+    // THE RACE: a CDC sink lands live deltas on part=b between the
+    // merge's scan (pinned at v1) and its commit. The inserted k=7 row
+    // would be anti-joined against part=b's delta keys on every read —
+    // the exact silent-row-loss the append guard exists for, arriving
+    // through the ReplaceData door. The rebase-loop dirty check must
+    // refuse, not rebase.
+    PartitionedLake.cdcSinkMergeOnRead(spark, lake, "part", "k", "bal",
+      Seq((2L, "b", 1L, "U", 20.0)).toDF("k", "part", "seq", "op", "val"))
+    val e1 = intercept[Exception] {
+      PartitionedLake.commitReplaceData(spark, lake, stg1a, a1 ++ b1,
+        Set("part=a"), v1)
+    }
+    assert(e1.getMessage.contains("live merge-on-read"), e1.getMessage)
+    // the loser unlinked its files and the CDC winner's snapshot reads
+    // intact (delta-merged view; part=a untouched)
+    assert(rowsOf(lake) === Set(("a", 1L, 1.0), ("b", 2L, 20.0)))
+    // complementary branch: deltas landing on the REPLACED group after
+    // resolution. Superseding them wholesale would silently drop the
+    // racer's ops (our carried rows predate them) — dirSig counts delta
+    // changes, so the standard rebase check conflicts loudly instead.
+    val head = PartitionedLake.manifestAt(spark, lake, None).get
+    val (stg2, a2) = stage("race-mor-2", "part=a",
+      Seq((1L, 11.0)).toDF("k", "bal"))
+    PartitionedLake.cdcSinkMergeOnRead(spark, lake, "part", "k", "bal",
+      Seq((1L, "a", 2L, "U", 100.0)).toDF("k", "part", "seq", "op", "val"))
+    val e2 = intercept[Exception] {
+      PartitionedLake.commitReplaceData(spark, lake, stg2, a2,
+        Set("part=a"), head)
+    }
+    assert(e2.getMessage.contains("concurrent commit conflict") &&
+      e2.getMessage.contains("part=a"), e2.getMessage)
+    assert(rowsOf(lake) === Set(("a", 1L, 100.0), ("b", 2L, 20.0)))
+  }
+
   test("refusals: row-level statements against VERSION AS OF and pre-protocol lakes fail at analysis with directions") {
     val lake = freshLake("refuse")
     PartitionedLake.write(Seq((1L, "a", 1.0)).toDF("k", "part", "bal"),
