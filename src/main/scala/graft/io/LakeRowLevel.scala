@@ -59,12 +59,16 @@ import org.apache.spark.util.SerializableConfiguration
   *    directories' deltas are superseded wholesale — the carried rows
   *    are the post-merge snapshot).
   *
-  * Routing: ALWAYS the native batch. MOR (live-delta) and pre-bytes
-  * legacy snapshots REFUSE at scan build with compact() directions —
-  * the V1 fallback cannot serve a row-level scan (no batch form), and
-  * the MOR merge is a derived plan the group rewrite cannot replace by
-  * directory (LakeRowLevelSpec pins the refusal matrix and the
-  * post-compact success). Partition-only DELETEs never reach this
+  * Routing: ALWAYS the native batch. Live merge-on-read deltas ride
+  * the native sidecar merge (round 16): the scan carries each dirty
+  * kept directory's POST-MERGE rows and the commit supersedes its
+  * deltas with the rewrite, so UPDATE/MERGE work mid-ingest; a
+  * snapshot the native merge cannot serve (over-cap sidecars,
+  * unhashable key) and pre-bytes legacy snapshots REFUSE at scan
+  * build with compact() directions — the V1 fallback cannot serve a
+  * row-level scan (no batch form). LakeRowLevelSpec pins the refusal
+  * matrix and the mid-ingest semantics. Partition-only DELETEs never
+  * reach this
   * class either: the engine's metadata-delete optimization converts
   * them back to [[GraftLakeTable.deleteWhere]]'s zero-data-job
   * retirement (`canDeleteWhere` stays the honest gate), which is also
@@ -122,14 +126,6 @@ private[io] class LakeRowLevelOperation(path: String,
       // metadata retirement (the analyzer rewrite constructs the
       // operation BEFORE the metadata-delete optimization can rescue
       // it — refusing at construction would break those DELETEs)
-      if (pinned.deltas.nonEmpty) sys.error(
-        s"row-level SQL writes (UPDATE / MERGE / sub-partition DELETE) " +
-          s"on $path are not supported while merge-on-read deltas are " +
-          "live: the MOR merge is a derived plan the group rewrite " +
-          "cannot replace by directory, and a V1 scan has no batch " +
-          "form here — run PartitionedLake.compact(spark, path) first " +
-          "(materializes the deltas away); partition-scoped DELETE " +
-          "works regardless (metadata retirement)")
       if (pinned.files.valuesIterator.exists(_.exists(_.bytes.isEmpty)))
         sys.error(s"row-level SQL writes on $path need a post-adoption " +
           "snapshot (per-file byte lengths in the manifest) — run " +
@@ -142,12 +138,36 @@ private[io] class LakeRowLevelOperation(path: String,
           "first (rewrites files under the current names); " +
           "partition-scoped DELETE works regardless (metadata " +
           "retirement)")
+      // LIVE MERGE-ON-READ DELTAS ride the native sidecar merge (round
+      // 16): the scan carries each dirty kept directory's POST-MERGE
+      // rows (base anti-join sidecar keys + 'U' post-images), and the
+      // ReplaceData commit supersedes the replaced directories' deltas
+      // along with their files — the rewrite materializes exactly what
+      // the merge read, so UPDATE/MERGE work MID-INGEST, between CDC
+      // batches and compaction. Inserts into dirty UNSCANNED
+      // directories still refuse inside the commit rebase loop (the
+      // silent-row-loss guard), and a snapshot the native merge cannot
+      // serve (over-cap sidecars, unhashable key) refuses here with
+      // compact directions instead of guessing.
+      val deltaInfo: Map[String, Seq[(String, Long)]] =
+        if (pinned.deltas.isEmpty) Map.empty
+        else LakeNativeBatchScan.morDeltaInfo(SparkSession.active, path,
+          pinned).getOrElse(sys.error(
+          s"row-level SQL writes on $path need the native merge-on-read " +
+            "read, but this snapshot's live deltas are not " +
+            "native-eligible (per-directory sidecar bytes over " +
+            s"${LakeNativeBatchScan.MorMaxDeltaBytesPerDir}, an " +
+            "unhashable identity key, or missing sidecar files) — run " +
+            "PartitionedLake.compact(spark, path) first (materializes " +
+            "the deltas away); partition-scoped DELETE works " +
+            "regardless (metadata retirement)"))
       // ALWAYS the native batch (an empty created lake included — its
       // declared layout names the partition columns); residual = empty
       // disables parquet pushdown AND stats skipping: a group rewrite
       // must carry every row of a kept directory
       val scan = new LakeNativeBatchScan(path, None, pinned, pinned.schema,
-        required, claimed = groupFilters, residual = Array.empty)
+        required, claimed = groupFilters, residual = Array.empty,
+        deltaInfo = deltaInfo)
       builtScan = Some(scan)
       scan
     }

@@ -2268,6 +2268,58 @@ object RelationalOps {
         |    AS price_sum,
         |  true AS v1_has_status
         |FROM orders""".stripMargin),
-      "lake op: SQL ALTER TABLE DROP COLUMN (manifest-only; id tombstoned against reuse, dead bytes pinned, re-added name reads typed nulls)")
+      "lake op: SQL ALTER TABLE DROP COLUMN (manifest-only; id tombstoned against reuse, dead bytes pinned, re-added name reads typed nulls)"),
+
+    // ---- Row-level SQL mid-ingest: an UPDATE lands on a snapshot
+    // carrying LIVE merge-on-read deltas. The row-level scan rides the
+    // native sidecar merge (q168's engine) so kept dirty groups are
+    // carried POST-MERGE, and the ReplaceData commit supersedes those
+    // groups' deltas with the rewrite — round 15 had to refuse every
+    // row-level statement here until compact(). deltas_cleared is the
+    // in-band proof: exact metadata row counts are only possible with
+    // zero live deltas, so the rewrite provably materialized them.
+    // At 100 TB this removes the "no DML between CDC batches and
+    // compaction" operational window entirely. ----
+    Q("q170_sql_lake_mor_update",
+      (s, d) => {
+        val dir = scratchDir("q170-morupd") + "/lake"
+        val base = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderpriority"), col("o_totalprice"))
+        graft.io.PartitionedLake.write(base, dir, "o_orderpriority")
+        // live deltas on the urgent partition: +1000 on keys %10==3
+        val ops = base
+          .filter(col("o_orderpriority") === "1-URGENT" &&
+            col("o_orderkey") % 10 === 3)
+          .select(col("o_orderkey").as("k"), col("o_orderpriority"),
+            lit(1L).as("seq"), lit("U").as("op"),
+            (col("o_totalprice") + 1000).as("val"))
+        graft.io.PartitionedLake.cdcSinkMergeOnRead(s, dir,
+          "o_orderpriority", "o_orderkey", "o_totalprice", ops)
+        s.conf.set("spark.sql.catalog.graft_lake",
+          classOf[graft.io.LakeCatalog].getName)
+        // the UPDATE matches exactly the delta'd rows: post-merge
+        // values are base+1000, the rewrite adds 7 more
+        s.sql(s"UPDATE graft_lake.`$dir` SET o_totalprice = " +
+          "o_totalprice + 7 WHERE o_orderpriority = '1-URGENT' " +
+          "AND o_orderkey % 10 = 3")
+        val cleared = graft.io.PartitionedLake
+          .partitionRowCounts(s, dir).isDefined
+        s.sql(
+          s"SELECT o_orderpriority, count(*) AS n, " +
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) " +
+            s"AS price_sum FROM graft_lake.`$dir` " +
+            "GROUP BY o_orderpriority")
+          .withColumn("deltas_cleared", lit(cleared))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice
+        |    + CASE WHEN o_orderpriority = '1-URGENT'
+        |        AND o_orderkey % 10 = 3 THEN 1007 ELSE 0 END
+        |    AS DECIMAL(28,6))) AS DOUBLE) AS price_sum,
+        |  true AS deltas_cleared
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin),
+      "lake op: row-level SQL mid-ingest (UPDATE on a live-delta snapshot via the native sidecar merge; the rewrite supersedes the deltas)")
   )
 }

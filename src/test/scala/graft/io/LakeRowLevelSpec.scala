@@ -112,12 +112,12 @@ class LakeRowLevelSpec extends AnyFunSuite {
     assert(rowsOf(lake) === Set(("n", 7L, 7.0)))
   }
 
-  test("row-level statements on a MOR snapshot refuse with compact() directions; after compact() the same statement lands; partition DELETE works regardless") {
+  test("row-level statements work MID-INGEST on a MOR snapshot: post-merge semantics, replaced groups' deltas superseded, over-cap deltas refuse with compact() directions") {
     val lake = freshLake("morupd")
     PartitionedLake.write(Seq((1L, "a", 1.0), (2L, "b", 2.0),
       (9L, "b", 0.5)).toDF("k", "part", "bal"), lake, "part")
     // live deltas: k=1 updated to 10.0, k=9 updated to 9.0, and a
-    // delete-delta for k=2
+    // delete-delta for k=2 — merged view (a,1,10.0),(b,9,9.0)
     PartitionedLake.cdcSinkMergeOnRead(spark, lake, "part", "k", "bal",
       Seq((1L, "a", 1L, "U", 10.0), (9L, "b", 2L, "U", 9.0),
         (2L, "b", 3L, "D", 0.0)).toDF("k", "part", "seq", "op", "val"))
@@ -125,20 +125,13 @@ class LakeRowLevelSpec extends AnyFunSuite {
     def messages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x =>
         Option(x.getMessage).toSeq ++ messages(x.getCause))
-    // UPDATE refuses loudly (the MOR merge plan has no group form) and
-    // names the fix; the lake is untouched
-    val up = intercept[Exception] {
-      spark.sql(s"UPDATE graft_lake.`$lake` SET bal = bal + 100 " +
-        "WHERE bal >= 9")
-    }
-    assert(messages(up).exists(_.contains("compact")), up.toString)
-    assert(rowsOf(lake) === Set(("a", 1L, 10.0), ("b", 9L, 9.0)))
-    // MERGE inserting the CDC-deleted key shares the refusal — without
-    // it the inserted row would be anti-joined away by the live delta
-    // (the same silent-row-loss INSERT INTO guards against)
+    // an INSERT-ONLY merge compiles to a plain append (the engine's
+    // insert-only-merge optimization never builds a row-level plan),
+    // so it still hits the MOR-append guard — the appended row would
+    // be anti-joined away by part=b's live delete-delta
     Seq((2L, "b", 5.0)).toDF("k", "part", "bal")
       .createOrReplaceTempView("mergemor_src")
-    val mg = intercept[Exception] {
+    val io = intercept[Exception] {
       spark.sql(
         s"""MERGE INTO graft_lake.`$lake` t
            |USING mergemor_src s
@@ -146,18 +139,83 @@ class LakeRowLevelSpec extends AnyFunSuite {
            |WHEN NOT MATCHED THEN INSERT (k, part, bal) VALUES (s.k, s.part, s.bal)
            |""".stripMargin)
     }
-    assert(messages(mg).exists(_.contains("compact")), mg.toString)
-    // partition-scoped DELETE stays a metadata retirement — live deltas
-    // or not (the refusal sits at SCAN build, which that path never hits)
-    spark.sql(s"DELETE FROM graft_lake.`$lake` WHERE part = 'a'")
-    assert(rowsOf(lake) === Set(("b", 9L, 9.0)))
-    // compact() materializes the remaining deltas; the refused UPDATE
-    // now lands (post-merge semantics: k=9 was 9.0 -> 109.0)
-    PartitionedLake.compact(spark, lake)
+    assert(messages(io).exists(_.contains("live merge-on-read")),
+      io.toString)
+    // a row-level MERGE whose not-matched insert targets a dirty group
+    // with NO matched rows shares that refusal: runtime group filtering
+    // prunes the matchless group, so the insert is a merge-append into
+    // a live-delta directory — the exact unsafe shape
+    val nm = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO graft_lake.`$lake` t
+           |USING mergemor_src s
+           |ON t.k = s.k AND t.part = s.part
+           |WHEN MATCHED THEN UPDATE SET bal = s.bal
+           |WHEN NOT MATCHED THEN INSERT (k, part, bal) VALUES (s.k, s.part, s.bal)
+           |""".stripMargin)
+    }
+    assert(messages(nm).exists(_.contains("live merge-on-read")),
+      nm.toString)
+    assert(rowsOf(lake) === Set(("a", 1L, 10.0), ("b", 9L, 9.0)))
+    // the realistic CDC-upsert batch — the source MATCHES a post-merge
+    // row of the dirty group, so the group is kept, its POST-MERGE rows
+    // carried, the CDC-deleted key's re-insert lands in the rewrite,
+    // and the commit supersedes the group's deltas (round 15 had to
+    // refuse every row-level statement here; the native sidecar merge
+    // makes them correct). part=a stays dirty and untouched.
+    Seq((9L, "b", 90.0), (2L, "b", 5.0)).toDF("k", "part", "bal")
+      .createOrReplaceTempView("mergemor_batch")
+    spark.sql(
+      s"""MERGE INTO graft_lake.`$lake` t
+         |USING mergemor_batch s
+         |ON t.k = s.k AND t.part = s.part
+         |WHEN MATCHED THEN UPDATE SET bal = s.bal
+         |WHEN NOT MATCHED THEN INSERT (k, part, bal) VALUES (s.k, s.part, s.bal)
+         |""".stripMargin)
+    assert(rowsOf(lake) === Set(("a", 1L, 10.0), ("b", 9L, 90.0),
+      ("b", 2L, 5.0)))
+    // UPDATE over a non-partition predicate: the matching-groups
+    // subquery runs over the POST-MERGE view (part=a matches through
+    // its live 'U' post-image), the group rewrite supersedes part=a's
+    // surviving delta, and the lake ends fully clean (metadata row
+    // counts are only possible with zero live deltas — in-band proof)
     spark.sql(s"UPDATE graft_lake.`$lake` SET bal = bal + 100 " +
       "WHERE bal >= 9")
-    assert(rowsOf(lake) === Set(("b", 9L, 109.0)))
-    assert(PartitionedLake.rowCount(spark, lake) === Some(1L))
+    assert(rowsOf(lake) === Set(("a", 1L, 110.0), ("b", 9L, 190.0),
+      ("b", 2L, 5.0)))
+    assert(PartitionedLake.partitionRowCounts(spark, lake).isDefined,
+      "the rewrite must supersede every replaced group's deltas")
+    // the pre-MERGE dirty snapshot still time-travels through the MOR
+    // merge (version 2 = the cdc fold)
+    assert(PartitionedLake.readVersion(spark, lake, 2L)
+      .select("part", "k", "bal").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet ===
+      Set(("a", 1L, 10.0), ("b", 9L, 9.0)))
+    // over-cap sidecars refuse with compact() directions (the native
+    // merge's memory bound stays honest); partition DELETE is a
+    // metadata retirement regardless — deltas retire with their dir
+    val lake2 = freshLake("morcap")
+    PartitionedLake.write(Seq((1L, "a", 1.0), (2L, "b", 2.0))
+      .toDF("k", "part", "bal"), lake2, "part")
+    PartitionedLake.cdcSinkMergeOnRead(spark, lake2, "part", "k", "bal",
+      Seq((1L, "a", 1L, "U", 10.0)).toDF("k", "part", "seq", "op", "val"))
+    spark.conf.set(
+      "spark.graft.lake.mor.nativeMaxDeltaBytesPerDir", "1")
+    try {
+      val up = intercept[Exception] {
+        spark.sql(s"UPDATE graft_lake.`$lake2` SET bal = 0 WHERE k = 1")
+      }
+      assert(messages(up).exists(_.contains("compact")), up.toString)
+      assert(rowsOf(lake2) === Set(("a", 1L, 10.0), ("b", 2L, 2.0)))
+      spark.sql(s"DELETE FROM graft_lake.`$lake2` WHERE part = 'a'")
+      assert(rowsOf(lake2) === Set(("b", 2L, 2.0)))
+    } finally spark.conf.unset(
+      "spark.graft.lake.mor.nativeMaxDeltaBytesPerDir")
+    // compact() then lands the formerly-refused statement
+    PartitionedLake.compact(spark, lake2)
+    spark.sql(s"UPDATE graft_lake.`$lake2` SET bal = bal + 100 " +
+      "WHERE k = 2")
+    assert(rowsOf(lake2) === Set(("b", 2L, 102.0)))
   }
 
   test("UPDATE with a partition-only predicate prunes groups statically; null partitions and multi-level layouts rewrite exactly") {
