@@ -1487,12 +1487,16 @@ class LakeCatalog extends TableCatalog
     *  - `DROP COLUMN` (top-level) routes to
     *    [[PartitionedLake.dropColumn]] (manifest-only: the id
     *    tombstones so it is never reused, dead bytes are pinned so a
-    *    re-added name reads typed nulls, compact() rewrites them away).
+    *    re-added name reads typed nulls, compact() rewrites them away);
+    *  - `ALTER COLUMN ... TYPE` routes to
+    *    [[PartitionedLake.widenColumnType]] (manifest-only, WIDENING
+    *    promotions only — old files read the narrower physical values
+    *    natively under the wider schema; lossy changes refuse).
     *
-    * Everything else — type changes, nested edits, positioned adds,
-    * NOT NULL, defaults, comments, properties — refuses loudly: the
-    * manifest stores none of it, and a silent partial apply would be
-    * worse than the error.
+    * Everything else — narrowing type changes, nested edits,
+    * positioned adds, NOT NULL, defaults, comments, properties —
+    * refuses loudly: the manifest stores none of it, and a silent
+    * partial apply would be worse than the error.
     */
   override def alterTable(ident: Identifier,
       changes: org.apache.spark.sql.connector.catalog.TableChange*): Table = {
@@ -1532,12 +1536,19 @@ class LakeCatalog extends TableCatalog
           "ALTER TABLE ... DROP COLUMN supports top-level columns " +
             s"only, got nested field ${d.fieldNames().mkString(".")}")
         PartitionedLake.dropColumn(spark, path, d.fieldNames().head)
+      case t: TableChange.UpdateColumnType =>
+        if (t.fieldNames().length != 1) sys.error(
+          "ALTER TABLE ... ALTER COLUMN ... TYPE supports top-level " +
+            s"columns only, got nested field ${t.fieldNames().mkString(".")}")
+        PartitionedLake.widenColumnType(spark, path,
+          t.fieldNames().head, t.newDataType())
       case other => sys.error(
         s"ALTER TABLE change not supported by LakeCatalog: $other — " +
           "supported: RENAME COLUMN (stable-id rebind), ADD COLUMNS " +
           "(nullable, appended), DROP COLUMN (manifest-only, id " +
-          "tombstoned); type changes would corrupt old snapshots and " +
-          "refuse by design")
+          "tombstoned), ALTER COLUMN TYPE (widening promotions only); " +
+          "everything else would corrupt old snapshots and refuses by " +
+          "design")
     }
     new GraftLakeTable(path, None)
   }

@@ -6,7 +6,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions.{array, broadcast, col, explode, lit, struct, when}
-import org.apache.spark.sql.types.{DataType, StructField, StructType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StructField, StructType, TimestampNTZType, TimestampType}
 
 /** Partitioned-lake layout helpers: Hive-style partition directories give
   * partition *pruning* — a predicate on a partition column never touches
@@ -1675,6 +1675,82 @@ object PartitionedLake {
       if (ok) return
       attempts += 1
       if (attempts > 5) sys.error(s"dropColumn on $path lost the " +
+        s"publish race $attempts times; giving up")
+    }
+  }
+
+  /** The widening promotions [[widenColumnType]] accepts — exactly the
+    * set Spark's parquet readers (vectorized AND row-based) read
+    * natively from narrower physical files, probed per promotion on
+    * this engine version: the integer ladder, float→double,
+    * int-family→double, decimal precision growth at the same scale,
+    * int-family/long→decimal that provably fits, and
+    * date→timestamp_ntz. Everything lossy or layout-changing (long→int,
+    * double→float, scale changes, string↔anything) is NOT here and
+    * refuses — old files would read wrong or not at all.
+    */
+  private[io] def isWideningPromotion(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case (d1: DecimalType, d2: DecimalType) =>
+        d2.scale == d1.scale && d2.precision > d1.precision
+      case (ByteType | ShortType | IntegerType, d: DecimalType) =>
+        d.scale == 0 && d.precision >= 10
+      case (LongType, d: DecimalType) => d.scale == 0 && d.precision >= 20
+      case (DateType, TimestampNTZType) => true
+      case _ => false
+    }
+
+  /** Widen a top-level column's type — a MANIFEST-ONLY commit: files
+    * are untouched and every reader (the V1 format, the native DSv2
+    * batch, MOR sidecar scans, pin-group scans) reads the narrower
+    * physical values under the wider requested schema, natively in
+    * parquet. Only promotions in [[isWideningPromotion]] are accepted;
+    * anything else refuses loudly. Partition columns refuse (their
+    * values parse from directory names under the schema type — a
+    * widened parse is safe, but the claim evaluator, SPJ partition
+    * values, and dynamic-overwrite path rendering all re-derive from
+    * it; rewrite into a new layout instead). After widening a
+    * merge-on-read value/key column, subsequent CDC folds must carry
+    * the NEW type (the existing exact-type guard enforces it loudly).
+    * `ALTER TABLE ... ALTER COLUMN ... TYPE` routes here.
+    */
+  def widenColumnType(spark: SparkSession, path: String, name: String,
+      to: DataType): Unit = {
+    val fs = fsFor(spark, path)
+    var attempts = 0
+    while (true) {
+      val m = latestManifest(fs, path).getOrElse(sys.error(
+        s"cannot widen a column of the pre-protocol lake at $path: " +
+          "adopt it first (any PartitionedLake write publishes a " +
+          "manifest)"))
+      require(m.schema.fieldNames.contains(name),
+        s"cannot widen '$name' on $path: no such column " +
+          s"(schema: ${m.schema.fieldNames.mkString(", ")})")
+      require(!layoutOf(m).exists(_.contains(name)),
+        s"cannot widen partition column '$name' on $path: partition " +
+          "values parse from directory names; rewrite into a new " +
+          "layout instead")
+      val from = m.schema(name).dataType
+      if (from == to) return // idempotent no-op, no version churn
+      require(isWideningPromotion(from, to),
+        s"cannot change '$name' on $path from $from to $to: only " +
+          "widening promotions old files read natively are supported " +
+          "(byte/short/int->long, float->double, int-family->double, " +
+          "decimal precision growth at the same scale, " +
+          "int-family/long->fitting decimal, date->timestamp_ntz) — " +
+          "anything else needs a rewrite into a new lake")
+      val schema = StructType(m.schema.fields.map(f =>
+        if (f.name == name) f.copy(dataType = to) else f))
+      val ok = tryPublishManifest(fs, path,
+        m.copy(version = m.version + 1, schema = schema))
+      if (ok) return
+      attempts += 1
+      if (attempts > 5) sys.error(s"widenColumnType on $path lost the " +
         s"publish race $attempts times; giving up")
     }
   }

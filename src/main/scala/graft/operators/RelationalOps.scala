@@ -2320,6 +2320,45 @@ object RelationalOps {
         |  true AS deltas_cleared
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin),
-      "lake op: row-level SQL mid-ingest (UPDATE on a live-delta snapshot via the native sidecar merge; the rewrite supersedes the deltas)")
+      "lake op: row-level SQL mid-ingest (UPDATE on a live-delta snapshot via the native sidecar merge; the rewrite supersedes the deltas)"),
+
+    // ---- SQL ALTER COLUMN TYPE as a manifest-only WIDENING commit:
+    // the files are untouched (files_unchanged pins it in-band — the
+    // widened snapshot references byte-identical inputs) and every
+    // reader serves the narrow physical values under the wider schema
+    // natively in parquet; an INSERT beyond the old type's range then
+    // lands next to them. Narrowing refuses in Spark's own analyzer;
+    // non-promotions refuse in the catalog. At 100 TB a type migration
+    // costs one manifest write instead of a table rewrite. ----
+    Q("q171_sql_lake_widen_type",
+      (s, d) => {
+        val dir = scratchDir("q171-widen") + "/lake"
+        val base = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderpriority"),
+          (col("o_orderkey") % 100000).cast("int").as("skey"))
+        graft.io.PartitionedLake.write(base, dir, "o_orderpriority")
+        s.conf.set("spark.sql.catalog.graft_lake",
+          classOf[graft.io.LakeCatalog].getName)
+        s.sql(s"ALTER TABLE graft_lake.`$dir` " +
+          "ALTER COLUMN skey TYPE BIGINT")
+        val filesUnchanged = s.sql(
+          s"SELECT * FROM graft_lake.`$dir` VERSION AS OF 1")
+          .inputFiles.toSet ==
+          s.sql(s"SELECT * FROM graft_lake.`$dir` VERSION AS OF 2")
+            .inputFiles.toSet
+        s.sql(s"INSERT INTO graft_lake.`$dir` " +
+          "VALUES (-1, '1-URGENT', CAST(5000000000 AS BIGINT))")
+        s.sql(
+          s"SELECT count(*) AS n, " +
+            s"CAST(sum(skey) AS BIGINT) AS skey_sum " +
+            s"FROM graft_lake.`$dir`")
+          .withColumn("files_unchanged", lit(filesUnchanged))
+      },
+      Some("""SELECT count(*) + 1 AS n,
+        |  CAST(SUM(o_orderkey % 100000) + 5000000000 AS BIGINT)
+        |    AS skey_sum,
+        |  true AS files_unchanged
+        |FROM orders""".stripMargin),
+      "lake op: SQL ALTER COLUMN TYPE (manifest-only widening; old files read natively under the wider schema, zero data jobs)")
   )
 }
