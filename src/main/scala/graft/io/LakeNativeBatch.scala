@@ -604,6 +604,21 @@ private[io] object LakeNativeBatchScan {
     */
   val MorMaxDeltaBytesPerDir = "spark.graft.lake.mor.nativeMaxDeltaBytesPerDir"
 
+  /** A usable merge-on-read identity key: a NON-partition column of a
+    * hashable type — the shape both the native sidecar merge's
+    * task-side hash set and the delta row-level write's identity fold
+    * require (binary/nested values have no stable hash identity).
+    */
+  def identityKeyOk(m: PartitionedLake.Manifest, k: String): Boolean = {
+    import org.apache.spark.sql.types._
+    !PartitionedLake.layoutOf(m).exists(_.contains(k)) &&
+      m.schema.fields.find(_.name == k).map(_.dataType).exists {
+        case _: NumericType | StringType | BooleanType | DateType |
+            TimestampType | TimestampNTZType => true
+        case _ => false
+      }
+  }
+
   /** The merge-on-read routing gate: Some(per-dir sidecar (name, len))
     * when the native batch can serve this dirty snapshot — CoW-eligible
     * apart from the deltas, a hash-safe non-partition identity key,
@@ -616,18 +631,10 @@ private[io] object LakeNativeBatchScan {
   def morDeltaInfo(spark: SparkSession, path: String,
       m: PartitionedLake.Manifest)
       : Option[Map[String, Seq[(String, Long)]]] = {
-    import org.apache.spark.sql.types._
     val cowOk = m.deltas.nonEmpty &&
       m.files.valuesIterator.forall(_.forall(e =>
         e.bytes.isDefined && e.physNames.isEmpty))
-    val keyOk = m.mor.exists { k =>
-      !PartitionedLake.layoutOf(m).exists(_.contains(k)) &&
-        m.schema.fields.find(_.name == k).map(_.dataType).exists {
-          case _: NumericType | StringType | BooleanType | DateType |
-              TimestampType | TimestampNTZType => true
-          case _ => false // binary/nested: no stable hash identity
-        }
-    }
+    val keyOk = m.mor.exists(identityKeyOk(m, _))
     if (!cowOk || !keyOk) return None
     val cap = SQLConf.get.getConfString(MorMaxDeltaBytesPerDir,
       (64L * 1024 * 1024).toString).toLong

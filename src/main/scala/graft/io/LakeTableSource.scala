@@ -467,8 +467,31 @@ private[io] class GraftLakeTable(path: String, version: Option[Long])
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   private def spark: SparkSession = SparkSession.active
+
+  /** The row-identity struct for merge-on-read row-level SQL — exposed
+    * ONLY under the session opt-in and only when an identity key
+    * quietly resolves (the loud, directed key errors belong to the
+    * statement path — [[LakeDeltaRowLevel.resolveKey]] — not to
+    * arbitrary analysis over this table). Empty otherwise: with the
+    * opt-in off, the lake has zero metadata-column surface.
+    */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = {
+    if (version.isDefined ||
+      LakeDeltaRowLevel.modeOf() != LakeDeltaRowLevel.MergeOnRead)
+      return Array.empty
+    (for {
+      m <- manifest
+      partCols <- PartitionedLake.layoutOf(m)
+      key <- LakeDeltaRowLevel.resolveKeyOpt(m)
+    } yield new LakeIdentMetadataColumn(
+      LakeDeltaRowLevel.identTypeOf(m, partCols, key))
+      : org.apache.spark.sql.connector.catalog.MetadataColumn)
+      .toArray
+  }
 
   /** SQL UPDATE / MERGE INTO / row-level DELETE — the group-based
     * copy-on-write rewrite ([[LakeRowLevelOperation]]). Partition-only
@@ -493,7 +516,22 @@ private[io] class GraftLakeTable(path: String, version: Option[Long])
       s"cannot SQL-${info.command} $path: the current snapshot is empty " +
         "and pre-dates layout declarations — bootstrap through " +
         "PartitionedLake.write/append or CREATE TABLE, which declare it")
-    () => new LakeRowLevelOperation(path, m, info.command)
+    // write-path routing (Iceberg's write.update.mode idea, as a session
+    // opt-in): copy-on-write (default) rewrites affected partition
+    // directories wholesale; merge-on-read publishes O(changed rows)
+    // delta sidecars instead — see LakeDeltaRowLevel's contract notes
+    SparkSession.active.conf.get(LakeDeltaRowLevel.ModeKey,
+        LakeDeltaRowLevel.CopyOnWrite) match {
+      case LakeDeltaRowLevel.CopyOnWrite =>
+        () => new LakeRowLevelOperation(path, m, info.command)
+      case LakeDeltaRowLevel.MergeOnRead =>
+        val key = LakeDeltaRowLevel.resolveKey(path, m)
+        () => new LakeDeltaRowLevelOperation(path, m, info.command, key)
+      case other => sys.error(
+        s"${LakeDeltaRowLevel.ModeKey} must be " +
+          s"'${LakeDeltaRowLevel.CopyOnWrite}' or " +
+          s"'${LakeDeltaRowLevel.MergeOnRead}', got '$other'")
+    }
   }
 
   // resolved ONCE at table construction: the DSv2 relation pins this

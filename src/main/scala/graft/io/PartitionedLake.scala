@@ -3284,4 +3284,89 @@ object PartitionedLake {
       morKey = Some(keyCol), replacedDeltas = Some(replacedDeltas),
       writerId = writerId)
   }
+
+  /** Commit a SQL row-level operation's typed ops as merge-on-read
+    * delta sidecars ([[graft.io.LakeDeltaWrite]] — the
+    * `SupportsDelta` counterpart of [[commitReplaceData]]). `opsDir`
+    * holds the writer tasks' flat parquet op files: full-schema rows
+    * plus [[MorOpCol]] — `'U'` post-images (inserts, and the insert
+    * half of split updates) and `'D'` identity tombstones (deletes,
+    * and the delete half). The fold:
+    *
+    *  1. refuse AMBIGUITY — two different 'U' post-images for one
+    *     `(partition, key)` identity (e.g. a MERGE inserting the same
+    *     key twice) cannot both be the row;
+    *  2. re-unify split updates — for one identity, 'U' wins over 'D'
+    *     (delete + insert of the same identity IS the update; a
+    *     cross-partition move keeps both, in different partitions'
+    *     logs);
+    *  3. carry the touched partitions' EXISTING log entries whose
+    *     identities the statement did not touch (the per-partition log
+    *     is self-contained — same contract as [[cdcSinkMergeOnRead]]'s
+    *     re-emit);
+    *  4. stage per-partition logs and commit through the standard
+    *     protocol: base data files are NEVER rewritten, racing commits
+    *     into a touched partition's deltas conflict via the dirSig
+    *     check, time travel keeps the pre-image.
+    *
+    * Every join below is op/log-sized (statement ops + the touched
+    * partitions' accumulated logs) — never data-sized; the commit's
+    * write bytes are O(changed rows + carried log), the merge-on-read
+    * design point. Tombstones for identities that exist only in base
+    * files stay in the log until [[compact]] materializes them away.
+    */
+  private[io] def commitRowLevelDeltas(spark: SparkSession, path: String,
+      pinned: Manifest, partitionCols: Seq[String], keyCol: String,
+      opsDir: Path): Unit = {
+    val fs = fsFor(spark, path)
+    try {
+      val opSchema = StructType(pinned.schema.fields :+
+        org.apache.spark.sql.types.StructField(MorOpCol,
+          org.apache.spark.sql.types.StringType))
+      val ops = spark.read.schema(opSchema).parquet(opsDir.toString)
+      val ident = partitionCols :+ keyCol
+      val uRows = ops.filter(col(MorOpCol) === "U")
+      val dupU = uRows.groupBy(ident.map(col).toIndexedSeq: _*)
+        .count().filter(col("count") > 1)
+        .select(ident.map(col).toIndexedSeq: _*).take(3)
+      require(dupU.isEmpty,
+        "row-level delta write produced more than one post-image for " +
+          "the same (partition, key) identity — e.g. " +
+          dupU.mkString(", ") + " — the lake's merge-on-read contract " +
+          "is one row per identity; dedupe the source (or use " +
+          s"${graft.io.LakeDeltaRowLevel.ModeKey}=" +
+          s"${graft.io.LakeDeltaRowLevel.CopyOnWrite} for keyless " +
+          "multiset semantics)")
+      // split updates re-unify: 'U' wins over 'D' for one identity
+      val uIds = uRows.select(ident.map(c =>
+        col(c).as(s"__u_$c")).toIndexedSeq: _*)
+      val dRows = ops.filter(col(MorOpCol) === "D")
+        .join(uIds, ident.map(c =>
+          col(c) <=> col(s"__u_$c")).reduce(_ && _), "left_anti")
+      val folded = uRows.unionByName(dRows)
+      val partSchema = StructType(
+        partitionCols.map(c => pinned.schema(c)).toArray)
+      val parts = ops.select(partitionCols.map(c =>
+          col(c).cast(pinned.schema(c).dataType)).toIndexedSeq: _*)
+        .distinct().collect().map(_.toSeq)
+      if (parts.isEmpty) return
+      val touched = partitionFilter(partitionCols, parts)
+      val foldedIds = folded.select(ident.map(c =>
+        col(c).as(s"__f_$c")).toIndexedSeq: _*)
+      val carried = deltaScan(spark, path, pinned).filter(touched)
+        .join(foldedIds, ident.map(c =>
+          col(c) <=> col(s"__f_$c")).reduce(_ && _), "left_anti")
+      val newLog = folded.unionByName(carried)
+        .select((pinned.schema.fieldNames :+ MorOpCol)
+          .map(col).toIndexedSeq: _*)
+      val (logStaging, stagedLog) = stage(spark, fs, path, newLog,
+        partitionCols, Nil)
+      val replacedDeltas = sparkDirsFor(spark, fs, path, partitionCols,
+        partSchema, parts)
+      commitStaged(fs, path, logStaging, Map.empty, Set.empty,
+        pinned.schema, Some(pinned), None,
+        stagedDeltas = stagedLog, deltaStaging = Some(logStaging),
+        morKey = Some(keyCol), replacedDeltas = Some(replacedDeltas))
+    } finally fs.delete(opsDir, true)
+  }
 }

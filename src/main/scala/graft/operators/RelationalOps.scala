@@ -2359,6 +2359,73 @@ object RelationalOps {
         |    AS skey_sum,
         |  true AS files_unchanged
         |FROM orders""".stripMargin),
-      "lake op: SQL ALTER COLUMN TYPE (manifest-only widening; old files read natively under the wider schema, zero data jobs)")
+      "lake op: SQL ALTER COLUMN TYPE (manifest-only widening; old files read natively under the wider schema, zero data jobs)"),
+
+    // ---- SQL row-level DML in MERGE-ON-READ mode (SupportsDelta):
+    // UPDATE / DELETE / MERGE publish O(changed rows) delta sidecars
+    // instead of rewriting partition directories — files_unchanged
+    // pins in-band that THREE DML statements added zero base data
+    // files (copy-on-write would have rewritten every touched
+    // partition wholesale), and deltas_live pins that the sidecars are
+    // what carries them (row counts degrade to unknown while dirty).
+    // At 100 TB this is the difference between a retention-or-fix
+    // sweep costing megabytes of sidecars vs re-materializing every
+    // touched partition. ----
+    Q("q172_sql_lake_mor_dml",
+      (s, d) => {
+        val dir = scratchDir("q172-mordml") + "/lake"
+        val base = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderpriority"), col("o_totalprice"))
+        graft.io.PartitionedLake.write(base, dir, "o_orderpriority")
+        s.conf.set("spark.sql.catalog.graft_lake",
+          classOf[graft.io.LakeCatalog].getName)
+        s.conf.set(graft.io.LakeDeltaRowLevel.ModeKey,
+          graft.io.LakeDeltaRowLevel.MergeOnRead)
+        s.conf.set(graft.io.LakeDeltaRowLevel.KeyKey, "o_orderkey")
+        try {
+          s.sql(s"UPDATE graft_lake.`$dir` SET o_totalprice = " +
+            "o_totalprice + 5 WHERE o_orderkey % 10 = 3")
+          s.sql(s"DELETE FROM graft_lake.`$dir` " +
+            "WHERE o_orderkey % 10 = 7")
+          base.filter(col("o_orderkey") % 100 === 11)
+            .withColumn("o_totalprice", col("o_totalprice") + 100)
+            .createOrReplaceTempView("q172_merge_src")
+          s.sql(
+            s"""MERGE INTO graft_lake.`$dir` t USING q172_merge_src s
+               |ON t.o_orderkey = s.o_orderkey
+               |WHEN MATCHED THEN UPDATE SET *
+               |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        } finally {
+          s.conf.unset(graft.io.LakeDeltaRowLevel.ModeKey)
+          s.conf.unset(graft.io.LakeDeltaRowLevel.KeyKey)
+        }
+        // in-band: all three statements committed ONLY sidecars — the
+        // base data-file set is byte-identical to version 1
+        def dataFiles(v: String) = s.sql(
+          s"SELECT * FROM graft_lake.`$dir`$v").inputFiles
+          .filterNot(_.contains("delta-")).toSet
+        val filesUnchanged =
+          dataFiles(" VERSION AS OF 1") == dataFiles("")
+        val deltasLive = graft.io.PartitionedLake
+          .partitionRowCounts(s, dir).isEmpty
+        s.sql(
+          s"SELECT o_orderpriority, count(*) AS n, " +
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) " +
+            s"AS price_sum FROM graft_lake.`$dir` " +
+            "GROUP BY o_orderpriority")
+          .withColumn("files_unchanged", lit(filesUnchanged))
+          .withColumn("deltas_live", lit(deltasLive))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice
+        |    + CASE WHEN o_orderkey % 10 = 3 THEN 5 ELSE 0 END
+        |    + CASE WHEN o_orderkey % 100 = 11 THEN 100 ELSE 0 END
+        |    AS DECIMAL(28,6))) AS DOUBLE) AS price_sum,
+        |  true AS files_unchanged, true AS deltas_live
+        |FROM orders WHERE o_orderkey % 10 <> 7
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin),
+      "lake op: merge-on-read row-level SQL (SupportsDelta — UPDATE/DELETE/MERGE commit O(changed rows) sidecars, zero base rewrites)")
   )
 }

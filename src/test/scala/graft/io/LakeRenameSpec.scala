@@ -197,8 +197,11 @@ class LakeRenameSpec extends AnyFunSuite {
           Option(x.getMessage).toSeq ++ messages(x.getCause))
       messages(intercept[Exception](spark.sql(q))).mkString(" | ")
     }
+    // non-promotion type changes refuse through the widening gate's
+    // vocabulary (LakeWidenTypeSpec owns the promotion matrix)
     assert(sqlErr(s"ALTER TABLE graft_lake.`$lake` " +
-      "ALTER COLUMN balance TYPE STRING").contains("not supported"))
+      "ALTER COLUMN balance TYPE STRING")
+      .contains("only widening promotions"))
     // DROP COLUMN is supported since round 16 (LakeDropColumnSpec);
     // dropping down to the last data column still refuses through SQL
     spark.sql(s"ALTER TABLE graft_lake.`$lake` DROP COLUMN note")

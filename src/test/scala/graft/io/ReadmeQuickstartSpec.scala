@@ -29,6 +29,10 @@ class ReadmeQuickstartSpec extends AnyFunSuite {
       s"INSERT OVERWRITE lake.`$dir` PARTITION (day = '2026-01-02') VALUES (5, 5.0, 'a')",
       s"ALTER TABLE lake.`$dir` DROP COLUMN src",
       s"CALL lake.system.compact(table => '$dir')",
+      "SET spark.graft.lake.rowLevel.mode = merge-on-read",
+      "SET spark.graft.lake.rowLevel.key = k",
+      s"UPDATE lake.`$dir` SET amount = amount - 1 WHERE k = 5",
+      "SET spark.graft.lake.rowLevel.mode = copy-on-write",
       s"SELECT * FROM lake.`$dir` VERSION AS OF 2",
       s"SELECT * FROM lake.`$dir#history`",
       s"SELECT * FROM lake.`$dir#changes?from=2&to=3&keyCols=day,k`",
