@@ -26,9 +26,11 @@ private[io] object LakeProcedures {
   def load(name: String): Option[UnboundProcedure] = name match {
     case "compact" => Some(new LakeCompactProcedure)
     case "vacuum" => Some(new LakeVacuumProcedure)
+    case "tag" => Some(new LakeTagProcedure)
+    case "drop_tag" => Some(new LakeDropTagProcedure)
     case _ => None
   }
-  val names: Seq[String] = Seq("compact", "vacuum")
+  val names: Seq[String] = Seq("compact", "drop_tag", "tag", "vacuum")
 }
 
 private[io] abstract class LakeProcedureBase(procName: String)
@@ -95,6 +97,52 @@ private[io] class LakeCompactProcedure extends LakeProcedureBase("compact") {
     PartitionedLake.compact(spark, path, csv(1), csv(2),
       if (input.isNullAt(3)) 16 else input.getInt(3))
     summary(path, before, versionOf(path))
+  }
+}
+
+/** `CALL <cat>.system.tag(table, name, version)` —
+  * [[PartitionedLake.tag]]: pin a named snapshot ref for
+  * `VERSION AS OF '<name>'` time travel and vacuum immortality.
+  * `version` defaults to the CURRENT version (tag-what-I-see, the
+  * common release-pinning gesture). The summary row reports the pinned
+  * version in both version columns (nothing was committed).
+  */
+private[io] class LakeTagProcedure extends LakeProcedureBase("tag") {
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("lake path").build(),
+    ProcedureParameter.in("name", StringType)
+      .comment("tag name ([A-Za-z0-9._-], leading alphanumeric)").build(),
+    ProcedureParameter.in("version", LongType).defaultValue("-1")
+      .comment("snapshot version to pin (default: current)").build())
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val path = str(input, 0)
+    val v =
+      if (input.isNullAt(2) || input.getLong(2) < 0L) versionOf(path)
+      else input.getLong(2)
+    PartitionedLake.tag(spark, path, str(input, 1), v)
+    summary(path, v, v)
+  }
+}
+
+/** `CALL <cat>.system.drop_tag(table, name)` —
+  * [[PartitionedLake.dropTag]]: the pinned version becomes reclaimable
+  * by the next vacuum (if outside its window).
+  */
+private[io] class LakeDropTagProcedure
+    extends LakeProcedureBase("drop_tag") {
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("lake path").build(),
+    ProcedureParameter.in("name", StringType)
+      .comment("tag name to drop").build())
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val path = str(input, 0)
+    PartitionedLake.dropTag(spark, path, str(input, 1))
+    val v = versionOf(path)
+    summary(path, v, v)
   }
 }
 

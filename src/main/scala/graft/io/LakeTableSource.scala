@@ -1191,6 +1191,29 @@ private[io] class GraftLakeHistoryTable(path: String,
   }
 }
 
+/** Tag listing metadata table: `SELECT * FROM lake.`/data/events#tags``
+  * — one row per named snapshot ref (`tag`, `version`, `pinned_at`),
+  * the SQL face of [[PartitionedLake.tags]]. Driver-computed from one
+  * `_tags/` listing; bounded by the tag count.
+  */
+private[io] class GraftLakeTagsTable(path: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"$path#tags"
+  override val schema: StructType = PartitionedLake.tagsSchema
+  override def capabilities(): util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = () => new V1Scan {
+    override def readSchema(): StructType = PartitionedLake.tagsSchema
+    override def toV1TableScan[T <: BaseRelation with TableScan](
+        context: SQLContext): T =
+      new LakeV1ScanRelation(context, PartitionedLake.tagsSchema,
+        PartitionedLake.tagsFrame(context.sparkSession, path))
+        .asInstanceOf[T]
+    override def description(): String = s"GraftLakeTags($path)"
+  }
+}
+
 /** Iceberg-style changes metadata table:
   *
   * {{{
@@ -1371,6 +1394,10 @@ class LakeCatalog extends TableCatalog
       if (listing.isEmpty && !exists(base))
         throw new NoSuchTableException(ident)
       new GraftLakeHistoryTable(base, listing)
+    } else if (path.endsWith("#tags")) {
+      val base = path.stripSuffix("#tags")
+      if (!exists(base)) throw new NoSuchTableException(ident)
+      new GraftLakeTagsTable(base)
     } else {
       if (!exists(path)) throw new NoSuchTableException(ident)
       new GraftLakeTable(path, None)
@@ -1391,6 +1418,10 @@ class LakeCatalog extends TableCatalog
       "VERSION AS OF / TIMESTAMP AS OF on a #changes table is not " +
         "supported: the feed's endpoints are already explicit versions " +
         "(its from=/to= parameters) — query it unversioned")
+    if (path.endsWith("#tags")) sys.error(
+      "VERSION AS OF / TIMESTAMP AS OF on a #tags table is not " +
+        "supported: the tag listing is current-state metadata — query " +
+        "it unversioned")
   }
 
   /** The few most recent versions, for error messages — rendering the
@@ -1407,13 +1438,21 @@ class LakeCatalog extends TableCatalog
     val path = pathOf(ident)
     refuseVersionedMetaTable(path)
     if (!exists(path)) throw new NoSuchTableException(ident)
-    // string versions are legal SQL here (Iceberg accepts tags/branches)
-    // — refuse non-numeric ones with the catalog's vocabulary instead of
-    // a bare NumberFormatException
-    val v = version.toLongOption.getOrElse(sys.error(
-      s"VERSION AS OF '$version' is not a numeric snapshot version " +
-        s"(this catalog has no named tags); available versions on " +
-        s"$path: ${versionsForError(path)}"))
+    // string versions are legal SQL here (Iceberg's tag syntax): a
+    // non-numeric version resolves through the lake's named tags
+    // (PartitionedLake.tag / CALL system.tag); unknown names refuse
+    // with both vocabularies listed
+    val v = version.toLongOption.orElse(
+      PartitionedLake.tagVersion(SparkSession.active, path, version))
+      .getOrElse {
+        val tags = PartitionedLake.tags(SparkSession.active, path)
+        sys.error(
+          s"VERSION AS OF '$version' is neither a numeric snapshot " +
+            s"version nor a tag on $path; tags: " +
+            (if (tags.isEmpty) "(none)"
+             else tags.map { case (n, tv) => s"$n->$tv" }.mkString(", ")) +
+            s"; versions: ${versionsForError(path)}")
+      }
     new GraftLakeTable(path, Some(v))
   }
 
@@ -1437,6 +1476,7 @@ class LakeCatalog extends TableCatalog
     val path = pathOf(ident)
     val base =
       if (path.endsWith("#history")) path.stripSuffix("#history")
+      else if (path.endsWith("#tags")) path.stripSuffix("#tags")
       else if (path.contains("#changes")) path.take(path.indexOf("#changes"))
       else path
     exists(base)

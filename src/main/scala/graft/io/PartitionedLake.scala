@@ -2722,7 +2722,15 @@ object PartitionedLake {
     val fs = fsFor(spark, path)
     val versions = snapshots(spark, path)
     if (versions.isEmpty) return
-    val retainedVersions = versions.takeRight(math.max(1, keepLast))
+    // TAGGED versions are retained OUTSIDE the keepLast window: a tag
+    // is a promise that `VERSION AS OF '<name>'` keeps answering until
+    // someone drops it — reclaiming its files would break the promise
+    // silently (the read would fail loudly, but the retention contract
+    // is that it never has to)
+    val tagged = tagsWithMtimes(fs, path).map(_._2).toSet
+    val retainedVersions =
+      (versions.takeRight(math.max(1, keepLast)) ++
+        versions.filter(tagged)).distinct.sorted
     // consecutive versions share almost all v2 leaves — resolve the
     // window through one shared leaf cache instead of keepLast-fold
     // redundant leaf reads
@@ -2807,10 +2815,19 @@ object PartitionedLake {
       }
     sweep(new Path(path), "")
     val liveLeaves = retained.flatMap(_.leaves).toSet
-    val floor = retainedVersions.min
+    val retainedSet = retainedVersions.toSet
+    // the WINDOW floor, not min(retained ∪ tagged): everything at or
+    // above it is kept unconditionally, which also protects a manifest
+    // a racing commit published after this sweep listed versions
+    val floor = versions.takeRight(math.max(1, keepLast)).min
     fs.listStatus(manifestDir(path)).foreach { st =>
       st.getPath.getName match {
-        case ManifestFile(n) if n.toLong < floor =>
+        // a tagged version's manifest survives below the window floor;
+        // untagged ones inside version GAPS (between a tag and the
+        // window) go — retention is the union of window + pins, not a
+        // contiguous range
+        case ManifestFile(n) if n.toLong < floor &&
+            !retainedSet.contains(n.toLong) =>
           fs.delete(st.getPath, false)
         // format v2 leaf shards are content-addressed and shared across
         // versions — one referenced by no retained manifest is garbage,
@@ -2828,6 +2845,132 @@ object PartitionedLake {
       }
     }
   }
+
+  // ---- named snapshot tags -------------------------------------------------
+
+  private val TagsDirName = "_tags"
+  private def tagsDir(path: String) = new Path(path, TagsDirName)
+  // conservative charset: the name IS a filename on every store the
+  // lake runs on, and it surfaces verbatim in SQL (`VERSION AS OF
+  // 'name'`) — no escaping layer to get wrong
+  private val TagNameRe = "^[A-Za-z0-9][A-Za-z0-9._-]{0,127}$".r
+
+  private def requireTagName(name: String): Unit =
+    require(TagNameRe.matches(name),
+      s"tag name '$name' must match ${TagNameRe.regex} (it becomes a " +
+        "metadata filename and a SQL literal)")
+
+  /** Pin `name` to a RESOLVABLE snapshot version — a named ref for
+    * time travel (`VERSION AS OF 'name'`) that also makes the version
+    * immortal under [[vacuum]] (tagged snapshots are retained outside
+    * the `keepLast` window until the tag is dropped — Iceberg's tag
+    * retention semantics). Tags are immutable by default: re-tagging
+    * the same version is idempotent, a different version refuses with
+    * directions ([[dropTag]] first) — a silently moved pin is how an
+    * audit reads the wrong data without noticing. Creation is atomic
+    * (temp + rename). Run tagging outside a concurrent [[vacuum]]'s
+    * window, same contract as writers vs `graceMs`: a tag written
+    * after vacuum read the tag list cannot protect a version that
+    * sweep is reclaiming.
+    */
+  def tag(spark: SparkSession, path: String, name: String,
+      version: Long): Unit = {
+    requireTagName(name)
+    val fs = fsFor(spark, path)
+    val vs = listVersions(fs, path)
+    require(vs.contains(version),
+      s"cannot tag $path version $version: not a resolvable snapshot " +
+        s"(retained: ${vs.sorted.mkString(", ")})")
+    val f = new Path(tagsDir(path), s"$name.txt")
+    if (fs.exists(f)) {
+      val cur = readSmallTextFile(fs, f).trim.toLong
+      if (cur == version) return // idempotent re-pin
+      sys.error(s"tag '$name' already pins version $cur on $path — " +
+        "tags are immutable refs; dropTag first to move it")
+    }
+    fs.mkdirs(tagsDir(path))
+    val tmp = new Path(tagsDir(path),
+      s".tmp-$name-${UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, f)) {
+      fs.delete(tmp, false)
+      // the rename loser re-reads: same-version race is still a success
+      val cur = readSmallTextFile(fs, f).trim.toLong
+      if (cur != version) sys.error(
+        s"tag '$name' raced another tagger on $path (now pins $cur)")
+    }
+  }
+
+  /** Remove a tag; the pinned version becomes reclaimable by the next
+    * [[vacuum]] (if outside `keepLast`). Unknown tags refuse — a
+    * misspelled drop silently succeeding would leave the real pin
+    * alive and the storage bill growing.
+    */
+  def dropTag(spark: SparkSession, path: String, name: String): Unit = {
+    requireTagName(name)
+    val fs = fsFor(spark, path)
+    val f = new Path(tagsDir(path), s"$name.txt")
+    if (!fs.exists(f)) sys.error(
+      s"no tag '$name' on $path (tags: ${tags(spark, path).map(_._1)
+        .mkString(", ")})")
+    fs.delete(f, false)
+  }
+
+  /** All tags, `(name, version)`, name-sorted. One directory listing. */
+  def tags(spark: SparkSession, path: String): Seq[(String, Long)] =
+    tagsWithMtimes(fsFor(spark, path), path).map(t => (t._1, t._2))
+
+  /** The listing with pin times (file mtimes) — the `#tags` metadata
+    * table's rows.
+    */
+  private[io] def tagsWithMtimes(fs: FileSystem,
+      path: String): Seq[(String, Long, Long)] = {
+    val dir = tagsDir(path)
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.endsWith(".txt") && !n.startsWith("."))
+        readSmallTextFile(fs, st.getPath).trim.toLongOption
+          .map(v => (n.stripSuffix(".txt"), v, st.getModificationTime))
+      else None
+    }.sortBy(_._1)
+  }
+
+  /** The `#tags` metadata table's row shape — shared with
+    * [[graft.io.GraftLakeTagsTable]] so the surfaces cannot drift.
+    */
+  private[io] val tagsSchema: StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("tag", StringType, nullable = false),
+      StructField("version", LongType, nullable = false),
+      StructField("pinned_at", TimestampType, nullable = false)))
+  }
+
+  private[io] def tagsFrame(spark: SparkSession, path: String): DataFrame = {
+    val rows = tagsWithMtimes(fsFor(spark, path), path).map {
+      case (n, v, mtime) => Row(n, v, new java.sql.Timestamp(mtime))
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      tagsSchema)
+  }
+
+  /** Resolve a tag to its pinned version, if it exists. */
+  def tagVersion(spark: SparkSession, path: String,
+      name: String): Option[Long] = {
+    val fs = fsFor(spark, path)
+    val f = new Path(tagsDir(path), s"$name.txt")
+    if (fs.exists(f)) readSmallTextFile(fs, f).trim.toLongOption else None
+  }
+
+  /** The tagged snapshot, whole — `readVersion` addressed by name. */
+  def readTag(spark: SparkSession, path: String, name: String): DataFrame =
+    readVersion(spark, path, tagVersion(spark, path, name).getOrElse(
+      sys.error(s"no tag '$name' on $path (tags: " +
+        s"${tags(spark, path).map(_._1).mkString(", ")})")))
 
   /** Partition-pruning filter over the collected partition values.
     * `isin` is null-hostile (NULL isin(...) is never true), so a delta

@@ -2426,6 +2426,54 @@ object RelationalOps {
         |FROM orders WHERE o_orderkey % 10 <> 7
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin),
-      "lake op: merge-on-read row-level SQL (SupportsDelta — UPDATE/DELETE/MERGE commit O(changed rows) sidecars, zero base rewrites)")
+      "lake op: merge-on-read row-level SQL (SupportsDelta — UPDATE/DELETE/MERGE commit O(changed rows) sidecars, zero base rewrites)"),
+
+    // ---- named snapshot tags: `CALL system.tag` pins a version as a
+    // durable ref — `VERSION AS OF '<name>'` time travel AND vacuum
+    // immortality (the tagged snapshot's files and manifest survive a
+    // keepLast=1 sweep that reclaims the untagged versions between it
+    // and the head; mid_gone pins the reclamation in-band, loudly).
+    // At 100 TB this is how a training-data release stays readable
+    // forever while routine retention keeps the storage bill flat. ----
+    Q("q173_sql_lake_tag",
+      (s, d) => {
+        val dir = scratchDir("q173-tag") + "/lake"
+        val base = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderpriority"), col("o_totalprice"))
+        graft.io.PartitionedLake.write(base, dir, "o_orderpriority")
+        s.conf.set("spark.sql.catalog.graft_lake",
+          classOf[graft.io.LakeCatalog].getName)
+        s.sql(s"CALL graft_lake.system.tag(table => '$dir', " +
+          "name => 'baseline')") // pins v1
+        // v2: retire a partition; v3: append two rows — then a
+        // keepLast=1 sweep reclaims v2 but NOT the tagged v1
+        s.sql(s"DELETE FROM graft_lake.`$dir` " +
+          "WHERE o_orderpriority = '1-URGENT'")
+        s.sql(s"INSERT INTO graft_lake.`$dir` VALUES " +
+          "(-1, '5-LOW', 10.0), (-2, '5-LOW', 20.0)")
+        s.sql(s"CALL graft_lake.system.vacuum(table => '$dir', " +
+          "keep_last => 1)")
+        val midGone =
+          try { graft.io.PartitionedLake.readVersion(s, dir, 2L).count()
+                false }
+          catch { case _: Exception => true }
+        val tagged = s.sql(s"SELECT count(*) FROM graft_lake.`$dir` " +
+          "VERSION AS OF 'baseline'").head().getLong(0)
+        val tagVersion = s.sql(
+          s"SELECT version FROM graft_lake.`$dir#tags` " +
+            "WHERE tag = 'baseline'").head().getLong(0)
+        s.sql(s"SELECT count(*) AS n_now FROM graft_lake.`$dir`")
+          .withColumn("n_baseline", lit(tagged))
+          .withColumn("tag_version", lit(tagVersion))
+          .withColumn("mid_vacuumed", lit(midGone))
+      },
+      Some("""SELECT
+        |  count(*) FILTER (WHERE o_orderpriority <> '1-URGENT') + 2
+        |    AS n_now,
+        |  count(*) AS n_baseline,
+        |  CAST(1 AS BIGINT) AS tag_version,
+        |  true AS mid_vacuumed
+        |FROM orders""".stripMargin),
+      "lake op: named snapshot tags (CALL system.tag / VERSION AS OF 'name' / #tags; tagged versions survive vacuum outside the window)")
   )
 }

@@ -34,6 +34,9 @@ class ReadmeQuickstartSpec extends AnyFunSuite {
       s"UPDATE lake.`$dir` SET amount = amount - 1 WHERE k = 5",
       "SET spark.graft.lake.rowLevel.mode = copy-on-write",
       s"SELECT * FROM lake.`$dir` VERSION AS OF 2",
+      s"CALL lake.system.tag(table => '$dir', name => 'v1-release')",
+      s"SELECT * FROM lake.`$dir` VERSION AS OF 'v1-release'",
+      s"SELECT * FROM lake.`$dir#tags`",
       s"SELECT * FROM lake.`$dir#history`",
       s"SELECT * FROM lake.`$dir#changes?from=2&to=3&keyCols=day,k`",
       s"DROP TABLE lake.`$dir`")
