@@ -1214,6 +1214,57 @@ private[io] class GraftLakeTagsTable(path: String)
   }
 }
 
+/** Snapshot inventory metadata tables:
+  * `lake.`/data/events#files`` (one row per live data file / delta
+  * sidecar: partition, name, kind, bytes, rows, stats coverage) and
+  * `lake.`/data/events#partitions`` (one row per partition directory:
+  * counts, byte total, and the honest row count — null where metadata
+  * cannot know). Answered from the manifest alone — zero data-file
+  * reads, the capacity-planning and skew questions (`which partitions
+  * are oversized? which files predate stats harvesting? where are
+  * deltas accumulating?`) at metadata cost. Unlike `#history`/`#tags`,
+  * these DO time-travel (`VERSION AS OF <v or 'tag'>`): they describe
+  * a SNAPSHOT, so pinning one is meaningful.
+  */
+private[io] class GraftLakeFilesTable(path: String, version: Option[Long])
+    extends Table with SupportsRead {
+  override def name(): String =
+    s"$path#files" + version.map(v => s"@v$v").getOrElse("")
+  override val schema: StructType = PartitionedLake.filesSchema
+  override def capabilities(): util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = () => new V1Scan {
+    override def readSchema(): StructType = PartitionedLake.filesSchema
+    override def toV1TableScan[T <: BaseRelation with TableScan](
+        context: SQLContext): T =
+      new LakeV1ScanRelation(context, PartitionedLake.filesSchema,
+        PartitionedLake.filesFrameMeta(context.sparkSession, path,
+          version)).asInstanceOf[T]
+    override def description(): String = s"GraftLakeFiles($path)"
+  }
+}
+
+private[io] class GraftLakePartitionsTable(path: String,
+    version: Option[Long]) extends Table with SupportsRead {
+  override def name(): String =
+    s"$path#partitions" + version.map(v => s"@v$v").getOrElse("")
+  override val schema: StructType = PartitionedLake.partitionsSchema
+  override def capabilities(): util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = () => new V1Scan {
+    override def readSchema(): StructType =
+      PartitionedLake.partitionsSchema
+    override def toV1TableScan[T <: BaseRelation with TableScan](
+        context: SQLContext): T =
+      new LakeV1ScanRelation(context, PartitionedLake.partitionsSchema,
+        PartitionedLake.partitionsFrameMeta(context.sparkSession, path,
+          version)).asInstanceOf[T]
+    override def description(): String = s"GraftLakePartitions($path)"
+  }
+}
+
 /** Iceberg-style changes metadata table:
   *
   * {{{
@@ -1398,6 +1449,14 @@ class LakeCatalog extends TableCatalog
       val base = path.stripSuffix("#tags")
       if (!exists(base)) throw new NoSuchTableException(ident)
       new GraftLakeTagsTable(base)
+    } else if (path.endsWith("#files")) {
+      val base = path.stripSuffix("#files")
+      if (!exists(base)) throw new NoSuchTableException(ident)
+      new GraftLakeFilesTable(base, None)
+    } else if (path.endsWith("#partitions")) {
+      val base = path.stripSuffix("#partitions")
+      if (!exists(base)) throw new NoSuchTableException(ident)
+      new GraftLakePartitionsTable(base, None)
     } else {
       if (!exists(path)) throw new NoSuchTableException(ident)
       new GraftLakeTable(path, None)
@@ -1434,15 +1493,11 @@ class LakeCatalog extends TableCatalog
     else s"... ${vs.takeRight(10).mkString(", ")} (${vs.size} retained)"
   }
 
-  override def loadTable(ident: Identifier, version: String): Table = {
-    val path = pathOf(ident)
-    refuseVersionedMetaTable(path)
-    if (!exists(path)) throw new NoSuchTableException(ident)
-    // string versions are legal SQL here (Iceberg's tag syntax): a
-    // non-numeric version resolves through the lake's named tags
-    // (PartitionedLake.tag / CALL system.tag); unknown names refuse
-    // with both vocabularies listed
-    val v = version.toLongOption.orElse(
+  /** Numeric-or-tag version resolution — shared by the data table and
+    * the snapshot-describing metadata tables (`#files`/`#partitions`).
+    */
+  private def resolveVersion(path: String, version: String): Long =
+    version.toLongOption.orElse(
       PartitionedLake.tagVersion(SparkSession.active, path, version))
       .getOrElse {
         val tags = PartitionedLake.tags(SparkSession.active, path)
@@ -1453,7 +1508,30 @@ class LakeCatalog extends TableCatalog
              else tags.map { case (n, tv) => s"$n->$tv" }.mkString(", ")) +
             s"; versions: ${versionsForError(path)}")
       }
-    new GraftLakeTable(path, Some(v))
+
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val path = pathOf(ident)
+    // #files / #partitions describe a SNAPSHOT — they time-travel
+    // (numeric or tag); the other metadata tables refuse
+    if (path.endsWith("#files")) {
+      val base = path.stripSuffix("#files")
+      if (!exists(base)) throw new NoSuchTableException(ident)
+      return new GraftLakeFilesTable(base,
+        Some(resolveVersion(base, version)))
+    }
+    if (path.endsWith("#partitions")) {
+      val base = path.stripSuffix("#partitions")
+      if (!exists(base)) throw new NoSuchTableException(ident)
+      return new GraftLakePartitionsTable(base,
+        Some(resolveVersion(base, version)))
+    }
+    refuseVersionedMetaTable(path)
+    if (!exists(path)) throw new NoSuchTableException(ident)
+    // string versions are legal SQL here (Iceberg's tag syntax): a
+    // non-numeric version resolves through the lake's named tags
+    // (PartitionedLake.tag / CALL system.tag); unknown names refuse
+    // with both vocabularies listed
+    new GraftLakeTable(path, Some(resolveVersion(path, version)))
   }
 
   /** `TIMESTAMP AS OF` — the engine hands epoch MICROseconds; resolve
@@ -1462,14 +1540,26 @@ class LakeCatalog extends TableCatalog
     */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     val path = pathOf(ident)
+    def versionAtOrRefuse(base: String): Long =
+      PartitionedLake.versionAt(SparkSession.active, base,
+        Math.floorDiv(timestampMicros, 1000L)).getOrElse(sys.error(
+        s"no snapshot of $base was published at or before the requested " +
+          "timestamp (the lake is younger, or the in-window versions " +
+          "were vacuumed)"))
+    if (path.endsWith("#files")) {
+      val base = path.stripSuffix("#files")
+      if (!exists(base)) throw new NoSuchTableException(ident)
+      return new GraftLakeFilesTable(base, Some(versionAtOrRefuse(base)))
+    }
+    if (path.endsWith("#partitions")) {
+      val base = path.stripSuffix("#partitions")
+      if (!exists(base)) throw new NoSuchTableException(ident)
+      return new GraftLakePartitionsTable(base,
+        Some(versionAtOrRefuse(base)))
+    }
     refuseVersionedMetaTable(path)
     if (!exists(path)) throw new NoSuchTableException(ident)
-    val v = PartitionedLake.versionAt(SparkSession.active, path,
-      Math.floorDiv(timestampMicros, 1000L)).getOrElse(sys.error(
-      s"no snapshot of $path was published at or before the requested " +
-        "timestamp (the lake is younger, or the in-window versions were " +
-        "vacuumed)"))
-    new GraftLakeTable(path, Some(v))
+    new GraftLakeTable(path, Some(versionAtOrRefuse(path)))
   }
 
   override def tableExists(ident: Identifier): Boolean = {
@@ -1477,6 +1567,8 @@ class LakeCatalog extends TableCatalog
     val base =
       if (path.endsWith("#history")) path.stripSuffix("#history")
       else if (path.endsWith("#tags")) path.stripSuffix("#tags")
+      else if (path.endsWith("#files")) path.stripSuffix("#files")
+      else if (path.endsWith("#partitions")) path.stripSuffix("#partitions")
       else if (path.contains("#changes")) path.take(path.indexOf("#changes"))
       else path
     exists(base)

@@ -2958,6 +2958,79 @@ object PartitionedLake {
       tagsSchema)
   }
 
+  /** The `#files` metadata table's row shape — one row per live file
+    * or delta sidecar of the resolved snapshot, straight from the
+    * manifest (zero file-system reads beyond the manifest itself).
+    */
+  private[io] val filesSchema: StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("partition", StringType, nullable = false),
+      StructField("file", StringType, nullable = false),
+      StructField("kind", StringType, nullable = false), // data | delta
+      StructField("bytes", LongType, nullable = true),
+      StructField("rows", LongType, nullable = true),
+      StructField("stats_cols", IntegerType, nullable = false)))
+  }
+
+  private[io] def filesFrameMeta(spark: SparkSession, path: String,
+      version: Option[Long]): DataFrame = {
+    val m = manifestAt(spark, path, version).getOrElse(
+      sys.error(s"no graft lake manifest at $path"))
+    val rows =
+      m.files.toSeq.sortBy(_._1).flatMap { case (d, es) =>
+        es.sortBy(_.name).map(e => Row(d, e.name, "data",
+          e.bytes.map(Long.box).orNull, e.rows.map(Long.box).orNull,
+          e.stats.size + e.strStats.size))
+      } ++ m.deltas.toSeq.sortBy(_._1).flatMap { case (d, ns) =>
+        ns.sorted.map(n => Row(d, n, "delta", null, null, 0))
+      }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      filesSchema)
+  }
+
+  /** The `#partitions` metadata table's row shape — one row per
+    * partition directory: file/delta counts, byte total, and the row
+    * count under [[rowCount]]'s honesty contract (null when any file
+    * predates footer harvesting or deltas make the count unknowable).
+    */
+  private[io] val partitionsSchema: StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("partition", StringType, nullable = false),
+      StructField("n_files", IntegerType, nullable = false),
+      StructField("n_deltas", IntegerType, nullable = false),
+      StructField("bytes", LongType, nullable = true),
+      StructField("rows", LongType, nullable = true)))
+  }
+
+  private[io] def partitionsFrameMeta(spark: SparkSession, path: String,
+      version: Option[Long]): DataFrame = {
+    val m = manifestAt(spark, path, version).getOrElse(
+      sys.error(s"no graft lake manifest at $path"))
+    val rows = allDirs(m).toSeq.sorted.map { d =>
+      val es = m.files.getOrElse(d, Nil)
+      val nDeltas = m.deltas.getOrElse(d, Nil).size
+      val bytes: Any =
+        if (es.forall(_.bytes.isDefined))
+          Long.box(es.iterator.map(_.bytes.get).sum)
+        else null
+      // a dirty partition's post-merge count is unknowable from
+      // metadata (deltas both delete and insert) — null, never a guess
+      val rowsN: Any =
+        if (nDeltas == 0 && es.forall(_.rows.isDefined))
+          Long.box(es.iterator.map(_.rows.get).sum)
+        else null
+      Row(d, es.size, nDeltas, bytes, rowsN)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      partitionsSchema)
+  }
+
   /** Resolve a tag to its pinned version, if it exists. */
   def tagVersion(spark: SparkSession, path: String,
       name: String): Option[Long] = {

@@ -2474,6 +2474,32 @@ object RelationalOps {
         |  CAST(1 AS BIGINT) AS tag_version,
         |  true AS mid_vacuumed
         |FROM orders""".stripMargin),
-      "lake op: named snapshot tags (CALL system.tag / VERSION AS OF 'name' / #tags; tagged versions survive vacuum outside the window)")
+      "lake op: named snapshot tags (CALL system.tag / VERSION AS OF 'name' / #tags; tagged versions survive vacuum outside the window)"),
+
+    // ---- #partitions snapshot-inventory metadata table: per-directory
+    // file/byte/row accounting answered from the manifest alone — the
+    // skew and capacity questions on a 100 TB lake at the cost of one
+    // driver metadata read, zero data files opened (the row counts come
+    // from footers harvested once at commit). Oracled against a real
+    // GROUP BY over the same data: metadata and data must agree. ----
+    Q("q174_sql_lake_partitions_meta",
+      (s, d) => {
+        val dir = scratchDir("q174-parts") + "/lake"
+        val base = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderpriority"), col("o_totalprice"))
+        graft.io.PartitionedLake.write(base, dir, "o_orderpriority")
+        s.conf.set("spark.sql.catalog.graft_lake",
+          classOf[graft.io.LakeCatalog].getName)
+        s.sql(s"SELECT partition AS part_dir, n_files, rows AS n_rows " +
+            s"FROM graft_lake.`$dir#partitions`")
+          .withColumn("n_files_positive", col("n_files") > 0)
+          .select("part_dir", "n_rows", "n_files_positive")
+          .orderBy("part_dir")
+      },
+      Some("""SELECT 'o_orderpriority=' || o_orderpriority AS part_dir,
+        |  count(*) AS n_rows, true AS n_files_positive
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY part_dir""".stripMargin),
+      "lake op: #partitions snapshot inventory (manifest-only per-partition rows/files/bytes; agrees with a real GROUP BY)")
   )
 }

@@ -37,6 +37,8 @@ class ReadmeQuickstartSpec extends AnyFunSuite {
       s"CALL lake.system.tag(table => '$dir', name => 'v1-release')",
       s"SELECT * FROM lake.`$dir` VERSION AS OF 'v1-release'",
       s"SELECT * FROM lake.`$dir#tags`",
+      s"SELECT * FROM lake.`$dir#partitions`",
+      s"SELECT * FROM lake.`$dir#files` VERSION AS OF 'v1-release'",
       s"SELECT * FROM lake.`$dir#history`",
       s"SELECT * FROM lake.`$dir#changes?from=2&to=3&keyCols=day,k`",
       s"DROP TABLE lake.`$dir`")
