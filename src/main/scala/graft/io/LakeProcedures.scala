@@ -28,9 +28,11 @@ private[io] object LakeProcedures {
     case "vacuum" => Some(new LakeVacuumProcedure)
     case "tag" => Some(new LakeTagProcedure)
     case "drop_tag" => Some(new LakeDropTagProcedure)
+    case "rollback" => Some(new LakeRollbackProcedure)
     case _ => None
   }
-  val names: Seq[String] = Seq("compact", "drop_tag", "tag", "vacuum")
+  val names: Seq[String] =
+    Seq("compact", "drop_tag", "rollback", "tag", "vacuum")
 }
 
 private[io] abstract class LakeProcedureBase(procName: String)
@@ -123,6 +125,44 @@ private[io] class LakeTagProcedure extends LakeProcedureBase("tag") {
       else input.getLong(2)
     PartitionedLake.tag(spark, path, str(input, 1), v)
     summary(path, v, v)
+  }
+}
+
+/** `CALL <cat>.system.rollback(table, version | tag)` —
+  * [[PartitionedLake.rollback]]: republish a retained snapshot's
+  * content as the new head (audited undo — history preserved, zero
+  * data jobs). Exactly one of `version` / `tag` names the target.
+  */
+private[io] class LakeRollbackProcedure
+    extends LakeProcedureBase("rollback") {
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("lake path").build(),
+    ProcedureParameter.in("version", LongType).defaultValue("-1")
+      .comment("snapshot version to restore").build(),
+    ProcedureParameter.in("tag", StringType).defaultValue("''")
+      .comment("tag naming the snapshot to restore").build())
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val path = str(input, 0)
+    val byVersion =
+      if (input.isNullAt(1) || input.getLong(1) < 0L) None
+      else Some(input.getLong(1))
+    val byTag = Some(str(input, 2)).filter(_.nonEmpty)
+    val target = (byVersion, byTag) match {
+      case (Some(v), None) => v
+      case (None, Some(t)) =>
+        PartitionedLake.tagVersion(spark, path, t).getOrElse(sys.error(
+          s"CALL rollback: no tag '$t' on $path (tags: " +
+            s"${PartitionedLake.tags(spark, path).map(_._1)
+              .mkString(", ")})"))
+      case _ => sys.error(
+        "CALL rollback: name the target with exactly one of " +
+          "version => <v> or tag => '<name>'")
+    }
+    val before = versionOf(path)
+    val after = PartitionedLake.rollback(spark, path, target)
+    summary(path, before, after)
   }
 }
 

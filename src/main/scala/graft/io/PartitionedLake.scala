@@ -2958,6 +2958,45 @@ object PartitionedLake {
       tagsSchema)
   }
 
+  /** Restore a retained snapshot as the NEW head — the audited undo
+    * (Iceberg's `rollback_to_snapshot` semantics): a new version is
+    * published whose content (files, deltas, schema, layout, column
+    * ids) is the target's, so history is PRESERVED — the bad versions
+    * stay time-travelable for the post-mortem, the change feed shows
+    * the rollback as a normal commit, and the next [[vacuum]] reclaims
+    * them when they leave the window. Zero data jobs: the target's
+    * files are re-referenced, not copied (they exist — a readable
+    * manifest implies vacuum retained the version). Replay guards
+    * (`txn:` slots) carry from the HEAD, never rewind: a rollback must
+    * not open the door to double-applying a streaming batch the bad
+    * versions had folded. Racing commits rebase through the standard
+    * publish loop; rolling back to the current head is a no-op (no
+    * version churn). Returns the published version (or the head when
+    * no-op).
+    */
+  def rollback(spark: SparkSession, path: String, toVersion: Long): Long = {
+    val fs = fsFor(spark, path)
+    require(listVersions(fs, path).contains(toVersion),
+      s"cannot roll back $path to version $toVersion: not a resolvable " +
+        s"snapshot (retained: ${listVersions(fs, path).sorted
+          .mkString(", ")})")
+    val target = readManifest(fs, path, toVersion)
+    var attempts = 0
+    while (true) {
+      val head = latestManifest(fs, path).getOrElse(sys.error(
+        s"manifest for $path vanished during rollback"))
+      if (head.version == toVersion) return head.version
+      val ok = tryPublishManifest(fs, path, target.copy(
+        version = head.version + 1, txns = head.txns))
+      if (ok) return head.version + 1
+      attempts += 1
+      require(attempts < 20,
+        s"rollback of $path lost the publish race $attempts times — " +
+          "retry when the writer storm passes")
+    }
+    sys.error("unreachable")
+  }
+
   /** The `#files` metadata table's row shape — one row per live file
     * or delta sidecar of the resolved snapshot, straight from the
     * manifest (zero file-system reads beyond the manifest itself).

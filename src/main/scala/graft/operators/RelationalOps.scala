@@ -2500,6 +2500,47 @@ object RelationalOps {
         |  count(*) AS n_rows, true AS n_files_positive
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY part_dir""".stripMargin),
-      "lake op: #partitions snapshot inventory (manifest-only per-partition rows/files/bytes; agrees with a real GROUP BY)")
+      "lake op: #partitions snapshot inventory (manifest-only per-partition rows/files/bytes; agrees with a real GROUP BY)"),
+
+    // ---- CALL system.rollback: the audited undo. Two bad commits
+    // (an UPDATE and a partition DELETE) are reverted by republishing
+    // the v1 snapshot as a NEW head — zero data jobs (the old files
+    // are re-referenced), and the mistake stays time-travelable for
+    // the post-mortem (bad_state_auditable pins v3's content in-band;
+    // version_after pins that history grew rather than rewound). ----
+    Q("q175_sql_lake_rollback",
+      (s, d) => {
+        val dir = scratchDir("q175-rb") + "/lake"
+        val base = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderpriority"), col("o_totalprice"))
+        graft.io.PartitionedLake.write(base, dir, "o_orderpriority")
+        s.conf.set("spark.sql.catalog.graft_lake",
+          classOf[graft.io.LakeCatalog].getName)
+        s.sql(s"UPDATE graft_lake.`$dir` SET o_totalprice = " +
+          "o_totalprice + 7 WHERE o_orderkey % 10 = 1") // v2
+        s.sql(s"DELETE FROM graft_lake.`$dir` " +
+          "WHERE o_orderpriority = '1-URGENT'") // v3
+        val callRow = s.sql(s"CALL graft_lake.system.rollback(" +
+          s"table => '$dir', version => 1)").head()
+        val versionAfter = callRow.getLong(2)
+        val badCount = graft.io.PartitionedLake
+          .readVersion(s, dir, 3L).count()
+        val urgent = base
+          .filter(col("o_orderpriority") === "1-URGENT").count()
+        s.sql(
+          s"SELECT count(*) AS n, " +
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) " +
+            s"AS price_sum FROM graft_lake.`$dir`")
+          .withColumn("version_after", lit(versionAfter))
+          .withColumn("bad_state_auditable",
+            lit(badCount == base.count() - urgent))
+      },
+      Some("""SELECT count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+        |    AS price_sum,
+        |  CAST(4 AS BIGINT) AS version_after,
+        |  true AS bad_state_auditable
+        |FROM orders""".stripMargin),
+      "lake op: CALL system.rollback (audited undo — republish an old snapshot as the new head, zero data jobs, history preserved)")
   )
 }

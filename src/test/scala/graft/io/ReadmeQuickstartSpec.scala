@@ -39,6 +39,7 @@ class ReadmeQuickstartSpec extends AnyFunSuite {
       s"SELECT * FROM lake.`$dir#tags`",
       s"SELECT * FROM lake.`$dir#partitions`",
       s"SELECT * FROM lake.`$dir#files` VERSION AS OF 'v1-release'",
+      s"CALL lake.system.rollback(table => '$dir', tag => 'v1-release')",
       s"SELECT * FROM lake.`$dir#history`",
       s"SELECT * FROM lake.`$dir#changes?from=2&to=3&keyCols=day,k`",
       s"DROP TABLE lake.`$dir`")
