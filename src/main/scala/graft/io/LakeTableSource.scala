@@ -1414,9 +1414,15 @@ class LakeCatalog extends TableCatalog
       s"unknown #changes parameter(s) ${unknown.mkString(", ")}: $usage")
     def need(k: String): String =
       params.getOrElse(k, sys.error(s"#changes requires '$k': $usage"))
-    def version(k: String): Long = need(k).toLongOption.getOrElse(
-      sys.error(s"#changes '$k' must be a snapshot version, got " +
-        s"'${need(k)}': $usage"))
+    // endpoints resolve like VERSION AS OF: numeric, or a named tag —
+    // `from=baseline&to=7` reads "everything since the pinned release"
+    def version(k: String): Long = need(k).toLongOption.orElse(
+      PartitionedLake.tagVersion(SparkSession.active, base, need(k)))
+      .getOrElse(
+        sys.error(s"#changes '$k' must be a snapshot version or a tag " +
+          s"name, got '${need(k)}' (tags: ${PartitionedLake
+            .tags(SparkSession.active, base).map(_._1)
+            .mkString(", ")}): $usage"))
     val keyCols = need("keyCols").split(',').map(_.trim)
       .filter(_.nonEmpty).toSeq
     if (keyCols.isEmpty) sys.error(s"#changes keyCols is empty: $usage")

@@ -116,4 +116,23 @@ class LakeTagSpec extends AnyFunSuite {
       s"SELECT * FROM graft_lake.`$lake#tags` VERSION AS OF 1").collect())
     assert(e.getMessage.contains("#tags"))
   }
+
+  test("#changes endpoints accept tag names: from=<tag> reads everything since the pinned release") {
+    val lake = freshLake("feed")
+    seed(lake) // v1
+    PartitionedLake.tag(spark, lake, "rel", 1L)
+    appendOne(lake, 7L) // v2
+    useCatalog()
+    val byTag = spark.sql("SELECT k, _change_type FROM graft_lake." +
+      s"`$lake#changes?from=rel&to=2&keyCols=part,k` ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byNum = spark.sql("SELECT k, _change_type FROM graft_lake." +
+      s"`$lake#changes?from=1&to=2&keyCols=part,k` ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(byTag.toSeq === byNum.toSeq && byTag.nonEmpty)
+    // unknown endpoint name lists the tag vocabulary
+    val e = intercept[Exception](spark.sql("SELECT * FROM graft_lake." +
+      s"`$lake#changes?from=nope&to=2&keyCols=part,k`").collect())
+    assert(e.getMessage.contains("tags: rel"))
+  }
 }
