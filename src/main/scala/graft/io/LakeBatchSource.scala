@@ -79,7 +79,15 @@ class LakeBatchProvider extends RelationProvider
         PartitionedLake.changesBetween(spark, path, from, to, keyCols,
           perCommit))
     }
-    val version = parameters.get("versionAsOf").map(_.toLong)
+    // numeric or a named tag — the same vocabulary as SQL VERSION AS OF
+    val version = parameters.get("versionAsOf").map { v =>
+      v.toLongOption
+        .orElse(PartitionedLake.tagVersion(spark, path, v))
+        .getOrElse(sys.error(
+          s"versionAsOf '$v' is neither a numeric snapshot version nor " +
+            s"a tag on $path (tags: ${PartitionedLake.tags(spark, path)
+              .map(_._1).mkString(", ")})"))
+    }
     // ONE manifest resolve feeds both the pinned frame and the size
     // statistic — resolving twice would pay the driver read again AND
     // open a race where the size describes a different snapshot than

@@ -1109,8 +1109,20 @@ class LakeTableProvider extends TableProvider with DataSourceRegister {
   private def pathOf(options: CaseInsensitiveStringMap): String =
     Option(options.get("path")).getOrElse(
       sys.error("graft-lake-v2 requires .option(\"path\", <lake root>)"))
-  private def versionOf(options: CaseInsensitiveStringMap): Option[Long] =
-    Option(options.get("versionAsOf")).map(_.toLong)
+  // same vocabulary as SQL VERSION AS OF: a numeric version or a named
+  // tag ([[PartitionedLake.tag]]) — the DataFrame API must not lag the
+  // SQL surface on how a snapshot is addressed
+  private def versionOf(options: CaseInsensitiveStringMap,
+      path: String): Option[Long] =
+    Option(options.get("versionAsOf")).map { v =>
+      v.toLongOption
+        .orElse(PartitionedLake.tagVersion(SparkSession.active, path, v))
+        .getOrElse(sys.error(
+          s"versionAsOf '$v' is neither a numeric snapshot version nor " +
+            s"a tag on $path (tags: ${PartitionedLake
+              .tags(SparkSession.active, path).map(_._1)
+              .mkString(", ")})"))
+    }
 
   // one load() calls inferSchema + inferPartitioning + getTable on the
   // SAME freshly-instantiated provider — memoize the resolved table so
@@ -1132,12 +1144,13 @@ class LakeTableProvider extends TableProvider with DataSourceRegister {
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    tableFor(pathOf(options), versionOf(options)).schema
+    { val p = pathOf(options); tableFor(p, versionOf(options, p)).schema }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
-    val table = tableFor(pathOf(options), versionOf(options))
+    val p0 = pathOf(options)
+    val table = tableFor(p0, versionOf(options, p0))
     // a user-declared schema (.schema(...) / CREATE TABLE columns) is
     // accepted only when it MATCHES the manifest's (names + types,
     // nullability ignored — the manifest stores everything nullable):

@@ -117,6 +117,21 @@ class LakeTagSpec extends AnyFunSuite {
     assert(e.getMessage.contains("#tags"))
   }
 
+  test("DataFrame API parity: versionAsOf options (v1 and DSv2 formats) accept tag names like SQL does") {
+    val lake = freshLake("api")
+    seed(lake) // v1
+    PartitionedLake.tag(spark, lake, "rel", 1L)
+    appendOne(lake, 7L) // v2
+    assert(spark.read.format("graft-lake")
+      .option("versionAsOf", "rel").load(lake).count() === 2L)
+    assert(spark.read.format("graft-lake-v2")
+      .option("versionAsOf", "rel").option("path", lake).load()
+      .count() === 2L)
+    val e = intercept[Exception](spark.read.format("graft-lake")
+      .option("versionAsOf", "nope").load(lake).count())
+    assert(e.getMessage.contains("tags: rel"))
+  }
+
   test("#changes endpoints accept tag names: from=<tag> reads everything since the pinned release") {
     val lake = freshLake("feed")
     seed(lake) // v1
