@@ -56,11 +56,15 @@ import org.apache.spark.util.SerializableConfiguration
   * statements still see the truth). A live-delta lake already has its
   * key in the manifest (`mor:`); a clean lake names one via
   * [[LakeDeltaRowLevel.KeyKey]]. Because identity is the join handle,
-  * an INSERT whose identity already exists behaves as an UPSERT of
-  * that identity (the post-image wins at read) — the same semantics
-  * every cdc op on this lake has always had — and a statement that
-  * produces two different post-images for one identity refuses at
-  * commit rather than publish an ambiguous log.
+  * merge-on-read cannot represent two rows with one identity — so the
+  * commit refuses any statement whose log would silently diverge from
+  * the copy-on-write multiset result: two different post-images for
+  * one identity (ambiguity), and a post-image landing on an EXISTING
+  * identity the statement did not itself consume (an UPDATE
+  * reassigning the key onto an occupied value, or a MERGE insert
+  * colliding with a live row — in CoW both rows would survive; here
+  * the collision is detected at commit and refused with directions).
+  * The two modes therefore agree row-for-row wherever both succeed.
   */
 object LakeDeltaRowLevel {
 
@@ -400,15 +404,19 @@ private[io] class LakeDeltaWrite(path: String,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
-    val wrote = messages.exists {
-      case m: LakeDeltaTaskResult => m.ops > 0
-      case _ => false
-    }
+    // only files named by COMMITTED task attempts participate in the
+    // fold — a retried or speculative attempt's leftover ops file
+    // (possibly truncated, certainly duplicate) must not be read, so
+    // the commit enumerates attempt-reported names rather than listing
+    // the staging directory (the standard DSv2 commit-protocol shape)
+    val files = messages.collect {
+      case m: LakeDeltaTaskResult => m.files
+    }.flatten.toSeq
     // matched nothing, inserted nothing: publish nothing (no version
     // churn — same contract as the empty dynamic overwrite)
-    if (!wrote) { abort(messages); return }
+    if (files.isEmpty) { abort(messages); return }
     PartitionedLake.commitRowLevelDeltas(spark, path, pinned, partCols,
-      keyCol, opsRoot)
+      keyCol, opsRoot, files)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -418,7 +426,11 @@ private[io] class LakeDeltaWrite(path: String,
   }
 }
 
-private[io] case class LakeDeltaTaskResult(ops: Long)
+/** A committed attempt's receipt: its op count and the exact staging
+  * file name(s) it wrote — the driver commit reads ONLY these, so an
+  * aborted/zombie attempt's file can never be folded.
+  */
+private[io] case class LakeDeltaTaskResult(ops: Long, files: Seq[String])
   extends WriterCommitMessage
 
 private[io] class LakeDeltaWriterFactory(staging: String,
@@ -476,13 +488,17 @@ private[io] class LakeDeltaOpsWriter(staging: String,
       "graft-delta", 0), TaskType.MAP, partitionId), taskId.toInt))
 
   private var writer: OutputWriter = _
+  private var fileName: String = _
   private var ops = 0L
 
   private def out(): OutputWriter = {
     if (writer == null) {
-      val name = f"ops-$partitionId%05d-$taskId" +
+      // the attempt id (taskId) is part of the name, so two attempts of
+      // one task never collide — and commit() reports exactly this name,
+      // which is how the driver fold excludes the losing attempt's file
+      fileName = f"ops-$partitionId%05d-$taskId" +
         owf.getFileExtension(taskContext)
-      writer = owf.newInstance(new Path(staging, name).toString,
+      writer = owf.newInstance(new Path(staging, fileName).toString,
         opSchema, taskContext)
     }
     writer
@@ -506,9 +522,20 @@ private[io] class LakeDeltaOpsWriter(staging: String,
 
   override def commit(): WriterCommitMessage = {
     closeCurrent()
-    LakeDeltaTaskResult(ops)
+    LakeDeltaTaskResult(ops, Option(fileName).toSeq.filter(_ => ops > 0))
   }
 
-  override def abort(): Unit = closeCurrent()
+  /** A failed attempt deletes its (possibly partial) file — belt to the
+    * commit-side braces of reading only committed attempts' names.
+    */
+  override def abort(): Unit = {
+    closeCurrent()
+    if (fileName != null) {
+      val p = new Path(staging, fileName)
+      try p.getFileSystem(conf.value).delete(p, false)
+      catch { case _: java.io.IOException => () } // best-effort cleanup
+      fileName = null
+    }
+  }
   override def close(): Unit = closeCurrent()
 }

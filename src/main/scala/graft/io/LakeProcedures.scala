@@ -29,10 +29,13 @@ private[io] object LakeProcedures {
     case "tag" => Some(new LakeTagProcedure)
     case "drop_tag" => Some(new LakeDropTagProcedure)
     case "rollback" => Some(new LakeRollbackProcedure)
+    case "branch" => Some(new LakeBranchProcedure)
+    case "publish_branch" => Some(new LakePublishBranchProcedure)
+    case "drop_branch" => Some(new LakeDropBranchProcedure)
     case _ => None
   }
-  val names: Seq[String] =
-    Seq("compact", "drop_tag", "rollback", "tag", "vacuum")
+  val names: Seq[String] = Seq("branch", "compact", "drop_branch",
+    "drop_tag", "publish_branch", "rollback", "tag", "vacuum")
 }
 
 private[io] abstract class LakeProcedureBase(procName: String)
@@ -181,6 +184,82 @@ private[io] class LakeDropTagProcedure
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
     val path = str(input, 0)
     PartitionedLake.dropTag(spark, path, str(input, 1))
+    val v = versionOf(path)
+    summary(path, v, v)
+  }
+}
+
+/** `CALL <cat>.system.branch(table, name, version)` —
+  * [[PartitionedLake.createBranch]]: stage a write-audit-publish
+  * branch from a main-line snapshot (default: current head). Set
+  * `spark.graft.lake.branch = <name>` and every statement routes to
+  * the branch; audit, then `publish_branch` or `drop_branch`. The
+  * summary row reports the base version in both columns (main's head
+  * did not move).
+  */
+private[io] class LakeBranchProcedure extends LakeProcedureBase("branch") {
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("lake path").build(),
+    ProcedureParameter.in("name", StringType)
+      .comment("branch name ([A-Za-z0-9._-], leading alphanumeric)")
+      .build(),
+    ProcedureParameter.in("version", LongType).defaultValue("-1")
+      .comment("main-line version to branch from (default: current)")
+      .build())
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val path = str(input, 0)
+    val from =
+      if (input.isNullAt(2) || input.getLong(2) < 0L) None
+      else Some(input.getLong(2))
+    val base = PartitionedLake.createBranch(spark, path, str(input, 1),
+      from)
+    summary(path, base, base)
+  }
+}
+
+/** `CALL <cat>.system.publish_branch(table, name, drop)` —
+  * [[PartitionedLake.publishBranch]]: fast-forward the main line to
+  * the branch's staged state (one manifest rename; concurrent
+  * main-line commits to untouched partitions merge in, overlaps
+  * refuse loudly).
+  */
+private[io] class LakePublishBranchProcedure
+    extends LakeProcedureBase("publish_branch") {
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("lake path").build(),
+    ProcedureParameter.in("name", StringType)
+      .comment("branch name to publish").build(),
+    ProcedureParameter.in("drop", org.apache.spark.sql.types.BooleanType)
+      .defaultValue("true")
+      .comment("retire the branch namespace after publishing").build())
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val path = str(input, 0)
+    val before = versionOf(path)
+    val after = PartitionedLake.publishBranch(spark, path, str(input, 1),
+      if (input.isNullAt(2)) true else input.getBoolean(2))
+    summary(path, before, after)
+  }
+}
+
+/** `CALL <cat>.system.drop_branch(table, name)` —
+  * [[PartitionedLake.dropBranch]]: abandon a staged branch; its data
+  * files become reclaimable by the next vacuum.
+  */
+private[io] class LakeDropBranchProcedure
+    extends LakeProcedureBase("drop_branch") {
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("lake path").build(),
+    ProcedureParameter.in("name", StringType)
+      .comment("branch name to drop").build())
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val path = str(input, 0)
+    PartitionedLake.dropBranch(spark, path, str(input, 1))
     val v = versionOf(path)
     summary(path, v, v)
   }

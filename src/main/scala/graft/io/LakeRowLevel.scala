@@ -246,8 +246,10 @@ private[io] class LakeReplaceDataWrite(path: String,
     // would degrade to full directory reads there until a
     // compact(statsCols). The footer read happens task-side on the
     // just-written (page-cached) file — one metadata read per file.
-    val statsCols = old.files.valuesIterator.flatten
-      .flatMap(_.stats.keysIterator).toSet
+    // statsColsOf covers NUMERIC and STRING bounds — a lake whose
+    // discipline is string-only must not lose it to a rewrite
+    // (LakeStringStatsSpec's sticky sweep pins this path)
+    val statsCols = PartitionedLake.statsColsOf(Some(old)).toSet
       .intersect(dataSchema.fieldNames.toSet)
     new LakeReplaceDataWriterFactory(stagingRoot.toString, writeSchema,
       dataSchema, partCols, owf,

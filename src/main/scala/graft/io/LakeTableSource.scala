@@ -620,7 +620,7 @@ private[io] class GraftLakeTable(path: String, version: Option[Long])
         "pre-dates layout declarations, so the partition layout cannot " +
         "be derived — bootstrap through PartitionedLake.write/append " +
         "(or CREATE TABLE ... PARTITIONED BY), which declare it"))
-    new LakeWriteBuilder(path, layout, info.schema())
+    new LakeWriteBuilder(path, layout, info.schema(), info)
   }
 
   override def partitioning(): Array[Transform] = manifest
@@ -643,11 +643,14 @@ private[io] class GraftLakeTable(path: String, version: Option[Long])
   // MERGE/upsert. OVERWRITE_DYNAMIC is the matching dynamic-mode
   // write (replace exactly the partitions the data touches), a real
   // DSv2 batch write since the engine has no V1 dynamic exec.
+  // STREAMING_WRITE: writeStream.format("graft-lake-v2") / .toTable
+  // commit each epoch through the same snapshot protocol with the
+  // per-writer txn replay guard ([[LakeStreamingWrite]])
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
-      TableCapability.OVERWRITE_DYNAMIC)
+      TableCapability.OVERWRITE_DYNAMIC, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LakeScanBuilder(path, version, schema, manifest)
@@ -673,10 +676,16 @@ private[io] class GraftLakeTable(path: String, version: Option[Long])
   * maintained lake's file-skipping bounds alive.
   */
 private[io] class LakeWriteBuilder(path: String, partitionCols: Seq[String],
-    writeSchema: StructType)
+    writeSchema: StructType,
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsOverwrite
-    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
+    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite
+    // Update-mode streams are accepted: with a keyCol each update row
+    // IS an upsert of its identity (the natural sink for streaming
+    // aggregates); without one, update rows append — documented on the
+    // sink, same contract as the v1 graft-lake streaming sink
+    with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
   import org.apache.spark.sql.connector.write.{V1Write, WriteBuilder}
 
   private var overwriteAll = false
@@ -701,10 +710,35 @@ private[io] class LakeWriteBuilder(path: String, partitionCols: Seq[String],
       PartitionedLake.manifestAt(data.sparkSession, path, None))
       intersect data.schema.fieldNames.toSeq).distinct
 
+  /** The streaming form ([[LakeStreamingWrite]]): mode from the
+    * builder state + options — Complete mode arrives as `truncate()`
+    * (→ per-epoch overwrite), a `keyCol` option selects per-epoch
+    * upsert, otherwise per-epoch append. `writerId` defaults to the
+    * streaming query's checkpoint-stable id, so a restarted query
+    * resumes its own replay guard and two queries sharing a lake
+    * never swallow each other's epochs.
+    */
+  private def streaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    require(overwriteFilters.isEmpty && !dynamic,
+      "graft-lake-v2 streaming write supports append/update/complete " +
+        "output modes, not partition-scoped or dynamic overwrite")
+    val opts = info.options
+    val keyCol = Option(opts.get("keyCol")).map(_.trim).filter(_.nonEmpty)
+    val statsCols = Option(opts.get("statsCols")).getOrElse("")
+      .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val writerId = Option(opts.get("writerId")).map(_.trim)
+      .filter(_.nonEmpty).getOrElse(s"stream-${info.queryId()}")
+    new LakeStreamingWrite(path, partitionCols, keyCol, statsCols,
+      writerId, writeSchema, complete = overwriteAll)
+  }
+
   override def build(): org.apache.spark.sql.connector.write.Write =
     if (dynamic) new LakeDynamicOverwriteWrite(path, partitionCols,
       writeSchema)
     else new V1Write {
+      override def toStreaming
+          : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        streaming
       override def toInsertableRelation
           : org.apache.spark.sql.sources.InsertableRelation =
         new org.apache.spark.sql.sources.InsertableRelation {

@@ -213,6 +213,59 @@ object PartitionedLake {
   /** The op column carried inside delta sidecar files ('U' or 'D'). */
   private[io] val MorOpCol = "__graft_op"
 
+  /** MOR log governance: the per-partition accumulated delta log must
+    * stay broadcast-sized (both the fold and every merged read
+    * broadcast the log identities). These knobs turn that contract
+    * from a comment into a MECHANISM, enforced at every commit that
+    * publishes a log ([[cdcSinkMergeOnRead]], [[commitRowLevelDeltas]]):
+    * a partition whose post-commit log would exceed `maxRows` either
+    * auto-compacts right after the commit (`onExceed=compact`, the
+    * default — the lake keeps absorbing batches at bounded read cost)
+    * or refuses the commit loudly with directions (`onExceed=refuse` —
+    * for deployments that schedule compaction themselves and want the
+    * breach surfaced, not absorbed). `maxRows <= 0` disables the
+    * governor. The check costs nothing: the staged log's per-file row
+    * counts are already harvested from parquet footers at stage time,
+    * and the fold re-emits each touched partition's WHOLE log, so the
+    * staged counts ARE the post-commit accumulation.
+    */
+  val MorLogMaxRowsKey = "spark.graft.lake.morLog.maxRows"
+  val MorLogOnExceedKey = "spark.graft.lake.morLog.onExceed"
+  private[io] val MorLogMaxRowsDefault = 10000000L
+
+  /** Apply the governor to a staged log. Returns the partitions to
+    * auto-compact AFTER the commit publishes (empty when under bound
+    * or disabled); in refuse mode, deletes the staging and raises.
+    */
+  private def morLogGovern(fs: FileSystem, path: String, logStaging: Path,
+      stagedLog: Map[String, Seq[FileEntry]]): Set[String] = {
+    val sc = org.apache.spark.sql.internal.SQLConf.get
+    val max = sc.getConfString(MorLogMaxRowsKey,
+      MorLogMaxRowsDefault.toString).toLong
+    if (max <= 0L) return Set.empty
+    val offending = stagedLog.collect { case (d, es)
+      if es.map(_.rows.getOrElse(0L)).sum > max => d }.toSet
+    if (offending.isEmpty) return Set.empty
+    sc.getConfString(MorLogOnExceedKey, "compact") match {
+      case "compact" => offending
+      case "refuse" =>
+        fs.delete(logStaging, true)
+        sys.error(s"merge-on-read delta log for partition(s) " +
+          s"${offending.toSeq.sorted.mkString(", ")} would exceed " +
+          s"$MorLogMaxRowsKey=$max rows after this commit — the fold " +
+          "and every merged read broadcast the accumulated log " +
+          "identities, so an ungoverned log eventually hits the " +
+          "broadcast ceiling. Run PartitionedLake.compact (SQL: CALL " +
+          "system.compact) to materialize the log away, raise the " +
+          s"threshold, or set $MorLogOnExceedKey=compact to " +
+          "auto-compact offending partitions")
+      case other =>
+        fs.delete(logStaging, true)
+        sys.error(s"$MorLogOnExceedKey must be 'compact' or " +
+          s"'refuse', got '$other'")
+    }
+  }
+
   /** A partition directory's change signature: the live file + delta
     * names. Two manifests agree on a directory iff the signatures match
     * — the unit of change for [[changesBetween]] and for the
@@ -248,21 +301,64 @@ object PartitionedLake {
 
   // ---- manifest read/write -------------------------------------------------
 
-  private def manifestDir(path: String) = new Path(path, ManifestDirName)
+  /** WRITE-AUDIT-PUBLISH branches (Iceberg's `spark.wap.branch` shape):
+    * while this session conf names a branch, EVERY lake operation —
+    * reads, writes, SQL DML, compaction, the change feed — resolves
+    * and publishes manifests under `_branches/<name>/_manifest/`
+    * instead of the main line. Data files still land in the SHARED
+    * partition directories (unreferenced by main manifests, hence
+    * invisible to main readers — the snapshot protocol's core
+    * property), so [[publishBranch]] is ONE manifest rename, never a
+    * data copy. Main-line maintenance ([[vacuum]], [[tag]],
+    * [[rollback]]) refuses under an ambient branch — their version
+    * vocabularies must not silently mix.
+    */
+  val BranchKey = "spark.graft.lake.branch"
+
+  private val BranchesDirName = "_branches"
+
+  private def activeBranch(): Option[String] =
+    Option(org.apache.spark.sql.internal.SQLConf.get
+      .getConfString(BranchKey, "")).map(_.trim).filter(_.nonEmpty)
+
+  private def branchManifestDir(path: String, branch: Option[String]): Path =
+    branch match {
+      case Some(b) => new Path(
+        new Path(new Path(path, BranchesDirName), b), ManifestDirName)
+      case None => new Path(path, ManifestDirName)
+    }
+
+  private def manifestDir(path: String) =
+    branchManifestDir(path, activeBranch())
+
+  /** Main-line-only operations (vacuum, tag, rollback, the branch
+    * lifecycle itself) refuse under an ambient branch: their version
+    * vocabulary is the main line's, and silently mixing namespaces is
+    * how an audit pins or reclaims the wrong snapshot.
+    */
+  private def requireMainLine(what: String): Unit =
+    activeBranch().foreach(b => sys.error(
+      s"$what operates on the MAIN line, but $BranchKey='$b' is set — " +
+        "unset it first (branch staging is for writes and reads; " +
+        "maintenance and refs are main-line)"))
 
   /** Every published version at this path, unsorted — the ONE listing
     * fold (the `v%%09d.txt` naming rule lives here and in the probe's
-    * existence check only).
+    * existence check only). `branch` defaults to the AMBIENT branch
+    * conf (evaluated per call); the branch machinery passes it
+    * explicitly to address both namespaces in one operation.
     */
-  private def listVersions(fs: FileSystem, path: String): Seq[Long] =
-    listVersionsWithMtimes(fs, path).map(_._1)
+  private def listVersions(fs: FileSystem, path: String,
+      branch: Option[String] = activeBranch()): Seq[Long] =
+    listVersionsWithMtimes(fs, path, branch).map(_._1)
 
   /** The same fold carrying publish mtimes (one listing = names AND
     * times) — [[versionAt]] and [[history]] consume both.
     */
   private def listVersionsWithMtimes(fs: FileSystem,
-      path: String): Seq[(Long, Long)] = {
-    val dir = manifestDir(path)
+      path: String,
+      branch: Option[String] = activeBranch()): Seq[(Long, Long)] = {
+    val dir = branchManifestDir(path, branch)
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toSeq.flatMap { st =>
       st.getPath.getName match {
@@ -272,8 +368,19 @@ object PartitionedLake {
     }
   }
 
-  private[io] def latestManifest(fs: FileSystem, path: String): Option[Manifest] =
-    listVersions(fs, path).maxOption.map(readManifest(fs, path, _))
+  private[io] def latestManifest(fs: FileSystem, path: String,
+      branch: Option[String] = activeBranch()): Option[Manifest] = {
+    val vs = listVersions(fs, path, branch)
+    // a branch that does not exist must refuse, not bootstrap: falling
+    // through to adoption would re-adopt the main lake's partition
+    // directories as a fresh legacy lake inside the branch namespace —
+    // silent divergence instead of a staged branch
+    if (vs.isEmpty && branch.isDefined) sys.error(
+      s"branch '${branch.get}' does not exist on $path — create it " +
+        s"with PartitionedLake.createBranch (SQL: CALL system.branch) " +
+        s"or unset $BranchKey")
+    vs.maxOption.map(readManifest(fs, path, _, branch = branch))
+  }
 
   /** One small metadata file as a UTF-8 string — the single definition
     * of "slurp a protocol file" (manifests, leaves, stream progress).
@@ -302,9 +409,11 @@ object PartitionedLake {
     * reads would otherwise pay keepLast-fold redundant leaf I/O).
     */
   private def readManifest(fs: FileSystem, path: String, version: Long,
-      leafCache: scala.collection.concurrent.Map[String, Seq[String]] = null):
+      leafCache: scala.collection.concurrent.Map[String, Seq[String]] = null,
+      branch: Option[String] = activeBranch()):
       Manifest = {
-    val p = new Path(manifestDir(path), f"v$version%09d.txt")
+    val nsDir = branchManifestDir(path, branch)
+    val p = new Path(nsDir, f"v$version%09d.txt")
     val lines = readSmallTextFile(fs, p).split("\n").toSeq
     val header = lines.headOption.getOrElse("")
     // the major digit is the LAYOUT (1 = flat, 2 = sharded leaves); a
@@ -349,7 +458,7 @@ object PartitionedLake {
     val leafNames = topBody.filter(_.startsWith("shard:"))
       .map(_.stripPrefix("shard:"))
     def fetchLeaf(n: String): Seq[String] = {
-      val text = readSmallTextFile(fs, new Path(manifestDir(path), n))
+      val text = readSmallTextFile(fs, new Path(nsDir, n))
       // leaves are content-addressed, hence SELF-VERIFYING:
       // a truncated/corrupted leaf (crashed committer on a
       // non-atomic scheme, bit rot) must fail the read loudly
@@ -598,8 +707,8 @@ object PartitionedLake {
     * unreferenced ones.
     */
   private[io] def tryPublishManifest(fs: FileSystem, path: String,
-      m: Manifest): Boolean = {
-    val dir = manifestDir(path)
+      m: Manifest, branch: Option[String] = activeBranch()): Boolean = {
+    val dir = branchManifestDir(path, branch)
     fs.mkdirs(dir)
     val nShards = shardCountFor(fs, allDirs(m).size)
     // minor version = the newest LOAD-BEARING per-file field present:
@@ -1351,8 +1460,11 @@ object PartitionedLake {
     * time travel, and [[changesBetween]] pre-images until [[vacuum]]
     * physically reclaims them.
     */
+  def write(df: DataFrame, path: String, partitionCol: String): Unit =
+    write(df, path, Seq(partitionCol), Nil)
+
   def write(df: DataFrame, path: String, partitionCol: String,
-      statsCols: Seq[String] = Nil): Unit =
+      statsCols: Seq[String]): Unit =
     write(df, path, Seq(partitionCol), statsCols)
 
   /** Multi-level variant: `partitionCols` produce nested Hive directories
@@ -1360,15 +1472,21 @@ object PartitionedLake {
     * style data; a predicate on any prefix of the columns prunes.
     */
   def write(df: DataFrame, path: String, partitionCols: Seq[String],
-      statsCols: Seq[String]): Unit = {
+      statsCols: Seq[String], batchId: Option[Long] = None,
+      writerId: String = DefaultWriter): Unit = {
     val spark = df.sparkSession
     val fs = fsFor(spark, path)
     val old = latestManifest(fs, path)
+    // per-writer replay guard (see [[append]]) — the streaming sink's
+    // complete mode overwrites once per epoch, never twice
+    if (batchId.exists(b =>
+        old.exists(_.txns.get(writerId).exists(_ >= b)))) return
     val (staging, staged) = stage(spark, fs, path, df, partitionCols, statsCols)
     val oldDirs = old.map(allDirs).getOrElse(Set.empty)
     commitStaged(fs, path, staging, staged,
-      oldDirs ++ staged.keySet, df.schema, old, None,
-      fullOverwrite = true, bootstrapLayout = Some(partitionCols))
+      oldDirs ++ staged.keySet, df.schema, old, batchId,
+      fullOverwrite = true, bootstrapLayout = Some(partitionCols),
+      writerId = writerId)
   }
 
   /** The columns any live entry of a snapshot carries footer bounds
@@ -1378,8 +1496,25 @@ object PartitionedLake {
     * knob to pass.
     */
   private[io] def statsColsOf(m: Option[Manifest]): Seq[String] =
-    m.map(_.files.valuesIterator.flatten.flatMap(_.stats.keysIterator)
+    // numeric AND string bounds: a lake whose skipping discipline is
+    // string-only (strStats with no numeric stats) must inherit too,
+    // or every SQL write would silently degrade its file skipping
+    m.map(_.files.valuesIterator.flatten
+      .flatMap(e => e.stats.keysIterator ++ e.strStats.keysIterator)
       .toSeq.distinct.sorted).getOrElse(Nil)
+
+  /** The effective stats harvest for an incremental/maintenance
+    * commit: the caller's columns PLUS every column the snapshot
+    * already carries bounds for (numeric or string), intersected with
+    * the frame's fields. The lake's stats discipline is STICKY — no
+    * write path (append, upsert, CDC fold, compaction) silently
+    * degrades file skipping to unharvested files just because its
+    * caller had no statsCols knob to pass. Harvest is a footer-time
+    * metadata pass; carrying a column costs nothing at read.
+    */
+  private def stickyStats(m: Option[Manifest], statsCols: Seq[String],
+      fields: Seq[String]): Seq[String] =
+    ((statsCols ++ statsColsOf(m)) intersect fields).distinct
 
   /** Partition-scoped overwrite — SQL `INSERT OVERWRITE ... PARTITION
     * (k='v')` / `DataFrameWriterV2.overwrite(cond)`: directories
@@ -1500,10 +1635,17 @@ object PartitionedLake {
     * must keep its type).
     */
   def append(df: DataFrame, path: String, partitionCols: Seq[String],
-      statsCols: Seq[String] = Nil): Unit = {
+      statsCols: Seq[String] = Nil, batchId: Option[Long] = None,
+      writerId: String = DefaultWriter): Unit = {
     val spark = df.sparkSession
     val fs = fsFor(spark, path)
     val old = manifestOrMigrate(spark, fs, path, partitionCols.size)
+    // the same per-writer TRANSACTION guard as upsert/cdcSink: a
+    // redelivered streaming epoch (batchId <= the writer's recorded
+    // high-water mark) is skipped whole — what makes the DSv2
+    // streaming sink's append mode exactly-once under replay
+    if (batchId.exists(b =>
+        old.exists(_.txns.get(writerId).exists(_ >= b)))) return
     if (old.isEmpty) requireBootstrapSafe(fs, path, partitionCols)
     requireLayoutMatch(old, partitionCols, "append")
     // same additive-evolution type gate as upsert: union-by-name at
@@ -1524,9 +1666,10 @@ object PartitionedLake {
       case None => df.schema
     }
     val (staging, staged) = stage(spark, fs, path, df, partitionCols,
-      statsCols)
-    commitStaged(fs, path, staging, staged, Set.empty, schema, old, None,
-      appendOnly = true, bootstrapLayout = Some(partitionCols))
+      stickyStats(old, statsCols, df.schema.fieldNames.toSeq))
+    commitStaged(fs, path, staging, staged, Set.empty, schema, old, batchId,
+      appendOnly = true, bootstrapLayout = Some(partitionCols),
+      writerId = writerId)
   }
 
   /** Rename a column — a MANIFEST-ONLY commit, zero data jobs at any
@@ -2652,7 +2795,8 @@ object PartitionedLake {
       val clustered = slice.repartitionByRange(nOut, rangeCols: _*)
         .sortWithinPartitions(rangeCols: _*)
       val (staging, staged) = stage(spark, fs, path, clustered,
-        partitionCols, (statsCols ++ zorderBy).distinct)
+        partitionCols, stickyStats(Some(m), statsCols ++ zorderBy,
+          slice.schema.fieldNames.toSeq))
       commitStaged(fs, path, staging, staged, allDirs(m), slice.schema,
         Some(m), None)
     }
@@ -2664,6 +2808,16 @@ object PartitionedLake {
     if (zorderBy.nonEmpty)
       return compactZorder(spark, path, statsCols, zorderBy,
         filesPerPartition)
+    compactRestricted(spark, path, statsCols, None)
+  }
+
+  /** [[compact]]'s bin-pack body, optionally RESTRICTED to a subset of
+    * partition directories — the MOR log governor compacts only the
+    * partitions whose accumulated delta log crossed the bound, not the
+    * whole lake ([[morLogGovern]]).
+    */
+  private[io] def compactRestricted(spark: SparkSession, path: String,
+      statsCols: Seq[String], only: Option[Set[String]]): Unit = {
     val fs = fsFor(spark, path)
     latestManifest(fs, path).foreach { m =>
       // a partition needs compaction when it holds multiple files,
@@ -2673,9 +2827,10 @@ object PartitionedLake {
       // OR holds files pinned to pre-rename physical column names (the
       // rewrite re-physicalizes them under the current names, and once
       // no pin is live the native DSv2 batch serves the lake again)
-      val todoDirs = m.files.filter(_._2.size > 1).keySet ++
+      val eligible = m.files.filter(_._2.size > 1).keySet ++
         m.deltas.keySet ++
         m.files.filter(_._2.exists(_.physNames.nonEmpty)).keySet
+      val todoDirs = only.map(eligible.intersect).getOrElse(eligible)
       if (todoDirs.isEmpty) return
       val todo = m.files.view.filterKeys(todoDirs).toMap
       val partitionCols = partitionColsOf(m)
@@ -2684,7 +2839,7 @@ object PartitionedLake {
           deltas = m.deltas.view.filterKeys(todoDirs).toMap))
         .repartition(partitionCols.map(col): _*)
       val (staging, staged) = stage(spark, fs, path, slice, partitionCols,
-        statsCols)
+        stickyStats(Some(m), statsCols, slice.schema.fieldNames.toSeq))
       commitStaged(fs, path, staging, staged, todoDirs, slice.schema,
         Some(m), None)
     }
@@ -2719,6 +2874,7 @@ object PartitionedLake {
     */
   def vacuum(spark: SparkSession, path: String, keepLast: Int = 1,
       graceMs: Long = 0L): Unit = {
+    requireMainLine("vacuum")
     val fs = fsFor(spark, path)
     val versions = snapshots(spark, path)
     if (versions.isEmpty) return
@@ -2735,7 +2891,18 @@ object PartitionedLake {
     // window through one shared leaf cache instead of keepLast-fold
     // redundant leaf reads
     val leafCache = scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
-    val retained = retainedVersions.map(readManifest(fs, path, _, leafCache))
+    // LIVE BRANCHES protect their whole version chains: branch data
+    // files live in the shared partition directories referenced only
+    // by branch-namespace manifests, and a stopped-then-resumed audit
+    // may still pin any branch version — sweeping them would corrupt
+    // the branch silently. Branch manifests are tiny; the data-file
+    // union is what matters.
+    val branchHeads = branches(spark, path).flatMap { case (b, _) =>
+      listVersions(fs, path, Some(b)).sorted
+        .map(readManifest(fs, path, _, leafCache, branch = Some(b)))
+    }
+    val retained = retainedVersions.map(readManifest(fs, path, _,
+      leafCache)) ++ branchHeads
     // "now" comes from the STORE's clock, not the driver's: the grace
     // check compares against getModificationTime, and driver/store clock
     // skew would erode the window in the dangerous direction (young
@@ -2855,10 +3022,26 @@ object PartitionedLake {
   // 'name'`) — no escaping layer to get wrong
   private val TagNameRe = "^[A-Za-z0-9][A-Za-z0-9._-]{0,127}$".r
 
-  private def requireTagName(name: String): Unit =
+  /** Shared ref-name gate for tags AND branches: both become metadata
+    * path segments and SQL literals, so the conservative charset
+    * applies to both; the all-digit refusal guards every resolution
+    * path that tries numeric-version first (resolveVersion, versionAsOf
+    * options, #changes endpoints) — tag '2026' would be silently
+    * shadowed by snapshot numbering, and a branch named like a number
+    * invites the same confusion in error messages and tooling.
+    */
+  private def requireRefName(what: String, name: String): Unit = {
     require(TagNameRe.matches(name),
-      s"tag name '$name' must match ${TagNameRe.regex} (it becomes a " +
-        "metadata filename and a SQL literal)")
+      s"$what name '$name' must match ${TagNameRe.regex} (it becomes " +
+        "a metadata filename and a SQL literal)")
+    require(!name.forall(_.isDigit),
+      s"$what name '$name' is all digits, which is indistinguishable " +
+        "from a snapshot version number — pick a name with at least " +
+        "one non-digit character")
+  }
+
+  private def requireTagName(name: String): Unit =
+    requireRefName("tag", name)
 
   /** Pin `name` to a RESOLVABLE snapshot version — a named ref for
     * time travel (`VERSION AS OF 'name'`) that also makes the version
@@ -2875,6 +3058,7 @@ object PartitionedLake {
     */
   def tag(spark: SparkSession, path: String, name: String,
       version: Long): Unit = {
+    requireMainLine("tag")
     requireTagName(name)
     val fs = fsFor(spark, path)
     val vs = listVersions(fs, path)
@@ -2908,6 +3092,7 @@ object PartitionedLake {
     * alive and the storage bill growing.
     */
   def dropTag(spark: SparkSession, path: String, name: String): Unit = {
+    requireMainLine("drop_tag")
     requireTagName(name)
     val fs = fsFor(spark, path)
     val f = new Path(tagsDir(path), s"$name.txt")
@@ -2975,6 +3160,7 @@ object PartitionedLake {
     * no-op).
     */
   def rollback(spark: SparkSession, path: String, toVersion: Long): Long = {
+    requireMainLine("rollback")
     val fs = fsFor(spark, path)
     require(listVersions(fs, path).contains(toVersion),
       s"cannot roll back $path to version $toVersion: not a resolvable " +
@@ -2995,6 +3181,155 @@ object PartitionedLake {
           "retry when the writer storm passes")
     }
     sys.error("unreachable")
+  }
+
+  // ---- write-audit-publish branches ----------------------------------------
+
+  /** Create branch `name` from a main-line snapshot (default: the
+    * current head) — the WRITE half of write-audit-publish: with
+    * [[BranchKey]] set to the name, every subsequent lake operation
+    * (writes, SQL DML, reads, compaction, the change feed) runs
+    * against the branch's own manifest namespace while main readers
+    * see nothing. The bootstrap publishes a COPY of the base manifest
+    * into `_branches/<name>/_manifest/` at the base's version number —
+    * one small metadata write, zero data jobs; branch commits then
+    * advance that private version line through the standard protocol
+    * (rebase, txn guards, MOR folds — all of it). Audit the branch
+    * with whatever checks matter (the validation rule engine over a
+    * branch read is the canonical one), then [[publishBranch]] or
+    * [[dropBranch]]. Returns the base version.
+    */
+  def createBranch(spark: SparkSession, path: String, name: String,
+      fromVersion: Option[Long] = None): Long = {
+    requireRefName("branch", name)
+    val fs = fsFor(spark, path)
+    if (listVersions(fs, path, Some(name)).nonEmpty) sys.error(
+      s"branch '$name' already exists on $path — dropBranch first or " +
+        "pick another name")
+    val vs = listVersions(fs, path, None)
+    require(vs.nonEmpty,
+      s"cannot branch $path: no published snapshots (bootstrap the " +
+        "lake first)")
+    val base = fromVersion.getOrElse(vs.max)
+    require(vs.contains(base),
+      s"cannot branch $path at version $base: not a resolvable " +
+        s"snapshot (retained: ${vs.sorted.mkString(", ")})")
+    val m = readManifest(fs, path, base, branch = None)
+    if (!tryPublishManifest(fs, path, m, Some(name))) sys.error(
+      s"branch '$name' raced another creator on $path")
+    // a racing creator at a DIFFERENT base could have published a
+    // lower version into the namespace; the branch base is defined as
+    // the namespace minimum, so surface the inconsistency loudly
+    val minV = listVersions(fs, path, Some(name)).min
+    if (minV != base) sys.error(
+      s"branch '$name' on $path was created concurrently at version " +
+        s"$minV — drop it and create once")
+    base
+  }
+
+  /** All branches, `(name, base version)`, name-sorted. The base is
+    * the branch namespace's minimum version (the bootstrap copy).
+    */
+  def branches(spark: SparkSession, path: String): Seq[(String, Long)] = {
+    val fs = fsFor(spark, path)
+    val dir = new Path(path, BranchesDirName)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).sorted
+      .flatMap(b => listVersions(fs, path, Some(b)).minOption.map(b -> _))
+  }
+
+  /** PUBLISH: fast-forward the main line to the branch's staged state
+    * — ONE manifest rename, zero data jobs (branch data files already
+    * live in the shared partition directories; publishing just makes a
+    * main manifest reference them). Concurrent main-line commits since
+    * the branch base are merged in, not clobbered: the published
+    * manifest carries main's state for every directory the branch did
+    * not touch, and the branch's state for the directories it did — a
+    * directory changed on BOTH sides since the base refuses loudly
+    * (same dirSig vocabulary as the commit rebase), as does schema
+    * evolution on both sides or a diverged merge-on-read key. Replay
+    * guards merge per-writer to the MAX (neither line's streaming
+    * batches can double-apply after the publish). Returns the new
+    * main version; `drop` (default true) retires the branch namespace
+    * after a successful publish.
+    */
+  def publishBranch(spark: SparkSession, path: String, name: String,
+      drop: Boolean = true): Long = {
+    requireRefName("branch", name)
+    val fs = fsFor(spark, path)
+    val bvs = listVersions(fs, path, Some(name))
+    if (bvs.isEmpty) sys.error(s"no branch '$name' on $path (branches: " +
+      s"${branches(spark, path).map(_._1).mkString(", ")})")
+    val leafCache =
+      scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
+    val baseM = readManifest(fs, path, bvs.min, leafCache, Some(name))
+    val bh = readManifest(fs, path, bvs.max, leafCache, Some(name))
+    val branchTouched = changedDirs(Some(baseM), bh)
+    def norm(s: StructType) = s.fields.toSeq.map(f => (f.name, f.dataType))
+    var attempts = 0
+    while (true) {
+      val mh = latestManifest(fs, path, None).getOrElse(sys.error(
+        s"manifest for $path vanished during publish"))
+      val mainTouched = changedDirs(Some(baseM), mh)
+      val overlap = branchTouched intersect mainTouched
+      if (overlap.nonEmpty) sys.error(
+        s"cannot publish branch '$name' onto $path: partition(s) " +
+          s"${overlap.toSeq.sorted.take(5).mkString(", ")} changed on " +
+          s"BOTH the branch and the main line since the branch base " +
+          s"v${bvs.min} — re-stage from the current head (dropBranch, " +
+          "createBranch, re-apply) or drop the branch")
+      val (schema, colIds) =
+        if (norm(mh.schema) == norm(baseM.schema)) (bh.schema, bh.columnIds)
+        else if (norm(bh.schema) == norm(baseM.schema)) (mh.schema, mh.columnIds)
+        else sys.error(
+          s"cannot publish branch '$name' onto $path: both the branch " +
+            s"and the main line evolved the SCHEMA since the base " +
+            s"v${bvs.min} — one side's evolution at a time")
+      require(layoutOf(bh) == layoutOf(mh),
+        s"cannot publish branch '$name' onto $path: partition layout " +
+          "diverged between the branch and the main line")
+      val mergedFiles = (mh.files -- branchTouched) ++
+        bh.files.view.filterKeys(branchTouched).toMap
+      val mergedDeltas = (mh.deltas -- branchTouched) ++
+        bh.deltas.view.filterKeys(branchTouched).toMap
+      val mor = (mh.mor, bh.mor) match {
+        case (Some(a), Some(b)) if a != b => sys.error(
+          s"cannot publish branch '$name' onto $path: merge-on-read " +
+            s"keys diverged ('$a' vs '$b')")
+        case (a, b) => if (mergedDeltas.nonEmpty) a.orElse(b) else None
+      }
+      val txns = (mh.txns.toSeq ++ bh.txns.toSeq)
+        .groupMapReduce(_._1)(_._2)(math.max)
+      val merged = Manifest(mh.version + 1, schema, mergedFiles, txns,
+        mergedDeltas, mor, layout = mh.layout.orElse(bh.layout),
+        columnIds = colIds)
+      if (tryPublishManifest(fs, path, merged, None)) {
+        if (drop) fs.delete(
+          new Path(new Path(path, BranchesDirName), name), true)
+        return merged.version
+      }
+      attempts += 1
+      require(attempts < 20,
+        s"publish of branch '$name' lost the publish race $attempts " +
+          "times — retry when the writer storm passes")
+    }
+    sys.error("unreachable")
+  }
+
+  /** Drop a staged branch: the namespace goes, the branch's data files
+    * (in the shared partition directories, referenced by nothing
+    * anymore) become reclaimable by the next [[vacuum]]. Unknown
+    * branches refuse — a misspelled drop must not silently succeed.
+    */
+  def dropBranch(spark: SparkSession, path: String, name: String): Unit = {
+    requireRefName("branch", name)
+    val fs = fsFor(spark, path)
+    val dir = new Path(new Path(path, BranchesDirName), name)
+    if (!fs.exists(dir)) sys.error(
+      s"no branch '$name' on $path (branches: " +
+        s"${branches(spark, path).map(_._1).mkString(", ")})")
+    fs.delete(dir, true)
   }
 
   /** The `#files` metadata table's row shape — one row per live file
@@ -3235,7 +3570,7 @@ object PartitionedLake {
     val merged = alignTo(base.join(dk, joinCond, "left_anti"), unionSchema)
       .unionByName(alignTo(delta, unionSchema))
     val (staging, staged) = stage(spark, fs, path, merged, partitionCols,
-      statsCols)
+      stickyStats(existing, statsCols, unionSchema.fieldNames.toSeq))
     // every touched tuple has >= 1 delta row and the merge keeps all
     // delta rows, so the staged directory set must equal the collected
     // tuples' Spark-rendered names. The probe re-renders the COLLECTED
@@ -3390,7 +3725,8 @@ object PartitionedLake {
     // declared in one partition retiring the same key's row in another.
     val latest = latestOps(ops, partitionCols)
     val corrected = applyFold(base, latest, partitionCols, keyCol, valueCol)
-    val (staging, staged) = stage(spark, fs, path, corrected, partitionCols, Nil)
+    val (staging, staged) = stage(spark, fs, path, corrected, partitionCols,
+      stickyStats(existing, Nil, corrected.schema.fieldNames.toSeq))
     // the fold can EMPTY a partition (all rows deleted), which stages
     // nothing for its directory — the authoritative replaced set comes
     // from a Spark probe write of the touched tuples ([[sparkDirsFor]]),
@@ -3435,11 +3771,16 @@ object PartitionedLake {
     * replay/idempotence contracts as [[cdcSink]], including the
     * `batchId` transaction guard.
     *
-    * Run [[compact]] routinely: both the fold and the merged read
-    * BROADCAST the accumulated per-partition log identities, so the log
-    * must stay broadcast-sized (the same bound that keeps the read-side
-    * anti-join cheap). A lake allowed to accumulate tens of millions of
-    * uncompacted changed keys should compact before the next MOR batch.
+    * The log must stay broadcast-sized: both the fold and the merged
+    * read BROADCAST the accumulated per-partition log identities (the
+    * same bound that keeps the read-side anti-join cheap). This is
+    * ENFORCED, not advisory — every log-publishing commit runs the
+    * governor ([[MorLogMaxRowsKey]], default 10M rows/partition):
+    * an offending partition auto-compacts right after the commit, or
+    * the commit refuses loudly under
+    * `spark.graft.lake.morLog.onExceed=refuse`. A steady-state CDC
+    * writer that never schedules [[compact]] therefore degrades to
+    * periodic amortized compaction, never to an unbounded broadcast.
     */
   def cdcSinkMergeOnRead(spark: SparkSession, path: String,
       partitionCol: String, keyCol: String, valueCol: String,
@@ -3531,13 +3872,15 @@ object PartitionedLake {
       .unionByName(dRows)
     val (logStaging, stagedLog) = stage(spark, fs, path, newLog,
       partitionCols, Nil)
-    val replacedDeltas = sparkDirsFor(spark, fs, path, partitionCols,
-      partSchema, parts)
+    val autoCompact = morLogGovern(fs, path, logStaging, stagedLog)
     commitStaged(fs, path, logStaging, Map.empty, Set.empty,
       m.schema, existing, batchId,
       stagedDeltas = stagedLog, deltaStaging = Some(logStaging),
-      morKey = Some(keyCol), replacedDeltas = Some(replacedDeltas),
+      morKey = Some(keyCol), replacedDeltas = Some(
+        sparkDirsFor(spark, fs, path, partitionCols, partSchema, parts)),
       writerId = writerId)
+    if (autoCompact.nonEmpty)
+      compactRestricted(spark, path, Nil, Some(autoCompact))
   }
 
   /** Commit a SQL row-level operation's typed ops as merge-on-read
@@ -3572,13 +3915,19 @@ object PartitionedLake {
     */
   private[io] def commitRowLevelDeltas(spark: SparkSession, path: String,
       pinned: Manifest, partitionCols: Seq[String], keyCol: String,
-      opsDir: Path): Unit = {
+      opsDir: Path, opsFiles: Seq[String]): Unit = {
     val fs = fsFor(spark, path)
     try {
       val opSchema = StructType(pinned.schema.fields :+
         org.apache.spark.sql.types.StructField(MorOpCol,
           org.apache.spark.sql.types.StringType))
-      val ops = spark.read.schema(opSchema).parquet(opsDir.toString)
+      // read ONLY the files committed attempts reported — never a
+      // directory glob, which would also sweep up a zombie/speculative
+      // attempt's leftover (duplicate ops would trip the one-row-per-
+      // identity refusal on a correct statement; a truncated file would
+      // fail the read)
+      val ops = spark.read.schema(opSchema).parquet(
+        opsFiles.map(f => new Path(opsDir, f).toString): _*)
       val ident = partitionCols :+ keyCol
       val uRows = ops.filter(col(MorOpCol) === "U")
       val dupU = uRows.groupBy(ident.map(col).toIndexedSeq: _*)
@@ -3606,6 +3955,44 @@ object PartitionedLake {
         .distinct().collect().map(_.toSeq)
       if (parts.isEmpty) return
       val touched = partitionFilter(partitionCols, parts)
+      // refuse SILENT COLLAPSE: a post-image whose identity the
+      // statement did not itself consume (no raw 'D' — i.e. not the
+      // insert half of a split update on that identity) but which
+      // EXISTS in the current merged view would upsert over an
+      // untouched row at read time, diverging from copy-on-write's
+      // multiset result for the identical statement (e.g. UPDATE
+      // reassigning k to a value another row already holds, or a MERGE
+      // insert landing on an occupied identity). Detect and refuse, so
+      // the two modes agree wherever both succeed. Cost-gated: in-place
+      // updates and deletes produce an empty suspicious set (op-sized
+      // check only) and skip the data probe; when the probe runs it is
+      // partition-pruned, identity-projected, and semi-joins against a
+      // BROADCAST of statement-bounded identities — a read, never a
+      // rewrite.
+      val rawDIds = ops.filter(col(MorOpCol) === "D")
+        .select(ident.map(c => col(c).as(s"__rd_$c")).toIndexedSeq: _*)
+      val suspicious = uRows.select(ident.map(col).toIndexedSeq: _*)
+        .join(rawDIds, ident.map(c =>
+          col(c) <=> col(s"__rd_$c")).reduce(_ && _), "left_anti")
+      if (!suspicious.isEmpty) {
+        val suspR = suspicious.select(ident.map(c =>
+          col(c).as(s"__s_$c")).toIndexedSeq: _*)
+        val collided = frameFor(spark, path, pinned).filter(touched)
+          .select(ident.map(col).toIndexedSeq: _*)
+          .join(broadcast(suspR), ident.map(c =>
+            col(c) <=> col(s"__s_$c")).reduce(_ && _), "left_semi")
+          .take(3)
+        require(collided.isEmpty,
+          "row-level delta write would UPSERT over existing rows the " +
+            "statement did not touch — post-image identities " +
+            collided.mkString(", ") + " already exist in the table, " +
+            "and silently collapsing them would diverge from the " +
+            "copy-on-write result for the same statement; rewrite the " +
+            "statement to not collide (or use " +
+            s"${graft.io.LakeDeltaRowLevel.ModeKey}=" +
+            s"${graft.io.LakeDeltaRowLevel.CopyOnWrite} for multiset " +
+            "semantics)")
+      }
       val foldedIds = folded.select(ident.map(c =>
         col(c).as(s"__f_$c")).toIndexedSeq: _*)
       val carried = deltaScan(spark, path, pinned).filter(touched)
@@ -3616,12 +4003,15 @@ object PartitionedLake {
           .map(col).toIndexedSeq: _*)
       val (logStaging, stagedLog) = stage(spark, fs, path, newLog,
         partitionCols, Nil)
+      val autoCompact = morLogGovern(fs, path, logStaging, stagedLog)
       val replacedDeltas = sparkDirsFor(spark, fs, path, partitionCols,
         partSchema, parts)
       commitStaged(fs, path, logStaging, Map.empty, Set.empty,
         pinned.schema, Some(pinned), None,
         stagedDeltas = stagedLog, deltaStaging = Some(logStaging),
         morKey = Some(keyCol), replacedDeltas = Some(replacedDeltas))
+      if (autoCompact.nonEmpty)
+        compactRestricted(spark, path, Nil, Some(autoCompact))
     } finally fs.delete(opsDir, true)
   }
 }

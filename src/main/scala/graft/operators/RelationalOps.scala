@@ -2541,6 +2541,72 @@ object RelationalOps {
         |  CAST(4 AS BIGINT) AS version_after,
         |  true AS bad_state_auditable
         |FROM orders""".stripMargin),
-      "lake op: CALL system.rollback (audited undo — republish an old snapshot as the new head, zero data jobs, history preserved)")
+      "lake op: CALL system.rollback (audited undo — republish an old snapshot as the new head, zero data jobs, history preserved)"),
+
+    // ---- write-audit-publish branches: stage a rule-gated fix on a
+    // branch (SQL UPDATE routed by the ambient branch conf), verify
+    // main stays byte-identical while staging, run the AUDIT on the
+    // branch read (zero violations), then publish — one manifest
+    // rename that also merges a CONCURRENT main-line commit into a
+    // disjoint partition. At 100 TB this is the standard lakehouse
+    // release gate: a bad fix never reaches readers, a good one costs
+    // one metadata write, and neither blocks the live ingest. ----
+    Q("q176_sql_lake_branch_wap",
+      (s, d) => {
+        val dir = scratchDir("q176-wap") + "/lake"
+        val base = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderpriority"), col("o_totalprice"))
+        graft.io.PartitionedLake.write(base, dir, "o_orderpriority")
+        s.conf.set("spark.sql.catalog.graft_lake",
+          classOf[graft.io.LakeCatalog].getName)
+        s.sql(s"CALL graft_lake.system.branch(table => '$dir', " +
+          "name => 'etl_audit')")
+        s.conf.set(graft.io.PartitionedLake.BranchKey, "etl_audit")
+        val (auditClean, stagedInvisible) = try {
+          s.sql(s"UPDATE graft_lake.`$dir` SET o_totalprice = " +
+            "o_totalprice + 7 WHERE o_orderpriority = '1-URGENT' " +
+            "AND o_orderkey % 10 = 3")
+          // the audit gate, on the BRANCH read: no negative/null price
+          // may ship
+          val bad = s.sql(s"SELECT count(*) FROM graft_lake.`$dir` " +
+            "WHERE o_totalprice IS NULL OR o_totalprice < 0")
+            .head().getLong(0)
+          (bad == 0L, {
+            s.conf.unset(graft.io.PartitionedLake.BranchKey)
+            // while staged: main's head never moved
+            val v = graft.io.PartitionedLake.snapshots(s, dir)
+            s.conf.set(graft.io.PartitionedLake.BranchKey, "etl_audit")
+            v == Seq(1L)
+          })
+        } finally s.conf.unset(graft.io.PartitionedLake.BranchKey)
+        // a CONCURRENT main-line writer lands in a DISJOINT partition
+        // while the branch is still staged — publish must merge it
+        s.sql(s"UPDATE graft_lake.`$dir` SET o_totalprice = " +
+          "o_totalprice + 100 WHERE o_orderpriority = '5-LOW' " +
+          "AND o_orderkey % 10 = 3")
+        require(auditClean, "q176 audit failed: refusing to publish")
+        val pub = s.sql(s"CALL graft_lake.system.publish_branch(" +
+          s"table => '$dir', name => 'etl_audit')").head()
+        s.sql(
+          s"SELECT o_orderpriority, count(*) AS n, " +
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) " +
+            s"AS price_sum FROM graft_lake.`$dir` " +
+            "GROUP BY o_orderpriority")
+          .withColumn("staged_invisible", lit(stagedInvisible))
+          .withColumn("published_version", lit(pub.getLong(2)))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice
+        |    + CASE WHEN o_orderpriority = '1-URGENT'
+        |        AND o_orderkey % 10 = 3 THEN 7 ELSE 0 END
+        |    + CASE WHEN o_orderpriority = '5-LOW'
+        |        AND o_orderkey % 10 = 3 THEN 100 ELSE 0 END
+        |    AS DECIMAL(28,6))) AS DOUBLE) AS price_sum,
+        |  true AS staged_invisible,
+        |  CAST(3 AS BIGINT) AS published_version
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin),
+      "lake op: write-audit-publish branch (CALL system.branch/publish_branch — staged SQL DML invisible to main, audited on the branch, fast-forward publish merges concurrent disjoint main commits)")
   )
 }

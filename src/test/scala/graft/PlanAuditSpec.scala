@@ -744,4 +744,41 @@ class MultimodalSpec extends AnyFunSuite {
       assert(row.getString(3) === f.fingerprint)
     }
   }
+
+  test("q166/q168 plan claims: string-bounds file skipping AND directory pruning both hold on a DIRTY (live-delta) lake served by the native MOR read") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.io.{LakeScanCheck, PartitionedLake}
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-planq168").toString + "/lake"
+    val rows = (0 until 4000).map { i =>
+      (i.toLong, s"p${i % 4}", f"s${i % 40}%03d", i * 1.0)
+    }
+    PartitionedLake.write(rows.toDF("k", "part", "s", "bal")
+      .repartitionByRange(16, col("part"), col("s"))
+      .sortWithinPartitions("part", "s"),
+      path, "part", statsCols = Seq("s"))
+    // dirty p0 with a small delta log — the shape q168 pins: reads must
+    // NOT lose pruning just because sidecars are live
+    PartitionedLake.cdcSinkMergeOnRead(spark, path, "part", "k", "bal",
+      Seq((0L, "p0", 1L, "U", 9.9)).toDF("k", "part", "seq", "op", "val"))
+    val df = spark.read.format("graft-lake-v2").option("path", path).load()
+      .filter(col("part") === "p0" && col("s") >= "s010" &&
+        col("s") <= "s012")
+    val got = df.select("k", "bal").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = rows.filter(r => r._2 == "p0" && r._3 >= "s010" &&
+      r._3 <= "s012")
+      .map(r => r._1 -> (if (r._1 == 0L) 9.9 else r._4)).toMap
+    assert(got === want, "merged MOR read must stay correct under pruning")
+    // directory claim: only p0's files (and its sidecar) are opened
+    assert(df.inputFiles.nonEmpty &&
+      df.inputFiles.forall(_.contains("part=p0")), df.inputFiles.toSeq)
+    // file-level claim: string footer bounds drop files INSIDE the
+    // dirty directory (post-skip strictly below pre-skip)
+    val skips = LakeScanCheck.nativeStatsSkipping(df)
+    assert(skips.nonEmpty && skips.forall { case (post, pre) => post < pre },
+      s"string bounds must skip files in a dirty directory: $skips")
+    assert(skips.forall(_._1 > 0))
+  }
 }

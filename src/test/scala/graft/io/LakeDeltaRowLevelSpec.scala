@@ -233,6 +233,60 @@ class LakeDeltaRowLevelSpec extends AnyFunSuite {
     }
   }
 
+  test("key reassignment onto an OCCUPIED identity refuses (no silent collapse); onto a fresh key succeeds — parity with copy-on-write wherever both succeed") {
+    val lake = freshLake("collide")
+    seed(lake) // part=a holds k=1 and k=2
+    useCatalog()
+    withMor() {
+      // UPDATE k=1 -> k=2 inside part=a: in CoW both rows survive as a
+      // multiset; MOR cannot represent two rows per identity, so the
+      // commit must refuse rather than upsert over the untouched k=2
+      val e = intercept[Exception] {
+        spark.sql(s"UPDATE graft_lake.`$lake` SET k = 2 WHERE k = 1")
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("UPSERT over existing rows")),
+        s"unexpected: ${e.getMessage}")
+      // nothing published; the table is intact
+      assert(PartitionedLake.snapshots(spark, lake) === Seq(1L))
+      assert(rowsOf(lake) === Set(("a", 1L, 1.0), ("a", 2L, 2.0),
+        ("b", 3L, 3.0), ("c", 4L, 4.0)))
+      // the same move onto a FRESH key commits fine (delete half
+      // consumes k=1, post-image lands on unoccupied k=9)
+      spark.sql(s"UPDATE graft_lake.`$lake` SET k = 9 WHERE k = 1")
+      assert(rowsOf(lake) === Set(("a", 9L, 1.0), ("a", 2L, 2.0),
+        ("b", 3L, 3.0), ("c", 4L, 4.0)))
+    }
+  }
+
+  test("commit folds ONLY files reported by committed attempts: a zombie attempt's leftover duplicate ops file in the staging dir is ignored") {
+    val lake = freshLake("zombie")
+    seed(lake)
+    val pinned = PartitionedLake.manifestAt(spark, lake, None).get
+    val opsDir = new org.apache.hadoop.fs.Path(lake, "_staging/ops-z")
+    // the committed attempt's file: a split update of (a, 2) — the
+    // delete half plus the post-image, exactly what the engine emits
+    Seq((2L, "a", Some(99.0), "U"), (2L, "a", None, "D"))
+      .toDF("k", "part", "bal", "__graft_op")
+      .coalesce(1).write.parquet(opsDir.toString)
+    val committed = new java.io.File(opsDir.toString).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSeq
+    assert(committed.size === 1)
+    // a speculative/retried attempt's leftover: a DIFFERENT post-image
+    // for the same identity — folded together they would trip the
+    // one-row-per-identity refusal on this perfectly valid statement
+    Seq((2L, "a", Some(-1.0), "U")).toDF("k", "part", "bal", "__graft_op")
+      .coalesce(1).write.mode("append").parquet(opsDir.toString)
+    PartitionedLake.commitRowLevelDeltas(spark, lake, pinned,
+      Seq("part"), "k", opsDir, committed)
+    // only the committed attempt's value landed, and the staging dir
+    // (zombie file included) is gone
+    assert(rowsOf(lake) === Set(("a", 1L, 1.0), ("a", 2L, 99.0),
+      ("b", 3L, 3.0), ("c", 4L, 4.0)))
+    assert(!new java.io.File(opsDir.toString).exists())
+  }
+
   test("zero-match statements publish nothing (no version churn)") {
     val lake = freshLake("nomatch")
     seed(lake)
@@ -247,16 +301,20 @@ class LakeDeltaRowLevelSpec extends AnyFunSuite {
     val lake = freshLake("race")
     seed(lake)
     val pinned = PartitionedLake.manifestAt(spark, lake, None).get
-    // ops staged as a delta write would: one 'U' post-image for (a, 2)
+    // ops staged as a delta write would: a split update of (a, 2) —
+    // tombstone half + post-image half
     val opsDir = new org.apache.hadoop.fs.Path(lake, "_staging/ops-race")
-    Seq((2L, "a", 99.0, "U")).toDF("k", "part", "bal", "__graft_op")
+    Seq((2L, "a", Some(99.0), "U"), (2L, "a", None, "D"))
+      .toDF("k", "part", "bal", "__graft_op")
       .coalesce(1).write.parquet(opsDir.toString)
     // a cdc batch lands on the same partition AFTER the pin
     PartitionedLake.cdcSinkMergeOnRead(spark, lake, "part", "k", "bal",
       Seq(("a", 1L, 1L, "U", 42.0)).toDF("part", "k", "seq", "op", "val"))
+    val opsFiles = new java.io.File(opsDir.toString).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSeq
     val e = intercept[Exception] {
       PartitionedLake.commitRowLevelDeltas(spark, lake, pinned,
-        Seq("part"), "k", opsDir)
+        Seq("part"), "k", opsDir, opsFiles)
     }
     assert(e.getMessage.toLowerCase.contains("conflict") ||
       e.getMessage.toLowerCase.contains("chang"),

@@ -114,4 +114,60 @@ class LakeStringStatsSpec extends AnyFunSuite {
       s"string bounds must drop files inside kept directories: $skips")
     assert(skips.forall(_._1 > 0))
   }
+
+  test("sticky stats sweep: every write path keeps string bounds alive — SQL INSERT, append(Nil), upsert(Nil), cdcSink, CoW UPDATE, MOR DML + compact, plain compact — and skipping still proves non-matches afterward") {
+    val lake = freshLake("sticky")
+    import org.apache.spark.sql.sources.GreaterThan
+    // every live entry must carry string bounds for 's', and those
+    // bounds must PRUNE: s > 'zzz' is provably unmatchable everywhere
+    def assertArmed(step: String): Unit = {
+      val m = manifest(lake)
+      val entries = m.files.values.flatten.toSeq
+      assert(entries.nonEmpty, s"[$step] no live files")
+      entries.foreach { e =>
+        assert(e.strStats.contains("s"),
+          s"[$step] entry ${e.name} lost the string bounds for 's' — " +
+            "a write path degraded file skipping")
+        assert(!LakeFilters.mayMatchStats(GreaterThan("s", "zzz"),
+          e.stats, e.strStats),
+          s"[$step] bounds for ${e.name} no longer prove non-matches")
+      }
+    }
+    // the ONE explicit harvest; every later path must inherit it
+    PartitionedLake.write(Seq((1L, "a", "s01", 1.0), (2L, "b", "s02", 2.0))
+      .toDF("k", "part", "s", "bal"), lake, "part", statsCols = Seq("s"))
+    assertArmed("write")
+    spark.conf.set("spark.sql.catalog.graft_lake",
+      classOf[LakeCatalog].getName)
+    spark.sql(s"INSERT INTO graft_lake.`$lake` VALUES " +
+      "(3, 'a', 's03', 3.0)")
+    assertArmed("sql-insert")
+    PartitionedLake.append(Seq((4L, "b", "s04", 4.0))
+      .toDF("k", "part", "s", "bal"), lake, Seq("part")) // statsCols = Nil
+    assertArmed("append-nil")
+    PartitionedLake.upsert(spark, lake, "part", "k",
+      Seq((1L, "a", "s11", 11.0)).toDF("k", "part", "s", "bal"))
+    assertArmed("upsert-nil")
+    PartitionedLake.cdcSink(spark, lake, "part", "k", "bal",
+      Seq(("a", 3L, 1L, "U", 33.0)).toDF("part", "k", "seq", "op", "val"))
+    assertArmed("cdc-fold")
+    spark.sql(s"UPDATE graft_lake.`$lake` SET bal = bal + 1 WHERE k = 2")
+    assertArmed("cow-update")
+    // MOR DML stages sidecars (not skippable data files); the compact
+    // that materializes them must re-harvest the bounds
+    spark.conf.set(LakeDeltaRowLevel.ModeKey, LakeDeltaRowLevel.MergeOnRead)
+    spark.conf.set(LakeDeltaRowLevel.KeyKey, "k")
+    try spark.sql(s"UPDATE graft_lake.`$lake` SET bal = bal + 1 WHERE k = 4")
+    finally {
+      spark.conf.unset(LakeDeltaRowLevel.ModeKey)
+      spark.conf.unset(LakeDeltaRowLevel.KeyKey)
+    }
+    PartitionedLake.compact(spark, lake) // statsCols = Nil: inherited
+    assertArmed("mor-compact")
+    // and values survived the whole gauntlet
+    assert(PartitionedLake.read(spark, lake).select("k", "s", "bal")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSet === Set((1L, "s11", 11.0), (2L, "s02", 3.0),
+      (3L, "s03", 33.0), (4L, "s04", 5.0)))
+  }
 }

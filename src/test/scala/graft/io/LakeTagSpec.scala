@@ -58,6 +58,12 @@ class LakeTagSpec extends AnyFunSuite {
     assert(intercept[Exception](
       PartitionedLake.tag(spark, lake, "bad name!", 1L))
       .getMessage.contains("tag name"))
+    // all-digit names refuse: every resolution path tries numeric
+    // version first, so tag '2026' would be shadowed by snapshot
+    // numbering and VERSION AS OF '2026' would read the wrong data
+    assert(intercept[Exception](
+      PartitionedLake.tag(spark, lake, "2026", 1L))
+      .getMessage.contains("all digits"))
     // drop, then the name is free; dropping the unknown refuses
     PartitionedLake.dropTag(spark, lake, "baseline")
     assert(PartitionedLake.tags(spark, lake).isEmpty)
