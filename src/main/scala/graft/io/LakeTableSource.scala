@@ -1261,6 +1261,31 @@ private[io] class GraftLakeTagsTable(path: String)
   }
 }
 
+/** Branch listing metadata table:
+  * `SELECT * FROM lake.`/data/events#branches`` — one row per staged
+  * write-audit-publish branch (`branch`, `base_version`,
+  * `head_version`, `staged_commits`), the SQL face of
+  * [[PartitionedLake.branches]]. Driver-computed from the
+  * `_branches/` listing; bounded by the branch count.
+  */
+private[io] class GraftLakeBranchesTable(path: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"$path#branches"
+  override val schema: StructType = PartitionedLake.branchesSchema
+  override def capabilities(): util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = () => new V1Scan {
+    override def readSchema(): StructType = PartitionedLake.branchesSchema
+    override def toV1TableScan[T <: BaseRelation with TableScan](
+        context: SQLContext): T =
+      new LakeV1ScanRelation(context, PartitionedLake.branchesSchema,
+        PartitionedLake.branchesFrame(context.sparkSession, path))
+        .asInstanceOf[T]
+    override def description(): String = s"GraftLakeBranches($path)"
+  }
+}
+
 /** Snapshot inventory metadata tables:
   * `lake.`/data/events#files`` (one row per live data file / delta
   * sidecar: partition, name, kind, bytes, rows, stats coverage) and
@@ -1502,6 +1527,10 @@ class LakeCatalog extends TableCatalog
       val base = path.stripSuffix("#tags")
       if (!exists(base)) throw new NoSuchTableException(ident)
       new GraftLakeTagsTable(base)
+    } else if (path.endsWith("#branches")) {
+      val base = path.stripSuffix("#branches")
+      if (!exists(base)) throw new NoSuchTableException(ident)
+      new GraftLakeBranchesTable(base)
     } else if (path.endsWith("#files")) {
       val base = path.stripSuffix("#files")
       if (!exists(base)) throw new NoSuchTableException(ident)
@@ -1534,6 +1563,10 @@ class LakeCatalog extends TableCatalog
       "VERSION AS OF / TIMESTAMP AS OF on a #tags table is not " +
         "supported: the tag listing is current-state metadata — query " +
         "it unversioned")
+    if (path.endsWith("#branches")) sys.error(
+      "VERSION AS OF / TIMESTAMP AS OF on a #branches table is not " +
+        "supported: the branch listing is current-state metadata — " +
+        "query it unversioned")
   }
 
   /** The few most recent versions, for error messages — rendering the
@@ -1620,6 +1653,7 @@ class LakeCatalog extends TableCatalog
     val base =
       if (path.endsWith("#history")) path.stripSuffix("#history")
       else if (path.endsWith("#tags")) path.stripSuffix("#tags")
+      else if (path.endsWith("#branches")) path.stripSuffix("#branches")
       else if (path.endsWith("#files")) path.stripSuffix("#files")
       else if (path.endsWith("#partitions")) path.stripSuffix("#partitions")
       else if (path.contains("#changes")) path.take(path.indexOf("#changes"))

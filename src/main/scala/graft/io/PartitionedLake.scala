@@ -310,8 +310,10 @@ object PartitionedLake {
     * invisible to main readers — the snapshot protocol's core
     * property), so [[publishBranch]] is ONE manifest rename, never a
     * data copy. Main-line maintenance ([[vacuum]], [[tag]],
-    * [[rollback]]) refuses under an ambient branch — their version
-    * vocabularies must not silently mix.
+    * [[rollback]], tag resolution) refuses under an ambient branch —
+    * their version vocabularies must not silently mix. The conf is
+    * read PER OPERATION (streams: per micro-batch) — set it for the
+    * session or scope it around a block; do not flip it mid-stream.
     */
   val BranchKey = "spark.graft.lake.branch"
 
@@ -3143,6 +3145,33 @@ object PartitionedLake {
       tagsSchema)
   }
 
+  /** The `#branches` metadata table's row shape — one row per staged
+    * write-audit-publish branch: its base (the main-line version it
+    * forked from), its head (the branch's own latest version), and the
+    * staged commit count between them.
+    */
+  private[io] val branchesSchema: StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("branch", StringType, nullable = false),
+      StructField("base_version", LongType, nullable = false),
+      StructField("head_version", LongType, nullable = false),
+      StructField("staged_commits", LongType, nullable = false)))
+  }
+
+  private[io] def branchesFrame(spark: SparkSession,
+      path: String): DataFrame = {
+    val fs = fsFor(spark, path)
+    val rows = branches(spark, path).map { case (b, base) =>
+      val head = listVersions(fs, path, Some(b)).max
+      Row(b, base, head, head - base)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      branchesSchema)
+  }
+
   /** Restore a retained snapshot as the NEW head — the audited undo
     * (Iceberg's `rollback_to_snapshot` semantics): a new version is
     * published whose content (files, deltas, schema, layout, column
@@ -3405,9 +3434,16 @@ object PartitionedLake {
       partitionsSchema)
   }
 
-  /** Resolve a tag to its pinned version, if it exists. */
+  /** Resolve a tag to its pinned version, if it exists. Refuses under
+    * an ambient branch: a tag pins a MAIN-line version number, and
+    * resolving it against a branch namespace whose own numbering
+    * happens to contain that version would silently read different
+    * data — the one ambient-branch shape that could fail wrong rather
+    * than loud.
+    */
   def tagVersion(spark: SparkSession, path: String,
       name: String): Option[Long] = {
+    requireMainLine(s"tag resolution ('$name')")
     val fs = fsFor(spark, path)
     val f = new Path(tagsDir(path), s"$name.txt")
     if (fs.exists(f)) readSmallTextFile(fs, f).trim.toLongOption else None

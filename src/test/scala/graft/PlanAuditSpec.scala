@@ -771,14 +771,21 @@ class MultimodalSpec extends AnyFunSuite {
       r._3 <= "s012")
       .map(r => r._1 -> (if (r._1 == 0L) 9.9 else r._4)).toMap
     assert(got === want, "merged MOR read must stay correct under pruning")
-    // directory claim: only p0's files (and its sidecar) are opened
-    assert(df.inputFiles.nonEmpty &&
-      df.inputFiles.forall(_.contains("part=p0")), df.inputFiles.toSeq)
     // file-level claim: string footer bounds drop files INSIDE the
     // dirty directory (post-skip strictly below pre-skip)
     val skips = LakeScanCheck.nativeStatsSkipping(df)
     assert(skips.nonEmpty && skips.forall { case (post, pre) => post < pre },
       s"string bounds must skip files in a dirty directory: $skips")
     assert(skips.forall(_._1 > 0))
+    // directory claim: the scan's kept-directory PRE-skip file count is
+    // strictly below the lake's live data-file total — the part=p0
+    // partition filter pruned the other (clean) directories even though
+    // the lake carries live deltas
+    val totalFiles = PartitionedLake.read(spark, path).inputFiles
+      .count(!_.contains("delta-"))
+    val keptPre = skips.map(_._2).sum
+    assert(keptPre < totalFiles,
+      s"directory claims must prune on a dirty lake: kept $keptPre of " +
+        s"$totalFiles files")
   }
 }

@@ -134,6 +134,12 @@ class LakeBranchSpec extends AnyFunSuite {
       assert(intercept[Exception](
         PartitionedLake.rollback(spark, lake, 1L))
         .getMessage.contains("MAIN line"))
+      // tag RESOLUTION refuses too: a tag pins a main-line version
+      // number, and the branch's own numbering may contain it — the one
+      // shape that could read wrong data silently instead of loudly
+      assert(intercept[Exception](
+        PartitionedLake.tagVersion(spark, lake, "whatever"))
+        .getMessage.contains("MAIN line"))
     }
     PartitionedLake.dropBranch(spark, lake, "b1")
   }
@@ -198,11 +204,22 @@ class LakeBranchSpec extends AnyFunSuite {
         "name => 'audit')").head()
     assert(row.getLong(1) === 1L && row.getLong(2) === 2L)
     assert(rowsOf(lake).contains(("c", 4L, 0.0)))
-    // drop_branch on a fresh branch works from SQL too
+    // the #branches metadata table lists staged branches; drop_branch
+    // retires them from SQL too
     spark.sql(s"CALL graft_lake.system.branch(table => '$lake', " +
       "name => 'tmp')")
+    onBranch("tmp") {
+      spark.sql(s"UPDATE graft_lake.`$lake` SET bal = 1 WHERE k = 1")
+    }
+    val listed = spark.sql(s"SELECT * FROM graft_lake.`$lake#branches`")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(listed === Seq(("tmp", 2L, 3L, 1L)),
+      s"expected one staged branch row, got $listed")
     spark.sql(s"CALL graft_lake.system.drop_branch(table => '$lake', " +
       "name => 'tmp')")
     assert(PartitionedLake.branches(spark, lake) === Nil)
+    assert(spark.sql(s"SELECT * FROM graft_lake.`$lake#branches`")
+      .count() === 0L)
   }
 }

@@ -40,6 +40,13 @@ class ReadmeQuickstartSpec extends AnyFunSuite {
       s"SELECT * FROM lake.`$dir#partitions`",
       s"SELECT * FROM lake.`$dir#files` VERSION AS OF 'v1-release'",
       s"CALL lake.system.rollback(table => '$dir', tag => 'v1-release')",
+      s"CALL lake.system.branch(table => '$dir', name => 'audit')",
+      "SET spark.graft.lake.branch = audit",
+      s"UPDATE lake.`$dir` SET amount = 0 WHERE k = 5",
+      s"SELECT count(*) FROM lake.`$dir` WHERE amount < 0",
+      "RESET spark.graft.lake.branch",
+      s"SELECT * FROM lake.`$dir#branches`",
+      s"CALL lake.system.publish_branch(table => '$dir', name => 'audit')",
       s"SELECT * FROM lake.`$dir#history`",
       s"SELECT * FROM lake.`$dir#changes?from=2&to=3&keyCols=day,k`",
       s"DROP TABLE lake.`$dir`")
