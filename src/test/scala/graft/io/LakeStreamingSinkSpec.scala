@@ -200,6 +200,33 @@ class LakeStreamingSinkSpec extends AnyFunSuite {
     assert(PartitionedLake.snapshots(spark, dst).size >= 3)
   }
 
+  test("streaming WAP: a stream started under an ambient branch stages its epochs on the branch (main blind until publish)") {
+    val dir = freshDir("swap"); val lake = s"$dir/lake"
+    seed(lake)
+    PartitionedLake.createBranch(spark, lake, "ingest")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Double)]
+    spark.conf.set(PartitionedLake.BranchKey, "ingest")
+    try {
+      val q = mem.toDF().toDF("k", "part", "bal")
+        .writeStream.format("graft-lake-v2")
+        .option("path", lake).option("keyCol", "k")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .start()
+      try {
+        mem.addData((9L, "a", 9.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      // the branch sees the streamed row...
+      assert(rowsOf(lake).contains(("a", 9L, 9.0)))
+    } finally spark.conf.unset(PartitionedLake.BranchKey)
+    // ...main does not, until publish
+    assert(!rowsOf(lake).contains(("a", 9L, 9.0)))
+    PartitionedLake.publishBranch(spark, lake, "ingest")
+    assert(rowsOf(lake).contains(("a", 9L, 9.0)))
+  }
+
   test("refusals: a stream missing a partition column, and a keyCol that is not a stream column") {
     val dir = freshDir("refuse"); val lake = s"$dir/lake"
     seed(lake)
