@@ -75,6 +75,31 @@ class RobustnessSpec extends AnyFunSuite {
       dir.resolve("none.json").toString) === Map("qb" -> 2.5))
   }
 
+  test("bench cross-invocation sweep records: commit+sf gated, failed excluded, minimum wins") {
+    val body = """{"total":10.0,"n_queries":3,"failed":["qc"],""" +
+      """"sentinel":{"start":0.2,"end":0.25,"waitedSec":0},""" +
+      """"contended":false,"sweeps":1,"neverIdle":false,""" +
+      """"sweepsMerged":1,"commit":"abc123",""" +
+      """"queries":{"qa":1.200,"qb":0.300,"qc":60.000},"sf":"X"}"""
+    val names = Set("qa", "qb", "qc")
+    // matching commit + sf: timings load, the sweep's OWN failed list is
+    // excluded (a penalty timing is not intrinsic-cost evidence)
+    assert(Bench.parseSweepFile(body, "abc123", "X", names) ===
+      Some(Map("qa" -> 1.2, "qb" -> 0.3)))
+    // a record from another commit can NEVER fold — the code it
+    // measured is gone; same for a scale mismatch
+    assert(Bench.parseSweepFile(body, "def456", "X", names).isEmpty)
+    assert(Bench.parseSweepFile(body, "abc123", "Y", names).isEmpty)
+    // non-query numerics (total, sentinel fields) never leak in
+    assert(!Bench.parseSweepFile(body, "abc123", "X", names).get
+      .keySet.exists(Set("total", "start", "end", "waitedSec")))
+    // gitHead resolves THIS repo's HEAD to a 40-hex sha (the stamp that
+    // scopes cross-invocation merging to one code state)
+    val sha = Bench.gitHead()
+    assert(sha.matches("[0-9a-f]{40}"), sha)
+    assert(Bench.gitHead("/nonexistent") === "unknown")
+  }
+
   test("bench sampling policy: synthetic contention is escaped, idle runs untouched") {
     def seq(xs: Double*): () => Option[Double] = {
       val it = xs.iterator
