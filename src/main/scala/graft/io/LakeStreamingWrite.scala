@@ -85,31 +85,42 @@ private[io] class LakeStreamingWrite(path: String,
     val spark = SparkSession.active
     val fs = stagingRoot.getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    try {
-      val files = messages.collect {
-        case m: LakeStreamTaskResult => m.files
-      }.flatten.toSeq
-      // an empty epoch publishes nothing (no version churn) — the
-      // replay guard does not need to see it either: replaying an
-      // empty epoch re-publishes nothing
-      if (files.isEmpty) return
-      val df = spark.read.schema(writeSchema).parquet(
-        files.map(f => new Path(epochDir(epochId), f).toString): _*)
-      if (complete)
-        PartitionedLake.write(df, path, partitionCols, statsCols,
+    val files = messages.collect {
+      case m: LakeStreamTaskResult => m.files
+    }.flatten.toSeq
+    // an empty epoch publishes nothing (no version churn) — the
+    // replay guard does not need to see it either: replaying an
+    // empty epoch re-publishes nothing
+    if (files.isEmpty) { cleanEpoch(fs, epochId); return }
+    val df = spark.read.schema(writeSchema).parquet(
+      files.map(f => new Path(epochDir(epochId), f).toString): _*)
+    if (complete)
+      PartitionedLake.write(df, path, partitionCols, statsCols,
+        batchId = Some(epochId), writerId = writerId)
+    else keyCol match {
+      case Some(k) =>
+        PartitionedLake.upsert(spark, path, partitionCols, k, df,
+          statsCols, batchId = Some(epochId), writerId = writerId)
+      case None =>
+        PartitionedLake.append(df, path, partitionCols, statsCols,
           batchId = Some(epochId), writerId = writerId)
-      else keyCol match {
-        case Some(k) =>
-          PartitionedLake.upsert(spark, path, partitionCols, k, df,
-            statsCols, batchId = Some(epochId), writerId = writerId)
-        case None =>
-          PartitionedLake.append(df, path, partitionCols, statsCols,
-            batchId = Some(epochId), writerId = writerId)
-      }
-    } finally {
-      fs.delete(epochDir(epochId), true)
-      sweepRootIfEmpty(fs)
     }
+    // staging is deleted only AFTER a successful lake commit (and in
+    // abort()): a commit that THROWS — a governor/validation refusal,
+    // or commitStaged exhausting rebase attempts under a writer storm
+    // — must not discard completed task output, or the restarted query
+    // has to recompute the whole epoch from the source (and a
+    // non-replayable source loses the epoch outright). The failed
+    // epoch's staged files stay for the engine's retry of the same
+    // epoch; if the query is torn down instead, vacuum reclaims them
+    // (the staging root lives under _staging/, its standard sweep).
+    cleanEpoch(fs, epochId)
+  }
+
+  private def cleanEpoch(fs: org.apache.hadoop.fs.FileSystem,
+      epochId: Long): Unit = {
+    fs.delete(epochDir(epochId), true)
+    sweepRootIfEmpty(fs)
   }
 
   override def abort(epochId: Long,

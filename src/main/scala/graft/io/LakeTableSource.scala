@@ -463,7 +463,8 @@ private[io] object LakeFilters {
   * or read through the bucketed-table path (io/Bucketing) where the
   * engine's own DPP applies.
   */
-private[io] class GraftLakeTable(path: String, version: Option[Long])
+private[io] class GraftLakeTable(path: String, version: Option[Long],
+    branchPin: Option[String] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -504,6 +505,7 @@ private[io] class GraftLakeTable(path: String, version: Option[Long])
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    requireUnpinned(s"SQL-${info.command}")
     if (version.isDefined) sys.error(
       s"cannot ${info.command} $path VERSION AS OF ${version.get}: " +
         "snapshots are immutable — run the statement against the " +
@@ -535,8 +537,30 @@ private[io] class GraftLakeTable(path: String, version: Option[Long])
   }
 
   // resolved ONCE at table construction: the DSv2 relation pins this
-  // snapshot exactly like the API read pins its manifest
-  private[io] val manifest = PartitionedLake.manifestAt(spark, path, version)
+  // snapshot exactly like the API read pins its manifest. A per-read
+  // branch pin (.option("branch", ...) / `#branch=<name>`) resolves
+  // here too — validated, reconciled with the ambient conf (agreement
+  // or unset required), then used exactly like the ambient branch: one
+  // query can therefore read a branch AND main together (the
+  // publish-gate audit's `branch EXCEPT main` shape) with no
+  // session-conf flips around lazily-constructed frames.
+  branchPin.foreach(PartitionedLake.requireRefName("branch", _))
+  private[io] val branch: Option[String] =
+    PartitionedLake.resolveReadBranch(branchPin)
+  private[io] val manifest =
+    PartitionedLake.manifestAt(spark, path, version, branch)
+
+  /** Write surfaces refuse on a branch-PINNED table: every lake write
+    * path routes through the ambient conf, so honoring a pinned write
+    * would either silently write to main (pin ignored) or silently
+    * diverge from the session's other writes (pin preferred) — both
+    * foot-guns. Branch DML stages through the ambient conf, the same
+    * way it always has; the pin is a READ surface.
+    */
+  private def requireUnpinned(what: String): Unit = branchPin.foreach(b =>
+    sys.error(s"cannot $what $path via the per-read branch pin '$b': " +
+      s"the pin is a read surface — stage branch writes through the " +
+      s"ambient conf (SET ${PartitionedLake.BranchKey}=$b) instead"))
 
   /** SQL `DELETE FROM lake WHERE <partition predicate>`: every filter
     * must reference ONLY partition columns and compile through the
@@ -552,7 +576,7 @@ private[io] class GraftLakeTable(path: String, version: Option[Long])
     * [[PartitionedLake.cdcSink]]/[[PartitionedLake.cdcSinkMergeOnRead]].
     */
   override def canDeleteWhere(filters: Array[Filter]): Boolean = {
-    version.isEmpty && manifest.exists { m =>
+    version.isEmpty && branchPin.isEmpty && manifest.exists { m =>
       val partCols = PartitionedLake.layoutOf(m).getOrElse(Nil)
       partCols.nonEmpty && filters.forall(f =>
         f.references.forall(partCols.contains) &&
@@ -564,6 +588,7 @@ private[io] class GraftLakeTable(path: String, version: Option[Long])
     schema.fields.find(_.name == c).map(_.dataType)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
+    requireUnpinned("DELETE from")
     if (version.isDefined) sys.error(
       s"cannot DELETE from $path VERSION AS OF ${version.get}: snapshots " +
         "are immutable — DELETE from the unversioned table instead")
@@ -608,6 +633,7 @@ private[io] class GraftLakeTable(path: String, version: Option[Long])
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
+    requireUnpinned("write to")
     if (version.isDefined) sys.error(
       s"cannot write to $path VERSION AS OF ${version.get}: snapshots " +
         "are immutable — INSERT into the unversioned table instead")
@@ -632,7 +658,9 @@ private[io] class GraftLakeTable(path: String, version: Option[Long])
     .getOrElse(Array.empty)
 
   override def name(): String =
-    s"graft-lake $path" + version.map(v => s" VERSION AS OF $v").getOrElse("")
+    s"graft-lake $path" +
+      branchPin.map(b => s"#branch=$b").getOrElse("") +
+      version.map(v => s" VERSION AS OF $v").getOrElse("")
 
   // OVERWRITE_BY_FILTER is back (round 15 dropped it as dishonest;
   // commitStaged's replace-scoped-dirs shape now makes it real): the
@@ -1150,13 +1178,28 @@ class LakeTableProvider extends TableProvider with DataSourceRegister {
       path: String): Option[Long] =
     Option(options.get("versionAsOf")).map { v =>
       v.toLongOption
-        .orElse(PartitionedLake.tagVersion(SparkSession.active, path, v))
+        .orElse {
+          // tags are MAIN-LINE refs; under a branch pin only numeric
+          // versions (of the branch's own line) address snapshots
+          if (branchOf(options).isDefined) sys.error(
+            s"versionAsOf '$v' with a branch pin must be a numeric " +
+              "version of the branch's own line — tags are main-line " +
+              "refs")
+          PartitionedLake.tagVersion(SparkSession.active, path, v)
+        }
         .getOrElse(sys.error(
           s"versionAsOf '$v' is neither a numeric snapshot version nor " +
             s"a tag on $path (tags: ${PartitionedLake
               .tags(SparkSession.active, path).map(_._1)
               .mkString(", ")})"))
     }
+
+  // per-read branch pin — `.option("branch", "etl_audit")` resolves
+  // the read against the branch's manifest namespace at table
+  // construction, like versionAsOf (see [[GraftLakeTable]]'s notes)
+  private def branchOf(
+      options: CaseInsensitiveStringMap): Option[String] =
+    Option(options.get("branch")).map(_.trim).filter(_.nonEmpty)
 
   // one load() calls inferSchema + inferPartitioning + getTable on the
   // SAME freshly-instantiated provider — memoize the resolved table so
@@ -1165,26 +1208,30 @@ class LakeTableProvider extends TableProvider with DataSourceRegister {
   // instantiated per lookup, so the memo never outlives one load and
   // cannot pin a stale snapshot across queries (spec-pinned: a commit
   // between two load()s is visible to the second).
-  private var memo: Option[(String, Option[Long], GraftLakeTable)] = None
-  private def tableFor(path: String,
-      version: Option[Long]): GraftLakeTable = synchronized {
+  private var memo
+      : Option[(String, Option[Long], Option[String], GraftLakeTable)] = None
+  private def tableFor(path: String, version: Option[Long],
+      branch: Option[String]): GraftLakeTable = synchronized {
     memo match {
-      case Some((p, v, t)) if p == path && v == version => t
+      case Some((p, v, b, t)) if p == path && v == version && b == branch =>
+        t
       case _ =>
-        val t = new GraftLakeTable(path, version)
-        memo = Some((path, version, t))
+        val t = new GraftLakeTable(path, version, branch)
+        memo = Some((path, version, branch, t))
         t
     }
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    { val p = pathOf(options); tableFor(p, versionOf(options, p)).schema }
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val p = pathOf(options)
+    tableFor(p, versionOf(options, p), branchOf(options)).schema
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
     val p0 = pathOf(options)
-    val table = tableFor(p0, versionOf(options, p0))
+    val table = tableFor(p0, versionOf(options, p0), branchOf(options))
     // a user-declared schema (.schema(...) / CREATE TABLE columns) is
     // accepted only when it MATCHES the manifest's (names + types,
     // nullability ignored — the manifest stores everything nullable):
@@ -1509,10 +1556,26 @@ class LakeCatalog extends TableCatalog
       keyCols, perCommit)
   }
 
+  /** Parse `<base>#branch=<name>` — the SQL spelling of the per-read
+    * branch pin (`SELECT * FROM lake.`/path#branch=etl_audit``),
+    * riding the identifier exactly like the metadata-table suffixes
+    * because `#` cannot appear in a path. Returns (base, branch).
+    */
+  private def branchSuffix(path: String): Option[(String, String)] = {
+    val marker = "#branch="
+    val idx = path.indexOf(marker)
+    if (idx < 0) None
+    else Some((path.take(idx), path.drop(idx + marker.length)))
+  }
+
   override def loadTable(ident: Identifier): Table = {
     val path = pathOf(ident)
     if (path.contains("#changes")) {
       changesTable(ident, path)
+    } else if (branchSuffix(path).isDefined) {
+      val (base, name) = branchSuffix(path).get
+      if (!exists(base)) throw new NoSuchTableException(ident)
+      new GraftLakeTable(base, None, Some(name))
     } else if (path.endsWith("#history")) {
       val base = path.stripSuffix("#history")
       // the history listing doubles as the existence probe (one
@@ -1597,6 +1660,16 @@ class LakeCatalog extends TableCatalog
 
   override def loadTable(ident: Identifier, version: String): Table = {
     val path = pathOf(ident)
+    // a branch pin time-travels within the branch's OWN version line,
+    // numeric only (tags are main-line refs)
+    branchSuffix(path).foreach { case (base, name) =>
+      if (!exists(base)) throw new NoSuchTableException(ident)
+      val v = version.toLongOption.getOrElse(sys.error(
+        s"VERSION AS OF '$version' on a #branch= table must be a " +
+          "numeric version of the branch's own line — tags are " +
+          "main-line refs"))
+      return new GraftLakeTable(base, Some(v), Some(name))
+    }
     // #files / #partitions describe a SNAPSHOT — they time-travel
     // (numeric or tag); the other metadata tables refuse
     if (path.endsWith("#files")) {
@@ -1626,6 +1699,10 @@ class LakeCatalog extends TableCatalog
     */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     val path = pathOf(ident)
+    branchSuffix(path).foreach { case (_, name) => sys.error(
+      s"TIMESTAMP AS OF on a #branch= table is not supported: branch " +
+        s"'$name' is a moving staged line — pin it by numeric VERSION " +
+        "AS OF instead") }
     def versionAtOrRefuse(base: String): Long =
       PartitionedLake.versionAt(SparkSession.active, base,
         Math.floorDiv(timestampMicros, 1000L)).getOrElse(sys.error(
@@ -1657,7 +1734,7 @@ class LakeCatalog extends TableCatalog
       else if (path.endsWith("#files")) path.stripSuffix("#files")
       else if (path.endsWith("#partitions")) path.stripSuffix("#partitions")
       else if (path.contains("#changes")) path.take(path.indexOf("#changes"))
-      else path
+      else branchSuffix(path).map(_._1).getOrElse(path)
     exists(base)
   }
 

@@ -319,9 +319,83 @@ object PartitionedLake {
 
   private val BranchesDirName = "_branches"
 
+  /** Branch AGING governance — the MOR-governor pattern applied to the
+    * ref-immortality edge: a LIVE branch pins its whole version chain
+    * (and every data file it references) against [[vacuum]] forever,
+    * and "drop branches when you're done" is a contract with no
+    * mechanism. With `maxAgeMs` > 0, every branch-namespace WRITE
+    * checks the branch's age (measured from the bootstrap manifest's
+    * store mtime — no extra metadata, pre-governor branches age
+    * correctly) and either WARNS (default — work continues, cost
+    * surfaced in the log and in `#branches`) or REFUSES with
+    * directions. Reads never refuse: an aged branch stays auditable;
+    * it is the continued STAGING onto it that the governor challenges.
+    * `maxAgeMs <= 0` (default) disables the governor.
+    */
+  val BranchMaxAgeKey = "spark.graft.lake.branch.maxAgeMs"
+  val BranchOnExceedKey = "spark.graft.lake.branch.onExceed"
+
+  private lazy val logger =
+    org.slf4j.LoggerFactory.getLogger("graft.io.PartitionedLake")
+
+  /** A branch's creation time: the bootstrap manifest copy's store
+    * mtime (the namespace minimum version's file). None for a branch
+    * namespace with no versions (mid-create, or racing a drop).
+    */
+  private[io] def branchCreatedAt(fs: FileSystem, path: String,
+      branch: String): Option[Long] =
+    listVersionsWithMtimes(fs, path, Some(branch))
+      .minByOption(_._1).map(_._2)
+
+  /** `refuseOnly` runs the check for its REFUSAL only (no warn log):
+    * the staging writers pass it at [[stage]] — before any file moves,
+    * so a refusal leaves nothing to unlink — and the full check at the
+    * [[tryPublishManifest]] chokepoint then warns at most once per
+    * commit (and backstops the metadata-only commits, which stage
+    * nothing).
+    */
+  private def governBranchAge(fs: FileSystem, path: String,
+      branch: String, refuseOnly: Boolean = false): Unit = {
+    val sc = org.apache.spark.sql.internal.SQLConf.get
+    val max = sc.getConfString(BranchMaxAgeKey, "0").toLong
+    if (max <= 0L) return
+    val mode = sc.getConfString(BranchOnExceedKey, "warn")
+    if (mode != "warn" && mode != "refuse") sys.error(
+      s"$BranchOnExceedKey must be 'warn' or 'refuse', got '$mode'")
+    if (refuseOnly && mode != "refuse") return
+    // no created-at = the bootstrap publish itself — nothing to age
+    val created = branchCreatedAt(fs, path, branch).getOrElse(return)
+    val age = System.currentTimeMillis() - created
+    if (age <= max) return
+    val msg = s"branch '$branch' on $path is ${age / 1000}s old " +
+      s"(> $BranchMaxAgeKey=${max}ms): a live branch pins its whole " +
+      "version chain against vacuum — publish or drop it " +
+      "(`#branches` lists each branch's age and pinned bytes)"
+    if (mode == "warn") { if (!refuseOnly) logger.warn(msg) }
+    else sys.error(msg +
+      s"; or set $BranchOnExceedKey=warn to keep staging")
+  }
+
   private def activeBranch(): Option[String] =
     Option(org.apache.spark.sql.internal.SQLConf.get
       .getConfString(BranchKey, "")).map(_.trim).filter(_.nonEmpty)
+
+  /** Reconcile a per-read `branch` pin (the DSv2 option / `#branch=`
+    * SQL suffix) with the ambient conf: the explicit pin wins when the
+    * conf is unset or agrees; a DIFFERENT ambient branch refuses —
+    * silently preferring either would make the same query read
+    * different data depending on session state, the exact foot-gun the
+    * per-read pin exists to remove.
+    */
+  private[io] def resolveReadBranch(
+      explicit: Option[String]): Option[String] = explicit match {
+    case None => activeBranch()
+    case Some(b) =>
+      activeBranch().filter(_ != b).foreach(a => sys.error(
+        s"per-read branch '$b' conflicts with the ambient " +
+          s"$BranchKey='$a' — unset the conf or make them agree"))
+      Some(b)
+  }
 
   private def branchManifestDir(path: String, branch: Option[String]): Path =
     branch match {
@@ -381,6 +455,12 @@ object PartitionedLake {
       s"branch '${branch.get}' does not exist on $path — create it " +
         s"with PartitionedLake.createBranch (SQL: CALL system.branch) " +
         s"or unset $BranchKey")
+    // a published stub (crashed cleanup) must not serve its stale
+    // staged state as if the branch were live
+    branch.filter(b => fs.exists(publishedReceipt(path, b))).foreach(b =>
+      sys.error(s"branch '$b' on $path was already published (its " +
+        "namespace is a crashed-cleanup stub) — re-run publishBranch " +
+        "to complete the cleanup, or createBranch to start fresh"))
     vs.maxOption.map(readManifest(fs, path, _, branch = branch))
   }
 
@@ -710,6 +790,9 @@ object PartitionedLake {
     */
   private[io] def tryPublishManifest(fs: FileSystem, path: String,
       m: Manifest, branch: Option[String] = activeBranch()): Boolean = {
+    // every branch-namespace write passes the age governor (the
+    // bootstrap publish is exempt by construction — no created-at yet)
+    branch.foreach(governBranchAge(fs, path, _))
     val dir = branchManifestDir(path, branch)
     fs.mkdirs(dir)
     val nShards = shardCountFor(fs, allDirs(m).size)
@@ -1008,6 +1091,9 @@ object PartitionedLake {
       df: DataFrame, partitionCols: Seq[String],
       statsCols: Seq[String]): (Path, Map[String, Seq[FileEntry]]) = {
     requireSupportedPartitionType(df, partitionCols)
+    // the age governor's REFUSAL fires here, before a byte is staged
+    // (nothing to unlink); its warning fires once, at publish
+    activeBranch().foreach(governBranchAge(fs, path, _, refuseOnly = true))
     val staging = new Path(new Path(path, StagingDirName),
       UUID.randomUUID().toString.take(8))
     df.write.mode("overwrite").partitionBy(partitionCols: _*)
@@ -2393,13 +2479,23 @@ object PartitionedLake {
     * surface ([[GraftLakeTable]]) resolves snapshots through.
     */
   private[io] def manifestAt(spark: SparkSession, path: String,
-      version: Option[Long]): Option[Manifest] = {
+      version: Option[Long]): Option[Manifest] =
+    manifestAt(spark, path, version, activeBranch())
+
+  /** The explicit-branch overload: resolve within `branch`'s manifest
+    * namespace instead of the ambient conf's — the seam the per-read
+    * `branch` option / `#branch=<name>` SQL suffix pin through at TABLE
+    * construction (like `versionAsOf`), so one query can see a branch
+    * and main together with no session-conf flips around lazy frames.
+    */
+  private[io] def manifestAt(spark: SparkSession, path: String,
+      version: Option[Long], branch: Option[String]): Option[Manifest] = {
     val fs = fsFor(spark, path)
     version match {
-      case None => latestManifest(fs, path)
+      case None => latestManifest(fs, path, branch)
       case Some(v) =>
-        requireResolvable(fs, spark, path, v)
-        val m = readManifest(fs, path, v)
+        requireResolvable(fs, spark, path, v, branch)
+        val m = readManifest(fs, path, v, branch = branch)
         // a resolvable manifest can still reference partition
         // DIRECTORIES physically retired (vacuum racing the read, or
         // external cleanup) — every explicit-version resolve checks
@@ -2442,11 +2538,14 @@ object PartitionedLake {
     * one wording, one contract.
     */
   private def requireResolvable(fs: FileSystem, spark: SparkSession,
-      path: String, v: Long): Unit =
-    require(fs.exists(new Path(manifestDir(path), f"v$v%09d.txt")),
-      s"snapshot v$v is not resolvable on $path (never published, " +
-        s"or reclaimed by vacuum); available: " +
-        snapshots(spark, path).mkString(", "))
+      path: String, v: Long,
+      branch: Option[String] = activeBranch()): Unit =
+    require(fs.exists(new Path(branchManifestDir(path, branch),
+        f"v$v%09d.txt")),
+      s"snapshot v$v is not resolvable on $path" +
+        branch.map(b => s" (branch '$b')").getOrElse("") +
+        " (never published, or reclaimed by vacuum); available: " +
+        listVersions(fs, path, branch).sorted.mkString(", "))
 
   /** COUNT(*) of one resolved snapshot from metadata alone — the
     * [[rowCount]] contract applied to an explicit manifest (so time
@@ -2899,12 +2998,31 @@ object PartitionedLake {
     // may still pin any branch version — sweeping them would corrupt
     // the branch silently. Branch manifests are tiny; the data-file
     // union is what matters.
-    val branchHeads = branches(spark, path).flatMap { case (b, _) =>
-      listVersions(fs, path, Some(b)).sorted
+    val branchChains = branches(spark, path).map { case (b, _) =>
+      b -> listVersions(fs, path, Some(b)).sorted
         .map(readManifest(fs, path, _, leafCache, branch = Some(b)))
     }
-    val retained = retainedVersions.map(readManifest(fs, path, _,
-      leafCache)) ++ branchHeads
+    val retainedMain = retainedVersions.map(readManifest(fs, path, _,
+      leafCache))
+    // PIN ACCOUNTING: each live branch is a storage pin with no expiry
+    // — report, per branch, what its chain holds against this sweep
+    // (the aging governor's observability half: a forgotten branch
+    // surfaces in every vacuum log instead of silently growing the
+    // bill). Measured against the main HEAD — the post-sweep steady
+    // state a dropped branch would converge to.
+    if (branchChains.nonEmpty) {
+      val mainFiles = mainFileIdentities(retainedMain.lastOption)
+      branchChains.foreach { case (b, chain) =>
+        val pinnedFiles = chain.flatMap(m => m.files.toSeq.flatMap {
+          case (d, es) => es.map(e => (d, e.name)) }).toSet -- mainFiles
+        val bytes = pinnedBytesOf(chain, mainFiles)
+          .map(v => s"$v bytes").getOrElse("bytes unknown")
+        logger.warn(s"vacuum($path): live branch '$b' pins " +
+          s"${pinnedFiles.size} data file(s) / $bytes beyond the main " +
+          "head — publish or drop it to reclaim")
+      }
+    }
+    val retained = retainedMain ++ branchChains.flatMap(_._2)
     // "now" comes from the STORE's clock, not the driver's: the grace
     // check compares against getModificationTime, and driver/store clock
     // skew would erode the window in the dangerous direction (young
@@ -3032,7 +3150,7 @@ object PartitionedLake {
     * shadowed by snapshot numbering, and a branch named like a number
     * invites the same confusion in error messages and tooling.
     */
-  private def requireRefName(what: String, name: String): Unit = {
+  private[io] def requireRefName(what: String, name: String): Unit = {
     require(TagNameRe.matches(name),
       s"$what name '$name' must match ${TagNameRe.regex} (it becomes " +
         "a metadata filename and a SQL literal)")
@@ -3147,8 +3265,15 @@ object PartitionedLake {
 
   /** The `#branches` metadata table's row shape — one row per staged
     * write-audit-publish branch: its base (the main-line version it
-    * forked from), its head (the branch's own latest version), and the
-    * staged commit count between them.
+    * forked from), its head (the branch's own latest version), the
+    * staged commit count between them, and the AGING/COST columns that
+    * make the immortality edge visible (`created_at`/`age_ms` from the
+    * bootstrap manifest's store mtime; `pinned_bytes` = bytes of data
+    * files the branch's version chain references that the CURRENT main
+    * head does not — what the branch alone is holding against
+    * [[vacuum]]. Null when any such file predates byte harvesting;
+    * merge-on-read delta sidecars are name-only in manifests and are
+    * not counted).
     */
   private[io] val branchesSchema: StructType = {
     import org.apache.spark.sql.types._
@@ -3156,15 +3281,52 @@ object PartitionedLake {
       StructField("branch", StringType, nullable = false),
       StructField("base_version", LongType, nullable = false),
       StructField("head_version", LongType, nullable = false),
-      StructField("staged_commits", LongType, nullable = false)))
+      StructField("staged_commits", LongType, nullable = false),
+      StructField("created_at", TimestampType, nullable = false),
+      StructField("age_ms", LongType, nullable = false),
+      StructField("pinned_bytes", LongType, nullable = true)))
   }
+
+  /** Bytes of data files `chain` references beyond `mainFiles` (the
+    * current main head's (dir, file) identity set) — the branch's
+    * storage pin. None when any pinned entry predates byte harvesting
+    * (degrade, never underestimate).
+    */
+  private def pinnedBytesOf(chain: Seq[Manifest],
+      mainFiles: Set[(String, String)]): Option[Long] = {
+    val pinned = chain.flatMap(m => m.files.toSeq.flatMap {
+      case (d, es) => es.map(e => ((d, e.name), e.bytes))
+    }).toMap.filterNot { case (k, _) => mainFiles(k) }
+    if (pinned.values.exists(_.isEmpty)) None
+    else Some(pinned.values.flatten.sum)
+  }
+
+  private def mainFileIdentities(m: Option[Manifest]): Set[(String, String)] =
+    m.map(h => h.files.toSeq.flatMap { case (d, es) =>
+      es.map(e => (d, e.name)) }.toSet).getOrElse(Set.empty)
 
   private[io] def branchesFrame(spark: SparkSession,
       path: String): DataFrame = {
     val fs = fsFor(spark, path)
-    val rows = branches(spark, path).map { case (b, base) =>
-      val head = listVersions(fs, path, Some(b)).max
-      Row(b, base, head, head - base)
+    val leafCache =
+      scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
+    val mainFiles =
+      mainFileIdentities(latestManifest(fs, path, None))
+    val now = System.currentTimeMillis()
+    // a concurrent dropBranch/publishBranch between the branches()
+    // listing and this re-listing can empty a branch's version chain —
+    // drop such branches at render time instead of crashing the
+    // metadata read on an empty .max
+    val rows = branches(spark, path).flatMap { case (b, base) =>
+      val withMtimes = listVersionsWithMtimes(fs, path, Some(b))
+      withMtimes.map(_._1).maxOption.map { head =>
+        val created = withMtimes.minBy(_._1)._2
+        val chain = withMtimes.map(_._1).sorted
+          .map(readManifest(fs, path, _, leafCache, Some(b)))
+        Row(b, base, head, head - base,
+          new java.sql.Timestamp(created), math.max(0L, now - created),
+          pinnedBytesOf(chain, mainFiles).map(Long.box).orNull)
+      }
     }
     spark.createDataFrame(
       new java.util.ArrayList[Row](
@@ -3232,6 +3394,10 @@ object PartitionedLake {
       fromVersion: Option[Long] = None): Long = {
     requireRefName("branch", name)
     val fs = fsFor(spark, path)
+    // a published stub under this name is finished business (see
+    // [[publishedReceipt]]) — reclaim it and create fresh
+    if (fs.exists(publishedReceipt(path, name)))
+      fs.delete(new Path(new Path(path, BranchesDirName), name), true)
     if (listVersions(fs, path, Some(name)).nonEmpty) sys.error(
       s"branch '$name' already exists on $path — dropBranch first or " +
         "pick another name")
@@ -3256,15 +3422,32 @@ object PartitionedLake {
     base
   }
 
+  /** The publish RECEIPT: written into the branch namespace after the
+    * main-line publish commits and BEFORE the namespace is deleted, so
+    * a crash between the two leaves a self-describing stub (receipt +
+    * stale manifests) instead of a branch that looks live but whose
+    * dirs now overlap main's. [[publishBranch]] treats a stub as
+    * already-published (completes the cleanup, returns the recorded
+    * version); [[createBranch]] reclaims it; [[branches]] never lists
+    * it (its chain is on main — listing it would also make [[vacuum]]
+    * pin the pre-publish intermediate files forever).
+    */
+  private def publishedReceipt(path: String, name: String): Path =
+    new Path(new Path(new Path(path, BranchesDirName), name),
+      "published.txt")
+
   /** All branches, `(name, base version)`, name-sorted. The base is
     * the branch namespace's minimum version (the bootstrap copy).
+    * Published stubs (crashed cleanup — see [[publishedReceipt]]) and
+    * dotted working directories (mid-rebase scratch) are not branches.
     */
   def branches(spark: SparkSession, path: String): Seq[(String, Long)] = {
     val fs = fsFor(spark, path)
     val dir = new Path(path, BranchesDirName)
     if (!fs.exists(dir)) Nil
     else fs.listStatus(dir).toSeq.filter(_.isDirectory)
-      .map(_.getPath.getName).sorted
+      .map(_.getPath.getName).filterNot(_.startsWith(".")).sorted
+      .filterNot(b => fs.exists(publishedReceipt(path, b)))
       .flatMap(b => listVersions(fs, path, Some(b)).minOption.map(b -> _))
   }
 
@@ -3287,6 +3470,18 @@ object PartitionedLake {
       drop: Boolean = true): Long = {
     requireRefName("branch", name)
     val fs = fsFor(spark, path)
+    // a published STUB (crash between the receipt write and the
+    // namespace delete): the publish already committed to main —
+    // complete the cleanup and return the recorded version, a no-op
+    // re-publish instead of a confusing overlap refusal
+    val receipt = publishedReceipt(path, name)
+    if (fs.exists(receipt)) {
+      val v = readSmallTextFile(fs, receipt).trim.toLongOption.getOrElse(
+        sys.error(s"branch '$name' on $path carries an unreadable " +
+          s"publish receipt ($receipt) — inspect and dropBranch"))
+      fs.delete(new Path(new Path(path, BranchesDirName), name), true)
+      return v
+    }
     val bvs = listVersions(fs, path, Some(name))
     if (bvs.isEmpty) sys.error(s"no branch '$name' on $path (branches: " +
       s"${branches(spark, path).map(_._1).mkString(", ")})")
@@ -3296,10 +3491,48 @@ object PartitionedLake {
     val bh = readManifest(fs, path, bvs.max, leafCache, Some(name))
     val branchTouched = changedDirs(Some(baseM), bh)
     def norm(s: StructType) = s.fields.toSeq.map(f => (f.name, f.dataType))
+    // COLUMN-ID REBINDS (rename/drop) are invisible to the norm-by-
+    // (name,type) schema comparison below: a rename is a manifest-only
+    // commit (dirSigs unchanged), so a one-sided rename classifies as
+    // ordinary schema evolution — but the merged manifest would carry
+    // the renamed schema over the OTHER side's file entries, which lack
+    // physical-name pins for the rebound column and physically hold the
+    // old name (silent nulls — exactly what renameColumn's pinning
+    // exists to prevent). Detect rebinds per side against the base
+    // (same id, different name — drops tombstone the name, so they
+    // surface here too); one rebound side is repaired by re-stamping
+    // the base-time physical name onto the un-rebound side's entries
+    // (the un-rebound side's name for that id IS the base name); both
+    // sides rebound refuses.
+    // an id-less base (no rename/drop ever published) still compares:
+    // the first rebind on either side started from the same
+    // deterministic assignment renameColumn/dropColumn would make
+    val baseIdName: Map[Int, String] =
+      baseM.columnIds.getOrElse(assignColumnIds(None, baseM.schema))
+        .map(_.swap)
+    def reboundIds(side: Manifest): Map[Int, String] = {
+      val sideIdName = side.columnIds.getOrElse(Map.empty).map(_.swap)
+      baseIdName.filter { case (id, n) => sideIdName.get(id).exists(_ != n) }
+    }
+    def stampPins(files: Map[String, Seq[FileEntry]],
+        pins: Map[Int, String]): Map[String, Seq[FileEntry]] =
+      if (pins.isEmpty) files
+      else files.view.mapValues(_.map(e =>
+        // an entry's OWN pins win: they record the true write-time
+        // physical name (e.g. a pre-base rename the base already pinned)
+        e.copy(physNames = pins ++ e.physNames))).toMap
+    val branchRebound = reboundIds(bh)
     var attempts = 0
     while (true) {
       val mh = latestManifest(fs, path, None).getOrElse(sys.error(
         s"manifest for $path vanished during publish"))
+      val mainRebound = reboundIds(mh)
+      if (branchRebound.nonEmpty && mainRebound.nonEmpty) sys.error(
+        s"cannot publish branch '$name' onto $path: column ids were " +
+          s"re-bound (rename/drop) on BOTH the branch and the main line " +
+          s"since the branch base v${bvs.min} — one side's column " +
+          "evolution at a time (publish before renaming, or re-stage " +
+          "the branch from the current head)")
       val mainTouched = changedDirs(Some(baseM), mh)
       val overlap = branchTouched intersect mainTouched
       if (overlap.nonEmpty) sys.error(
@@ -3318,10 +3551,23 @@ object PartitionedLake {
       require(layoutOf(bh) == layoutOf(mh),
         s"cannot publish branch '$name' onto $path: partition layout " +
           "diverged between the branch and the main line")
-      val mergedFiles = (mh.files -- branchTouched) ++
-        bh.files.view.filterKeys(branchTouched).toMap
+      val mergedFiles = stampPins(mh.files -- branchTouched, branchRebound) ++
+        stampPins(bh.files.view.filterKeys(branchTouched).toMap, mainRebound)
       val mergedDeltas = (mh.deltas -- branchTouched) ++
         bh.deltas.view.filterKeys(branchTouched).toMap
+      // delta sidecars are name-only in the manifest (no pin support —
+      // renameColumn refuses while ITS OWN side's deltas are live, but
+      // cannot see the other line's): a rebind on one side with live
+      // deltas contributed by the other would read the other side's
+      // sidecars under the renamed schema as silent nulls
+      if (branchRebound.nonEmpty && (mh.deltas -- branchTouched).nonEmpty ||
+          mainRebound.nonEmpty &&
+            bh.deltas.view.filterKeys(branchTouched).nonEmpty) sys.error(
+        s"cannot publish branch '$name' onto $path: one side re-bound " +
+          s"column ids (rename/drop) since the branch base v${bvs.min} " +
+          "while the other side carries live merge-on-read deltas — " +
+          "delta sidecars cannot be physical-name-pinned; compact the " +
+          "delta side first, then publish")
       val mor = (mh.mor, bh.mor) match {
         case (Some(a), Some(b)) if a != b => sys.error(
           s"cannot publish branch '$name' onto $path: merge-on-read " +
@@ -3334,8 +3580,14 @@ object PartitionedLake {
         mergedDeltas, mor, layout = mh.layout.orElse(bh.layout),
         columnIds = colIds)
       if (tryPublishManifest(fs, path, merged, None)) {
-        if (drop) fs.delete(
-          new Path(new Path(path, BranchesDirName), name), true)
+        if (drop) {
+          // receipt BEFORE delete: a crash in between leaves a
+          // self-describing stub a re-publish completes as a no-op
+          val out = fs.create(receipt, true)
+          try out.write(merged.version.toString.getBytes("UTF-8"))
+          finally out.close()
+          fs.delete(new Path(new Path(path, BranchesDirName), name), true)
+        }
         return merged.version
       }
       attempts += 1

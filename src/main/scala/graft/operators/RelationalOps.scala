@@ -2561,30 +2561,35 @@ object RelationalOps {
           classOf[graft.io.LakeCatalog].getName)
         s.sql(s"CALL graft_lake.system.branch(table => '$dir', " +
           "name => 'etl_audit')")
+        // branch DML stages through the ambient conf (writes are
+        // session-routed); the conf is scoped to exactly this statement
         s.conf.set(graft.io.PartitionedLake.BranchKey, "etl_audit")
-        val (auditClean, stagedInvisible) = try {
-          s.sql(s"UPDATE graft_lake.`$dir` SET o_totalprice = " +
-            "o_totalprice + 7 WHERE o_orderpriority = '1-URGENT' " +
-            "AND o_orderkey % 10 = 3")
-          // the audit gate, on the BRANCH read: no negative/null price
-          // may ship
-          val bad = s.sql(s"SELECT count(*) FROM graft_lake.`$dir` " +
-            "WHERE o_totalprice IS NULL OR o_totalprice < 0")
-            .head().getLong(0)
-          (bad == 0L, {
-            s.conf.unset(graft.io.PartitionedLake.BranchKey)
-            // while staged: main's head never moved
-            val v = graft.io.PartitionedLake.snapshots(s, dir)
-            s.conf.set(graft.io.PartitionedLake.BranchKey, "etl_audit")
-            v == Seq(1L)
-          })
-        } finally s.conf.unset(graft.io.PartitionedLake.BranchKey)
+        try s.sql(s"UPDATE graft_lake.`$dir` SET o_totalprice = " +
+          "o_totalprice + 7 WHERE o_orderpriority = '1-URGENT' " +
+          "AND o_orderkey % 10 = 3")
+        finally s.conf.unset(graft.io.PartitionedLake.BranchKey)
+        // the AUDIT and the main-blindness probe read through the
+        // per-read `#branch=` pin — branch and main in the SAME query,
+        // no session-conf flips around lazy frames: no negative/null
+        // price may ship, and the staged rows must differ from main
+        // (visible on the branch) while main's head never moved
+        val audit = s.sql(
+          s"SELECT sum(CASE WHEN b.o_totalprice IS NULL OR " +
+            "b.o_totalprice < 0 THEN 1 ELSE 0 END) AS bad, " +
+            "count(*) AS staged_delta FROM (SELECT * FROM " +
+            s"graft_lake.`$dir#branch=etl_audit` EXCEPT " +
+            s"SELECT * FROM graft_lake.`$dir`) b").head()
+        val auditClean = audit.getLong(0) == 0L
+        val stagedInvisible = audit.getLong(1) > 0L &&
+          graft.io.PartitionedLake.snapshots(s, dir) == Seq(1L)
+        // the gate fires BEFORE any post-audit mutation: a failed
+        // audit must leave the lake exactly as staged, not half-mutated
+        require(auditClean, "q176 audit failed: refusing to publish")
         // a CONCURRENT main-line writer lands in a DISJOINT partition
         // while the branch is still staged — publish must merge it
         s.sql(s"UPDATE graft_lake.`$dir` SET o_totalprice = " +
           "o_totalprice + 100 WHERE o_orderpriority = '5-LOW' " +
           "AND o_orderkey % 10 = 3")
-        require(auditClean, "q176 audit failed: refusing to publish")
         val pub = s.sql(s"CALL graft_lake.system.publish_branch(" +
           s"table => '$dir', name => 'etl_audit')").head()
         s.sql(

@@ -183,6 +183,247 @@ class LakeBranchSpec extends AnyFunSuite {
       ("b", 3L, 3.0), ("b", 5L, 5.0), ("c", 4L, 4.0)))
   }
 
+  test("per-read branch pin: .option(branch)/SQL #branch= read a branch and main in ONE query, compose with the ambient conf, and refuse writes") {
+    val lake = freshLake("pin")
+    seed(lake)
+    useCatalog()
+    PartitionedLake.createBranch(spark, lake, "etl_audit")
+    onBranch("etl_audit") {
+      spark.sql(s"UPDATE graft_lake.`$lake` SET bal = 100 WHERE k = 1")
+    }
+    // DataFrame option: the pinned read sees the staged state with NO
+    // ambient conf set
+    val viaOption = spark.read.format("graft-lake-v2")
+      .option("path", lake).option("branch", "etl_audit").load()
+    assert(viaOption.filter(col("k") === 1).head().getAs[Double]("bal")
+      === 100.0)
+    // ONE query across branch AND main — the publish-gate audit shape
+    // (`branch EXCEPT main`), impossible with ambient-only routing
+    val diff = spark.sql(
+      s"SELECT * FROM graft_lake.`$lake#branch=etl_audit` EXCEPT " +
+        s"SELECT * FROM graft_lake.`$lake`").collect()
+    assert(diff.map(r => (r.getAs[Long]("k"), r.getAs[Double]("bal")))
+      .toSet === Set((1L, 100.0)))
+    // numeric VERSION AS OF addresses the branch's OWN line; the
+    // branch base (v1) still reads the pre-staged value
+    assert(spark.sql(
+      s"SELECT bal FROM graft_lake.`$lake#branch=etl_audit` " +
+        "VERSION AS OF 1 WHERE k = 1").head().getDouble(0) === 1.0)
+    // composition with the ambient conf: agreement reads fine, a
+    // DIFFERENT ambient branch refuses (silently preferring either
+    // would make the same query session-dependent)
+    onBranch("etl_audit") {
+      assert(spark.read.format("graft-lake-v2").option("path", lake)
+        .option("branch", "etl_audit").load()
+        .filter(col("k") === 1).head().getAs[Double]("bal") === 100.0)
+    }
+    PartitionedLake.createBranch(spark, lake, "other")
+    onBranch("other") {
+      val e = intercept[Exception](spark.read.format("graft-lake-v2")
+        .option("path", lake).option("branch", "etl_audit").load())
+      assert(e.getMessage.contains("conflicts with the ambient"),
+        e.getMessage)
+    }
+    PartitionedLake.dropBranch(spark, lake, "other")
+    // the pin is a READ surface: writes refuse with directions to the
+    // ambient conf (every write path is session-routed)
+    val eu = intercept[Exception](spark.sql(
+      s"UPDATE graft_lake.`$lake#branch=etl_audit` SET bal = 0"))
+    assert(eu.getMessage.contains("read surface"), eu.getMessage)
+    val ei = intercept[Exception](spark.sql(
+      s"INSERT INTO graft_lake.`$lake#branch=etl_audit` " +
+        "VALUES (9, 'a', 9.0)"))
+    assert(ei.getMessage.contains("read surface"), ei.getMessage)
+    // unknown branch pin refuses loudly; TIMESTAMP AS OF refuses with
+    // the version-pin direction; tag-shaped versionAsOf refuses
+    assert(intercept[Exception](spark.read.format("graft-lake-v2")
+      .option("path", lake).option("branch", "ghost").load())
+      .getMessage.contains("does not exist"))
+    assert(intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_lake.`$lake#branch=etl_audit` " +
+        "TIMESTAMP AS OF '2026-01-01'").collect())
+      .getMessage.contains("moving staged line"))
+    assert(intercept[Exception](spark.read.format("graft-lake-v2")
+      .option("path", lake).option("branch", "etl_audit")
+      .option("versionAsOf", "sometag").load())
+      .getMessage.contains("main-line refs"))
+    PartitionedLake.dropBranch(spark, lake, "etl_audit")
+  }
+
+  test("branch aging + pin accounting: #branches shows created_at/age_ms/pinned_bytes; the maxAgeMs governor refuses or allows further staging; reads never refuse") {
+    val lake = freshLake("age")
+    seed(lake)
+    useCatalog()
+    PartitionedLake.createBranch(spark, lake, "old")
+    onBranch("old") {
+      PartitionedLake.upsert(spark, lake, "part", "k",
+        Seq((1L, "a", 50.0)).toDF("k", "part", "bal"))
+    }
+    // the cost columns: a branch that rewrote part=a pins that file
+    // (and only that file) beyond the main head
+    val row = spark.sql(s"SELECT * FROM graft_lake.`$lake#branches`")
+      .head()
+    assert(row.getAs[String]("branch") === "old")
+    assert(row.getAs[java.sql.Timestamp]("created_at") != null)
+    assert(row.getAs[Long]("age_ms") >= 0L)
+    val pinned = row.getAs[java.lang.Long]("pinned_bytes")
+    assert(pinned != null && pinned > 0L,
+      s"the branch's rewrite of part=a must register as pinned bytes, " +
+        s"got $pinned")
+    // refuse mode on an over-age branch: further STAGING refuses with
+    // directions; reads stay open (an aged branch remains auditable)
+    spark.conf.set(PartitionedLake.BranchMaxAgeKey, "1")
+    spark.conf.set(PartitionedLake.BranchOnExceedKey, "refuse")
+    try {
+      Thread.sleep(10)
+      val e = intercept[Exception](onBranch("old") {
+        PartitionedLake.upsert(spark, lake, "part", "k",
+          Seq((2L, "a", 9.0)).toDF("k", "part", "bal"))
+      })
+      assert(e.getMessage.contains("pins its whole version chain"),
+        e.getMessage)
+      onBranch("old") {
+        assert(PartitionedLake.read(spark, lake).count() === 4L)
+      }
+      // warn mode: staging continues (the cost is logged, not blocked)
+      spark.conf.set(PartitionedLake.BranchOnExceedKey, "warn")
+      onBranch("old") {
+        PartitionedLake.upsert(spark, lake, "part", "k",
+          Seq((2L, "a", 9.0)).toDF("k", "part", "bal"))
+      }
+      // a YOUNG branch under the same refuse conf stages untroubled
+      spark.conf.set(PartitionedLake.BranchMaxAgeKey, "3600000")
+      spark.conf.set(PartitionedLake.BranchOnExceedKey, "refuse")
+      PartitionedLake.createBranch(spark, lake, "fresh")
+      onBranch("fresh") {
+        PartitionedLake.upsert(spark, lake, "part", "k",
+          Seq((3L, "b", 1.0)).toDF("k", "part", "bal"))
+      }
+      // misconfiguration refuses loudly, never silently-warn
+      spark.conf.set(PartitionedLake.BranchOnExceedKey, "explode")
+      val bad = intercept[Exception](onBranch("fresh") {
+        PartitionedLake.upsert(spark, lake, "part", "k",
+          Seq((4L, "b", 2.0)).toDF("k", "part", "bal"))
+      })
+      assert(bad.getMessage.contains("must be 'warn' or 'refuse'"),
+        bad.getMessage)
+    } finally {
+      spark.conf.unset(PartitionedLake.BranchMaxAgeKey)
+      spark.conf.unset(PartitionedLake.BranchOnExceedKey)
+    }
+    PartitionedLake.dropBranch(spark, lake, "old")
+    PartitionedLake.dropBranch(spark, lake, "fresh")
+    // vacuum on a branch-less lake logs no pin reports and reclaims
+    // the dropped branches' files (covered in the vacuum test above)
+    assert(PartitionedLake.branches(spark, lake) === Nil)
+  }
+
+  test("publish under a concurrent column rename: one-sided rebinds re-stamp physical-name pins (no silent nulls); both-sided rebinds refuse") {
+    // ACT 1 — MAIN renames while the branch is staged: the published
+    // manifest carries main's renamed schema over the BRANCH's file
+    // entries, which were written under the old name. Without pin
+    // re-stamping those read as silent nulls (the exact corruption
+    // renameColumn's pinning exists to prevent).
+    val lake = freshLake("renmain")
+    seed(lake)
+    PartitionedLake.createBranch(spark, lake, "wip")
+    onBranch("wip") {
+      PartitionedLake.upsert(spark, lake, "part", "k",
+        Seq((1L, "a", 50.0)).toDF("k", "part", "bal"))
+    }
+    PartitionedLake.renameColumn(spark, lake, "bal", "balance")
+    PartitionedLake.publishBranch(spark, lake, "wip")
+    val got = PartitionedLake.read(spark, lake)
+      .select("part", "k", "balance").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toSet
+    assert(got === Set(("a", 1L, Some(50.0)), ("a", 2L, Some(2.0)),
+      ("b", 3L, Some(3.0)), ("c", 4L, Some(4.0))),
+      "branch-written files must resolve under main's renamed schema " +
+        s"via re-stamped pins, got $got")
+
+    // ACT 2 — the BRANCH renames while main appends to a disjoint
+    // partition: publish carries the branch's renamed schema over
+    // MAIN's entries; main's new file predates the rename too.
+    val lake2 = freshLake("renbranch")
+    seed(lake2)
+    PartitionedLake.createBranch(spark, lake2, "wip")
+    onBranch("wip") {
+      PartitionedLake.renameColumn(spark, lake2, "bal", "amt")
+      PartitionedLake.upsert(spark, lake2, "part", "k",
+        Seq((1L, "a", 9.0)).toDF("k", "part", "amt"))
+    }
+    PartitionedLake.upsert(spark, lake2, "part", "k",
+      Seq((5L, "b", 5.0)).toDF("k", "part", "bal")) // main, old name
+    PartitionedLake.publishBranch(spark, lake2, "wip")
+    val got2 = PartitionedLake.read(spark, lake2)
+      .select("part", "k", "amt").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]))).toSet
+    assert(got2 === Set(("a", 1L, Some(9.0)), ("a", 2L, Some(2.0)),
+      ("b", 3L, Some(3.0)), ("b", 5L, Some(5.0)),
+      ("c", 4L, Some(4.0))), s"got $got2")
+
+    // ACT 3 — BOTH sides rebind: no pin re-stamping can reconcile two
+    // different renames of the same id; refuse with directions.
+    val lake3 = freshLake("renboth")
+    seed(lake3)
+    PartitionedLake.createBranch(spark, lake3, "wip")
+    onBranch("wip") {
+      PartitionedLake.renameColumn(spark, lake3, "bal", "amt")
+    }
+    PartitionedLake.renameColumn(spark, lake3, "bal", "balance")
+    val e = intercept[Exception](
+      PartitionedLake.publishBranch(spark, lake3, "wip"))
+    assert(e.getMessage.contains("re-bound"), e.getMessage)
+    PartitionedLake.dropBranch(spark, lake3, "wip")
+  }
+
+  test("publish receipt: a crashed cleanup leaves a self-describing stub — re-publish no-ops + cleans, stub reads refuse, createBranch reclaims, #branches excludes it") {
+    val lake = freshLake("receipt")
+    seed(lake)
+    PartitionedLake.createBranch(spark, lake, "wip")
+    onBranch("wip") {
+      PartitionedLake.upsert(spark, lake, "part", "k",
+        Seq((1L, "a", 50.0)).toDF("k", "part", "bal"))
+    }
+    val v = PartitionedLake.publishBranch(spark, lake, "wip",
+      drop = false)
+    assert(v === 2L)
+    // simulate the crash window: the receipt landed, the namespace
+    // delete did not
+    val fs = new org.apache.hadoop.fs.Path(lake)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def writeReceipt(): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(lake,
+        "_branches/wip/published.txt"), true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    }
+    writeReceipt()
+    // the stub is NOT a live branch (it must not pin vacuum, age, or
+    // list)
+    assert(PartitionedLake.branches(spark, lake) === Nil)
+    // reading the stub's stale staged state refuses with directions
+    val e = intercept[Exception](onBranch("wip") {
+      PartitionedLake.read(spark, lake).count()
+    })
+    assert(e.getMessage.contains("already published"), e.getMessage)
+    // re-publish completes the cleanup as a NO-OP returning the
+    // recorded version — never a second main commit, never an overlap
+    // refusal
+    assert(PartitionedLake.publishBranch(spark, lake, "wip") === 2L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(lake,
+      "_branches/wip")))
+    assert(PartitionedLake.snapshots(spark, lake) === Seq(1L, 2L),
+      "the no-op republish must not advance main")
+    // createBranch over a stub reclaims it and creates fresh
+    fs.mkdirs(new org.apache.hadoop.fs.Path(lake, "_branches/wip"))
+    writeReceipt()
+    assert(PartitionedLake.createBranch(spark, lake, "wip") === 2L)
+    assert(PartitionedLake.branches(spark, lake) === Seq(("wip", 2L)))
+    PartitionedLake.dropBranch(spark, lake, "wip")
+  }
+
   test("SQL surface: CALL system.branch / publish_branch / drop_branch run the whole WAP loop from pure SQL") {
     val lake = freshLake("sql")
     seed(lake)
