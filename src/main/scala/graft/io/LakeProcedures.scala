@@ -32,10 +32,12 @@ private[io] object LakeProcedures {
     case "branch" => Some(new LakeBranchProcedure)
     case "publish_branch" => Some(new LakePublishBranchProcedure)
     case "drop_branch" => Some(new LakeDropBranchProcedure)
+    case "rebase_branch" => Some(new LakeRebaseBranchProcedure)
     case _ => None
   }
   val names: Seq[String] = Seq("branch", "compact", "drop_branch",
-    "drop_tag", "publish_branch", "rollback", "tag", "vacuum")
+    "drop_tag", "publish_branch", "rebase_branch", "rollback", "tag",
+    "vacuum")
 }
 
 private[io] abstract class LakeProcedureBase(procName: String)
@@ -262,6 +264,35 @@ private[io] class LakeDropBranchProcedure
     PartitionedLake.dropBranch(spark, path, str(input, 1))
     val v = versionOf(path)
     summary(path, v, v)
+  }
+}
+
+/** `CALL <cat>.system.rebase_branch(table, name)` —
+  * [[PartitionedLake.rebaseBranch]]: re-base a staged branch onto the
+  * current main head when main's changes since the branch base are
+  * disjoint from the branch's touched directories (overlap refuses
+  * with the publish vocabulary). The summary row reports the old base
+  * as version_before and the new base as version_after.
+  */
+private[io] class LakeRebaseBranchProcedure
+    extends LakeProcedureBase("rebase_branch") {
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("table", StringType)
+      .comment("lake path").build(),
+    ProcedureParameter.in("name", StringType)
+      .comment("branch name to rebase onto the current main head")
+      .build())
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val path = str(input, 0)
+    val name = str(input, 1)
+    val before = PartitionedLake.branches(spark, path)
+      .collectFirst { case (b, base) if b == name => base }
+      .getOrElse(sys.error(s"CALL rebase_branch: no branch '$name' on " +
+        s"$path (branches: ${PartitionedLake.branches(spark, path)
+          .map(_._1).mkString(", ")})"))
+    val after = PartitionedLake.rebaseBranch(spark, path, name)
+    summary(path, before, after)
   }
 }
 

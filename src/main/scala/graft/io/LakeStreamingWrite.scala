@@ -94,28 +94,38 @@ private[io] class LakeStreamingWrite(path: String,
     if (files.isEmpty) { cleanEpoch(fs, epochId); return }
     val df = spark.read.schema(writeSchema).parquet(
       files.map(f => new Path(epochDir(epochId), f).toString): _*)
-    if (complete)
-      PartitionedLake.write(df, path, partitionCols, statsCols,
-        batchId = Some(epochId), writerId = writerId)
-    else keyCol match {
-      case Some(k) =>
-        PartitionedLake.upsert(spark, path, partitionCols, k, df,
-          statsCols, batchId = Some(epochId), writerId = writerId)
-      case None =>
-        PartitionedLake.append(df, path, partitionCols, statsCols,
+    try {
+      if (complete)
+        PartitionedLake.write(df, path, partitionCols, statsCols,
           batchId = Some(epochId), writerId = writerId)
+      else keyCol match {
+        case Some(k) =>
+          PartitionedLake.upsert(spark, path, partitionCols, k, df,
+            statsCols, batchId = Some(epochId), writerId = writerId)
+        case None =>
+          PartitionedLake.append(df, path, partitionCols, statsCols,
+            batchId = Some(epochId), writerId = writerId)
+      }
+    } catch { case t: Throwable =>
+      // a commit that THROWS — a schema-evolution/governor refusal, or
+      // commitStaged exhausting rebase attempts under a writer storm —
+      // must not discard completed task output: the engine follows a
+      // failed commit with abort(), whose job is cleaning PARTIAL
+      // output, so mark the epoch and have abort() skip it. The staged
+      // rows remain on disk for forensics and manual batch-commit
+      // recovery (the whole epoch, one parquet read away — what a
+      // NON-REPLAYABLE source would otherwise lose outright); a
+      // restarted query re-stages under a fresh root and vacuum's
+      // standard _staging sweep reclaims the debris.
+      commitFailedEpochs.add(epochId)
+      throw t
     }
-    // staging is deleted only AFTER a successful lake commit (and in
-    // abort()): a commit that THROWS — a governor/validation refusal,
-    // or commitStaged exhausting rebase attempts under a writer storm
-    // — must not discard completed task output, or the restarted query
-    // has to recompute the whole epoch from the source (and a
-    // non-replayable source loses the epoch outright). The failed
-    // epoch's staged files stay for the engine's retry of the same
-    // epoch; if the query is torn down instead, vacuum reclaims them
-    // (the staging root lives under _staging/, its standard sweep).
+    // staging is deleted only AFTER a successful lake commit
     cleanEpoch(fs, epochId)
   }
+
+  private val commitFailedEpochs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
 
   private def cleanEpoch(fs: org.apache.hadoop.fs.FileSystem,
       epochId: Long): Unit = {
@@ -125,6 +135,9 @@ private[io] class LakeStreamingWrite(path: String,
 
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
+    // a failed COMMIT retains its staged files (see commit()); a task-
+    // level failure before commit has only partial output — clean it
+    if (commitFailedEpochs.contains(epochId)) return
     val fs = stagingRoot.getFileSystem(
       SparkSession.active.sparkContext.hadoopConfiguration)
     fs.delete(epochDir(epochId), true)

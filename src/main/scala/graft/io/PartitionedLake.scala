@@ -3490,95 +3490,12 @@ object PartitionedLake {
     val baseM = readManifest(fs, path, bvs.min, leafCache, Some(name))
     val bh = readManifest(fs, path, bvs.max, leafCache, Some(name))
     val branchTouched = changedDirs(Some(baseM), bh)
-    def norm(s: StructType) = s.fields.toSeq.map(f => (f.name, f.dataType))
-    // COLUMN-ID REBINDS (rename/drop) are invisible to the norm-by-
-    // (name,type) schema comparison below: a rename is a manifest-only
-    // commit (dirSigs unchanged), so a one-sided rename classifies as
-    // ordinary schema evolution — but the merged manifest would carry
-    // the renamed schema over the OTHER side's file entries, which lack
-    // physical-name pins for the rebound column and physically hold the
-    // old name (silent nulls — exactly what renameColumn's pinning
-    // exists to prevent). Detect rebinds per side against the base
-    // (same id, different name — drops tombstone the name, so they
-    // surface here too); one rebound side is repaired by re-stamping
-    // the base-time physical name onto the un-rebound side's entries
-    // (the un-rebound side's name for that id IS the base name); both
-    // sides rebound refuses.
-    // an id-less base (no rename/drop ever published) still compares:
-    // the first rebind on either side started from the same
-    // deterministic assignment renameColumn/dropColumn would make
-    val baseIdName: Map[Int, String] =
-      baseM.columnIds.getOrElse(assignColumnIds(None, baseM.schema))
-        .map(_.swap)
-    def reboundIds(side: Manifest): Map[Int, String] = {
-      val sideIdName = side.columnIds.getOrElse(Map.empty).map(_.swap)
-      baseIdName.filter { case (id, n) => sideIdName.get(id).exists(_ != n) }
-    }
-    def stampPins(files: Map[String, Seq[FileEntry]],
-        pins: Map[Int, String]): Map[String, Seq[FileEntry]] =
-      if (pins.isEmpty) files
-      else files.view.mapValues(_.map(e =>
-        // an entry's OWN pins win: they record the true write-time
-        // physical name (e.g. a pre-base rename the base already pinned)
-        e.copy(physNames = pins ++ e.physNames))).toMap
-    val branchRebound = reboundIds(bh)
     var attempts = 0
     while (true) {
       val mh = latestManifest(fs, path, None).getOrElse(sys.error(
         s"manifest for $path vanished during publish"))
-      val mainRebound = reboundIds(mh)
-      if (branchRebound.nonEmpty && mainRebound.nonEmpty) sys.error(
-        s"cannot publish branch '$name' onto $path: column ids were " +
-          s"re-bound (rename/drop) on BOTH the branch and the main line " +
-          s"since the branch base v${bvs.min} — one side's column " +
-          "evolution at a time (publish before renaming, or re-stage " +
-          "the branch from the current head)")
-      val mainTouched = changedDirs(Some(baseM), mh)
-      val overlap = branchTouched intersect mainTouched
-      if (overlap.nonEmpty) sys.error(
-        s"cannot publish branch '$name' onto $path: partition(s) " +
-          s"${overlap.toSeq.sorted.take(5).mkString(", ")} changed on " +
-          s"BOTH the branch and the main line since the branch base " +
-          s"v${bvs.min} — re-stage from the current head (dropBranch, " +
-          "createBranch, re-apply) or drop the branch")
-      val (schema, colIds) =
-        if (norm(mh.schema) == norm(baseM.schema)) (bh.schema, bh.columnIds)
-        else if (norm(bh.schema) == norm(baseM.schema)) (mh.schema, mh.columnIds)
-        else sys.error(
-          s"cannot publish branch '$name' onto $path: both the branch " +
-            s"and the main line evolved the SCHEMA since the base " +
-            s"v${bvs.min} — one side's evolution at a time")
-      require(layoutOf(bh) == layoutOf(mh),
-        s"cannot publish branch '$name' onto $path: partition layout " +
-          "diverged between the branch and the main line")
-      val mergedFiles = stampPins(mh.files -- branchTouched, branchRebound) ++
-        stampPins(bh.files.view.filterKeys(branchTouched).toMap, mainRebound)
-      val mergedDeltas = (mh.deltas -- branchTouched) ++
-        bh.deltas.view.filterKeys(branchTouched).toMap
-      // delta sidecars are name-only in the manifest (no pin support —
-      // renameColumn refuses while ITS OWN side's deltas are live, but
-      // cannot see the other line's): a rebind on one side with live
-      // deltas contributed by the other would read the other side's
-      // sidecars under the renamed schema as silent nulls
-      if (branchRebound.nonEmpty && (mh.deltas -- branchTouched).nonEmpty ||
-          mainRebound.nonEmpty &&
-            bh.deltas.view.filterKeys(branchTouched).nonEmpty) sys.error(
-        s"cannot publish branch '$name' onto $path: one side re-bound " +
-          s"column ids (rename/drop) since the branch base v${bvs.min} " +
-          "while the other side carries live merge-on-read deltas — " +
-          "delta sidecars cannot be physical-name-pinned; compact the " +
-          "delta side first, then publish")
-      val mor = (mh.mor, bh.mor) match {
-        case (Some(a), Some(b)) if a != b => sys.error(
-          s"cannot publish branch '$name' onto $path: merge-on-read " +
-            s"keys diverged ('$a' vs '$b')")
-        case (a, b) => if (mergedDeltas.nonEmpty) a.orElse(b) else None
-      }
-      val txns = (mh.txns.toSeq ++ bh.txns.toSeq)
-        .groupMapReduce(_._1)(_._2)(math.max)
-      val merged = Manifest(mh.version + 1, schema, mergedFiles, txns,
-        mergedDeltas, mor, layout = mh.layout.orElse(bh.layout),
-        columnIds = colIds)
+      val merged = mergeBranchOntoHead("publish", path, name, baseM, bh,
+        branchTouched, mh)
       if (tryPublishManifest(fs, path, merged, None)) {
         if (drop) {
           // receipt BEFORE delete: a crash in between leaves a
@@ -3596,6 +3513,167 @@ object PartitionedLake {
           "times — retry when the writer storm passes")
     }
     sys.error("unreachable")
+  }
+
+  /** The one merge arithmetic [[publishBranch]] and [[rebaseBranch]]
+    * share: fold a branch's staged state (`baseM` -> `bh`, touching
+    * `branchTouched`) onto a main-line head `mh`, producing the
+    * manifest at `mh.version + 1`. Guards, in order:
+    *
+    *  - a directory changed on BOTH sides refuses (same dirSig
+    *    vocabulary as the commit rebase);
+    *  - COLUMN-ID REBINDS (rename/drop) are invisible to the
+    *    norm-by-(name,type) schema comparison — a rename is a
+    *    manifest-only commit (dirSigs unchanged), so a one-sided
+    *    rename classifies as ordinary schema evolution, but the
+    *    merged manifest would carry the renamed schema over the OTHER
+    *    side's file entries, which lack physical-name pins for the
+    *    rebound column and physically hold the old name (silent nulls
+    *    — exactly what renameColumn's pinning exists to prevent).
+    *    Detected per side against the base (same id, different name —
+    *    drops tombstone the name, so they surface too; an id-less base
+    *    compares via the deterministic assignment renameColumn would
+    *    make). ONE rebound side is repaired by re-stamping the
+    *    base-time physical name onto the un-rebound side's entries
+    *    (whose name for that id IS the base name); BOTH refuse.
+    *  - schema evolution on both sides refuses; one side's carries;
+    *  - a rebind on one side with live merge-on-read deltas
+    *    contributed by the other refuses (delta sidecars are name-only
+    *    — they cannot be pinned);
+    *  - diverged merge-on-read keys and diverged layouts refuse;
+    *  - replay guards merge per-writer to the MAX.
+    */
+  private def mergeBranchOntoHead(op: String, path: String, name: String,
+      baseM: Manifest, bh: Manifest, branchTouched: Set[String],
+      mh: Manifest): Manifest = {
+    def norm(s: StructType) = s.fields.toSeq.map(f => (f.name, f.dataType))
+    val baseIdName: Map[Int, String] =
+      baseM.columnIds.getOrElse(assignColumnIds(None, baseM.schema))
+        .map(_.swap)
+    def reboundIds(side: Manifest): Map[Int, String] = {
+      val sideIdName = side.columnIds.getOrElse(Map.empty).map(_.swap)
+      baseIdName.filter { case (id, n) => sideIdName.get(id).exists(_ != n) }
+    }
+    def stampPins(files: Map[String, Seq[FileEntry]],
+        pins: Map[Int, String]): Map[String, Seq[FileEntry]] =
+      if (pins.isEmpty) files
+      else files.view.mapValues(_.map(e =>
+        // an entry's OWN pins win: they record the true write-time
+        // physical name (e.g. a pre-base rename the base already pinned)
+        e.copy(physNames = pins ++ e.physNames))).toMap
+    val branchRebound = reboundIds(bh)
+    val mainRebound = reboundIds(mh)
+    if (branchRebound.nonEmpty && mainRebound.nonEmpty) sys.error(
+      s"cannot $op branch '$name' onto $path: column ids were " +
+        s"re-bound (rename/drop) on BOTH the branch and the main line " +
+        s"since the branch base v${baseM.version} — one side's column " +
+        "evolution at a time (publish before renaming, or re-stage " +
+        "the branch from the current head)")
+    val mainTouched = changedDirs(Some(baseM), mh)
+    val overlap = branchTouched intersect mainTouched
+    if (overlap.nonEmpty) sys.error(
+      s"cannot $op branch '$name' onto $path: partition(s) " +
+        s"${overlap.toSeq.sorted.take(5).mkString(", ")} changed on " +
+        s"BOTH the branch and the main line since the branch base " +
+        s"v${baseM.version} — re-stage from the current head " +
+        "(dropBranch, createBranch, re-apply) or drop the branch")
+    val (schema, colIds) =
+      if (norm(mh.schema) == norm(baseM.schema)) (bh.schema, bh.columnIds)
+      else if (norm(bh.schema) == norm(baseM.schema)) (mh.schema, mh.columnIds)
+      else sys.error(
+        s"cannot $op branch '$name' onto $path: both the branch " +
+          s"and the main line evolved the SCHEMA since the base " +
+          s"v${baseM.version} — one side's evolution at a time")
+    require(layoutOf(bh) == layoutOf(mh),
+      s"cannot $op branch '$name' onto $path: partition layout " +
+        "diverged between the branch and the main line")
+    val mergedFiles = stampPins(mh.files -- branchTouched, branchRebound) ++
+      stampPins(bh.files.view.filterKeys(branchTouched).toMap, mainRebound)
+    val mergedDeltas = (mh.deltas -- branchTouched) ++
+      bh.deltas.view.filterKeys(branchTouched).toMap
+    if (branchRebound.nonEmpty && (mh.deltas -- branchTouched).nonEmpty ||
+        mainRebound.nonEmpty &&
+          bh.deltas.view.filterKeys(branchTouched).nonEmpty) sys.error(
+      s"cannot $op branch '$name' onto $path: one side re-bound " +
+        s"column ids (rename/drop) since the branch base " +
+        s"v${baseM.version} while the other side carries live " +
+        "merge-on-read deltas — delta sidecars cannot be " +
+        "physical-name-pinned; compact the delta side first")
+    val mor = (mh.mor, bh.mor) match {
+      case (Some(a), Some(b)) if a != b => sys.error(
+        s"cannot $op branch '$name' onto $path: merge-on-read " +
+          s"keys diverged ('$a' vs '$b')")
+      case (a, b) => if (mergedDeltas.nonEmpty) a.orElse(b) else None
+    }
+    val txns = (mh.txns.toSeq ++ bh.txns.toSeq)
+      .groupMapReduce(_._1)(_._2)(math.max)
+    Manifest(mh.version + 1, schema, mergedFiles, txns,
+      mergedDeltas, mor, layout = mh.layout.orElse(bh.layout),
+      columnIds = colIds)
+  }
+
+  /** REBASE a staged branch onto the current main head — the escape
+    * hatch for long-lived audit branches against a hot main line,
+    * which previously dead-ended in "dropBranch, createBranch,
+    * re-apply every statement". Allowed exactly when [[publishBranch]]
+    * would merge (main's changes since the branch base are DISJOINT
+    * from the branch's touched directories — same arithmetic, same
+    * refusal vocabulary on overlap); the branch namespace is REBUILT
+    * as `head-copy (base) -> merged staged state`, so the staged chain
+    * is SQUASHED into one commit on the new base (`#branches` shows
+    * `staged_commits = 1` after a rebase). Zero data jobs: like
+    * publish, this moves manifest references only.
+    *
+    * Crash windows: the rebuild happens in a dotted scratch namespace
+    * (`.rebase-<name>-*`, invisible to [[branches]]/[[vacuum]]) and is
+    * swapped in with delete-then-rename; a crash before the swap
+    * leaves the branch untouched (stale scratch is reclaimed by the
+    * next rebase of the same branch), a crash between delete and
+    * rename loses the branch LOUDLY — the scratch namespace holding
+    * the full rebased state is named in no error but survives for
+    * manual recovery. Returns the new base version (= the main head
+    * rebased onto).
+    */
+  def rebaseBranch(spark: SparkSession, path: String, name: String): Long = {
+    requireMainLine("rebase_branch")
+    requireRefName("branch", name)
+    val fs = fsFor(spark, path)
+    if (fs.exists(publishedReceipt(path, name))) sys.error(
+      s"branch '$name' on $path was already published (crashed-cleanup " +
+        "stub) — re-run publishBranch to complete the cleanup")
+    val bvs = listVersions(fs, path, Some(name))
+    if (bvs.isEmpty) sys.error(s"no branch '$name' on $path (branches: " +
+      s"${branches(spark, path).map(_._1).mkString(", ")})")
+    val leafCache =
+      scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
+    val baseM = readManifest(fs, path, bvs.min, leafCache, Some(name))
+    val bh = readManifest(fs, path, bvs.max, leafCache, Some(name))
+    val branchTouched = changedDirs(Some(baseM), bh)
+    val mh = latestManifest(fs, path, None).getOrElse(sys.error(
+      s"manifest for $path vanished during rebase"))
+    if (mh.version == baseM.version) return baseM.version // already based
+    val merged = mergeBranchOntoHead("rebase", path, name, baseM, bh,
+      branchTouched, mh)
+    // rebuild in a dotted scratch namespace, then swap
+    val branchesRoot = new Path(path, BranchesDirName)
+    // stale scratch from a crashed earlier rebase of THIS branch is
+    // finished business — reclaim before building anew
+    if (fs.exists(branchesRoot)) fs.listStatus(branchesRoot).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(s".rebase-$name-"))
+      .foreach(st => fs.delete(st.getPath, true))
+    val scratch = s".rebase-$name-${UUID.randomUUID().toString.take(8)}"
+    if (!tryPublishManifest(fs, path, mh, Some(scratch)) ||
+        !tryPublishManifest(fs, path, merged, Some(scratch)))
+      sys.error(s"rebase of branch '$name' on $path could not build " +
+        "its scratch namespace — retry")
+    val branchDir = new Path(branchesRoot, name)
+    fs.delete(branchDir, true)
+    if (!fs.rename(new Path(branchesRoot, scratch), branchDir)) sys.error(
+      s"rebase of branch '$name' on $path crashed mid-swap: the branch " +
+        s"namespace was removed but the rebased state survives at " +
+        s"$branchesRoot/$scratch — rename it to $name to recover")
+    mh.version
   }
 
   /** Drop a staged branch: the namespace goes, the branch's data files

@@ -379,6 +379,60 @@ class LakeBranchSpec extends AnyFunSuite {
     PartitionedLake.dropBranch(spark, lake3, "wip")
   }
 
+  test("rebase_branch: a staged branch moves onto a hot main head when disjoint (staged state squashed, later publish merges); overlap refuses; already-based no-ops") {
+    val lake = freshLake("rebase")
+    seed(lake)
+    useCatalog()
+    PartitionedLake.createBranch(spark, lake, "audit") // base v1
+    onBranch("audit") {
+      PartitionedLake.upsert(spark, lake, "part", "k",
+        Seq((1L, "a", 50.0)).toDF("k", "part", "bal")) // touches part=a
+    }
+    // main advances DISJOINTLY twice while the audit runs
+    PartitionedLake.upsert(spark, lake, "part", "k",
+      Seq((3L, "b", 30.0)).toDF("k", "part", "bal")) // main v2
+    PartitionedLake.upsert(spark, lake, "part", "k",
+      Seq((4L, "c", 40.0)).toDF("k", "part", "bal")) // main v3
+    val row = spark.sql(s"CALL graft_lake.system.rebase_branch(" +
+      s"table => '$lake', name => 'audit')").head()
+    assert((row.getLong(1), row.getLong(2)) === (1L, 3L),
+      "summary row: old base -> new base")
+    // the staged chain squashes onto the new base
+    val b = spark.sql("SELECT base_version, head_version, " +
+      s"staged_commits FROM graft_lake.`$lake#branches`").head()
+    assert((b.getLong(0), b.getLong(1), b.getLong(2)) === (3L, 4L, 1L))
+    // the branch read now sees main's concurrent commits AND the
+    // staged fix — the long-lived audit continues without re-applying
+    onBranch("audit") {
+      assert(rowsOf(lake) === Set(("a", 1L, 50.0), ("a", 2L, 2.0),
+        ("b", 3L, 30.0), ("c", 4L, 40.0)))
+    }
+    // main keeps moving disjointly; publish after the rebase merges
+    PartitionedLake.upsert(spark, lake, "part", "k",
+      Seq((5L, "b", 5.0)).toDF("k", "part", "bal")) // main v4
+    assert(PartitionedLake.publishBranch(spark, lake, "audit") === 5L)
+    assert(rowsOf(lake) === Set(("a", 1L, 50.0), ("a", 2L, 2.0),
+      ("b", 3L, 30.0), ("b", 5L, 5.0), ("c", 4L, 40.0)))
+    // overlap since the branch base refuses with the publish vocabulary
+    PartitionedLake.createBranch(spark, lake, "clash")
+    onBranch("clash") {
+      PartitionedLake.upsert(spark, lake, "part", "k",
+        Seq((6L, "c", 6.0)).toDF("k", "part", "bal"))
+    }
+    PartitionedLake.upsert(spark, lake, "part", "k",
+      Seq((7L, "c", 7.0)).toDF("k", "part", "bal")) // main: part=c too
+    val e = intercept[Exception](
+      PartitionedLake.rebaseBranch(spark, lake, "clash"))
+    assert(e.getMessage.contains("BOTH") &&
+      e.getMessage.contains("rebase"), e.getMessage)
+    PartitionedLake.dropBranch(spark, lake, "clash")
+    // a branch already based on the head no-ops (no namespace churn)
+    val head = PartitionedLake.snapshots(spark, lake).max
+    PartitionedLake.createBranch(spark, lake, "fresh")
+    assert(PartitionedLake.rebaseBranch(spark, lake, "fresh") === head)
+    PartitionedLake.dropBranch(spark, lake, "fresh")
+  }
+
   test("publish receipt: a crashed cleanup leaves a self-describing stub — re-publish no-ops + cleans, stub reads refuse, createBranch reclaims, #branches excludes it") {
     val lake = freshLake("receipt")
     seed(lake)

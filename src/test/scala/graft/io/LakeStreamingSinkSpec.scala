@@ -66,6 +66,81 @@ class LakeStreamingSinkSpec extends AnyFunSuite {
     assert(!staging.exists() || staging.listFiles().isEmpty)
   }
 
+  test("schema evolution under a running stream: RENAME and WIDEN refuse the epoch loudly (never silent misbinding); ADD COLUMNS adopts; a failed epoch keeps its staged files for the retry") {
+    // A stream's write schema is pinned at start; a batch writer
+    // evolving the lake between epochs must never silently misbind
+    // columns. The pinned outcomes, per DML shape:
+    //  - RENAME under the stream -> the epoch commit refuses loudly
+    //    (the append gate's suspected-rename check: the stream still
+    //    writes the OLD name, and adopting would resurrect it as a
+    //    drop+add);
+    //  - WIDEN under the stream -> refuses loudly (type gate: epoch
+    //    files carry the narrow type, union-by-name never coerces);
+    //  - ADD COLUMNS under the stream -> ADOPTS: the epoch commits,
+    //    stream rows read null for the new column, batch rows keep
+    //    their values (plain additive evolution).
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def run(tag: String)(evolve: String => Unit)
+        : Either[Throwable, Set[(String, Long, Double)]] = {
+      val dir = freshDir(tag); val lake = s"$dir/lake"
+      seed(lake)
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, Double)]
+      val q = mem.toDF().toDF("k", "part", "bal")
+        .writeStream.format("graft-lake-v2")
+        .option("path", lake)
+        .option("checkpointLocation", s"$dir/ckpt")
+        .start()
+      try {
+        mem.addData((3L, "c", 3.0))
+        q.processAllAvailable() // epoch 0 lands pre-evolution
+        evolve(lake)
+        mem.addData((4L, "c", 4.0))
+        try {
+          q.processAllAvailable()
+          Right(rowsOf(lake))
+        } catch { case t: Throwable =>
+          // the failed epoch must RETAIN its staged files (completed
+          // task output survives for the engine's retry of the same
+          // epoch — a non-replayable source would otherwise lose it)
+          val staged = new java.io.File(s"$lake/_staging")
+          assert(staged.exists() && staged.listFiles().nonEmpty,
+            "a refused epoch commit must not discard its staged files")
+          Left(t)
+        }
+      } finally q.stop()
+    }
+
+    val renamed = run("ev-rename")(lake =>
+      PartitionedLake.renameColumn(spark, lake, "bal", "balance"))
+    assert(renamed.isLeft, "rename under a stream must refuse the epoch")
+    assert(renamed.left.exists(t => String.valueOf(t.getMessage)
+        .contains("suspected column rename") ||
+        Option(t.getCause).exists(c => String.valueOf(c.getMessage)
+          .contains("suspected column rename"))),
+      s"got: ${renamed.left.map(_.getMessage)}")
+
+    val widened = run("ev-widen")(lake =>
+      PartitionedLake.widenColumnType(spark, lake, "k",
+        org.apache.spark.sql.types.DecimalType(20, 0)))
+    assert(widened.isLeft, "widen under a stream must refuse the epoch")
+    assert(widened.left.exists(t => String.valueOf(t.getMessage)
+        .contains("type change") ||
+        Option(t.getCause).exists(c => String.valueOf(c.getMessage)
+          .contains("type change"))),
+      s"got: ${widened.left.map(_.getMessage)}")
+
+    val added = run("ev-add")(lake =>
+      PartitionedLake.addColumns(spark, lake,
+        Seq(org.apache.spark.sql.types.StructField("note",
+          org.apache.spark.sql.types.StringType))))
+    assert(added.isRight, s"ADD COLUMNS under a stream must adopt, " +
+      s"got ${added.left.map(_.getMessage)}")
+    assert(added.toOption.get === Set(("a", 1L, 1.0), ("b", 2L, 2.0),
+      ("c", 3L, 3.0), ("c", 4L, 4.0)))
+  }
+
   test("restart from the same checkpoint resumes the replay guard: a redelivered epoch id is skipped whole, new epochs land") {
     val dir = freshDir("restart"); val lake = s"$dir/lake"
     seed(lake)

@@ -43,9 +43,10 @@ class ReadmeQuickstartSpec extends AnyFunSuite {
       s"CALL lake.system.branch(table => '$dir', name => 'audit')",
       "SET spark.graft.lake.branch = audit",
       s"UPDATE lake.`$dir` SET amount = 0 WHERE k = 5",
-      s"SELECT count(*) FROM lake.`$dir` WHERE amount < 0",
       "RESET spark.graft.lake.branch",
+      s"SELECT * FROM lake.`$dir#branch=audit` EXCEPT SELECT * FROM lake.`$dir`",
       s"SELECT * FROM lake.`$dir#branches`",
+      s"CALL lake.system.rebase_branch(table => '$dir', name => 'audit')",
       s"CALL lake.system.publish_branch(table => '$dir', name => 'audit')",
       s"SELECT * FROM lake.`$dir#history`",
       s"SELECT * FROM lake.`$dir#changes?from=2&to=3&keyCols=day,k`",
