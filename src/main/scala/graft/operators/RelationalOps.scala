@@ -2612,6 +2612,72 @@ object RelationalOps {
         |  CAST(3 AS BIGINT) AS published_version
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin),
-      "lake op: write-audit-publish branch (CALL system.branch/publish_branch — staged SQL DML invisible to main, audited on the branch, fast-forward publish merges concurrent disjoint main commits)")
+      "lake op: write-audit-publish branch (CALL system.branch/publish_branch — staged SQL DML invisible to main, audited on the branch, fast-forward publish merges concurrent disjoint main commits)"),
+
+    // ---- branch REBASE: the long-lived-audit escape hatch. A fix
+    // stages on a branch while main advances TWICE into disjoint
+    // partitions; rebase_branch moves the staged state onto the
+    // current head (squashed — zero data jobs, manifest references
+    // only), the audit re-reads branch-vs-main through the per-read
+    // #branch= pin, and publish fast-forwards from the NEW base. At
+    // 100 TB this is what keeps a multi-hour audit viable against a
+    // hot ingest line: without it, any main-line commit after the
+    // branch base forces drop-and-reapply of every staged statement. ----
+    Q("q177_sql_lake_branch_rebase",
+      (s, d) => {
+        val dir = scratchDir("q177-rebase") + "/lake"
+        val base = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderpriority"), col("o_totalprice"))
+        graft.io.PartitionedLake.write(base, dir, "o_orderpriority") // v1
+        s.conf.set("spark.sql.catalog.graft_lake",
+          classOf[graft.io.LakeCatalog].getName)
+        s.sql(s"CALL graft_lake.system.branch(table => '$dir', " +
+          "name => 'fix')")
+        s.conf.set(graft.io.PartitionedLake.BranchKey, "fix")
+        try s.sql(s"UPDATE graft_lake.`$dir` SET o_totalprice = " +
+          "o_totalprice + 5 WHERE o_orderpriority = '1-URGENT' " +
+          "AND o_orderkey % 10 = 7")
+        finally s.conf.unset(graft.io.PartitionedLake.BranchKey)
+        // main advances TWICE into partitions the branch never touched
+        s.sql(s"UPDATE graft_lake.`$dir` SET o_totalprice = " +
+          "o_totalprice + 50 WHERE o_orderpriority = '5-LOW' " +
+          "AND o_orderkey % 10 = 7") // v2
+        s.sql(s"UPDATE graft_lake.`$dir` SET o_totalprice = " +
+          "o_totalprice + 20 WHERE o_orderpriority = '4-NOT SPECIFIED' " +
+          "AND o_orderkey % 10 = 7") // v3
+        val reb = s.sql(s"CALL graft_lake.system.rebase_branch(" +
+          s"table => '$dir', name => 'fix')").head()
+        // post-rebase audit, branch vs main in ONE query: the staged
+        // fix rides the NEW base (main's two commits visible under it)
+        val staged = s.sql(
+          s"SELECT count(*) FROM (SELECT * FROM " +
+            s"graft_lake.`$dir#branch=fix` EXCEPT " +
+            s"SELECT * FROM graft_lake.`$dir`)").head().getLong(0)
+        require(staged > 0L, "q177: rebased branch lost its staged fix")
+        val pub = s.sql(s"CALL graft_lake.system.publish_branch(" +
+          s"table => '$dir', name => 'fix')").head()
+        s.sql(
+          s"SELECT o_orderpriority, count(*) AS n, " +
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) " +
+            s"AS price_sum FROM graft_lake.`$dir` " +
+            "GROUP BY o_orderpriority")
+          .withColumn("rebased_base", lit(reb.getLong(2)))
+          .withColumn("published_version", lit(pub.getLong(2)))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice
+        |    + CASE WHEN o_orderpriority = '1-URGENT'
+        |        AND o_orderkey % 10 = 7 THEN 5 ELSE 0 END
+        |    + CASE WHEN o_orderpriority = '5-LOW'
+        |        AND o_orderkey % 10 = 7 THEN 50 ELSE 0 END
+        |    + CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+        |        AND o_orderkey % 10 = 7 THEN 20 ELSE 0 END
+        |    AS DECIMAL(28,6))) AS DOUBLE) AS price_sum,
+        |  CAST(3 AS BIGINT) AS rebased_base,
+        |  CAST(4 AS BIGINT) AS published_version
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin),
+      "lake op: branch rebase (CALL system.rebase_branch — a staged branch moves onto a hot main head when disjoint, squashed, zero data jobs; audit re-reads via #branch=, publish fast-forwards from the new base)")
   )
 }
