@@ -1345,10 +1345,13 @@ private[io] class GraftLakeBranchesTable(path: String)
   * these DO time-travel (`VERSION AS OF <v or 'tag'>`): they describe
   * a SNAPSHOT, so pinning one is meaningful.
   */
-private[io] class GraftLakeFilesTable(path: String, version: Option[Long])
+private[io] class GraftLakeFilesTable(path: String, version: Option[Long],
+    branch: Option[String] = None)
     extends Table with SupportsRead {
+  branch.foreach(PartitionedLake.requireRefName("branch", _))
   override def name(): String =
-    s"$path#files" + version.map(v => s"@v$v").getOrElse("")
+    s"$path" + branch.map(b => s"#branch=$b").getOrElse("") +
+      "#files" + version.map(v => s"@v$v").getOrElse("")
   override val schema: StructType = PartitionedLake.filesSchema
   override def capabilities(): util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
@@ -1359,15 +1362,18 @@ private[io] class GraftLakeFilesTable(path: String, version: Option[Long])
         context: SQLContext): T =
       new LakeV1ScanRelation(context, PartitionedLake.filesSchema,
         PartitionedLake.filesFrameMeta(context.sparkSession, path,
-          version)).asInstanceOf[T]
+          version, branch)).asInstanceOf[T]
     override def description(): String = s"GraftLakeFiles($path)"
   }
 }
 
 private[io] class GraftLakePartitionsTable(path: String,
-    version: Option[Long]) extends Table with SupportsRead {
+    version: Option[Long], branch: Option[String] = None)
+    extends Table with SupportsRead {
+  branch.foreach(PartitionedLake.requireRefName("branch", _))
   override def name(): String =
-    s"$path#partitions" + version.map(v => s"@v$v").getOrElse("")
+    s"$path" + branch.map(b => s"#branch=$b").getOrElse("") +
+      "#partitions" + version.map(v => s"@v$v").getOrElse("")
   override val schema: StructType = PartitionedLake.partitionsSchema
   override def capabilities(): util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
@@ -1379,7 +1385,7 @@ private[io] class GraftLakePartitionsTable(path: String,
         context: SQLContext): T =
       new LakeV1ScanRelation(context, PartitionedLake.partitionsSchema,
         PartitionedLake.partitionsFrameMeta(context.sparkSession, path,
-          version)).asInstanceOf[T]
+          version, branch)).asInstanceOf[T]
     override def description(): String = s"GraftLakePartitions($path)"
   }
 }
@@ -1572,6 +1578,17 @@ class LakeCatalog extends TableCatalog
     val path = pathOf(ident)
     if (path.contains("#changes")) {
       changesTable(ident, path)
+    } else if (path.endsWith("#files") && branchSuffix(path).isDefined) {
+      // branch inspection: `<base>#branch=<name>#files` — what exactly
+      // did this branch stage, at metadata cost
+      val (base, name) = branchSuffix(path.stripSuffix("#files")).get
+      if (!exists(base)) throw new NoSuchTableException(ident)
+      new GraftLakeFilesTable(base, None, Some(name))
+    } else if (path.endsWith("#partitions") &&
+        branchSuffix(path).isDefined) {
+      val (base, name) = branchSuffix(path.stripSuffix("#partitions")).get
+      if (!exists(base)) throw new NoSuchTableException(ident)
+      new GraftLakePartitionsTable(base, None, Some(name))
     } else if (branchSuffix(path).isDefined) {
       val (base, name) = branchSuffix(path).get
       if (!exists(base)) throw new NoSuchTableException(ident)
@@ -1662,27 +1679,36 @@ class LakeCatalog extends TableCatalog
     val path = pathOf(ident)
     // a branch pin time-travels within the branch's OWN version line,
     // numeric only (tags are main-line refs)
-    branchSuffix(path).foreach { case (base, name) =>
-      if (!exists(base)) throw new NoSuchTableException(ident)
-      val v = version.toLongOption.getOrElse(sys.error(
+    def branchVersion(name: String): Long =
+      version.toLongOption.getOrElse(sys.error(
         s"VERSION AS OF '$version' on a #branch= table must be a " +
-          "numeric version of the branch's own line — tags are " +
-          "main-line refs"))
-      return new GraftLakeTable(base, Some(v), Some(name))
-    }
+          "numeric version of branch '" + name + "'s own line — tags " +
+          "are main-line refs"))
     // #files / #partitions describe a SNAPSHOT — they time-travel
-    // (numeric or tag); the other metadata tables refuse
+    // (numeric or tag; numeric only under a branch pin); the other
+    // metadata tables refuse
     if (path.endsWith("#files")) {
-      val base = path.stripSuffix("#files")
+      val rest = path.stripSuffix("#files")
+      val (base, branch) = branchSuffix(rest)
+        .map { case (b, n) => (b, Some(n)) }.getOrElse((rest, None))
       if (!exists(base)) throw new NoSuchTableException(ident)
-      return new GraftLakeFilesTable(base,
-        Some(resolveVersion(base, version)))
+      val v = branch.map(branchVersion)
+        .getOrElse(resolveVersion(base, version))
+      return new GraftLakeFilesTable(base, Some(v), branch)
     }
     if (path.endsWith("#partitions")) {
-      val base = path.stripSuffix("#partitions")
+      val rest = path.stripSuffix("#partitions")
+      val (base, branch) = branchSuffix(rest)
+        .map { case (b, n) => (b, Some(n)) }.getOrElse((rest, None))
       if (!exists(base)) throw new NoSuchTableException(ident)
-      return new GraftLakePartitionsTable(base,
-        Some(resolveVersion(base, version)))
+      val v = branch.map(branchVersion)
+        .getOrElse(resolveVersion(base, version))
+      return new GraftLakePartitionsTable(base, Some(v), branch)
+    }
+    branchSuffix(path).foreach { case (base, name) =>
+      if (!exists(base)) throw new NoSuchTableException(ident)
+      return new GraftLakeTable(base, Some(branchVersion(name)),
+        Some(name))
     }
     refuseVersionedMetaTable(path)
     if (!exists(path)) throw new NoSuchTableException(ident)
@@ -1727,15 +1753,15 @@ class LakeCatalog extends TableCatalog
 
   override def tableExists(ident: Identifier): Boolean = {
     val path = pathOf(ident)
-    val base =
+    val stripped =
       if (path.endsWith("#history")) path.stripSuffix("#history")
       else if (path.endsWith("#tags")) path.stripSuffix("#tags")
       else if (path.endsWith("#branches")) path.stripSuffix("#branches")
       else if (path.endsWith("#files")) path.stripSuffix("#files")
       else if (path.endsWith("#partitions")) path.stripSuffix("#partitions")
       else if (path.contains("#changes")) path.take(path.indexOf("#changes"))
-      else branchSuffix(path).map(_._1).getOrElse(path)
-    exists(base)
+      else path
+    exists(branchSuffix(stripped).map(_._1).getOrElse(stripped))
   }
 
   // a path catalog has no enumerable namespace — tables are lakes on

@@ -3707,8 +3707,10 @@ object PartitionedLake {
   }
 
   private[io] def filesFrameMeta(spark: SparkSession, path: String,
-      version: Option[Long]): DataFrame = {
-    val m = manifestAt(spark, path, version).getOrElse(
+      version: Option[Long],
+      branch: Option[String] = None): DataFrame = {
+    val m = manifestAt(spark, path, version,
+      resolveReadBranch(branch)).getOrElse(
       sys.error(s"no graft lake manifest at $path"))
     val rows =
       m.files.toSeq.sortBy(_._1).flatMap { case (d, es) =>
@@ -3740,8 +3742,10 @@ object PartitionedLake {
   }
 
   private[io] def partitionsFrameMeta(spark: SparkSession, path: String,
-      version: Option[Long]): DataFrame = {
-    val m = manifestAt(spark, path, version).getOrElse(
+      version: Option[Long],
+      branch: Option[String] = None): DataFrame = {
+    val m = manifestAt(spark, path, version,
+      resolveReadBranch(branch)).getOrElse(
       sys.error(s"no graft lake manifest at $path"))
     val rows = allDirs(m).toSeq.sorted.map { d =>
       val es = m.files.getOrElse(d, Nil)

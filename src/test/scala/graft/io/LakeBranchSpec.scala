@@ -234,6 +234,26 @@ class LakeBranchSpec extends AnyFunSuite {
       s"INSERT INTO graft_lake.`$lake#branch=etl_audit` " +
         "VALUES (9, 'a', 9.0)"))
     assert(ei.getMessage.contains("read surface"), ei.getMessage)
+    // branch INSPECTION via the snapshot metadata tables: what exactly
+    // did the branch stage (its rewritten part=a file differs from
+    // main's; the partition inventory reads the branch's snapshot)
+    val mainFiles = spark.sql(
+      s"SELECT file FROM graft_lake.`$lake#files` " +
+        "WHERE partition = 'part=a'").collect().map(_.getString(0)).toSet
+    val branchFiles = spark.sql(
+      s"SELECT file FROM graft_lake.`$lake#branch=etl_audit#files` " +
+        "WHERE partition = 'part=a'").collect().map(_.getString(0)).toSet
+    assert(branchFiles.nonEmpty && branchFiles != mainFiles,
+      s"branch #files must show the staged rewrite, got $branchFiles " +
+        s"vs main $mainFiles")
+    assert(spark.sql(
+      s"SELECT sum(rows) FROM graft_lake.`$lake#branch=etl_audit" +
+        "#partitions`").head().getLong(0) === 4L)
+    // and the branch base is addressable: VERSION AS OF 1 on the
+    // branch's #partitions reads the bootstrap copy
+    assert(spark.sql(
+      s"SELECT sum(rows) FROM graft_lake.`$lake#branch=etl_audit" +
+        "#partitions` VERSION AS OF 1").head().getLong(0) === 4L)
     // unknown branch pin refuses loudly; TIMESTAMP AS OF refuses with
     // the version-pin direction; tag-shaped versionAsOf refuses
     assert(intercept[Exception](spark.read.format("graft-lake-v2")

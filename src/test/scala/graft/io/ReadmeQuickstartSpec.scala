@@ -46,6 +46,7 @@ class ReadmeQuickstartSpec extends AnyFunSuite {
       "RESET spark.graft.lake.branch",
       s"SELECT * FROM lake.`$dir#branch=audit` EXCEPT SELECT * FROM lake.`$dir`",
       s"SELECT * FROM lake.`$dir#branches`",
+      s"SELECT * FROM lake.`$dir#branch=audit#files`",
       s"CALL lake.system.rebase_branch(table => '$dir', name => 'audit')",
       s"CALL lake.system.publish_branch(table => '$dir', name => 'audit')",
       s"SELECT * FROM lake.`$dir#history`",
