@@ -169,6 +169,16 @@ object Bench {
     }
   } catch { case _: Throwable => "unknown" }
 
+  /** The `"commit"` stamp of a persisted sweep record — the prune
+    * key: only a record from a DIFFERENT commit is dead evidence (the
+    * code it measured is gone). Same-commit records at another scale
+    * factor stay on disk: a later invocation AT that sf (the driver's
+    * round-end sf0.1 run after a builder sf1 run, say) still folds
+    * them.
+    */
+  private[graft] def sweepCommit(body: String): Option[String] =
+    """"commit"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(body).map(_.group(1))
+
   /** One persisted sweep record, parsed back: the per-query timings of
     * queries that PASSED in that sweep (its own `failed` list excluded
     * — a penalty timing is not cost evidence).
@@ -369,7 +379,13 @@ object Bench {
       val usable = written(p) || sha != "unknown"
       val parsed =
         if (usable) parseSweepFile(body, sha, sfDir, names) else None
-      if (parsed.isEmpty && !written(p)) java.nio.file.Files.delete(p)
+      // prune ONLY records from a different commit (dead evidence —
+      // the code they measured is gone). A same-commit record at
+      // another sf folds in a later invocation at that sf; deleting it
+      // here would destroy exactly the accumulation the fold exists for
+      val deadCommit = !written(p) &&
+        (sha == "unknown" || !sweepCommit(body).contains(sha))
+      if (deadCommit) java.nio.file.Files.delete(p)
       parsed
     }
     val minOver = folded.foldLeft(Map.empty[String, Double]) { (acc, m) =>

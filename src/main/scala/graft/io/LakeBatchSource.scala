@@ -15,6 +15,11 @@ import org.apache.spark.sql.types.StructType
   *  - `path` (required): the lake root.
   *  - `versionAsOf` (optional): time travel to a published snapshot
   *    version ([[PartitionedLake.readVersion]]); default latest.
+  *  - `branch` (optional): per-read branch pin, DSv2 parity — the read
+  *    (or the changesFrom/changesTo feed) resolves against the
+  *    branch's manifest namespace; a conflicting ambient conf refuses;
+  *    numeric `versionAsOf` only under a pin (tags are main-line
+  *    refs); WRITES refuse the option (stage through the ambient conf).
   *
   * The relation DELEGATES to the manifest-scoped API plan rather than
   * re-implementing the read: `buildScan` applies the engine's required
@@ -46,6 +51,13 @@ class LakeBatchProvider extends RelationProvider
       parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
     val path = pathOf(parameters)
+    // per-read branch pin — v1 parity with the DSv2 `.option("branch",
+    // ...)`: validated and reconciled with the ambient conf here (a
+    // conflicting ambient refuses); None keeps the verbatim ambient
+    // routing every v1 read always had
+    val branchPin = parameters.get("branch").map(_.trim).filter(_.nonEmpty)
+    branchPin.foreach(PartitionedLake.requireRefName("branch", _))
+    val branch = PartitionedLake.resolveReadBranch(branchPin)
     // BATCH change-data-feed through the registered format — the
     // surface that makes [[PartitionedLake.changesBetween]] reachable
     // from PySpark/SQL (the Scala API and the streaming source each
@@ -76,13 +88,21 @@ class LakeBatchProvider extends RelationProvider
           s"got '$other'")
       }
       return new LakeBatchRelation(sqlContext,
-        PartitionedLake.changesBetween(spark, path, from, to, keyCols,
-          perCommit))
+        PartitionedLake.changesBetweenOn(spark, path, from, to, keyCols,
+          perCommit, branch))
     }
     // numeric or a named tag — the same vocabulary as SQL VERSION AS OF
     val version = parameters.get("versionAsOf").map { v =>
       v.toLongOption
-        .orElse(PartitionedLake.tagVersion(spark, path, v))
+        .orElse {
+          // tags are MAIN-LINE refs; a branch pin addresses only the
+          // branch's own numeric line (same rule as the DSv2 surface)
+          if (branchPin.isDefined) sys.error(
+            s"versionAsOf '$v' with a branch pin must be a numeric " +
+              "version of the branch's own line — tags are main-line " +
+              "refs")
+          PartitionedLake.tagVersion(spark, path, v)
+        }
         .getOrElse(sys.error(
           s"versionAsOf '$v' is neither a numeric snapshot version nor " +
             s"a tag on $path (tags: ${PartitionedLake.tags(spark, path)
@@ -93,7 +113,7 @@ class LakeBatchProvider extends RelationProvider
     // open a race where the size describes a different snapshot than
     // the frame pinned (a racing small overwrite could then broadcast
     // the older large scan — the underestimate direction)
-    val manifest = PartitionedLake.manifestAt(spark, path, version)
+    val manifest = PartitionedLake.manifestAt(spark, path, version, branch)
     val frame = manifest match {
       case Some(m) => PartitionedLake.frameFor(spark, path, m)
       case None => spark.read.parquet(path) // pre-protocol lake
@@ -121,6 +141,12 @@ class LakeBatchProvider extends RelationProvider
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
     val spark = sqlContext.sparkSession
     val path = pathOf(parameters)
+    // the pin is a READ surface (same contract as DSv2): a pinned
+    // write would silently diverge from the session's other writes
+    parameters.get("branch").map(_.trim).filter(_.nonEmpty).foreach(b =>
+      sys.error(s"cannot write to $path via the per-read branch pin " +
+        s"'$b': stage branch writes through the ambient conf (SET " +
+        s"${PartitionedLake.BranchKey}=$b) instead"))
     def csv(k: String): Seq[String] = parameters.getOrElse(k, "")
       .split(',').map(_.trim).filter(_.nonEmpty).toSeq
     val partitionCols = csv("partitionCols")

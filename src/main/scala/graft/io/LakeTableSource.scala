@@ -1395,7 +1395,14 @@ private[io] class GraftLakePartitionsTable(path: String,
   * {{{
   * SELECT * FROM lake.`/data/events#changes?from=1&to=3&keyCols=day,k`
   * SELECT * FROM lake.`/data/events#changes?from=1&to=3&keyCols=day,k&granularity=commit`
+  * SELECT * FROM lake.`/data/events#branch=fix#changes?from=1&to=2&keyCols=day,k`
   * }}}
+  *
+  * The third form composes the per-read branch pin: the feed diffs the
+  * BRANCH's own version line — "what exactly did this branch stage,
+  * row-level" answered in one query with no session-conf flips, the
+  * CDF complement of `#branch=<name>#files`. Endpoints are numeric
+  * only under a pin (tags are main-line refs).
   *
   * [[PartitionedLake.changesBetween]] through plain SQL — the surface
   * that lets a PySpark auditor diff snapshots without the v1 format's
@@ -1407,16 +1414,27 @@ private[io] class GraftLakePartitionsTable(path: String,
   * two surfaces — one implementation underneath all three.
   */
 private[io] class GraftLakeChangesTable(path: String, from: Long, to: Long,
-    keyCols: Seq[String], perCommit: Boolean)
+    keyCols: Seq[String], perCommit: Boolean,
+    branchPin: Option[String] = None)
     extends Table with SupportsRead {
+  // the per-read branch pin (`#branch=<name>#changes?...`): validated
+  // and reconciled with the ambient conf at LOAD (conflict refuses
+  // early, like GraftLakeTable); unpinned loads keep resolving the
+  // ambient conf at frame-force time, verbatim old behavior
+  branchPin.foreach(PartitionedLake.requireRefName("branch", _))
+  PartitionedLake.resolveReadBranch(branchPin)
+  private def effectiveBranch: Option[String] =
+    PartitionedLake.resolveReadBranch(branchPin)
   // LAZY: analysis may re-resolve the identifier several times, and
   // each loadTable constructs a fresh table — building the full diff
   // plan per resolution would pay both endpoints' manifest reads each
   // time. The scan forces it once.
-  private lazy val frame: DataFrame = PartitionedLake.changesBetween(
-    SparkSession.active, path, from, to, keyCols, perCommit)
+  private lazy val frame: DataFrame = PartitionedLake.changesBetweenOn(
+    SparkSession.active, path, from, to, keyCols, perCommit,
+    effectiveBranch)
   override def name(): String =
-    s"$path#changes?from=$from&to=$to" +
+    s"$path" + branchPin.map(b => s"#branch=$b").getOrElse("") +
+      s"#changes?from=$from&to=$to" +
       (if (perCommit) "&granularity=commit" else "")
   /** The feed's schema from the TO manifest alone (one metadata read):
     * the to-version's columns + `_change_type` (+ `_commit_version`
@@ -1430,7 +1448,8 @@ private[io] class GraftLakeChangesTable(path: String, from: Long, to: Long,
     // manifestAt, whose retired-directory walk lists the partition
     // tree (a schema read opens no partition directories, so paying
     // that walk per analysis re-resolution would be waste)
-    val base = PartitionedLake.schemaAt(SparkSession.active, path, to)
+    val base = PartitionedLake.schemaAt(SparkSession.active, path, to,
+      effectiveBranch)
     StructType(base.fields.map(_.copy(nullable = true)) ++
       (StructField("_change_type", org.apache.spark.sql.types.StringType)
         +: (if (perCommit) Seq(StructField("_commit_version", LongType))
@@ -1523,7 +1542,12 @@ class LakeCatalog extends TableCatalog
     */
   private def changesTable(ident: Identifier, path: String): Table = {
     val idx = path.indexOf("#changes")
-    val base = path.substring(0, idx)
+    // `<base>#branch=<name>#changes?...` — the branch pin composes: the
+    // feed diffs the branch's OWN version line ("what exactly did this
+    // branch stage, row-level") with no session-conf flips
+    val (base, branchPin) = branchSuffix(path.substring(0, idx))
+      .map { case (b, n) => (b, Some(n)) }
+      .getOrElse((path.substring(0, idx), None))
     val rest = path.substring(idx + "#changes".length)
     if (!exists(base)) throw new NoSuchTableException(ident)
     val usage = "expected `<lake>#changes?from=<v>&to=<v>&keyCols=" +
@@ -1541,9 +1565,16 @@ class LakeCatalog extends TableCatalog
       params.getOrElse(k, sys.error(s"#changes requires '$k': $usage"))
     // endpoints resolve like VERSION AS OF: numeric, or a named tag —
     // `from=baseline&to=7` reads "everything since the pinned release"
-    def version(k: String): Long = need(k).toLongOption.orElse(
-      PartitionedLake.tagVersion(SparkSession.active, base, need(k)))
-      .getOrElse(
+    def version(k: String): Long = need(k).toLongOption.orElse {
+      // tags are MAIN-LINE refs; a branch-pinned feed addresses only
+      // the branch's own numeric line (same rule as VERSION AS OF
+      // under a pin)
+      if (branchPin.isDefined) sys.error(
+        s"#changes '$k'='${need(k)}' with a branch pin must be a " +
+          "numeric version of the branch's own line — tags are " +
+          s"main-line refs: $usage")
+      PartitionedLake.tagVersion(SparkSession.active, base, need(k))
+    }.getOrElse(
         sys.error(s"#changes '$k' must be a snapshot version or a tag " +
           s"name, got '${need(k)}' (tags: ${PartitionedLake
             .tags(SparkSession.active, base).map(_._1)
@@ -1559,7 +1590,7 @@ class LakeCatalog extends TableCatalog
         s"'commit', got '$other': $usage")
     }
     new GraftLakeChangesTable(base, version("from"), version("to"),
-      keyCols, perCommit)
+      keyCols, perCommit, branchPin)
   }
 
   /** Parse `<base>#branch=<name>` — the SQL spelling of the per-read
@@ -1705,12 +1736,15 @@ class LakeCatalog extends TableCatalog
         .getOrElse(resolveVersion(base, version))
       return new GraftLakePartitionsTable(base, Some(v), branch)
     }
+    // meta-table refusals fire BEFORE the bare branch-pin case: a
+    // composed `#branch=<name>#changes?...` must get the #changes
+    // wording, not a branch-name validation error on 'name#changes?...'
+    refuseVersionedMetaTable(path)
     branchSuffix(path).foreach { case (base, name) =>
       if (!exists(base)) throw new NoSuchTableException(ident)
       return new GraftLakeTable(base, Some(branchVersion(name)),
         Some(name))
     }
-    refuseVersionedMetaTable(path)
     if (!exists(path)) throw new NoSuchTableException(ident)
     // string versions are legal SQL here (Iceberg's tag syntax): a
     // non-numeric version resolves through the lake's named tags
@@ -1725,6 +1759,8 @@ class LakeCatalog extends TableCatalog
     */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     val path = pathOf(ident)
+    // composed `#branch=...#changes` gets the #changes wording first
+    if (path.contains("#changes")) refuseVersionedMetaTable(path)
     branchSuffix(path).foreach { case (_, name) => sys.error(
       s"TIMESTAMP AS OF on a #branch= table is not supported: branch " +
         s"'$name' is a moving staged line — pin it by numeric VERSION " +

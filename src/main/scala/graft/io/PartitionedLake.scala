@@ -2466,10 +2466,10 @@ object PartitionedLake {
     * reads is skipped (a schema read opens no partition directories).
     */
   private[io] def schemaAt(spark: SparkSession, path: String,
-      version: Long): StructType = {
+      version: Long, branch: Option[String] = activeBranch()): StructType = {
     val fs = fsFor(spark, path)
-    requireResolvable(fs, spark, path, version)
-    readManifest(fs, path, version).schema
+    requireResolvable(fs, spark, path, version, branch)
+    readManifest(fs, path, version, branch = branch).schema
   }
 
   /** The resolved manifest of `version` (or the latest when None) —
@@ -2649,14 +2649,31 @@ object PartitionedLake {
     * still be resolvable (not vacuumed).
     */
   def changesBetween(spark: SparkSession, path: String, fromVersion: Long,
-      toVersion: Long, keyCols: Seq[String]): DataFrame = {
+      toVersion: Long, keyCols: Seq[String]): DataFrame =
+    changesBetweenOn(spark, path, fromVersion, toVersion, keyCols,
+      perCommit = false, activeBranch())
+
+  /** The explicit-branch seam both CDF granularities resolve through —
+    * what the per-read `#branch=<name>#changes` pin routes to (the
+    * public overloads pass the ambient conf, verbatim old behavior).
+    * A branch's OWN version line diffs exactly like main's: endpoints
+    * resolve in the branch namespace; the data files live in the
+    * shared partition directories either way.
+    */
+  private[io] def changesBetweenOn(spark: SparkSession, path: String,
+      fromVersion: Long, toVersion: Long, keyCols: Seq[String],
+      perCommit: Boolean, branch: Option[String]): DataFrame = {
     require(fromVersion <= toVersion,
       s"changesBetween: fromVersion $fromVersion > toVersion $toVersion")
     val fs = fsFor(spark, path)
-    Seq(fromVersion, toVersion).foreach(requireResolvable(fs, spark, path, _))
-    val m1 = readManifest(fs, path, fromVersion)
-    val m2 = readManifest(fs, path, toVersion)
-    diffManifests(spark, path, m1, m2, keyCols)
+    Seq(fromVersion, toVersion).foreach(
+      requireResolvable(fs, spark, path, _, branch))
+    if (!perCommit) {
+      val m1 = readManifest(fs, path, fromVersion, branch = branch)
+      val m2 = readManifest(fs, path, toVersion, branch = branch)
+      return diffManifests(spark, path, m1, m2, keyCols)
+    }
+    perCommitChanges(spark, path, fromVersion, toVersion, keyCols, branch)
   }
 
   /** PER-COMMIT change-data-feed granularity (`perCommit = true`) — the
@@ -2679,18 +2696,20 @@ object PartitionedLake {
     * (spec-pinned).
     */
   def changesBetween(spark: SparkSession, path: String, fromVersion: Long,
-      toVersion: Long, keyCols: Seq[String], perCommit: Boolean): DataFrame = {
-    if (!perCommit)
-      return changesBetween(spark, path, fromVersion, toVersion, keyCols)
-    require(fromVersion <= toVersion,
-      s"changesBetween: fromVersion $fromVersion > toVersion $toVersion")
+      toVersion: Long, keyCols: Seq[String], perCommit: Boolean): DataFrame =
+    changesBetweenOn(spark, path, fromVersion, toVersion, keyCols,
+      perCommit, activeBranch())
+
+  /** The per-commit body — endpoints already validated by
+    * [[changesBetweenOn]] (the only caller).
+    */
+  private def perCommitChanges(spark: SparkSession, path: String,
+      fromVersion: Long, toVersion: Long, keyCols: Seq[String],
+      branch: Option[String]): DataFrame = {
     val fs = fsFor(spark, path)
-    // published versions are contiguous; a vacuumed prefix inside the
-    // range must fail loudly exactly like the net form
-    Seq(fromVersion, toVersion).foreach(requireResolvable(fs, spark, path, _))
     val leafCache = scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
     val manifests = (fromVersion to toVersion).map(
-      readManifest(fs, path, _, leafCache))
+      readManifest(fs, path, _, leafCache, branch))
     val ct = "_commit_version"
     // every per-pair diff is aligned to the FINAL schema before the
     // union: a mid-range additive evolution gives earlier pairs fewer

@@ -93,6 +93,12 @@ class RobustnessSpec extends AnyFunSuite {
     // non-query numerics (total, sentinel fields) never leak in
     assert(!Bench.parseSweepFile(body, "abc123", "X", names).get
       .keySet.exists(Set("total", "start", "end", "waitedSec")))
+    // the PRUNE key is the commit stamp alone: a same-commit record at
+    // another sf parses to None here but must NOT be pruned (a later
+    // invocation at that sf still folds it) — sweepCommit is what the
+    // recorder consults before deleting
+    assert(Bench.sweepCommit(body) === Some("abc123"))
+    assert(Bench.sweepCommit("""{"queries":{}}""") === None)
     // gitHead resolves THIS repo's HEAD to a 40-hex sha (the stamp that
     // scopes cross-invocation merging to one code state)
     val sha = Bench.gitHead()

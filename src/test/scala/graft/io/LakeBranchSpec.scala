@@ -537,4 +537,82 @@ class LakeBranchSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT * FROM graft_lake.`$lake#branches`")
       .count() === 0L)
   }
+
+  test("branch-pinned CDF: #branch=<name>#changes diffs the branch's own line in one query; tags and VERSION AS OF refuse with the right wording; conflicting ambient refuses") {
+    val lake = freshLake("cdfpin")
+    seed(lake) // main v1
+    useCatalog()
+    PartitionedLake.createBranch(spark, lake, "fix")
+    onBranch("fix") { // branch v2: partition a, k=2, bal 2 -> 9
+      spark.sql(s"UPDATE graft_lake.`$lake` SET bal = 9 WHERE k = 2")
+    }
+    // main advances into a DISJOINT partition while the branch stages
+    spark.sql(s"UPDATE graft_lake.`$lake` SET bal = 30 WHERE k = 3") // v2
+    // the branch's own row-level story — the CDF complement of
+    // `#branch=#files`, no session-conf flips around lazy frames
+    val staged = spark.sql(
+      s"SELECT k, bal, _change_type FROM graft_lake.`$lake" +
+        "#branch=fix#changes?from=1&to=2&keyCols=part,k`").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(staged === Set((2L, 2.0, "update_preimage"),
+      (2L, 9.0, "update_postimage")), s"got $staged")
+    // the MAIN feed between the same endpoints shows main's commit only
+    val mainChanged = spark.sql(
+      s"SELECT k FROM graft_lake.`$lake" +
+        "#changes?from=1&to=2&keyCols=part,k`").collect()
+      .map(_.getLong(0)).toSet
+    assert(mainChanged === Set(3L))
+    // per-commit granularity composes with the pin
+    val pc = spark.sql(
+      s"SELECT DISTINCT _commit_version FROM graft_lake.`$lake" +
+        "#branch=fix#changes?from=1&to=2&keyCols=part,k" +
+        "&granularity=commit`").collect().map(_.getLong(0)).toSet
+    assert(pc === Set(2L))
+    // v1-format parity: the option-driven CDF takes the same pin...
+    val v1 = spark.read.format("graft-lake").option("path", lake)
+      .option("changesFrom", "1").option("changesTo", "2")
+      .option("keyCols", "part,k").option("branch", "fix").load()
+    assert(v1.select("k").collect().map(_.getLong(0)).toSet === Set(2L))
+    // ...plain v1 reads pin too...
+    val v1read = spark.read.format("graft-lake").option("path", lake)
+      .option("branch", "fix").load()
+    assert(v1read.filter(col("k") === 2).head().getAs[Double]("bal")
+      === 9.0)
+    // ...and v1 writes refuse it (the pin is a read surface)
+    val ew = intercept[Exception](Seq((9L, "a", 1.0))
+      .toDF("k", "part", "bal").write.format("graft-lake")
+      .option("path", lake).option("partitionCols", "part")
+      .option("branch", "fix").mode("overwrite").save())
+    assert(ew.getMessage.contains("ambient conf"), ew.getMessage)
+    // tags are main-line refs: a named endpoint refuses under the pin
+    val et = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_lake.`$lake" +
+        "#branch=fix#changes?from=base&to=2&keyCols=part,k`").collect())
+    assert(et.getMessage.contains("numeric version of the branch"),
+      et.getMessage)
+    // VERSION AS OF on the composed table keeps the #changes wording
+    // (not a branch-name validation error on 'fix#changes?...')
+    val ev = intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_lake.`$lake" +
+        "#branch=fix#changes?from=1&to=2&keyCols=part,k` " +
+        "VERSION AS OF 1").collect())
+    assert(ev.getMessage.contains("#changes"), ev.getMessage)
+    // a DIFFERENT ambient branch refuses at load, like every pin
+    PartitionedLake.createBranch(spark, lake, "other2")
+    onBranch("other2") {
+      val e = intercept[Exception](spark.sql(
+        s"SELECT * FROM graft_lake.`$lake" +
+          "#branch=fix#changes?from=1&to=2&keyCols=part,k`").collect())
+      assert(e.getMessage.contains("conflicts with the ambient"),
+        e.getMessage)
+    }
+    PartitionedLake.dropBranch(spark, lake, "other2")
+    // an AGREEING ambient composes fine
+    onBranch("fix") {
+      assert(spark.sql(
+        s"SELECT count(*) FROM graft_lake.`$lake" +
+          "#branch=fix#changes?from=1&to=2&keyCols=part,k`")
+        .head().getLong(0) === 2L)
+    }
+  }
 }

@@ -47,6 +47,7 @@ class ReadmeQuickstartSpec extends AnyFunSuite {
       s"SELECT * FROM lake.`$dir#branch=audit` EXCEPT SELECT * FROM lake.`$dir`",
       s"SELECT * FROM lake.`$dir#branches`",
       s"SELECT * FROM lake.`$dir#branch=audit#files`",
+      s"SELECT * FROM lake.`$dir#branch=audit#changes?from=12&to=13&keyCols=day,k`",
       s"CALL lake.system.rebase_branch(table => '$dir', name => 'audit')",
       s"CALL lake.system.publish_branch(table => '$dir', name => 'audit')",
       s"SELECT * FROM lake.`$dir#history`",
