@@ -1491,6 +1491,18 @@ class LakeCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catalogName: String = "graft-lake"
 
+  /** Column DEFAULT values are supported in DDL (`CREATE TABLE (c INT
+    * DEFAULT 5)`, `ADD COLUMNS (c STRING DEFAULT 'web')`, `ALTER
+    * COLUMN ... SET/DROP DEFAULT`) — without this capability the
+    * analyzer refuses the syntax before the catalog ever sees it. The
+    * INSERT-side application (missing columns, the DEFAULT keyword) is
+    * metadata-driven and needs no capability.
+    */
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   /** `CALL <catalog>.system.compact(...)` / `vacuum(...)` — the
     * maintenance surface ([[LakeProcedures]]). The bare name (no
     * `system` namespace) resolves too: path-shaped namespaces are
@@ -1917,16 +1929,35 @@ class LakeCatalog extends TableCatalog
         if (a.position() != null) sys.error(
           "ALTER TABLE ... ADD COLUMNS supports appending only (column " +
             "order is storage order; FIRST/AFTER would imply a rewrite)")
-        if (a.defaultValue() != null) sys.error(
-          "ALTER TABLE ... ADD COLUMNS does not support DEFAULT values " +
-            "(old files surface typed nulls; a default would silently " +
-            "differ between old and new rows)")
         if (!a.isNullable) sys.error(
           "ALTER TABLE ... ADD COLUMNS requires nullable columns: " +
-            "every pre-existing row reads NULL for the new column")
+            "every pre-existing row reads the column's default (NULL " +
+            "when none is declared)")
+        // DEFAULT: persist Spark's two metadata keys on the field —
+        // CURRENT_DEFAULT (the original SQL, fills unspecified INSERT
+        // columns from now on) and EXISTS_DEFAULT (the constant-folded
+        // value, what every file PREDATING the column reads — old and
+        // new rows agree, which is exactly what the pre-defaults
+        // refusal said a naive default would break). Validated here at
+        // ALTER time: parse + fold + cast to the column type.
+        val md = Option(a.defaultValue()).map { dv =>
+          import org.apache.spark.sql.catalyst.util.{
+            ResolveDefaultColumns => Rdc}
+          val l = dv.getValue()
+          val existsSql = org.apache.spark.sql.catalyst.expressions
+            .Literal(l.value(), l.dataType()).sql
+          val currentSql =
+            Option(dv.getSql()).filter(_.nonEmpty).getOrElse(existsSql)
+          Rdc.analyze(a.fieldNames().head, a.dataType(), currentSql,
+            "ALTER TABLE ... ADD COLUMNS")
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putString(Rdc.CURRENT_DEFAULT_COLUMN_METADATA_KEY, currentSql)
+            .putString(Rdc.EXISTS_DEFAULT_COLUMN_METADATA_KEY, existsSql)
+            .build()
+        }.getOrElse(org.apache.spark.sql.types.Metadata.empty)
         PartitionedLake.addColumns(spark, path, Seq(
           org.apache.spark.sql.types.StructField(
-            a.fieldNames().head, a.dataType())))
+            a.fieldNames().head, a.dataType(), nullable = true, md)))
       case d: TableChange.DeleteColumn =>
         if (d.fieldNames().length != 1) sys.error(
           "ALTER TABLE ... DROP COLUMN supports top-level columns " +
@@ -1938,13 +1969,25 @@ class LakeCatalog extends TableCatalog
             s"columns only, got nested field ${t.fieldNames().mkString(".")}")
         PartitionedLake.widenColumnType(spark, path,
           t.fieldNames().head, t.newDataType())
+      case u: TableChange.UpdateColumnDefaultValue =>
+        if (u.fieldNames().length != 1) sys.error(
+          "ALTER TABLE ... ALTER COLUMN ... SET/DROP DEFAULT supports " +
+            "top-level columns only, got nested field " +
+            u.fieldNames().mkString("."))
+        // SET rewrites the CURRENT default (future inserts); DROP
+        // arrives as an empty string. The EXISTENCE default — what old
+        // files read — stays pinned at its ADD-time value by design.
+        PartitionedLake.setColumnCurrentDefault(spark, path,
+          u.fieldNames().head,
+          Option(u.newDefaultValue()).map(_.trim).filter(_.nonEmpty))
       case other => sys.error(
         s"ALTER TABLE change not supported by LakeCatalog: $other — " +
           "supported: RENAME COLUMN (stable-id rebind), ADD COLUMNS " +
-          "(nullable, appended), DROP COLUMN (manifest-only, id " +
-          "tombstoned), ALTER COLUMN TYPE (widening promotions only); " +
-          "everything else would corrupt old snapshots and refuses by " +
-          "design")
+          "(nullable, appended, optional DEFAULT), DROP COLUMN " +
+          "(manifest-only, id tombstoned), ALTER COLUMN TYPE (widening " +
+          "promotions only), ALTER COLUMN SET/DROP DEFAULT (current " +
+          "default only); everything else would corrupt old snapshots " +
+          "and refuses by design")
     }
     new GraftLakeTable(path, None)
   }

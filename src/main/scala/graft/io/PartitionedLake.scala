@@ -1993,6 +1993,78 @@ object PartitionedLake {
     * the explicit `ALTER TABLE ... ADD COLUMNS` form, usable before
     * any write carries the column).
     */
+  /** Spark's column-default metadata keys (the engine's OWN read/write
+    * machinery consumes these — `CURRENT_DEFAULT` fills unspecified
+    * INSERT columns at analysis, `EXISTS_DEFAULT` is what the parquet
+    * readers, vectorized and row-based, surface for files that PREDATE
+    * the column — verified on this engine version for both the
+    * schema'd v1 read and the native DSv2 factory).
+    */
+  private[io] val CurrentDefaultKey = org.apache.spark.sql.catalyst.util
+    .ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY
+  private[io] val ExistsDefaultKey = org.apache.spark.sql.catalyst.util
+    .ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY
+
+  /** The value a file PROVABLY predating `f` surfaces: the column's
+    * existence default when one is pinned, else a typed null — what
+    * the parquet readers do for a missing column, applied wherever the
+    * engine synthesizes the column itself (the pin-group shadow rule).
+    */
+  private[io] def existsDefaultColumn(f: StructField)
+      : org.apache.spark.sql.Column =
+    if (f.metadata.contains(ExistsDefaultKey))
+      org.apache.spark.sql.functions
+        .expr(f.metadata.getString(ExistsDefaultKey)).cast(f.dataType)
+    else lit(null).cast(f.dataType)
+
+  /** SET / DROP a column's CURRENT default — a MANIFEST-ONLY commit
+    * rewriting the field's `CURRENT_DEFAULT` metadata (None removes
+    * it). The EXISTENCE default is deliberately untouched: it was
+    * pinned when the column was added and governs what files predating
+    * the column read — changing it retroactively would rewrite the
+    * visible history of every old file (Delta/Iceberg draw the same
+    * line). `ALTER TABLE ... ALTER COLUMN ... SET/DROP DEFAULT` routes
+    * here; the new default is validated (parse + fold + cast to the
+    * column type) at ALTER time, not at some later INSERT.
+    */
+  def setColumnCurrentDefault(spark: SparkSession, path: String,
+      name: String, sqlText: Option[String]): Unit = {
+    val fs = fsFor(spark, path)
+    var attempts = 0
+    while (true) {
+      val m = latestManifest(fs, path).getOrElse(sys.error(
+        s"cannot alter a column default of the pre-protocol lake at " +
+          s"$path: adopt it first (any PartitionedLake write publishes " +
+          "a manifest)"))
+      require(m.schema.fieldNames.contains(name),
+        s"cannot alter the default of '$name' on $path: no such column " +
+          s"(schema: ${m.schema.fieldNames.mkString(", ")})")
+      sqlText.foreach(s =>
+        org.apache.spark.sql.catalyst.util.ResolveDefaultColumns.analyze(
+          name, m.schema(name).dataType, s,
+          "ALTER TABLE ... ALTER COLUMN ... SET DEFAULT"))
+      val schema = StructType(m.schema.fields.map { f =>
+        if (f.name != name) f
+        else {
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+          sqlText match {
+            case Some(s) => mb.putString(CurrentDefaultKey, s)
+            case None => mb.remove(CurrentDefaultKey)
+          }
+          f.copy(metadata = mb.build())
+        }
+      })
+      if (schema == m.schema) return // idempotent no-op, no version churn
+      val ok = tryPublishManifest(fs, path,
+        m.copy(version = m.version + 1, schema = schema))
+      if (ok) return
+      attempts += 1
+      if (attempts > 5) sys.error(s"setColumnCurrentDefault on $path " +
+        s"lost the publish race $attempts times; giving up")
+    }
+  }
+
   def addColumns(spark: SparkSession, path: String,
       newFields: Seq[StructField]): Unit = {
     require(newFields.nonEmpty, "addColumns needs at least one column")
@@ -2135,15 +2207,20 @@ object PartitionedLake {
           case None => (f, Some(f.name))
         }
       }
+      // field METADATA rides into the read schema: a column added with
+      // a DEFAULT keeps its existence default in pin-group scans too
+      // (files missing the physical column surface the default, same
+      // as the fast path); a SHADOWED field (the file provably
+      // predates it) synthesizes the same value the reader would
       val readSchema = StructType(resolved.collect {
         case (f, Some(phys)) if !partSet.contains(f.name) =>
-          StructField(phys, f.dataType)
+          StructField(phys, f.dataType, nullable = true, f.metadata)
       } ++ schema.fields.filter(f => partSet.contains(f.name)))
       spark.read.schema(readSchema).option("basePath", path)
         .parquet(pairs.map { case (d, e) => s"$path/$d/${e.name}" }: _*)
         .select(resolved.map {
           case (f, Some(phys)) => col(phys).as(f.name)
-          case (f, None) => lit(null).cast(f.dataType).as(f.name)
+          case (f, None) => existsDefaultColumn(f).as(f.name)
         }.toIndexedSeq: _*)
     }.reduce(_.unionByName(_))
   }
@@ -3596,8 +3673,20 @@ object PartitionedLake {
         s"BOTH the branch and the main line since the branch base " +
         s"v${baseM.version} — re-stage from the current head " +
         "(dropBranch, createBranch, re-apply) or drop the branch")
+    // EXACT equality first: a metadata-only evolution (SET/DROP
+    // DEFAULT) is invisible to the norm-by-(name,type) comparison, and
+    // the norm-first ordering would silently drop the untouched side's
+    // metadata change; both sides metadata-only refuses like any
+    // two-sided evolution
     val (schema, colIds) =
-      if (norm(mh.schema) == norm(baseM.schema)) (bh.schema, bh.columnIds)
+      if (mh.schema == baseM.schema) (bh.schema, bh.columnIds)
+      else if (bh.schema == baseM.schema) (mh.schema, mh.columnIds)
+      else if (norm(mh.schema) == norm(baseM.schema) &&
+          norm(bh.schema) == norm(baseM.schema)) sys.error(
+        s"cannot $op branch '$name' onto $path: both the branch and " +
+          s"the main line changed column METADATA (defaults) since " +
+          s"the base v${baseM.version} — one side's evolution at a time")
+      else if (norm(mh.schema) == norm(baseM.schema)) (bh.schema, bh.columnIds)
       else if (norm(bh.schema) == norm(baseM.schema)) (mh.schema, mh.columnIds)
       else sys.error(
         s"cannot $op branch '$name' onto $path: both the branch " +

@@ -2678,6 +2678,69 @@ object RelationalOps {
         |  CAST(4 AS BIGINT) AS published_version
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin),
-      "lake op: branch rebase (CALL system.rebase_branch — a staged branch moves onto a hot main head when disjoint, squashed, zero data jobs; audit re-reads via #branch=, publish fast-forwards from the new base)")
+      "lake op: branch rebase (CALL system.rebase_branch — a staged branch moves onto a hot main head when disjoint, squashed, zero data jobs; audit re-reads via #branch=, publish fast-forwards from the new base)"),
+
+    // ---- column DEFAULT values: ADD COLUMNS ... DEFAULT pins an
+    // EXISTENCE default (files predating the column read it — applied
+    // by Spark's own parquet readers from the manifest schema
+    // metadata, zero rewrite) and a CURRENT default (INSERTs omitting
+    // the column fill it at analysis); SET DEFAULT later moves only
+    // the current one. At 100 TB this is the difference between
+    // "backfill a new column across the whole lake" (a full rewrite)
+    // and one manifest commit. ----
+    Q("q178_sql_lake_default_columns",
+      (s, d) => {
+        val dir = scratchDir("q178-defaults") + "/lake"
+        // cluster the seed by the partition column: one file per
+        // priority instead of one per (task x priority) — the
+        // statement chain's commit I/O is the query's whole cost
+        val base = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderpriority"), col("o_totalprice"))
+          .repartition(col("o_orderpriority"))
+        graft.io.PartitionedLake.write(base, dir, "o_orderpriority") // v1
+        s.conf.set("spark.sql.catalog.graft_lake",
+          classOf[graft.io.LakeCatalog].getName)
+        // manifest-only: every pre-existing file now reads 'web'
+        s.sql(s"ALTER TABLE graft_lake.`$dir` ADD COLUMNS " +
+          "(channel STRING DEFAULT 'web')")
+        // omitted column -> current default 'web'
+        s.sql(s"INSERT INTO graft_lake.`$dir` " +
+          "(o_orderkey, o_orderpriority, o_totalprice) " +
+          s"SELECT o_orderkey + 100000000, o_orderpriority, " +
+          s"o_totalprice FROM graft_lake.`$dir` " +
+          "WHERE o_orderkey % 10 = 1 AND o_orderkey < 100000000")
+        // SET DEFAULT moves the CURRENT default only; the existence
+        // default the old files read stays 'web'
+        s.sql(s"ALTER TABLE graft_lake.`$dir` ALTER COLUMN channel " +
+          "SET DEFAULT 'mobile'")
+        s.sql(s"INSERT INTO graft_lake.`$dir` " +
+          "(o_orderkey, o_orderpriority, o_totalprice) " +
+          s"SELECT o_orderkey + 200000000, o_orderpriority, " +
+          s"o_totalprice FROM graft_lake.`$dir` " +
+          "WHERE o_orderkey % 10 = 2 AND o_orderkey < 100000000")
+        // explicit value beats any default
+        s.sql(s"INSERT INTO graft_lake.`$dir` " +
+          s"SELECT o_orderkey + 300000000, o_orderpriority, " +
+          s"o_totalprice, 'api' FROM graft_lake.`$dir` " +
+          "WHERE o_orderkey % 10 = 3 AND o_orderkey < 100000000")
+        s.sql(s"SELECT channel, count(*) AS n, " +
+          "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) " +
+          s"AS price_sum FROM graft_lake.`$dir` " +
+          "GROUP BY channel ORDER BY channel")
+      },
+      Some("""SELECT channel, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+        |    AS price_sum
+        |FROM (
+        |  SELECT 'web' AS channel, o_totalprice FROM orders
+        |  UNION ALL SELECT 'web', o_totalprice FROM orders
+        |    WHERE o_orderkey % 10 = 1
+        |  UNION ALL SELECT 'mobile', o_totalprice FROM orders
+        |    WHERE o_orderkey % 10 = 2
+        |  UNION ALL SELECT 'api', o_totalprice FROM orders
+        |    WHERE o_orderkey % 10 = 3
+        |)
+        |GROUP BY channel ORDER BY channel""".stripMargin),
+      "lake op: column DEFAULT values (ADD COLUMNS ... DEFAULT = one manifest commit, no backfill rewrite — old files read the pinned existence default, INSERTs fill the current default, SET DEFAULT moves only the latter)")
   )
 }

@@ -52,6 +52,8 @@ class ReadmeQuickstartSpec extends AnyFunSuite {
       s"CALL lake.system.publish_branch(table => '$dir', name => 'audit')",
       s"SELECT * FROM lake.`$dir#history`",
       s"SELECT * FROM lake.`$dir#changes?from=2&to=3&keyCols=day,k`",
+      s"ALTER TABLE lake.`$dir` ADD COLUMNS (source STRING DEFAULT 'batch')",
+      s"ALTER TABLE lake.`$dir` ALTER COLUMN source SET DEFAULT 'stream'",
       s"DROP TABLE lake.`$dir`")
     stmts.foreach { q =>
       try spark.sql(q).collect()
