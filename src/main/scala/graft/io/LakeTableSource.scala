@@ -550,6 +550,28 @@ private[io] class GraftLakeTable(path: String, version: Option[Long],
   private[io] val manifest =
     PartitionedLake.manifestAt(spark, path, version, branch)
 
+  /** The table's ENFORCED CHECK constraints, off the pinned manifest:
+    * reporting them is what opts the SQL surface into Spark's OWN
+    * write-side enforcement (`ResolveTableConstraints` injects a
+    * `CheckInvariant` into every INSERT/UPDATE/MERGE plan against this
+    * table — a violating row fails the write before the commit); the
+    * API paths enforce the same predicates in
+    * [[PartitionedLake.applyChecks]] at stage time. VALID is honest:
+    * the only creation paths are ADD CONSTRAINT (existing data
+    * scanned) and CREATE TABLE (empty).
+    */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints
+        .Constraint] =
+    manifest.map(_.checks.map { case (n, sql) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint
+        .check(n).predicateSql(sql).enforced(true)
+        .validationStatus(org.apache.spark.sql.connector.catalog
+          .constraints.Constraint.ValidationStatus.VALID)
+        .build(): org.apache.spark.sql.connector.catalog.constraints
+          .Constraint
+    }.toArray).getOrElse(Array.empty)
+
   /** Write surfaces refuse on a branch-PINNED table: every lake write
     * path routes through the ambient conf, so honoring a pinned write
     * would either silently write to main (pin ignored) or silently
@@ -1500,8 +1522,11 @@ class LakeCatalog extends TableCatalog
     */
   override def capabilities(): java.util.Set[
       org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
-    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
-      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
 
   /** `CALL <catalog>.system.compact(...)` / `vacuum(...)` — the
     * maintenance surface ([[LakeProcedures]]). The bare name (no
@@ -1831,6 +1856,35 @@ class LakeCatalog extends TableCatalog
     * here (the lake's physical layout is Hive directories); bucket/
     * days/hours transforms refuse with that explanation.
     */
+  /** The TableInfo overload is where `CREATE TABLE ... CONSTRAINT c
+    * CHECK (...)` arrives — the default delegation would silently DROP
+    * the constraints on the way to the StructType overload. ENFORCED
+    * CHECKs persist (an empty table satisfies them trivially); other
+    * constraint types refuse with the ALTER surface's vocabulary.
+    */
+  override def createTable(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): Table = {
+    pendingCreateChecks = info.constraints().toSeq.map {
+      case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        if (!c.enforced()) sys.error(
+          "CREATE TABLE ... CHECK ... NOT ENFORCED is not supported: " +
+            "this lake persists only constraints it ENFORCES on every " +
+            "write")
+        c.name() -> c.predicateSql()
+      case other => sys.error(
+        s"constraint type not supported by LakeCatalog: ${other.toDDL} " +
+          "— only ENFORCED CHECK constraints are supported")
+    }
+    try createTable(ident, info.schema(), info.partitions(),
+      info.properties())
+    finally pendingCreateChecks = Nil
+  }
+
+  // CREATE-time constraints ride from the TableInfo overload to the
+  // StructType overload's createEmpty call (the engine may invoke
+  // either entry point; loadTable never reads this)
+  private var pendingCreateChecks: Seq[(String, String)] = Nil
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -1873,7 +1927,8 @@ class LakeCatalog extends TableCatalog
     // lost race surfaces from createEmpty as the DEDICATED already-exists
     // type (matched here by TYPE, not message text, so an unrelated
     // publish failure can never be swallowed by IF NOT EXISTS)
-    try PartitionedLake.createEmpty(SparkSession.active, path, schema, cols)
+    try PartitionedLake.createEmpty(SparkSession.active, path, schema,
+      cols, pendingCreateChecks)
     catch {
       case _: PartitionedLake.LakeAlreadyExistsException =>
         throw new org.apache.spark.sql.catalyst.analysis
@@ -1980,6 +2035,33 @@ class LakeCatalog extends TableCatalog
         PartitionedLake.setColumnCurrentDefault(spark, path,
           u.fieldNames().head,
           Option(u.newDefaultValue()).map(_.trim).filter(_.nonEmpty))
+      case ac: TableChange.AddConstraint =>
+        ac.constraint() match {
+          case c: org.apache.spark.sql.connector.catalog.constraints
+              .Check =>
+            if (!c.enforced()) sys.error(
+              "ALTER TABLE ... ADD CONSTRAINT ... NOT ENFORCED is not " +
+                "supported: this lake persists only constraints it " +
+                "ENFORCES on every write (an unenforced CHECK would " +
+                "claim an invariant nothing maintains)")
+            // a non-null validatedTableVersion means the engine's
+            // AddCheckConstraintExec already scanned existing data for
+            // violations — don't pay that scan twice
+            PartitionedLake.addCheckConstraint(spark, path, c.name(),
+              c.predicateSql(),
+              skipDataScan = ac.validatedTableVersion() != null)
+          case other => sys.error(
+            s"constraint type not supported by LakeCatalog: ${other
+              .toDDL} — only ENFORCED CHECK constraints are supported " +
+              "(UNIQUE/PRIMARY KEY/FOREIGN KEY enforcement needs a " +
+              "global shuffle per write, which is not a 100 TB shape; " +
+              "run the duplicate/orphan audit queries instead)")
+        }
+      case dc: TableChange.DropConstraint =>
+        // RESTRICT (the default) and CASCADE agree here: graft
+        // constraints have no dependent objects to cascade to
+        PartitionedLake.dropCheckConstraint(spark, path, dc.name(),
+          ifExists = dc.ifExists())
       case other => sys.error(
         s"ALTER TABLE change not supported by LakeCatalog: $other — " +
           "supported: RENAME COLUMN (stable-id rebind), ADD COLUMNS " +

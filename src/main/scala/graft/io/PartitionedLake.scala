@@ -5,7 +5,7 @@ import java.util.UUID
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-import org.apache.spark.sql.functions.{array, broadcast, col, explode, lit, struct, when}
+import org.apache.spark.sql.functions.{array, broadcast, coalesce, col, explode, lit, struct, when}
 import org.apache.spark.sql.types.{ByteType, DataType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StructField, StructType, TimestampNTZType, TimestampType}
 
 /** Partitioned-lake layout helpers: Hive-style partition directories give
@@ -196,6 +196,16 @@ object PartitionedLake {
     * partial mapping could mis-resolve precisely the columns it
     * omits).
     */
+  /** `checks` is the table's ENFORCED CHECK constraints, `(name,
+    * predicate SQL)` in declaration order, persisted one
+    * `meta:check=` header line each (the reserved additive namespace —
+    * pre-constraints readers skip the lines; ignoring a constraint
+    * only loses write-side enforcement on that old reader, never read
+    * correctness). Every write path evaluates them per-row before
+    * staging ([[applyChecks]]); the SQL surface additionally gets
+    * Spark's own `CheckInvariant` enforcement through
+    * [[GraftLakeTable]] reporting `constraints()`.
+    */
   private[io] case class Manifest(version: Long, schema: StructType,
       files: Map[String, Seq[FileEntry]],
       txns: Map[String, Long] = Map.empty,
@@ -203,7 +213,8 @@ object PartitionedLake {
       mor: Option[String] = None,
       leaves: Seq[String] = Nil,
       layout: Option[Seq[String]] = None,
-      columnIds: Option[Map[String, Int]] = None)
+      columnIds: Option[Map[String, Int]] = None,
+      checks: Seq[(String, String)] = Nil)
 
   /** The writer id [[upsert]]/[[cdcSink]]/[[cdcSinkMergeOnRead]] charge
     * their replay guard to when the caller does not name one.
@@ -697,8 +708,18 @@ object PartitionedLake {
           byteFields.headOption.map(_.stripPrefix("bytes:").toLong),
           physNames, strStats))
     }.groupBy(_._1).map { case (d, fs0) => d -> fs0.map(_._2) }
+    // meta:check=<escaped-name>:<escaped-predicate-sql> — one line per
+    // ENFORCED CHECK constraint, declaration order = line order
+    // (escapePathName escapes ':', so the FIRST unescaped ':' splits)
+    val checks = body.filter(_.startsWith("meta:check=")).map { l =>
+      val p = l.stripPrefix("meta:check=")
+      val i = p.indexOf(':')
+      require(i > 0, s"malformed meta:check line in $p")
+      ExternalCatalogUtils.unescapePathName(p.substring(0, i)) ->
+        ExternalCatalogUtils.unescapePathName(p.substring(i + 1))
+    }
     Manifest(version, schema, files, txns, deltas, mor, leafNames, layout,
-      columnIds)
+      columnIds, checks)
   }
 
   /** The delta + data-file lines for one partition directory — the
@@ -830,6 +851,13 @@ object PartitionedLake {
       .append(ids.toSeq.sortBy(_._2).map { case (n, i) =>
         s"${ExternalCatalogUtils.escapePathName(n)}:$i" }.mkString("/"))
       .append('\n'))
+    // one line per CHECK constraint (see the Manifest doc); ':' is
+    // escaped inside both halves, so the first raw ':' splits on read
+    m.checks.foreach { case (n, sql) =>
+      body.append("meta:check=")
+        .append(ExternalCatalogUtils.escapePathName(n)).append(':')
+        .append(ExternalCatalogUtils.escapePathName(sql)).append('\n')
+    }
     if (nShards == 0) {
       allDirs(m).toSeq.sorted.foreach(appendDirLines(body, m, _))
     } else {
@@ -1094,9 +1122,18 @@ object PartitionedLake {
     // the age governor's REFUSAL fires here, before a byte is staged
     // (nothing to unlink); its warning fires once, at publish
     activeBranch().foreach(governBranchAge(fs, path, _, refuseOnly = true))
+    // CHECK constraints: every staged write evaluates the head's
+    // declared predicates per row inside the write job (a violation
+    // fails the job before anything commits) — the API-path twin of
+    // the SQL surface's CheckInvariant enforcement
+    val checked = latestManifest(fs, path) match {
+      case Some(h) if h.checks.nonEmpty =>
+        applyChecks(spark, df, h.schema, h.checks)
+      case _ => df
+    }
     val staging = new Path(new Path(path, StagingDirName),
       UUID.randomUUID().toString.take(8))
-    df.write.mode("overwrite").partitionBy(partitionCols: _*)
+    checked.write.mode("overwrite").partitionBy(partitionCols: _*)
       .parquet(staging.toString)
     val conf = spark.sparkContext.hadoopConfiguration
     val pairs = leafPartitionDirs(fs, staging, partitionCols.size)
@@ -1442,7 +1479,11 @@ object PartitionedLake {
         base.flatMap(_.columnIds), snapshotSchema))
       val ok = tryPublishManifest(fs, path, Manifest(
         base.map(_.version + 1).getOrElse(1L), snapshotSchema, newFiles,
-        txns, newDeltas, mor, layout = layout, columnIds = carriedIds))
+        txns, newDeltas, mor, layout = layout, columnIds = carriedIds,
+        // constraints are table metadata like the layout: every data
+        // commit (append, upsert, overwrite, rebase re-publish) carries
+        // the head's checks forward verbatim
+        checks = base.map(_.checks).getOrElse(Nil)))
       if (ok) return
       attempts += 1
       val head = latestManifest(fs, path).getOrElse(
@@ -1675,7 +1716,20 @@ object PartitionedLake {
     * race and reports the same).
     */
   def createEmpty(spark: SparkSession, path: String, schema: StructType,
-      partitionCols: Seq[String]): Unit = {
+      partitionCols: Seq[String]): Unit =
+    createEmpty(spark, path, schema, partitionCols, Nil)
+
+  /** CREATE-with-constraints variant: `checks` are `(name, predicate
+    * SQL)` ENFORCED CHECK constraints, validated against the declared
+    * schema here (an empty table satisfies them trivially).
+    */
+  def createEmpty(spark: SparkSession, path: String, schema: StructType,
+      partitionCols: Seq[String], checks: Seq[(String, String)]): Unit = {
+    checks.foreach { case (n, sql) =>
+      validateCheckPredicate(spark, schema, n, sql) }
+    require(checks.map(_._1.toLowerCase(java.util.Locale.ROOT)).distinct
+      .size == checks.size, "duplicate CHECK constraint name(s): " +
+      checks.map(_._1).mkString(", "))
     require(partitionCols.nonEmpty,
       "createEmpty needs at least one partition column (a lake is " +
         "partitioned by construction)")
@@ -1703,7 +1757,8 @@ object PartitionedLake {
     val nullable = StructType(schema.fields.map(_.copy(nullable = true)))
     if (!tryPublishManifest(fs, path, Manifest(1L, nullable, Map.empty,
         layout = Some(partitionCols),
-        columnIds = Some(assignColumnIds(None, nullable)))))
+        columnIds = Some(assignColumnIds(None, nullable)),
+        checks = checks)))
       throw new LakeAlreadyExistsException(
         s"a lake already exists at $path (a racing CREATE published " +
           "version 1 first)")
@@ -2062,6 +2117,151 @@ object PartitionedLake {
       attempts += 1
       if (attempts > 5) sys.error(s"setColumnCurrentDefault on $path " +
         s"lost the publish race $attempts times; giving up")
+    }
+  }
+
+  /** Parse + resolve a CHECK predicate against `schema` — every way a
+    * constraint can be malformed (parse error, unknown column,
+    * unresolvable function, non-boolean) refuses HERE, at declaration,
+    * not at some later write.
+    */
+  private[io] def validateCheckPredicate(spark: SparkSession,
+      schema: StructType, name: String, sql: String): Unit = {
+    require(name.trim.nonEmpty && sql.trim.nonEmpty,
+      "a CHECK constraint needs a name and a predicate")
+    val e = try spark.sessionState.sqlParser.parseExpression(sql)
+      catch { case t: Throwable => sys.error(
+        s"CHECK constraint '$name' does not parse: ${t.getMessage}") }
+    val unknown = e.references.map(_.name).toSeq.distinct
+      .filterNot(schema.fieldNames.contains)
+    if (unknown.nonEmpty) sys.error(
+      s"CHECK constraint '$name' references unknown column(s) " +
+        s"${unknown.mkString(", ")} (schema: " +
+        s"${schema.fieldNames.mkString(", ")})")
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[Row](), schema)
+    try empty.filter(org.apache.spark.sql.functions.expr(sql)
+        .cast(org.apache.spark.sql.types.BooleanType))
+      .queryExecution.analyzed
+    catch { case t: Throwable => sys.error(
+      s"CHECK constraint '$name' ($sql) does not resolve against the " +
+        s"table schema: ${t.getMessage}") }
+  }
+
+  /** Per-row CHECK enforcement on a write — the API-path counterpart
+    * of Spark's own `CheckInvariant` (which covers the SQL surface
+    * through [[GraftLakeTable]]'s `constraints()`): a violating row
+    * fails the staging job loudly via `raise_error`, so nothing
+    * commits. SQL CHECK semantics: a NULL predicate passes. A frame
+    * that OMITS a referenced column (additive-evolution writes) is
+    * evaluated against the column's existence default when one is
+    * pinned — that is the value the written file will READ — and
+    * refuses otherwise (an unevaluable constraint must never silently
+    * skip). The guard is one codegen'd predicate per row inside the
+    * write job: no extra pass, no driver action.
+    */
+  private[io] def applyChecks(spark: SparkSession, df: DataFrame,
+      schema: StructType, checks: Seq[(String, String)]): DataFrame = {
+    if (checks.isEmpty) return df
+    val parser = spark.sessionState.sqlParser
+    val refs = checks.flatMap { case (_, sql) =>
+      parser.parseExpression(sql).references.map(_.name).toSeq }.distinct
+    val present = df.columns.toSet
+    val aug = refs.filterNot(present.contains).foldLeft(df) { (a, c) =>
+      val f = schema.fields.find(_.name == c).getOrElse(sys.error(
+        s"a CHECK constraint references column '$c' absent from both " +
+          "the write and the table schema — drop the constraint"))
+      if (!f.metadata.contains(ExistsDefaultKey)) sys.error(
+        s"cannot enforce this lake's CHECK constraints: the write " +
+          s"omits column '$c' (no default) that a constraint " +
+          "references — carry the column explicitly " +
+          s"(lit(null).cast(...).as(\"$c\")) or drop the constraint")
+      a.withColumn(c, existsDefaultColumn(f))
+    }
+    // merge-on-read 'D' tombstones are deletion MARKERS (identity +
+    // nulls), not rows — only 'U' post-images carry row values a CHECK
+    // can judge
+    val tombstone =
+      if (aug.columns.contains(MorOpCol)) col(MorOpCol) === lit("D")
+      else lit(false)
+    val guarded = checks.foldLeft(aug) { case (a, (n, sql)) =>
+      val pass = coalesce(org.apache.spark.sql.functions.expr(sql)
+        .cast(org.apache.spark.sql.types.BooleanType), lit(true))
+      a.filter(when(tombstone || pass, lit(true)).otherwise(
+        org.apache.spark.sql.functions.raise_error(lit(
+          s"graft lake CHECK constraint '$n' violated: ($sql) is " +
+            "false for a row this write would commit"))
+          .cast(org.apache.spark.sql.types.BooleanType)))
+    }
+    guarded.select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** Declare an ENFORCED CHECK constraint — a manifest-only commit
+    * appending to [[Manifest.checks]] after (1) the predicate
+    * validates against the schema and (2) EXISTING data is scanned for
+    * violations (`skipDataScan = true` when the engine already ran
+    * that scan — the SQL `ALTER TABLE ... ADD CONSTRAINT` path
+    * validates through `AddCheckConstraintExec` before calling the
+    * catalog). From this commit on, every write path refuses violating
+    * rows ([[applyChecks]] + Spark's `CheckInvariant` on the SQL
+    * surface).
+    */
+  def addCheckConstraint(spark: SparkSession, path: String, name: String,
+      sql: String, skipDataScan: Boolean = false): Unit = {
+    val fs = fsFor(spark, path)
+    var attempts = 0
+    while (true) {
+      val m = latestManifest(fs, path).getOrElse(sys.error(
+        s"cannot add a CHECK constraint to the pre-protocol lake at " +
+          s"$path: adopt it first (any PartitionedLake write publishes " +
+          "a manifest)"))
+      if (m.checks.exists(_._1.equalsIgnoreCase(name))) sys.error(
+        s"CHECK constraint '$name' already exists on $path — drop it " +
+          "first (constraint names are case-insensitive)")
+      validateCheckPredicate(spark, m.schema, name, sql)
+      if (!skipDataScan) {
+        val bad = frameFor(spark, path, m).filter(
+          !coalesce(org.apache.spark.sql.functions.expr(sql)
+            .cast(org.apache.spark.sql.types.BooleanType), lit(true)))
+          .limit(1).count()
+        if (bad > 0) sys.error(
+          s"cannot add CHECK constraint '$name' on $path: existing " +
+            s"data violates ($sql) — fix the rows first (the " +
+            "constraint would otherwise claim an invariant the table " +
+            "does not hold)")
+      }
+      val ok = tryPublishManifest(fs, path, m.copy(
+        version = m.version + 1, checks = m.checks :+ (name -> sql)))
+      if (ok) return
+      attempts += 1
+      if (attempts > 5) sys.error(s"addCheckConstraint on $path lost " +
+        s"the publish race $attempts times; giving up")
+    }
+  }
+
+  /** Drop a CHECK constraint by name — manifest-only; unknown names
+    * refuse (listing what exists) unless `ifExists`.
+    */
+  def dropCheckConstraint(spark: SparkSession, path: String, name: String,
+      ifExists: Boolean = false): Unit = {
+    val fs = fsFor(spark, path)
+    var attempts = 0
+    while (true) {
+      val m = latestManifest(fs, path).getOrElse(sys.error(
+        s"no graft lake manifest at $path"))
+      if (!m.checks.exists(_._1.equalsIgnoreCase(name))) {
+        if (ifExists) return
+        sys.error(s"no CHECK constraint '$name' on $path (constraints: " +
+          s"${if (m.checks.isEmpty) "none"
+             else m.checks.map(_._1).mkString(", ")})")
+      }
+      val ok = tryPublishManifest(fs, path, m.copy(
+        version = m.version + 1,
+        checks = m.checks.filterNot(_._1.equalsIgnoreCase(name))))
+      if (ok) return
+      attempts += 1
+      if (attempts > 5) sys.error(s"dropCheckConstraint on $path lost " +
+        s"the publish race $attempts times; giving up")
     }
   }
 
@@ -3592,6 +3792,9 @@ object PartitionedLake {
         s"manifest for $path vanished during publish"))
       val merged = mergeBranchOntoHead("publish", path, name, baseM, bh,
         branchTouched, mh)
+      validateChecksOnDirs(spark, path, merged,
+        branchTouched ++ changedDirs(Some(baseM), mh),
+        merged.checks.filterNot(baseM.checks.contains), "publish", name)
       if (tryPublishManifest(fs, path, merged, None)) {
         if (drop) {
           // receipt BEFORE delete: a crash in between leaves a
@@ -3715,9 +3918,51 @@ object PartitionedLake {
     }
     val txns = (mh.txns.toSeq ++ bh.txns.toSeq)
       .groupMapReduce(_._1)(_._2)(math.max)
+    // CHECK constraints merge like the schema: one side's change
+    // carries, both sides changing refuses (a silently-preferred
+    // constraint set would enforce different invariants than one of
+    // the two writers just validated against). Constraints ADDED
+    // since the base are re-validated by the caller against the dirs
+    // changed since the base ([[validateChecksOnDirs]]) — the adding
+    // side scanned only the data IT could see at add time, and the
+    // merged line must not publish an invariant the other side's
+    // concurrent rows already break.
+    val checks =
+      if (mh.checks == baseM.checks) bh.checks
+      else if (bh.checks == baseM.checks) mh.checks
+      else sys.error(
+        s"cannot $op branch '$name' onto $path: both the branch and " +
+          s"the main line changed CHECK constraints since the base " +
+          s"v${baseM.version} — one side's evolution at a time")
     Manifest(mh.version + 1, schema, mergedFiles, txns,
       mergedDeltas, mor, layout = mh.layout.orElse(bh.layout),
-      columnIds = colIds)
+      columnIds = colIds, checks = checks)
+  }
+
+  /** Re-validate CHECK constraints ADDED since a branch base against
+    * the rows committed (on either line) since that base — the merge
+    * counterpart of [[addCheckConstraint]]'s existing-data scan. Cost
+    * is bounded by the since-base churn (`dirs`), never table size.
+    */
+  private def validateChecksOnDirs(spark: SparkSession, path: String,
+      merged: Manifest, dirs: Set[String],
+      newChecks: Seq[(String, String)], op: String, name: String): Unit = {
+    if (newChecks.isEmpty || dirs.isEmpty) return
+    val scoped = frameFor(spark, path, merged.copy(
+      files = merged.files.view.filterKeys(dirs).toMap,
+      deltas = merged.deltas.view.filterKeys(dirs).toMap))
+    newChecks.foreach { case (n, sql) =>
+      val bad = scoped.filter(
+        !coalesce(org.apache.spark.sql.functions.expr(sql)
+          .cast(org.apache.spark.sql.types.BooleanType), lit(true)))
+        .limit(1).count()
+      if (bad > 0) sys.error(
+        s"cannot $op branch '$name' onto $path: rows committed since " +
+          s"the branch base violate the newly-added CHECK constraint " +
+          s"'$n' ($sql) — fix the rows first, or drop the constraint " +
+          "(publishing would claim an invariant the merged table does " +
+          "not hold)")
+    }
   }
 
   /** REBASE a staged branch onto the current main head — the escape
@@ -3762,6 +4007,9 @@ object PartitionedLake {
     if (mh.version == baseM.version) return baseM.version // already based
     val merged = mergeBranchOntoHead("rebase", path, name, baseM, bh,
       branchTouched, mh)
+    validateChecksOnDirs(spark, path, merged,
+      branchTouched ++ changedDirs(Some(baseM), mh),
+      merged.checks.filterNot(baseM.checks.contains), "rebase", name)
     // rebuild in a dotted scratch namespace, then swap
     val branchesRoot = new Path(path, BranchesDirName)
     // stale scratch from a crashed earlier rebase of THIS branch is

@@ -2741,6 +2741,64 @@ object RelationalOps {
         |    WHERE o_orderkey % 10 = 3
         |)
         |GROUP BY channel ORDER BY channel""".stripMargin),
-      "lake op: column DEFAULT values (ADD COLUMNS ... DEFAULT = one manifest commit, no backfill rewrite — old files read the pinned existence default, INSERTs fill the current default, SET DEFAULT moves only the latter)")
+      "lake op: column DEFAULT values (ADD COLUMNS ... DEFAULT = one manifest commit, no backfill rewrite — old files read the pinned existence default, INSERTs fill the current default, SET DEFAULT moves only the latter)"),
+
+    // ---- ENFORCED CHECK constraints: ADD CONSTRAINT scans existing
+    // data once (never claims an invariant the table doesn't hold),
+    // then every write path — SQL via Spark's own CheckInvariant, API
+    // via the stage-time guard — refuses violating rows before the
+    // commit. The validation engine's rule idea, pushed into the
+    // storage layer: at 100 TB the cheapest place to reject a bad row
+    // is the write that would persist it. ----
+    Q("q179_sql_lake_check_constraints",
+      (s, d) => {
+        val dir = scratchDir("q179-constraints") + "/lake"
+        val base = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderpriority"), col("o_totalprice"))
+          .repartition(col("o_orderpriority"))
+        graft.io.PartitionedLake.write(base, dir, "o_orderpriority") // v1
+        s.conf.set("spark.sql.catalog.graft_lake",
+          classOf[graft.io.LakeCatalog].getName)
+        // validates ALL existing rows, then publishes (v2)
+        s.sql(s"ALTER TABLE graft_lake.`$dir` ADD CONSTRAINT " +
+          "price_floor CHECK (o_totalprice >= 0)")
+        // a conforming INSERT lands (v3)
+        s.sql(s"INSERT INTO graft_lake.`$dir` " +
+          s"SELECT o_orderkey + 100000000, o_orderpriority, " +
+          s"o_totalprice FROM graft_lake.`$dir` " +
+          "WHERE o_orderkey % 10 = 4 AND o_orderkey < 100000000")
+        // a violating statement refuses with the constraint's name and
+        // commits NOTHING — both booleans ride the result in-band
+        val refused = try {
+          s.sql(s"INSERT INTO graft_lake.`$dir` VALUES " +
+            "(999999999, '1-URGENT', -1.0)")
+          false
+        } catch { case t: Throwable =>
+          Iterator.iterate(t)(_.getCause).takeWhile(_ != null).exists(x =>
+            Option(x.getMessage).exists(
+              _.toLowerCase.contains("price_floor")))
+        }
+        val headStable =
+          graft.io.PartitionedLake.snapshots(s, dir).max == 3L
+        s.sql(s"SELECT o_orderpriority, count(*) AS n, " +
+          "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) " +
+          s"AS price_sum FROM graft_lake.`$dir` " +
+          "GROUP BY o_orderpriority")
+          .withColumn("violation_refused", lit(refused))
+          .withColumn("head_stable", lit(headStable))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
+        |    AS price_sum,
+        |  true AS violation_refused,
+        |  true AS head_stable
+        |FROM (
+        |  SELECT o_orderpriority, o_totalprice FROM orders
+        |  UNION ALL SELECT o_orderpriority, o_totalprice FROM orders
+        |    WHERE o_orderkey % 10 = 4
+        |)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      "lake op: ENFORCED CHECK constraints (ADD CONSTRAINT scans existing data once; SQL writes refuse via Spark's CheckInvariant, API writes via the stage-time guard — a violating row never commits)")
   )
 }

@@ -54,6 +54,7 @@ class ReadmeQuickstartSpec extends AnyFunSuite {
       s"SELECT * FROM lake.`$dir#changes?from=2&to=3&keyCols=day,k`",
       s"ALTER TABLE lake.`$dir` ADD COLUMNS (source STRING DEFAULT 'batch')",
       s"ALTER TABLE lake.`$dir` ALTER COLUMN source SET DEFAULT 'stream'",
+      s"ALTER TABLE lake.`$dir` ADD CONSTRAINT amount_nonneg CHECK (amount >= 0)",
       s"DROP TABLE lake.`$dir`")
     stmts.foreach { q =>
       try spark.sql(q).collect()
