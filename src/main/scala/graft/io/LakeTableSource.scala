@@ -1389,6 +1389,34 @@ private[io] class GraftLakeFilesTable(path: String, version: Option[Long],
   }
 }
 
+/** `lake.`/path#constraints`` — one row per ENFORCED CHECK constraint
+  * (name, predicate SQL). Snapshot-describing like `#files`: composes
+  * with `VERSION AS OF` (which snapshot declared what) and the
+  * `#branch=<name>` pin (what a staged branch would publish).
+  */
+private[io] class GraftLakeConstraintsTable(path: String,
+    version: Option[Long], branch: Option[String] = None)
+    extends Table with SupportsRead {
+  branch.foreach(PartitionedLake.requireRefName("branch", _))
+  override def name(): String =
+    s"$path" + branch.map(b => s"#branch=$b").getOrElse("") +
+      "#constraints" + version.map(v => s"@v$v").getOrElse("")
+  override val schema: StructType = PartitionedLake.constraintsSchema
+  override def capabilities(): util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = () => new V1Scan {
+    override def readSchema(): StructType =
+      PartitionedLake.constraintsSchema
+    override def toV1TableScan[T <: BaseRelation with TableScan](
+        context: SQLContext): T =
+      new LakeV1ScanRelation(context, PartitionedLake.constraintsSchema,
+        PartitionedLake.constraintsFrameMeta(context.sparkSession, path,
+          version, branch)).asInstanceOf[T]
+    override def description(): String = s"GraftLakeConstraints($path)"
+  }
+}
+
 private[io] class GraftLakePartitionsTable(path: String,
     version: Option[Long], branch: Option[String] = None)
     extends Table with SupportsRead {
@@ -1657,6 +1685,13 @@ class LakeCatalog extends TableCatalog
       val (base, name) = branchSuffix(path.stripSuffix("#partitions")).get
       if (!exists(base)) throw new NoSuchTableException(ident)
       new GraftLakePartitionsTable(base, None, Some(name))
+    } else if (path.endsWith("#constraints") &&
+        branchSuffix(path).isDefined) {
+      // what would this branch PUBLISH as the constraint set
+      val (base, name) =
+        branchSuffix(path.stripSuffix("#constraints")).get
+      if (!exists(base)) throw new NoSuchTableException(ident)
+      new GraftLakeConstraintsTable(base, None, Some(name))
     } else if (branchSuffix(path).isDefined) {
       val (base, name) = branchSuffix(path).get
       if (!exists(base)) throw new NoSuchTableException(ident)
@@ -1687,6 +1722,10 @@ class LakeCatalog extends TableCatalog
       val base = path.stripSuffix("#partitions")
       if (!exists(base)) throw new NoSuchTableException(ident)
       new GraftLakePartitionsTable(base, None)
+    } else if (path.endsWith("#constraints")) {
+      val base = path.stripSuffix("#constraints")
+      if (!exists(base)) throw new NoSuchTableException(ident)
+      new GraftLakeConstraintsTable(base, None)
     } else {
       if (!exists(path)) throw new NoSuchTableException(ident)
       new GraftLakeTable(path, None)
@@ -1773,6 +1812,15 @@ class LakeCatalog extends TableCatalog
         .getOrElse(resolveVersion(base, version))
       return new GraftLakePartitionsTable(base, Some(v), branch)
     }
+    if (path.endsWith("#constraints")) {
+      val rest = path.stripSuffix("#constraints")
+      val (base, branch) = branchSuffix(rest)
+        .map { case (b, n) => (b, Some(n)) }.getOrElse((rest, None))
+      if (!exists(base)) throw new NoSuchTableException(ident)
+      val v = branch.map(branchVersion)
+        .getOrElse(resolveVersion(base, version))
+      return new GraftLakeConstraintsTable(base, Some(v), branch)
+    }
     // meta-table refusals fire BEFORE the bare branch-pin case: a
     // composed `#branch=<name>#changes?...` must get the #changes
     // wording, not a branch-name validation error on 'name#changes?...'
@@ -1819,6 +1867,12 @@ class LakeCatalog extends TableCatalog
       return new GraftLakePartitionsTable(base,
         Some(versionAtOrRefuse(base)))
     }
+    if (path.endsWith("#constraints")) {
+      val base = path.stripSuffix("#constraints")
+      if (!exists(base)) throw new NoSuchTableException(ident)
+      return new GraftLakeConstraintsTable(base,
+        Some(versionAtOrRefuse(base)))
+    }
     refuseVersionedMetaTable(path)
     if (!exists(path)) throw new NoSuchTableException(ident)
     new GraftLakeTable(path, Some(versionAtOrRefuse(path)))
@@ -1832,6 +1886,7 @@ class LakeCatalog extends TableCatalog
       else if (path.endsWith("#branches")) path.stripSuffix("#branches")
       else if (path.endsWith("#files")) path.stripSuffix("#files")
       else if (path.endsWith("#partitions")) path.stripSuffix("#partitions")
+      else if (path.endsWith("#constraints")) path.stripSuffix("#constraints")
       else if (path.contains("#changes")) path.take(path.indexOf("#changes"))
       else path
     exists(branchSuffix(stripped).map(_._1).getOrElse(stripped))

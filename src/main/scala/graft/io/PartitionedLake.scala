@@ -4062,6 +4062,29 @@ object PartitionedLake {
       StructField("stats_cols", IntegerType, nullable = false)))
   }
 
+  /** The `#constraints` metadata table's row shape — one row per
+    * ENFORCED CHECK constraint of the addressed snapshot.
+    */
+  private[io] val constraintsSchema: StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("predicate", StringType, nullable = false)))
+  }
+
+  private[io] def constraintsFrameMeta(spark: SparkSession, path: String,
+      version: Option[Long],
+      branch: Option[String] = None): DataFrame = {
+    val m = manifestAt(spark, path, version,
+      resolveReadBranch(branch)).getOrElse(
+      sys.error(s"no graft lake manifest at $path"))
+    val rows = m.checks.map { case (n, sql) => Row(n, sql) }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      constraintsSchema)
+  }
+
   private[io] def filesFrameMeta(spark: SparkSession, path: String,
       version: Option[Long],
       branch: Option[String] = None): DataFrame = {

@@ -192,4 +192,32 @@ class LakeConstraintsSpec extends AnyFunSuite {
       Seq("part")))
     assert(messageChain(e3).contains("tag_shape"), messageChain(e3))
   }
+
+  test("#constraints metadata table: current, VERSION AS OF, and branch-pinned views of the constraint set") {
+    val lake = freshLake("meta")
+    useCatalog()
+    PartitionedLake.write(Seq(("a", 1L, 1.0)).toDF("part", "k", "bal"),
+      lake, "part") // v1
+    spark.sql(s"ALTER TABLE graft_lake.`$lake` ADD CONSTRAINT " +
+      "bal_nonneg CHECK (bal >= 0)") // v2
+    assert(spark.sql(s"SELECT * FROM graft_lake.`$lake#constraints`")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      === Seq(("bal_nonneg", "bal >= 0")))
+    // the constraint set is snapshot metadata: v1 declared none
+    assert(spark.sql(s"SELECT * FROM graft_lake.`$lake#constraints` " +
+      "VERSION AS OF 1").count() === 0L)
+    // a constraint STAGED ON A BRANCH shows through the pin and stays
+    // invisible to the bare table until publish
+    PartitionedLake.createBranch(spark, lake, "gate2")
+    spark.conf.set(PartitionedLake.BranchKey, "gate2")
+    try PartitionedLake.addCheckConstraint(spark, lake, "k_positive",
+      "k > 0")
+    finally spark.conf.unset(PartitionedLake.BranchKey)
+    assert(spark.sql(s"SELECT name FROM " +
+      s"graft_lake.`$lake#branch=gate2#constraints`").collect()
+      .map(_.getString(0)).toSet === Set("bal_nonneg", "k_positive"))
+    assert(spark.sql(
+      s"SELECT name FROM graft_lake.`$lake#constraints`").collect()
+      .map(_.getString(0)).toSeq === Seq("bal_nonneg"))
+  }
 }

@@ -55,6 +55,7 @@ class ReadmeQuickstartSpec extends AnyFunSuite {
       s"ALTER TABLE lake.`$dir` ADD COLUMNS (source STRING DEFAULT 'batch')",
       s"ALTER TABLE lake.`$dir` ALTER COLUMN source SET DEFAULT 'stream'",
       s"ALTER TABLE lake.`$dir` ADD CONSTRAINT amount_nonneg CHECK (amount >= 0)",
+      s"SELECT * FROM lake.`$dir#constraints`",
       s"DROP TABLE lake.`$dir`")
     stmts.foreach { q =>
       try spark.sql(q).collect()
