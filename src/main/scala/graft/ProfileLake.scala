@@ -1,0 +1,220 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool (round 18): decompose the hot LAKE queries' wall time into
+  * phases — stage write, each DML statement, in-band probes, final
+  * read — so optimization targets the phase that actually costs, not
+  * the query as a black box. Not part of the driver contract.
+  *
+  * Run: SPARK_GRAFT_SF_DIR=... sbt "runMain graft.ProfileLake [filter]"
+  */
+object ProfileLake {
+  private var t0 = 0L
+  private def mark(): Unit = t0 = System.nanoTime()
+  private def phase(name: String): Unit = {
+    val dt = (System.nanoTime() - t0) / 1e9
+    println(f"[phase] $name%-46s $dt%7.3f s")
+    mark()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val only = args.headOption
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-profile-lake")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    // per-job timing: how many Spark jobs does each phase run, how long
+    // is each — the fixed-overhead count is the optimization target at
+    // bench scale
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    s.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobStart.put(e.jobId, System.nanoTime())
+        override def onJobEnd(
+            e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val t = Option(jobStart.get(e.jobId))
+            .map(t0 => (System.nanoTime() - t0) / 1e9).getOrElse(-1.0)
+          println(f"    [job] ${e.jobId}%4d ${t}%7.3f s")
+        }
+      })
+    s.range(1000).selectExpr("sum(id)").collect()
+    SparkEntry.entry(s).count()
+    def scratch(n: String) = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("/tmp"), n).toString + "/lake"
+    def run(name: String)(body: => Unit): Unit =
+      if (only.forall(name.contains)) {
+        println(s"== $name ==")
+        // run twice; second run is the warm measurement
+        (1 to 2).foreach { i =>
+          println(s"-- pass $i --")
+          mark(); body
+        }
+      }
+
+    run("q144_mor") {
+      val dir = scratch("prof-q144")
+      val base = Tables.orders(s, sfDir).select(col("o_orderkey"),
+        col("o_orderpriority"), col("o_totalprice"))
+      phase("plan base")
+      graft.io.PartitionedLake.write(base, dir, "o_orderpriority")
+      phase("PartitionedLake.write")
+      val ops = base.filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey").as("k"), col("o_orderpriority"),
+          lit(1L).as("seq"), lit("D").as("op"), lit(0.0).as("val"))
+        .unionByName(base.filter(col("o_orderkey") % 101 === 0)
+          .select(col("o_orderkey").as("k"), col("o_orderpriority"),
+            lit(2L).as("seq"), lit("U").as("op"),
+            (col("o_totalprice") + 5).as("val")))
+      graft.io.PartitionedLake.cdcSinkMergeOnRead(s, dir,
+        "o_orderpriority", "o_orderkey", "o_totalprice", ops)
+      phase("cdcSinkMergeOnRead")
+      graft.io.PartitionedLake.read(s, dir).orderBy("o_orderkey").count()
+      phase("read+orderBy+count")
+    }
+
+    run("q172_mor_dml") {
+      val dir = scratch("prof-q172")
+      val base = Tables.orders(s, sfDir).select(col("o_orderkey"),
+        col("o_orderpriority"), col("o_totalprice"))
+      graft.io.PartitionedLake.write(base, dir, "o_orderpriority")
+      phase("PartitionedLake.write")
+      s.conf.set("spark.sql.catalog.graft_lake",
+        classOf[graft.io.LakeCatalog].getName)
+      s.conf.set(graft.io.LakeDeltaRowLevel.ModeKey,
+        graft.io.LakeDeltaRowLevel.MergeOnRead)
+      s.conf.set(graft.io.LakeDeltaRowLevel.KeyKey, "o_orderkey")
+      try {
+        s.sql(s"UPDATE graft_lake.`$dir` SET o_totalprice = " +
+          "o_totalprice + 5 WHERE o_orderkey % 10 = 3")
+        phase("UPDATE (MoR)")
+        s.sql(s"DELETE FROM graft_lake.`$dir` WHERE o_orderkey % 10 = 7")
+        phase("DELETE (MoR)")
+        base.filter(col("o_orderkey") % 100 === 11)
+          .withColumn("o_totalprice", col("o_totalprice") + 100)
+          .createOrReplaceTempView("prof_merge_src")
+        s.sql(
+          s"""MERGE INTO graft_lake.`$dir` t USING prof_merge_src s
+             |ON t.o_orderkey = s.o_orderkey
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        phase("MERGE (MoR)")
+      } finally {
+        s.conf.unset(graft.io.LakeDeltaRowLevel.ModeKey)
+        s.conf.unset(graft.io.LakeDeltaRowLevel.KeyKey)
+      }
+      def dataFiles(v: String) = s.sql(
+        s"SELECT * FROM graft_lake.`$dir`$v").inputFiles
+        .filterNot(_.contains("delta-")).toSet
+      val filesUnchanged = dataFiles(" VERSION AS OF 1") == dataFiles("")
+      phase("inputFiles probes x2")
+      val deltasLive = graft.io.PartitionedLake
+        .partitionRowCounts(s, dir).isEmpty
+      phase("partitionRowCounts probe")
+      s.sql(
+        s"SELECT o_orderpriority, count(*) AS n, " +
+          "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) " +
+          s"AS price_sum FROM graft_lake.`$dir` " +
+          "GROUP BY o_orderpriority")
+        .withColumn("files_unchanged", lit(filesUnchanged))
+        .withColumn("deltas_live", lit(deltasLive))
+        .orderBy("o_orderpriority").count()
+      phase("final agg read")
+    }
+
+    run("q167_compact") {
+      val dir = scratch("prof-q167")
+      val base = Tables.orders(s, sfDir).select(col("o_orderkey"),
+        col("o_orderpriority"), col("o_totalprice"))
+      graft.io.PartitionedLake.write(base, dir, "o_orderpriority")
+      phase("PartitionedLake.write")
+      val ops = base.filter(col("o_orderkey") % 50 === 0)
+        .select(col("o_orderkey").as("k"), col("o_orderpriority"),
+          lit(1L).as("seq"), lit("U").as("op"),
+          (col("o_totalprice") + 10).as("val"))
+      graft.io.PartitionedLake.cdcSinkMergeOnRead(s, dir,
+        "o_orderpriority", "o_orderkey", "o_totalprice", ops)
+      phase("cdcSinkMergeOnRead")
+      s.conf.set("spark.sql.catalog.graft_lake",
+        classOf[graft.io.LakeCatalog].getName)
+      s.sql(s"CALL graft_lake.system.compact(table => '$dir')").collect()
+      phase("CALL system.compact")
+      graft.io.PartitionedLake.partitionRowCounts(s, dir).isDefined
+      phase("partitionRowCounts")
+      s.sql(
+        s"SELECT o_orderpriority, count(*) AS n, " +
+          "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) " +
+          s"AS price_sum FROM graft_lake.`$dir` " +
+          "GROUP BY o_orderpriority").orderBy("o_orderpriority").count()
+      phase("final agg read")
+    }
+
+    run("q168_native_mor_read") {
+      val dir = scratch("prof-q168")
+      val base = Tables.orders(s, sfDir).select(col("o_orderkey"),
+        col("o_orderpriority"), col("o_totalprice"))
+      graft.io.PartitionedLake.write(base, dir, "o_orderpriority")
+      phase("PartitionedLake.write")
+      val urgent = base.filter(col("o_orderpriority") === "1-URGENT")
+      val ops = urgent.filter(col("o_orderkey") % 10 === 3)
+        .select(col("o_orderkey").as("k"), col("o_orderpriority"),
+          lit(1L).as("seq"), lit("U").as("op"),
+          (col("o_totalprice") + 1000).as("val"))
+        .unionByName(urgent.filter(col("o_orderkey") % 10 === 7)
+          .select(col("o_orderkey").as("k"), col("o_orderpriority"),
+            lit(1L).as("seq"), lit("D").as("op"),
+            col("o_totalprice").as("val")))
+      graft.io.PartitionedLake.cdcSinkMergeOnRead(s, dir,
+        "o_orderpriority", "o_orderkey", "o_totalprice", ops)
+      phase("cdcSinkMergeOnRead")
+      s.conf.set("spark.sql.catalog.graft_lake",
+        classOf[graft.io.LakeCatalog].getName)
+      val out = s.sql(
+        s"SELECT count(*) AS n, " +
+          "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) " +
+          s"AS price_sum FROM graft_lake.`$dir` " +
+          "WHERE o_orderpriority = '1-URGENT'")
+      out.collect()
+      phase("claimed agg")
+      val full = s.sql(s"SELECT count(*) FROM graft_lake.`$dir`")
+      full.collect()
+      phase("full count")
+      val v1 = s.read.format("graft-lake").option("path", dir).load()
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(28,6)"))
+            .cast("double").as("p")).collect()
+      phase("v1 parity agg")
+      out.withColumn("x", lit(1)).count()
+      phase("final")
+    }
+
+    run("q135_bucketed") {
+      QueryRegistry.queries("q135_bucketed_join")(s, sfDir).count()
+      phase("whole q135")
+    }
+
+    run("q134_pagerank_steps") {
+      val edges = graft.operators.GraphOps.tradeEdges(s, sfDir)
+      phase("plan edges")
+      val n = edges.count()
+      phase(s"edges count ($n)")
+      QueryRegistry.queries("q134_pagerank")(s, sfDir).count()
+      phase("whole q134")
+    }
+
+    s.stop()
+  }
+}

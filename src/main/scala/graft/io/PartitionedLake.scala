@@ -5,7 +5,7 @@ import java.util.UUID
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-import org.apache.spark.sql.functions.{array, broadcast, coalesce, col, explode, lit, struct, when}
+import org.apache.spark.sql.functions.{array, broadcast, coalesce, col, collect_set, count, explode, lit, struct, sum, when}
 import org.apache.spark.sql.types.{ByteType, DataType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StructField, StructType, TimestampNTZType, TimestampType}
 
 /** Partitioned-lake layout helpers: Hive-style partition directories give
@@ -69,7 +69,8 @@ import org.apache.spark.sql.types.{ByteType, DataType, DateType, DecimalType, Do
   * Partition directory names are Spark's own, end to end: the staged
   * write's directory names ARE the touched set for an upsert, and a
   * commit that must account for partitions it EMPTIES (a CDC fold)
-  * derives their names from a probe write ([[sparkDirsFor]]) — the
+  * derives their names from Spark's own writer-path rendering functions
+  * ([[sparkDirsFor]]: `Cast` + `getPartitionPathString`) — the
   * commit path never re-implements Spark's value rendering or escaping,
   * so manifest bookkeeping cannot diverge from the physical layout.
   *
@@ -109,6 +110,18 @@ object PartitionedLake {
 
   private val ManifestDirName = "_manifest"
   private val StagingDirName = "_staging"
+
+  // dev-only phase tracer (SPARK_GRAFT_LAKE_TRACE=1): prints where a
+  // commit path spends its wall time — drives round-18 optimization;
+  // zero cost when unset (one env read at class init)
+  private val traceOn = sys.env.get("SPARK_GRAFT_LAKE_TRACE").contains("1")
+  @inline private def traced[A](name: String)(body: => A): A =
+    if (!traceOn) body
+    else {
+      val t0 = System.nanoTime()
+      try body
+      finally println(f"      [lake] $name%-38s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+    }
   // %09d pads for sortable names but is MINIMUM width: version 10^9
   // writes 10 digits, so the matcher accepts \d{9,} — a fixed {9} would
   // silently stop resolving past that version (split-brain to an older
@@ -1082,31 +1095,34 @@ object PartitionedLake {
         !f.getPath.getName.startsWith("."))
 
   /** Spark-rendered partition directory names for a set of distinct
-    * partition value tuples: a tiny probe write (one row per tuple —
-    * driver-bounded metadata cardinality) partitioned the same way
-    * yields the EXACT `col=value` names Spark uses, so the commit path
-    * never re-implements Spark's value rendering + escaping. This is
-    * what lets a commit that EMPTIES a partition (a CDC fold) retire the
-    * right manifest entry even for values whose rendering is
-    * non-obvious: the names come from Spark itself, not a re-derivation.
+    * partition value tuples, WITHOUT a probe write job: Spark's file
+    * writer computes each partition path as
+    * `getPartitionPathString(name, Cast(value, StringType, sessionTz))`
+    * (see `PartitioningUtils.partitionPathExpression`), and this
+    * evaluates exactly that composition on the driver — the names still
+    * come from Spark's own rendering + escaping functions, not a
+    * re-derivation, so a commit that EMPTIES a partition (a CDC fold)
+    * retires the right manifest entry even for values whose rendering
+    * is non-obvious (escaping, null/empty → default partition name).
+    * Round 18: this replaced a one-row-per-tuple probe parquet write
+    * that cost a full Spark job (~0.3 s) on EVERY CDC/upsert/row-level
+    * commit; SparkDirRenderSpec pins byte parity against a real
+    * partitioned write over the exotic-value corpus.
     */
-  private def sparkDirsFor(spark: SparkSession, fs: FileSystem, path: String,
-      partitionCols: Seq[String], partSchema: StructType,
-      parts: Array[Seq[Any]]): Set[String] = {
-    val probe = new Path(new Path(path, StagingDirName),
-      s"probe-${UUID.randomUUID().toString.take(8)}")
-    val rows = new java.util.ArrayList[Row]()
-    parts.foreach(vs => rows.add(Row.fromSeq(vs :+ 1)))
-    val schema = StructType(partSchema.fields :+
-      org.apache.spark.sql.types.StructField("__probe",
-        org.apache.spark.sql.types.IntegerType))
-    spark.createDataFrame(rows, schema)
-      .coalesce(1).write.mode("overwrite")
-      .partitionBy(partitionCols: _*).parquet(probe.toString)
-    val dirs = leafPartitionDirs(fs, probe, partitionCols.size)
-      .map(_._1).toSet
-    fs.delete(probe, true)
-    dirs
+  private[io] def sparkDirsFor(spark: SparkSession,
+      partSchema: StructType, parts: Array[Seq[Any]]): Set[String] = {
+    val tz = Option(spark.sessionState.conf.sessionLocalTimeZone)
+    parts.map { vs =>
+      partSchema.fields.zip(vs).map { case (f, v) =>
+        val rendered = org.apache.spark.sql.catalyst.expressions.Cast(
+          org.apache.spark.sql.catalyst.expressions.Literal.create(
+            v, f.dataType),
+          org.apache.spark.sql.types.StringType, tz).eval(null)
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .getPartitionPathString(f.name,
+            if (rendered == null) null else rendered.toString)
+      }.mkString("/")
+    }.toSet
   }
 
   /** Write `df` partitioned by `partitionCols` into a fresh staging dir
@@ -1133,13 +1149,15 @@ object PartitionedLake {
     }
     val staging = new Path(new Path(path, StagingDirName),
       UUID.randomUUID().toString.take(8))
-    checked.write.mode("overwrite").partitionBy(partitionCols: _*)
-      .parquet(staging.toString)
+    traced("stage: partitioned parquet write")(
+      checked.write.mode("overwrite").partitionBy(partitionCols: _*)
+        .parquet(staging.toString))
     val conf = spark.sparkContext.hadoopConfiguration
-    val pairs = leafPartitionDirs(fs, staging, partitionCols.size)
-      .flatMap { case (rel, dirPath) =>
-        dataFiles(fs, dirPath).map(rel -> _)
-      }
+    val pairs = traced("stage: leaf-dir listing")(
+      leafPartitionDirs(fs, staging, partitionCols.size)
+        .flatMap { case (rel, dirPath) =>
+          dataFiles(fs, dirPath).map(rel -> _)
+        })
     // footer harvesting (row counts + optional min/max bounds) is one
     // independent metadata read per staged file — run them on a bounded
     // pool, not serially on the driver thread: a many-partition commit
@@ -1161,8 +1179,9 @@ object PartitionedLake {
             }
           }
         }.asJava
-      pool.invokeAll(tasks).asScala.map(_.get()).toSeq
-        .groupBy(_._1).map { case (rel, es) => rel -> es.map(_._2) }
+      traced("stage: footer harvest")(
+        pool.invokeAll(tasks).asScala.map(_.get()).toSeq
+          .groupBy(_._1).map { case (rel, es) => rel -> es.map(_._2) })
     } finally pool.shutdown()
     (staging, dirs)
   }
@@ -4322,7 +4341,7 @@ object PartitionedLake {
       stickyStats(existing, statsCols, unionSchema.fieldNames.toSeq))
     // every touched tuple has >= 1 delta row and the merge keeps all
     // delta rows, so the staged directory set must equal the collected
-    // tuples' Spark-rendered names. The probe re-renders the COLLECTED
+    // tuples' Spark-rendered names. sparkDirsFor re-renders the COLLECTED
     // tuples independently of the staged evaluation, which is the
     // backstop for the deterministic-delta contract above: a delta that
     // evaluated to different partitions between the collect and the
@@ -4331,8 +4350,7 @@ object PartitionedLake {
     // merged (data loss), not just mis-merge.
     val partSchema = StructType(
       partitionCols.map(c => delta.schema(c)).toArray)
-    val replaced = sparkDirsFor(spark, fs, path, partitionCols, partSchema,
-      parts)
+    val replaced = sparkDirsFor(spark, partSchema, parts)
     if (staged.keySet != replaced) {
       fs.delete(staging, true)
       sys.error("delta evaluated nondeterministically between the " +
@@ -4362,9 +4380,9 @@ object PartitionedLake {
     * add or replace rows, so a delete op could never retire its row — a
     * delete-capable CDC fold must rewrite the touched partitions
     * wholesale. A partition whose rows are ALL deleted simply drops out
-    * of the new manifest (its directory name comes from a Spark probe
-    * write — see [[sparkDirsFor]] — so exotic partition values retire
-    * correctly); the directory itself stays on disk for pinned readers,
+    * of the new manifest (its directory name comes from Spark's own
+    * writer-path rendering — see [[sparkDirsFor]] — so exotic partition
+    * values retire correctly); the directory itself stays on disk for pinned readers,
     * time travel, and [[changesBetween]] pre-images until [[vacuum]].
     *
     * Idempotent under micro-batch replay (the foreachBatch redelivery
@@ -4477,14 +4495,13 @@ object PartitionedLake {
     val (staging, staged) = stage(spark, fs, path, corrected, partitionCols,
       stickyStats(existing, Nil, corrected.schema.fieldNames.toSeq))
     // the fold can EMPTY a partition (all rows deleted), which stages
-    // nothing for its directory — the authoritative replaced set comes
-    // from a Spark probe write of the touched tuples ([[sparkDirsFor]]),
-    // so even an emptied partition's manifest entry retires under
-    // Spark's own path rendering. Emptied directories stay on disk for
+    // nothing for its directory — the authoritative replaced set renders
+    // the touched tuples through Spark's own writer-path functions
+    // ([[sparkDirsFor]]), so even an emptied partition's manifest entry
+    // retires under Spark's own path rendering. Emptied directories stay on disk for
     // pinned readers / time travel / change-feed pre-images until
     // [[vacuum]].
-    val replaced = sparkDirsFor(spark, fs, path, partitionCols, partSchema,
-      parts)
+    val replaced = sparkDirsFor(spark, partSchema, parts)
     commitStaged(fs, path, staging, staged, replaced,
       corrected.schema, existing, batchId, writerId = writerId)
   }
@@ -4554,20 +4571,20 @@ object PartitionedLake {
     requireValType(m, valueCol, ops)
     val partSchema = StructType(
       partitionCols.map(c => m.schema(c)).toArray)
-    val parts = ops.select(partitionCols.map(c =>
-        col(c).cast(m.schema(c).dataType)): _*)
-      .distinct().collect().map(_.toSeq)
+    val parts = traced("mor: parts distinct collect")(
+      ops.select(partitionCols.map(c =>
+          col(c).cast(m.schema(c).dataType)): _*)
+        .distinct().collect().map(_.toSeq))
     if (parts.isEmpty) return
     val touched = partitionFilter(partitionCols, parts)
     // current merged view of the touched partitions: base ⊕ old delta —
     // partition-pruned on both scans
     val current = frameFor(spark, path, m).filter(touched)
     val latest = latestOps(ops, partitionCols)
-    val corrected = applyFold(current, latest, partitionCols, keyCol, valueCol)
     val ident = partitionCols :+ keyCol
-    // PLAN SHAPE, deliberately: every join below probes the touched
-    // partitions' rows against a BROADCAST of batch-bounded identities
-    // (op count + accumulated log size) — narrow passes only, no wide
+    // PLAN SHAPE, deliberately: the ONE pass over the touched
+    // partitions probes a BROADCAST of batch-bounded identities
+    // (op count + accumulated log size) — a narrow pass, no wide
     // shuffle of the big side. An identity intersect/distinct over the
     // touched rows would shuffle the whole touched footprint per batch —
     // a term that grows with data size, not batch size (the sf1
@@ -4577,31 +4594,49 @@ object PartitionedLake {
     // identities the new log must carry: everything the old log carried
     // (scoped to touched partitions) plus ops that APPLIED (identity
     // existed in the current view — 'U' on an absent key is ignored,
-    // matching cdcApply)
+    // matching cdcApply).
+    //
+    // Round 18: ONE data pass instead of three. A row of `current` can
+    // matter to the new log only if its identity is in the old log or
+    // in the op batch, so `pre` — current semi-joined against the
+    // broadcast of (oldIds ∪ opIds) — contains every row the previous
+    // three passes (appliedIds build, uRows build, and the uRows
+    // recompute under the tombstone anti-join) each re-derived from
+    // scratch. `pre` is then materialized via localCheckpoint: it is
+    // log-governed small (≤ |old log| + |batch| full rows — the same
+    // broadcast bound the read side already relies on), and every
+    // downstream frame (post-images, applied identities, tombstones)
+    // derives from the materialization instead of re-scanning data.
     val oldIds = deltaScan(spark, path, m)
       .filter(touched).select(ident.map(col).toIndexedSeq: _*)
     val pAliases = partitionCols.indices.map(i => s"__cdc_p$i")
     val opIds = latest.select((pAliases.zip(partitionCols).map {
       case (a, c) => col(a).cast(m.schema(c).dataType).as(c) } :+
       col("__cdc_k").as(keyCol)).toIndexedSeq: _*)
-    // one narrow pass over current, probing the broadcast op identities:
-    // which ops exist? (renamed columns also sidestep Spark's self-join
-    // ambiguity check — current and corrected share scan lineage)
+    val candIds = oldIds.union(opIds)
+      .distinct().select(ident.map(c =>
+        col(c).as(s"__cand_$c")).toIndexedSeq: _*)
+    val pre = traced("mor: pre pass (checkpoint)")(current
+      .join(broadcast(candIds),
+        ident.map(c => col(c) <=> col(s"__cand_$c")).reduce(_ && _),
+        "left_semi")
+      .localCheckpoint())
+    // which ops APPLIED: identity existed in the current view (renamed
+    // columns sidestep Spark's self-join ambiguity check)
     val opIdsR = opIds.select(ident.map(c =>
       col(c).as(s"__op_$c")).toIndexedSeq: _*)
-    val appliedIds = current
+    val appliedIds = pre
       .join(broadcast(opIdsR),
         ident.map(c => col(c) <=> col(s"__op_$c")).reduce(_ && _),
         "left_semi")
       .select(ident.map(col).toIndexedSeq: _*)
     val unionIds = oldIds.union(appliedIds).distinct()
       .select(ident.map(c => col(c).as(s"__id_$c")).toIndexedSeq: _*)
-    // live post-images: one narrow pass over the corrected view against
-    // the broadcast union set
-    val uRows = corrected
-      .join(broadcast(unionIds),
-        ident.map(c => col(c) <=> col(s"__id_$c")).reduce(_ && _),
-        "left_semi")
+    // live post-images: every `pre` row's identity is in oldIds ∪
+    // (opIds ∩ current) = unionIds ∪ (oldIds ∩ current) ⊆ unionIds by
+    // construction, so folding `pre` IS the old "corrected ⋉ unionIds"
+    // — no second data pass, no semi-join needed
+    val uRows = applyFold(pre, latest, partitionCols, keyCol, valueCol)
       .withColumn(MorOpCol, lit("U"))
     // tombstones: union identities with no surviving row — computed
     // small-vs-small (both sides are identity sets, not data)
@@ -4619,15 +4654,17 @@ object PartitionedLake {
     val newLog = uRows
       .select((m.schema.fieldNames :+ MorOpCol).map(col).toIndexedSeq: _*)
       .unionByName(dRows)
-    val (logStaging, stagedLog) = stage(spark, fs, path, newLog,
-      partitionCols, Nil)
+    val (logStaging, stagedLog) = traced("mor: stage newLog")(
+      stage(spark, fs, path, newLog, partitionCols, Nil))
     val autoCompact = morLogGovern(fs, path, logStaging, stagedLog)
-    commitStaged(fs, path, logStaging, Map.empty, Set.empty,
-      m.schema, existing, batchId,
-      stagedDeltas = stagedLog, deltaStaging = Some(logStaging),
-      morKey = Some(keyCol), replacedDeltas = Some(
-        sparkDirsFor(spark, fs, path, partitionCols, partSchema, parts)),
-      writerId = writerId)
+    val replacedDirs = traced("mor: sparkDirsFor probe")(
+      sparkDirsFor(spark, partSchema, parts))
+    traced("mor: commitStaged")(
+      commitStaged(fs, path, logStaging, Map.empty, Set.empty,
+        m.schema, existing, batchId,
+        stagedDeltas = stagedLog, deltaStaging = Some(logStaging),
+        morKey = Some(keyCol), replacedDeltas = Some(replacedDirs),
+        writerId = writerId))
     if (autoCompact.nonEmpty)
       compactRestricted(spark, path, Nil, Some(autoCompact))
   }
@@ -4679,17 +4716,44 @@ object PartitionedLake {
         opsFiles.map(f => new Path(opsDir, f).toString): _*)
       val ident = partitionCols :+ keyCol
       val uRows = ops.filter(col(MorOpCol) === "U")
-      val dupU = uRows.groupBy(ident.map(col).toIndexedSeq: _*)
-        .count().filter(col("count") > 1)
-        .select(ident.map(col).toIndexedSeq: _*).take(3)
-      require(dupU.isEmpty,
+      // ONE summary job (round 18) replaces three separate op-frame
+      // actions — the per-identity dup-U grouping, the distinct-
+      // partition collect, and the suspicious-post-image existence
+      // check: each action is a full job round-trip at bench scale and
+      // none needs its own pass. The per-identity counts roll up into a
+      // single driver row; collect_set over the partition tuples is
+      // driver-bounded by the same argument as the previous distinct
+      // collect (tuple count ≤ live partitions + statement targets).
+      // Samples for the two error messages are recomputed only on the
+      // failure paths, where cost is irrelevant.
+      val perId = ops.groupBy(ident.map(col).toIndexedSeq: _*)
+        .agg(count(when(col(MorOpCol) === "U", 1)).as("__u"),
+          count(when(col(MorOpCol) === "D", 1)).as("__d"))
+      val summary = traced("rld: op summary agg")(perId.agg(
+        sum(when(col("__u") > 1, 1L).otherwise(0L)).as("dups"),
+        sum(when(col("__u") > 0 && col("__d") === 0, 1L).otherwise(0L))
+          .as("suspects"),
+        collect_set(struct(partitionCols.map(c =>
+          col(c).cast(pinned.schema(c).dataType)).toIndexedSeq: _*))
+          .as("parts")).head())
+      val partSchema = StructType(
+        partitionCols.map(c => pinned.schema(c)).toArray)
+      val parts: Array[Seq[Any]] =
+        if (summary.isNullAt(0)) Array.empty
+        else summary.getSeq[Row](2).map(_.toSeq).toArray
+      if (parts.isEmpty) return
+      require(summary.getLong(0) == 0L, {
+        val dupU = uRows.groupBy(ident.map(col).toIndexedSeq: _*)
+          .count().filter(col("count") > 1)
+          .select(ident.map(col).toIndexedSeq: _*).take(3)
         "row-level delta write produced more than one post-image for " +
           "the same (partition, key) identity — e.g. " +
           dupU.mkString(", ") + " — the lake's merge-on-read contract " +
           "is one row per identity; dedupe the source (or use " +
           s"${graft.io.LakeDeltaRowLevel.ModeKey}=" +
           s"${graft.io.LakeDeltaRowLevel.CopyOnWrite} for keyless " +
-          "multiset semantics)")
+          "multiset semantics)"
+      })
       // split updates re-unify: 'U' wins over 'D' for one identity
       val uIds = uRows.select(ident.map(c =>
         col(c).as(s"__u_$c")).toIndexedSeq: _*)
@@ -4697,12 +4761,6 @@ object PartitionedLake {
         .join(uIds, ident.map(c =>
           col(c) <=> col(s"__u_$c")).reduce(_ && _), "left_anti")
       val folded = uRows.unionByName(dRows)
-      val partSchema = StructType(
-        partitionCols.map(c => pinned.schema(c)).toArray)
-      val parts = ops.select(partitionCols.map(c =>
-          col(c).cast(pinned.schema(c).dataType)).toIndexedSeq: _*)
-        .distinct().collect().map(_.toSeq)
-      if (parts.isEmpty) return
       val touched = partitionFilter(partitionCols, parts)
       // refuse SILENT COLLAPSE: a post-image whose identity the
       // statement did not itself consume (no raw 'D' — i.e. not the
@@ -4718,19 +4776,20 @@ object PartitionedLake {
       // partition-pruned, identity-projected, and semi-joins against a
       // BROADCAST of statement-bounded identities — a read, never a
       // rewrite.
-      val rawDIds = ops.filter(col(MorOpCol) === "D")
-        .select(ident.map(c => col(c).as(s"__rd_$c")).toIndexedSeq: _*)
-      val suspicious = uRows.select(ident.map(col).toIndexedSeq: _*)
-        .join(rawDIds, ident.map(c =>
-          col(c) <=> col(s"__rd_$c")).reduce(_ && _), "left_anti")
-      if (!suspicious.isEmpty) {
+      if (summary.getLong(1) > 0L) {
+        val rawDIds = ops.filter(col(MorOpCol) === "D")
+          .select(ident.map(c => col(c).as(s"__rd_$c")).toIndexedSeq: _*)
+        val suspicious = uRows.select(ident.map(col).toIndexedSeq: _*)
+          .join(rawDIds, ident.map(c =>
+            col(c) <=> col(s"__rd_$c")).reduce(_ && _), "left_anti")
         val suspR = suspicious.select(ident.map(c =>
           col(c).as(s"__s_$c")).toIndexedSeq: _*)
-        val collided = frameFor(spark, path, pinned).filter(touched)
-          .select(ident.map(col).toIndexedSeq: _*)
-          .join(broadcast(suspR), ident.map(c =>
-            col(c) <=> col(s"__s_$c")).reduce(_ && _), "left_semi")
-          .take(3)
+        val collided = traced("rld: collision probe")(
+          frameFor(spark, path, pinned).filter(touched)
+            .select(ident.map(col).toIndexedSeq: _*)
+            .join(broadcast(suspR), ident.map(c =>
+              col(c) <=> col(s"__s_$c")).reduce(_ && _), "left_semi")
+            .take(3))
         require(collided.isEmpty,
           "row-level delta write would UPSERT over existing rows the " +
             "statement did not touch — post-image identities " +
@@ -4750,11 +4809,11 @@ object PartitionedLake {
       val newLog = folded.unionByName(carried)
         .select((pinned.schema.fieldNames :+ MorOpCol)
           .map(col).toIndexedSeq: _*)
-      val (logStaging, stagedLog) = stage(spark, fs, path, newLog,
-        partitionCols, Nil)
+      val (logStaging, stagedLog) = traced("rld: stage newLog")(
+        stage(spark, fs, path, newLog, partitionCols, Nil))
       val autoCompact = morLogGovern(fs, path, logStaging, stagedLog)
-      val replacedDeltas = sparkDirsFor(spark, fs, path, partitionCols,
-        partSchema, parts)
+      val replacedDeltas = traced("rld: sparkDirsFor probe")(
+        sparkDirsFor(spark, partSchema, parts))
       commitStaged(fs, path, logStaging, Map.empty, Set.empty,
         pinned.schema, Some(pinned), None,
         stagedDeltas = stagedLog, deltaStaging = Some(logStaging),
