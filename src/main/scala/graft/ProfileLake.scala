@@ -201,6 +201,115 @@ object ProfileLake {
       phase("final")
     }
 
+    run("q175_cow_chain") {
+      val dir = scratch("prof-q175")
+      val base = Tables.orders(s, sfDir).select(col("o_orderkey"),
+        col("o_orderpriority"), col("o_totalprice"))
+      graft.io.PartitionedLake.write(base, dir, "o_orderpriority")
+      phase("PartitionedLake.write")
+      s.conf.set("spark.sql.catalog.graft_lake",
+        classOf[graft.io.LakeCatalog].getName)
+      s.sql(s"UPDATE graft_lake.`$dir` SET o_totalprice = " +
+        "o_totalprice + 7 WHERE o_orderkey % 10 = 1")
+      phase("UPDATE (COW)")
+      s.sql(s"DELETE FROM graft_lake.`$dir` " +
+        "WHERE o_orderpriority = '1-URGENT'")
+      phase("DELETE (partition)")
+      s.sql(s"CALL graft_lake.system.rollback(" +
+        s"table => '$dir', version => 1)").collect()
+      phase("CALL rollback")
+      graft.io.PartitionedLake.readVersion(s, dir, 3L).count()
+      phase("readVersion(3) count")
+      base.count()
+      phase("base count")
+      base.filter(col("o_orderpriority") === "1-URGENT").count()
+      phase("urgent count")
+      s.sql(s"SELECT count(*) AS n, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) " +
+        s"AS price_sum FROM graft_lake.`$dir`").count()
+      phase("final agg")
+    }
+
+    run("q143_cdf") {
+      val dir = scratch("prof-q143")
+      val base = Tables.orders(s, sfDir).select(col("o_orderkey"),
+        col("o_orderpriority"), col("o_totalprice"))
+      graft.io.PartitionedLake.write(base, dir, "o_orderpriority")
+      phase("PartitionedLake.write")
+      val delta = base.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1)
+        .unionByName(base.filter(col("o_orderkey") % 101 === 0 &&
+            col("o_orderkey") =!= 0)
+          .withColumn("o_orderkey", -col("o_orderkey")))
+      graft.io.PartitionedLake.upsert(s, dir, "o_orderpriority",
+        "o_orderkey", delta)
+      phase("upsert")
+      graft.io.PartitionedLake.changesBetween(s, dir, 1L, 2L,
+        Seq("o_orderpriority", "o_orderkey"))
+        .orderBy("_change_type", "o_orderkey").count()
+      phase("changesBetween+sort+count")
+    }
+
+    run("q157_stats") {
+      QueryRegistry.queries("q157_dsv2_stats_skipping")(s, sfDir).count()
+      phase("whole q157")
+    }
+
+    run("q150_zorder") {
+      QueryRegistry.queries("q150_zorder_compact_skipping")(s, sfDir).count()
+      phase("whole q150")
+    }
+
+    run("q139_pq") {
+      QueryRegistry.queries("q139_pq_ann")(s, sfDir).count()
+      phase("whole q139")
+    }
+
+    run("q106_bpe") {
+      QueryRegistry.queries("q106_bpe_merge_step")(s, sfDir).count()
+      phase("whole q106")
+    }
+
+    run("q106_variants") {
+      import org.apache.spark.sql.expressions.Window
+      def body(docs: org.apache.spark.sql.DataFrame,
+          pairExpr: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+          : org.apache.spark.sql.DataFrame = {
+        val w = split(col("text"), " ")
+        val pairs = docs.select(explode(when(size(w) >= 2,
+          transform(sequence(lit(1), size(w) - 1),
+            i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
+          .otherwise(array().cast("array<string>"))).as("pair"))
+        pairs.groupBy("pair").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("pair")).limit(10)
+          .select(col("pair"), col("n"),
+            row_number().over(Window
+              .orderBy(col("n").desc, col("pair"))).as("rk"))
+          .orderBy(col("n").desc, col("pair"))
+      }
+      body(Tables.documents(s, sfDir).repartition(32, col("doc_id")),
+        identity).count()
+      phase("q106 forced spread 32")
+      // struct-key agg, concat only the 10 survivors
+      val w2 = split(col("text"), " ")
+      val pairsS = Tables.documents(s, sfDir)
+        .repartition(32, col("doc_id"))
+        .select(explode(when(size(w2) >= 2,
+          transform(sequence(lit(1), size(w2) - 1),
+            i => struct(element_at(w2, i).as("a"),
+              element_at(w2, i + 1).as("b"))))
+          .otherwise(array().cast("array<struct<a:string,b:string>>")))
+          .as("p"))
+      pairsS.groupBy("p").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("p.a"), col("p.b")).limit(10)
+        .select(concat(col("p.a"), lit(" "), col("p.b")).as("pair"),
+          col("n"),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("n").desc, col("p.a"), col("p.b"))).as("rk"))
+        .orderBy(col("n").desc, col("pair")).count()
+      phase("q106 spread + struct key")
+    }
+
     run("q135_bucketed") {
       QueryRegistry.queries("q135_bucketed_join")(s, sfDir).count()
       phase("whole q135")

@@ -338,8 +338,13 @@ object TextOps {
     Q("q106_bpe_merge_step",
       (s, d) => {
         val w = split(col("text"), " ")
+        // workFactor 16: the pair explode emits one ~2-token string per
+        // input token, a >=10x row/byte expansion past the scan — the
+        // spread gate must see the post-explode job size (measured at
+        // sf0.1: serial 2.7 s vs spread 0.66 s; at scale the input
+        // splits already exceed parallelism and the factor is moot)
         val pairs = graft.operators.Spread.byKey(
-            Tables.documents(s, d), col("doc_id"))
+            Tables.documents(s, d), col("doc_id"), workFactor = 16.0)
           .select(explode(when(size(w) >= 2,
             transform(sequence(lit(1), size(w) - 1),
               i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))

@@ -73,8 +73,19 @@ object Spread {
     * side — filters placed upstream of the returned frame are pushed below
     * the exchange by Catalyst and would pay a pointless (if tiny) shuffle.
     */
+  /** `workFactor` scales the size gate for consumers whose per-row work
+    * is MULTIPLIED downstream of the scan (an explode emitting ~N
+    * output rows per input row, a transform materializing N-grams):
+    * the minBytes gate exists because a shuffle costs more than the
+    * serial compute it saves on a SMALL job, and for such consumers the
+    * job is `bytes * workFactor`, not `bytes` (round 18: q106's
+    * adjacent-pair explode over the 0.6 MB documents table ran serially
+    * under the plain gate and measured 2.7 s; spread it runs 0.66 s).
+    * The split-count no-op path is unchanged — at scale the scan
+    * already yields >= parallelism splits and the factor is irrelevant.
+    */
   def byKey(df: DataFrame, key: Column,
-      minBytes: Long = 1L << 20): DataFrame = {
+      minBytes: Long = 1L << 20, workFactor: Double = 1.0): DataFrame = {
     if (df.isStreaming) return df
     val plan = df.queryExecution.analyzed // analysis already done eagerly
     val alreadyKeyed = plan.exists {
@@ -98,7 +109,7 @@ object Spread {
     }
     if (sizes.isEmpty) return df
     val bytes = sizes.sum
-    if (bytes < minBytes) return df
+    if (bytes * workFactor < minBytes) return df
     val sess = df.sparkSession
     val target = sess.sparkContext.defaultParallelism
     def bytesConf(k: String, dflt: String): Long =
