@@ -259,11 +259,28 @@ object Bench {
     // absorb one-time session/codegen warmup outside the timed region
     spark.range(1000).selectExpr("sum(id)").collect()
     SparkEntry.entry(spark).count()
-    // fixed CPU-bound sentinel (idle box: ~0.1-0.3 s) — see header note
+    // fixed CPU-bound sentinel (idle box: ~0.1-0.3 s) — see header note.
+    // The sentinel measures BOX contention (another process stealing
+    // CPU), so the JVM's own garbage debt must not tint it: after a
+    // full 176-query sweep the heap carries the session's accumulated
+    // allocation (plus checkpoint/cache blocks queued for the
+    // ContextCleaner), and the END sentinel was reading 0.36-0.62 s on
+    // a verified-idle box (vs 0.33 at 173 queries in round 17) — GC
+    // stalls and async block-removal RPCs land inside the 50M-row sum,
+    // mislabeling idle runs as contended. The measurement is therefore
+    // MIN-OF-2 after an explicit collection + settle, the same
+    // one-sided-noise clip the per-query timings use: a GC hiccup hits
+    // one sample, sustained cross-process load inflates both and still
+    // reads out of band.
     def sentinel(): Double = {
-      val t0 = System.nanoTime()
-      spark.range(50000000L).selectExpr("sum(id * 2 + 1)").collect()
-      (System.nanoTime() - t0) / 1e9
+      System.gc()
+      Thread.sleep(300L)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(50000000L).selectExpr("sum(id * 2 + 1)").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once(), once())
     }
     val penaltySec = 60.0 // documented flat cost per failed query
     val history = loadHistory(SparkEntry.queries.keySet, sfDir)

@@ -201,6 +201,39 @@ object ProfileLake {
       phase("final")
     }
 
+    run("write_variants") {
+      def t(name: String)(body: => Unit): Unit = { mark(); body; phase(name) }
+      val base = Tables.orders(s, sfDir).select(col("o_orderkey"),
+        col("o_orderpriority"), col("o_totalprice"))
+      val li = Tables.lineitem(s, sfDir).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        (col("l_orderkey") % 64).as("x"), (col("l_partkey") % 64).as("y"))
+      (1 to 2).foreach { _ =>
+        t("orders plain partitionBy")(
+          base.write.mode("overwrite").partitionBy("o_orderpriority")
+            .parquet(scratch("w1")))
+        t("orders repartition(cols)")(
+          base.repartition(col("o_orderpriority"))
+            .write.mode("overwrite").partitionBy("o_orderpriority")
+            .parquet(scratch("w2")))
+        t("orders repartition(32, cols+key)")(
+          base.repartition(32, col("o_orderpriority"), col("o_orderkey"))
+            .write.mode("overwrite").partitionBy("o_orderpriority")
+            .parquet(scratch("w3")))
+        t("lineitem plain partitionBy")(
+          li.write.mode("overwrite").partitionBy("l_returnflag")
+            .parquet(scratch("w4")))
+        t("lineitem repartition(cols)")(
+          li.repartition(col("l_returnflag"))
+            .write.mode("overwrite").partitionBy("l_returnflag")
+            .parquet(scratch("w5")))
+        t("lineitem repartition(32, cols+key)")(
+          li.repartition(32, col("l_returnflag"), col("l_orderkey"))
+            .write.mode("overwrite").partitionBy("l_returnflag")
+            .parquet(scratch("w6")))
+      }
+    }
+
     run("q175_cow_chain") {
       val dir = scratch("prof-q175")
       val base = Tables.orders(s, sfDir).select(col("o_orderkey"),
@@ -315,13 +348,80 @@ object ProfileLake {
       phase("whole q135")
     }
 
+    run("q134_variants") {
+      // (f) materialize the distinct pair set once, union projections of
+      // the checkpoint
+      mark()
+      val pairs = Tables.lineitem(s, sfDir).select("l_orderkey", "l_suppkey")
+        .join(Tables.orders(s, sfDir).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .distinct().localCheckpoint()
+      phase("pairs distinct checkpoint")
+      val cNode = col("c") * 2; val sNode = col("s") * 2 + 1
+      val edges2 = pairs.select(cNode.as("src"), sNode.as("dst"))
+        .union(pairs.select(sNode.as("src"), cNode.as("dst")))
+        .repartition(col("src")).persist()
+      edges2.count()
+      phase("edges2 persist+count")
+      // (d) deg + asym from ONE shuffle
+      val nodeStats = edges2
+        .select(col("src").as("node"), lit(1L).as("s"), lit(0L).as("d"))
+        .unionByName(edges2
+          .select(col("dst").as("node"), lit(0L).as("s"), lit(1L).as("d")))
+        .groupBy("node").agg(sum("s").as("outdeg"), sum("d").as("indeg"))
+        .localCheckpoint()
+      phase("nodeStats checkpoint")
+      val asym2 = nodeStats.filter(col("outdeg") === 0 ||
+        col("indeg") === 0).count()
+      val n2 = nodeStats.count()
+      phase(s"asym($asym2)+n($n2) counts")
+      edges2.unpersist(blocking = false)
+    }
+
     run("q134_pagerank_steps") {
-      val edges = graft.operators.GraphOps.tradeEdges(s, sfDir)
+      import org.apache.spark.sql.DataFrame
+      val edgesIn = graft.operators.GraphOps.tradeEdges(s, sfDir)
       phase("plan edges")
-      val n = edges.count()
-      phase(s"edges count ($n)")
-      QueryRegistry.queries("q134_pagerank")(s, sfDir).count()
-      phase("whole q134")
+      val edges = edgesIn.repartition(col("src")).persist()
+      edges.count()
+      phase("edges persist+count")
+      val deg = edges.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("outdeg")).localCheckpoint()
+      phase("deg checkpoint")
+      val n = deg.count()
+      phase("n count")
+      val asym = edges
+        .select(col("src").as("node"), lit(1).as("s"), lit(0).as("d"))
+        .unionByName(edges
+          .select(col("dst").as("node"), lit(0).as("s"), lit(1).as("d")))
+        .groupBy("node").agg(max("s").as("hs"), max("d").as("hd"))
+        .filter(col("hs") === 0 || col("hd") === 0).count()
+      phase(s"asym check ($asym)")
+      val edgesD = edges.join(deg, col("src") === deg("node"))
+        .select(col("src"), col("dst"), col("outdeg")).persist()
+      edgesD.count()
+      phase("edgesD persist+count")
+      edges.unpersist(blocking = false)
+      var pr: DataFrame = deg.select(col("node").as("node"),
+        floor(lit(1.0e12) / n + 0.5).cast("long").as("pr"))
+      for (i <- 1 to 5) {
+        val e = edgesD.select(col("src").as("node"),
+          col("dst").as("edge_dst"), col("outdeg"))
+        val contrib = pr.join(e, "node")
+          .select(col("edge_dst").as("node"),
+            floor(col("pr").cast("double") / col("outdeg") + 0.5)
+              .cast("long").as("c"))
+        pr = contrib.repartition(col("node"))
+          .groupBy("node").agg(sum("c").as("sc"))
+          .select(col("node"),
+            floor(lit(1.5e11) / n + lit(0.85) * col("sc").cast("double") + 0.5)
+              .cast("long").as("pr")).localCheckpoint()
+        phase(s"iteration $i")
+      }
+      edgesD.unpersist(blocking = false)
+      pr.orderBy(desc("pr")).limit(30).count()
+      phase("final top30")
     }
 
     s.stop()

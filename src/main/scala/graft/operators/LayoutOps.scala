@@ -211,7 +211,15 @@ object LayoutOps {
   def rewriteBucketed(s: SparkSession, name: String, df: DataFrame,
       key: String, buckets: Int): DataFrame = {
     resetTable(s, name)
-    df.write.mode("overwrite").bucketBy(buckets, key).sortBy(key)
+    // cluster to the bucket layout BEFORE the write: repartition's hash
+    // (pmod(murmur3, n)) IS Spark's bucket-id function, so each task
+    // holds exactly one bucket — the per-task sort+write parallelizes
+    // n-ways AND the table lands as one file per bucket instead of
+    // (input tasks × buckets) files (the standard bucketed-ingest shape
+    // at scale; round 18: q135's single-task serial sort was the
+    // query's dominant cost)
+    df.repartition(buckets, col(key))
+      .write.mode("overwrite").bucketBy(buckets, key).sortBy(key)
       .saveAsTable(name)
     s.table(name)
   }

@@ -2525,15 +2525,19 @@ object RelationalOps {
         val versionAfter = callRow.getLong(2)
         val badCount = graft.io.PartitionedLake
           .readVersion(s, dir, 3L).count()
-        val urgent = base
-          .filter(col("o_orderpriority") === "1-URGENT").count()
+        // total and urgent counts in ONE base pass (round 18: two
+        // separate count() jobs over the same scan merged — identical
+        // booleans, one fewer full-scan action)
+        val bu = base.agg(count(lit(1)).as("n"),
+          count(when(col("o_orderpriority") === "1-URGENT", 1))
+            .as("urgent")).head()
         s.sql(
           s"SELECT count(*) AS n, " +
             "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) " +
             s"AS price_sum FROM graft_lake.`$dir`")
           .withColumn("version_after", lit(versionAfter))
           .withColumn("bad_state_auditable",
-            lit(badCount == base.count() - urgent))
+            lit(badCount == bu.getLong(0) - bu.getLong(1)))
       },
       Some("""SELECT count(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
