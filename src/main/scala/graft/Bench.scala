@@ -109,6 +109,7 @@ object Bench {
     * reference would mask contention in the next run.
     */
   private[graft] def loadHistory(names: Set[String], sfDir: String,
+      cpus: String = "32",
       committedPath: String = "bench_history.json",
       priorPath: String = "out/bench_detail.json"): Map[String, Double] = {
     // whitespace-tolerant: the file may be Scala-written (compact) or
@@ -120,14 +121,25 @@ object Bench {
     // reference would mask exactly the contention it exists to catch.
     val pair = """"([^"]+)"\s*:\s*([0-9]+(?:\.[0-9]+)?)(?![0-9.eE])""".r
     val sfTag = """"sf"\s*:\s*"([^"]+)"""".r
+    val cpusTag = """"cpus"\s*:\s*"([^"]+)"""".r
     // a reference is only comparable at ITS OWN scale: the decade runs
     // (SCALE.md) point SPARK_GRAFT_SF_DIR at sf1/sf10, where every query
     // legitimately exceeds 2.5x its sf0.1 time — an SF-mismatched file
-    // would arm the escape on every query and quintuple the sweep
+    // would arm the escape on every query and quintuple the sweep.
+    // Same for CORE COUNT (round 19): the driver re-runs Bench at a low
+    // SPARK_GRAFT_CPUS to measure scaling, where a poorly-scaling query
+    // legitimately exceeds its 32-core reference — an unstamped file
+    // (every committed artifact predating the stamp was a 32-core
+    // recording) is comparable only at 32
     def fromFile(p: java.nio.file.Path): Map[String, Double] =
       if (java.nio.file.Files.exists(p)) {
         val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-        if (!sfTag.findFirstMatchIn(s).exists(_.group(1) == sfDir))
+        val cpusOk = cpusTag.findFirstMatchIn(s) match {
+          case Some(m) => m.group(1) == cpus
+          case None => cpus == "32"
+        }
+        if (!cpusOk ||
+            !sfTag.findFirstMatchIn(s).exists(_.group(1) == sfDir))
           Map.empty[String, Double]
         else pair.findAllMatchIn(s)
           .map(m => m.group(1) -> m.group(2).toDouble)
@@ -184,14 +196,23 @@ object Bench {
     * — a penalty timing is not cost evidence).
     */
   private[graft] def parseSweepFile(body: String, sha: String,
-      sfDir: String, names: Set[String]): Option[Map[String, Double]] = {
+      sfDir: String, cpus: String,
+      names: Set[String]): Option[Map[String, Double]] = {
     val commitRe = """"commit"\s*:\s*"([^"]+)"""".r
     val sfRe = """"sf"\s*:\s*"([^"]+)"""".r
+    val cpusRe = """"cpus"\s*:\s*"([^"]+)"""".r
     val failedRe = """"failed"\s*:\s*\[([^\]]*)\]""".r
     val pair = """"([^"]+)"\s*:\s*([0-9]+(?:\.[0-9]+)?)(?![0-9.eE])""".r
     if (!commitRe.findFirstMatchIn(body).exists(_.group(1) == sha))
       return None
     if (!sfRe.findFirstMatchIn(body).exists(_.group(1) == sfDir))
+      return None
+    // CORE-COUNT gate (round 19): the driver re-runs Bench at a lower
+    // SPARK_GRAFT_CPUS to measure per-query scaling; folding a 32-core
+    // sweep's mins into the low-core artifact would fake perfect
+    // scaling (round 18's c8 artifact published 32-core timings for
+    // most queries). A record missing the stamp never folds.
+    if (!cpusRe.findFirstMatchIn(body).exists(_.group(1) == cpus))
       return None
     val failed = failedRe.findFirstMatchIn(body).map(m =>
       """"([^"]*)"""".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSet)
@@ -249,6 +270,7 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.files.maxPartitionBytes", EngineConf.MaxPartitionBytes)
       // q118's recursion guard scales with anchor-rows x depth (sf10 hit
       // the 1M default); raised here, not inside the query fn, so it
       // never leaks mid-session state (level limit stays default 100)
@@ -283,7 +305,7 @@ object Bench {
       math.min(once(), once())
     }
     val penaltySec = 60.0 // documented flat cost per failed query
-    val history = loadHistory(SparkEntry.queries.keySet, sfDir)
+    val history = loadHistory(SparkEntry.queries.keySet, sfDir, cpus)
 
     def runSweep(): Sweep = {
       // bounded IDLE-WAIT: a transiently contended box at recording
@@ -334,7 +356,7 @@ object Bench {
         s""""sentinel":$sentinelJson,"contended":${s.contended},""" +
         s""""sweeps":$sweeps,"neverIdle":$neverIdle,""" +
         s""""sweepsMerged":$sweepsMerged,"commit":"$sha",""" +
-        s""""queries":${fmt(timings)},"sf":"$sfDir"}"""
+        s""""cpus":"$cpus","queries":${fmt(timings)},"sf":"$sfDir"}"""
     }
 
     // THE RECORDER ENFORCES ITS OWN RECORDING WINDOW: a tinted sweep is
@@ -395,7 +417,7 @@ object Bench {
       val body = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
       val usable = written(p) || sha != "unknown"
       val parsed =
-        if (usable) parseSweepFile(body, sha, sfDir, names) else None
+        if (usable) parseSweepFile(body, sha, sfDir, cpus, names) else None
       // prune ONLY records from a different commit (dead evidence —
       // the code they measured is gone). A same-commit record at
       // another sf folds in a later invocation at that sf; deleting it

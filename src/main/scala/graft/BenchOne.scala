@@ -28,6 +28,7 @@ object BenchOne {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.files.maxPartitionBytes", EngineConf.MaxPartitionBytes)
       .config("spark.sql.cteRecursionRowLimit", EngineConf.CteRecursionRowLimit)
       .config("spark.ui.enabled", "false")
       .getOrCreate()

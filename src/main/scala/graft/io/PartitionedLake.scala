@@ -4301,14 +4301,22 @@ object PartitionedLake {
     if (batchId.exists(b =>
         existing.flatMap(_.txns.get(writerId)).exists(_ >= b))) return
     requireLayoutMatch(existing, partitionCols, "upsert")
-    val parts = delta.select(partitionCols.map(col): _*).distinct()
+    // ONE evaluation of the caller's delta (round 19): the old plan
+    // evaluated it three times (partition collect, the anti-join key
+    // set, the union arm of the merged write) — each re-running the
+    // caller's derivation from its sources. A micro-batch delta is
+    // batch-bounded, so materialize it once; this also narrows the
+    // nondeterministic-delta window by construction (the sparkDirsFor
+    // backstop below stays as the refusal of record).
+    val deltaM = delta.localCheckpoint()
+    val parts = deltaM.select(partitionCols.map(col): _*).distinct()
       .collect().map(_.toSeq)
     if (parts.isEmpty) return
     val base = frameFor(spark, path, existing.get)
       .filter(partitionFilter(partitionCols, parts))
     // null-safe on the partition columns (the identity's partition half
     // may legitimately be the null partition); keys are assumed non-null
-    val dk = delta.select(partitionCols.zipWithIndex.map { case (c, i) =>
+    val dk = deltaM.select(partitionCols.zipWithIndex.map { case (c, i) =>
       col(c).as(s"__dp$i") } :+ col(keyCol).as("__dk"): _*)
     val joinCond = partitionCols.zipWithIndex.map { case (c, i) =>
       col(c) <=> col(s"__dp$i") }.reduce(_ && _) &&
@@ -4336,7 +4344,7 @@ object PartitionedLake {
       base.schema.fields ++
         delta.schema.fields.filterNot(f => base.columns.contains(f.name)))
     val merged = alignTo(base.join(dk, joinCond, "left_anti"), unionSchema)
-      .unionByName(alignTo(delta, unionSchema))
+      .unionByName(alignTo(deltaM, unionSchema))
     val (staging, staged) = stage(spark, fs, path, merged, partitionCols,
       stickyStats(existing, statsCols, unionSchema.fieldNames.toSeq))
     // every touched tuple has >= 1 delta row and the merge keeps all
@@ -4571,16 +4579,27 @@ object PartitionedLake {
     requireValType(m, valueCol, ops)
     val partSchema = StructType(
       partitionCols.map(c => m.schema(c)).toArray)
+    // ONE evaluation of the caller's op frame (round 19): `ops` is
+    // typically derived from source scans, and the old plan evaluated
+    // it ~4 times (partition collect, candIds, the applied probe, the
+    // fold) — each a full re-derivation. The latest-wins fold is
+    // batch-bounded (the same log-governed bound the broadcast below
+    // relies on), so materialize it once; every downstream frame —
+    // the partition tuples included (latestOps keeps ≥1 row per
+    // (partition, key), so its tuple set equals the raw ops') — reads
+    // the checkpoint.
+    val pAliases = partitionCols.indices.map(i => s"__cdc_p$i")
+    val latest = traced("mor: latest checkpoint")(
+      latestOps(ops, partitionCols).localCheckpoint())
     val parts = traced("mor: parts distinct collect")(
-      ops.select(partitionCols.map(c =>
-          col(c).cast(m.schema(c).dataType)): _*)
+      latest.select(pAliases.zip(partitionCols).map { case (a, c) =>
+          col(a).cast(m.schema(c).dataType) }: _*)
         .distinct().collect().map(_.toSeq))
     if (parts.isEmpty) return
     val touched = partitionFilter(partitionCols, parts)
     // current merged view of the touched partitions: base ⊕ old delta —
     // partition-pruned on both scans
     val current = frameFor(spark, path, m).filter(touched)
-    val latest = latestOps(ops, partitionCols)
     val ident = partitionCols :+ keyCol
     // PLAN SHAPE, deliberately: the ONE pass over the touched
     // partitions probes a BROADCAST of batch-bounded identities
@@ -4609,7 +4628,6 @@ object PartitionedLake {
     // derives from the materialization instead of re-scanning data.
     val oldIds = deltaScan(spark, path, m)
       .filter(touched).select(ident.map(col).toIndexedSeq: _*)
-    val pAliases = partitionCols.indices.map(i => s"__cdc_p$i")
     val opIds = latest.select((pAliases.zip(partitionCols).map {
       case (a, c) => col(a).cast(m.schema(c).dataType).as(c) } :+
       col("__cdc_k").as(keyCol)).toIndexedSeq: _*)

@@ -78,7 +78,8 @@ object GraphOps {
     * refused rather than answered wrongly.
     */
   def pageRank(edgesIn: DataFrame, iterations: Int,
-      prePartition: Boolean = true): DataFrame = {
+      prePartition: Boolean = true,
+      assumeSymmetric: Boolean = false): DataFrame = {
     // hash-partition the edge list by src ONCE before caching: the
     // columnar cache preserves its outputPartitioning, so every
     // iteration's rank⋈edges join reuses it and only the node-sized
@@ -89,60 +90,63 @@ object GraphOps {
     // checkpoint its LogicalRDD has no size statistics, so the join
     // plans as a shuffle either way — pinning the edge side is what
     // removes the per-iteration |E|-row exchange.)
+    //
+    // the out-degree is annotated by a WINDOW count over the same
+    // src-partitioning the cache needs anyway (round 19 — was: cache
+    // the bare edges, aggregate deg, join it back, cache AGAIN; four
+    // node/edge-sized jobs and a double materialization for a column
+    // the window computes inside the single cache-build pass). The
+    // window's required sort rides the exchange the cache build
+    // already pays; under prePartition=false the window's own
+    // exchange establishes the same layout, so the flag now only
+    // controls whether the exchange is explicit.
+    //
     // the edge list is referenced by every iteration, so it must
     // materialize once — but as a COLUMNAR cache (persist), not a
     // localCheckpoint: the checkpoint stores deserialized row objects
     // (~100 B per edge — the sf10 graph alone outgrew the 8 GiB bench
     // heap) and a dropped block aborts the job because the lineage is
-    // gone, while the compressed columnar cache packs the two long
-    // columns ~5x smaller and RECOMPUTES on eviction instead of dying
-    // cache OWNERSHIP: always derive a pageRank-owned plan before
-    // persisting — under prePartition=false, persisting `edgesIn` itself
-    // would attach the cache to the CALLER's DataFrame, and the unpersist
-    // below would then silently evict any cache the caller holds on it
-    // (pageRank is public API; persist/unpersist must be confined to
-    // plans this function created)
-    val edges = (if (prePartition) edgesIn.repartition(col("src"))
-                 else edgesIn.select(col("src"), col("dst"))).persist()
-    edges.count() // materialize eagerly, as checkpoint did
-    val deg = edges.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("outdeg"))
+    // gone, while the compressed columnar cache packs the long columns
+    // ~5x smaller (outdeg is highly repetitive per src partition) and
+    // RECOMPUTES on eviction instead of dying.
+    val base = if (prePartition) edgesIn.repartition(col("src"))
+               else edgesIn.select(col("src"), col("dst"))
+    val edgesD = base.withColumn("outdeg", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+      .persist()
+    edgesD.count() // materialize eagerly, as checkpoint did
+    // the node set (distinct src — shuffle-free over the src-partitioned
+    // cache), checkpointed: pr0 and the node count both read it, and
+    // fresh attribute ids keep the first iteration's self-join clean
+    val nodes = edgesD.select(col("src").as("node")).distinct()
       .localCheckpoint()
     // one scalar to the driver (node count), as any engine's planner does
-    val n = deg.count()
+    val n = nodes.count()
     // the precondition check as ONE aggregation job (round 18: was a
     // distinct + localCheckpoint + two except-counts — four node-sized
     // actions for a boolean): a node violates iff it appears on only
     // one side, which one grouped max-per-side pass over the cached
     // edge list answers directly (map-side combine shrinks each side
-    // to its node set before the exchange)
-    val asym = edges
-      .select(col("src").as("node"), lit(1).as("s"), lit(0).as("d"))
-      .unionByName(edges
-        .select(col("dst").as("node"), lit(0).as("s"), lit(1).as("d")))
-      .groupBy("node").agg(max("s").as("hs"), max("d").as("hd"))
-      .filter(col("hs") === 0 || col("hd") === 0).count()
-    require(asym == 0,
-      s"pageRank requires every node to have both in- and out-edges " +
-        s"($asym nodes violate this): the kernel rebuilds ranks from " +
-        "received contributions only, so sources vanish and sinks leak " +
-        "mass on asymmetric graphs — add reverse edges (undirected " +
-        "doubling) or model dangling mass before calling")
-    // pre-join the static out-degree INTO the cached edge list: every
-    // iteration previously re-joined deg (a node-sized shuffle + join
-    // stage per iteration for a value that never changes); one column
-    // of highly-repetitive longs costs little in the compressed
-    // columnar cache and the join key (src) preserves the cache's
-    // hash(src) partitioning, so the per-iteration rank join still
-    // reuses it
-    val edgesD = edges.join(deg, col("src") === deg("node"))
-      .select(col("src"), col("dst"), col("outdeg")).persist()
-    edgesD.count()
-    edges.unpersist(blocking = false)
-    // re-alias node so pr0 does not expose deg's attribute ids (the
-    // first iteration joins pr back to deg — identical ids would trip
-    // the ambiguous-self-join check now that no checkpoint re-ids them)
-    var pr = deg.select(col("node").as("node"),
+    // to its node set before the exchange). Callers whose edge list is
+    // symmetric BY CONSTRUCTION (an undirected doubling emits both
+    // directions of every pair — q134's tradeEdges) pass
+    // assumeSymmetric=true and skip the pass outright; the public
+    // default keeps the loud refusal.
+    if (!assumeSymmetric) {
+      val asym = edgesD
+        .select(col("src").as("node"), lit(1).as("s"), lit(0).as("d"))
+        .unionByName(edgesD
+          .select(col("dst").as("node"), lit(0).as("s"), lit(1).as("d")))
+        .groupBy("node").agg(max("s").as("hs"), max("d").as("hd"))
+        .filter(col("hs") === 0 || col("hd") === 0).count()
+      require(asym == 0,
+        s"pageRank requires every node to have both in- and out-edges " +
+          s"($asym nodes violate this): the kernel rebuilds ranks from " +
+          "received contributions only, so sources vanish and sinks leak " +
+          "mass on asymmetric graphs — add reverse edges (undirected " +
+          "doubling) or model dangling mass before calling")
+    }
+    var pr = nodes.select(col("node"),
       floor(lit(1.0e12) / n + 0.5).cast("long").as("pr"))
     // each iteration runs as its OWN job (the localCheckpoint is the
     // barrier), deliberately: unrolling all iterations into one
@@ -251,7 +255,7 @@ object GraphOps {
     // shuffle, never a broadcast, and pinning the edge side is what
     // removes the per-iteration |E|-row exchange. No hints. ----
     Q("q134_pagerank",
-      (s, d) => pageRank(tradeEdges(s, d), 5)
+      (s, d) => pageRank(tradeEdges(s, d), 5, assumeSymmetric = true)
         .select(nodeLabel(col("node")).as("node"),
           (col("pr").cast("double") / 1.0e12).as("pagerank"))
         .orderBy(desc("pagerank"), col("node"))

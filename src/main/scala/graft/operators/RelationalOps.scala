@@ -2200,9 +2200,13 @@ object RelationalOps {
         val row = out.collect()(0)
         val claimed = graft.io.LakeScanCheck.nativePruning(out)
         // the unclaimed scan of the SAME dirty snapshot: its static file
-        // count is the full-lake denominator the claim pruned against
+        // count is the full-lake denominator the claim pruned against.
+        // The denominator is PLANNING-time metadata (staticFileCount
+        // reads the manifest, plannedFiles static pruning alone), so the
+        // planned scan is walked WITHOUT executing the count — round 19:
+        // the old form ran a full-lake MOR-merged count and discarded
+        // the value (guide §1.2: don't compute what you throw away)
         val full = s.sql(s"SELECT count(*) FROM graft_lake.`$dir`")
-        full.collect()
         val fullScan = graft.io.LakeScanCheck.nativePruning(full)
         val nativeDirty = claimed.nonEmpty && fullScan.nonEmpty
         val claimPruned = nativeDirty && claimed.head._2 < fullScan.head._2

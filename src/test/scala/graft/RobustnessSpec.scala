@@ -21,7 +21,7 @@ class RobustnessSpec extends AnyFunSuite {
     // format contract of the committed idle reference the per-query
     // contention escape reads (Bench header note): every registered query
     // present, plausible idle-run magnitudes, recorded at the bench SF
-    val committed = Bench.loadHistory(names, "/root/testdata/sf0.1",
+    val committed = Bench.loadHistory(names, "/root/testdata/sf0.1", "32",
       "bench_history.json", "/nonexistent/prior.json")
     assert(committed.keySet === names)
     assert(committed.values.forall(v => v > 0 && v < 60), committed)
@@ -34,11 +34,11 @@ class RobustnessSpec extends AnyFunSuite {
       """{"sf":"X","queries":{"qa":1.000,"qb":2.000}}""")
     java.nio.file.Files.writeString(b,
       """{"sf":"X","queries":{"qb":0.500,"qc":3.000}}""")
-    val h = Bench.loadHistory(Set("qa", "qb", "qc"), "X",
+    val h = Bench.loadHistory(Set("qa", "qb", "qc"), "X", "32",
       a.toString, b.toString)
     assert(h === Map("qa" -> 1.0, "qb" -> 0.5, "qc" -> 3.0))
     // name filtering keeps non-query JSON numbers (total, sentinel) out
-    assert(Bench.loadHistory(Set("qa"), "X", a.toString, b.toString) ===
+    assert(Bench.loadHistory(Set("qa"), "X", "32", a.toString, b.toString) ===
       Map("qa" -> 1.0))
     // pretty-printed JSON (": " separators, e.g. a python round-trip)
     // parses identically — a spaced rewrite once silently disarmed the
@@ -46,16 +46,16 @@ class RobustnessSpec extends AnyFunSuite {
     val c = dir.resolve("spaced.json")
     java.nio.file.Files.writeString(c,
       """{"sf": "X", "queries": {"qa": 1.5, "qb": 2.5}}""")
-    assert(Bench.loadHistory(Set("qa", "qb"), "X", c.toString,
+    assert(Bench.loadHistory(Set("qa", "qb"), "X", "32", c.toString,
       dir.resolve("none.json").toString) === Map("qa" -> 1.5, "qb" -> 2.5))
     // an SF-mismatched reference is ignored entirely: at a decade run
     // (sf1/sf10) every query legitimately exceeds 2.5x its sf0.1 time,
     // and an armed escape there would quintuple the sweep
-    assert(Bench.loadHistory(Set("qa", "qb", "qc"), "out/sf1",
+    assert(Bench.loadHistory(Set("qa", "qb", "qc"), "out/sf1", "32",
       a.toString, b.toString).isEmpty)
     // absent files -> empty reference: the escape stays disarmed instead
     // of misfiring on garbage
-    assert(Bench.loadHistory(names, "X", dir.resolve("x.json").toString,
+    assert(Bench.loadHistory(names, "X", "32", dir.resolve("x.json").toString,
       dir.resolve("y.json").toString).isEmpty)
     // integer-formatted timings (a round-trip writer emitting "qa": 3)
     // must still load — the old fraction-required regex silently dropped
@@ -63,7 +63,7 @@ class RobustnessSpec extends AnyFunSuite {
     val d = dir.resolve("ints.json")
     java.nio.file.Files.writeString(d,
       """{"sf": "X", "queries": {"qa": 3, "qb": 2.5}}""")
-    assert(Bench.loadHistory(Set("qa", "qb"), "X", d.toString,
+    assert(Bench.loadHistory(Set("qa", "qb"), "X", "32", d.toString,
       dir.resolve("none.json").toString) === Map("qa" -> 3.0, "qb" -> 2.5))
     // exponent-formatted timings must DROP, not mis-parse: reading
     // "1.49E-1" as 1.49 would inflate the reference 10x and mask the
@@ -71,27 +71,48 @@ class RobustnessSpec extends AnyFunSuite {
     val ex = dir.resolve("exp.json")
     java.nio.file.Files.writeString(ex,
       """{"sf": "X", "queries": {"qa": 1.49E-1, "qb": 2.5}}""")
-    assert(Bench.loadHistory(Set("qa", "qb"), "X", ex.toString,
+    assert(Bench.loadHistory(Set("qa", "qb"), "X", "32", ex.toString,
       dir.resolve("none.json").toString) === Map("qb" -> 2.5))
+    // CORE-COUNT gate (round 19): a reference recorded at another cpus
+    // count is not comparable (the driver's low-core scaling run would
+    // otherwise arm the escape on every poorly-scaling query — or, in
+    // the min direction, mask contention with 32-core floors); an
+    // UNSTAMPED file is a legacy 32-core recording, comparable only at 32
+    val st = dir.resolve("stamped.json")
+    java.nio.file.Files.writeString(st,
+      """{"sf": "X", "cpus": "8", "queries": {"qa": 1.5}}""")
+    assert(Bench.loadHistory(Set("qa"), "X", "8", st.toString,
+      dir.resolve("none.json").toString) === Map("qa" -> 1.5))
+    assert(Bench.loadHistory(Set("qa"), "X", "32", st.toString,
+      dir.resolve("none.json").toString).isEmpty)
+    assert(Bench.loadHistory(Set("qa"), "X", "8", a.toString,
+      dir.resolve("none.json").toString).isEmpty) // unstamped ≠ 8
   }
 
   test("bench cross-invocation sweep records: commit+sf gated, failed excluded, minimum wins") {
     val body = """{"total":10.0,"n_queries":3,"failed":["qc"],""" +
       """"sentinel":{"start":0.2,"end":0.25,"waitedSec":0},""" +
       """"contended":false,"sweeps":1,"neverIdle":false,""" +
-      """"sweepsMerged":1,"commit":"abc123",""" +
+      """"sweepsMerged":1,"commit":"abc123","cpus":"32",""" +
       """"queries":{"qa":1.200,"qb":0.300,"qc":60.000},"sf":"X"}"""
     val names = Set("qa", "qb", "qc")
-    // matching commit + sf: timings load, the sweep's OWN failed list is
-    // excluded (a penalty timing is not intrinsic-cost evidence)
-    assert(Bench.parseSweepFile(body, "abc123", "X", names) ===
+    // matching commit + sf + cpus: timings load, the sweep's OWN failed
+    // list is excluded (a penalty timing is not intrinsic-cost evidence)
+    assert(Bench.parseSweepFile(body, "abc123", "X", "32", names) ===
       Some(Map("qa" -> 1.2, "qb" -> 0.3)))
     // a record from another commit can NEVER fold — the code it
     // measured is gone; same for a scale mismatch
-    assert(Bench.parseSweepFile(body, "def456", "X", names).isEmpty)
-    assert(Bench.parseSweepFile(body, "abc123", "Y", names).isEmpty)
+    assert(Bench.parseSweepFile(body, "def456", "X", "32", names).isEmpty)
+    assert(Bench.parseSweepFile(body, "abc123", "Y", "32", names).isEmpty)
+    // CORE-COUNT gate (round 19): a 32-core record must not fold into
+    // the driver's low-core scaling run (round 18's c8 artifact
+    // published 32-core mins for most queries — fake perfect scaling);
+    // an unstamped legacy record never folds
+    assert(Bench.parseSweepFile(body, "abc123", "X", "8", names).isEmpty)
+    assert(Bench.parseSweepFile(body.replace(""""cpus":"32",""", ""),
+      "abc123", "X", "32", names).isEmpty)
     // non-query numerics (total, sentinel fields) never leak in
-    assert(!Bench.parseSweepFile(body, "abc123", "X", names).get
+    assert(!Bench.parseSweepFile(body, "abc123", "X", "32", names).get
       .keySet.exists(Set("total", "start", "end", "waitedSec")))
     // the PRUNE key is the commit stamp alone: a same-commit record at
     // another sf parses to None here but must NOT be pruned (a later
