@@ -213,6 +213,15 @@ object ProfileLake {
         t("orders plain partitionBy")(
           base.write.mode("overwrite").partitionBy("o_orderpriority")
             .parquet(scratch("w1")))
+        t("orders rr8 partitionBy")(
+          base.repartition(8).write.mode("overwrite")
+            .partitionBy("o_orderpriority").parquet(scratch("w1b")))
+        t("lineitem rr8 partitionBy")(
+          li.repartition(8).write.mode("overwrite")
+            .partitionBy("l_returnflag").parquet(scratch("w1c")))
+        t("lineitem rr16 partitionBy")(
+          li.repartition(16).write.mode("overwrite")
+            .partitionBy("l_returnflag").parquet(scratch("w1d")))
         t("orders repartition(cols)")(
           base.repartition(col("o_orderpriority"))
             .write.mode("overwrite").partitionBy("o_orderpriority")
@@ -347,6 +356,29 @@ object ProfileLake {
     run("q135_bucketed") {
       QueryRegistry.queries("q135_bucketed_join")(s, sfDir).count()
       phase("whole q135")
+    }
+
+    run("q134_spread") {
+      // does spreading the 1-split lineitem scan before the join+distinct
+      // beat the serial scan-stage? (the distinct exchange exists either
+      // way; this adds ONE narrow 2-col shuffle below it)
+      mark()
+      val pairsPlain = Tables.lineitem(s, sfDir).select("l_orderkey", "l_suppkey")
+        .join(Tables.orders(s, sfDir).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .distinct()
+      pairsPlain.write.format("noop").mode("overwrite").save()
+      phase("pairs plain (noop)")
+      val pairsSpread = graft.operators.Spread.byKey(
+          Tables.lineitem(s, sfDir).select("l_orderkey", "l_suppkey"),
+          col("l_orderkey"))
+        .join(Tables.orders(s, sfDir).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .distinct()
+      pairsSpread.write.format("noop").mode("overwrite").save()
+      phase("pairs spread (noop)")
     }
 
     run("q134_variants") {

@@ -67,10 +67,14 @@ object DedupOps {
       // keep the old label alongside the new one so convergence is read off
       // the SAME materialized result — no second join, one extra count job
       // over checkpointed data per iteration
+      // LAZY checkpoint: the convergence count right below is the
+      // iteration's one action — it materializes the checkpoint blocks
+      // AND reads the changed-count in a single job (round 19; the
+      // eager form paid a separate materialization job per iteration)
       val updated = labels.join(msgs, labels("doc_id") === msgs("dst"), "left")
         .select(labels("doc_id"), col("label").as("old"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       changed = updated.filter(col("label") =!= col("old")).count()
       labels = updated.select("doc_id", "label")
       i += 1

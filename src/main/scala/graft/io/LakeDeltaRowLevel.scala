@@ -409,14 +409,19 @@ private[io] class LakeDeltaWrite(path: String,
     // (possibly truncated, certainly duplicate) must not be read, so
     // the commit enumerates attempt-reported names rather than listing
     // the staging directory (the standard DSv2 commit-protocol shape)
-    val files = messages.collect {
-      case m: LakeDeltaTaskResult => m.files
-    }.flatten.toSeq
+    val results = messages.collect { case m: LakeDeltaTaskResult => m }
+    val files = results.flatMap(_.files).toSeq
     // matched nothing, inserted nothing: publish nothing (no version
     // churn — same contract as the empty dynamic overwrite)
     if (files.isEmpty) { abort(messages); return }
+    // the attempts' receipts already carry the touched partition tuples
+    // and the (conservative) unconsumed-post-image count — the commit
+    // then needs NO separate summary job over the op files (round 19)
     PartitionedLake.commitRowLevelDeltas(spark, path, pinned, partCols,
-      keyCol, opsRoot, files)
+      keyCol, opsRoot, files,
+      partsHint = Some(results.flatMap(_.parts).distinct.toArray),
+      suspectsHint = Some(results.map(_.suspects).sum),
+      uOpsHint = Some(results.map(_.uOps).sum))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -426,11 +431,21 @@ private[io] class LakeDeltaWrite(path: String,
   }
 }
 
-/** A committed attempt's receipt: its op count and the exact staging
+/** A committed attempt's receipt: its op count, the exact staging
   * file name(s) it wrote — the driver commit reads ONLY these, so an
-  * aborted/zombie attempt's file can never be folded.
+  * aborted/zombie attempt's file can never be folded — plus (round 19)
+  * the DISTINCT partition tuples it touched (external Scala values,
+  * driver-bounded by the live-partition count — the same argument as
+  * the summary job's collect_set these reports replace) and a
+  * CONSERVATIVE count of post-images whose identity the task did not
+  * see itself consume (`suspects`): a split update's delete+insert
+  * halves ride adjacent rows of one task (the Expand that splits
+  * them), so adjacency pairing detects in-place updates exactly; any
+  * plan that separates the halves only OVERCOUNTS, which costs one
+  * unnecessary collision probe, never a missed refusal.
   */
-private[io] case class LakeDeltaTaskResult(ops: Long, files: Seq[String])
+private[io] case class LakeDeltaTaskResult(ops: Long, files: Seq[String],
+    parts: Seq[Seq[Any]] = Nil, suspects: Long = 0L, uOps: Long = 0L)
   extends WriterCommitMessage
 
 private[io] class LakeDeltaWriterFactory(staging: String,
@@ -491,6 +506,49 @@ private[io] class LakeDeltaOpsWriter(staging: String,
   private var fileName: String = _
   private var ops = 0L
 
+  // task-side commit receipt accounting (round 19): the partition
+  // tuples this task touched and the conservative unconsumed-post-image
+  // count — what lets the driver commit skip its summary job entirely.
+  // Values are converted to EXTERNAL Scala types immediately (the
+  // projection reuses its row buffer, and the driver-side consumers —
+  // partitionFilter/sparkDirsFor — speak external values).
+  private val identPos = identCols.map(c => tableSchema.fieldIndex(c))
+  private val extractIdent: Seq[InternalRow => Any] = identPos.map { i =>
+    val dt = tableSchema(i).dataType
+    val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToScalaConverter(dt)
+    (r: InternalRow) => if (r.isNullAt(i)) null else conv(r.get(i, dt))
+  }
+  private val partsSeen =
+    scala.collection.mutable.LinkedHashSet.empty[Seq[Any]]
+  private var suspects = 0L
+  private var uOps = 0L
+  private var lastOp: String = _
+  private var lastIdent: Seq[Any] = _
+  private var lastUCounted = false
+
+  /** Track one projected op row. A split update's delete+insert halves
+    * arrive as adjacent rows of this task (the Expand that splits
+    * them), in either order — adjacency pairing cancels them exactly;
+    * any plan that separates the halves only OVERCOUNTS suspects
+    * (costing one unnecessary, still-correct collision probe).
+    */
+  private def track(op: String, projected: InternalRow): Unit = {
+    val ident = extractIdent.map(_(projected))
+    partsSeen += ident.dropRight(1)
+    if (op == "U") {
+      uOps += 1
+      val consumed = lastOp == "D" && lastIdent == ident
+      if (!consumed) { suspects += 1; lastUCounted = true }
+      else lastUCounted = false
+    } else if (lastOp == "U" && lastIdent == ident && lastUCounted) {
+      suspects -= 1
+      lastUCounted = false
+    }
+    lastOp = op
+    lastIdent = ident
+  }
+
   private def out(): OutputWriter = {
     if (writer == null) {
       // the attempt id (taskId) is part of the name, so two attempts of
@@ -508,11 +566,15 @@ private[io] class LakeDeltaOpsWriter(staging: String,
     if (writer != null) { writer.close(); writer = null }
 
   override def insert(row: InternalRow): Unit = {
-    out().write(insertProj(row)); ops += 1
+    val projected = insertProj(row)
+    track("U", projected)
+    out().write(projected); ops += 1
   }
 
   override def delete(meta: InternalRow, id: InternalRow): Unit = {
-    out().write(deleteProj(id)); ops += 1
+    val projected = deleteProj(id)
+    track("D", projected)
+    out().write(projected); ops += 1
   }
 
   override def update(meta: InternalRow, id: InternalRow,
@@ -522,7 +584,9 @@ private[io] class LakeDeltaOpsWriter(staging: String,
 
   override def commit(): WriterCommitMessage = {
     closeCurrent()
-    LakeDeltaTaskResult(ops, Option(fileName).toSeq.filter(_ => ops > 0))
+    if (ops == 0) LakeDeltaTaskResult(0L, Nil)
+    else LakeDeltaTaskResult(ops, Option(fileName).toSeq,
+      partsSeen.toSeq, suspects, uOps)
   }
 
   /** A failed attempt deletes its (possibly partial) file — belt to the

@@ -5,7 +5,7 @@ import java.util.UUID
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-import org.apache.spark.sql.functions.{array, broadcast, coalesce, col, collect_set, count, explode, lit, struct, sum, when}
+import org.apache.spark.sql.functions.{array, broadcast, coalesce, col, collect_set, concat, concat_ws, count, explode, lit, raise_error, struct, sum, when}
 import org.apache.spark.sql.types.{ByteType, DataType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StructField, StructType, TimestampNTZType, TimestampType}
 
 /** Partitioned-lake layout helpers: Hive-style partition directories give
@@ -4719,7 +4719,10 @@ object PartitionedLake {
     */
   private[io] def commitRowLevelDeltas(spark: SparkSession, path: String,
       pinned: Manifest, partitionCols: Seq[String], keyCol: String,
-      opsDir: Path, opsFiles: Seq[String]): Unit = {
+      opsDir: Path, opsFiles: Seq[String],
+      partsHint: Option[Array[Seq[Any]]] = None,
+      suspectsHint: Option[Long] = None,
+      uOpsHint: Option[Long] = None): Unit = {
     val fs = fsFor(spark, path)
     try {
       val opSchema = StructType(pinned.schema.fields :+
@@ -4733,52 +4736,61 @@ object PartitionedLake {
       val ops = spark.read.schema(opSchema).parquet(
         opsFiles.map(f => new Path(opsDir, f).toString): _*)
       val ident = partitionCols :+ keyCol
-      val uRows = ops.filter(col(MorOpCol) === "U")
-      // ONE summary job (round 18) replaces three separate op-frame
-      // actions — the per-identity dup-U grouping, the distinct-
-      // partition collect, and the suspicious-post-image existence
-      // check: each action is a full job round-trip at bench scale and
-      // none needs its own pass. The per-identity counts roll up into a
-      // single driver row; collect_set over the partition tuples is
-      // driver-bounded by the same argument as the previous distinct
-      // collect (tuple count ≤ live partitions + statement targets).
-      // Samples for the two error messages are recomputed only on the
-      // failure paths, where cost is irrelevant.
-      val perId = ops.groupBy(ident.map(col).toIndexedSeq: _*)
-        .agg(count(when(col(MorOpCol) === "U", 1)).as("__u"),
-          count(when(col(MorOpCol) === "D", 1)).as("__d"))
-      val summary = traced("rld: op summary agg")(perId.agg(
-        sum(when(col("__u") > 1, 1L).otherwise(0L)).as("dups"),
-        sum(when(col("__u") > 0 && col("__d") === 0, 1L).otherwise(0L))
-          .as("suspects"),
-        collect_set(struct(partitionCols.map(c =>
-          col(c).cast(pinned.schema(c).dataType)).toIndexedSeq: _*))
-          .as("parts")).head())
+      // ZERO summary jobs on the SQL path (round 19; round 18 had one):
+      // the touched partition tuples and the conservative suspect count
+      // arrive in the writer attempts' commit receipts (partsHint /
+      // suspectsHint — LakeDeltaTaskResult), and the per-identity dup-U
+      // refusal moves INTO the staging job as a window count + in-plan
+      // raise_error (the window partitions by the same identity the old
+      // anti-join shuffled, so the fold's plan shape is unchanged; the
+      // window ALSO serves the 'U'-wins-over-'D' re-unification, which
+      // deletes that anti-join outright). Direct callers without
+      // receipts (the spec's zombie/race paths) pay one small
+      // op-frame job per hint instead.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(ident.map(col).toIndexedSeq: _*)
+      val opsW = ops
+        .withColumn("__u_cnt", count(when(col(MorOpCol) === "U", 1)).over(w))
+        .withColumn("__d_cnt", count(when(col(MorOpCol) === "D", 1)).over(w))
       val partSchema = StructType(
         partitionCols.map(c => pinned.schema(c)).toArray)
-      val parts: Array[Seq[Any]] =
-        if (summary.isNullAt(0)) Array.empty
-        else summary.getSeq[Row](2).map(_.toSeq).toArray
+      val parts: Array[Seq[Any]] = partsHint.getOrElse(
+        traced("rld: parts collect")(
+          ops.select(partitionCols.map(c =>
+              col(c).cast(pinned.schema(c).dataType)): _*)
+            .distinct().collect().map(_.toSeq)))
       if (parts.isEmpty) return
-      require(summary.getLong(0) == 0L, {
-        val dupU = uRows.groupBy(ident.map(col).toIndexedSeq: _*)
-          .count().filter(col("count") > 1)
-          .select(ident.map(col).toIndexedSeq: _*).take(3)
-        "row-level delta write produced more than one post-image for " +
-          "the same (partition, key) identity — e.g. " +
-          dupU.mkString(", ") + " — the lake's merge-on-read contract " +
-          "is one row per identity; dedupe the source (or use " +
+      val suspects = suspectsHint.getOrElse(
+        traced("rld: suspects probe")(
+          opsW.filter(col("__u_cnt") > 0 && col("__d_cnt") === 0)
+            .limit(1).count()))
+      // split updates re-unify: 'U' wins over 'D' for one identity
+      // (window count == 0 ⇔ the old anti-join kept the tombstone; the
+      // window's null-key grouping matches the old <=> join), and the
+      // one-row-per-identity refusal rides the same window in-plan —
+      // it fires inside the staging job, before anything commits
+      val dupMsg = concat(
+        lit("row-level delta write produced more than one post-image " +
+          "for the same (partition, key) identity — e.g. ("),
+        concat_ws(", ", ident.map(c =>
+          coalesce(col(c).cast("string"), lit("null"))).toIndexedSeq: _*),
+        lit(") — the lake's merge-on-read contract is one row per " +
+          "identity; dedupe the source (or use " +
           s"${graft.io.LakeDeltaRowLevel.ModeKey}=" +
           s"${graft.io.LakeDeltaRowLevel.CopyOnWrite} for keyless " +
-          "multiset semantics)"
-      })
-      // split updates re-unify: 'U' wins over 'D' for one identity
-      val uIds = uRows.select(ident.map(c =>
-        col(c).as(s"__u_$c")).toIndexedSeq: _*)
-      val dRows = ops.filter(col(MorOpCol) === "D")
-        .join(uIds, ident.map(c =>
-          col(c) <=> col(s"__u_$c")).reduce(_ && _), "left_anti")
-      val folded = uRows.unionByName(dRows)
+          "multiset semantics)"))
+      // a statement with ZERO post-images (pure DELETE — the receipts
+      // say so exactly) needs no identity grouping at all: no dup-U to
+      // refuse, no 'U'-wins re-unification, every tombstone carries —
+      // the fold is the op set verbatim and the window's exchange+sort
+      // drops out of the staging job entirely
+      val folded = if (uOpsHint.contains(0L)) ops
+      else opsW
+        .filter(col(MorOpCol) === "U" ||
+          (col(MorOpCol) === "D" && col("__u_cnt") === 0))
+        .filter(when(col(MorOpCol) === "U" && col("__u_cnt") > 1,
+          raise_error(dupMsg)).otherwise(lit(true)))
+        .drop("__u_cnt", "__d_cnt")
       val touched = partitionFilter(partitionCols, parts)
       // refuse SILENT COLLAPSE: a post-image whose identity the
       // statement did not itself consume (no raw 'D' — i.e. not the
@@ -4794,14 +4806,15 @@ object PartitionedLake {
       // partition-pruned, identity-projected, and semi-joins against a
       // BROADCAST of statement-bounded identities — a read, never a
       // rewrite.
-      if (summary.getLong(1) > 0L) {
-        val rawDIds = ops.filter(col(MorOpCol) === "D")
-          .select(ident.map(c => col(c).as(s"__rd_$c")).toIndexedSeq: _*)
-        val suspicious = uRows.select(ident.map(col).toIndexedSeq: _*)
-          .join(rawDIds, ident.map(c =>
-            col(c) <=> col(s"__rd_$c")).reduce(_ && _), "left_anti")
-        val suspR = suspicious.select(ident.map(c =>
-          col(c).as(s"__s_$c")).toIndexedSeq: _*)
+      if (suspects > 0L) {
+        // the EXACT suspicious set (a task-side suspects hint may
+        // overcount, gating a probe that then finds this set empty —
+        // cost, never correctness); semi-join build tolerates the
+        // duplicate idents a dup-U statement would carry (it is headed
+        // for the in-plan refusal regardless)
+        val suspR = opsW
+          .filter(col(MorOpCol) === "U" && col("__d_cnt") === 0)
+          .select(ident.map(c => col(c).as(s"__s_$c")).toIndexedSeq: _*)
         val collided = traced("rld: collision probe")(
           frameFor(spark, path, pinned).filter(touched)
             .select(ident.map(col).toIndexedSeq: _*)
@@ -4827,8 +4840,19 @@ object PartitionedLake {
       val newLog = folded.unionByName(carried)
         .select((pinned.schema.fieldNames :+ MorOpCol)
           .map(col).toIndexedSeq: _*)
-      val (logStaging, stagedLog) = traced("rld: stage newLog")(
-        stage(spark, fs, path, newLog, partitionCols, Nil))
+      // the dup refusal fires INSIDE the staging job (raise_error above)
+      // — nothing has committed at that point; unwrap Spark's job-abort
+      // layers so the top-level message stays the directed one
+      val (logStaging, stagedLog) = try {
+        traced("rld: stage newLog")(
+          stage(spark, fs, path, newLog, partitionCols, Nil))
+      } catch { case t: Throwable =>
+        val dup = Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(x => Option(x.getMessage).getOrElse(""))
+          .find(_.contains("one row per identity"))
+        dup.foreach(msg => sys.error(msg))
+        throw t
+      }
       val autoCompact = morLogGovern(fs, path, logStaging, stagedLog)
       val replacedDeltas = traced("rld: sparkDirsFor probe")(
         sparkDirsFor(spark, partSchema, parts))

@@ -180,7 +180,14 @@ object GraphOps {
     * id only on the 30-row output.
     */
   private[graft] def tradeEdges(s: SparkSession, d: String): DataFrame = {
-    val pairs = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+    // Spread the 1-split lineitem scan before the join+distinct: the
+    // broadcast join and the distinct's partial aggregate otherwise run
+    // serially in the scan stage (round 19, noop-measured: 1.15 s plain
+    // vs 0.80 s spread, warm). The added exchange carries two longs per
+    // row; at scale the split-count gate makes it a no-op.
+    val pairs = graft.operators.Spread.byKey(
+        Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+        col("l_orderkey"))
       .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
