@@ -2736,9 +2736,19 @@ object RelationalOps {
           s"AS price_sum FROM graft_lake.`$dir` " +
           "GROUP BY channel ORDER BY channel")
       },
+      // oracle note: the final DOUBLE is produced by a VARCHAR
+      // round-trip of the exact DECIMAL sum. DuckDB's direct
+      // DECIMAL->DOUBLE cast double-rounds (int128 / 10^scale in
+      // floating point): at sf1 this query's 'web' sum is exactly
+      // ...122.500000 and the direct cast lands 1 ulp low
+      // (412888208122.49994) while Spark's BigDecimal.doubleValue is
+      // correctly rounded (….5). Parsing the decimal's string is
+      // correctly rounded in DuckDB too, so the mirror agrees at every
+      // scale; wherever the direct cast already agreed (all driver
+      // SFs), the round-trip is value-identical by construction.
       Some("""SELECT channel, count(*) AS n,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE)
-        |    AS price_sum
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS VARCHAR)
+        |    AS DOUBLE) AS price_sum
         |FROM (
         |  SELECT 'web' AS channel, o_totalprice FROM orders
         |  UNION ALL SELECT 'web', o_totalprice FROM orders
